@@ -1,0 +1,462 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.expressions.Window
+
+/** Relational query surface over the driver's TPC-H-ish tables.
+  *
+  * Mirrors the delegated SQL surface the reference exposes through DuckDB
+  * (see SURVEY.md §2.B; reference tests test/regression/sql/basic.sql,
+  * fdw.sql, ctas.sql, readme_examples.sql) — scans, filters, joins,
+  * semi/anti joins, aggregation, windows, rollup, set ops, subqueries,
+  * top-k, JSON extraction, date_trunc.
+  *
+  * Cross-engine determinism contract (queries vs DuckDB oracle):
+  *   - Every floating-point aggregate is computed over exact DECIMALs and
+  *     cast to DOUBLE only at the very end, so Spark and DuckDB produce
+  *     bit-identical doubles regardless of summation order.
+  *   - Integer-ish aggregates use COUNT (BIGINT in both engines); we never
+  *     SUM raw integers (DuckDB widens those to HUGEINT which pyarrow
+  *     renders as double).
+  *   - Every result has a total ORDER BY (ties broken by a unique key)
+  *     so LIMIT cuts identically.
+  */
+object Relational {
+
+  private val D2 = DecimalType(12, 2) // prices / quantities / values
+  private val D4 = DecimalType(6, 4)  // rates (discount, tax)
+
+  private def d2(c: Column): Column = c.cast(D2)
+  private def d4(c: Column): Column = c.cast(D4)
+  /** Decimal → double routed through a string: decimal→VARCHAR→DOUBLE is
+    * correctly rounded in both Spark and DuckDB, whereas DuckDB's direct
+    * decimal→double cast double-rounds (off by 1 ulp at scale ≥ 10). The
+    * oracle SQL mirrors this with CAST(CAST(x AS VARCHAR) AS DOUBLE). */
+  private def dbl(c: Column): Column = c.cast("string").cast("double")
+  /** Exact decimal sum, surfaced as a double (bit-identical across engines). */
+  private def sum2(c: Column): Column = dbl(sum(d2(c)))
+  /** Exact sum of a decimal product expression, as a double. */
+  private def sumd(c: Column): Column = dbl(sum(c))
+  /** Deterministic average: exact decimal sum / count. */
+  private def avg2(c: Column): Column = dbl(sum(d2(c))) / count(lit(1))
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum2(col("l_quantity")).as("sum_qty"),
+          sum2(col("l_extendedprice")).as("sum_base_price"),
+          sumd(d2(col("l_extendedprice")) * (lit(1) - d4(col("l_discount"))))
+            .as("sum_disc_price"),
+          sumd(d2(col("l_extendedprice")) * (lit(1) - d4(col("l_discount")))
+            * (lit(1) + d4(col("l_tax")))).as("sum_charge"),
+          avg2(col("l_quantity")).as("avg_qty"),
+          avg2(col("l_extendedprice")).as("avg_price"),
+          (dbl(sum(d4(col("l_discount")))) / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "q02_filter_topk" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+          && col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_quantity"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .limit(100)
+    }),
+
+    "q03_top_revenue_orders" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(sumd(d2(col("l_extendedprice")) * (lit(1) - d4(col("l_discount"))))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    "q04_priority_semi" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val big = t(s, dir, "lineitem").filter(col("l_quantity") > 48)
+      o.join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    "q05_nation_revenue" -> ((s, dir) => {
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val l = t(s, dir, "lineitem")
+      val su = t(s, dir, "supplier")
+      broadcast(r).join(n, col("r_regionkey") === col("n_regionkey"))
+        .join(c, col("n_nationkey") === col("c_nationkey"))
+        .join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey")
+          && col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sumd(d2(col("l_extendedprice")) * (lit(1) - d4(col("l_discount"))))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    "q06_forecast_revenue" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+          && col("l_discount") >= 0.03 && col("l_discount") <= 0.07
+          && col("l_quantity") < 24)
+        .agg(sumd(d2(col("l_extendedprice")) * d4(col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    "q07_volume_shipping" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      val su = t(s, dir, "supplier")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n1 = t(s, dir, "nation").select(col("n_nationkey").as("s_nk"),
+        col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation").select(col("n_nationkey").as("c_nk"),
+        col("n_name").as("cust_nation"))
+      l.join(su, col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sumd(d2(col("l_extendedprice")) * (lit(1) - d4(col("l_discount"))))
+          .as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .limit(200)
+    }),
+
+    "q08_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rn"))
+        .limit(300)
+    }),
+
+    "q09_running_sum" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("running_value", dbl(sum(d2(col("value"))).over(w)))
+        .filter(col("user_id") < 20)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("running_value"))
+        .orderBy(col("user_id"), col("event_id"))
+        .limit(500)
+    }),
+
+    "q10_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum2(col("l_quantity")).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("n"), col("sum_qty"))
+        .orderBy(col("flag"), col("status"))
+    }),
+
+    "q11_cust_distribution" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    "q12_case_counts" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem").filter(col("l_quantity") >= 30)
+      o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), lit(1)))
+            .as("high_line_count"),
+          count(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), lit(1)))
+            .as("low_line_count"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "q13_big_orders" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val big = l.groupBy(col("l_orderkey"))
+        .agg(sum2(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 210)
+      big.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
+    "q14_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    "q15_above_avg" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val avgPrice = l.agg(
+        (dbl(sum(d2(col("l_extendedprice")))) / count(lit(1))).as("avg_price"))
+      l.crossJoin(broadcast(avgPrice))
+        .filter(col("l_extendedprice") > col("avg_price"))
+        .agg(count(lit(1)).as("n_above"))
+    }),
+
+    "q16_semi_top_suppliers" -> ((s, dir) => {
+      val su = t(s, dir, "supplier")
+      val l = t(s, dir, "lineitem").filter(col("l_quantity") > 49)
+      su.join(l, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+        .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+        .limit(10)
+    }),
+
+    "q17_set_ops" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      val op = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      val both = f.intersect(op).agg(count(lit(1)).as("n_both"))
+      val onlyF = f.except(op).agg(count(lit(1)).as("n_only_f"))
+      both.crossJoin(onlyF)
+    }),
+
+    "q18_json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"), countDistinct(col("k")).as("n_k"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q19_date_trunc" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(date_trunc("week", col("ts")).cast("date").as("week"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), sum2(col("value")).as("sum_value"))
+        .orderBy(col("week"), col("event_type"))
+    }),
+
+    "q20_having" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_items"), sum2(col("l_extendedprice")).as("sum_price"))
+        .filter(col("n_items") > 20)
+        .orderBy(col("l_suppkey"))
+    })
+  )
+
+  // ----------------------------------------------------------------- oracle
+
+  private val discPrice =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(6,4)))"
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+         |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+         |  CAST(CAST(SUM($discPrice) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+         |  CAST(CAST(SUM($discPrice * (1 + CAST(l_tax AS DECIMAL(6,4)))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+         |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_qty,
+         |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_price,
+         |  CAST(CAST(SUM(CAST(l_discount AS DECIMAL(6,4))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+
+    "q03_top_revenue_orders" ->
+      s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
+         |  CAST(CAST(SUM($discPrice) AS VARCHAR) AS DOUBLE) AS revenue
+         |FROM customer JOIN orders ON c_custkey = o_custkey
+         |  JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q04_priority_semi" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 48)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q05_nation_revenue" ->
+      s"""SELECT n_name, CAST(CAST(SUM($discPrice) AS VARCHAR) AS DOUBLE) AS revenue
+         |FROM region JOIN nation ON r_regionkey = n_regionkey
+         |  JOIN customer ON n_nationkey = c_nationkey
+         |  JOIN orders ON c_custkey = o_custkey
+         |  JOIN lineitem ON o_orderkey = l_orderkey
+         |  JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q06_forecast_revenue" ->
+      """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(6,4))) AS VARCHAR) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q07_volume_shipping" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         |  CAST(CAST(SUM($discPrice) AS VARCHAR) AS DOUBLE) AS revenue
+         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+         |GROUP BY n1.n_name, n2.n_name, CAST(year(l_shipdate) AS BIGINT)
+         |ORDER BY supp_nation, cust_nation, l_year LIMIT 200""".stripMargin,
+
+    "q08_window_rank" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn LIMIT 300""".stripMargin,
+
+    "q09_running_sum" ->
+      """SELECT user_id, event_id, event_type,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (PARTITION BY user_id
+        |    ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
+        |    AS running_value
+        |FROM events
+        |QUALIFY user_id < 20
+        |ORDER BY user_id, event_id LIMIT 500""".stripMargin,
+
+    "q10_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+        |  COALESCE(l_linestatus, 'ALL') AS status,
+        |  COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
+
+    "q11_cust_distribution" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q12_case_counts" ->
+      """SELECT l_returnflag,
+        |  COUNT(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 END) AS high_line_count,
+        |  COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 END) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_quantity >= 30
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q13_big_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+        |FROM (SELECT l_orderkey,
+        |        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
+        |      FROM lineitem GROUP BY l_orderkey) big
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |WHERE sum_qty > 210
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q14_anti_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q15_above_avg" ->
+      """SELECT COUNT(*) AS n_above FROM lineitem
+        |WHERE l_extendedprice > (
+        |  SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / COUNT(*)
+        |  FROM lineitem)""".stripMargin,
+
+    "q16_semi_top_suppliers" ->
+      """SELECT s_suppkey, s_name, s_acctbal
+        |FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_suppkey = s_suppkey AND l_quantity > 49)
+        |ORDER BY s_acctbal DESC, s_suppkey LIMIT 10""".stripMargin,
+
+    "q17_set_ops" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM (
+        |     SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |     INTERSECT
+        |     SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') a) AS n_both,
+        |  (SELECT COUNT(*) FROM (
+        |     SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |     EXCEPT
+        |     SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') b) AS n_only_f""".stripMargin,
+
+    "q18_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  MIN(CAST(props->>'k' AS BIGINT)) AS min_k,
+        |  MAX(CAST(props->>'k' AS BIGINT)) AS max_k,
+        |  COUNT(DISTINCT CAST(props->>'k' AS BIGINT)) AS n_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q19_date_trunc" ->
+      """SELECT CAST(date_trunc('week', ts) AS DATE) AS week, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY week, event_type""".stripMargin,
+
+    "q20_having" ->
+      """SELECT l_suppkey, COUNT(*) AS n_items,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY l_suppkey
+        |HAVING COUNT(*) > 20 ORDER BY l_suppkey""".stripMargin
+  )
+}
