@@ -16,10 +16,16 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.queries
+    graft.queries.Relational.queries ++
+      graft.queries.TextOps.queries ++
+      graft.queries.VectorOps.queries ++
+      graft.queries.MultimodalOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracleSql
+    graft.queries.Relational.oracleSql ++
+      graft.queries.TextOps.oracleSql ++
+      graft.queries.VectorOps.oracleSql ++
+      graft.queries.MultimodalOps.oracleSql
 }

@@ -1,0 +1,82 @@
+package graft.ops
+
+import java.security.MessageDigest
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing for a training-data pipeline: media payloads
+  * travel as opaque `binary` columns with typed metadata, and decode /
+  * feature-extraction runs as partition-local batch transforms
+  * (`mapPartitions` over a typed Dataset — the Scala analogue of
+  * `mapInPandas`: one JVM-side batch iterator per partition, no
+  * per-row serialization round trips).
+  *
+  * The actual image/audio decode is STUBBED (no codec libraries in this
+  * environment): `decodeStub` derives deterministic fake metadata from the
+  * payload's md5. Everything around it — schema, binary column handling,
+  * partitioning, the batch-iterator shape, frame-sampling explode — is the
+  * real Spark structure a production decode would drop into.
+  */
+object Multimodal {
+
+  /** Typed media record: payload is an opaque binary column. */
+  case class Media(doc_id: Long, payload: Array[Byte])
+
+  /** Decoded (stub) metadata for one media payload. */
+  case class MediaMeta(doc_id: Long, byte_len: Int, width: Int, height: Int,
+      format: String, n_frames: Int)
+
+  /** One sampled frame: deterministic signature + fake luma feature. */
+  case class FrameSample(doc_id: Long, frame_idx: Int, frame_sig: String,
+      luma: Double)
+
+  private def md5Hex(bytes: Array[Byte]): String =
+    MessageDigest.getInstance("MD5").digest(bytes)
+      .map("%02x".format(_)).mkString
+
+  private val HEX = "0123456789abcdef"
+
+  /** STUB decode: deterministic fake metadata from the payload hash.
+    * A real implementation would parse the container header here. */
+  def decodeStub(payload: Array[Byte]): (Int, Int, String, Int) = {
+    val h = md5Hex(payload)
+    val v1 = HEX.indexOf(h.charAt(0)) * 16 + HEX.indexOf(h.charAt(1))
+    val v2 = HEX.indexOf(h.charAt(2)) * 16 + HEX.indexOf(h.charAt(3))
+    val width = 64 + 8 * (v1 % 48)
+    val height = 64 + 8 * (v2 % 48)
+    val format = Seq("jpeg", "png", "webp")(v1 % 3)
+    val nFrames = 1 + v2 % 30
+    (width, height, format, nFrames)
+  }
+
+  /** Decode metadata for a binary-payload DataFrame (doc_id, payload).
+    * Runs partition-local; one decoder instance per partition (the
+    * batch shape a native codec needs). */
+  def decodeMeta(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
+    import spark.implicits._
+    media.as[Media].mapPartitions { it =>
+      // per-partition setup (a real codec would init its context here)
+      it.map { m =>
+        val (w, h, fmt, nf) = decodeStub(m.payload)
+        MediaMeta(m.doc_id, m.payload.length, w, h, fmt, nf)
+      }
+    }
+  }
+
+  /** Sample every `stride`-th frame of each media item; emits one row per
+    * sampled frame with a deterministic per-frame signature. Partitioned
+    * by doc_id so frame extraction for one item stays on one executor. */
+  def sampleFrames(spark: SparkSession, media: DataFrame, stride: Int): Dataset[FrameSample] = {
+    import spark.implicits._
+    media.repartition(col("doc_id")).as[Media].mapPartitions { it =>
+      it.flatMap { m =>
+        val (_, _, _, nFrames) = decodeStub(m.payload)
+        (0 until nFrames by stride).iterator.map { idx =>
+          val sig = md5Hex(m.payload ++ BigInt(idx).toByteArray)
+          val luma = HEX.indexOf(sig.charAt(0)) / 16.0
+          FrameSample(m.doc_id, idx, sig, luma)
+        }
+      }
+    }
+  }
+}

@@ -1,0 +1,319 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis / deduplication operators over the `documents` table —
+  * the LLM-training-data-pipeline surface (builder prompt; SURVEY.md §7.3
+  * step 11). Everything is expressed with codegen'd built-ins (split,
+  * higher-order array functions, md5) — no UDFs — so plans stay inside
+  * WholeStageCodegen and scale linearly with document count.
+  *
+  * Cross-engine determinism: all hashing is md5 (identical in Spark and
+  * DuckDB); tokenization splits on a literal single space (no regex
+  * dialect differences); ratios divide exact integers.
+  */
+object TextOps {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** tokens of lower(trim(text)), split on literal single space */
+  private val TOKS = "split(lower(trim(text)), ' ')"
+  /** 3-word shingles of TOKS (empty when < 3 tokens) */
+  private val SHINGLES =
+    s"""CASE WHEN size($TOKS) >= 3 THEN
+       |  transform(sequence(1, size($TOKS) - 2),
+       |    i -> concat(element_at($TOKS, i), ' ', element_at($TOKS, i + 1),
+       |                ' ', element_at($TOKS, i + 2)))
+       |ELSE array() END""".stripMargin
+
+  private val STOPWORDS = Seq("the", "a", "of", "and", "to", "in", "is")
+  private def inList(words: Seq[String]) = words.map("'" + _ + "'").mkString(", ")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- token counting --------------------------------------------------
+    "t01_token_count" -> ((s, dir) => {
+      t(s, dir, "documents").selectExpr(
+        "doc_id",
+        s"cast(size($TOKS) as bigint) AS n_tokens",
+        "cast(length(text) as bigint) AS n_chars_actual")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- quality scoring -------------------------------------------------
+    "t02_quality_score" -> ((s, dir) => {
+      t(s, dir, "documents").selectExpr(
+        "doc_id",
+        s"cast(size($TOKS) as bigint) AS n_tokens",
+        s"cast(size(filter($TOKS, x -> x IN (${inList(STOPWORDS)}))) as bigint) AS n_stop",
+        "cast(length(text) - length(replace(replace(replace(text, '.', ''), ',', ''), '!', '')) as bigint) AS n_punct")
+        .selectExpr(
+          "doc_id", "n_tokens", "n_stop", "n_punct",
+          "CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END AS stop_ratio",
+          "CASE WHEN n_tokens >= 5 AND n_stop / n_tokens < 0.9 THEN true ELSE false END AS is_quality")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- corpus profile by language label --------------------------------
+    "t03_lang_profile" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(col("n_chars")).cast("string").cast("double").as("total_chars"),
+          (sum(col("n_chars")).cast("string").cast("double") / count(lit(1)))
+            .as("avg_chars"))
+        .orderBy(col("lang"))
+    }),
+
+    // ---- exact dedup -----------------------------------------------------
+    "t04_exact_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val summary = d.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_unique_text"),
+        countDistinct(md5(col("text"))).as("n_unique_md5"))
+      summary
+    }),
+
+    "t05_dedup_keepers" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(md5(col("text")).as("text_md5"))
+        .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+        .select(col("keeper_id"), col("n_copies"), col("text_md5"))
+        .orderBy(col("keeper_id"))
+        .limit(200)
+    }),
+
+    // ---- MinHash (KMV bottom-k sketch over 3-word shingles) ---------------
+    "t06_minhash_kmv" -> ((s, dir) => {
+      t(s, dir, "documents").selectExpr(
+        "doc_id",
+        s"slice(array_sort(array_distinct(transform($SHINGLES, s -> md5(s)))), 1, 16) AS sketch")
+        .orderBy(col("doc_id"))
+        .limit(300)
+    }),
+
+    // ---- n-gram Jaccard similarity (adjacent-pair probe) -------------------
+    "t07_ngram_jaccard" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .selectExpr("doc_id", s"array_distinct($SHINGLES) AS sh")
+      val a = d.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+      val b = d.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
+      a.join(b, col("doc_b") === col("doc_a") + 1)
+        .selectExpr("doc_a", "doc_b",
+          "cast(size(array_distinct(array_intersect(sha, shb))) as bigint) AS n_inter",
+          "cast(size(array_distinct(concat(sha, shb))) as bigint) AS n_union")
+        .selectExpr("doc_a", "doc_b", "n_inter", "n_union",
+          "CASE WHEN n_union > 0 THEN n_inter / n_union ELSE 0.0 END AS jaccard")
+        .orderBy(col("doc_a"))
+        .limit(500)
+    }),
+
+    // ---- SimHash (32-bit, md5-derived bit votes over tokens) --------------
+    "t08_simhash" -> ((s, dir) => {
+      // bit j of token t = parity of hex digit j of md5(t); simhash bit j is
+      // the majority vote over tokens. Pure integer arithmetic → identical
+      // in DuckDB (strpos-based hex digit value).
+      t(s, dir, "documents").selectExpr(
+        "doc_id",
+        s"""concat_ws('', transform(sequence(1, 32), j ->
+           |  CASE WHEN
+           |    aggregate(transform($TOKS, tk ->
+           |      (instr('0123456789abcdef', substring(md5(tk), j, 1)) - 1) % 2),
+           |      0L, (acc, v) -> acc + (2 * v - 1)) >= 0
+           |  THEN '1' ELSE '0' END)) AS simhash_bits""".stripMargin)
+        .orderBy(col("doc_id"))
+        .limit(300)
+    }),
+
+    // ---- document fingerprinting (winnowing-lite over char 8-grams) -------
+    "t09_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents").selectExpr(
+        "doc_id",
+        """CASE WHEN length(text) >= 8 THEN
+          |  array_min(transform(sequence(1, length(text) - 7, 4),
+          |    p -> md5(substring(text, p, 8))))
+          |ELSE md5(text) END AS fingerprint""".stripMargin)
+        .orderBy(col("doc_id"))
+        .limit(500)
+    }),
+
+    // ---- MinHash + LSH near-duplicate pair mining --------------------------
+    // Classic banding: 16 independent min-hashes (min over md5(j:shingle)),
+    // 8 bands × 2 rows; candidate pairs = docs sharing any (band, bucket);
+    // exact Jaccard computed only for candidates. At scale the only shuffle
+    // is keyed by (band, bucket) — never all-pairs.
+    "t11_minhash_lsh_pairs" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .selectExpr("doc_id", s"array_distinct($SHINGLES) AS sh")
+        .filter(expr("size(sh) > 0"))
+      val sig = d.selectExpr("doc_id",
+        """transform(sequence(0, 15), j ->
+          |  array_min(transform(sh, s -> md5(concat(cast(j as string), ':', s)))))
+          |AS sg""".stripMargin)
+      val bands = sig.selectExpr("doc_id",
+        """transform(sequence(0, 7), b ->
+          |  md5(concat(element_at(sg, 2 * b + 1), element_at(sg, 2 * b + 2))))
+          |AS buckets""".stripMargin)
+        .selectExpr("doc_id", "posexplode(buckets) AS (band, bucket)")
+      val pairs = bands.as("x")
+        .join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val da = d.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+      val db = d.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
+      pairs.join(da, "doc_a").join(db, "doc_b")
+        .selectExpr("doc_a", "doc_b",
+          "cast(size(array_intersect(sha, shb)) as bigint) AS n_inter",
+          "cast(size(array_distinct(concat(sha, shb))) as bigint) AS n_union")
+        .selectExpr("doc_a", "doc_b", "n_inter / n_union AS jaccard")
+        .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+        .limit(200)
+    }),
+
+    // ---- language ID (stopword-marker scoring heuristic) ------------------
+    "t10_langid" -> ((s, dir) => {
+      val markers = Map(
+        "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+        "en" -> Seq("the", "and", "of", "to", "is", "that"),
+        "es" -> Seq("el", "la", "que", "los", "una", "por"),
+        "fr" -> Seq("le", "les", "des", "est", "dans", "pour"),
+        "zh" -> Seq("de5", "shi4", "zai4", "le5", "wo3", "ta1"))
+      val scoreCols = markers.toSeq.sortBy(_._1).map { case (lg, ws) =>
+        s"cast(size(filter($TOKS, x -> x IN (${inList(ws)}))) as bigint) AS c_$lg"
+      }
+      val best = markers.keys.toSeq.sorted
+        .map(lg => s"WHEN c_$lg >= greatest(c_de, c_en, c_es, c_fr, c_zh) THEN '$lg'")
+        .mkString("CASE ", " ", " END")
+      t(s, dir, "documents")
+        .selectExpr(Seq("doc_id", "lang") ++ scoreCols: _*)
+        .selectExpr("doc_id", "lang AS labeled_lang",
+          "c_de", "c_en", "c_es", "c_fr", "c_zh", s"$best AS pred_lang")
+        .orderBy(col("doc_id"))
+        .limit(500)
+    })
+  )
+
+  // ----------------------------------------------------------------- oracle
+
+  private val TOKS_D = "string_split(lower(trim(text)), ' ')"
+  private val SHINGLES_D =
+    s"""CASE WHEN len($TOKS_D) >= 3 THEN
+       |  list_transform(generate_series(1, len($TOKS_D) - 2),
+       |    i -> $TOKS_D[i] || ' ' || $TOKS_D[i + 1] || ' ' || $TOKS_D[i + 2])
+       |ELSE [] END""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "t01_token_count" ->
+      s"""SELECT doc_id, CAST(len($TOKS_D) AS BIGINT) AS n_tokens,
+         |  CAST(length(text) AS BIGINT) AS n_chars_actual
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t02_quality_score" ->
+      s"""SELECT doc_id, n_tokens, n_stop, n_punct,
+         |  CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END AS stop_ratio,
+         |  CASE WHEN n_tokens >= 5 AND n_stop / n_tokens < 0.9 THEN true ELSE false END AS is_quality
+         |FROM (SELECT doc_id,
+         |  CAST(len($TOKS_D) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter($TOKS_D, x -> x IN (${inList(STOPWORDS)}))) AS BIGINT) AS n_stop,
+         |  CAST(length(text) - length(replace(replace(replace(text, '.', ''), ',', ''), '!', '')) AS BIGINT) AS n_punct
+         |  FROM documents) t
+         |ORDER BY doc_id""".stripMargin,
+
+    "t03_lang_profile" ->
+      """SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT source) AS n_sources,
+        |  CAST(CAST(SUM(n_chars) AS VARCHAR) AS DOUBLE) AS total_chars,
+        |  CAST(CAST(SUM(n_chars) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "t04_exact_dedup" ->
+      """SELECT COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_unique_text,
+        |  COUNT(DISTINCT md5(text)) AS n_unique_md5 FROM documents""".stripMargin,
+
+    "t05_dedup_keepers" ->
+      """SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies, md5(text) AS text_md5
+        |FROM documents GROUP BY md5(text) ORDER BY keeper_id LIMIT 200""".stripMargin,
+
+    "t06_minhash_kmv" ->
+      s"""SELECT doc_id,
+         |  (list_sort(list_distinct(list_transform($SHINGLES_D, s -> md5(s)))))[1:16] AS sketch
+         |FROM documents ORDER BY doc_id LIMIT 300""".stripMargin,
+
+    "t07_ngram_jaccard" ->
+      s"""WITH d AS (SELECT doc_id, list_distinct($SHINGLES_D) AS sh FROM documents)
+         |SELECT doc_a, doc_b, n_inter, n_union,
+         |  CASE WHEN n_union > 0 THEN n_inter / n_union ELSE 0.0 END AS jaccard
+         |FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS BIGINT) AS n_inter,
+         |    CAST(len(list_distinct(a.sh || b.sh)) AS BIGINT) AS n_union
+         |  FROM d a JOIN d b ON b.doc_id = a.doc_id + 1) t
+         |ORDER BY doc_a LIMIT 500""".stripMargin,
+
+    "t08_simhash" ->
+      s"""SELECT doc_id,
+         |  array_to_string(list_transform(generate_series(1, 32), j ->
+         |    CASE WHEN list_sum(list_transform($TOKS_D, tk ->
+         |        2 * ((strpos('0123456789abcdef', substring(md5(tk), j, 1)) - 1) % 2) - 1
+         |      )) >= 0 THEN '1' ELSE '0' END), '') AS simhash_bits
+         |FROM documents ORDER BY doc_id LIMIT 300""".stripMargin,
+
+    "t09_fingerprint" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(text) >= 8 THEN
+        |    list_min(list_transform(generate_series(1, length(text) - 7, 4),
+        |      p -> md5(substring(text, p, 8))))
+        |  ELSE md5(text) END AS fingerprint
+        |FROM documents ORDER BY doc_id LIMIT 500""".stripMargin,
+
+    "t11_minhash_lsh_pairs" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, list_distinct($SHINGLES_D) AS sh FROM documents
+         |), dd AS (
+         |  SELECT doc_id, sh FROM d WHERE len(sh) > 0
+         |), sig AS (
+         |  SELECT doc_id, list_transform(generate_series(0, 15), j ->
+         |    list_min(list_transform(sh, s -> md5(CAST(j AS VARCHAR) || ':' || s)))) AS sg
+         |  FROM dd
+         |), bands AS (
+         |  SELECT doc_id, r.range AS band,
+         |    md5(sg[2 * r.range + 1] || sg[2 * r.range + 2]) AS bucket
+         |  FROM sig CROSS JOIN range(0, 8) r
+         |), pairs AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+         |)
+         |SELECT doc_a, doc_b, n_inter / n_union AS jaccard FROM (
+         |  SELECT doc_a, doc_b,
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
+         |    CAST(len(list_distinct(a.sh || b.sh)) AS BIGINT) AS n_union
+         |  FROM pairs JOIN dd a ON doc_a = a.doc_id JOIN dd b ON doc_b = b.doc_id) t
+         |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 200""".stripMargin,
+
+    "t10_langid" -> {
+      val markers = Map(
+        "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+        "en" -> Seq("the", "and", "of", "to", "is", "that"),
+        "es" -> Seq("el", "la", "que", "los", "una", "por"),
+        "fr" -> Seq("le", "les", "des", "est", "dans", "pour"),
+        "zh" -> Seq("de5", "shi4", "zai4", "le5", "wo3", "ta1"))
+      val scoreCols = markers.toSeq.sortBy(_._1).map { case (lg, ws) =>
+        s"CAST(len(list_filter($TOKS_D, x -> x IN (${inList(ws)}))) AS BIGINT) AS c_$lg"
+      }.mkString(",\n  ")
+      val best = markers.keys.toSeq.sorted
+        .map(lg => s"WHEN c_$lg >= greatest(c_de, c_en, c_es, c_fr, c_zh) THEN '$lg'")
+        .mkString("CASE ", " ", " END")
+      s"""SELECT doc_id, lang AS labeled_lang, c_de, c_en, c_es, c_fr, c_zh,
+         |  $best AS pred_lang
+         |FROM (SELECT doc_id, lang,
+         |  $scoreCols
+         |  FROM documents) t
+         |ORDER BY doc_id LIMIT 500""".stripMargin
+    }
+  )
+}

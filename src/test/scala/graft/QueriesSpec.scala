@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object TestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+class QueriesSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle-declared query key exists in queries") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracleSql keys without queries: $missing")
+  }
+
+  test("all queries execute at sf0.001") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try { fn(spark, sf).count(); None }
+      catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(200)}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("minhash LSH finds a planted near-duplicate pair") {
+    import spark.implicits._
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val rnd = new scala.util.Random(7)
+    def doc(n: Int): String =
+      (0 until n).map(_ => words(rnd.nextInt(words.length))).mkString(" ")
+    val base = doc(60)
+    val nearDup = base.split(" ").updated(5, "CHANGED").mkString(" ")
+    val docs = (0L until 28L).map(i => (i, doc(50), "en", s"src$i", 50)) ++
+      Seq((100L, base, "en", "srcA", 60), (101L, nearDup, "en", "srcB", 60))
+    val dir = java.nio.file.Files.createTempDirectory("lsh_test").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = SparkEntry.queries("t11_minhash_lsh_pairs")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists { case (a, b, j) => a == 100L && b == 101L && j > 0.8 },
+      s"planted pair not found; got ${pairs.take(5).mkString(",")}")
+  }
+
+  test("exact dedup counts duplicates") {
+    import spark.implicits._
+    val docs = Seq((1L, "same text", "en", "s", 9), (2L, "same text", "en", "s", 9),
+      (3L, "other", "en", "s", 5)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("dedup_test").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val row = SparkEntry.queries("t04_exact_dedup")(spark, dir).collect().head
+    assert(row.getLong(0) == 3 && row.getLong(1) == 2 && row.getLong(2) == 2)
+    val keepers = SparkEntry.queries("t05_dedup_keepers")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(keepers.contains((1L, 2L)), "keeper (1, n_copies=2) expected")
+  }
+
+  test("knn brute vs lsh: lsh results are a subset ranking with decent recall") {
+    val brute = SparkEntry.queries("v01_knn_brute")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = SparkEntry.queries("v03_knn_lsh")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall > 0.2, s"LSH recall vs brute too low: $recall")
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  import TestSession._
+  import graft.ops.Multimodal
+
+  test("decodeStub is deterministic and in range") {
+    val p = "hello world".getBytes("UTF-8")
+    val a = Multimodal.decodeStub(p)
+    val b = Multimodal.decodeStub(p)
+    assert(a == b)
+    assert(a._1 >= 64 && a._1 < 64 + 8 * 48)
+    assert(Seq("jpeg", "png", "webp").contains(a._3))
+    assert(a._4 >= 1 && a._4 <= 30)
+  }
+
+  test("sampleFrames emits ceil(n_frames/stride) rows per doc") {
+    import spark.implicits._
+    val media = Seq((1L, "abc".getBytes("UTF-8")), (2L, "defgh".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val frames = Multimodal.sampleFrames(spark, media, stride = 4).collect()
+    val byDoc = frames.groupBy(_.doc_id)
+    Seq(1L -> "abc", 2L -> "defgh").foreach { case (id, txt) =>
+      val n = Multimodal.decodeStub(txt.getBytes("UTF-8"))._4
+      val expected = (n + 3) / 4
+      assert(byDoc(id).length == expected, s"doc $id: ${byDoc(id).length} != $expected")
+      assert(byDoc(id).map(_.frame_sig).distinct.length == expected)
+    }
+  }
+
+  test("decodeMeta preserves byte length") {
+    import spark.implicits._
+    val media = Seq((7L, Array.fill[Byte](123)(1))).toDF("doc_id", "payload")
+    val meta = Multimodal.decodeMeta(spark, media).collect().head
+    assert(meta.byte_len == 123 && meta.doc_id == 7L)
+  }
+}
