@@ -1,0 +1,276 @@
+package graft.lake
+
+/** The DuckLake metadata model, re-expressed for a Spark-native engine.
+  *
+  * Mirrors the reference's catalog tables (the 27 `ducklake_*` tables,
+  * /root/reference/src/pgducklake_freeze.cpp:32-60) and its universal
+  * versioning idiom: every catalog row carries a `begin`/`end` snapshot
+  * validity interval ("current" = end is None; "as of S" = begin <= S and
+  * (end is None or end > S)) — see SURVEY.md §1.3.
+  *
+  * Persisted as one JSON commit-delta file per snapshot (Delta-log style);
+  * the materialized [[CatalogState]] is the fold of all deltas.
+  */
+object Meta {
+
+  /** ducklake_snapshot (+ ducklake_snapshot_changes folded in as `changes`).
+    * Reference: src/pgducklake_metadata_manager.cpp:709-718. */
+  case class Snapshot(
+      snapshotId: Long,
+      snapshotTimeMs: Long,
+      schemaVersion: Long,
+      changes: List[String],           // e.g. "created_table:t", "inserted_into_table:1"
+      commitMessage: Option[String] = None)
+
+  /** ducklake_table; one row per (tableId, name epoch). Rename ends the old
+    * row and begins a new one with the same tableId. */
+  case class TableEntry(
+      tableId: Long,
+      schemaName: String,
+      tableName: String,
+      begin: Long,
+      end: Option[Long])
+
+  /** ducklake_column; columnId is stable across renames/type changes —
+    * a DDL change ends the old row and begins a new one (same columnId),
+    * which is what makes historical-schema time travel work
+    * (ducklake_column_mapping / name_mapping in the reference). */
+  case class ColumnEntry(
+      tableId: Long,
+      columnId: Long,
+      ordinal: Int,
+      name: String,
+      dataType: String,                // Spark DDL type string
+      nullable: Boolean,
+      defaultValue: Option[String],
+      begin: Long,
+      end: Option[Long])
+
+  /** ducklake_data_file (+ ducklake_file_partition_value flattened into
+    * `partitionValues`). Row ids are implicit: [firstRowId, firstRowId +
+    * rowCount) in file order — unless `explicitRowIds` (files written by
+    * UPDATE/compaction materialize a `_graft_row_id` column so row identity
+    * survives position changes). */
+  case class DataFileEntry(
+      fileId: Long,
+      tableId: Long,
+      path: String,
+      fileName: String,                // unique basename, join key vs _metadata.file_path
+      rowCount: Long,
+      fileSizeBytes: Long,
+      firstRowId: Long,
+      schemaVersion: Long,             // column-name epoch the file was written under
+      explicitRowIds: Boolean,
+      partitionValues: Map[String, String], // "year(ts)" -> "2024"
+      begin: Long,
+      end: Option[Long])
+
+  /** ducklake_file_column_stats: per-file min/max/nullCount, stringified;
+    * `dataType` tells the pruner how to parse for typed comparison. */
+  case class FileColumnStats(
+      fileId: Long,
+      columnName: String,
+      dataType: String,
+      minValue: Option[String],
+      maxValue: Option[String],
+      nullCount: Long)
+
+  /** ducklake_delete_file: positional deletes (fileName, pos) parquet.
+    * countsByFile: deleted-row count per data fileId (drives the
+    * rewrite_data_files threshold). */
+  case class DeleteFileEntry(
+      deleteFileId: Long,
+      tableId: Long,
+      path: String,
+      deleteCount: Long,
+      countsByFile: Map[String, Long], // fileId (as string; JSON map keys) -> count
+      begin: Long,
+      end: Option[Long])
+
+  /** ducklake_partition_info + ducklake_partition_column.
+    * transform ∈ {identity, year, month, day, hour}. */
+  case class PartitionKey(transform: String, column: String) {
+    def label: String = if (transform == "identity") column else s"$transform($column)"
+  }
+  case class PartitionInfoEntry(
+      tableId: Long,
+      keys: List[PartitionKey],
+      begin: Long,
+      end: Option[Long])
+
+  /** ducklake_sort_info + ducklake_sort_expression. */
+  case class SortKey(expr: String, ascending: Boolean, nullsFirst: Boolean)
+  case class SortInfoEntry(
+      tableId: Long,
+      keys: List[SortKey],
+      begin: Long,
+      end: Option[Long])
+
+  /** Inlined small-insert data (the reference's per-table
+    * ducklake_inlined_data_<tid> tables): rows kept in the catalog as JSON,
+    * avoiding tiny parquet files. Row ids [firstRowId, firstRowId+n). */
+  case class InlinedBatch(
+      batchId: Long,
+      tableId: Long,
+      schemaVersion: Long,
+      firstRowId: Long,
+      rowsJson: List[String],
+      begin: Long,
+      end: Option[Long])
+
+  /** ducklake_metadata / ducklake_tag: global or per-table options. */
+  case class TagEntry(
+      scope: String,                   // "global" or tableId.toString
+      key: String,
+      value: String,
+      begin: Long,
+      end: Option[Long])
+
+  /** ducklake_files_scheduled_for_deletion. */
+  case class ScheduledDeletion(path: String, scheduledAtMs: Long, snapshotId: Long)
+
+  /** One committed snapshot = one JSON delta file. "ended*" lists carry the
+    * identity of rows whose `end` becomes this snapshot's id. */
+  case class CommitDelta(
+      snapshot: Snapshot,
+      newTables: List[TableEntry] = Nil,
+      endedTables: List[Long] = Nil,              // tableIds
+      newColumns: List[ColumnEntry] = Nil,
+      endedColumns: List[String] = Nil,            // "tableId:columnId"
+      newFiles: List[DataFileEntry] = Nil,
+      endedFiles: List[Long] = Nil,                // fileIds
+      newDeleteFiles: List[DeleteFileEntry] = Nil,
+      endedDeleteFiles: List[Long] = Nil,          // deleteFileIds
+      newStats: List[FileColumnStats] = Nil,
+      newPartitionInfo: List[PartitionInfoEntry] = Nil,
+      endedPartitionInfo: List[Long] = Nil,        // tableIds
+      newSortInfo: List[SortInfoEntry] = Nil,
+      endedSortInfo: List[Long] = Nil,             // tableIds
+      newInlined: List[InlinedBatch] = Nil,
+      endedInlined: List[Long] = Nil,              // batchIds
+      newTags: List[TagEntry] = Nil,
+      endedTags: List[String] = Nil,               // "scope:key"
+      newScheduledDeletions: List[ScheduledDeletion] = Nil,
+      removedScheduledDeletions: List[String] = Nil) // paths
+
+  /** Interval check: is a row live as of snapshot S? */
+  def liveAt(begin: Long, end: Option[Long], s: Long): Boolean =
+    begin <= s && end.forall(_ > s)
+
+  /** Materialized catalog: every entity row ever written, with its final
+    * (possibly closed) interval. Queries filter with [[liveAt]]. */
+  case class CatalogState(
+      snapshots: Vector[Snapshot],
+      tables: Vector[TableEntry],
+      columns: Vector[ColumnEntry],
+      files: Vector[DataFileEntry],
+      deleteFiles: Vector[DeleteFileEntry],
+      stats: Vector[FileColumnStats],
+      partitionInfo: Vector[PartitionInfoEntry],
+      sortInfo: Vector[SortInfoEntry],
+      inlined: Vector[InlinedBatch],
+      tags: Vector[TagEntry],
+      scheduledDeletions: Vector[ScheduledDeletion]) {
+
+    def currentSnapshotId: Long =
+      if (snapshots.isEmpty) -1L else snapshots.last.snapshotId
+
+    def snapshotAtTime(tsMs: Long): Option[Long] =
+      snapshots.reverseIterator.find(_.snapshotTimeMs <= tsMs).map(_.snapshotId)
+
+    def tableAt(schema: String, name: String, s: Long): Option[TableEntry] =
+      tables.find(t => t.schemaName == schema && t.tableName == name
+        && liveAt(t.begin, t.end, s))
+
+    def tableById(tableId: Long, s: Long): Option[TableEntry] =
+      tables.find(t => t.tableId == tableId && liveAt(t.begin, t.end, s))
+
+    def columnsAt(tableId: Long, s: Long): Vector[ColumnEntry] =
+      columns.filter(c => c.tableId == tableId && liveAt(c.begin, c.end, s))
+        .sortBy(_.ordinal)
+
+    def filesAt(tableId: Long, s: Long): Vector[DataFileEntry] =
+      files.filter(f => f.tableId == tableId && liveAt(f.begin, f.end, s))
+        .sortBy(_.fileId)
+
+    def deleteFilesAt(tableId: Long, s: Long): Vector[DeleteFileEntry] =
+      deleteFiles.filter(d => d.tableId == tableId && liveAt(d.begin, d.end, s))
+        .sortBy(_.deleteFileId)
+
+    def inlinedAt(tableId: Long, s: Long): Vector[InlinedBatch] =
+      inlined.filter(b => b.tableId == tableId && liveAt(b.begin, b.end, s))
+        .sortBy(_.batchId)
+
+    def partitionKeysAt(tableId: Long, s: Long): List[PartitionKey] =
+      partitionInfo.find(p => p.tableId == tableId && liveAt(p.begin, p.end, s))
+        .map(_.keys).getOrElse(Nil)
+
+    def sortKeysAt(tableId: Long, s: Long): List[SortKey] =
+      sortInfo.find(p => p.tableId == tableId && liveAt(p.begin, p.end, s))
+        .map(_.keys).getOrElse(Nil)
+
+    def tagAt(scope: String, key: String, s: Long): Option[String] =
+      tags.find(t => t.scope == scope && t.key == key && liveAt(t.begin, t.end, s))
+        .map(_.value)
+
+    def statsFor(fileId: Long): Vector[FileColumnStats] =
+      stats.filter(_.fileId == fileId)
+
+    def nextTableId: Long = (tables.map(_.tableId) :+ 0L).max + 1
+    def nextColumnId(tableId: Long): Long =
+      (columns.filter(_.tableId == tableId).map(_.columnId) :+ 0L).max + 1
+    def nextFileId: Long =
+      ((files.map(_.fileId) ++ deleteFiles.map(_.deleteFileId)) :+ 0L).max + 1
+    def nextBatchId: Long = (inlined.map(_.batchId) :+ 0L).max + 1
+    def nextRowId(tableId: Long): Long = {
+      val fromFiles = files.filter(_.tableId == tableId)
+        .map(f => f.firstRowId + f.rowCount)
+      val fromInline = inlined.filter(_.tableId == tableId)
+        .map(b => b.firstRowId + b.rowsJson.length)
+      ((fromFiles ++ fromInline) :+ 0L).max
+    }
+  }
+
+  object CatalogState {
+    val empty: CatalogState = CatalogState(Vector.empty, Vector.empty,
+      Vector.empty, Vector.empty, Vector.empty, Vector.empty, Vector.empty,
+      Vector.empty, Vector.empty, Vector.empty, Vector.empty)
+  }
+
+  /** Fold one commit delta into the state. */
+  def apply(state: CatalogState, d: CommitDelta): CatalogState = {
+    val s = d.snapshot.snapshotId
+    def endRows[A](rows: Vector[A], shouldEnd: A => Boolean, withEnd: A => A): Vector[A] =
+      rows.map(r => if (shouldEnd(r)) withEnd(r) else r)
+    CatalogState(
+      snapshots = state.snapshots :+ d.snapshot,
+      tables = endRows[TableEntry](state.tables,
+        t => d.endedTables.contains(t.tableId) && t.end.isEmpty,
+        _.copy(end = Some(s))) ++ d.newTables,
+      columns = endRows[ColumnEntry](state.columns,
+        c => d.endedColumns.contains(s"${c.tableId}:${c.columnId}") && c.end.isEmpty,
+        _.copy(end = Some(s))) ++ d.newColumns,
+      files = endRows[DataFileEntry](state.files,
+        f => d.endedFiles.contains(f.fileId) && f.end.isEmpty,
+        _.copy(end = Some(s))) ++ d.newFiles,
+      deleteFiles = endRows[DeleteFileEntry](state.deleteFiles,
+        f => d.endedDeleteFiles.contains(f.deleteFileId) && f.end.isEmpty,
+        _.copy(end = Some(s))) ++ d.newDeleteFiles,
+      stats = state.stats ++ d.newStats,
+      partitionInfo = endRows[PartitionInfoEntry](state.partitionInfo,
+        p => d.endedPartitionInfo.contains(p.tableId) && p.end.isEmpty,
+        _.copy(end = Some(s))) ++ d.newPartitionInfo,
+      sortInfo = endRows[SortInfoEntry](state.sortInfo,
+        p => d.endedSortInfo.contains(p.tableId) && p.end.isEmpty,
+        _.copy(end = Some(s))) ++ d.newSortInfo,
+      inlined = endRows[InlinedBatch](state.inlined,
+        b => d.endedInlined.contains(b.batchId) && b.end.isEmpty,
+        _.copy(end = Some(s))) ++ d.newInlined,
+      tags = endRows[TagEntry](state.tags,
+        t => d.endedTags.contains(s"${t.scope}:${t.key}") && t.end.isEmpty,
+        _.copy(end = Some(s))) ++ d.newTags,
+      scheduledDeletions = state.scheduledDeletions
+        .filterNot(sd => d.removedScheduledDeletions.contains(sd.path))
+        ++ d.newScheduledDeletions)
+  }
+}

@@ -1,0 +1,160 @@
+package graft.lake
+
+import java.nio.channels.FileChannel
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+import scala.util.control.NonFatal
+import org.json4s.{DefaultFormats, Formats}
+import org.json4s.jackson.Serialization
+import Meta._
+
+/** Commit conflict: another writer claimed the snapshot id. Mirrors the
+  * reference's retryable TransactionException
+  * (src/pgducklake_metadata_manager.cpp:294-364, where a PG unique-key
+  * violation in a subtransaction triggers a DuckLake commit retry). */
+class CommitConflictException(msg: String) extends RuntimeException(msg)
+
+/** File-log metadata store: one JSON commit delta per snapshot at
+  * `<root>/_ducklake/vNNNNNNNNNN.json`.
+  *
+  * Optimistic concurrency: committing snapshot N creates the delta file
+  * with O_CREAT|O_EXCL (atomic create-if-absent on POSIX) — the same CAS
+  * that Delta Lake's LogStore performs. Losing a race throws
+  * [[CommitConflictException]]; callers re-read state and retry with a
+  * fresh snapshot id. On object stores this slot would be filled by a
+  * conditional-put / commit service; the protocol is unchanged.
+  *
+  * Scale note: state is O(catalog rows), driver-side only — identical in
+  * kind to Delta/Iceberg metadata handling. Deltas are cached after first
+  * parse; refresh only lists/reads new files.
+  */
+class MetadataStore(val root: String) {
+  private implicit val formats: Formats = DefaultFormats
+
+  private val logDir: Path = Paths.get(root, "_ducklake")
+  Files.createDirectories(logDir)
+
+  // cache of parsed deltas by snapshot id (immutable once written)
+  private val cache = new java.util.concurrent.ConcurrentHashMap[Long, CommitDelta]()
+  @volatile private var cachedState: (Long, CatalogState) = (-1L, CatalogState.empty)
+
+  private def deltaPath(sid: Long): Path = logDir.resolve(f"v$sid%010d.json")
+
+  private def listSnapshotIds(): Vector[Long] = {
+    val it = Files.newDirectoryStream(logDir, "v*.json")
+    try {
+      var ids = Vector.newBuilder[Long]
+      it.forEach(p => ids += p.getFileName.toString.stripPrefix("v")
+        .stripSuffix(".json").toLong)
+      ids.result().sorted
+    } finally it.close()
+  }
+
+  private def readDelta(sid: Long): CommitDelta = {
+    val cached = cache.get(sid)
+    if (cached != null) cached
+    else {
+      val txt = new String(Files.readAllBytes(deltaPath(sid)), StandardCharsets.UTF_8)
+      val d = Serialization.read[CommitDelta](txt)
+      cache.put(sid, d)
+      d
+    }
+  }
+
+  /** Current materialized catalog state (re-folds only new deltas). */
+  def state(): CatalogState = synchronized {
+    val ids = listSnapshotIds()
+    val (upTo, st) = cachedState
+    val newIds = ids.filter(_ > upTo)
+    if (newIds.isEmpty) st
+    else {
+      val next = newIds.foldLeft(st)((acc, sid) => Meta.apply(acc, readDelta(sid)))
+      cachedState = (ids.last, next)
+      next
+    }
+  }
+
+  /** Atomic commit of snapshot `delta.snapshot.snapshotId`. Throws
+    * [[CommitConflictException]] if that id is already taken. */
+  def commit(delta: CommitDelta): Unit = {
+    val target = deltaPath(delta.snapshot.snapshotId)
+    val json = Serialization.write(delta)
+    try {
+      val ch = FileChannel.open(target,
+        StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+      try ch.write(java.nio.ByteBuffer.wrap(json.getBytes(StandardCharsets.UTF_8)))
+      finally ch.close()
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new CommitConflictException(
+          s"snapshot ${delta.snapshot.snapshotId} already committed by another writer")
+      case NonFatal(e) => throw e
+    }
+  }
+
+  /** Commit with optimistic retry: `build` receives the fresh state and the
+    * snapshot id to claim; on conflict it is re-invoked against re-read
+    * state. Returns the committed snapshot id. */
+  def commitWithRetry(maxRetries: Int = 20)(build: (CatalogState, Long) => CommitDelta): Long = {
+    var attempt = 0
+    while (true) {
+      val st = state()
+      val sid = st.currentSnapshotId + 1
+      val delta = build(st, sid)
+      try {
+        commit(delta)
+        return sid
+      } catch {
+        case _: CommitConflictException if attempt < maxRetries =>
+          attempt += 1
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Export every catalog table as JSON under `target` (the freeze/export
+    * surface, reference src/pgducklake_freeze.cpp:81-140): a self-describing
+    * read-only manifest another engine (or a frozen mount) can load. */
+  def freeze(target: String): Unit = {
+    val st = state()
+    val dir = Paths.get(target)
+    Files.createDirectories(dir)
+    def w(name: String, content: String): Unit =
+      Files.write(dir.resolve(name), content.getBytes(StandardCharsets.UTF_8))
+    w("manifest.json", Serialization.write(Map(
+      "format" -> "graft-ducklake-freeze", "version" -> 1,
+      "currentSnapshot" -> st.currentSnapshotId, "dataRoot" -> root)))
+    w("snapshots.json", Serialization.write(st.snapshots))
+    w("tables.json", Serialization.write(st.tables))
+    w("columns.json", Serialization.write(st.columns))
+    w("files.json", Serialization.write(st.files))
+    w("delete_files.json", Serialization.write(st.deleteFiles))
+    w("stats.json", Serialization.write(st.stats))
+    w("partition_info.json", Serialization.write(st.partitionInfo))
+    w("sort_info.json", Serialization.write(st.sortInfo))
+    w("inlined.json", Serialization.write(st.inlined))
+    w("tags.json", Serialization.write(st.tags))
+  }
+}
+
+object MetadataStore {
+  private implicit val formats: Formats = DefaultFormats
+
+  /** Load a frozen manifest (read-only state, no log). */
+  def loadFrozen(dir: String): CatalogState = {
+    def r(name: String): String =
+      new String(Files.readAllBytes(Paths.get(dir, name)), StandardCharsets.UTF_8)
+    CatalogState(
+      snapshots = Serialization.read[Vector[Snapshot]](r("snapshots.json")),
+      tables = Serialization.read[Vector[TableEntry]](r("tables.json")),
+      columns = Serialization.read[Vector[ColumnEntry]](r("columns.json")),
+      files = Serialization.read[Vector[DataFileEntry]](r("files.json")),
+      deleteFiles = Serialization.read[Vector[DeleteFileEntry]](r("delete_files.json")),
+      stats = Serialization.read[Vector[FileColumnStats]](r("stats.json")),
+      partitionInfo = Serialization.read[Vector[PartitionInfoEntry]](r("partition_info.json")),
+      sortInfo = Serialization.read[Vector[SortInfoEntry]](r("sort_info.json")),
+      inlined = Serialization.read[Vector[InlinedBatch]](r("inlined.json")),
+      tags = Serialization.read[Vector[TagEntry]](r("tags.json")),
+      scheduledDeletions = Vector.empty)
+  }
+}
