@@ -1,19 +1,42 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark main: runs every SparkEntry query on
+  * SPARK_GRAFT_SF_DIR and prints one JSON line.
+  *
+  * Protocol (BASELINE.md "Measurement protocol to adopt", mirroring the
+  * reference's warmup+iterations harness at
+  * /root/reference/test/benchmark/bench_direct_insert.sh:17-19): 1 warmup
+  * run + 3 timed runs per query, report the MEDIAN. The warmup isolates
+  * steady-state plan execution from one-time janino/codegen compilation,
+  * which at sf0.1 otherwise dominates small queries. Cached stages are
+  * cleared between queries so no query reuses another's persisted data.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    graft.queries.Tables.sessionConf.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      once(fn) // warmup (also materializes any persisted stages)
+      val timed = Seq.fill(3) {
+        spark.sharedState.cacheManager.clearCache()
+        once(fn)
+      }.sorted
+      spark.sharedState.cacheManager.clearCache()
+      name -> timed(timed.length / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

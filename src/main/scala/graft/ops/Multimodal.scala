@@ -64,15 +64,19 @@ object Multimodal {
   }
 
   /** Sample every `stride`-th frame of each media item; emits one row per
-    * sampled frame with a deterministic per-frame signature. Partitioned
-    * by doc_id so frame extraction for one item stays on one executor. */
+    * sampled frame with a deterministic per-frame signature. Frame
+    * extraction is per-row (each media item carries everything its frames
+    * need), so no repartition: the flatMap runs wherever the scan put the
+    * row — zero extra shuffle at any scale. */
   def sampleFrames(spark: SparkSession, media: DataFrame, stride: Int): Dataset[FrameSample] = {
     import spark.implicits._
-    media.repartition(col("doc_id")).as[Media].mapPartitions { it =>
+    media.as[Media].mapPartitions { it =>
       it.flatMap { m =>
         val (_, _, _, nFrames) = decodeStub(m.payload)
         (0 until nFrames by stride).iterator.map { idx =>
-          val sig = md5Hex(m.payload ++ BigInt(idx).toByteArray)
+          // sig = md5(payload || ':' || idx) — SQL-expressible (the oracle
+          // computes md5(text || ':' || idx) over the same UTF-8 bytes)
+          val sig = md5Hex(m.payload ++ s":$idx".getBytes("UTF-8"))
           val luma = HEX.indexOf(sig.charAt(0)) / 16.0
           FrameSample(m.doc_id, idx, sig, luma)
         }

@@ -9,7 +9,8 @@ import graft.ops.Multimodal
   *
   * m01 keeps the whole fake-decode in pure SQL expressions so it is
   * oracle-checkable against DuckDB; m02 exercises the real typed
-  * mapPartitions path (no SQL equivalent → rows-only check).
+  * mapPartitions path — its stub decode is deterministic md5 arithmetic,
+  * so it carries a SQL oracle too.
   */
 object MultimodalOps {
 
@@ -47,6 +48,24 @@ object MultimodalOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // mirrors Multimodal.decodeStub (n_frames from md5 hex digits 3-4) and
+    // sampleFrames (stride 4; sig = md5(payload || ':' || idx))
+    "m02_frame_sample" ->
+      """WITH meta AS (
+        |  SELECT doc_id, text,
+        |    CAST((strpos('0123456789abcdef', substring(md5(text), 3, 1)) - 1) * 16
+        |      + (strpos('0123456789abcdef', substring(md5(text), 4, 1)) - 1) AS BIGINT) AS v2
+        |  FROM documents WHERE doc_id < 200
+        |), f AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(0, CAST(v2 % 30 AS BIGINT), 4)) AS frame_idx
+        |  FROM meta
+        |)
+        |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |  md5(text || ':' || CAST(frame_idx AS VARCHAR)) AS frame_sig,
+        |  CAST(strpos('0123456789abcdef',
+        |    substring(md5(text || ':' || CAST(frame_idx AS VARCHAR)), 1, 1)) - 1 AS DOUBLE) / 16.0 AS luma
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     "m01_binary_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

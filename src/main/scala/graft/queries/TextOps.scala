@@ -88,10 +88,12 @@ object TextOps {
     }),
 
     // ---- MinHash (KMV bottom-k sketch over 3-word shingles) ---------------
+    // Sketch emitted as a '|'-joined string so oracle rows are hashable
+    // (an array<string> column breaks the driver's pandas comparator).
     "t06_minhash_kmv" -> ((s, dir) => {
       t(s, dir, "documents").selectExpr(
         "doc_id",
-        s"slice(array_sort(array_distinct(transform($SHINGLES, s -> md5(s)))), 1, 16) AS sketch")
+        s"concat_ws('|', slice(array_sort(array_distinct(transform($SHINGLES, s -> md5(s)))), 1, 16)) AS sketch")
         .orderBy(col("doc_id"))
         .limit(300)
     }),
@@ -142,28 +144,61 @@ object TextOps {
     }),
 
     // ---- MinHash + LSH near-duplicate pair mining --------------------------
-    // Classic banding: 16 independent min-hashes (min over md5(j:shingle)),
-    // 8 bands × 2 rows; candidate pairs = docs sharing any (band, bucket);
-    // exact Jaccard computed only for candidates. At scale the only shuffle
-    // is keyed by (band, bucket) — never all-pairs.
+    // Classic banding: 16 min-hashes, 8 bands × 2 rows; candidate pairs =
+    // docs sharing any (band, bucket); exact Jaccard only for candidates.
+    //
+    // Scale design (the round-1 version burned 2208s at sf0.1):
+    //  * Tokens are materialized into a column FIRST and the empty-shingle
+    //    filter runs directly against the scan (`size(tokens) >= 3` — the
+    //    exact precondition of `sh` being non-empty). Filtering on the sh
+    //    alias instead lets PushDownPredicates substitute the whole
+    //    shingling tree into the filter, re-splitting the document once per
+    //    element access (~150 re-tokenizations per doc).
+    //  * ONE md5 per shingle; the 16 hash functions are derived
+    //    arithmetically (Kirsch-Mitzenmacher double hashing h_j = a + j*b,
+    //    a/b = two 56-bit halves of the md5) instead of 16 fresh md5 passes
+    //    over every shingle.
+    //  * The shingle/signature stage is computed once and persisted; the
+    //    banding and the exact-Jaccard joins reuse it.
+    //  * Candidate pairs come from ONE groupBy (band, bucket) that collects
+    //    the member list — no self-join, no double compute — with per-bucket
+    //    membership capped (<= 64) so a hot bucket can never go quadratic.
+    //    Shuffles are keyed by (band, bucket) and doc_id — never all-pairs.
+    //  * The scan is repartitioned across the session's cores: the test
+    //    corpus is one small parquet file (one input partition), which would
+    //    serialize all per-doc hashing onto a single core. At production
+    //    scale the scan has ample partitions and the repartition hash-
+    //    distributes by doc_id, which the Jaccard joins then reuse.
     "t11_minhash_lsh_pairs" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-        .selectExpr("doc_id", s"array_distinct($SHINGLES) AS sh")
-        .filter(expr("size(sh) > 0"))
-      val sig = d.selectExpr("doc_id",
-        """transform(sequence(0, 15), j ->
-          |  array_min(transform(sh, s -> md5(concat(cast(j as string), ':', s)))))
-          |AS sg""".stripMargin)
-      val bands = sig.selectExpr("doc_id",
+        .repartition(math.max(2, s.sparkContext.defaultParallelism / 4), col("doc_id"))
+        .filter(expr(s"size($TOKS) >= 3"))
+        .selectExpr("doc_id", s"$TOKS AS tk")
+        .selectExpr("doc_id",
+          """array_distinct(transform(sequence(1, size(tk) - 2),
+            |  i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1),
+            |              ' ', element_at(tk, i + 2)))) AS sh""".stripMargin)
+        .selectExpr("doc_id", "sh", "transform(sh, x -> md5(x)) AS hs")
+        .selectExpr("doc_id", "sh",
+          "transform(hs, m -> cast(conv(substring(m, 1, 14), 16, 10) as bigint)) AS ha",
+          "transform(hs, m -> cast(conv(substring(m, 15, 14), 16, 10) as bigint)) AS hb")
+        .selectExpr("doc_id", "sh",
+          """transform(sequence(0, 15), j ->
+            |  array_min(zip_with(ha, hb, (x, y) -> x + j * y))) AS sg""".stripMargin)
+        .persist()
+      val bands = d.selectExpr("doc_id",
         """transform(sequence(0, 7), b ->
-          |  md5(concat(element_at(sg, 2 * b + 1), element_at(sg, 2 * b + 2))))
-          |AS buckets""".stripMargin)
+          |  concat(cast(element_at(sg, 2 * b + 1) as string), ':',
+          |         cast(element_at(sg, 2 * b + 2) as string))) AS buckets""".stripMargin)
         .selectExpr("doc_id", "posexplode(buckets) AS (band, bucket)")
-      val pairs = bands.as("x")
-        .join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
-            && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      val pairs = bands.groupBy("band", "bucket")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ms"))
+        .filter(size(col("ms")).between(2, 64))
+        .selectExpr(
+          """explode(flatten(transform(ms, (a, i) ->
+            |  transform(slice(ms, i + 2, size(ms)),
+            |            b2 -> struct(a AS doc_a, b2 AS doc_b))))) AS p""".stripMargin)
+        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
         .distinct()
       val da = d.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
       val db = d.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
@@ -241,7 +276,7 @@ object TextOps {
 
     "t06_minhash_kmv" ->
       s"""SELECT doc_id,
-         |  (list_sort(list_distinct(list_transform($SHINGLES_D, s -> md5(s)))))[1:16] AS sketch
+         |  array_to_string((list_sort(list_distinct(list_transform($SHINGLES_D, s -> md5(s)))))[1:16], '|') AS sketch
          |FROM documents ORDER BY doc_id LIMIT 300""".stripMargin,
 
     "t07_ngram_jaccard" ->
@@ -275,17 +310,26 @@ object TextOps {
          |  SELECT doc_id, list_distinct($SHINGLES_D) AS sh FROM documents
          |), dd AS (
          |  SELECT doc_id, sh FROM d WHERE len(sh) > 0
+         |), hashed AS (
+         |  SELECT doc_id, sh,
+         |    list_transform(sh, x -> ('0x' || substring(md5(x), 1, 14))::BIGINT) AS ha,
+         |    list_transform(sh, x -> ('0x' || substring(md5(x), 15, 14))::BIGINT) AS hb
+         |  FROM dd
          |), sig AS (
          |  SELECT doc_id, list_transform(generate_series(0, 15), j ->
-         |    list_min(list_transform(sh, s -> md5(CAST(j AS VARCHAR) || ':' || s)))) AS sg
-         |  FROM dd
+         |    list_min(list_transform(generate_series(1, len(ha)), i -> ha[i] + j * hb[i]))) AS sg
+         |  FROM hashed
          |), bands AS (
          |  SELECT doc_id, r.range AS band,
-         |    md5(sg[2 * r.range + 1] || sg[2 * r.range + 2]) AS bucket
+         |    CAST(sg[2 * r.range + 1] AS VARCHAR) || ':' ||
+         |    CAST(sg[2 * r.range + 2] AS VARCHAR) AS bucket
          |  FROM sig CROSS JOIN range(0, 8) r
+         |), capped AS (
+         |  SELECT doc_id, band, bucket FROM bands
+         |  QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 64
          |), pairs AS (
          |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |  FROM bands x JOIN bands y
+         |  FROM capped x JOIN capped y
          |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
          |)
          |SELECT doc_a, doc_b, n_inter / n_union AS jaccard FROM (

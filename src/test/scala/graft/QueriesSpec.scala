@@ -5,13 +5,14 @@ import org.scalatest.funsuite.AnyFunSuite
 
 object TestSession {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
+    val b = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    graft.queries.Tables.sessionConf.foreach { case (k, v) => b.config(k, v) }
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
   }
@@ -77,7 +78,7 @@ class QueriesSpec extends AnyFunSuite {
     val lsh = SparkEntry.queries("v03_knn_lsh")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (brute intersect lsh).size.toDouble / brute.size
-    assert(recall > 0.2, s"LSH recall vs brute too low: $recall")
+    assert(recall >= 0.8, s"LSH recall vs brute too low: $recall")
   }
 }
 
