@@ -1,0 +1,322 @@
+package graft.lake
+
+import java.util
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import scala.jdk.CollectionConverters._
+import Meta._
+
+/** DSv2 `TableCatalog` over a DuckLake-style metadata store (SURVEY.md
+  * §7.1; reference DDL mirror src/pgducklake_table.cpp:570-937).
+  *
+  * Register with:
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.lake", classOf[LakeCatalog].getName)
+  *   spark.conf.set("spark.sql.catalog.lake.root", "/path/to/lake")
+  * }}}
+  * then `CREATE TABLE lake.main.t (...)`, `INSERT INTO lake.main.t ...`,
+  * `SELECT ... FROM lake.main.t`, `DELETE FROM`, CTAS, and
+  * `VERSION AS OF` / `TIMESTAMP AS OF` time travel all resolve here.
+  *
+  * Time travel (reference src/pgducklake_time_travel.cpp:36-73): version =
+  * snapshot id; timestamp = latest snapshot at-or-before. The session-wide
+  * as-of conf mirrors the reference's `ducklake.as_of_timestamp` GUC:
+  * `spark.graft.lake.asOfSnapshot` / `spark.graft.lake.asOfTimestampMs`.
+  *
+  * A catalog initialized with `frozen=<dir>` mounts a frozen export
+  * read-only (reference A24/A25, src/pgducklake_fdw.cpp:167-190).
+  */
+class LakeCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var store: MetadataStore = _
+  private var frozenState: Option[CatalogState] = None
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    Option(options.get("frozen")) match {
+      case Some(dir) => frozenState = Some(MetadataStore.loadFrozen(dir))
+      case None =>
+        val root = Option(options.get("root")).getOrElse(
+          throw new IllegalArgumentException(s"catalog $name: option 'root' required"))
+        store = new MetadataStore(root)
+    }
+  }
+
+  override def name(): String = catalogName
+  override def defaultNamespace(): Array[String] = Array("main")
+
+  def readOnly: Boolean = frozenState.isDefined
+  private def requireWritable(): Unit =
+    if (readOnly) throw new UnsupportedOperationException(
+      s"catalog $catalogName is a read-only frozen mount")
+
+  private def state(): CatalogState = frozenState.getOrElse(store.state())
+
+  private def ns(ident: Identifier): String =
+    if (ident.namespace().isEmpty) "main" else ident.namespace().mkString(".")
+
+  // ------------------------------------------------------------- tables
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val st = state()
+    val nsName = if (namespace.isEmpty) "main" else namespace.mkString(".")
+    st.tables.filter(t => t.schemaName == nsName &&
+      liveAt(t.begin, t.end, st.currentSnapshotId))
+      .map(t => Identifier.of(namespace, t.tableName)).toArray
+  }
+
+  private def sessionAsOf(st: CatalogState): Option[Long] = {
+    val conf = SparkSession.active.conf
+    conf.getOption("spark.graft.lake.asOfSnapshot").map(_.toLong)
+      .orElse(conf.getOption("spark.graft.lake.asOfTimestampMs").flatMap(ms =>
+        st.snapshotAtTime(ms.toLong)))
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val st = state()
+    val s = sessionAsOf(st).getOrElse(st.currentSnapshotId)
+    loadAt(ident, st, s)
+  }
+
+  /** SQL `VERSION AS OF v` — v is a snapshot id */
+  override def loadTable(ident: Identifier, version: String): Table =
+    loadAt(ident, state(), version.toLong)
+
+  /** SQL `TIMESTAMP AS OF ts` — micros since epoch */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val st = state()
+    val s = st.snapshotAtTime(timestampMicros / 1000L).getOrElse(
+      throw new NoSuchTableException(ident))
+    loadAt(ident, st, s)
+  }
+
+  private def loadAt(ident: Identifier, st: CatalogState, s: Long): Table = {
+    if (st.tableAt(ns(ident), ident.name(), s).isEmpty)
+      throw new NoSuchTableException(ident)
+    if (readOnly) new LakeTable(null, ns(ident), ident.name(), s, st) {
+      override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo) =
+        throw new UnsupportedOperationException("frozen mount is read-only")
+      override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+        throw new UnsupportedOperationException("frozen mount is read-only")
+      override def scanDF(spark: SparkSession,
+          filters: Seq[org.apache.spark.sql.sources.Filter]): org.apache.spark.sql.DataFrame =
+        LakeRead.scanDF(spark, st, entry.tableId, s, filters)
+    }
+    else new LakeTable(store, ns(ident), ident.name(), s, st)
+  }
+
+  override def tableExists(ident: Identifier): Boolean = {
+    val st = state()
+    st.tableAt(ns(ident), ident.name(), st.currentSnapshotId).isDefined
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    requireWritable()
+    val schemaName = ns(ident)
+    val partKeys = partitions.toList.map(parseTransform)
+    val props = properties.asScala.toMap -
+      (TableCatalog.PROP_PROVIDER, TableCatalog.PROP_OWNER, TableCatalog.PROP_LOCATION,
+        TableCatalog.PROP_COMMENT, TableCatalog.PROP_EXTERNAL)
+    store.commitWithRetry() { (st, sid) =>
+      if (st.tableAt(schemaName, ident.name(), st.currentSnapshotId).isDefined)
+        throw new TableAlreadyExistsException(ident)
+      val tid = st.nextTableId
+      val cols = schema.fields.zipWithIndex.map { case (f, i) =>
+        ColumnEntry(tid, columnId = i + 1, ordinal = i, name = f.name,
+          dataType = f.dataType.sql, nullable = f.nullable, defaultValue = None,
+          begin = sid, end = None)
+      }.toList
+      CommitDelta(
+        snapshot = Snapshot(sid, System.currentTimeMillis(), schemaVersion = sid,
+          List(s"created_table:$schemaName.${ident.name()}")),
+        newTables = List(TableEntry(tid, schemaName, ident.name(), sid, None)),
+        newColumns = cols,
+        newPartitionInfo =
+          if (partKeys.nonEmpty) List(PartitionInfoEntry(tid, partKeys, sid, None)) else Nil,
+        newTags = props.map { case (k, v) => TagEntry(tid.toString, k, v, sid, None) }.toList)
+    }
+    loadTable(ident)
+  }
+
+  private def parseTransform(t: Transform): PartitionKey = {
+    val colName = t.arguments().headOption match {
+      case Some(r: org.apache.spark.sql.connector.expressions.NamedReference) =>
+        r.fieldNames().mkString(".")
+      case _ => throw new IllegalArgumentException(s"unsupported partition transform: $t")
+    }
+    t.name().toLowerCase match {
+      case "identity" => PartitionKey("identity", colName)
+      case "years" | "year" => PartitionKey("year", colName)
+      case "months" | "month" => PartitionKey("month", colName)
+      case "days" | "day" => PartitionKey("day", colName)
+      case "hours" | "hour" => PartitionKey("hour", colName)
+      case other => throw new IllegalArgumentException(s"unsupported partition transform: $other")
+    }
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    requireWritable()
+    val schemaName = ns(ident)
+    store.commitWithRetry() { (st, sid) =>
+      val cur = st.currentSnapshotId
+      val entry = st.tableAt(schemaName, ident.name(), cur)
+        .getOrElse(throw new NoSuchTableException(ident))
+      val tid = entry.tableId
+      val cols = st.columnsAt(tid, cur)
+      var nextColId = st.nextColumnId(tid)
+      var nextOrd = cols.map(_.ordinal).maxOption.getOrElse(-1) + 1
+      val newCols = List.newBuilder[ColumnEntry]
+      val endedCols = List.newBuilder[String]
+      val newTags = List.newBuilder[TagEntry]
+      val endedTags = List.newBuilder[String]
+      var ddl = false
+      changes.foreach {
+        case a: TableChange.AddColumn =>
+          ddl = true
+          newCols += ColumnEntry(tid, nextColId, nextOrd,
+            a.fieldNames().mkString("."), a.dataType().sql, a.isNullable,
+            defaultValue = None, begin = sid, end = None)
+          nextColId += 1; nextOrd += 1
+        case d: TableChange.DeleteColumn =>
+          ddl = true
+          val name = d.fieldNames().mkString(".")
+          cols.find(_.name == name).foreach(c => endedCols += s"$tid:${c.columnId}")
+        case r: TableChange.RenameColumn =>
+          ddl = true
+          val name = r.fieldNames().mkString(".")
+          cols.find(_.name == name).foreach { c =>
+            endedCols += s"$tid:${c.columnId}"
+            newCols += c.copy(name = r.newName(), begin = sid, end = None)
+          }
+        case u: TableChange.UpdateColumnType =>
+          ddl = true
+          val name = u.fieldNames().mkString(".")
+          cols.find(_.name == name).foreach { c =>
+            endedCols += s"$tid:${c.columnId}"
+            newCols += c.copy(dataType = u.newDataType().sql, begin = sid, end = None)
+          }
+        case p: TableChange.SetProperty =>
+          endedTags += s"$tid:${p.property()}"
+          newTags += TagEntry(tid.toString, p.property(), p.value(), sid, None)
+        case p: TableChange.RemoveProperty =>
+          endedTags += s"$tid:${p.property()}"
+        case other =>
+          throw new UnsupportedOperationException(s"unsupported table change: $other")
+      }
+      CommitDelta(
+        snapshot = Snapshot(sid, System.currentTimeMillis(),
+          schemaVersion = if (ddl) sid else st.snapshots.lastOption.map(_.schemaVersion).getOrElse(0L),
+          List(s"altered_table:$schemaName.${ident.name()}")),
+        newColumns = newCols.result(), endedColumns = endedCols.result(),
+        newTags = newTags.result(), endedTags = endedTags.result())
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    requireWritable()
+    val schemaName = ns(ident)
+    try {
+      store.commitWithRetry() { (st, sid) =>
+        val cur = st.currentSnapshotId
+        val entry = st.tableAt(schemaName, ident.name(), cur)
+          .getOrElse(throw new NoSuchTableException(ident))
+        val tid = entry.tableId
+        val paths = st.filesAt(tid, cur).map(_.path) ++ st.deleteFilesAt(tid, cur).map(_.path)
+        CommitDelta(
+          snapshot = Snapshot(sid, System.currentTimeMillis(),
+            st.snapshots.lastOption.map(_.schemaVersion).getOrElse(0L),
+            List(s"dropped_table:$schemaName.${ident.name()}")),
+          endedTables = List(tid),
+          endedFiles = st.filesAt(tid, cur).map(_.fileId).toList,
+          endedDeleteFiles = st.deleteFilesAt(tid, cur).map(_.deleteFileId).toList,
+          endedInlined = st.inlinedAt(tid, cur).map(_.batchId).toList,
+          newScheduledDeletions = paths.map(p =>
+            ScheduledDeletion(p, System.currentTimeMillis(), sid)).toList)
+      }
+      true
+    } catch { case _: NoSuchTableException => false }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    requireWritable()
+    store.commitWithRetry() { (st, sid) =>
+      val cur = st.currentSnapshotId
+      val entry = st.tableAt(ns(oldIdent), oldIdent.name(), cur)
+        .getOrElse(throw new NoSuchTableException(oldIdent))
+      if (st.tableAt(ns(newIdent), newIdent.name(), cur).isDefined)
+        throw new TableAlreadyExistsException(newIdent)
+      CommitDelta(
+        snapshot = Snapshot(sid, System.currentTimeMillis(),
+          st.snapshots.lastOption.map(_.schemaVersion).getOrElse(0L),
+          List(s"renamed_table:${oldIdent.name()}:${newIdent.name()}")),
+        endedTables = List(entry.tableId),
+        newTables = List(TableEntry(entry.tableId, ns(newIdent), newIdent.name(), sid, None)))
+    }
+  }
+
+  override def invalidateTable(ident: Identifier): Unit = ()
+
+  // --------------------------------------------------------- namespaces
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val st = state()
+    val fromTables = st.tables.filter(t => liveAt(t.begin, t.end, st.currentSnapshotId))
+      .map(_.schemaName)
+    val fromTags = st.tags.filter(t => t.scope == "global" &&
+      t.key.startsWith("namespace:") && liveAt(t.begin, t.end, st.currentSnapshotId))
+      .map(_.key.stripPrefix("namespace:"))
+    (fromTables ++ fromTags ++ Seq("main")).distinct.sorted.map(Array(_)).toArray
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces() else Array.empty
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.length == 1 &&
+      listNamespaces().exists(_.sameElements(namespace))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Map.empty[String, String].asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    requireWritable()
+    val nsName = namespace.mkString(".")
+    store.commitWithRetry() { (st, sid) =>
+      CommitDelta(
+        snapshot = Snapshot(sid, System.currentTimeMillis(),
+          st.snapshots.lastOption.map(_.schemaVersion).getOrElse(0L),
+          List(s"created_schema:$nsName")),
+        newTags = List(TagEntry("global", s"namespace:$nsName", "1", sid, None)))
+    }
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("alterNamespace not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    requireWritable()
+    val nsName = namespace.mkString(".")
+    if (!cascade && listTables(namespace).nonEmpty)
+      throw new IllegalStateException(s"namespace $nsName not empty")
+    listTables(namespace).foreach(dropTable)
+    store.commitWithRetry() { (st, sid) =>
+      CommitDelta(
+        snapshot = Snapshot(sid, System.currentTimeMillis(),
+          st.snapshots.lastOption.map(_.schemaVersion).getOrElse(0L),
+          List(s"dropped_schema:$nsName")),
+        endedTags = List(s"global:namespace:$nsName"))
+    }
+    true
+  }
+}

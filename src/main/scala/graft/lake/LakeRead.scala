@@ -1,0 +1,153 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Meta._
+
+/** Snapshot-scoped merge-on-read scan composition (SURVEY.md §2.A A2,
+  * reference behavior contract: test/regression/sql/vacuum.sql:20-27,
+  * time_travel.sql, data_inlining_row_limit.sql).
+  *
+  * rows(table @ snapshot S) =
+  *     Σ over live data files:   parquet rows, column-mapped from the
+  *                               file's schema epoch to S's schema
+  *   ∪ live inlined batches:     JSON rows parsed with their epoch schema
+  *   ∖ live delete files:        anti-join on (file, position)
+  *
+  * All per-file work (pruning, schema grouping, row-id bases) is
+  * driver-side O(files) — the same metadata weight class as Delta/Iceberg;
+  * the data path is declarative DataFrame composition, so Catalyst pushes
+  * residual predicates and column pruning into the underlying parquet scan
+  * and Tungsten executes it codegen'd.
+  */
+object LakeRead {
+
+  /** hidden meta columns the scan can surface for DML/CDF */
+  val FileCol = "_graft_file"
+  val PosCol = "_graft_pos"
+  val RowIdCol = "_graft_row_id"
+
+  def sparkType(ddl: String): DataType = DataType.fromDDL(ddl)
+
+  def structFor(cols: Seq[ColumnEntry]): StructType =
+    StructType(cols.map(c => StructField(c.name, sparkType(c.dataType), c.nullable)))
+
+  /** Scan of `tableId` as of snapshot `s`.
+    * @param filters     pushed predicates (file pruning only; Spark
+    *                    re-applies them on rows)
+    * @param withRowMeta surface (_graft_file, _graft_pos, _graft_row_id)
+    */
+  def scanDF(
+      spark: SparkSession,
+      st: CatalogState,
+      tableId: Long,
+      s: Long,
+      filters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
+      withRowMeta: Boolean = false): DataFrame = {
+    val cols = st.columnsAt(tableId, s)
+    require(cols.nonEmpty, s"table $tableId has no columns at snapshot $s")
+    val colTypes = cols.map(c => c.name -> c.dataType).toMap
+    val partKeys = st.partitionKeysAt(tableId, s)
+    val deletes = st.deleteFilesAt(tableId, s)
+    val files0 = st.filesAt(tableId, s)
+    val files = Pruning.prune(files0, st.statsFor, colTypes, partKeys, filters)
+    val inlined = st.inlinedAt(tableId, s)
+    val needMeta = withRowMeta || deletes.nonEmpty
+
+    val currentStruct = structFor(cols)
+    def mapToCurrent(df: DataFrame, physCols: Seq[ColumnEntry], metaCols: Seq[String]): DataFrame = {
+      val physById = physCols.map(c => c.columnId -> c.name).toMap
+      val sel = cols.map { c =>
+        physById.get(c.columnId) match {
+          case Some(pn) => col(pn).cast(sparkType(c.dataType)).as(c.name)
+          case None =>
+            // column added after this file was written: default value or null
+            c.defaultValue.map(dv => expr(dv)).getOrElse(lit(null))
+              .cast(sparkType(c.dataType)).as(c.name)
+        }
+      } ++ metaCols.map(col)
+      df.select(sel: _*)
+    }
+
+    // parquet files, grouped by (schema epoch, row-id representation)
+    val parts: Seq[DataFrame] = files.groupBy(f => (f.schemaVersion, f.explicitRowIds)).toSeq
+      .sortBy(_._1).map { case ((sv, explicit), fs) =>
+        val physCols = st.columnsAt(tableId, sv)
+        val baseStruct = structFor(physCols)
+        val readStruct =
+          if (explicit) baseStruct.add(StructField(RowIdCol, LongType, nullable = false))
+          else baseStruct
+        var df = spark.read.schema(readStruct).parquet(fs.map(_.path): _*)
+        if (needMeta) {
+          df = df
+            .withColumn(FileCol, col("_metadata.file_name"))
+            .withColumn(PosCol, col("_metadata.row_index"))
+          if (!explicit) {
+            // implicit ids: row_id = file.firstRowId + position (O(files)
+            // broadcast lookup, same weight as the file list itself)
+            val lookup = spark.createDataFrame(
+              fs.map(f => Row(f.fileName, f.firstRowId)).toList.asJava,
+              StructType(Seq(StructField(FileCol, StringType), StructField("_graft_first", LongType))))
+            df = df.join(broadcast(lookup), Seq(FileCol), "left")
+              .withColumn(RowIdCol, col("_graft_first") + col(PosCol))
+              .drop("_graft_first")
+          }
+        } else if (explicit) df = df.drop(RowIdCol)
+        mapToCurrent(df, physCols, if (needMeta) Seq(FileCol, PosCol, RowIdCol) else Nil)
+      }
+
+    // inlined batches: driver-held JSON rows → DataFrame per schema epoch
+    val inlinedParts: Seq[DataFrame] = inlined.groupBy(_.schemaVersion).toSeq.sortBy(_._1)
+      .map { case (sv, batches) =>
+        val physCols = st.columnsAt(tableId, sv)
+        val physStruct = structFor(physCols)
+        import spark.implicits._
+        val rows: Seq[(String, String, Long, Long)] = batches.flatMap { b =>
+          b.rowsJson.zip(b.ids).zipWithIndex.map { case ((j, rid), idx) =>
+            (j, s"inline:${b.batchId}", idx.toLong, rid)
+          }
+        }
+        val ds = rows.toDF("_json", FileCol, PosCol, RowIdCol)
+        val parsed = ds
+          .withColumn("_row", from_json(col("_json"), physStruct))
+          .select((physStruct.fieldNames.map(n => col(s"_row.$n").as(n)) ++
+            Seq(col(FileCol), col(PosCol), col(RowIdCol))): _*)
+        val metaCols = if (needMeta) Seq(FileCol, PosCol, RowIdCol) else Nil
+        mapToCurrent(
+          if (needMeta) parsed else parsed.drop(FileCol, PosCol, RowIdCol),
+          physCols, metaCols)
+      }
+
+    val allParts = parts ++ inlinedParts
+    var all: DataFrame =
+      if (allParts.nonEmpty) allParts.reduce(_ unionByName _)
+      else {
+        val schema = if (needMeta)
+          currentStruct.add(FileCol, StringType).add(PosCol, LongType).add(RowIdCol, LongType)
+        else currentStruct
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      }
+
+    if (deletes.nonEmpty) {
+      val delStruct = StructType(Seq(
+        StructField("file", StringType), StructField("pos", LongType),
+        StructField("row_id", LongType)))
+      val dd = spark.read.schema(delStruct).parquet(deletes.map(_.path): _*)
+        .select(col("file").as(FileCol), col("pos").as(PosCol))
+      // delete sets are bounded by the rewrite threshold → broadcast side
+      all = all.join(broadcast(dd), Seq(FileCol, PosCol), "left_anti")
+    }
+
+    if (!withRowMeta && needMeta) all = all.drop(FileCol, PosCol, RowIdCol)
+    all
+  }
+
+  private implicit class ListAsJava[A](l: List[A]) {
+    def asJava: java.util.List[A] = {
+      val jl = new java.util.ArrayList[A](l.size)
+      l.foreach(jl.add)
+      jl
+    }
+  }
+}

@@ -1,0 +1,143 @@
+package graft.lake
+
+import java.util
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import scala.jdk.CollectionConverters._
+import Meta._
+
+/** DSv2 `Table` for a lake table pinned at a snapshot (SURVEY.md §7.1).
+  *
+  * Read path: `ScanBuilder` receives pushed filters + required columns,
+  * prunes the FILE LIST driver-side (snapshot interval + hidden-partition
+  * values + per-file min/max stats — reference A2), then hands Spark a
+  * `V1Scan` whose relation materializes the merge-on-read DataFrame
+  * composition from [[LakeRead]]. Filters are also reported back as
+  * residuals, so Catalyst re-applies them on rows AND pushes them into the
+  * underlying parquet scan — files we can't prove prunable still get
+  * row-group-level skipping for free.
+  *
+  * Write path: `V1Write`/`InsertableRelation` routes into
+  * [[LakeWrite.append]] — Spark's own distributed parquet writer does the
+  * data movement; the commit is our optimistic snapshot protocol.
+  *
+  * `SupportsDelete.deleteWhere` implements ROW-level deletes (positional
+  * delete files), not just file drops — reference A3/dml semantics.
+  */
+class LakeTable(
+    val store: MetadataStore,
+    val schemaName: String,
+    val tableName: String,
+    val snapshot: Long,
+    st: CatalogState) extends Table
+    with SupportsRead with SupportsWrite with SupportsDelete {
+
+  val entry: TableEntry = st.tableAt(schemaName, tableName, snapshot)
+    .getOrElse(throw new NoSuchElementException(s"no table $schemaName.$tableName@$snapshot"))
+  private val cols = st.columnsAt(entry.tableId, snapshot)
+
+  override def name(): String = s"$schemaName.$tableName"
+
+  override def schema(): StructType = LakeRead.structFor(cols)
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  override def partitioning(): Array[Transform] =
+    st.partitionKeysAt(entry.tableId, snapshot).map { pk =>
+      pk.transform match {
+        case "identity" => Expressions.identity(pk.column)
+        case "year" => Expressions.years(pk.column)
+        case "month" => Expressions.months(pk.column)
+        case "day" => Expressions.days(pk.column)
+        case "hour" => Expressions.hours(pk.column)
+        case other => Expressions.apply(other, Expressions.column(pk.column))
+      }
+    }.toArray
+
+  override def properties(): util.Map[String, String] = {
+    val tags = st.tags.filter(t => t.scope == entry.tableId.toString &&
+      liveAt(t.begin, t.end, snapshot)).map(t => t.key -> t.value).toMap
+    (tags + ("provider" -> "graft-lake")).asJava
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new LakeScanBuilder(this)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new LakeWriteBuilder(this)
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => Pruning.filterToColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val cond = filters.flatMap(Pruning.filterToColumn)
+      .reduceOption(_ && _).getOrElse(org.apache.spark.sql.functions.lit(true))
+    LakeWrite.delete(SparkSession.active, store, schemaName, tableName, cond)
+  }
+
+  /** fresh snapshot-scoped DataFrame (used by the scan and by LakeOps) */
+  def scanDF(spark: SparkSession, filters: Seq[Filter] = Nil): DataFrame =
+    LakeRead.scanDF(spark, store.state(), entry.tableId, snapshot, filters)
+}
+
+private[lake] class LakeScanBuilder(table: LakeTable) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: Option[StructType] = None
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters
+    filters // all residual: we prune files, Spark re-checks rows
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = Some(requiredSchema)
+
+  override def build(): Scan = new LakeScan(table, pushed, required)
+}
+
+private[lake] class LakeScan(table: LakeTable, filters: Array[Filter],
+    required: Option[StructType]) extends Scan with V1Scan {
+
+  override def readSchema(): StructType = required.getOrElse(table.schema())
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = readSchema()
+      override def buildScan(): RDD[org.apache.spark.sql.Row] = {
+        val df = table.scanDF(context.sparkSession, filters.toSeq)
+        val projected = readSchema().fieldNames match {
+          case names if names.nonEmpty => df.select(names.map(org.apache.spark.sql.functions.col).toSeq: _*)
+          case _ => df
+        }
+        projected.rdd
+      }
+    }.asInstanceOf[T]
+
+  override def description(): String =
+    s"graft-lake ${table.name()}@${table.snapshot} filters=[${filters.mkString(", ")}]"
+}
+
+private[lake] class LakeWriteBuilder(table: LakeTable) extends WriteBuilder
+    with SupportsTruncate {
+  private var overwrite = false
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation = new InsertableRelation {
+      override def insert(data: DataFrame, ovr: Boolean): Unit =
+        LakeWrite.append(data.sparkSession, table.store, table.schemaName,
+          table.tableName, data, overwrite = overwrite || ovr)
+    }
+  }
+}

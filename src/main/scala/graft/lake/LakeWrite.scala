@@ -1,0 +1,464 @@
+package graft.lake
+
+import java.nio.file.{Files, Paths}
+import java.util.UUID
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Meta._
+
+/** Write path: append (Parquet + snapshot commit), inline fast path, and
+  * row-level DELETE/UPDATE via positional delete files (SURVEY.md §2.A
+  * A3/A5; reference contracts: test/regression/sql/basic.sql,
+  * dml_row_count.sql, vacuum.sql:44-100, data_inlining_row_limit.sql).
+  *
+  * Scale shape: data moves only through distributed DataFrame jobs (the
+  * staged parquet write, the per-file stats aggregation, the delete-match
+  * scan, the delete-file write). Driver-side `.collect()` calls gather only
+  * O(files) per-file aggregates and inline-log rows (bounded by
+  * data_inlining_row_limit) — the same commit-info gathering every
+  * lakehouse driver performs; table data never lands on the driver.
+  */
+object LakeWrite {
+
+  /** default inline threshold; override via tag `data_inlining_row_limit`
+    * (reference docs/settings.md) — 0 = inlining off */
+  val DefaultInlineLimit = 0L
+
+  private def uuid(): String = UUID.randomUUID().toString.replace("-", "")
+
+  def tableDir(root: String, tid: Long) = s"$root/t$tid"
+
+  /** stats-eligible leaf types (orderable, cast-to-string round-trippable) */
+  private def statsEligible(dt: DataType): Boolean = dt match {
+    case _: NumericType | StringType | DateType | TimestampType | BooleanType => true
+    case _ => false
+  }
+
+  private[lake] def deleteRecursively(dir: String): Unit = {
+    val p = Paths.get(dir)
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
+    }
+  }
+
+  private case class StagedFile(path: String, fileName: String,
+      partitionValues: Map[String, String])
+
+  /** Move staged part-files into the table data dir; parses hidden-partition
+    * values from the staged `_gp<i>=<value>` dir layout. */
+  private def promoteStaged(staging: String, dataDir: String,
+      partKeys: List[PartitionKey]): Seq[StagedFile] = {
+    Files.createDirectories(Paths.get(dataDir))
+    val stagedRoot = Paths.get(staging)
+    val out = Vector.newBuilder[StagedFile]
+    val walk = Files.walk(stagedRoot)
+    try {
+      walk.forEach { p =>
+        val name = p.getFileName.toString
+        if (name.endsWith(".parquet") && !name.startsWith("_") && !name.startsWith(".")) {
+          val rel = stagedRoot.relativize(p).toString
+          val pvs = rel.split('/').dropRight(1).flatMap { seg =>
+            seg.split("=", 2) match {
+              case Array(k, v) if k.startsWith("_gp") =>
+                val i = k.stripPrefix("_gp").toInt
+                if (i < partKeys.length) Some(partKeys(i).label -> v) else None
+              case _ => None
+            }
+          }.toMap
+          val newName = s"g${uuid()}.parquet"
+          val target = Paths.get(dataDir, newName)
+          Files.move(p, target)
+          out += StagedFile(target.toString, newName, pvs)
+        }
+      }
+    } finally walk.close()
+    deleteRecursively(staging)
+    out.result()
+  }
+
+  /** partition transform expression for a data column */
+  private def transformCol(pk: PartitionKey): Column = pk.transform match {
+    case "identity" => col(pk.column)
+    case "year" => year(col(pk.column))
+    case "month" => month(col(pk.column))
+    case "day" => dayofmonth(col(pk.column))
+    case "hour" => hour(col(pk.column))
+    case other => throw new IllegalArgumentException(s"unknown partition transform: $other")
+  }
+
+  private def sortCol(sk: SortKey): Column = {
+    val base = expr(sk.expr)
+    (sk.ascending, sk.nullsFirst) match {
+      case (true, true) => base.asc_nulls_first
+      case (true, false) => base.asc_nulls_last
+      case (false, true) => base.desc_nulls_first
+      case (false, false) => base.desc_nulls_last
+    }
+  }
+
+  private def statAggsFor(statCols: Seq[ColumnEntry]): Seq[Column] =
+    Seq(count(lit(1)).as("_cnt")) ++ statCols.flatMap { c =>
+      Seq(min(col(c.name)).cast(StringType).as(s"_min_${c.name}"),
+        max(col(c.name)).cast(StringType).as(s"_max_${c.name}"),
+        sum(when(col(c.name).isNull, 1L).otherwise(0L)).as(s"_nulls_${c.name}"))
+    }
+
+  /** Distributed append of `df`. Returns the committed snapshot id.
+    *
+    * When the table has partition keys, rows are grouped by the transform
+    * values and written `partitionBy` synthetic `_gp<i>` dirs (then promoted
+    * to FLAT files with the values recorded per file — DuckLake-style hidden
+    * partitioning, reference src/pgducklake_partition.cpp:31-97). Sort keys
+    * are applied only on compaction-style writes (`sorted=true`), mirroring
+    * the reference (sorted_by.cpp: sort on compaction/flush, not inserts).
+    */
+  def append(
+      spark: SparkSession,
+      store: MetadataStore,
+      schemaName: String,
+      tableName: String,
+      df: DataFrame,
+      overwrite: Boolean = false,
+      explicitRowIds: Boolean = false,
+      changeTag: String = "inserted",
+      extraEnded: CatalogState => (List[Long], List[Long], List[Long]) = _ => (Nil, Nil, Nil),
+      sorted: Boolean = false): Long = {
+    val st0 = store.state()
+    val s0 = st0.currentSnapshotId
+    val tid = st0.tableAt(schemaName, tableName, s0)
+      .getOrElse(throw new NoSuchElementException(s"no table $schemaName.$tableName")).tableId
+    val cols = st0.columnsAt(tid, s0)
+    val partKeys = st0.partitionKeysAt(tid, s0)
+    val sortKeys = st0.sortKeysAt(tid, s0)
+    val schemaVersion = st0.snapshots.lastOption.map(_.schemaVersion).getOrElse(0L)
+
+    // align to table schema (by name, cast to declared types)
+    val rowIdSel = if (explicitRowIds) Seq(col(LakeRead.RowIdCol)) else Nil
+    var aligned = df.select(
+      cols.map(c => col(c.name).cast(LakeRead.sparkType(c.dataType)).as(c.name)) ++ rowIdSel: _*)
+    if (sortKeys.nonEmpty && sorted) aligned = aligned.sortWithinPartitions(sortKeys.map(sortCol): _*)
+
+    val staging = s"${store.root}/_staging/${uuid()}"
+    if (partKeys.nonEmpty) {
+      val pcols = partKeys.zipWithIndex.map { case (pk, i) => transformCol(pk).as(s"_gp$i") }
+      val withP = aligned.select(aligned.columns.map(col) ++ pcols: _*)
+        .repartition(partKeys.indices.map(i => col(s"_gp$i")): _*)
+      val sortedP = if (sortKeys.nonEmpty && sorted)
+        withP.sortWithinPartitions(sortKeys.map(sortCol): _*) else withP
+      sortedP.write.partitionBy(partKeys.indices.map(i => s"_gp$i"): _*)
+        .mode(SaveMode.Overwrite).parquet(staging)
+    } else aligned.write.mode(SaveMode.Overwrite).parquet(staging)
+
+    val staged = promoteStaged(staging, s"${tableDir(store.root, tid)}/data", partKeys)
+
+    // per-file stats job (distributed; one aggregate row per file)
+    val statCols = cols.filter(c => statsEligible(LakeRead.sparkType(c.dataType)))
+    val readStruct = {
+      val base = LakeRead.structFor(cols)
+      if (explicitRowIds) base.add(StructField(LakeRead.RowIdCol, LongType)) else base
+    }
+    val statRows: Map[String, Row] =
+      if (staged.isEmpty) Map.empty
+      else spark.read.schema(readStruct).parquet(staged.map(_.path): _*)
+        .groupBy(col("_metadata.file_name").as("_file"))
+        .agg(statAggsFor(statCols).head, statAggsFor(statCols).tail: _*)
+        .collect().map(r => r.getString(0) -> r).toMap // one row per file
+    // zero-row part files (empty write partitions) have no stats row:
+    // physically drop them, they carry nothing
+    val (kept, empty) = staged.partition(f => statRows.contains(f.fileName))
+    empty.foreach(f => Files.deleteIfExists(Paths.get(f.path)))
+    val sizes = kept.map(f => f.fileName -> Files.size(Paths.get(f.path))).toMap
+
+    store.commitWithRetry() { (st, sid) =>
+      if (st.tableById(tid, st.currentSnapshotId).isEmpty)
+        throw new IllegalStateException(s"table $schemaName.$tableName dropped concurrently")
+      var fileId = st.nextFileId
+      var rowId = st.nextRowId(tid)
+      val newFiles = kept.sortBy(_.fileName).map { f =>
+        val r = statRows(f.fileName)
+        val cnt = r.getLong(r.fieldIndex("_cnt"))
+        val fe = DataFileEntry(fileId, tid, f.path, f.fileName, cnt,
+          sizes(f.fileName), firstRowId = if (explicitRowIds) 0L else rowId,
+          schemaVersion = schemaVersion, explicitRowIds = explicitRowIds,
+          partitionValues = f.partitionValues, begin = sid, end = None)
+        fileId += 1; rowId += cnt
+        fe
+      }.toList
+      val newStats = newFiles.flatMap { fe =>
+        val r = statRows(fe.fileName)
+        statCols.map { c =>
+          FileColumnStats(fe.fileId, c.name, c.dataType,
+            Option(r.getString(r.fieldIndex(s"_min_${c.name}"))),
+            Option(r.getString(r.fieldIndex(s"_max_${c.name}"))),
+            r.getLong(r.fieldIndex(s"_nulls_${c.name}")))
+        }
+      }
+      val (extraFiles, extraDel, extraInl) = extraEnded(st)
+      val endedFiles = (if (overwrite) st.filesAt(tid, st.currentSnapshotId).map(_.fileId).toList else Nil) ++ extraFiles
+      val endedDel = (if (overwrite) st.deleteFilesAt(tid, st.currentSnapshotId).map(_.deleteFileId).toList else Nil) ++ extraDel
+      val endedInl = (if (overwrite) st.inlinedAt(tid, st.currentSnapshotId).map(_.batchId).toList else Nil) ++ extraInl
+      val n = newFiles.map(_.rowCount).sum
+      CommitDelta(
+        snapshot = Snapshot(sid, System.currentTimeMillis(), schemaVersion,
+          List(s"$changeTag:$tid:$n")),
+        newFiles = newFiles, endedFiles = endedFiles,
+        endedDeleteFiles = endedDel, endedInlined = endedInl,
+        newStats = newStats,
+        newScheduledDeletions = (endedFiles.flatMap(id =>
+          st.files.find(_.fileId == id).map(_.path)) ++
+          endedDel.flatMap(id => st.deleteFiles.find(_.deleteFileId == id).map(_.path)))
+          .map(p => ScheduledDeletion(p, System.currentTimeMillis(), sid)))
+    }
+  }
+
+  /** Driver-side small-batch append (the reference's direct-insert fast
+    * path, src/pgducklake_direct_insert.cpp:266-906): when the batch fits
+    * `data_inlining_row_limit`, rows go into the inline log — one metadata
+    * commit, NO Spark job. Otherwise falls back to a distributed append. */
+  def insertRows(
+      spark: SparkSession,
+      store: MetadataStore,
+      schemaName: String,
+      tableName: String,
+      rows: Seq[Seq[Any]]): Long = {
+    val st0 = store.state()
+    val s0 = st0.currentSnapshotId
+    val tid = st0.tableAt(schemaName, tableName, s0)
+      .getOrElse(throw new NoSuchElementException(s"no table $schemaName.$tableName")).tableId
+    val cols = st0.columnsAt(tid, s0)
+    val limit = st0.tagAt(tid.toString, "data_inlining_row_limit", s0)
+      .orElse(st0.tagAt("global", "data_inlining_row_limit", s0))
+      .map(_.toLong).getOrElse(DefaultInlineLimit)
+    if (rows.size > limit) {
+      val schema = LakeRead.structFor(cols)
+      val rdd = spark.sparkContext.parallelize(rows.map(Row.fromSeq), 1)
+      return append(spark, store, schemaName, tableName,
+        spark.createDataFrame(rdd, schema))
+    }
+    val json = rows.map(r => rowJson(cols, r)).toList
+    store.commitWithRetry() { (st, sid) =>
+      CommitDelta(
+        snapshot = Snapshot(sid, System.currentTimeMillis(),
+          st.snapshots.lastOption.map(_.schemaVersion).getOrElse(0L),
+          List(s"inlined:$tid:${rows.size}")),
+        newInlined = List(InlinedBatch(st.nextBatchId, tid,
+          st.snapshots.lastOption.map(_.schemaVersion).getOrElse(0L),
+          st.nextRowId(tid), json, sid, None)))
+    }
+  }
+
+  private def jsonEscape(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def rowJson(cols: Seq[ColumnEntry], row: Seq[Any]): String =
+    cols.zip(row).map { case (c, v) =>
+      val j = v match {
+        case null => "null"
+        case s: String => jsonEscape(s)
+        case d: java.sql.Date => jsonEscape(d.toString)
+        case t: java.sql.Timestamp => jsonEscape(t.toString)
+        case b: Boolean => b.toString
+        case n => n.toString
+      }
+      s"${jsonEscape(c.name)}: $j"
+    }.mkString("{", ", ", "}")
+
+  /** distributed write of (file, pos, row_id) hit rows into a positional
+    * delete "file" (a parquet directory — the scan reads it as one unit);
+    * returns (path, per-data-file counts, total). None when no hits. */
+  private def writeDeleteFile(
+      spark: SparkSession, store: MetadataStore, tid: Long,
+      parquetHits: DataFrame): Option[(String, Map[String, Long], Long)] = {
+    val delDir = s"${tableDir(store.root, tid)}/deletes/d${uuid()}"
+    Files.createDirectories(Paths.get(delDir).getParent)
+    parquetHits
+      .select(col(LakeRead.FileCol).as("file"), col(LakeRead.PosCol).as("pos"),
+        col(LakeRead.RowIdCol).as("row_id"))
+      .write.mode(SaveMode.Overwrite).parquet(delDir)
+    val counts = spark.read.parquet(delDir).groupBy("file").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap // O(files)
+    val total = counts.values.sum
+    if (total == 0) { deleteRecursively(delDir); None }
+    else Some((delDir, counts, total))
+  }
+
+  /** Row-level DELETE. Returns (snapshotId, deletedRowCount) — the
+    * reference asserts exact DML row counts (dml_row_count.sql). */
+  def delete(
+      spark: SparkSession,
+      store: MetadataStore,
+      schemaName: String,
+      tableName: String,
+      cond: Column): (Long, Long) = {
+    val st0 = store.state()
+    val s0 = st0.currentSnapshotId
+    val tid = st0.tableAt(schemaName, tableName, s0)
+      .getOrElse(throw new NoSuchElementException(s"no table $schemaName.$tableName")).tableId
+
+    val matched = LakeRead.scanDF(spark, st0, tid, s0, Nil, withRowMeta = true)
+      .filter(cond).persist()
+    val delFile = writeDeleteFile(spark, store, tid,
+      matched.filter(!col(LakeRead.FileCol).startsWith("inline:")))
+    val inlineIds = matched.filter(col(LakeRead.FileCol).startsWith("inline:"))
+      .select(col(LakeRead.RowIdCol)).collect().map(_.getLong(0)).toSet // ≤ inline limit
+    matched.unpersist()
+
+    val total = delFile.map(_._3).getOrElse(0L) + inlineIds.size
+    val sid = store.commitWithRetry() { (st, sid) =>
+      val fileIdByName = st.filesAt(tid, st.currentSnapshotId)
+        .map(f => f.fileName -> f.fileId).toMap
+      val newDel = delFile.toList.map { case (path, counts, cnt) =>
+        DeleteFileEntry(st.nextFileId, tid, path, cnt,
+          counts.flatMap { case (fn, c) => fileIdByName.get(fn).map(_.toString -> c) },
+          sid, None)
+      }
+      val (endedB, newB) = rewriteInlineBatches(st, tid, sid,
+        keep = (rid, _) => !inlineIds.contains(rid), transform = (j, _) => j)
+      CommitDelta(
+        snapshot = Snapshot(sid, System.currentTimeMillis(),
+          st.snapshots.lastOption.map(_.schemaVersion).getOrElse(0L),
+          List(s"deleted:$tid:$total")),
+        newDeleteFiles = newDel,
+        endedInlined = endedB, newInlined = newB)
+    }
+    (sid, total)
+  }
+
+  /** rewrite inline batches of `tid`: keep(rowId, json) selects survivors,
+    * transform(json, rowId) maps kept rows; unchanged batches untouched. */
+  private def rewriteInlineBatches(
+      st: CatalogState, tid: Long, sid: Long,
+      keep: (Long, String) => Boolean,
+      transform: (String, Long) => String): (List[Long], List[InlinedBatch]) = {
+    var nextB = st.nextBatchId
+    val ended = List.newBuilder[Long]
+    val added = List.newBuilder[InlinedBatch]
+    st.inlinedAt(tid, st.currentSnapshotId).foreach { b =>
+      val pairs = b.rowsJson.zip(b.ids)
+      val kept = pairs.filter { case (j, rid) => keep(rid, j) }
+        .map { case (j, rid) => (transform(j, rid), rid) }
+      if (kept != pairs) {
+        ended += b.batchId
+        if (kept.nonEmpty) {
+          added += InlinedBatch(nextB, tid, b.schemaVersion, kept.head._2,
+            kept.map(_._1), sid, None, rowIds = Some(kept.map(_._2)))
+          nextB += 1
+        }
+      }
+    }
+    (ended.result(), added.result())
+  }
+
+  /** Row-level UPDATE = positional delete of pre-images + append of
+    * post-images carrying the SAME row ids (explicit `_graft_row_id`
+    * column) in ONE snapshot — what lets the change feed pair pre/post
+    * images (sql/pg_ducklake--0.1.0.sql:344-449, data_change_feed.sql).
+    * Returns (snapshotId, updatedRowCount). */
+  def update(
+      spark: SparkSession,
+      store: MetadataStore,
+      schemaName: String,
+      tableName: String,
+      cond: Column,
+      set: Map[String, Column]): (Long, Long) = {
+    val st0 = store.state()
+    val s0 = st0.currentSnapshotId
+    val tid = st0.tableAt(schemaName, tableName, s0)
+      .getOrElse(throw new NoSuchElementException(s"no table $schemaName.$tableName")).tableId
+    val cols = st0.columnsAt(tid, s0)
+    val schemaVersion = st0.snapshots.lastOption.map(_.schemaVersion).getOrElse(0L)
+
+    val matched = LakeRead.scanDF(spark, st0, tid, s0, Nil, withRowMeta = true)
+      .filter(cond).persist()
+    val updated = matched.select(
+      cols.map(c => set.getOrElse(c.name, col(c.name))
+        .cast(LakeRead.sparkType(c.dataType)).as(c.name)) ++
+        Seq(col(LakeRead.FileCol), col(LakeRead.RowIdCol)): _*)
+
+    // inline side: updated JSON by row id (inline log is small by contract)
+    val inlineUpdated = updated.filter(col(LakeRead.FileCol).startsWith("inline:"))
+    val inlineIds = inlineUpdated.select(col(LakeRead.RowIdCol))
+      .collect().map(_.getLong(0))
+    val inlineJson = inlineUpdated.drop(LakeRead.FileCol, LakeRead.RowIdCol)
+      .toJSON.collect()
+    val updatedJson: Map[Long, String] = inlineIds.zip(inlineJson).toMap
+
+    // parquet side: delete file + post-image files with explicit row ids
+    val parquetPre = matched.filter(!col(LakeRead.FileCol).startsWith("inline:"))
+    val delFile = writeDeleteFile(spark, store, tid, parquetPre)
+    val postImages = updated.filter(!col(LakeRead.FileCol).startsWith("inline:"))
+      .drop(LakeRead.FileCol)
+    val staged: Seq[StagedFile] = delFile match {
+      case None => Nil
+      case Some(_) =>
+        val staging = s"${store.root}/_staging/${uuid()}"
+        postImages.write.mode(SaveMode.Overwrite).parquet(staging)
+        promoteStaged(staging, s"${tableDir(store.root, tid)}/data", Nil)
+    }
+    matched.unpersist()
+
+    val statCols = cols.filter(c => statsEligible(LakeRead.sparkType(c.dataType)))
+    val readStruct = LakeRead.structFor(cols).add(StructField(LakeRead.RowIdCol, LongType))
+    val statRows: Map[String, Row] =
+      if (staged.isEmpty) Map.empty
+      else spark.read.schema(readStruct).parquet(staged.map(_.path): _*)
+        .groupBy(col("_metadata.file_name").as("_file"))
+        .agg(statAggsFor(statCols).head, statAggsFor(statCols).tail: _*)
+        .collect().map(r => r.getString(0) -> r).toMap
+    val keptStaged = staged.filter(f => statRows.contains(f.fileName))
+    staged.filterNot(f => statRows.contains(f.fileName))
+      .foreach(f => Files.deleteIfExists(Paths.get(f.path)))
+    val sizes = keptStaged.map(f => f.fileName -> Files.size(Paths.get(f.path))).toMap
+
+    val total = delFile.map(_._3).getOrElse(0L) + inlineIds.length
+    val sid = store.commitWithRetry() { (st, sid) =>
+      val fileIdByName = st.filesAt(tid, st.currentSnapshotId)
+        .map(f => f.fileName -> f.fileId).toMap
+      var fileId = st.nextFileId
+      val newFiles = keptStaged.sortBy(_.fileName).map { f =>
+        val r = statRows(f.fileName)
+        val fe = DataFileEntry(fileId, tid, f.path, f.fileName,
+          r.getLong(r.fieldIndex("_cnt")), sizes(f.fileName), firstRowId = 0L,
+          schemaVersion = schemaVersion, explicitRowIds = true,
+          partitionValues = Map.empty, begin = sid, end = None)
+        fileId += 1
+        fe
+      }.toList
+      val newStats = newFiles.flatMap { fe =>
+        val r = statRows(fe.fileName)
+        statCols.map { c =>
+          FileColumnStats(fe.fileId, c.name, c.dataType,
+            Option(r.getString(r.fieldIndex(s"_min_${c.name}"))),
+            Option(r.getString(r.fieldIndex(s"_max_${c.name}"))),
+            r.getLong(r.fieldIndex(s"_nulls_${c.name}")))
+        }
+      }
+      val newDel = delFile.toList.map { case (path, counts, cnt) =>
+        DeleteFileEntry(fileId, tid, path, cnt,
+          counts.flatMap { case (fn, c) => fileIdByName.get(fn).map(_.toString -> c) },
+          sid, None)
+      }
+      val (endedB, newB) = rewriteInlineBatches(st, tid, sid,
+        keep = (_, _) => true,
+        transform = (j, rid) => updatedJson.getOrElse(rid, j))
+      CommitDelta(
+        snapshot = Snapshot(sid, System.currentTimeMillis(), schemaVersion,
+          List(s"updated:$tid:$total")),
+        newFiles = newFiles, newStats = newStats, newDeleteFiles = newDel,
+        endedInlined = endedB, newInlined = newB)
+    }
+    (sid, total)
+  }
+}

@@ -108,7 +108,11 @@ object Meta {
 
   /** Inlined small-insert data (the reference's per-table
     * ducklake_inlined_data_<tid> tables): rows kept in the catalog as JSON,
-    * avoiding tiny parquet files. Row ids [firstRowId, firstRowId+n). */
+    * avoiding tiny parquet files. Row ids default to the contiguous range
+    * [firstRowId, firstRowId+n); a batch rewritten by DELETE/UPDATE carries
+    * explicit per-row ids (`rowIds`) because the survivors keep their
+    * original identity (mirrors the reference's row_id column on
+    * ducklake_inlined_data_* tables). */
   case class InlinedBatch(
       batchId: Long,
       tableId: Long,
@@ -116,7 +120,11 @@ object Meta {
       firstRowId: Long,
       rowsJson: List[String],
       begin: Long,
-      end: Option[Long])
+      end: Option[Long],
+      rowIds: Option[List[Long]] = None) {
+    def ids: List[Long] =
+      rowIds.getOrElse((firstRowId until firstRowId + rowsJson.length).toList)
+  }
 
   /** ducklake_metadata / ducklake_tag: global or per-table options. */
   case class TagEntry(
@@ -226,7 +234,7 @@ object Meta {
       val fromFiles = files.filter(_.tableId == tableId)
         .map(f => f.firstRowId + f.rowCount)
       val fromInline = inlined.filter(_.tableId == tableId)
-        .map(b => b.firstRowId + b.rowsJson.length)
+        .map(b => (b.ids :+ (b.firstRowId - 1)).max + 1)
       ((fromFiles ++ fromInline) :+ 0L).max
     }
   }

@@ -1,9 +1,7 @@
 package graft.lake
 
-import java.nio.channels.FileChannel
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardOpenOption}
-import scala.util.control.NonFatal
+import java.nio.file.{Files, Path, Paths}
 import org.json4s.{DefaultFormats, Formats}
 import org.json4s.jackson.Serialization
 import Meta._
@@ -61,6 +59,9 @@ class MetadataStore(val root: String) {
     }
   }
 
+  /** The raw commit delta of one snapshot (change-feed computation). */
+  def delta(sid: Long): CommitDelta = readDelta(sid)
+
   /** Current materialized catalog state (re-folds only new deltas). */
   def state(): CatalogState = synchronized {
     val ids = listSnapshotIds()
@@ -75,21 +76,27 @@ class MetadataStore(val root: String) {
   }
 
   /** Atomic commit of snapshot `delta.snapshot.snapshotId`. Throws
-    * [[CommitConflictException]] if that id is already taken. */
+    * [[CommitConflictException]] if that id is already taken.
+    *
+    * Crash-atomic CAS: the full JSON is written to a temp file first, then
+    * `Files.createLink(slot, temp)` claims the slot — link(2) is atomic and
+    * fails with FileAlreadyExistsException when the slot is taken, and the
+    * linked file is already complete, so a crash can never leave a
+    * truncated delta poisoning the log (the failure mode of a
+    * CREATE_NEW-then-write sequence). */
   def commit(delta: CommitDelta): Unit = {
     val target = deltaPath(delta.snapshot.snapshotId)
     val json = Serialization.write(delta)
+    val tmp = Files.createTempFile(logDir, ".commit", ".tmp")
     try {
-      val ch = FileChannel.open(target,
-        StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
-      try ch.write(java.nio.ByteBuffer.wrap(json.getBytes(StandardCharsets.UTF_8)))
-      finally ch.close()
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new CommitConflictException(
-          s"snapshot ${delta.snapshot.snapshotId} already committed by another writer")
-      case NonFatal(e) => throw e
-    }
+      Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+      try Files.createLink(target, tmp)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new CommitConflictException(
+            s"snapshot ${delta.snapshot.snapshotId} already committed by another writer")
+      }
+    } finally Files.deleteIfExists(tmp)
   }
 
   /** Commit with optimistic retry: `build` receives the fresh state and the

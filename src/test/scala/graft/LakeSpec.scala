@@ -1,0 +1,352 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.lake._
+import graft.lake.Meta._
+
+/** End-to-end lakehouse-layer tests mirroring the reference's regression
+  * scripts (basic.sql, dml_row_count.sql, time_travel.sql, vacuum.sql,
+  * partition.sql, sorted_table.sql, data_inlining_row_limit.sql,
+  * data_change_feed.sql, freeze.sql) and the three isolation specs. */
+class LakeSpec extends AnyFunSuite {
+  import TestSession.spark
+
+  private def newLake(): Lake =
+    new Lake(spark, Files.createTempDirectory("graft_lake").toString)
+
+  private val abSchema = StructType(Seq(
+    StructField("a", IntegerType), StructField("b", IntegerType)))
+
+  // ---- basic.sql: create → insert → filter scan -------------------------
+  test("basic: create, append, filtered scan") {
+    val lake = newLake()
+    lake.createTable("main.t", abSchema)
+    import spark.implicits._
+    lake.append("main.t", Seq((1, 101), (2, 102)).toDF("a", "b"))
+    val rows = lake.table("main.t").filter(col("a") === 1).collect()
+    assert(rows.map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((1, 101)))
+    assert(lake.table("main.t").count() == 2)
+  }
+
+  // ---- SQL surface through the DSv2 catalog -----------------------------
+  test("catalog: SQL create/insert/select/CTAS/delete/time travel") {
+    val root = Files.createTempDirectory("graft_cat").toString
+    val cat = s"laketest${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE TABLE $cat.main.t (a INT, b INT)")
+    spark.sql(s"INSERT INTO $cat.main.t VALUES (1, 101), (2, 102), (3, 103)")
+    assert(spark.sql(s"SELECT b FROM $cat.main.t WHERE a = 2").collect()
+      .map(_.getInt(0)).toSeq == Seq(102))
+    // CTAS
+    spark.sql(s"CREATE TABLE $cat.main.t2 AS SELECT a, b * 10 AS c FROM $cat.main.t")
+    assert(spark.sql(s"SELECT sum(c) FROM $cat.main.t2").collect().head.getLong(0) == 3060)
+    // DELETE through SupportsDelete (row-level)
+    spark.sql(s"DELETE FROM $cat.main.t WHERE a <= 1")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.main.t").collect().head.getLong(0) == 2)
+    // time travel: the insert snapshot still sees 3 rows
+    val lake = new Lake(spark, root)
+    val insertSnap = lake.snapshots().filter(col("changes").startsWith("inserted:"))
+      .select("snapshot_id").collect().map(_.getLong(0)).min
+    assert(spark.sql(s"SELECT count(*) FROM $cat.main.t VERSION AS OF $insertSnap")
+      .collect().head.getLong(0) == 3)
+    // overwrite
+    spark.sql(s"INSERT OVERWRITE $cat.main.t VALUES (9, 900)")
+    assert(spark.sql(s"SELECT * FROM $cat.main.t").collect().map(_.getInt(0)).toSeq == Seq(9))
+  }
+
+  // ---- dml_row_count.sql: exact row-count tags --------------------------
+  test("dml: delete/update row counts and results") {
+    val lake = newLake()
+    import spark.implicits._
+    lake.createTable("main.d", StructType(Seq(
+      StructField("id", IntegerType), StructField("v", StringType))))
+    lake.append("main.d", Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("id", "v"))
+    val (_, nDel) = lake.delete("main.d", col("id") <= 2)
+    assert(nDel == 2, s"DELETE 2, got $nDel")
+    assert(lake.table("main.d").orderBy("id").collect().map(_.getInt(0)).toSeq == Seq(3, 4))
+    val (_, nUp) = lake.update("main.d", col("id") === 3, Map("v" -> lit("z")))
+    assert(nUp == 1, s"UPDATE 1, got $nUp")
+    assert(lake.table("main.d").orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((3, "z"), (4, "d")))
+    val (_, nDel0) = lake.delete("main.d", col("id") === 99)
+    assert(nDel0 == 0)
+  }
+
+  // ---- time_travel.sql incl. historical schema --------------------------
+  test("time travel: versions and historical schema after ADD COLUMN") {
+    val lake = newLake()
+    import spark.implicits._
+    lake.createTable("main.tt", abSchema)
+    val s1 = lake.append("main.tt", Seq((1, 1)).toDF("a", "b"))
+    // evolve: add column c, then insert wider rows
+    val cat = s"laketT${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", lake.root)
+    spark.sql(s"ALTER TABLE $cat.main.tt ADD COLUMN c INT")
+    lake.append("main.tt", Seq((2, 2, 22)).toDF("a", "b", "c"))
+    // current read: 3 columns, old rows null-filled
+    val cur = lake.table("main.tt").orderBy("a").collect()
+    assert(cur.map(_.length).toSeq == Seq(3, 3))
+    assert(cur(0).isNullAt(2) && cur(1).getInt(2) == 22)
+    // read at v1: TWO columns (historical schema)
+    val v1 = lake.table("main.tt", Some(s1))
+    assert(v1.columns.toSeq == Seq("a", "b"))
+    assert(v1.count() == 1)
+    // session-wide as-of conf
+    spark.conf.set("spark.graft.lake.asOfSnapshot", s1.toString)
+    try assert(spark.sql(s"SELECT * FROM $cat.main.tt").columns.toSeq == Seq("a", "b"))
+    finally spark.conf.unset("spark.graft.lake.asOfSnapshot")
+    // rename column: history keeps the old name
+    spark.sql(s"ALTER TABLE $cat.main.tt RENAME COLUMN b TO bb")
+    assert(lake.table("main.tt").columns.toSeq == Seq("a", "bb", "c"))
+    assert(lake.table("main.tt", Some(s1)).columns.toSeq == Seq("a", "b"))
+    // values survive the rename (columnId mapping)
+    assert(lake.table("main.tt").orderBy("a").collect().map(_.getInt(1)).toSeq == Seq(1, 2))
+  }
+
+  // ---- vacuum.sql: merge + rewrite-past-threshold ------------------------
+  test("compaction: merge small files, rewrite deleted, cleanup") {
+    val lake = newLake()
+    import spark.implicits._
+    lake.createTable("main.v", abSchema)
+    (1 to 3).foreach(i => lake.append("main.v", Seq((i, i * 10)).toDF("a", "b")))
+    assert(lake.listFiles("main.v").count() == 3)
+    lake.mergeAdjacentFiles("main.v")
+    assert(lake.listFiles("main.v").count() == 1)
+    assert(lake.table("main.v").orderBy("a").collect().map(_.getInt(1)).toSeq ==
+      Seq(10, 20, 30))
+    // delete 1 of 3 rows (33% ≥ 10% threshold) → rewrite drops delete files
+    lake.delete("main.v", col("a") === 2)
+    val stBefore = lake.store.state()
+    assert(stBefore.deleteFilesAt(
+      stBefore.tableAt("main", "v", stBefore.currentSnapshotId).get.tableId,
+      stBefore.currentSnapshotId).nonEmpty)
+    lake.rewriteDataFiles("main.v", 0.1)
+    val st = lake.store.state()
+    val tid = st.tableAt("main", "v", st.currentSnapshotId).get.tableId
+    assert(st.deleteFilesAt(tid, st.currentSnapshotId).isEmpty, "delete files gone")
+    assert(lake.table("main.v").orderBy("a").collect().map(_.getInt(0)).toSeq == Seq(1, 3))
+    // cleanup physically removes replaced files
+    val scheduled = lake.store.state().scheduledDeletions.map(_.path)
+    assert(scheduled.nonEmpty)
+    lake.cleanupOldFiles()
+    assert(lake.store.state().scheduledDeletions.isEmpty)
+    assert(scheduled.forall(p => !Files.exists(java.nio.file.Paths.get(p))))
+    assert(lake.table("main.v").count() == 2, "content preserved after cleanup")
+  }
+
+  // ---- partition.sql: hidden partitioning + prune ------------------------
+  test("partitioning: files per partition, pruning, retroactive safety") {
+    val lake = newLake()
+    import spark.implicits._
+    lake.createTable("main.p", StructType(Seq(
+      StructField("cat", StringType), StructField("x", IntegerType))))
+    // unpartitioned first write (retroactive safety)
+    lake.append("main.p", Seq(("a", 1), ("b", 2)).toDF("cat", "x").coalesce(1))
+    lake.setPartition("main.p", List(PartitionKey("identity", "cat")))
+    lake.append("main.p", Seq(("a", 3), ("b", 4), ("c", 5)).toDF("cat", "x"))
+    val files = lake.store.state()
+    val tid = files.tableAt("main", "p", files.currentSnapshotId).get.tableId
+    val live = files.filesAt(tid, files.currentSnapshotId)
+    // 1 unpartitioned + 3 partition files
+    assert(live.count(_.partitionValues.isEmpty) == 1)
+    assert(live.count(_.partitionValues.nonEmpty) == 3)
+    assert(live.filter(_.partitionValues.get("cat").contains("a")).forall(_.rowCount == 1))
+    // pruning: filter cat='a' must scan ≤ 2 files (unpartitioned + a's)
+    val filters = Seq(org.apache.spark.sql.sources.EqualTo("cat", "a"))
+    val kept = Pruning.prune(live, files.statsFor,
+      Map("cat" -> "STRING", "x" -> "INT"), List(PartitionKey("identity", "cat")), filters)
+    assert(kept.length <= 2, s"expected ≤2 files after pruning, got ${kept.length}")
+    assert(lake.table("main.p").filter(col("cat") === "a").count() == 2)
+  }
+
+  // ---- min/max stats pruning --------------------------------------------
+  test("stats pruning: range predicates skip files") {
+    val lake = newLake()
+    import spark.implicits._
+    lake.createTable("main.s", abSchema)
+    lake.append("main.s", (1 to 10).map(i => (i, i)).toDF("a", "b"))
+    lake.append("main.s", (100 to 110).map(i => (i, i)).toDF("a", "b"))
+    val st = lake.store.state()
+    val tid = st.tableAt("main", "s", st.currentSnapshotId).get.tableId
+    val live = st.filesAt(tid, st.currentSnapshotId)
+    val kept = Pruning.prune(live, st.statsFor, Map("a" -> "INT", "b" -> "INT"),
+      Nil, Seq(org.apache.spark.sql.sources.GreaterThan("a", 50)))
+    assert(kept.length < live.length, "stats pruning dropped the low file")
+    assert(lake.table("main.s").filter(col("a") > 50).count() == 11)
+  }
+
+  // ---- sorted_table.sql --------------------------------------------------
+  test("sorted table: compaction applies sort order") {
+    val lake = newLake()
+    import spark.implicits._
+    lake.createTable("main.srt", abSchema)
+    lake.setSort("main.srt", List(SortKey("a", ascending = false, nullsFirst = false)))
+    lake.append("main.srt", Seq((1, 1), (3, 3)).toDF("a", "b"))
+    lake.append("main.srt", Seq((2, 2), (4, 4)).toDF("a", "b"))
+    lake.mergeAdjacentFiles("main.srt")
+    val st = lake.store.state()
+    val tid = st.tableAt("main", "srt", st.currentSnapshotId).get.tableId
+    val f = st.filesAt(tid, st.currentSnapshotId)
+    assert(f.length == 1)
+    // file physically sorted desc: read raw parquet in order
+    val raw = spark.read.parquet(f.head.path).select("a").collect().map(_.getInt(0)).toSeq
+    assert(raw == Seq(4, 3, 2, 1), s"expected desc order, got $raw")
+  }
+
+  // ---- data_inlining_row_limit.sql ---------------------------------------
+  test("inlining: small inserts stay in metadata, flush writes parquet") {
+    val lake = newLake()
+    lake.createTable("main.i", abSchema)
+    lake.setOption("data_inlining_row_limit", "10", Some("main.i"))
+    lake.insertRows("main.i", Seq(Seq(1, 10), Seq(2, 20)))
+    val st = lake.store.state()
+    val tid = st.tableAt("main", "i", st.currentSnapshotId).get.tableId
+    assert(st.filesAt(tid, st.currentSnapshotId).isEmpty, "no parquet yet")
+    assert(st.inlinedAt(tid, st.currentSnapshotId).nonEmpty)
+    assert(lake.table("main.i").orderBy("a").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((1, 10), (2, 20)))
+    // DML over inlined rows
+    lake.delete("main.i", col("a") === 1)
+    assert(lake.table("main.i").collect().map(_.getInt(0)).toSeq == Seq(2))
+    lake.update("main.i", col("a") === 2, Map("b" -> lit(99)))
+    assert(lake.table("main.i").collect().map(_.getInt(1)).toSeq == Seq(99))
+    // flush → parquet, inline log empty, row ids preserved
+    lake.flushInlinedData("main.i")
+    val st2 = lake.store.state()
+    assert(st2.inlinedAt(tid, st2.currentSnapshotId).isEmpty)
+    assert(st2.filesAt(tid, st2.currentSnapshotId).nonEmpty)
+    assert(lake.table("main.i").collect().map(r => (r.getInt(0), r.getInt(1))).toSeq ==
+      Seq((2, 99)))
+    // over the limit → parquet append instead
+    lake.insertRows("main.i", (1 to 20).map(i => Seq(i + 100, i)))
+    val st3 = lake.store.state()
+    assert(st3.inlinedAt(tid, st3.currentSnapshotId).isEmpty)
+    assert(lake.table("main.i").count() == 21)
+  }
+
+  // ---- data_change_feed.sql ----------------------------------------------
+  test("change feed: inserts, deletes, update pre/post images") {
+    val lake = newLake()
+    import spark.implicits._
+    lake.createTable("main.c", StructType(Seq(
+      StructField("id", IntegerType), StructField("v", StringType))))
+    val s0 = lake.currentSnapshot()
+    lake.append("main.c", Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    lake.delete("main.c", col("id") === 1)
+    lake.update("main.c", col("id") === 2, Map("v" -> lit("B")))
+    val s1 = lake.currentSnapshot()
+    val ch = lake.tableChanges("main.c", s0, s1)
+      .select("_change_type", "id", "v").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(ch == Set(
+      ("insert", 1, "a"), ("insert", 2, "b"),
+      ("delete", 1, "a"),
+      ("update_preimage", 2, "b"), ("update_postimage", 2, "B")), s"got $ch")
+    // insertions/deletions projections
+    assert(lake.tableInsertions("main.c", s0, s1).count() == 3)
+    assert(lake.tableDeletions("main.c", s0, s1).count() == 2)
+    // pre/post pair share the row id
+    val pairs = lake.tableChanges("main.c", s0, s1)
+      .filter(col("_change_type").startsWith("update_"))
+      .select("_row_id").collect().map(_.getLong(0)).toSeq
+    assert(pairs.distinct.length == 1, s"pre/post row ids differ: $pairs")
+  }
+
+  // ---- freeze.sql / frozen_fdw.sql ---------------------------------------
+  test("freeze: export and read-only frozen mount") {
+    val lake = newLake()
+    import spark.implicits._
+    lake.createTable("main.f", abSchema)
+    lake.append("main.f", Seq((1, 10), (2, 20)).toDF("a", "b"))
+    val frozenDir = Files.createTempDirectory("graft_frozen").toString
+    lake.freeze(frozenDir)
+    val cat = s"frozen${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.frozen", frozenDir)
+    assert(spark.sql(s"SELECT sum(b) FROM $cat.main.f").collect().head.getLong(0) == 30)
+    val err = intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.main.f VALUES (3, 30)")
+    }
+    assert(err.getMessage.toLowerCase.contains("read-only")
+      || err.toString.toLowerCase.contains("unsupported"))
+  }
+
+  // ---- isolation specs ----------------------------------------------------
+  test("isolation: concurrent writers retry and never lose a commit") {
+    val lake = newLake()
+    import spark.implicits._
+    lake.createTable("main.iso", abSchema)
+    lake.setOption("data_inlining_row_limit", "1000")
+    val threads = 4
+    val perThread = 5
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val futs = (0 until threads).map { t =>
+      pool.submit(new Runnable {
+        override def run(): Unit =
+          (0 until perThread).foreach { i =>
+            lake.insertRows("main.iso", Seq(Seq(t * 100 + i, t)))
+          }
+      })
+    }
+    futs.foreach(_.get())
+    pool.shutdown()
+    val rows = lake.table("main.iso").collect().map(_.getInt(0))
+    assert(rows.length == threads * perThread, s"lost commits: ${rows.length}")
+    assert(rows.distinct.length == rows.length, "duplicate rows")
+    // every snapshot id unique and contiguous
+    val sids = lake.snapshots().select("snapshot_id").collect().map(_.getLong(0)).sorted
+    assert(sids.distinct.length == sids.length)
+    assert(sids.last - sids.head == sids.length - 1, "snapshot ids contiguous")
+  }
+
+  test("isolation: concurrent cross-table writes don't interfere") {
+    val lake = newLake()
+    lake.setOption("data_inlining_row_limit", "1000")
+    lake.createTable("main.x1", abSchema)
+    lake.createTable("main.x2", abSchema)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val f1 = pool.submit(new Runnable {
+      override def run(): Unit =
+        (0 until 6).foreach(i => lake.insertRows("main.x1", Seq(Seq(i, 1))))
+    })
+    val f2 = pool.submit(new Runnable {
+      override def run(): Unit =
+        (0 until 6).foreach(i => lake.insertRows("main.x2", Seq(Seq(i, 2))))
+    })
+    f1.get(); f2.get(); pool.shutdown()
+    // the concurrent_cross_table_writes.spec duplicate-row guard
+    assert(lake.table("main.x1").count() == 6)
+    assert(lake.table("main.x2").count() == 6)
+    assert(lake.table("main.x1").select("b").distinct().collect().map(_.getInt(0)).toSeq == Seq(1))
+  }
+
+  test("isolation: readers pinned to a snapshot don't see later commits") {
+    val lake = newLake()
+    import spark.implicits._
+    lake.createTable("main.r", abSchema)
+    lake.append("main.r", Seq((1, 1)).toDF("a", "b"))
+    val pinned = lake.table("main.r", Some(lake.currentSnapshot()))
+    lake.append("main.r", Seq((2, 2)).toDF("a", "b"))
+    assert(pinned.count() == 1, "pinned reader sees later commit")
+    assert(lake.table("main.r").count() == 2)
+  }
+
+  // ---- metadata store crash-atomicity -------------------------------------
+  test("commit is crash-atomic: truncated temp never poisons the log") {
+    val lake = newLake()
+    lake.createTable("main.m", abSchema)
+    lake.setOption("data_inlining_row_limit", "1000")
+    // a stray temp file in the log dir is ignored by state()
+    val tmp = java.nio.file.Paths.get(lake.root, "_ducklake", ".commit_stray.tmp")
+    Files.write(tmp, "{corrupt".getBytes)
+    assert(lake.currentSnapshot() >= 0)
+    lake.insertRows("main.m", Seq(Seq(1, 1)))
+    assert(lake.table("main.m").count() == 1)
+  }
+}
