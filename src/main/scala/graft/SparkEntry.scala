@@ -4,10 +4,13 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * `queries` aggregates every implemented operator surface:
-  *   - graft.queries.Relational — the delegated SQL surface (SURVEY.md §2.B)
-  *   - graft.queries.TextOps    — dedup / text-analysis pipeline ops
-  *   - graft.queries.VectorOps  — embedding similarity search ops
-  *   - graft.queries.LakeOps    — DuckLake lakehouse ops (SURVEY.md §2.A)
+  *   - graft.queries.Relational    — the delegated SQL surface (SURVEY.md §2.B)
+  *   - graft.queries.TextOps       — dedup / text-analysis pipeline ops
+  *   - graft.queries.VectorOps     — embedding similarity search ops
+  *   - graft.queries.MultimodalOps — binary-payload media pipeline ops
+  *   - graft.queries.LakeQueries   — DuckLake lakehouse ops over graft.lake
+  *     (SURVEY.md §2.A: catalog, write path, DML, time travel, change feed,
+  *     partitioning, compaction, inlining, freeze)
   */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -19,7 +22,8 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.VectorOps.queries ++
-      graft.queries.MultimodalOps.queries
+      graft.queries.MultimodalOps.queries ++
+      graft.queries.LakeQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +31,6 @@ object SparkEntry {
     graft.queries.Relational.oracleSql ++
       graft.queries.TextOps.oracleSql ++
       graft.queries.VectorOps.oracleSql ++
-      graft.queries.MultimodalOps.oracleSql
+      graft.queries.MultimodalOps.oracleSql ++
+      graft.queries.LakeQueries.oracleSql
 }

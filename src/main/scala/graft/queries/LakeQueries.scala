@@ -1,0 +1,305 @@
+package graft.queries
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.connector.catalog.{Identifier, TableChange}
+import graft.lake._
+import graft.lake.Meta.{PartitionKey, SortKey}
+
+/** Oracle-checked query surface for the lakehouse layer (SURVEY.md §2.A).
+  *
+  * Each entry builds a FRESH lake in a private temp dir, drives a scripted
+  * op sequence over driver-provided testdata, and returns a deterministic
+  * result; the oracle SQL computes the same expected outcome directly from
+  * the original parquet tables (post-DML table state is a pure function of
+  * the inputs). Snapshot ids are deterministic because every entry starts
+  * from snapshot 0; wall-clock fields never appear in results.
+  *
+  * Reference contracts exercised: basic.sql (l01, l03), ctas.sql (l02),
+  * dml_row_count.sql (l04, l05), time_travel.sql (l06, l07),
+  * snapshots.sql (l08), list_files.sql/table_info (l09),
+  * data_change_feed.sql (l10), partition.sql (l11), vacuum.sql (l12),
+  * data_inlining_row_limit.sql (l13), freeze.sql/frozen_fdw.sql (l14),
+  * readme_examples.sql CSV ingest (l15).
+  */
+object LakeQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def newLake(s: SparkSession): Lake =
+    new Lake(s, Files.createTempDirectory("graft_lakeq").toString)
+
+  private def catalogFor(lake: Lake): LakeCatalog = {
+    val c = new LakeCatalog()
+    val m = new java.util.HashMap[String, String]()
+    m.put("root", lake.root)
+    c.initialize("lq", new CaseInsensitiveStringMap(m))
+    c
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- A8+A3+A2: create → append → filtered snapshot scan ---------------
+    "l01_create_scan" -> ((s, dir) => {
+      val lake = newLake(s)
+      val nation = t(s, dir, "nation")
+      lake.createTable("main.nat", nation.schema)
+      lake.append("main.nat", nation)
+      lake.table("main.nat").filter(col("n_regionkey") === 2).orderBy("n_nationkey")
+    }),
+
+    // ---- A4 CTAS + aggregation over the lake table ------------------------
+    "l02_ctas" -> ((s, dir) => {
+      val lake = newLake(s)
+      lake.createTableAs("main.ords", t(s, dir, "orders").filter(col("o_orderkey") < 2000))
+      lake.table("main.ords")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // ---- A3: multiple appends accumulate ----------------------------------
+    "l03_multi_append" -> ((s, dir) => {
+      val lake = newLake(s)
+      val region = t(s, dir, "region")
+      lake.createTable("main.reg", region.schema)
+      lake.append("main.reg", region)
+      lake.append("main.reg", region.select(
+        (col("r_regionkey") + 10).cast(IntegerType).as("r_regionkey"), col("r_name")))
+      lake.table("main.reg").orderBy("r_regionkey")
+    }),
+
+    // ---- A3 DELETE via positional delete files ----------------------------
+    "l04_delete" -> ((s, dir) => {
+      val lake = newLake(s)
+      lake.createTableAs("main.cust", t(s, dir, "customer").filter(col("c_custkey") < 1500))
+      lake.delete("main.cust", col("c_mktsegment") === "BUILDING")
+      lake.table("main.cust")
+        .agg(count(lit(1)).as("n_rows"),
+          min("c_custkey").as("min_key"), max("c_custkey").as("max_key"))
+    }),
+
+    // ---- A3 UPDATE = delete + re-insert with preserved row ids ------------
+    "l05_update" -> ((s, dir) => {
+      val lake = newLake(s)
+      lake.createTableAs("main.nat", t(s, dir, "nation"))
+      lake.update("main.nat", col("n_regionkey") === 0, Map("n_name" -> lit("ZERO")))
+      lake.table("main.nat").select("n_nationkey", "n_name").orderBy("n_nationkey")
+    }),
+
+    // ---- A12 time travel by version ---------------------------------------
+    "l06_time_travel" -> ((s, dir) => {
+      val lake = newLake(s)
+      val region = t(s, dir, "region")
+      lake.createTable("main.reg", region.schema) // snapshot 0
+      val v1 = lake.append("main.reg", region) // snapshot 1
+      lake.append("main.reg", region.select(
+        (col("r_regionkey") + 10).cast(IntegerType).as("r_regionkey"), col("r_name")))
+      lake.table("main.reg", Some(v1)).orderBy("r_regionkey")
+    }),
+
+    // ---- A10 schema evolution: old files null-fill new columns ------------
+    "l07_schema_evolution" -> ((s, dir) => {
+      val lake = newLake(s)
+      val nation = t(s, dir, "nation").select("n_nationkey", "n_name")
+      lake.createTable("main.ev", nation.schema)
+      lake.append("main.ev", nation)
+      catalogFor(lake).alterTable(Identifier.of(Array("main"), "ev"),
+        TableChange.addColumn(Array("flag"), IntegerType))
+      lake.append("main.ev", nation.select(
+        (col("n_nationkey") + 100).cast(IntegerType).as("n_nationkey"),
+        col("n_name"), lit(1).as("flag")))
+      lake.table("main.ev").orderBy("n_nationkey")
+    }),
+
+    // ---- A14 snapshots() TVF ----------------------------------------------
+    "l08_snapshots" -> ((s, dir) => {
+      val lake = newLake(s)
+      val nation = t(s, dir, "nation")
+      lake.createTable("main.nat", nation.schema)
+      lake.append("main.nat", nation)
+      lake.delete("main.nat", col("n_regionkey") === 0)
+      lake.snapshots().select("snapshot_id", "changes").orderBy("snapshot_id")
+    }),
+
+    // ---- A15 table_info() TVF ---------------------------------------------
+    "l09_table_info" -> ((s, dir) => {
+      val lake = newLake(s)
+      val nation = t(s, dir, "nation")
+      lake.createTable("main.nat", nation.schema)
+      lake.append("main.nat", nation.coalesce(1))
+      lake.delete("main.nat", col("n_regionkey") === 0)
+      lake.tableInfo().select("schema_name", "table_name", "file_count",
+        "row_count", "delete_file_count", "inlined_row_count")
+    }),
+
+    // ---- A16 change data feed incl. update pre/post images ----------------
+    "l10_change_feed" -> ((s, dir) => {
+      val lake = newLake(s)
+      val nation = t(s, dir, "nation")
+      lake.createTable("main.nat", nation.schema)
+      lake.append("main.nat", nation)
+      lake.delete("main.nat", col("n_regionkey") === 4)
+      lake.update("main.nat", col("n_regionkey") === 3, Map("n_name" -> lit("X")))
+      lake.tableChanges("main.nat", 0L, lake.currentSnapshot())
+        .select("_change_type", "n_nationkey", "n_name")
+        .orderBy("_change_type", "n_nationkey")
+    }),
+
+    // ---- A21 hidden partitioning: per-file partition values ---------------
+    "l11_partition_files" -> ((s, dir) => {
+      val lake = newLake(s)
+      val orders = t(s, dir, "orders").filter(col("o_orderkey") < 5000)
+      lake.createTable("main.po", orders.schema,
+        partitionKeys = List(PartitionKey("year", "o_orderdate")))
+      lake.append("main.po", orders)
+      lake.listFiles("main.po").select("partition_values", "row_count")
+        .orderBy("partition_values")
+    }),
+
+    // ---- A17/A18/A28 vacuum: merge + rewrite past delete threshold --------
+    "l12_vacuum" -> ((s, dir) => {
+      val lake = newLake(s)
+      val region = t(s, dir, "region")
+      lake.createTable("main.r3", region.schema)
+      lake.setSort("main.r3", List(SortKey("r_regionkey", ascending = true, nullsFirst = false)))
+      (1 to 3).foreach(_ => lake.append("main.r3", region))
+      lake.delete("main.r3", col("r_regionkey") === 0)
+      lake.vacuum("main.r3", 0.1)
+      val info = lake.tableInfo().select("file_count", "delete_file_count")
+      lake.table("main.r3").crossJoin(info)
+        .orderBy("r_regionkey", "r_name")
+    }),
+
+    // ---- A5/A20 inline log + DML over inlined rows ------------------------
+    "l13_inline" -> ((s, dir) => {
+      val lake = newLake(s)
+      lake.createTable("main.il", StructType(Seq(
+        StructField("a", IntegerType), StructField("b", IntegerType))))
+      lake.setOption("data_inlining_row_limit", "100", Some("main.il"))
+      lake.insertRows("main.il", Seq(Seq(1, 10), Seq(2, 20)))
+      lake.insertRows("main.il", Seq(Seq(3, 30)))
+      lake.delete("main.il", col("a") === 2)
+      val info = lake.tableInfo().select("file_count", "inlined_row_count")
+      lake.table("main.il").crossJoin(info).orderBy("a")
+    }),
+
+    // ---- A24/A25 freeze + read-only frozen mount --------------------------
+    "l14_freeze_mount" -> ((s, dir) => {
+      val lake = newLake(s)
+      val nation = t(s, dir, "nation").filter(col("n_regionkey") <= 1)
+      lake.createTable("main.nat", nation.schema)
+      lake.append("main.nat", nation)
+      val frozenDir = Files.createTempDirectory("graft_frozenq").toString
+      lake.freeze(frozenDir)
+      val c = new LakeCatalog()
+      val m = new java.util.HashMap[String, String]()
+      m.put("frozen", frozenDir)
+      c.initialize("fz", new CaseInsensitiveStringMap(m))
+      c.loadTable(Identifier.of(Array("main"), "nat"))
+        .asInstanceOf[LakeTable].scanDF(s)
+        .orderBy("n_nationkey")
+    }),
+
+    // ---- §2.B CSV ingest (readme_examples.sql:25-27) ----------------------
+    "l15_csv_ingest" -> ((s, dir) => {
+      val lake = newLake(s)
+      val nation = t(s, dir, "nation")
+      val csvDir = Files.createTempDirectory("graft_csv").toString + "/nation"
+      nation.write.option("header", "true").mode("overwrite").csv(csvDir)
+      val back = s.read.option("header", "true").schema(nation.schema).csv(csvDir)
+      lake.createTableAs("main.natcsv", back)
+      lake.table("main.natcsv").orderBy("n_nationkey")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "l01_create_scan" ->
+      "SELECT * FROM nation WHERE n_regionkey = 2 ORDER BY n_nationkey",
+
+    "l02_ctas" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders WHERE o_orderkey < 2000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "l03_multi_append" ->
+      """SELECT * FROM (
+        |  SELECT r_regionkey, r_name FROM region
+        |  UNION ALL
+        |  SELECT CAST(r_regionkey + 10 AS INTEGER), r_name FROM region) t
+        |ORDER BY r_regionkey""".stripMargin,
+
+    "l04_delete" ->
+      """SELECT count(*) AS n_rows, min(c_custkey) AS min_key, max(c_custkey) AS max_key
+        |FROM customer WHERE c_custkey < 1500 AND c_mktsegment <> 'BUILDING'""".stripMargin,
+
+    "l05_update" ->
+      """SELECT n_nationkey,
+        |  CASE WHEN n_regionkey = 0 THEN 'ZERO' ELSE n_name END AS n_name
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "l06_time_travel" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+
+    "l07_schema_evolution" ->
+      """SELECT * FROM (
+        |  SELECT n_nationkey, n_name, CAST(NULL AS INTEGER) AS flag FROM nation
+        |  UNION ALL
+        |  SELECT CAST(n_nationkey + 100 AS INTEGER), n_name, 1 AS flag FROM nation) t
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "l08_snapshots" ->
+      """SELECT CAST(s AS BIGINT) AS snapshot_id, c AS changes FROM (VALUES
+        |  (0, 'created_table:main.nat'),
+        |  (1, 'inserted:1:' || (SELECT CAST(count(*) AS VARCHAR) FROM nation)),
+        |  (2, 'deleted:1:' || (SELECT CAST(count(*) AS VARCHAR) FROM nation WHERE n_regionkey = 0))
+        |) v(s, c) ORDER BY snapshot_id""".stripMargin,
+
+    "l09_table_info" ->
+      """SELECT 'main' AS schema_name, 'nat' AS table_name,
+        |  CAST(1 AS BIGINT) AS file_count,
+        |  (SELECT count(*) FROM nation) AS row_count,
+        |  CAST(1 AS BIGINT) AS delete_file_count,
+        |  CAST(0 AS BIGINT) AS inlined_row_count""".stripMargin,
+
+    "l10_change_feed" ->
+      """SELECT * FROM (
+        |  SELECT 'insert' AS _change_type, n_nationkey, n_name FROM nation
+        |  UNION ALL
+        |  SELECT 'delete', n_nationkey, n_name FROM nation WHERE n_regionkey = 4
+        |  UNION ALL
+        |  SELECT 'update_preimage', n_nationkey, n_name FROM nation WHERE n_regionkey = 3
+        |  UNION ALL
+        |  SELECT 'update_postimage', n_nationkey, 'X' FROM nation WHERE n_regionkey = 3) t
+        |ORDER BY _change_type, n_nationkey""".stripMargin,
+
+    "l11_partition_files" ->
+      """SELECT 'year(o_orderdate)=' || CAST(year(o_orderdate) AS VARCHAR) AS partition_values,
+        |  count(*) AS row_count
+        |FROM orders WHERE o_orderkey < 5000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "l12_vacuum" ->
+      """SELECT r_regionkey, r_name,
+        |  CAST(1 AS BIGINT) AS file_count, CAST(0 AS BIGINT) AS delete_file_count
+        |FROM (SELECT * FROM region UNION ALL SELECT * FROM region UNION ALL SELECT * FROM region) t
+        |WHERE r_regionkey <> 0
+        |ORDER BY r_regionkey, r_name""".stripMargin,
+
+    "l13_inline" ->
+      """SELECT a, b, CAST(0 AS BIGINT) AS file_count, CAST(2 AS BIGINT) AS inlined_row_count
+        |FROM (VALUES (1, 10), (3, 30)) v(a, b) ORDER BY a""".stripMargin,
+
+    "l14_freeze_mount" ->
+      "SELECT * FROM nation WHERE n_regionkey <= 1 ORDER BY n_nationkey",
+
+    "l15_csv_ingest" ->
+      "SELECT * FROM nation ORDER BY n_nationkey"
+  )
+}

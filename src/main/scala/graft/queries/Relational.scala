@@ -284,6 +284,24 @@ object Relational {
         .agg(count(lit(1)).as("n_items"), sum2(col("l_extendedprice")).as("sum_price"))
         .filter(col("n_items") > 20)
         .orderBy(col("l_suppkey"))
+    }),
+
+    // ---- UNNEST incl. multi-array zip (insert_unnest.sql:6-28) -----------
+    "q21_unnest_zip" -> ((s, dir) => {
+      t(s, dir, "region").selectExpr("r_regionkey",
+        """posexplode(zip_with(sequence(1, 3),
+          |  transform(sequence(1, 3), i -> concat(r_name, '-', cast(i as string))),
+          |  (a, b) -> struct(a AS n, b AS s))) AS (pos, z)""".stripMargin)
+        .selectExpr("r_regionkey", "cast(pos as bigint) AS pos",
+          "cast(z.n as bigint) AS n", "z.s AS s")
+        .orderBy(col("r_regionkey"), col("pos"))
+    }),
+
+    // ---- generators (ctas.sql:1-3 generate_series) -----------------------
+    "q22_generate_series" -> ((s, _) => {
+      s.range(1, 10001).agg(
+        sum(col("id")).as("total"), count(lit(1)).as("n"),
+        sum(when(col("id") % 7 === 0, col("id"))).as("total_mod7"))
     })
   )
 
@@ -457,6 +475,17 @@ object Relational {
       """SELECT l_suppkey, COUNT(*) AS n_items,
         |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_price
         |FROM lineitem GROUP BY l_suppkey
-        |HAVING COUNT(*) > 20 ORDER BY l_suppkey""".stripMargin
+        |HAVING COUNT(*) > 20 ORDER BY l_suppkey""".stripMargin,
+
+    "q21_unnest_zip" ->
+      """SELECT r_regionkey, CAST(i - 1 AS BIGINT) AS pos, CAST(i AS BIGINT) AS n,
+        |  r_name || '-' || CAST(i AS VARCHAR) AS s
+        |FROM region CROSS JOIN generate_series(1, 3) g(i)
+        |ORDER BY r_regionkey, pos""".stripMargin,
+
+    "q22_generate_series" ->
+      """SELECT CAST(SUM(i) AS BIGINT) AS total, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN i % 7 = 0 THEN i END) AS BIGINT) AS total_mod7
+        |FROM generate_series(1, 10000) g(i)""".stripMargin
   )
 }
