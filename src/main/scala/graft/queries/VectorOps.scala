@@ -39,30 +39,130 @@ object VectorOps {
   // cross-engine agreement holds by construction.
   private val N_TABLES = 12
   private val BITS_PER_TABLE = 4
-  private[queries] val planes: IndexedSeq[Seq[Int]] =
-    (0 until N_TABLES * BITS_PER_TABLE).map { h =>
+
+  /** deterministic sparse hyperplane family; plane h is seeded 9000+h so a
+    * larger family extends a smaller one prefix-wise */
+  private[queries] def planesFor(n: Int): IndexedSeq[Seq[Int]] =
+    (0 until n).map { h =>
       val rnd = new scala.util.Random(9000 + h)
       val dims = rnd.shuffle((1 to 64).toList).take(16).sorted
       dims.map(d => if (rnd.nextBoolean()) d else -d)
     }
 
-  /** the plane family as a nested array literal, `array(...)`/`[...]` style */
-  private def planesLit(open: String, close: String): String =
-    planes.map(_.mkString(open, ", ", close)).mkString(open, ", ", close)
+  private[queries] val planes: IndexedSeq[Seq[Int]] = planesFor(N_TABLES * BITS_PER_TABLE)
 
-  /** array<int> of the 48 sign bits of `q` (bigint vector column) */
+  /** a plane family as a nested array literal, `array(...)`/`[...]` style */
+  private def planesLitOf(pl: IndexedSeq[Seq[Int]], open: String, close: String): String =
+    pl.map(_.mkString(open, ", ", close)).mkString(open, ", ", close)
+
+  private def planesLit(open: String, close: String): String = planesLitOf(planes, open, close)
+
+  /** array<int> of the sign bits of `q` (bigint vector column) */
   private def bitsExpr(lit: String): String =
     s"""transform($lit, p -> CASE WHEN aggregate(p, 0L, (acc, t) ->
        |  acc + (CASE WHEN t > 0 THEN element_at(q, t) ELSE -element_at(q, -t) END)) >= 0
        |  THEN 1 ELSE 0 END)""".stripMargin
 
-  /** array<int> of the 12 per-table bucket ids from a `bits` column */
-  private val bucketsFromBits: String =
-    (0 until N_TABLES).map { tb =>
-      (0 until BITS_PER_TABLE).map { j =>
-        s"element_at(bits, ${tb * BITS_PER_TABLE + j + 1}) * ${1 << (BITS_PER_TABLE - 1 - j)}"
+  /** array<int> of per-table bucket ids from a `bits` column */
+  private def bucketsFromBitsFor(nTables: Int, bits: Int): String =
+    (0 until nTables).map { tb =>
+      (0 until bits).map { j =>
+        s"element_at(bits, ${tb * bits + j + 1}) * ${1 << (bits - 1 - j)}"
       }.mkString(" + ")
     }.mkString("array(", ", ", ")")
+
+  private val bucketsFromBits: String = bucketsFromBitsFor(N_TABLES, BITS_PER_TABLE)
+
+  private val candCmp =
+    """(l, r) -> CASE
+      |  WHEN cast(l.dot as double) / (sqrt(cast(l.na as double)) * sqrt(cast(l.nb as double)))
+      |     > cast(r.dot as double) / (sqrt(cast(r.na as double)) * sqrt(cast(r.nb as double))) THEN -1
+      |  WHEN cast(l.dot as double) / (sqrt(cast(l.na as double)) * sqrt(cast(l.nb as double)))
+      |     < cast(r.dot as double) / (sqrt(cast(r.na as double)) * sqrt(cast(r.nb as double))) THEN 1
+      |  WHEN l.neighbor_id < r.neighbor_id THEN -1
+      |  WHEN l.neighbor_id > r.neighbor_id THEN 1 ELSE 0 END""".stripMargin
+
+  /** Parameterized multi-table sign-LSH top-k ANN over an embeddings
+    * DataFrame (vec_id BIGINT, embedding ARRAY<FLOAT>): the scale knobs
+    * (tables × bits, bucket cap) tune the recall/candidate trade-off to the
+    * corpus — more bits for bigger corpora. Used by the v03 query entry
+    * (12×4 for the tiny near-random test corpus) and by the crossover
+    * benchmark spec (8×8 on a 30k clustered corpus). */
+  def knnLsh(emb: DataFrame, nTables: Int = N_TABLES,
+      bitsPerTable: Int = BITS_PER_TABLE, bucketCap: Int = 512,
+      nQueries: Int = 10, topK: Int = 5,
+      carryPayload: Boolean = true): DataFrame = {
+    val pl = planesFor(nTables * bitsPerTable)
+    val e = emb
+      .selectExpr("vec_id", s"$QVEC AS q")
+      .selectExpr("vec_id", "q", s"$SQNORM AS nsq",
+        s"${bitsExpr(planesLitOf(pl, "array(", ")"))} AS bits")
+      .filter(col("nsq") > 0)
+      .selectExpr("vec_id", "q", "nsq",
+        s"${bucketsFromBitsFor(nTables, bitsPerTable)} AS buckets")
+
+    val scoredCands: DataFrame = if (carryPayload) {
+      // small-corpus shape: vectors travel WITH their bucket row, scoring is
+      // bucket-local, zero joins. Shuffle volume = nTables × corpus payload,
+      // so use this only when the per-row payload is cheap vs join overhead.
+      e.selectExpr("vec_id", "q", "nsq", "posexplode(buckets) AS (tab, bucket)")
+        .groupBy("tab", "bucket")
+        .agg(collect_list(struct(col("vec_id"), col("q"), col("nsq"))).as("ms"))
+        .filter(size(col("ms")).between(2, bucketCap))
+        .selectExpr(s"filter(ms, m -> m.vec_id < $nQueries) AS qs", "ms")
+        .filter(size(col("qs")) > 0)
+        .selectExpr(
+          // per (query, bucket): score members and keep only the in-bucket
+          // top-k — any GLOBAL top-k neighbor of q is in the top-k of every
+          // bucket containing it, so merging per-bucket top-ks is exact
+          s"""explode(flatten(transform(qs, a ->
+             |  slice(array_sort(transform(filter(ms, m -> m.vec_id != a.vec_id), m ->
+             |    struct(a.vec_id AS query_id, m.vec_id AS neighbor_id,
+             |      aggregate(zip_with(a.q, m.q, (x, y) -> x * y), 0L, (acc, v) -> acc + v) AS dot,
+             |      a.nsq AS na, m.nsq AS nb)),
+             |    $candCmp), 1, $topK)))) AS p""".stripMargin)
+        .select(col("p.query_id").as("query_id"),
+          struct(col("p.neighbor_id").as("neighbor_id"), col("p.dot").as("dot"),
+            col("p.na").as("na"), col("p.nb").as("nb")).as("cand"))
+    } else {
+      // scale shape: buckets carry ONLY ids — shuffle volume is O(nTables ×
+      // ids); candidate pairs re-join the (persisted) vectors, query side
+      // broadcast. This is the 100 TB path: nothing all-pairs, the big
+      // payload moves once per CANDIDATE, not once per (table, row).
+      val ep = e.persist()
+      val cand = ep.selectExpr("vec_id", "posexplode(buckets) AS (tab, bucket)")
+        .groupBy("tab", "bucket")
+        .agg(sort_array(collect_list(col("vec_id"))).as("ms"))
+        .filter(size(col("ms")).between(2, bucketCap))
+        .selectExpr(s"filter(ms, m -> m < $nQueries) AS qs", "ms")
+        .filter(size(col("qs")) > 0)
+        .selectExpr(
+          """explode(flatten(transform(qs, a ->
+            |  transform(ms, m -> struct(a AS query_id, m AS neighbor_id))))) AS p""".stripMargin)
+        .select(col("p.query_id").as("query_id"), col("p.neighbor_id").as("neighbor_id"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .distinct()
+      val qv = ep.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("q").as("qa"), col("nsq").as("na"))
+      val cv = ep.select(col("vec_id").as("neighbor_id"), col("q").as("qb"),
+        col("nsq").as("nb"))
+      cand.join(broadcast(qv), Seq("query_id")).join(cv, Seq("neighbor_id"))
+        .withColumn("dot",
+          expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+        .select(col("query_id"),
+          struct(col("neighbor_id"), col("dot"), col("na"), col("nb")).as("cand"))
+    }
+
+    scoredCands
+      .groupBy("query_id")
+      .agg(collect_set(col("cand")).as("cands"))
+      .selectExpr("query_id",
+        s"posexplode(slice(array_sort(cands, $candCmp), 1, $topK)) AS (pos, c)")
+      .selectExpr("query_id", "cast(pos + 1 as bigint) AS rank",
+        "c.neighbor_id AS neighbor_id",
+        "cast(c.dot as double) / (sqrt(cast(c.na as double)) * sqrt(cast(c.nb as double))) AS cosine")
+      .orderBy(col("query_id"), col("rank"))
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -103,42 +203,7 @@ object VectorOps {
     // near-neighbor collision rate far exceeds the random-pair rate, so the
     // candidate fraction shrinks as the corpus grows; on this synthetic
     // near-random data 12×4 still reaches recall ≥ 0.8 (QueriesSpec).
-    "v03_knn_lsh" -> ((s, dir) => {
-      t(s, dir, "embeddings")
-        .selectExpr("vec_id", s"$QVEC AS q")
-        .selectExpr("vec_id", "q", s"$SQNORM AS nsq",
-          s"${bitsExpr(planesLit("array(", ")"))} AS bits")
-        .filter(col("nsq") > 0)
-        .selectExpr("vec_id", "q", "nsq", s"posexplode($bucketsFromBits) AS (tab, bucket)")
-        .groupBy("tab", "bucket")
-        .agg(collect_list(struct(col("vec_id"), col("q"), col("nsq"))).as("ms"))
-        .filter(size(col("ms")).between(2, 512))
-        .selectExpr("filter(ms, m -> m.vec_id < 10) AS qs", "ms")
-        .filter(size(col("qs")) > 0)
-        .selectExpr(
-          """explode(flatten(transform(qs, a ->
-            |  transform(filter(ms, m -> m.vec_id != a.vec_id), m ->
-            |    struct(a.vec_id AS query_id, m.vec_id AS neighbor_id,
-            |      aggregate(zip_with(a.q, m.q, (x, y) -> x * y), 0L, (acc, v) -> acc + v) AS dot,
-            |      a.nsq AS na, m.nsq AS nb))))) AS p""".stripMargin)
-        .select(col("p.query_id").as("query_id"),
-          struct(col("p.neighbor_id").as("neighbor_id"), col("p.dot").as("dot"),
-            col("p.na").as("na"), col("p.nb").as("nb")).as("cand"))
-        .groupBy("query_id")
-        .agg(collect_set(col("cand")).as("cands"))
-        .selectExpr("query_id",
-          """posexplode(slice(array_sort(cands, (l, r) -> CASE
-            |  WHEN cast(l.dot as double) / (sqrt(cast(l.na as double)) * sqrt(cast(l.nb as double)))
-            |     > cast(r.dot as double) / (sqrt(cast(r.na as double)) * sqrt(cast(r.nb as double))) THEN -1
-            |  WHEN cast(l.dot as double) / (sqrt(cast(l.na as double)) * sqrt(cast(l.nb as double)))
-            |     < cast(r.dot as double) / (sqrt(cast(r.na as double)) * sqrt(cast(r.nb as double))) THEN 1
-            |  WHEN l.neighbor_id < r.neighbor_id THEN -1
-            |  WHEN l.neighbor_id > r.neighbor_id THEN 1 ELSE 0 END), 1, 5)) AS (pos, c)""".stripMargin)
-        .selectExpr("query_id", "cast(pos + 1 as bigint) AS rank",
-          "c.neighbor_id AS neighbor_id",
-          "cast(c.dot as double) / (sqrt(cast(c.na as double)) * sqrt(cast(c.nb as double))) AS cosine")
-        .orderBy(col("query_id"), col("rank"))
-    }),
+    "v03_knn_lsh" -> ((s, dir) => knnLsh(t(s, dir, "embeddings"))),
 
     // ---- per-label corpus stats --------------------------------------------
     "v02_label_stats" -> ((s, dir) => {

@@ -80,6 +80,42 @@ class QueriesSpec extends AnyFunSuite {
     val recall = (brute intersect lsh).size.toDouble / brute.size
     assert(recall >= 0.8, s"LSH recall vs brute too low: $recall")
   }
+
+  // The ANN crossover: on a realistic (clustered) corpus big enough that
+  // candidate pruning matters, the scale configuration (8 tables × 8 bits
+  // → 256 buckets/table) must beat brute force on wall time while keeping
+  // recall ≥ 0.8. The sf0.1 embeddings table (2k near-random vectors) is
+  // below the crossover by construction — this is the scale evidence.
+  test("knn lsh beats brute force on a 30k clustered corpus with recall >= 0.8") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val centers = Array.fill(100, 64)(rnd.nextGaussian().toFloat)
+    val vecs = (0L until 30000L).map { i =>
+      val c = centers(rnd.nextInt(100))
+      val v = c.map(x => x + 0.25f * rnd.nextGaussian().toFloat)
+      (i, v.toSeq, (i % 10).toInt)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("lsh_scale").toString
+    vecs.toDF("vec_id", "embedding", "label")
+      .repartition(8).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def timed(f: => Array[org.apache.spark.sql.Row]): (Double, Array[org.apache.spark.sql.Row]) = {
+      val t0 = System.nanoTime(); val r = f; ((System.nanoTime() - t0) / 1e9, r)
+    }
+    // warm both plans once (codegen), then time
+    val bruteDF = SparkEntry.queries("v01_knn_brute")(spark, dir)
+    val lshDF = graft.queries.VectorOps.knnLsh(
+      spark.read.parquet(s"$dir/embeddings.parquet"), nTables = 8, bitsPerTable = 8,
+      carryPayload = false)
+    bruteDF.count(); lshDF.count()
+    val (tBrute, brute) = timed(bruteDF.collect())
+    val (tLsh, lsh) = timed(lshDF.collect())
+    val bruteSet = brute.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lshSet = lsh.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (bruteSet intersect lshSet).size.toDouble / bruteSet.size
+    assert(recall >= 0.8, s"scale LSH recall too low: $recall")
+    assert(tLsh < tBrute,
+      f"LSH ($tLsh%.2f s) not faster than brute ($tBrute%.2f s) at 30k vectors")
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
