@@ -13,14 +13,14 @@ object Scratch {
     graft.queries.Tables.sessionConf.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def time(label: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
-    }
-    args.foreach { name =>
-      time(name) { SparkEntry.queries(name)(spark, sfDir).count() }
-    }
+    val df = SparkEntry.queries("v03_knn_lsh")(spark, sfDir)
+    val plan = df.queryExecution.optimizedPlan.toString
+    println("[plan] total length: " + plan.length)
+    println("[plan] lambdafunction occurrences: " + "lambdafunction".r.findAllIn(plan).length)
+    println("[plan] aggregate( occurrences: " + "aggregate\\(".r.findAllIn(plan).length)
+    val t0 = System.nanoTime()
+    df.count()
+    println(f"[plan] run: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     spark.stop()
   }
 }

@@ -93,19 +93,23 @@ object VectorOps {
       nQueries: Int = 10, topK: Int = 5,
       carryPayload: Boolean = true): DataFrame = {
     val pl = planesFor(nTables * bitsPerTable)
+    // NOTE: `bits` stays a materialized column and the (cheap) per-table
+    // bucket packing is inlined into each branch's posexplode — aliasing the
+    // bucket array in its own projection lets the optimizer substitute it
+    // into the generator, which re-expands the 48-plane bits computation
+    // once per element_at reference (a measured 30× blowup).
+    val bucketsExpr = bucketsFromBitsFor(nTables, bitsPerTable)
     val e = emb
       .selectExpr("vec_id", s"$QVEC AS q")
       .selectExpr("vec_id", "q", s"$SQNORM AS nsq",
         s"${bitsExpr(planesLitOf(pl, "array(", ")"))} AS bits")
       .filter(col("nsq") > 0)
-      .selectExpr("vec_id", "q", "nsq",
-        s"${bucketsFromBitsFor(nTables, bitsPerTable)} AS buckets")
 
     val scoredCands: DataFrame = if (carryPayload) {
       // small-corpus shape: vectors travel WITH their bucket row, scoring is
       // bucket-local, zero joins. Shuffle volume = nTables × corpus payload,
       // so use this only when the per-row payload is cheap vs join overhead.
-      e.selectExpr("vec_id", "q", "nsq", "posexplode(buckets) AS (tab, bucket)")
+      e.selectExpr("vec_id", "q", "nsq", s"posexplode($bucketsExpr) AS (tab, bucket)")
         .groupBy("tab", "bucket")
         .agg(collect_list(struct(col("vec_id"), col("q"), col("nsq"))).as("ms"))
         .filter(size(col("ms")).between(2, bucketCap))
@@ -130,7 +134,7 @@ object VectorOps {
       // broadcast. This is the 100 TB path: nothing all-pairs, the big
       // payload moves once per CANDIDATE, not once per (table, row).
       val ep = e.persist()
-      val cand = ep.selectExpr("vec_id", "posexplode(buckets) AS (tab, bucket)")
+      val cand = ep.selectExpr("vec_id", s"posexplode($bucketsExpr) AS (tab, bucket)")
         .groupBy("tab", "bucket")
         .agg(sort_array(collect_list(col("vec_id"))).as("ms"))
         .filter(size(col("ms")).between(2, bucketCap))
