@@ -438,12 +438,34 @@ class Lake(val spark: SparkSession, val root: String) {
   /** freeze/export (reference src/pgducklake_freeze.cpp:81-140) */
   def freeze(target: String): Unit = store.freeze(target)
 
+  /** Incremental change-feed consumption: tracks the last snapshot seen and
+    * returns (changesSinceLastPoll, newCursor) per call — the snapshot-range
+    * batch surface the reference exposes (A16) lifted into a poll loop,
+    * which is exactly how its consumers drive `table_changes` (the
+    * reference has no push/streaming surface either; SURVEY.md §1.1). */
+  def changeFeedPoller(table: String): ChangeFeedPoller =
+    new ChangeFeedPoller(this, table, currentSnapshot())
+
   private implicit class ListAsJava[A](l: List[A]) {
     def asJava: java.util.List[A] = {
       val jl = new java.util.ArrayList[A](l.size)
       l.foreach(jl.add)
       jl
     }
+  }
+}
+
+/** Stateful cursor over a table's change feed. Each poll() returns the
+  * changes committed strictly after the previous poll (exclusive) up to the
+  * current snapshot (inclusive). */
+class ChangeFeedPoller(lake: Lake, table: String, startAt: Long) {
+  @volatile private var cursor: Long = startAt
+  def lastSeenSnapshot: Long = cursor
+  def poll(): DataFrame = synchronized {
+    val upTo = lake.currentSnapshot()
+    val df = lake.tableChanges(table, cursor, upTo)
+    cursor = upTo
+    df
   }
 }
 

@@ -116,7 +116,13 @@ private[lake] class LakeScan(table: LakeTable, filters: Array[Filter],
       override def sqlContext: SQLContext = context
       override def schema: StructType = readSchema()
       override def buildScan(): RDD[org.apache.spark.sql.Row] = {
-        val df = table.scanDF(context.sparkSession, filters.toSeq)
+        var df = table.scanDF(context.sparkSession, filters.toSeq)
+        // apply the translatable pushed filters INSIDE the composed plan so
+        // Catalyst drives them into the underlying parquet scan (row-group
+        // skipping) — Spark still re-applies all residuals above, so a
+        // filter we can't translate only loses the pushdown, not rows
+        filters.toSeq.flatMap(Pruning.filterToColumn)
+          .reduceOption(_ && _).foreach(c => df = df.filter(c))
         val projected = readSchema().fieldNames match {
           case names if names.nonEmpty => df.select(names.map(org.apache.spark.sql.functions.col).toSeq: _*)
           case _ => df

@@ -337,6 +337,71 @@ class LakeSpec extends AnyFunSuite {
     assert(lake.table("main.r").count() == 2)
   }
 
+  // ---- incremental change-feed consumption --------------------------------
+  test("change feed poller returns only new changes per poll") {
+    val lake = newLake()
+    import spark.implicits._
+    lake.createTable("main.cp", abSchema)
+    val poller = lake.changeFeedPoller("main.cp")
+    lake.append("main.cp", Seq((1, 1), (2, 2)).toDF("a", "b"))
+    assert(poller.poll().count() == 2)
+    assert(poller.poll().count() == 0, "second poll with no commits must be empty")
+    lake.delete("main.cp", col("a") === 1)
+    val ch = poller.poll().select("_change_type", "a").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(ch == Set(("delete", 1)))
+  }
+
+  // ---- drop / rename ------------------------------------------------------
+  test("drop and rename table") {
+    val lake = newLake()
+    import spark.implicits._
+    val cat = s"lakedrop${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", lake.root)
+    lake.createTable("main.a", abSchema)
+    lake.append("main.a", Seq((1, 1)).toDF("a", "b"))
+    spark.sql(s"ALTER TABLE $cat.main.a RENAME TO main.z")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.main.z").collect().head.getLong(0) == 1)
+    assert(intercept[Exception](spark.sql(s"SELECT * FROM $cat.main.a").collect())
+      .toString.nonEmpty)
+    spark.sql(s"DROP TABLE $cat.main.z")
+    assert(!spark.catalog.tableExists(s"$cat.main.z"))
+    // files scheduled for deletion, then physically removed
+    assert(lake.store.state().scheduledDeletions.nonEmpty)
+    lake.cleanupOldFiles()
+    assert(lake.store.state().scheduledDeletions.isEmpty)
+  }
+
+  // ---- timestamp-based time travel ----------------------------------------
+  test("time travel by timestamp picks the latest snapshot at-or-before") {
+    val lake = newLake()
+    import spark.implicits._
+    lake.createTable("main.ts", abSchema)
+    lake.append("main.ts", Seq((1, 1)).toDF("a", "b"))
+    val t1 = lake.store.state().snapshots.last.snapshotTimeMs
+    Thread.sleep(5)
+    lake.append("main.ts", Seq((2, 2)).toDF("a", "b"))
+    assert(lake.tableAsOfTime("main.ts", t1).count() == 1)
+    assert(lake.tableAsOfTime("main.ts", System.currentTimeMillis()).count() == 2)
+    spark.conf.set("spark.graft.lake.asOfTimestampMs", t1.toString)
+    try assert(lake.table("main.ts").count() == 1)
+    finally spark.conf.unset("spark.graft.lake.asOfTimestampMs")
+  }
+
+  // ---- pushdown reaches the inner parquet scan ----------------------------
+  test("lake scan pushes filters into the parquet scan") {
+    val lake = newLake()
+    import spark.implicits._
+    lake.createTable("main.pf", abSchema)
+    lake.append("main.pf", (1 to 100).map(i => (i, i)).toDF("a", "b"))
+    val plan = lake.table("main.pf").filter(col("a") === 7)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      (plan.contains("EqualTo(a,7)") || plan.contains("IsNotNull(a)")),
+      s"no parquet pushdown in plan:\n${plan.take(1500)}")
+  }
+
   // ---- metadata store crash-atomicity -------------------------------------
   test("commit is crash-atomic: truncated temp never poisons the log") {
     val lake = newLake()
