@@ -450,14 +450,26 @@ object LakeWrite {
           counts.flatMap { case (fn, c) => fileIdByName.get(fn).map(_.toString -> c) },
           sid, None)
       }
-      val (endedB, newB) = rewriteInlineBatches(st, tid, sid,
-        keep = (_, _) => true,
-        transform = (j, rid) => updatedJson.getOrElse(rid, j))
+      // inline rewrites: survivors keep their batch's schema epoch; rows the
+      // UPDATE re-serialized (current column names) move to their OWN batch
+      // stamped with the CURRENT schema version, so a batch never mixes
+      // JSON epochs after schema evolution
+      val (endedB, keptB) = rewriteInlineBatches(st, tid, sid,
+        keep = (rid, _) => !updatedJson.contains(rid), transform = (j, _) => j)
+      val updatedBatch =
+        if (updatedJson.isEmpty) Nil
+        else {
+          val ids = updatedJson.keys.toList.sorted
+          List(InlinedBatch(
+            (keptB.map(_.batchId) :+ (st.nextBatchId - 1)).max + 1, tid,
+            schemaVersion, ids.head, ids.map(updatedJson), sid, None,
+            rowIds = Some(ids)))
+        }
       CommitDelta(
         snapshot = Snapshot(sid, System.currentTimeMillis(), schemaVersion,
           List(s"updated:$tid:$total")),
         newFiles = newFiles, newStats = newStats, newDeleteFiles = newDel,
-        endedInlined = endedB, newInlined = newB)
+        endedInlined = endedB, newInlined = keptB ++ updatedBatch)
     }
     (sid, total)
   }

@@ -337,6 +337,29 @@ class LakeSpec extends AnyFunSuite {
     assert(lake.table("main.r").count() == 2)
   }
 
+  // ---- inline rows × schema evolution -------------------------------------
+  test("updating inlined rows after ADD COLUMN keeps JSON epochs separated") {
+    val lake = newLake()
+    val cat = s"lakeinlev${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", lake.root)
+    lake.createTable("main.ie", abSchema)
+    lake.setOption("data_inlining_row_limit", "100", Some("main.ie"))
+    lake.insertRows("main.ie", Seq(Seq(1, 10), Seq(2, 20)))
+    spark.sql(s"ALTER TABLE $cat.main.ie ADD COLUMN c INT")
+    val (_, n) = lake.update("main.ie", col("a") === 2, Map("c" -> lit(5)))
+    assert(n == 1)
+    val rows = lake.table("main.ie").orderBy("a").collect()
+      .map(r => (r.getInt(0), r.getInt(1), if (r.isNullAt(2)) -1 else r.getInt(2))).toSeq
+    assert(rows == Seq((1, 10, -1), (2, 20, 5)), s"got $rows")
+    // the untouched row's batch kept its old epoch; the updated row moved
+    // to a current-epoch batch
+    val st = lake.store.state()
+    val tid = st.tableAt("main", "ie", st.currentSnapshotId).get.tableId
+    val epochs = st.inlinedAt(tid, st.currentSnapshotId).map(_.schemaVersion).distinct
+    assert(epochs.length == 2, s"expected two distinct epochs, got $epochs")
+  }
+
   // ---- incremental change-feed consumption --------------------------------
   test("change feed poller returns only new changes per poll") {
     val lake = newLake()
