@@ -129,8 +129,8 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
       val tid = st.nextTableId
       val cols = schema.fields.zipWithIndex.map { case (f, i) =>
         ColumnEntry(tid, columnId = i + 1, ordinal = i, name = f.name,
-          dataType = f.dataType.sql, nullable = f.nullable, defaultValue = None,
-          begin = sid, end = None)
+          dataType = LakeRead.relaxNullability(f.dataType).sql, nullable = f.nullable,
+          defaultValue = None, begin = sid, end = None)
       }.toList
       CommitDelta(
         snapshot = Snapshot(sid, System.currentTimeMillis(), schemaVersion = sid,

@@ -41,7 +41,8 @@ class Lake(val spark: SparkSession, val root: String) {
           List(s"created_table:$sn.$tn")),
         newTables = List(TableEntry(tid, sn, tn, sid, None)),
         newColumns = schema.fields.zipWithIndex.map { case (f, i) =>
-          ColumnEntry(tid, i + 1, i, f.name, f.dataType.sql, f.nullable, None, sid, None)
+          ColumnEntry(tid, i + 1, i, f.name,
+            LakeRead.relaxNullability(f.dataType).sql, f.nullable, None, sid, None)
         }.toList,
         newPartitionInfo =
           if (partitionKeys.nonEmpty) List(PartitionInfoEntry(tid, partitionKeys, sid, None)) else Nil,

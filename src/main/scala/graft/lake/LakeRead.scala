@@ -30,6 +30,18 @@ object LakeRead {
 
   def sparkType(ddl: String): DataType = DataType.fromDDL(ddl)
 
+  /** normalize nested nullability: data written through the lake is read
+    * back with nullable leaves (parquet), so stored column types must not
+    * carry NOT NULL inside structs/arrays/maps */
+  def relaxNullability(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      f.copy(dataType = relaxNullability(f.dataType), nullable = true)))
+    case a: ArrayType => ArrayType(relaxNullability(a.elementType), containsNull = true)
+    case m: MapType =>
+      MapType(relaxNullability(m.keyType), relaxNullability(m.valueType), valueContainsNull = true)
+    case other => other
+  }
+
   def structFor(cols: Seq[ColumnEntry]): StructType =
     StructType(cols.map(c => StructField(c.name, sparkType(c.dataType), c.nullable)))
 

@@ -337,6 +337,69 @@ class LakeSpec extends AnyFunSuite {
     assert(lake.table("main.r").count() == 2)
   }
 
+  // ---- type palette round-trip (types.sql) --------------------------------
+  test("full type palette round-trips through parquet path incl. DML") {
+    val lake = newLake()
+    import spark.implicits._
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1, CAST(1.50 AS DECIMAL(10,2)), DATE'2024-01-02',
+        |   TIMESTAMP'2024-01-02 03:04:05.123456', true, array(1, 2, 3),
+        |   named_struct('x', 7, 's', 'a'), CAST('ab' AS BINARY), 1.5D,
+        |   CAST(2.5 AS FLOAT), CAST(3 AS SMALLINT), CAST(4 AS TINYINT)),
+        |  (2, CAST(-0.25 AS DECIMAL(10,2)), DATE'1999-12-31',
+        |   TIMESTAMP'1999-12-31 23:59:59', false, array(9),
+        |   named_struct('x', 8, 's', 'b'), CAST('cd' AS BINARY), -2.5D,
+        |   CAST(-1.5 AS FLOAT), CAST(-3 AS SMALLINT), CAST(-4 AS TINYINT))
+        |AS t(id, dec, d, ts, bool, arr, st, bin, dbl, flt, sh, bt)""".stripMargin)
+    lake.createTableAs("main.types", df)
+    val back = lake.table("main.types").orderBy("id")
+    val want = StructType(df.schema.fields.map(f =>
+      f.copy(dataType = graft.lake.LakeRead.relaxNullability(f.dataType), nullable = true)))
+    val got = StructType(back.schema.fields.map(_.copy(nullable = true)))
+    assert(got == want, s"schema drift: $got vs $want")
+    val r = back.collect()
+    assert(r.length == 2)
+    assert(r(0).getDecimal(1).toPlainString == "1.50")
+    assert(r(0).getDate(2).toString == "2024-01-02")
+    assert(r(0).getTimestamp(3).toString == "2024-01-02 03:04:05.123456")
+    assert(r(0).getSeq[Int](5) == Seq(1, 2, 3))
+    assert(r(0).getStruct(6).getInt(0) == 7)
+    assert(new String(r(0).getAs[Array[Byte]](7)) == "ab")
+    // DML on a typed table (timestamp predicate + decimal update)
+    lake.delete("main.types", col("d") < lit(java.sql.Date.valueOf("2000-01-01")))
+    assert(lake.table("main.types").count() == 1)
+    lake.update("main.types", col("id") === 1,
+      Map("dec" -> lit(java.math.BigDecimal.valueOf(99.99))))
+    assert(lake.table("main.types").collect()(0).getDecimal(1).toPlainString == "99.99")
+    // stats-based pruning on date/decimal columns stays conservative-correct
+    assert(lake.table("main.types")
+      .filter(col("ts") > lit(java.sql.Timestamp.valueOf("2000-01-01 00:00:00"))).count() == 1)
+  }
+
+  test("inline log round-trips scalar types incl. date and timestamp") {
+    val lake = newLake()
+    lake.createTable("main.ti", StructType(Seq(
+      StructField("id", IntegerType), StructField("d", DateType),
+      StructField("ts", TimestampType), StructField("s", StringType),
+      StructField("b", BooleanType), StructField("x", DoubleType))))
+    lake.setOption("data_inlining_row_limit", "10", Some("main.ti"))
+    lake.insertRows("main.ti", Seq(
+      Seq(1, java.sql.Date.valueOf("2024-01-02"),
+        java.sql.Timestamp.valueOf("2024-01-02 03:04:05"), "a\"b\nc", true, 1.5),
+      Seq(2, null, null, null, false, -0.25)))
+    val r = lake.table("main.ti").orderBy("id").collect()
+    assert(r(0).getDate(1).toString == "2024-01-02")
+    assert(r(0).getTimestamp(2).toString == "2024-01-02 03:04:05.0")
+    assert(r(0).getString(3) == "a\"b\nc", "JSON escaping round-trip")
+    assert(r(1).isNullAt(1) && r(1).isNullAt(2) && r(1).isNullAt(3))
+    assert(r(1).getDouble(5) == -0.25)
+    // flush converts the inline rows to parquet losslessly
+    lake.flushInlinedData("main.ti")
+    val r2 = lake.table("main.ti").orderBy("id").collect()
+    assert(r2.map(_.toString).toSeq == r.map(_.toString).toSeq)
+  }
+
   // ---- inline rows × schema evolution -------------------------------------
   test("updating inlined rows after ADD COLUMN keeps JSON epochs separated") {
     val lake = newLake()
