@@ -209,6 +209,41 @@ object VectorOps {
     // near-random data 12×4 still reaches recall ≥ 0.8 (QueriesSpec).
     "v03_knn_lsh" -> ((s, dir) => knnLsh(t(s, dir, "embeddings"))),
 
+    // ---- embedding-cosine near-duplicate pairs (dedup modality) ------------
+    // All-pairs-free near-dup mining over vectors: 12 tables × 8 sign bits
+    // (256 buckets/table — finer than the ANN probe because BOTH sides of a
+    // pair must co-bucket), candidate pairs only within a bucket (capped),
+    // exact int64 cosine re-rank, threshold filter. For true near-dups
+    // (cos ≥ 0.9) the 12×8 family catches ≈98%; the 0.35 threshold makes
+    // the output non-empty on this synthetic near-random corpus.
+    "v04_embedding_neardup" -> ((s, dir) => {
+      val nT = 12; val bits = 8
+      val pl = planesFor(nT * bits)
+      t(s, dir, "embeddings")
+        .selectExpr("vec_id", s"$QVEC AS q")
+        .selectExpr("vec_id", "q", s"$SQNORM AS nsq",
+          s"${bitsExpr(planesLitOf(pl, "array(", ")"))} AS bits")
+        .filter(col("nsq") > 0)
+        .selectExpr("vec_id", "q", "nsq",
+          s"posexplode(${bucketsFromBitsFor(nT, bits)}) AS (tab, bucket)")
+        .groupBy("tab", "bucket")
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("q"), col("nsq")))).as("ms"))
+        .filter(size(col("ms")).between(2, 256))
+        .selectExpr(
+          """explode(flatten(transform(ms, (a, i) ->
+            |  transform(slice(ms, i + 2, size(ms)), m ->
+            |    struct(a.vec_id AS vec_a, m.vec_id AS vec_b,
+            |      aggregate(zip_with(a.q, m.q, (x, y) -> x * y), 0L, (acc, v) -> acc + v) AS dot,
+            |      a.nsq AS na, m.nsq AS nb))))) AS p""".stripMargin)
+        .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"),
+          (col("p.dot").cast("double")
+            / (sqrt(col("p.na").cast("double")) * sqrt(col("p.nb").cast("double")))).as("cosine"))
+        .filter(col("cosine") >= 0.35)
+        .distinct()
+        .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
+        .limit(100)
+    }),
+
     // ---- per-label corpus stats --------------------------------------------
     "v02_label_stats" -> ((s, dir) => {
       t(s, dir, "embeddings")
@@ -307,7 +342,48 @@ object VectorOps {
            |FROM (SELECT label,
            |    CAST(list_sum(list_transform($qvecD, x -> x * x)) AS BIGINT) AS nsq
            |  FROM embeddings) t
-           |GROUP BY label ORDER BY label""".stripMargin
+           |GROUP BY label ORDER BY label""".stripMargin,
+
+      "v04_embedding_neardup" -> {
+        val nT = 12; val bits = 8
+        val pl = planesFor(nT * bits)
+        val bitsD =
+          s"""list_transform(${planesLitOf(pl, "[", "]")}, p -> CASE WHEN
+             |  list_sum(list_transform(p, t ->
+             |    CASE WHEN t > 0 THEN q[t] ELSE -q[-t] END)) >= 0
+             |  THEN 1 ELSE 0 END)""".stripMargin
+        val bucketsD = (0 until nT).map { tb =>
+          (0 until bits).map { j =>
+            s"bits[${tb * bits + j + 1}] * ${1 << (bits - 1 - j)}"
+          }.mkString(" + ")
+        }.mkString("[", ", ", "]")
+        s"""WITH e0 AS (
+           |  SELECT vec_id, $qvecD AS q FROM embeddings
+           |), e1 AS (
+           |  SELECT vec_id, q,
+           |    CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nsq,
+           |    $bitsD AS bits
+           |  FROM e0
+           |), e AS (
+           |  SELECT vec_id, q, nsq, $bucketsD AS buckets FROM e1 WHERE nsq > 0
+           |), tabs AS (
+           |  SELECT vec_id, q, nsq, r.range AS tab, buckets[r.range + 1] AS bucket
+           |  FROM e CROSS JOIN range(0, $nT) r
+           |), capped AS (
+           |  SELECT * FROM tabs
+           |  QUALIFY count(*) OVER (PARTITION BY tab, bucket) <= 256
+           |), pairs AS (
+           |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           |    CAST(list_sum(list_transform(generate_series(1, len(a.q)),
+           |      i -> a.q[i] * b.q[i])) AS DOUBLE)
+           |      / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE))) AS cosine
+           |  FROM capped a JOIN capped b
+           |    ON a.tab = b.tab AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+           |)
+           |SELECT vec_a, vec_b, cosine FROM pairs
+           |WHERE cosine >= 0.35
+           |ORDER BY cosine DESC, vec_a, vec_b LIMIT 100""".stripMargin
+      }
     )
   }
 }
