@@ -1,0 +1,65 @@
+package graft.lake
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic.ClassicConversions._
+
+/** SQL sugar for the metadata TVF surface (SURVEY.md §4.3 "custom
+  * commands"; reference sql/pg_ducklake--0.1.0.sql:282-465): session
+  * extensions registering table functions that mirror the `ducklake.*`
+  * TVFs. Enable with
+  * `spark.sql.extensions=graft.lake.GraftExtensions`, then:
+  *
+  * {{{
+  *   SELECT * FROM graft_snapshots('/lake/root')
+  *   SELECT * FROM graft_table_info('/lake/root')
+  *   SELECT * FROM graft_list_files('/lake/root', 'main.t')
+  *   SELECT * FROM graft_options('/lake/root')
+  *   SELECT * FROM graft_table_changes('/lake/root', 'main.t', 0, 5)
+  * }}}
+  *
+  * Each builder evaluates its (literal) arguments at resolution time and
+  * splices in the analyzed plan of the corresponding [[Lake]] DataFrame —
+  * metadata TVFs produce driver-local relations; `graft_table_changes`
+  * contributes a full distributed scan plan.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def lit(e: Expression, what: String): String = {
+    require(e.foldable, s"$what must be a literal")
+    String.valueOf(e.eval())
+  }
+
+  private def tvf(name: String, usage: String)(build: Seq[Expression] => LogicalPlan)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
+    (FunctionIdentifier(name), new ExpressionInfo("graft.lake.GraftExtensions", name, usage),
+      build)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectTableFunction(tvf("graft_snapshots", "graft_snapshots(root)") { args =>
+      new Lake(SparkSession.active, lit(args.head, "root")).snapshots()
+        .queryExecution.analyzed
+    })
+    ext.injectTableFunction(tvf("graft_table_info", "graft_table_info(root)") { args =>
+      new Lake(SparkSession.active, lit(args.head, "root")).tableInfo()
+        .queryExecution.analyzed
+    })
+    ext.injectTableFunction(tvf("graft_list_files", "graft_list_files(root, table)") { args =>
+      new Lake(SparkSession.active, lit(args.head, "root"))
+        .listFiles(lit(args(1), "table")).queryExecution.analyzed
+    })
+    ext.injectTableFunction(tvf("graft_options", "graft_options(root)") { args =>
+      new Lake(SparkSession.active, lit(args.head, "root")).options()
+        .queryExecution.analyzed
+    })
+    ext.injectTableFunction(tvf("graft_table_changes",
+      "graft_table_changes(root, table, startExclusive, endInclusive)") { args =>
+      new Lake(SparkSession.active, lit(args.head, "root"))
+        .tableChanges(lit(args(1), "table"), lit(args(2), "s0").toLong,
+          lit(args(3), "s1").toLong)
+        .queryExecution.analyzed
+    })
+  }
+}

@@ -18,9 +18,11 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Session conf required to read the `events` table; apply at builder. */
-  val sessionConf: Map[String, String] =
-    Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
+  /** Session conf required to read the `events` table (nanos timestamps)
+    * plus the lake TVF SQL sugar; apply at session build. */
+  val sessionConf: Map[String, String] = Map(
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.extensions" -> "graft.lake.GraftExtensions")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {

@@ -337,6 +337,26 @@ class LakeSpec extends AnyFunSuite {
     assert(lake.table("main.r").count() == 2)
   }
 
+  // ---- SQL TVF sugar (session extensions) ---------------------------------
+  test("graft_* table functions resolve through the session extensions") {
+    val lake = newLake()
+    import spark.implicits._
+    lake.createTable("main.tf", abSchema)
+    lake.append("main.tf", Seq((1, 1), (2, 2)).toDF("a", "b"))
+    lake.delete("main.tf", col("a") === 1)
+    val r = lake.root.replace("'", "''")
+    assert(spark.sql(s"SELECT count(*) FROM graft_snapshots('$r')")
+      .collect().head.getLong(0) == 3)
+    assert(spark.sql(s"SELECT row_count FROM graft_table_info('$r')")
+      .collect().head.getLong(0) == 2)
+    assert(spark.sql(s"SELECT count(*) FROM graft_list_files('$r', 'main.tf')")
+      .collect().head.getLong(0) >= 1)
+    val ch = spark.sql(
+      s"SELECT _change_type, a FROM graft_table_changes('$r', 'main.tf', 0, 2) ORDER BY _change_type, a")
+      .collect().map(x => (x.getString(0), x.getInt(1))).toSeq
+    assert(ch == Seq(("delete", 1), ("insert", 1), ("insert", 2)), s"got $ch")
+  }
+
   // ---- type palette round-trip (types.sql) --------------------------------
   test("full type palette round-trips through parquet path incl. DML") {
     val lake = newLake()
