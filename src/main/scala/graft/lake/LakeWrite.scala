@@ -301,7 +301,8 @@ object LakeWrite {
       store: MetadataStore,
       schemaName: String,
       tableName: String,
-      cond: Column): (Long, Long) = {
+      cond: Column,
+      beforeCommit: () => Unit = () => ()): (Long, Long) = {
     val st0 = store.state()
     val s0 = st0.currentSnapshotId
     val tid = st0.tableAt(schemaName, tableName, s0)
@@ -314,11 +315,23 @@ object LakeWrite {
     val inlineIds = matched.filter(col(LakeRead.FileCol).startsWith("inline:"))
       .select(col(LakeRead.RowIdCol)).collect().map(_.getLong(0)).toSet // ≤ inline limit
     matched.unpersist()
+    beforeCommit()
 
     val total = delFile.map(_._3).getOrElse(0L) + inlineIds.size
     val sid = store.commitWithRetry() { (st, sid) =>
       val fileIdByName = st.filesAt(tid, st.currentSnapshotId)
         .map(f => f.fileName -> f.fileId).toMap
+      // conflict detection: if any file we computed positions against was
+      // replaced (compaction / overwrite) between scan and commit, those
+      // positions are meaningless in the new files — committing would
+      // silently lose the delete. Mirrors the reference's retryable
+      // TransactionException path (metadata_manager.cpp:294-364); the
+      // caller re-runs the whole DML against fresh state.
+      delFile.foreach { case (_, counts, _) =>
+        val gone = counts.keys.filterNot(fileIdByName.contains)
+        if (gone.nonEmpty) throw new java.util.ConcurrentModificationException(
+          s"DELETE conflicts with a concurrent rewrite of: ${gone.mkString(", ")}")
+      }
       val newDel = delFile.toList.map { case (path, counts, cnt) =>
         DeleteFileEntry(st.nextFileId, tid, path, cnt,
           counts.flatMap { case (fn, c) => fileIdByName.get(fn).map(_.toString -> c) },
@@ -426,6 +439,11 @@ object LakeWrite {
     val sid = store.commitWithRetry() { (st, sid) =>
       val fileIdByName = st.filesAt(tid, st.currentSnapshotId)
         .map(f => f.fileName -> f.fileId).toMap
+      delFile.foreach { case (_, counts, _) =>
+        val gone = counts.keys.filterNot(fileIdByName.contains)
+        if (gone.nonEmpty) throw new java.util.ConcurrentModificationException(
+          s"UPDATE conflicts with a concurrent rewrite of: ${gone.mkString(", ")}")
+      }
       var fileId = st.nextFileId
       val newFiles = keptStaged.sortBy(_.fileName).map { f =>
         val r = statRows(f.fileName)

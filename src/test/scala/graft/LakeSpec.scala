@@ -337,6 +337,26 @@ class LakeSpec extends AnyFunSuite {
     assert(lake.table("main.r").count() == 2)
   }
 
+  // ---- DML vs concurrent rewrite conflict ---------------------------------
+  test("delete racing a compaction is detected, not silently lost") {
+    val lake = newLake()
+    import spark.implicits._
+    lake.createTable("main.cc", abSchema)
+    lake.append("main.cc", (1 to 10).map(i => (i, i)).toDF("a", "b"))
+    lake.append("main.cc", (11 to 20).map(i => (i, i)).toDF("a", "b"))
+    // the compaction lands between the delete's scan and its commit
+    val e = intercept[java.util.ConcurrentModificationException] {
+      graft.lake.LakeWrite.delete(spark, lake.store, "main", "cc",
+        col("a") <= 5,
+        beforeCommit = () => lake.mergeAdjacentFiles("main.cc"))
+    }
+    assert(e.getMessage.contains("concurrent rewrite"))
+    // nothing was lost: table still has all 20 rows; retrying succeeds
+    assert(lake.table("main.cc").count() == 20)
+    val (_, n) = lake.delete("main.cc", col("a") <= 5)
+    assert(n == 5 && lake.table("main.cc").count() == 15)
+  }
+
   // ---- SQL TVF sugar (session extensions) ---------------------------------
   test("graft_* table functions resolve through the session extensions") {
     val lake = newLake()
