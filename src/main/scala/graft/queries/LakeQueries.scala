@@ -30,8 +30,13 @@ object LakeQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  private def newLake(s: SparkSession): Lake =
-    new Lake(s, Files.createTempDirectory("graft_lakeq").toString)
+  private def newLake(s: SparkSession): Lake = {
+    val dir = Files.createTempDirectory("graft_lakeq")
+    // bench/verify create one lake per invocation; reap them on JVM exit
+    Runtime.getRuntime.addShutdownHook(
+      new Thread(() => LakeWrite.deleteRecursively(dir.toString)))
+    new Lake(s, dir.toString)
+  }
 
   private def catalogFor(lake: Lake): LakeCatalog = {
     val c = new LakeCatalog()
