@@ -35,7 +35,7 @@ object LakeWrite {
     case _ => false
   }
 
-  private[lake] def deleteRecursively(dir: String): Unit = {
+  def deleteRecursively(dir: String): Unit = {
     val p = Paths.get(dir)
     if (Files.exists(p)) {
       val walk = Files.walk(p)
