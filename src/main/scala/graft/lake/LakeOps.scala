@@ -95,6 +95,15 @@ class Lake(val spark: SparkSession, val root: String) {
     LakeRead.scanDF(spark, st, entry.tableId, s)
   }
 
+  /** scan surfacing the hidden meta columns (_graft_file, _graft_pos,
+    * _graft_row_id) — lets callers observe physical row order (sorted
+    * tables) and stable row identity. */
+  def tableWithRowMeta(name: String): DataFrame = {
+    val st = store.state()
+    val e = resolve(name, st)
+    LakeRead.scanDF(spark, st, e.tableId, st.currentSnapshotId, Nil, withRowMeta = true)
+  }
+
   /** time travel by wall-clock ms (reference time_travel(tbl, ts)) */
   def tableAsOfTime(name: String, tsMs: Long): DataFrame = {
     val st = store.state()

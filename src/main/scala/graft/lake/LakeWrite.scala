@@ -100,6 +100,31 @@ object LakeWrite {
     }
   }
 
+  /** Writer options from table/global tags (reference docs/settings.md,
+    * test/regression/sql/options.sql): parquet_compression(_level),
+    * parquet_row_group_size_bytes map straight onto the parquet writer;
+    * target_file_size (bytes) is honored adaptively — bytes/row estimated
+    * from the table's existing files sizes a maxRecordsPerFile split. */
+  private def writeOptions(st: CatalogState, tid: Long, s: Long): Map[String, String] = {
+    def tag(k: String): Option[String] =
+      st.tagAt(tid.toString, k, s).orElse(st.tagAt("global", k, s))
+    val b = Map.newBuilder[String, String]
+    tag("parquet_compression").foreach(v => b += "compression" -> v)
+    tag("parquet_compression_level").foreach(v =>
+      b += "parquet.compression.codec.zstd.level" -> v)
+    tag("parquet_row_group_size_bytes").foreach(v => b += "parquet.block.size" -> v)
+    tag("target_file_size").foreach { v =>
+      val live = st.filesAt(tid, s)
+      val rows = live.map(_.rowCount).sum
+      val bytes = live.map(_.fileSizeBytes).sum
+      if (rows > 0 && bytes > 0) {
+        val bytesPerRow = math.max(1L, bytes / rows)
+        b += "maxRecordsPerFile" -> math.max(1L, v.toLong / bytesPerRow).toString
+      }
+    }
+    b.result()
+  }
+
   private def statAggsFor(statCols: Seq[ColumnEntry]): Seq[Column] =
     Seq(count(lit(1)).as("_cnt")) ++ statCols.flatMap { c =>
       Seq(min(col(c.name)).cast(StringType).as(s"_min_${c.name}"),
@@ -143,15 +168,16 @@ object LakeWrite {
     if (sortKeys.nonEmpty && sorted) aligned = aligned.sortWithinPartitions(sortKeys.map(sortCol): _*)
 
     val staging = s"${store.root}/_staging/${uuid()}"
+    val wopts = writeOptions(st0, tid, s0)
     if (partKeys.nonEmpty) {
       val pcols = partKeys.zipWithIndex.map { case (pk, i) => transformCol(pk).as(s"_gp$i") }
       val withP = aligned.select(aligned.columns.map(col) ++ pcols: _*)
         .repartition(partKeys.indices.map(i => col(s"_gp$i")): _*)
       val sortedP = if (sortKeys.nonEmpty && sorted)
         withP.sortWithinPartitions(sortKeys.map(sortCol): _*) else withP
-      sortedP.write.partitionBy(partKeys.indices.map(i => s"_gp$i"): _*)
+      sortedP.write.options(wopts).partitionBy(partKeys.indices.map(i => s"_gp$i"): _*)
         .mode(SaveMode.Overwrite).parquet(staging)
-    } else aligned.write.mode(SaveMode.Overwrite).parquet(staging)
+    } else aligned.write.options(wopts).mode(SaveMode.Overwrite).parquet(staging)
 
     val staged = promoteStaged(staging, s"${tableDir(store.root, tid)}/data", partKeys)
 
@@ -417,7 +443,8 @@ object LakeWrite {
       case None => Nil
       case Some(_) =>
         val staging = s"${store.root}/_staging/${uuid()}"
-        postImages.write.mode(SaveMode.Overwrite).parquet(staging)
+        postImages.write.options(writeOptions(st0, tid, s0))
+          .mode(SaveMode.Overwrite).parquet(staging)
         promoteStaged(staging, s"${tableDir(store.root, tid)}/data", Nil)
     }
     matched.unpersist()

@@ -23,7 +23,9 @@ import graft.lake.Meta.{PartitionKey, SortKey}
   * snapshots.sql (l08), list_files.sql/table_info (l09),
   * data_change_feed.sql (l10), partition.sql (l11), vacuum.sql (l12),
   * data_inlining_row_limit.sql (l13), freeze.sql/frozen_fdw.sql (l14),
-  * readme_examples.sql CSV ingest (l15).
+  * readme_examples.sql CSV ingest (l15), sorted_table.sql (l16),
+  * options.sql (l17), ddl drop/rename (l18), gucs.sql as-of conf (l19),
+  * cleanup_old_files (l20).
   */
 object LakeQueries {
 
@@ -220,6 +222,88 @@ object LakeQueries {
       val back = s.read.option("header", "true").schema(nation.schema).csv(csvDir)
       lake.createTableAs("main.natcsv", back)
       lake.table("main.natcsv").orderBy("n_nationkey")
+    }),
+
+    // ---- A22 sorted tables: compaction applies the declared sort order ----
+    // (reference src/pgducklake_sorted_by.cpp:64-385, sorted_table.sql).
+    // Physical row order is observable through the scan's position column.
+    "l16_sorted_table" -> ((s, dir) => {
+      val lake = newLake(s)
+      val region = t(s, dir, "region")
+      lake.createTable("main.sr", region.schema)
+      lake.setSort("main.sr", List(SortKey("r_name", ascending = false, nullsFirst = false)))
+      (1 to 3).foreach(_ => lake.append("main.sr", region))
+      lake.mergeAdjacentFiles("main.sr")
+      lake.tableWithRowMeta("main.sr")
+        .select(col(LakeRead.PosCol).as("pos"), col("r_regionkey"), col("r_name"))
+        .orderBy("pos")
+    }),
+
+    // ---- A23 options surface (docs/settings.md, options.sql): set_option
+    // persists table/global scoped tags; parquet_compression is honored by
+    // the write path (codec asserted in LakeSpec) --------------------------
+    "l17_options" -> ((s, dir) => {
+      val lake = newLake(s)
+      val region = t(s, dir, "region")
+      lake.createTable("main.o", region.schema)
+      lake.setOption("parquet_compression", "zstd", Some("main.o"))
+      lake.setOption("data_inlining_row_limit", "100")
+      lake.append("main.o", region)
+      val cnt = lake.table("main.o").agg(count(lit(1)).as("n_rows"))
+      lake.options().crossJoin(cnt).orderBy("scope", "key")
+    }),
+
+    // ---- A9 dropTable + rename (src/pgducklake_table.cpp:704-937) ---------
+    "l18_drop_rename" -> ((s, dir) => {
+      val lake = newLake(s)
+      lake.createTableAs("main.a", t(s, dir, "region"))
+      lake.createTableAs("main.b", t(s, dir, "nation"))
+      val cat = catalogFor(lake)
+      cat.dropTable(Identifier.of(Array("main"), "a"))
+      cat.renameTable(Identifier.of(Array("main"), "b"), Identifier.of(Array("main"), "c"))
+      val agg = lake.table("main.c").agg(count(lit(1)).as("n"),
+        min("n_nationkey").as("min_k"), max("n_nationkey").as("max_k"))
+      lake.tableInfo().select("schema_name", "table_name", "row_count").crossJoin(agg)
+    }),
+
+    // ---- A13 session-wide as-of conf (ducklake.as_of_timestamp GUC,
+    // src/pgducklake_guc.cpp:22,43-47): the conf pins reads made under it;
+    // later reads see current state -----------------------------------------
+    "l19_session_asof" -> ((s, dir) => {
+      val lake = newLake(s)
+      val region = t(s, dir, "region")
+      lake.createTable("main.r", region.schema)
+      val v1 = lake.append("main.r", region)
+      lake.append("main.r", region.select(
+        (col("r_regionkey") + 10).cast(IntegerType).as("r_regionkey"), col("r_name")))
+      s.conf.set("spark.graft.lake.asOfSnapshot", v1.toString)
+      val old = try lake.table("main.r")
+        finally s.conf.unset("spark.graft.lake.asOfSnapshot")
+      old.withColumn("src", lit("asof"))
+        .unionByName(lake.table("main.r").withColumn("src", lit("current")))
+        .orderBy("src", "r_regionkey")
+    }),
+
+    // ---- A19 cleanup_old_files (src/pgducklake_functions.cpp:142-203):
+    // compaction schedules the replaced files; cleanup physically removes
+    // them and clears the schedule ------------------------------------------
+    "l20_cleanup" -> ((s, dir) => {
+      val lake = newLake(s)
+      val region = t(s, dir, "region")
+      lake.createTable("main.g", region.schema)
+      (1 to 3).foreach(_ => lake.append("main.g", region))
+      lake.mergeAdjacentFiles("main.g")
+      lake.cleanupOldFiles()
+      val st = lake.store.state()
+      val tid = st.tableAt("main", "g", st.currentSnapshotId).get.tableId
+      val dataDir = java.nio.file.Paths.get(LakeWrite.tableDir(lake.root, tid), "data")
+      val listing = Files.list(dataDir)
+      val onDisk = try listing.filter(p => p.toString.endsWith(".parquet")).count()
+        finally listing.close()
+      lake.table("main.g")
+        .withColumn("files_on_disk", lit(onDisk))
+        .withColumn("scheduled_remaining", lit(st.scheduledDeletions.size.toLong))
+        .orderBy("r_regionkey", "r_name")
     })
   )
 
@@ -305,6 +389,45 @@ object LakeQueries {
       "SELECT * FROM nation WHERE n_regionkey <= 1 ORDER BY n_nationkey",
 
     "l15_csv_ingest" ->
-      "SELECT * FROM nation ORDER BY n_nationkey"
+      "SELECT * FROM nation ORDER BY n_nationkey",
+
+    // ties in ROW_NUMBER are between identical duplicate rows, so any
+    // tie-break yields the same result multiset
+    "l16_sorted_table" ->
+      """SELECT CAST(ROW_NUMBER() OVER (ORDER BY r_name DESC) - 1 AS BIGINT) AS pos,
+        |  r_regionkey, r_name
+        |FROM (SELECT * FROM region UNION ALL SELECT * FROM region
+        |      UNION ALL SELECT * FROM region) t
+        |ORDER BY pos""".stripMargin,
+
+    "l17_options" ->
+      """SELECT scope, key, value, (SELECT count(*) FROM region) AS n_rows
+        |FROM (VALUES
+        |  ('1', 'parquet_compression', 'zstd'),
+        |  ('global', 'data_inlining_row_limit', '100')) v(scope, key, value)
+        |ORDER BY scope, key""".stripMargin,
+
+    "l18_drop_rename" ->
+      """SELECT 'main' AS schema_name, 'c' AS table_name,
+        |  (SELECT count(*) FROM nation) AS row_count,
+        |  (SELECT count(*) FROM nation) AS n,
+        |  (SELECT min(n_nationkey) FROM nation) AS min_k,
+        |  (SELECT max(n_nationkey) FROM nation) AS max_k""".stripMargin,
+
+    "l19_session_asof" ->
+      """SELECT * FROM (
+        |  SELECT r_regionkey, r_name, 'asof' AS src FROM region
+        |  UNION ALL
+        |  SELECT r_regionkey, r_name, 'current' FROM region
+        |  UNION ALL
+        |  SELECT CAST(r_regionkey + 10 AS INTEGER), r_name, 'current' FROM region) t
+        |ORDER BY src, r_regionkey""".stripMargin,
+
+    "l20_cleanup" ->
+      """SELECT r_regionkey, r_name,
+        |  CAST(1 AS BIGINT) AS files_on_disk, CAST(0 AS BIGINT) AS scheduled_remaining
+        |FROM (SELECT * FROM region UNION ALL SELECT * FROM region
+        |      UNION ALL SELECT * FROM region) t
+        |ORDER BY r_regionkey, r_name""".stripMargin
   )
 }

@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -57,6 +58,34 @@ class LakeSpec extends AnyFunSuite {
     // overwrite
     spark.sql(s"INSERT OVERWRITE $cat.main.t VALUES (9, 900)")
     assert(spark.sql(s"SELECT * FROM $cat.main.t").collect().map(_.getInt(0)).toSeq == Seq(9))
+  }
+
+  // ---- options.sql: writer options honored on the parquet write path ----
+  test("writer options: compression codec and target file size honored") {
+    val lake = newLake()
+    import spark.implicits._
+    lake.createTable("main.w", abSchema)
+    lake.setOption("parquet_compression", "zstd", Some("main.w"))
+    val df = (1 to 2000).map(i => (i, i * 2)).toDF("a", "b").coalesce(1)
+    lake.append("main.w", df)
+    // verify the written file's codec via the parquet footer
+    val path = lake.listFiles("main.w").select("file_name").collect().head.getString(0)
+    val st = lake.store.state()
+    val full = st.files.find(_.fileName == path).get.path
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(full), spark.sparkContext.hadoopConfiguration)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val codecs = reader.getFooter.getBlocks.get(0).getColumns.asScala.map(_.getCodec.name()).toSet
+      assert(codecs == Set("ZSTD"), s"expected ZSTD, got $codecs")
+    } finally reader.close()
+    // target_file_size: bytes/row estimated from the first append splits the next
+    val sizeBefore = lake.listFiles("main.w").select("file_size").collect().head.getLong(0)
+    lake.setOption("target_file_size", (sizeBefore / 4).toString, Some("main.w"))
+    lake.append("main.w", df)
+    val filesNow = lake.listFiles("main.w").count()
+    assert(filesNow >= 3, s"expected the second append split into >=2 files, total >=3, got $filesNow")
+    assert(lake.table("main.w").count() == 4000)
   }
 
   // ---- dml_row_count.sql: exact row-count tags --------------------------
