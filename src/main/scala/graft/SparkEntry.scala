@@ -10,7 +10,9 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   *   - graft.queries.MultimodalOps — binary-payload media pipeline ops
   *   - graft.queries.LakeQueries   — DuckLake lakehouse ops over graft.lake
   *     (SURVEY.md §2.A: catalog, write path, DML, time travel, change feed,
-  *     partitioning, compaction, inlining, freeze)
+  *     partitioning, sorting, compaction, inlining, options, freeze)
+  *   - graft.queries.StreamOps     — change feed as a Structured Streaming
+  *     micro-batch source (graft.streaming)
   */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -23,7 +25,8 @@ object SparkEntry {
       graft.queries.TextOps.queries ++
       graft.queries.VectorOps.queries ++
       graft.queries.MultimodalOps.queries ++
-      graft.queries.LakeQueries.queries
+      graft.queries.LakeQueries.queries ++
+      graft.queries.StreamOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +35,6 @@ object SparkEntry {
       graft.queries.TextOps.oracleSql ++
       graft.queries.VectorOps.oracleSql ++
       graft.queries.MultimodalOps.oracleSql ++
-      graft.queries.LakeQueries.oracleSql
+      graft.queries.LakeQueries.oracleSql ++
+      graft.queries.StreamOps.oracleSql
 }

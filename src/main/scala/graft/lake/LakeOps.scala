@@ -492,7 +492,8 @@ object TypeMap {
     "varchar" -> StringType, "blob" -> BinaryType,
     "date" -> DateType, "time" -> LongType /* micros-since-midnight */,
     "timestamp" -> TimestampNTZType, "timestamptz" -> TimestampType,
-    "uuid" -> StringType, "json" -> StringType)
+    "uuid" -> StringType, "json" -> StringType,
+    "variant" -> VariantType /* semi-structured (variant.sql; Spark 4 native) */)
 
   def sparkToDuck(dt: DataType): String = dt match {
     case BooleanType => "boolean"
@@ -508,6 +509,7 @@ object TypeMap {
     case DateType => "date"
     case TimestampNTZType => "timestamp"
     case TimestampType => "timestamptz"
+    case _: VariantType => "variant"
     case ArrayType(e, _) => s"${sparkToDuck(e)}[]"
     case s: StructType =>
       s.fields.map(f => s"${f.name} ${sparkToDuck(f.dataType)}").mkString("struct(", ", ", ")")

@@ -256,9 +256,14 @@ object LakeWrite {
     val tid = st0.tableAt(schemaName, tableName, s0)
       .getOrElse(throw new NoSuchElementException(s"no table $schemaName.$tableName")).tableId
     val cols = st0.columnsAt(tid, s0)
-    val limit = st0.tagAt(tid.toString, "data_inlining_row_limit", s0)
-      .orElse(st0.tagAt("global", "data_inlining_row_limit", s0))
-      .map(_.toLong).getOrElse(DefaultInlineLimit)
+    // variant columns disable inlining entirely (reference:
+    // src/pgducklake_direct_insert.cpp:144-146, variant.sql:8-13)
+    val hasVariant = cols.exists(_.dataType.toUpperCase.contains("VARIANT"))
+    val limit =
+      if (hasVariant) 0L
+      else st0.tagAt(tid.toString, "data_inlining_row_limit", s0)
+        .orElse(st0.tagAt("global", "data_inlining_row_limit", s0))
+        .map(_.toLong).getOrElse(DefaultInlineLimit)
     if (rows.size > limit) {
       val schema = LakeRead.structFor(cols)
       val rdd = spark.sparkContext.parallelize(rows.map(Row.fromSeq), 1)

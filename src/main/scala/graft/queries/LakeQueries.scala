@@ -32,13 +32,16 @@ object LakeQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  private def newLake(s: SparkSession): Lake = {
+  /** fresh lake in a private temp dir (shared with StreamOps entries) */
+  private[queries] def freshLake(s: SparkSession): Lake = {
     val dir = Files.createTempDirectory("graft_lakeq")
     // bench/verify create one lake per invocation; reap them on JVM exit
     Runtime.getRuntime.addShutdownHook(
       new Thread(() => LakeWrite.deleteRecursively(dir.toString)))
     new Lake(s, dir.toString)
   }
+
+  private def newLake(s: SparkSession): Lake = freshLake(s)
 
   private def catalogFor(lake: Lake): LakeCatalog = {
     val c = new LakeCatalog()
@@ -304,6 +307,32 @@ object LakeQueries {
         .withColumn("files_on_disk", lit(onDisk))
         .withColumn("scheduled_remaining", lit(st.scheduledDeletions.size.toLong))
         .orderBy("r_regionkey", "r_name")
+    }),
+
+    // ---- §1.2 variant: semi-structured columns (variant.sql; Spark 4
+    // VariantType). Insert JSON of mixed shapes, DML by extracted field,
+    // read back typed extractions ------------------------------------------
+    "l21_variant" -> ((s, dir) => {
+      import s.implicits._
+      val lake = newLake(s)
+      lake.createTable("main.vr", StructType(Seq(
+        StructField("id", IntegerType), StructField("v", VariantType))))
+      val df = Seq(
+        (1, """{"name": "alice", "age": 30}"""),
+        (2, """{"name": "bob", "age": 41, "tags": ["x", "y"]}"""),
+        (3, """[1, 2, 3]"""),
+        (4, """42"""),
+        (5, """true""")).toDF("id", "j")
+        .select(col("id"), expr("parse_json(j)").as("v"))
+      lake.append("main.vr", df)
+      lake.update("main.vr", expr("variant_get(v, '$.age', 'int') = 30"),
+        Map("v" -> expr("""parse_json('{"name": "alice", "age": 31}')""")))
+      lake.delete("main.vr", expr("to_json(v) = '42'"))
+      lake.table("main.vr").selectExpr("id",
+        "cast(variant_get(v, '$.name') as string) AS name",
+        "cast(variant_get(v, '$.age') as int) AS age",
+        "cast(variant_get(v, '$[0]') as int) AS first_elem")
+        .orderBy("id")
     })
   )
 
@@ -428,6 +457,14 @@ object LakeQueries {
         |  CAST(1 AS BIGINT) AS files_on_disk, CAST(0 AS BIGINT) AS scheduled_remaining
         |FROM (SELECT * FROM region UNION ALL SELECT * FROM region
         |      UNION ALL SELECT * FROM region) t
-        |ORDER BY r_regionkey, r_name""".stripMargin
+        |ORDER BY r_regionkey, r_name""".stripMargin,
+
+    "l21_variant" ->
+      """SELECT id, name, age, first_elem FROM (VALUES
+        |  (1, 'alice', 31, CAST(NULL AS INTEGER)),
+        |  (2, 'bob', 41, NULL),
+        |  (3, NULL, NULL, 1),
+        |  (5, NULL, NULL, NULL)) v(id, name, age, first_elem)
+        |ORDER BY id""".stripMargin
   )
 }

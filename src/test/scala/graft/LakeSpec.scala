@@ -88,6 +88,79 @@ class LakeSpec extends AnyFunSuite {
     assert(lake.table("main.w").count() == 4000)
   }
 
+  // ---- streaming: the change feed as a micro-batch source ---------------
+  test("streaming: change feed source delivers incremental batches with checkpoint restart") {
+    val lake = newLake()
+    import spark.implicits._
+    lake.createTable("main.s", abSchema)
+    lake.append("main.s", Seq((1, 10), (2, 20)).toDF("a", "b"))
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    val buf = collection.mutable.ArrayBuffer[(String, Int, Int)]()
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-changes")
+        .option("root", lake.root).option("table", "main.s").load()
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = df.select("_change_type", "a", "b").collect()
+            .map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+          buf.synchronized { buf ++= rows }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(buf.sorted == Seq(("insert", 1, 10), ("insert", 2, 20)),
+      s"first drain saw $buf")
+    buf.clear()
+    // no new commits → restart from checkpoint sees nothing
+    drain()
+    assert(buf.isEmpty, s"idle drain saw $buf")
+    // incremental: only the delete and the update's pre/post images arrive
+    lake.delete("main.s", col("a") === 1)
+    lake.update("main.s", col("a") === 2, Map("b" -> lit(99)))
+    drain()
+    assert(buf.sorted == Seq(("delete", 1, 10),
+      ("update_postimage", 2, 99), ("update_preimage", 2, 20)),
+      s"incremental drain saw $buf")
+  }
+
+  // ---- variant.sql: semi-structured columns (Spark 4 VariantType) -------
+  test("variant: column round-trips through parquet, DML works, inlining disabled") {
+    val lake = newLake()
+    import spark.implicits._
+    lake.createTable("main.v", StructType(Seq(
+      StructField("id", IntegerType), StructField("v", VariantType))))
+    lake.setOption("data_inlining_row_limit", "100", Some("main.v"))
+    val df = Seq(
+      (1, """{"name": "alice", "age": 30}"""),
+      (2, """[1, 2, 3]"""),
+      (3, """42""")).toDF("id", "j")
+      .select(col("id"), expr("parse_json(j)").as("v"))
+    lake.append("main.v", df)
+    // small insert: variant forces the parquet path despite the inline limit
+    val vv = spark.sql("""SELECT parse_json('{"x": 1}') AS v""").collect().head.get(0)
+    lake.insertRows("main.v", Seq(Seq(4, vv)))
+    val info = lake.tableInfo().select("inlined_row_count", "row_count").collect().head
+    assert(info.getLong(0) == 0, "variant table must not inline")
+    assert(info.getLong(1) == 4)
+    // field extraction over the lake scan
+    val names = lake.table("main.v")
+      .selectExpr("id", "cast(variant_get(v, '$.name') as string) AS name")
+      .orderBy("id").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(names == Seq((1, "alice"), (2, null), (3, null), (4, null)))
+    // DML: update by extracted field, delete by serialized value
+    lake.update("main.v", expr("variant_get(v, '$.age', 'int') = 30"),
+      Map("v" -> expr("""parse_json('{"name": "alice", "age": 31}')""")))
+    lake.delete("main.v", expr("to_json(v) = '42'"))
+    val ages = lake.table("main.v")
+      .selectExpr("id", "cast(variant_get(v, '$.age') as int) AS age")
+      .orderBy("id").collect().map(r => (r.getInt(0), if (r.isNullAt(1)) -1 else r.getInt(1))).toSeq
+    assert(ages == Seq((1, 31), (2, -1), (4, -1)))
+  }
+
   // ---- dml_row_count.sql: exact row-count tags --------------------------
   test("dml: delete/update row counts and results") {
     val lake = newLake()
