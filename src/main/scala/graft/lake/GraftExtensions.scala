@@ -38,6 +38,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       build)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // SQL UPDATE on lake tables → the native positional-delete update path
+    ext.injectResolutionRule(new ResolveLakeUpdate(_))
     ext.injectTableFunction(tvf("graft_snapshots", "graft_snapshots(root)") { args =>
       new Lake(SparkSession.active, lit(args.head, "root")).snapshots()
         .queryExecution.analyzed

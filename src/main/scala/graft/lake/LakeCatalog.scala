@@ -50,6 +50,10 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
   override def name(): String = catalogName
   override def defaultNamespace(): Array[String] = Array("main")
 
+  /** column DEFAULTs are first-class (ddl.sql SET DEFAULT surface) */
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    Set(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE).asJava
+
   def readOnly: Boolean = frozenState.isDefined
   private def requireWritable(): Unit =
     if (readOnly) throw new UnsupportedOperationException(
@@ -179,9 +183,11 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
       changes.foreach {
         case a: TableChange.AddColumn =>
           ddl = true
+          val dv = Option(a.defaultValue()).map(_.getSql)
           newCols += ColumnEntry(tid, nextColId, nextOrd,
             a.fieldNames().mkString("."), a.dataType().sql, a.isNullable,
-            defaultValue = None, begin = sid, end = None)
+            defaultValue = dv, begin = sid, end = None,
+            existsDefault = dv) // frozen now; later SET DEFAULT won't touch it
           nextColId += 1; nextOrd += 1
         case d: TableChange.DeleteColumn =>
           ddl = true
@@ -200,6 +206,18 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
           cols.find(_.name == name).foreach { c =>
             endedCols += s"$tid:${c.columnId}"
             newCols += c.copy(dataType = u.newDataType().sql, begin = sid, end = None)
+          }
+        // ALTER COLUMN SET DEFAULT (reference ddl.sql; the merge-on-read
+        // scan fills the default for files written before the column —
+        // LakeRead mapToCurrent). A new interval row (same columnId) keeps
+        // the old default visible to time travel.
+        case d: TableChange.UpdateColumnDefaultValue =>
+          val name = d.fieldNames().mkString(".")
+          cols.find(_.name == name).foreach { c =>
+            endedCols += s"$tid:${c.columnId}"
+            newCols += c.copy(
+              defaultValue = Option(d.newDefaultValue()).filter(_.nonEmpty),
+              begin = sid, end = None)
           }
         case p: TableChange.SetProperty =>
           endedTags += s"$tid:${p.property()}"

@@ -167,7 +167,14 @@ class Lake(val spark: SparkSession, val root: String) {
 
   /** table_changes(tbl, s0, s1]: insert / delete / update_preimage /
     * update_postimage rows (reference sql/pg_ducklake--0.1.0.sql:344-449,
-    * docs/sql_objects.md §table_changes, data_change_feed.sql). */
+    * docs/sql_objects.md §table_changes, data_change_feed.sql).
+    *
+    * Plan-size shape: consecutive insert-only snapshots collapse into ONE
+    * scan branch (their files are scanned together and `_snapshot_id` is
+    * recovered per row from an O(files) file→snapshot broadcast lookup), so
+    * replaying a table history of N append snapshots plans O(runs), not
+    * O(N) union arms. Only DML snapshots (delete/update), which need their
+    * delta's pre-images, contribute per-snapshot branches. */
   def tableChanges(table: String, startExclusive: Long, endInclusive: Long): DataFrame = {
     val st = store.state()
     val e = resolve(table, st)
@@ -178,27 +185,56 @@ class Lake(val spark: SparkSession, val root: String) {
     val outSchema = StructType(LakeRead.structFor(cols) ++ metaSchema)
     val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
 
-    val parts = st.snapshots
+    val parts = Vector.newBuilder[DataFrame]
+    var run = Vector.empty[Long] // pending insert-only snapshot ids
+    def flushRun(): Unit = {
+      if (run.nonEmpty) insertRunRows(st, run, tid).foreach(parts += _)
+      run = Vector.empty
+    }
+    st.snapshots
       .filter(s => s.snapshotId > startExclusive && s.snapshotId <= endInclusive)
-      .flatMap { snap =>
+      .foreach { snap =>
         val sid = snap.snapshotId
-        val delta = store.delta(sid)
         val tag = snap.changes.headOption.getOrElse("")
-        val isLogicalWrite = tag.startsWith("inserted:") || tag.startsWith("inlined:") ||
-          tag.startsWith("deleted:") || tag.startsWith("updated:")
-        if (!isLogicalWrite) Nil
-        else {
+        if (tag.startsWith("inserted:") || tag.startsWith("inlined:")) run :+= sid
+        else if (tag.startsWith("deleted:") || tag.startsWith("updated:")) {
+          flushRun()
+          val delta = store.delta(sid)
           val isUpdate = tag.startsWith("updated:")
           // inserted rows: new files / new inline batches of this snapshot
-          val ins = insertedRows(st, delta, tid, sid,
+          parts ++= insertedRows(st, delta, tid, sid,
             if (isUpdate) "update_postimage" else "insert")
           // deleted rows: new delete files + inline batch shrinkage
-          val del = deletedRows(st, delta, tid, sid,
+          parts ++= deletedRows(st, delta, tid, sid,
             if (isUpdate) "update_preimage" else "delete")
-          ins.toSeq ++ del.toSeq
         }
+        // non-logical writes (DDL, compaction, flush) are not changes and
+        // don't break an insert run — scanDF handles mixed schema epochs
       }
-    parts.foldLeft(empty)(_ unionByName _)
+    flushRun()
+    parts.result().foldLeft(empty)(_ unionByName _)
+  }
+
+  /** one scan branch for a run of insert-only snapshots */
+  private def insertRunRows(st: CatalogState, sids: Seq[Long], tid: Long): Option[DataFrame] = {
+    val deltas = sids.map(store.delta)
+    val files = deltas.flatMap(_.newFiles.filter(_.tableId == tid))
+    val fresh = deltas.flatMap(_.newInlined.filter(b =>
+      b.tableId == tid && b.rowIds.isEmpty))
+    if (files.isEmpty && fresh.isEmpty) return None
+    // file/batch → committing snapshot, recovered per row after the scan
+    val lookup = spark.createDataFrame(
+      (files.map(f => Row(f.fileName, f.begin)) ++
+        fresh.map(b => Row(s"inline:${b.batchId}", b.begin))).toList.asJava,
+      StructType(Seq(StructField(LakeRead.FileCol, StringType),
+        StructField("_snapshot_id", LongType))))
+    val scan = LakeRead.scanDF(spark, scopedState(st, files, fresh), tid,
+      sids.last, Nil, withRowMeta = true)
+    Some(scan
+      .join(broadcast(lookup), Seq(LakeRead.FileCol), "left")
+      .withColumn("_change_type", lit("insert"))
+      .withColumn("_row_id", col(LakeRead.RowIdCol))
+      .drop(LakeRead.FileCol, LakeRead.PosCol, LakeRead.RowIdCol))
   }
 
   def tableInsertions(table: String, s0: Long, s1: Long): DataFrame =
@@ -206,6 +242,33 @@ class Lake(val spark: SparkSession, val root: String) {
 
   def tableDeletions(table: String, s0: Long, s1: Long): DataFrame =
     tableChanges(table, s0, s1).filter(col("_change_type").isin("delete", "update_preimage"))
+
+  /** Timestamp overloads (reference table_changes/insertions/deletions
+    * taking timestamptz bounds, sql/pg_ducklake--0.1.0.sql:356-445): the
+    * wall-clock window [t0Ms, t1Ms] resolves to the snapshots committed
+    * inside it via snapshot times. */
+  private def timeWindowToSnapshots(t0Ms: Long, t1Ms: Long): (Long, Long) = {
+    val st = store.state()
+    val before = st.snapshots.filter(_.snapshotTimeMs < t0Ms)
+    val s0 = before.lastOption.map(_.snapshotId).getOrElse(-1L)
+    val s1 = st.snapshotAtTime(t1Ms).getOrElse(-1L)
+    (s0, s1)
+  }
+
+  def tableChangesBetweenTimes(table: String, t0Ms: Long, t1Ms: Long): DataFrame = {
+    val (s0, s1) = timeWindowToSnapshots(t0Ms, t1Ms)
+    tableChanges(table, s0, s1)
+  }
+
+  def tableInsertionsBetweenTimes(table: String, t0Ms: Long, t1Ms: Long): DataFrame = {
+    val (s0, s1) = timeWindowToSnapshots(t0Ms, t1Ms)
+    tableInsertions(table, s0, s1)
+  }
+
+  def tableDeletionsBetweenTimes(table: String, t0Ms: Long, t1Ms: Long): DataFrame = {
+    val (s0, s1) = timeWindowToSnapshots(t0Ms, t1Ms)
+    tableDeletions(table, s0, s1)
+  }
 
   /** scope a state view to an explicit file/batch set: intervals are opened
     * so the scan keeps them regardless of the snapshot used for schema */
@@ -262,7 +325,11 @@ class Lake(val spark: SparkSession, val root: String) {
         StructField("pos", LongType), StructField("row_id", LongType)))
       val dd = spark.read.schema(delStruct).parquet(delFiles.map(_.path): _*)
         .select(col("file").as(LakeRead.FileCol), col("pos").as(LakeRead.PosCol))
-      Some(pre.join(broadcast(dd), Seq(LakeRead.FileCol, LakeRead.PosCol), "left_semi"))
+      // same size gate as the scan's anti-join: broadcast only provably
+      // small delete sets (metadata-known counts), else let AQE choose
+      Some(pre.join(
+        LakeRead.gateBroadcast(spark, dd, delFiles.map(_.deleteCount).sum),
+        Seq(LakeRead.FileCol, LakeRead.PosCol), "left_semi"))
     }
 
     // inline pre-images: rows of replaced batches that vanished or changed
@@ -288,31 +355,80 @@ class Lake(val spark: SparkSession, val root: String) {
 
   // ------------------------------------------------------------ maintenance
 
-  /** merge small files (VACUUM step 2, src/pgducklake_vacuum.cpp:73-86):
-    * rewrites the table's live parquet rows (minus deletes) into coalesced
-    * file(s) with explicit row ids; one snapshot swaps the file entries. */
-  def mergeAdjacentFiles(table: String, targetFileCount: Int = 1): Long = {
+  /** table-scoped option with global fallback (docs/settings.md scoping) */
+  private def optionTag(st: CatalogState, tid: Long, key: String): Option[String] = {
+    val cur = st.currentSnapshotId
+    st.tagAt(tid.toString, key, cur).orElse(st.tagAt("global", key, cur))
+  }
+
+  /** Merge adjacent small files (VACUUM step 2, src/pgducklake_vacuum.cpp:
+    * 73-86; DuckLake `ducklake_merge_adjacent_files`): live files SMALLER
+    * than `target_file_size` are bin-packed — in file order, within one
+    * hidden-partition value — into groups whose sum stays under the target,
+    * and each group is rewritten by its own task (the plan is a union of
+    * single-partition branches, so one distributed job re-writes all groups
+    * in parallel, one output file per group). Files already at target size
+    * are NOT read or rewritten — on a 100 TB table the job touches only the
+    * small-file tail, never the whole table. One snapshot swaps the file
+    * entries; row ids are preserved (explicit `_graft_row_id`). */
+  def mergeAdjacentFiles(table: String): Long = {
     val (sn, tn) = schemaOf(table)
     val st = store.state()
     val e = resolve(table, st)
-    val live = st.filesAt(e.tableId, st.currentSnapshotId)
-    if (live.length <= targetFileCount) return st.currentSnapshotId
-    val df = LakeRead.scanDF(spark, st.copy(inlined = Vector.empty), e.tableId,
-      st.currentSnapshotId, Nil, withRowMeta = true)
-      .drop(LakeRead.FileCol, LakeRead.PosCol)
-      .coalesce(targetFileCount)
+    val tid = e.tableId
+    val cur = st.currentSnapshotId
+    val target = optionTag(st, tid, "target_file_size")
+      .map(LakeOptions.parseBytes).getOrElse(LakeOptions.DefaultTargetFileSize)
+    val live = st.filesAt(tid, cur)
+    val groups: Seq[Vector[DataFileEntry]] = live
+      .filter(_.fileSizeBytes < target)
+      .groupBy(_.partitionValues).toSeq.sortBy(_._1.toString)
+      .flatMap { case (_, fs) => LakeOptions.binPack(fs.sortBy(_.fileId), target) }
+      .filter(_.length >= 2)
+    if (groups.isEmpty) return cur
+    // one single-partition branch per group: each task reads exactly its
+    // group's adjacent files (delete files applied inside the branch scan)
+    val df = groups.map { g =>
+        LakeRead.scanDF(spark, st.copy(files = g, inlined = Vector.empty),
+          tid, cur, Nil, withRowMeta = true)
+          .drop(LakeRead.FileCol, LakeRead.PosCol)
+          .coalesce(1)
+      }.reduce(_ unionByName _)
+    val groupedIds = groups.flatten.map(_.fileId).toSet
     LakeWrite.append(spark, store, sn, tn, df, explicitRowIds = true,
-      changeTag = "compacted", sorted = true,
-      extraEnded = stNow => (
-        stNow.filesAt(e.tableId, stNow.currentSnapshotId).map(_.fileId).toList,
-        stNow.deleteFilesAt(e.tableId, stNow.currentSnapshotId).map(_.deleteFileId).toList,
-        Nil))
+      changeTag = "compacted", sorted = true, repartitionForWrite = false,
+      extraEnded = stNow => {
+        val curN = stNow.currentSnapshotId
+        // a delete that landed on a grouped file AFTER our scan would be
+        // silently dropped by the rewrite — fail instead (caller retries),
+        // the mirror of the delete-vs-compaction conflict on the DML side
+        val raced = stNow.deleteFilesAt(tid, curN).filter(d => d.begin > cur &&
+          d.countsByFile.keys.exists(k => groupedIds.contains(k.toLong)))
+        if (raced.nonEmpty) throw new java.util.ConcurrentModificationException(
+          s"compaction conflicts with a concurrent delete on files: " +
+            raced.flatMap(_.countsByFile.keys).mkString(", "))
+        val liveIds = stNow.filesAt(tid, curN).map(_.fileId).toSet
+        val endDel = stNow.deleteFilesAt(tid, curN).filter(d =>
+          d.countsByFile.keys.forall(k =>
+            groupedIds.contains(k.toLong) || !liveIds.contains(k.toLong)))
+        (groupedIds.toList.sorted, endDel.map(_.deleteFileId).toList, Nil)
+      })
+  }
+
+  /** rewrite files past the delete threshold, reading the threshold from
+    * the `rewrite_delete_threshold` option (table scope, then global, then
+    * the reference GUC default 0.1 — src/pgducklake_guc.cpp:21,37-41). */
+  def rewriteDataFiles(table: String): Long = {
+    val st = store.state()
+    val tid = resolve(table, st).tableId
+    rewriteDataFiles(table, optionTag(st, tid, "rewrite_delete_threshold")
+      .map(_.toDouble).getOrElse(0.1))
   }
 
   /** rewrite files whose deleted fraction ≥ threshold (VACUUM step 1,
     * src/pgducklake_vacuum.cpp:45-66; default threshold from GUC
     * ducklake.vacuum_delete_threshold = 0.1). */
-  def rewriteDataFiles(table: String, threshold: Double = 0.1): Long = {
+  def rewriteDataFiles(table: String, threshold: Double): Long = {
     val (sn, tn) = schemaOf(table)
     val st = store.state()
     val e = resolve(table, st)
@@ -340,8 +456,14 @@ class Lake(val spark: SparkSession, val root: String) {
   }
 
   /** full VACUUM = rewrite past threshold, then merge small files
-    * (reference src/pgducklake_vacuum.cpp:24-101 + A28 VACUUM hook). */
-  def vacuum(table: String, threshold: Double = 0.1): Long = {
+    * (reference src/pgducklake_vacuum.cpp:24-101 + A28 VACUUM hook);
+    * no-arg form reads `rewrite_delete_threshold` from the options. */
+  def vacuum(table: String): Long = {
+    rewriteDataFiles(table)
+    mergeAdjacentFiles(table)
+  }
+
+  def vacuum(table: String, threshold: Double): Long = {
     rewriteDataFiles(table, threshold)
     mergeAdjacentFiles(table)
   }
@@ -355,9 +477,12 @@ class Lake(val spark: SparkSession, val root: String) {
     val batches = st.inlinedAt(e.tableId, st.currentSnapshotId)
     if (batches.isEmpty) return st.currentSnapshotId
     val scoped = st.copy(files = Vector.empty, deleteFiles = Vector.empty)
+    // the inline log is bounded by data_inlining_row_limit → one output
+    // file, like the reference's flush (functions.cpp:213-266)
     val df = LakeRead.scanDF(spark, scoped, e.tableId, st.currentSnapshotId,
       Nil, withRowMeta = true)
       .drop(LakeRead.FileCol, LakeRead.PosCol)
+      .coalesce(1)
     LakeWrite.append(spark, store, sn, tn, df, explicitRowIds = true,
       changeTag = "flushed", sorted = true,
       extraEnded = stNow =>
@@ -476,6 +601,66 @@ class ChangeFeedPoller(lake: Lake, table: String, startAt: Long) {
     val df = lake.tableChanges(table, cursor, upTo)
     cursor = upTo
     df
+  }
+}
+
+/** Option-value parsing + compaction bin-packing (docs/settings.md value
+  * forms: sizes like '128MB', intervals like '7 days'). */
+object LakeOptions {
+  /** DuckLake's default data-file target (docs/settings.md target_file_size) */
+  val DefaultTargetFileSize: Long = 512L << 20
+
+  private val SizeRe = """(?i)\s*(\d+(?:\.\d+)?)\s*(b|kb|kib|mb|mib|gb|gib|tb|tib)?\s*""".r
+
+  /** '128MB' / '64KiB' / raw byte count → bytes */
+  def parseBytes(v: String): Long = v match {
+    case SizeRe(num, unit) =>
+      val mult = Option(unit).map(_.toLowerCase) match {
+        case None | Some("b") => 1L
+        case Some("kb") | Some("kib") => 1L << 10
+        case Some("mb") | Some("mib") => 1L << 20
+        case Some("gb") | Some("gib") => 1L << 30
+        case Some("tb") | Some("tib") => 1L << 40
+        case _ => 1L
+      }
+      (num.toDouble * mult).toLong
+    case other => other.trim.toLong
+  }
+
+  private val IntervalRe =
+    """(?i)\s*(\d+(?:\.\d+)?)\s*(ms|millisecond|second|sec|minute|min|hour|day|week)s?\s*""".r
+
+  /** '24 hours' / '7 days' / '30 minutes' → milliseconds */
+  def parseIntervalMs(v: String): Long = v match {
+    case IntervalRe(num, unit) =>
+      val mult = unit.toLowerCase match {
+        case "ms" => 1L
+        case "millisecond" => 1L
+        case "second" | "sec" => 1000L
+        case "minute" | "min" => 60L * 1000
+        case "hour" => 3600L * 1000
+        case "day" => 24L * 3600 * 1000
+        case "week" => 7L * 24 * 3600 * 1000
+      }
+      (num.toDouble * mult).toLong
+    case other => other.trim.toLong
+  }
+
+  /** Greedy in-order bin-packing: adjacent runs of files whose sizes sum to
+    * ≤ target (a lone oversize file forms its own singleton, filtered out
+    * by the ≥2 rule at the call site). */
+  def binPack(files: Seq[Meta.DataFileEntry], targetBytes: Long): Seq[Vector[Meta.DataFileEntry]] = {
+    val out = Vector.newBuilder[Vector[Meta.DataFileEntry]]
+    var group = Vector.empty[Meta.DataFileEntry]
+    var bytes = 0L
+    files.foreach { f =>
+      if (group.nonEmpty && bytes + f.fileSizeBytes > targetBytes) {
+        out += group; group = Vector.empty; bytes = 0L
+      }
+      group :+= f; bytes += f.fileSizeBytes
+    }
+    if (group.nonEmpty) out += group
+    out.result()
   }
 }
 

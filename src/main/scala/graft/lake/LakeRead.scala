@@ -43,7 +43,17 @@ object LakeRead {
   }
 
   def structFor(cols: Seq[ColumnEntry]): StructType =
-    StructType(cols.map(c => StructField(c.name, sparkType(c.dataType), c.nullable)))
+    StructType(cols.map { c =>
+      val f = StructField(c.name, sparkType(c.dataType), c.nullable)
+      // surface stored DEFAULTs to the analyzer (INSERT with a column list
+      // fills CURRENT_DEFAULT; our scan fills the existence default itself)
+      c.defaultValue match {
+        case Some(dv) => f.copy(metadata = new MetadataBuilder()
+          .putString("CURRENT_DEFAULT", dv)
+          .putString("EXISTS_DEFAULT", c.existsDefault.getOrElse(dv)).build())
+        case None => f
+      }
+    })
 
   /** Scan of `tableId` as of snapshot `s`.
     * @param filters     pushed predicates (file pruning only; Spark
@@ -74,8 +84,9 @@ object LakeRead {
         physById.get(c.columnId) match {
           case Some(pn) => col(pn).cast(sparkType(c.dataType)).as(c.name)
           case None =>
-            // column added after this file was written: default value or null
-            c.defaultValue.map(dv => expr(dv)).getOrElse(lit(null))
+            // column added after this file was written: existence default
+            // (frozen at ADD COLUMN time — SET DEFAULT never changes it)
+            c.existsDefault.map(dv => expr(dv)).getOrElse(lit(null))
               .cast(sparkType(c.dataType)).as(c.name)
         }
       } ++ metaCols.map(col)
@@ -147,12 +158,30 @@ object LakeRead {
         StructField("row_id", LongType)))
       val dd = spark.read.schema(delStruct).parquet(deletes.map(_.path): _*)
         .select(col("file").as(FileCol), col("pos").as(PosCol))
-      // delete sets are bounded by the rewrite threshold → broadcast side
-      all = all.join(broadcast(dd), Seq(FileCol, PosCol), "left_anti")
+      all = all.join(gateBroadcast(spark, dd, deletes.map(_.deleteCount).sum),
+        Seq(FileCol, PosCol), "left_anti")
     }
 
     if (!withRowMeta && needMeta) all = all.drop(FileCol, PosCol, RowIdCol)
     all
+  }
+
+  /** estimated in-memory bytes per (file, pos) delete-set row: the file-name
+    * string (~50 chars → java String overhead) + the position long, in a
+    * broadcast hash relation */
+  private val DeleteRowBytes = 160L
+
+  /** Hint `broadcast` on the delete side ONLY when the whole delete set
+    * provably fits the session's broadcast threshold. A single large
+    * `DELETE WHERE` can produce billions of (file, pos) rows before vacuum
+    * rewrites the victims — forcing a broadcast there ships the full set to
+    * every executor and OOMs at scale, so past the threshold we leave the
+    * strategy to Catalyst/AQE (shuffled hash / sort-merge on the anti-join
+    * keys). The metadata makes the gate free: `deleteCount` per delete file
+    * is known without touching data. */
+  def gateBroadcast(spark: SparkSession, dd: DataFrame, totalDeleted: Long): DataFrame = {
+    val threshold = spark.sessionState.conf.autoBroadcastJoinThreshold
+    if (threshold > 0 && totalDeleted * DeleteRowBytes <= threshold) broadcast(dd) else dd
   }
 
   private implicit class ListAsJava[A](l: List[A]) {

@@ -11,6 +11,7 @@ import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, T
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.classic.ClassicConversions._
 import Meta._
 
 /** DSv2 `Table` for a lake table pinned at a snapshot (SURVEY.md §7.1).
@@ -115,6 +116,11 @@ private[lake] class LakeScan(table: LakeTable, filters: Array[Filter],
     new BaseRelation with TableScan {
       override def sqlContext: SQLContext = context
       override def schema: StructType = readSchema()
+      // the composed plan already produces InternalRows in exactly
+      // `readSchema()` order — hand them over as-is (needConversion=false
+      // makes Spark treat the RDD[Row] as RDD[InternalRow]), skipping the
+      // per-row external-Row round trip `.rdd` would pay on every read
+      override def needConversion: Boolean = false
       override def buildScan(): RDD[org.apache.spark.sql.Row] = {
         var df = table.scanDF(context.sparkSession, filters.toSeq)
         // apply the translatable pushed filters INSIDE the composed plan so
@@ -127,7 +133,8 @@ private[lake] class LakeScan(table: LakeTable, filters: Array[Filter],
           case names if names.nonEmpty => df.select(names.map(org.apache.spark.sql.functions.col).toSeq: _*)
           case _ => df
         }
-        projected.rdd
+        projected.queryExecution.toRdd
+          .asInstanceOf[RDD[org.apache.spark.sql.Row]]
       }
     }.asInstanceOf[T]
 

@@ -49,9 +49,13 @@ object LakeWrite {
       partitionValues: Map[String, String])
 
   /** Move staged part-files into the table data dir; parses hidden-partition
-    * values from the staged `_gp<i>=<value>` dir layout. */
+    * values from the staged `_gp<i>=<value>` dir layout. With
+    * `hivePattern` (option hive_file_pattern, docs/settings.md) files land
+    * under Hive-style `<key>=<value>/` subdirs instead of the flat layout —
+    * cosmetic for our scan (paths are explicit per file) but interoperable
+    * with path-partitioned readers. */
   private def promoteStaged(staging: String, dataDir: String,
-      partKeys: List[PartitionKey]): Seq[StagedFile] = {
+      partKeys: List[PartitionKey], hivePattern: Boolean = false): Seq[StagedFile] = {
     Files.createDirectories(Paths.get(dataDir))
     val stagedRoot = Paths.get(staging)
     val out = Vector.newBuilder[StagedFile]
@@ -70,7 +74,14 @@ object LakeWrite {
             }
           }.toMap
           val newName = s"g${uuid()}.parquet"
-          val target = Paths.get(dataDir, newName)
+          val subDir =
+            if (hivePattern && pvs.nonEmpty)
+              pvs.toSeq.sortBy(_._1).map { case (k, v) =>
+                s"${k.replaceAll("[^A-Za-z0-9_.-]", "_")}=$v"
+              }.mkString("/") + "/"
+            else ""
+          val target = Paths.get(dataDir, subDir + newName)
+          Files.createDirectories(target.getParent)
           Files.move(p, target)
           out += StagedFile(target.toString, newName, pvs)
         }
@@ -102,26 +113,32 @@ object LakeWrite {
 
   /** Writer options from table/global tags (reference docs/settings.md,
     * test/regression/sql/options.sql): parquet_compression(_level),
-    * parquet_row_group_size_bytes map straight onto the parquet writer;
-    * target_file_size (bytes) is honored adaptively — bytes/row estimated
-    * from the table's existing files sizes a maxRecordsPerFile split. */
+    * parquet_row_group_size_bytes, parquet_version map straight onto the
+    * parquet writer; target_file_size and parquet_row_group_size (rows) are
+    * honored adaptively — bytes/row estimated from the table's existing
+    * files (the parquet-hadoop writer sizes row groups in bytes only). */
   private def writeOptions(st: CatalogState, tid: Long, s: Long): Map[String, String] = {
     def tag(k: String): Option[String] =
       st.tagAt(tid.toString, k, s).orElse(st.tagAt("global", k, s))
+    def bytesPerRow: Option[Long] = {
+      val live = st.filesAt(tid, s)
+      val rows = live.map(_.rowCount).sum
+      val bytes = live.map(_.fileSizeBytes).sum
+      if (rows > 0 && bytes > 0) Some(math.max(1L, bytes / rows)) else None
+    }
     val b = Map.newBuilder[String, String]
     tag("parquet_compression").foreach(v => b += "compression" -> v)
     tag("parquet_compression_level").foreach(v =>
       b += "parquet.compression.codec.zstd.level" -> v)
-    tag("parquet_row_group_size_bytes").foreach(v => b += "parquet.block.size" -> v)
-    tag("target_file_size").foreach { v =>
-      val live = st.filesAt(tid, s)
-      val rows = live.map(_.rowCount).sum
-      val bytes = live.map(_.fileSizeBytes).sum
-      if (rows > 0 && bytes > 0) {
-        val bytesPerRow = math.max(1L, bytes / rows)
-        b += "maxRecordsPerFile" -> math.max(1L, v.toLong / bytesPerRow).toString
-      }
-    }
+    tag("parquet_row_group_size_bytes").foreach(v =>
+      b += "parquet.block.size" -> LakeOptions.parseBytes(v).toString)
+    tag("parquet_row_group_size").foreach(v => bytesPerRow.foreach(bpr =>
+      b += "parquet.block.size" -> (v.toLong * bpr).toString))
+    tag("parquet_version").foreach(v => b += "parquet.writer.version" ->
+      (if (v.replaceAll("[^0-9]", "") == "2") "PARQUET_2_0" else "PARQUET_1_0"))
+    tag("target_file_size").foreach(v => bytesPerRow.foreach(bpr =>
+      b += "maxRecordsPerFile" ->
+        math.max(1L, LakeOptions.parseBytes(v) / bpr).toString))
     b.result()
   }
 
@@ -151,7 +168,8 @@ object LakeWrite {
       explicitRowIds: Boolean = false,
       changeTag: String = "inserted",
       extraEnded: CatalogState => (List[Long], List[Long], List[Long]) = _ => (Nil, Nil, Nil),
-      sorted: Boolean = false): Long = {
+      sorted: Boolean = false,
+      repartitionForWrite: Boolean = true): Long = {
     val st0 = store.state()
     val s0 = st0.currentSnapshotId
     val tid = st0.tableAt(schemaName, tableName, s0)
@@ -161,25 +179,40 @@ object LakeWrite {
     val sortKeys = st0.sortKeysAt(tid, s0)
     val schemaVersion = st0.snapshots.lastOption.map(_.schemaVersion).getOrElse(0L)
 
+    def tag(k: String): Option[String] =
+      st0.tagAt(tid.toString, k, s0).orElse(st0.tagAt("global", k, s0))
+
     // align to table schema (by name, cast to declared types)
     val rowIdSel = if (explicitRowIds) Seq(col(LakeRead.RowIdCol)) else Nil
     var aligned = df.select(
       cols.map(c => col(c.name).cast(LakeRead.sparkType(c.dataType)).as(c.name)) ++ rowIdSel: _*)
+    // per_thread_output=false (docs/settings.md): funnel into one output
+    // file per write instead of the default one-per-task
+    if (tag("per_thread_output").exists(v => v == "false" || v == "0"))
+      aligned = aligned.coalesce(1)
     if (sortKeys.nonEmpty && sorted) aligned = aligned.sortWithinPartitions(sortKeys.map(sortCol): _*)
 
     val staging = s"${store.root}/_staging/${uuid()}"
     val wopts = writeOptions(st0, tid, s0)
+    val hivePattern = partKeys.nonEmpty &&
+      tag("hive_file_pattern").exists(v => v == "true" || v == "1")
     if (partKeys.nonEmpty) {
       val pcols = partKeys.zipWithIndex.map { case (pk, i) => transformCol(pk).as(s"_gp$i") }
-      val withP = aligned.select(aligned.columns.map(col) ++ pcols: _*)
-        .repartition(partKeys.indices.map(i => col(s"_gp$i")): _*)
+      // compaction inputs are already grouped partition-pure (one task per
+      // bin-packed group), so the shuffle would only break that grouping —
+      // the dynamic-partition writer splits by _gp value either way
+      val withP0 = aligned.select(aligned.columns.map(col) ++ pcols: _*)
+      val withP = if (repartitionForWrite)
+        withP0.repartition(partKeys.indices.map(i => col(s"_gp$i")): _*)
+      else withP0
       val sortedP = if (sortKeys.nonEmpty && sorted)
         withP.sortWithinPartitions(sortKeys.map(sortCol): _*) else withP
       sortedP.write.options(wopts).partitionBy(partKeys.indices.map(i => s"_gp$i"): _*)
         .mode(SaveMode.Overwrite).parquet(staging)
     } else aligned.write.options(wopts).mode(SaveMode.Overwrite).parquet(staging)
 
-    val staged = promoteStaged(staging, s"${tableDir(store.root, tid)}/data", partKeys)
+    val staged = promoteStaged(staging, s"${tableDir(store.root, tid)}/data",
+      partKeys, hivePattern)
 
     // per-file stats job (distributed; one aggregate row per file)
     val statCols = cols.filter(c => statsEligible(LakeRead.sparkType(c.dataType)))

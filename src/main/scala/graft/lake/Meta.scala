@@ -34,7 +34,13 @@ object Meta {
   /** ducklake_column; columnId is stable across renames/type changes —
     * a DDL change ends the old row and begins a new one (same columnId),
     * which is what makes historical-schema time travel work
-    * (ducklake_column_mapping / name_mapping in the reference). */
+    * (ducklake_column_mapping / name_mapping in the reference).
+    *
+    * `defaultValue` is the CURRENT default (fills INSERTs that omit the
+    * column; `ALTER COLUMN SET DEFAULT` replaces it); `existsDefault` is
+    * the EXISTENCE default frozen at ADD COLUMN time (fills rows in files
+    * written before the column existed) — the PG split the reference
+    * inherits (ddl.sql): SET DEFAULT never rewrites history. */
   case class ColumnEntry(
       tableId: Long,
       columnId: Long,
@@ -44,7 +50,8 @@ object Meta {
       nullable: Boolean,
       defaultValue: Option[String],
       begin: Long,
-      end: Option[Long])
+      end: Option[Long],
+      existsDefault: Option[String] = None)
 
   /** ducklake_data_file (+ ducklake_file_partition_value flattened into
     * `partitionValues`). Row ids are implicit: [firstRowId, firstRowId +

@@ -309,6 +309,98 @@ object LakeQueries {
         .orderBy("r_regionkey", "r_name")
     }),
 
+    // ---- A17 bin-packed compaction (ducklake_merge_adjacent_files,
+    // src/pgducklake_vacuum.cpp:73-86): only files below target_file_size
+    // are merged; the big file survives untouched -------------------------
+    "l22_binpack_compaction" -> ((s, dir) => {
+      val lake = newLake(s)
+      val region = t(s, dir, "region")
+      lake.createTable("main.bp", StructType(Seq(
+        StructField("k", LongType), StructField("v", StringType))))
+      lake.setOption("target_file_size", "64KB", Some("main.bp"))
+      // one big file: 2000 incompressible rows per region row (≫ 64 KB)
+      lake.append("main.bp", region
+        .select(col("r_regionkey").cast(LongType).as("rk"),
+          explode(sequence(lit(1), lit(2000))).as("i"))
+        .select((col("rk") * 2000 + col("i").cast(LongType)).as("k"),
+          md5(concat(col("rk"), lit(":"), col("i"))).as("v"))
+        .coalesce(1))
+      // four small files
+      (0 to 3).foreach(j => lake.append("main.bp",
+        region.filter(col("r_regionkey") === j)
+          .select((col("r_regionkey") + 100000).cast(LongType).as("k"),
+            col("r_name").as("v")).coalesce(1)))
+      lake.mergeAdjacentFiles("main.bp")
+      val agg = lake.table("main.bp")
+        .agg(count(lit(1)).as("n_rows"), sum("k").as("sum_k"))
+      lake.tableInfo().select("file_count").crossJoin(agg)
+    }),
+
+    // ---- A20 flush_inlined_data (src/pgducklake_functions.cpp:213-266,
+    // data_inlining_row_limit.sql Test 6): inline rows move to parquet,
+    // file_count 0→1, inlined_row_count →0, rows intact ---------------------
+    "l23_flush_inline" -> ((s, dir) => {
+      val lake = newLake(s)
+      lake.createTable("main.fi", StructType(Seq(
+        StructField("a", IntegerType), StructField("b", IntegerType))))
+      lake.setOption("data_inlining_row_limit", "100", Some("main.fi"))
+      lake.insertRows("main.fi", Seq(Seq(1, 10), Seq(2, 20), Seq(3, 30)))
+      val before = lake.tableInfo().select(col("file_count").as("fc_before"),
+        col("inlined_row_count").as("inl_before"))
+      lake.flushInlinedData("main.fi")
+      val after = lake.tableInfo().select(col("file_count").as("fc_after"),
+        col("inlined_row_count").as("inl_after"))
+      lake.table("main.fi").crossJoin(before).crossJoin(after).orderBy("a")
+    }),
+
+    // ---- §2.B SQL UPDATE statement (dml_row_count.sql UPDATE tag):
+    // resolves through the DSv2 catalog, lowered onto the native
+    // positional-delete update by graft.lake.ResolveLakeUpdate -------------
+    "l24_sql_update" -> ((s, dir) => {
+      val lake = newLake(s)
+      lake.createTableAs("main.nu", t(s, dir, "nation"))
+      val cat = s"lqup${System.nanoTime()}"
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", lake.root)
+      val n = s.sql(s"UPDATE $cat.main.nu SET n_name = concat(n_name, '!') " +
+        "WHERE n_regionkey = 1").collect().head.getLong(0)
+      lake.table("main.nu")
+        .select(col("n_nationkey"), col("n_name"), lit(n).as("n_updated"))
+        .orderBy("n_nationkey")
+    }),
+
+    // ---- A10 column defaults (ddl.sql): ADD COLUMN DEFAULT backfills old
+    // files with the frozen existence default; SET DEFAULT redefines only
+    // the current default used by later inserts ---------------------------
+    "l25_column_default" -> ((s, dir) => {
+      val lake = newLake(s)
+      lake.createTableAs("main.dd", t(s, dir, "region"))
+      val cat = s"lqdef${System.nanoTime()}"
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", lake.root)
+      s.sql(s"ALTER TABLE $cat.main.dd ADD COLUMN tag STRING DEFAULT 'legacy'")
+      s.sql(s"ALTER TABLE $cat.main.dd ALTER COLUMN tag SET DEFAULT 'fresh'")
+      s.sql(s"INSERT INTO $cat.main.dd (r_regionkey, r_name) VALUES (99, 'NEW')")
+      lake.table("main.dd").orderBy("r_regionkey")
+    }),
+
+    // ---- A16 timestamptz change-feed overloads (pg_ducklake--0.1.0.sql:
+    // 356-445): a wall-clock window resolves to the snapshot range --------
+    "l26_cdf_timestamps" -> ((s, dir) => {
+      val lake = newLake(s)
+      val nation = t(s, dir, "nation")
+      lake.createTable("main.tc", nation.schema)
+      lake.append("main.tc", nation)
+      lake.delete("main.tc", col("n_regionkey") === 2)
+      val now = System.currentTimeMillis() + 3600000L
+      lake.tableChangesBetweenTimes("main.tc", 0L, now)
+        .select("_change_type", "n_nationkey", "n_name")
+        .unionByName(lake.tableDeletionsBetweenTimes("main.tc", 0L, now)
+          .select(concat(lit("only_"), col("_change_type")).as("_change_type"),
+            col("n_nationkey"), col("n_name")))
+        .orderBy("_change_type", "n_nationkey")
+    }),
+
     // ---- §1.2 variant: semi-structured columns (variant.sql; Spark 4
     // VariantType). Insert JSON of mixed shapes, DML by extracted field,
     // read back typed extractions ------------------------------------------
@@ -458,6 +550,42 @@ object LakeQueries {
         |FROM (SELECT * FROM region UNION ALL SELECT * FROM region
         |      UNION ALL SELECT * FROM region) t
         |ORDER BY r_regionkey, r_name""".stripMargin,
+
+    "l22_binpack_compaction" ->
+      """SELECT CAST(2 AS BIGINT) AS file_count,
+        |  (SELECT count(*) * 2000 FROM region) + 4 AS n_rows,
+        |  CAST((SELECT sum(r_regionkey * 2000 + i.i)
+        |        FROM region, generate_series(1, 2000) AS i(i)) +
+        |       (SELECT sum(r_regionkey + 100000) FROM region WHERE r_regionkey <= 3)
+        |       AS BIGINT) AS sum_k""".stripMargin,
+
+    "l23_flush_inline" ->
+      """SELECT a, b,
+        |  CAST(0 AS BIGINT) AS fc_before, CAST(3 AS BIGINT) AS inl_before,
+        |  CAST(1 AS BIGINT) AS fc_after, CAST(0 AS BIGINT) AS inl_after
+        |FROM (VALUES (1, 10), (2, 20), (3, 30)) v(a, b) ORDER BY a""".stripMargin,
+
+    "l24_sql_update" ->
+      """SELECT n_nationkey,
+        |  CASE WHEN n_regionkey = 1 THEN n_name || '!' ELSE n_name END AS n_name,
+        |  (SELECT count(*) FROM nation WHERE n_regionkey = 1) AS n_updated
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "l25_column_default" ->
+      """SELECT * FROM (
+        |  SELECT r_regionkey, r_name, 'legacy' AS tag FROM region
+        |  UNION ALL
+        |  SELECT CAST(99 AS INTEGER), 'NEW', 'fresh') t
+        |ORDER BY r_regionkey""".stripMargin,
+
+    "l26_cdf_timestamps" ->
+      """SELECT * FROM (
+        |  SELECT 'insert' AS _change_type, n_nationkey, n_name FROM nation
+        |  UNION ALL
+        |  SELECT 'delete', n_nationkey, n_name FROM nation WHERE n_regionkey = 2
+        |  UNION ALL
+        |  SELECT 'only_delete', n_nationkey, n_name FROM nation WHERE n_regionkey = 2) t
+        |ORDER BY _change_type, n_nationkey""".stripMargin,
 
     "l21_variant" ->
       """SELECT id, name, age, first_elem FROM (VALUES

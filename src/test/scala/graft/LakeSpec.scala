@@ -630,6 +630,136 @@ class LakeSpec extends AnyFunSuite {
       s"no parquet pushdown in plan:\n${plan.take(1500)}")
   }
 
+  // ---- SQL UPDATE lowers onto the native positional-delete update ---------
+  test("SQL UPDATE works through the catalog and feeds the change feed") {
+    val root = Files.createTempDirectory("graft_sqlup").toString
+    val cat = s"upcat${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE TABLE $cat.main.u (a INT, b INT, s STRING)")
+    spark.sql(s"INSERT INTO $cat.main.u VALUES (1, 10, 'x'), (2, 20, 'y'), (3, 30, 'z')")
+    val res = spark.sql(s"UPDATE $cat.main.u SET b = b + 100, s = concat(s, '!') WHERE a >= 2")
+    assert(res.collect().map(_.getLong(0)).toSeq == Seq(2L), "UPDATE row count")
+    assert(spark.sql(s"SELECT a, b, s FROM $cat.main.u ORDER BY a").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSeq ==
+      Seq((1, 10, "x"), (2, 120, "y!"), (3, 130, "z!")))
+    // the SQL update produced proper pre/post images in the change feed
+    val lake = new Lake(spark, root)
+    val changes = lake.tableChanges("main.u", lake.currentSnapshot() - 1,
+      lake.currentSnapshot())
+      .select("_change_type", "a", "b").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).sorted
+    assert(changes.toSeq == Seq(
+      ("update_postimage", 2, 120), ("update_postimage", 3, 130),
+      ("update_preimage", 2, 20), ("update_preimage", 3, 30)))
+  }
+
+  // ---- ddl.sql: column defaults — existence vs current ---------------------
+  test("ADD COLUMN DEFAULT fills old files; SET DEFAULT only affects inserts") {
+    val root = Files.createTempDirectory("graft_def").toString
+    val cat = s"defcat${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE TABLE $cat.main.dc (a INT)")
+    spark.sql(s"INSERT INTO $cat.main.dc VALUES (1), (2)")
+    spark.sql(s"ALTER TABLE $cat.main.dc ADD COLUMN tag STRING DEFAULT 'legacy'")
+    spark.sql(s"ALTER TABLE $cat.main.dc ALTER COLUMN tag SET DEFAULT 'fresh'")
+    spark.sql(s"INSERT INTO $cat.main.dc (a) VALUES (3)")
+    val rows = spark.sql(s"SELECT a, tag FROM $cat.main.dc ORDER BY a").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    // pre-ADD rows keep the frozen existence default; the new insert that
+    // omitted the column takes the CURRENT default
+    assert(rows == Seq((1, "legacy"), (2, "legacy"), (3, "fresh")))
+  }
+
+  // ---- change feed plans O(runs), not O(snapshots) ------------------------
+  test("change feed batches insert-only runs into one scan branch") {
+    val lake = newLake()
+    lake.createTable("main.rf", abSchema)
+    lake.setOption("data_inlining_row_limit", "1000", Some("main.rf"))
+    (1 to 30).foreach(i => lake.insertRows("main.rf", Seq(Seq(i, i), Seq(i + 100, i))))
+    val df = lake.tableChanges("main.rf", 0L, lake.currentSnapshot())
+    import org.apache.spark.sql.catalyst.plans.logical.Union
+    val arms = df.queryExecution.logical.collect { case u: Union => u.children.length }
+    assert(arms.forall(_ <= 2), s"union arms: $arms — insert run not batched")
+    val rows = df.select("_snapshot_id", "a").collect()
+    assert(rows.length == 60)
+    assert(rows.map(_.getLong(0)).distinct.length == 30,
+      "per-row _snapshot_id must be the committing snapshot, not the run end")
+  }
+
+  // ---- timestamptz change-feed overloads ----------------------------------
+  test("timestamp change-feed overloads resolve the wall-clock window") {
+    val lake = newLake()
+    import spark.implicits._
+    lake.createTable("main.tw", abSchema)
+    lake.append("main.tw", Seq((1, 1), (2, 2)).toDF("a", "b"))
+    lake.delete("main.tw", col("a") === 1)
+    val all = lake.tableChangesBetweenTimes("main.tw", 0L, System.currentTimeMillis())
+      .select("_change_type", "a").collect().map(r => (r.getString(0), r.getInt(1))).sorted
+    assert(all.toSeq == Seq(("delete", 1), ("insert", 1), ("insert", 2)))
+    assert(lake.tableDeletionsBetweenTimes("main.tw", 0L,
+      System.currentTimeMillis()).count() == 1)
+    // a window before any snapshot sees nothing
+    assert(lake.tableChangesBetweenTimes("main.tw", 0L, 1L).count() == 0)
+  }
+
+  // ---- compaction bin-packing: big files are never rewritten --------------
+  test("merge bin-packs only files below target_file_size; big files untouched") {
+    val lake = newLake()
+    import spark.implicits._
+    lake.createTable("main.bp", StructType(Seq(
+      StructField("k", IntegerType), StructField("v", StringType))))
+    lake.setOption("target_file_size", "16KB", Some("main.bp"))
+    // one big file (incompressible payload, well over 16 KB)
+    lake.append("main.bp", (1 to 2000).map(i => (i, i))
+      .toDF("k", "i").select(col("k"), md5(concat(col("i"), lit("x"))).as("v"))
+      .coalesce(1))
+    // four small files
+    (1 to 4).foreach(i => lake.append("main.bp",
+      Seq((10000 + i, s"small-$i")).toDF("k", "v")))
+    val before = lake.listFiles("main.bp").collect()
+    assert(before.length == 5)
+    val bigFile = before.maxBy(_.getLong(3)) // file_size
+    lake.mergeAdjacentFiles("main.bp")
+    val after = lake.listFiles("main.bp").collect()
+    assert(after.length == 2, s"expected big+1, got ${after.length}")
+    assert(after.map(_.getString(1)).contains(bigFile.getString(1)),
+      "the big file must survive compaction untouched")
+    assert(lake.table("main.bp").count() == 2004)
+    // a second merge is a no-op (1 small file left, nothing to pack)
+    val snap = lake.currentSnapshot()
+    lake.mergeAdjacentFiles("main.bp")
+    assert(lake.currentSnapshot() == snap)
+  }
+
+  // ---- scale guard: the delete-set join must not force a broadcast --------
+  test("large delete sets are not force-broadcast in the merge-on-read scan") {
+    val lake = newLake()
+    import spark.implicits._
+    lake.createTable("main.bd", abSchema)
+    lake.append("main.bd", (1 to 2000).map(i => (i, i)).toDF("a", "b"))
+    lake.delete("main.bd", col("a") % 2 === 0) // 1000-row delete set
+    // under a tiny broadcast threshold the gate must leave the join
+    // strategy to Catalyst (no user-forced ResolvedHint / broadcast of a
+    // set the session says is too big) — and the scan stays correct
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // the O(files) row-id lookup join is always hinted (bounded by the
+      // file list); the DELETE-SET join must not add a second hint
+      def hintCount(s: String) = "ResolvedHint".r.findAllIn(s).length
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+      val df = lake.table("main.bd")
+      val gated = hintCount(df.queryExecution.analyzed.toString)
+      assert(df.count() == 1000)
+      // small sets under a normal threshold DO get the broadcast hint
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      val hinted = hintCount(lake.table("main.bd").queryExecution.analyzed.toString)
+      assert(hinted == gated + 1,
+        s"expected exactly one extra hint for the small delete set (gated=$gated hinted=$hinted)")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   // ---- metadata store crash-atomicity -------------------------------------
   test("commit is crash-atomic: truncated temp never poisons the log") {
     val lake = newLake()
