@@ -100,7 +100,9 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   private def loadAt(ident: Identifier, st: CatalogState, s: Long): Table = {
-    if (st.tableAt(ns(ident), ident.name(), s).isEmpty)
+    // expired snapshots are gone from the history — refuse time travel
+    if (!st.snapshots.exists(_.snapshotId == s) ||
+        st.tableAt(ns(ident), ident.name(), s).isEmpty)
       throw new NoSuchTableException(ident)
     if (readOnly) new LakeTable(null, ns(ident), ident.name(), s, st) {
       override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo) =

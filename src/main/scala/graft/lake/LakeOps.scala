@@ -90,6 +90,8 @@ class Lake(val spark: SparkSession, val root: String) {
       .orElse(spark.conf.getOption("spark.graft.lake.asOfTimestampMs")
         .flatMap(ms => st.snapshotAtTime(ms.toLong)))
       .getOrElse(st.currentSnapshotId)
+    require(st.snapshots.exists(_.snapshotId == s),
+      s"snapshot $s does not exist or has been expired")
     require(liveAt(entry.begin, entry.end, s) ||
       st.tableById(entry.tableId, s).isDefined, s"table $name not live at $s")
     LakeRead.scanDF(spark, st, entry.tableId, s)
@@ -119,10 +121,11 @@ class Lake(val spark: SparkSession, val root: String) {
     val st = store.state()
     val rows = st.snapshots.map(s =>
       Row(s.snapshotId, new java.sql.Timestamp(s.snapshotTimeMs), s.schemaVersion,
-        s.changes.mkString(",")))
+        s.changes.mkString(","), s.commitMessage.orNull))
     spark.createDataFrame(rows.toList.asJava, StructType(Seq(
       StructField("snapshot_id", LongType), StructField("snapshot_time", TimestampType),
-      StructField("schema_version", LongType), StructField("changes", StringType))))
+      StructField("schema_version", LongType), StructField("changes", StringType),
+      StructField("commit_message", StringType))))
   }
 
   def currentSnapshot(): Long = store.state().currentSnapshotId
@@ -490,12 +493,16 @@ class Lake(val spark: SparkSession, val root: String) {
   }
 
   /** cleanup_old_files (reference src/pgducklake_functions.cpp:142-203):
-    * physically delete files scheduled for deletion. */
+    * physically delete files scheduled for deletion. The retention window
+    * defaults to the `delete_older_than` option (docs/settings.md). */
   def cleanupOldFiles(olderThanMs: Option[Long] = None): Long = {
     val st = store.state()
     val now = System.currentTimeMillis()
+    val window = olderThanMs.orElse(
+      st.tagAt("global", "delete_older_than", st.currentSnapshotId)
+        .map(LakeOptions.parseIntervalMs))
     val victims = st.scheduledDeletions.filter(sd =>
-      olderThanMs.forall(ms => sd.scheduledAtMs <= now - ms))
+      window.forall(ms => sd.scheduledAtMs <= now - ms))
     victims.foreach { sd =>
       val p = Paths.get(sd.path)
       if (Files.isDirectory(p)) LakeWrite.deleteRecursively(sd.path)
@@ -508,6 +515,36 @@ class Lake(val spark: SparkSession, val root: String) {
           stN.snapshots.lastOption.map(_.schemaVersion).getOrElse(0L),
           List(s"cleanup:${victims.length}")),
         removedScheduledDeletions = victims.map(_.path).toList)
+    }
+  }
+
+  /** expire_snapshots (docs/settings.md expire_older_than): snapshots older
+    * than the retention window disappear from the history — time travel,
+    * `snapshots()`, and the change feed refuse them afterwards. The
+    * interval-versioned catalog rows keep their begin/end intervals, and
+    * files replaced by DML/compaction were already scheduled for deletion
+    * at replacement time, so expiry + `cleanupOldFiles` together bound how
+    * far back the physical data must be retained. */
+  def expireSnapshots(olderThanMs: Option[Long] = None): Long = {
+    val st = store.state()
+    val cur = st.currentSnapshotId
+    val window = olderThanMs.orElse(
+      st.tagAt("global", "expire_older_than", cur).map(LakeOptions.parseIntervalMs))
+    window match {
+      case None => cur
+      case Some(ms) =>
+        val horizon = System.currentTimeMillis() - ms
+        val victims = st.snapshots
+          .filter(s => s.snapshotId != cur && s.snapshotTimeMs < horizon)
+          .map(_.snapshotId).toList
+        if (victims.isEmpty) cur
+        else store.commitWithRetry() { (stN, sid) =>
+          CommitDelta(
+            snapshot = Snapshot(sid, System.currentTimeMillis(),
+              stN.snapshots.lastOption.map(_.schemaVersion).getOrElse(0L),
+              List(s"expired_snapshots:${victims.length}")),
+            expiredSnapshots = victims)
+        }
     }
   }
 

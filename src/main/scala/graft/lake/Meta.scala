@@ -166,7 +166,8 @@ object Meta {
       newTags: List[TagEntry] = Nil,
       endedTags: List[String] = Nil,               // "scope:key"
       newScheduledDeletions: List[ScheduledDeletion] = Nil,
-      removedScheduledDeletions: List[String] = Nil) // paths
+      removedScheduledDeletions: List[String] = Nil,    // paths
+      expiredSnapshots: List[Long] = Nil)               // snapshotIds
 
   /** Interval check: is a row live as of snapshot S? */
   def liveAt(begin: Long, end: Option[Long], s: Long): Boolean =
@@ -258,7 +259,10 @@ object Meta {
     def endRows[A](rows: Vector[A], shouldEnd: A => Boolean, withEnd: A => A): Vector[A] =
       rows.map(r => if (shouldEnd(r)) withEnd(r) else r)
     CatalogState(
-      snapshots = state.snapshots :+ d.snapshot,
+      // expiry removes the snapshot ROW (time travel/CDF refuse it); the
+      // interval-versioned entity rows keep their begin/end history
+      snapshots = state.snapshots.filterNot(sn =>
+        d.expiredSnapshots.contains(sn.snapshotId)) :+ d.snapshot,
       tables = endRows[TableEntry](state.tables,
         t => d.endedTables.contains(t.tableId) && t.end.isEmpty,
         _.copy(end = Some(s))) ++ d.newTables,

@@ -99,6 +99,35 @@ class MetadataStore(val root: String) {
     } finally Files.deleteIfExists(tmp)
   }
 
+  /** Commit message surface (reference metadata_manager.cpp:735
+    * commit_message column; docs/settings.md require_commit_message):
+    * messages are supplied per session via the conf
+    * `spark.graft.lake.commitMessage`; when a live require_commit_message
+    * tag covers a table the delta touches (or is global), a missing
+    * message fails the commit. */
+  private def stampCommitMessage(st: CatalogState, delta: CommitDelta): CommitDelta = {
+    val confMsg = org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(_.conf.getOption("spark.graft.lake.commitMessage"))
+      .filter(_.nonEmpty)
+    val stamped =
+      if (delta.snapshot.commitMessage.isEmpty && confMsg.isDefined)
+        delta.copy(snapshot = delta.snapshot.copy(commitMessage = confMsg))
+      else delta
+    val touched: Set[String] = (delta.newFiles.map(_.tableId) ++
+      delta.newDeleteFiles.map(_.tableId) ++ delta.newInlined.map(_.tableId) ++
+      delta.newColumns.map(_.tableId) ++ delta.newTables.map(_.tableId) ++
+      delta.endedTables).map(_.toString).toSet + "global"
+    val cur = st.currentSnapshotId
+    val required = st.tags.exists(t => t.key == "require_commit_message" &&
+      (t.value == "true" || t.value == "1") && liveAt(t.begin, t.end, cur) &&
+      touched.contains(t.scope))
+    if (required && stamped.snapshot.commitMessage.isEmpty)
+      throw new IllegalStateException(
+        "require_commit_message is set: provide one via the session conf " +
+          "spark.graft.lake.commitMessage before writing")
+    stamped
+  }
+
   /** Commit with optimistic retry: `build` receives the fresh state and the
     * snapshot id to claim; on conflict it is re-invoked against re-read
     * state. Returns the committed snapshot id. */
@@ -107,7 +136,7 @@ class MetadataStore(val root: String) {
     while (true) {
       val st = state()
       val sid = st.currentSnapshotId + 1
-      val delta = build(st, sid)
+      val delta = stampCommitMessage(st, build(st, sid))
       try {
         commit(delta)
         return sid

@@ -401,6 +401,29 @@ object LakeQueries {
         .orderBy("_change_type", "n_nationkey")
     }),
 
+    // ---- A23 require_commit_message + expire_older_than (docs/settings.md;
+    // commit_message column per metadata_manager.cpp:735): expired
+    // snapshots leave the history and refuse time travel --------------------
+    "l27_expiry_commitmsg" -> ((s, dir) => {
+      val lake = newLake(s)
+      val nation = t(s, dir, "nation")
+      lake.createTable("main.ex", nation.schema)       // snap 0
+      lake.append("main.ex", nation)                   // snap 1
+      lake.delete("main.ex", col("n_regionkey") === 0) // snap 2
+      lake.setOption("require_commit_message", "true") // snap 3
+      s.conf.set("spark.graft.lake.commitMessage", "expire old history")
+      try { Thread.sleep(10); lake.expireSnapshots(Some(0L)) } // snap 4
+      finally s.conf.unset("spark.graft.lake.commitMessage")
+      val ttRefused = try { lake.table("main.ex", Some(1)).count(); 0 }
+        catch { case _: IllegalArgumentException => 1 }
+      val meta = lake.snapshots()
+        .agg(count(lit(1)).as("n_snapshots"),
+          max("commit_message").as("last_message"))
+        .withColumn("tt_refused", lit(ttRefused))
+      lake.table("main.ex").select("n_nationkey", "n_name").crossJoin(meta)
+        .orderBy("n_nationkey")
+    }),
+
     // ---- §1.2 variant: semi-structured columns (variant.sql; Spark 4
     // VariantType). Insert JSON of mixed shapes, DML by extracted field,
     // read back typed extractions ------------------------------------------
@@ -586,6 +609,14 @@ object LakeQueries {
         |  UNION ALL
         |  SELECT 'only_delete', n_nationkey, n_name FROM nation WHERE n_regionkey = 2) t
         |ORDER BY _change_type, n_nationkey""".stripMargin,
+
+    "l27_expiry_commitmsg" ->
+      """SELECT n_nationkey, n_name,
+        |  CAST(2 AS BIGINT) AS n_snapshots,
+        |  'expire old history' AS last_message,
+        |  1 AS tt_refused
+        |FROM nation WHERE n_regionkey <> 0
+        |ORDER BY n_nationkey""".stripMargin,
 
     "l21_variant" ->
       """SELECT id, name, age, first_elem FROM (VALUES

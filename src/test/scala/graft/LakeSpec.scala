@@ -760,6 +760,60 @@ class LakeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  // ---- layout options: hive_file_pattern + per_thread_output --------------
+  test("hive_file_pattern and per_thread_output shape the physical layout") {
+    val lake = newLake()
+    import spark.implicits._
+    lake.createTable("main.hp", abSchema,
+      partitionKeys = List(PartitionKey("identity", "a")))
+    lake.setOption("hive_file_pattern", "true", Some("main.hp"))
+    lake.setOption("per_thread_output", "false", Some("main.hp"))
+    lake.append("main.hp", (1 to 100).map(i => (i % 2, i)).toDF("a", "b"))
+    val files = lake.listFiles("main.hp").collect()
+    assert(files.length == 2, "one file per partition under per_thread_output=false")
+    val st = lake.store.state()
+    val paths = st.files.map(_.path)
+    assert(paths.forall(p => p.contains("/a=0/") || p.contains("/a=1/")),
+      s"expected hive-style dirs, got: $paths")
+    assert(lake.table("main.hp").count() == 100)
+    assert(lake.table("main.hp").filter(col("a") === 1).count() == 50)
+  }
+
+  // ---- commit messages (require_commit_message, metadata_manager.cpp:735) -
+  test("require_commit_message blocks writes until a message is supplied") {
+    val lake = newLake()
+    import spark.implicits._
+    lake.createTable("main.cm", abSchema)
+    lake.setOption("require_commit_message", "true")
+    val e = intercept[IllegalStateException] {
+      lake.append("main.cm", Seq((1, 1)).toDF("a", "b"))
+    }
+    assert(e.getMessage.contains("require_commit_message"))
+    spark.conf.set("spark.graft.lake.commitMessage", "load batch 1")
+    try lake.append("main.cm", Seq((1, 1)).toDF("a", "b"))
+    finally spark.conf.unset("spark.graft.lake.commitMessage")
+    assert(lake.table("main.cm").count() == 1)
+    val msgs = lake.snapshots().select("commit_message").collect().map(_.getString(0))
+    assert(msgs.contains("load batch 1"))
+  }
+
+  // ---- snapshot expiry (expire_older_than) --------------------------------
+  test("expired snapshots vanish from history and refuse time travel") {
+    val lake = newLake()
+    import spark.implicits._
+    lake.createTable("main.ex", abSchema)          // snap 0
+    lake.append("main.ex", Seq((1, 1)).toDF("a", "b")) // snap 1
+    lake.append("main.ex", Seq((2, 2)).toDF("a", "b")) // snap 2
+    Thread.sleep(10)
+    lake.expireSnapshots(Some(0L))                 // snap 3, expires 0 and 1
+    val ids = lake.snapshots().select("snapshot_id").collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(2L, 3L), s"got $ids")
+    intercept[IllegalArgumentException] { lake.table("main.ex", Some(1)).count() }
+    assert(lake.table("main.ex").count() == 2, "current data intact")
+    // no-op without a window and nothing new to expire
+    assert(lake.expireSnapshots(None) == 3L)
+  }
+
   // ---- metadata store crash-atomicity -------------------------------------
   test("commit is crash-atomic: truncated temp never poisons the log") {
     val lake = newLake()
