@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.lake.Lake
+
+/** Builds a small lake (appends across a schema change + a delete) and
+  * freezes it, so `scripts/freeze_check.py` can prove the frozen output is
+  * queryable by plain DuckDB — the reference freeze.sql observable. */
+object FreezeDemo {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args
+    val b = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    graft.queries.Tables.sessionConf.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val root = java.nio.file.Files.createTempDirectory("freezedemo").toString
+    val lake = new Lake(spark, root)
+    val nation = graft.queries.Tables.load(spark, sfDir, "nation")
+    lake.createTable("main.nat", nation.schema)
+    lake.append("main.nat", nation)
+    lake.delete("main.nat", col("n_regionkey") === 0)
+    val cat = new graft.lake.LakeCatalog()
+    val m = new java.util.HashMap[String, String]()
+    m.put("root", root)
+    cat.initialize("fd", new org.apache.spark.sql.util.CaseInsensitiveStringMap(m))
+    cat.alterTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("main"), "nat"),
+      org.apache.spark.sql.connector.catalog.TableChange.addColumn(
+        Array("tag"), org.apache.spark.sql.types.StringType))
+    lake.append("main.nat", nation.limit(2)
+      .withColumn("tag", lit("late")))
+    lake.freeze(outDir)
+    val expect = lake.table("main.nat").count()
+    println(s"[freeze-demo] frozen at $outDir, engine row count = $expect")
+    spark.stop()
+  }
+}

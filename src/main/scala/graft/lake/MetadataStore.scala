@@ -170,6 +170,10 @@ class MetadataStore(val root: String) {
     w("sort_info.json", Serialization.write(st.sortInfo))
     w("inlined.json", Serialization.write(st.inlined))
     w("tags.json", Serialization.write(st.tags))
+    // cross-engine artifacts: plain DuckDB can execute these directly
+    // (views.sql = merge-on-read views; ducklake_catalog.sql = the
+    // 28-table ducklake_* layout) — see FreezeSql
+    FreezeSql.emit(st, dir)
   }
 }
 

@@ -814,6 +814,28 @@ class LakeSpec extends AnyFunSuite {
     assert(lake.expireSnapshots(None) == 3L)
   }
 
+  // ---- freeze emits DuckDB-executable SQL artifacts -----------------------
+  test("freeze emits merge-on-read views and the ducklake_* catalog as SQL") {
+    val lake = newLake()
+    import spark.implicits._
+    lake.createTable("main.fz", abSchema)
+    lake.append("main.fz", Seq((1, 1), (2, 2), (3, 3)).toDF("a", "b"))
+    lake.delete("main.fz", col("a") === 2)
+    val out = Files.createTempDirectory("graft_fzsql").toString
+    lake.freeze(out)
+    val views = Files.readString(java.nio.file.Paths.get(out, "views.sql"))
+    assert(views.contains("CREATE OR REPLACE VIEW \"main_fz\""))
+    assert(views.contains("read_parquet"), "views must read the frozen parquet")
+    assert(views.contains("NOT EXISTS"), "positional deletes must be anti-joined")
+    val cat = Files.readString(java.nio.file.Paths.get(out, "ducklake_catalog.sql"))
+    // the full reference layout (pgducklake_freeze.cpp:32-60) is present
+    Seq("ducklake_snapshot", "ducklake_table", "ducklake_column",
+      "ducklake_data_file", "ducklake_delete_file", "ducklake_macro",
+      "ducklake_file_variant_stats").foreach(t =>
+      assert(cat.contains(s"CREATE OR REPLACE TABLE $t "), s"missing $t"))
+    assert(cat.contains("INSERT INTO ducklake_data_file"))
+  }
+
   // ---- metadata store crash-atomicity -------------------------------------
   test("commit is crash-atomic: truncated temp never poisons the log") {
     val lake = newLake()
