@@ -38,8 +38,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       build)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    // SQL UPDATE on lake tables → the native positional-delete update path
+    // SQL UPDATE/MERGE on lake tables → the native positional-delete DML
     ext.injectResolutionRule(new ResolveLakeUpdate(_))
+    ext.injectResolutionRule(new ResolveLakeMerge(_))
     ext.injectTableFunction(tvf("graft_snapshots", "graft_snapshots(root)") { args =>
       new Lake(SparkSession.active, lit(args.head, "root")).snapshots()
         .queryExecution.analyzed

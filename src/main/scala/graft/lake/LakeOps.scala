@@ -79,6 +79,18 @@ class Lake(val spark: SparkSession, val root: String) {
     LakeWrite.update(spark, store, sn, tn, cond, set)
   }
 
+  /** MERGE INTO (SQL `MERGE` lowers onto the same call). Source column
+    * names must be disjoint from the target's — rename (e.g. prefix
+    * `_src_`) before calling. Returns (snapshotId, updated, deleted,
+    * inserted). */
+  def merge(table: String, source: DataFrame, on: Column,
+      matched: Seq[LakeWrite.MergeMatched],
+      notMatched: Seq[LakeWrite.MergeInsert],
+      notMatchedBySource: Seq[LakeWrite.MergeMatched] = Nil): (Long, Long, Long, Long) = {
+    val (sn, tn) = schemaOf(table)
+    LakeWrite.merge(spark, store, sn, tn, source, on, matched, notMatched, notMatchedBySource)
+  }
+
   // ---------------------------------------------------------------- reads
 
   /** snapshot-scoped scan; version None = current (or session as-of conf) */
@@ -210,6 +222,9 @@ class Lake(val spark: SparkSession, val root: String) {
           // deleted rows: new delete files + inline batch shrinkage
           parts ++= deletedRows(st, delta, tid, sid,
             if (isUpdate) "update_preimage" else "delete")
+        } else if (tag.startsWith("merged:")) {
+          flushRun()
+          parts ++= mergedRows(st, store.delta(sid), tid, sid)
         }
         // non-logical writes (DDL, compaction, flush) are not changes and
         // don't break an insert run — scanDF handles mixed schema epochs
@@ -314,7 +329,12 @@ class Lake(val spark: SparkSession, val root: String) {
   }
 
   private def deletedRows(st: CatalogState, delta: CommitDelta, tid: Long,
-      sid: Long, changeType: String): Option[DataFrame] = {
+      sid: Long, changeType: String): Option[DataFrame] =
+    deletedRowsUntagged(st, delta, tid, sid).map(tagChanges(_, changeType, sid))
+
+  /** pre-image rows of a DML snapshot, meta columns kept (caller tags) */
+  private def deletedRowsUntagged(st: CatalogState, delta: CommitDelta, tid: Long,
+      sid: Long): Option[DataFrame] = {
     val delFiles = delta.newDeleteFiles.filter(_.tableId == tid)
 
     // parquet pre-images: the deleted (file,pos) rows read from exactly the
@@ -353,7 +373,49 @@ class Lake(val spark: SparkSession, val root: String) {
 
     val both = parquetPart.toSeq ++ inlinePart.toSeq
     if (both.isEmpty) None
-    else Some(tagChanges(both.reduce(_ unionByName _), changeType, sid))
+    else Some(both.reduce(_ unionByName _))
+  }
+
+  /** changes of one MERGE snapshot: fresh-row-id files → insert, explicit-
+    * row-id files / rewritten inline rows → update_postimage, and pre-images
+    * split into update_preimage vs delete by row-id membership in the
+    * post-image set (a MERGE deletes and updates in the same snapshot, so
+    * the tag alone can't classify them the way UPDATE/DELETE snapshots can). */
+  private def mergedRows(st: CatalogState, delta: CommitDelta, tid: Long,
+      sid: Long): Seq[DataFrame] = {
+    val out = Vector.newBuilder[DataFrame]
+    val insFiles = delta.newFiles.filter(f => f.tableId == tid && !f.explicitRowIds)
+    val postFiles = delta.newFiles.filter(f => f.tableId == tid && f.explicitRowIds)
+    val fresh = delta.newInlined.filter(b => b.tableId == tid && b.rowIds.isEmpty)
+    val oldJson = priorInlineJson(st, delta, tid)
+    val changed = delta.newInlined.filter(b => b.tableId == tid && b.rowIds.isDefined)
+      .map { b =>
+        val kept = b.rowsJson.zip(b.ids)
+          .filter { case (j, rid) => oldJson.get(rid).exists(_ != j) }
+        b.copy(rowsJson = kept.map(_._1), rowIds = Some(kept.map(_._2)))
+      }.filter(_.rowsJson.nonEmpty)
+
+    if (insFiles.nonEmpty || fresh.nonEmpty)
+      out += tagChanges(LakeRead.scanDF(spark, scopedState(st, insFiles, fresh),
+        tid, sid, Nil, withRowMeta = true), "insert", sid)
+    if (postFiles.nonEmpty || changed.nonEmpty)
+      out += tagChanges(LakeRead.scanDF(spark, scopedState(st, postFiles, changed),
+        tid, sid, Nil, withRowMeta = true), "update_postimage", sid)
+
+    deletedRowsUntagged(st, delta, tid, sid).foreach { pre =>
+      val idStruct = StructType(Seq(StructField(LakeRead.RowIdCol, LongType)))
+      val inlineIdDF = spark.createDataFrame(
+        changed.flatMap(_.rowIds.get).map(Row(_)).toList.asJava, idStruct)
+      val postIds = (
+        (if (postFiles.isEmpty) Nil
+         else Seq(spark.read.schema(idStruct).parquet(postFiles.map(_.path): _*)))
+          :+ inlineIdDF).reduce(_ unionByName _)
+      out += tagChanges(pre.join(postIds, Seq(LakeRead.RowIdCol), "left_semi"),
+        "update_preimage", sid)
+      out += tagChanges(pre.join(postIds, Seq(LakeRead.RowIdCol), "left_anti"),
+        "delete", sid)
+    }
+    out.result()
   }
 
   // ------------------------------------------------------------ maintenance

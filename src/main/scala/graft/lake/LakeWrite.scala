@@ -556,4 +556,214 @@ object LakeWrite {
     }
     (sid, total)
   }
+
+  /** WHEN MATCHED clause: `set` = UPDATE assignments, None = DELETE.
+    * Also used for WHEN NOT MATCHED BY SOURCE (target-only expressions). */
+  case class MergeMatched(cond: Option[Column], set: Option[Map[String, Column]])
+  /** WHEN NOT MATCHED clause: conditional INSERT with per-column values. */
+  case class MergeInsert(cond: Option[Column], values: Map[String, Column])
+
+  /** per-file stats over freshly staged parquet; drops zero-row part files.
+    * Returns (kept files, stats row per file name, size per file name). */
+  private def stagedStats(spark: SparkSession, readStruct: StructType,
+      statCols: Seq[ColumnEntry], staged: Seq[StagedFile])
+      : (Seq[StagedFile], Map[String, Row], Map[String, Long]) = {
+    if (staged.isEmpty) return (Nil, Map.empty, Map.empty)
+    val statRows = spark.read.schema(readStruct).parquet(staged.map(_.path): _*)
+      .groupBy(col("_metadata.file_name").as("_file"))
+      .agg(statAggsFor(statCols).head, statAggsFor(statCols).tail: _*)
+      .collect().map(r => r.getString(0) -> r).toMap // one row per file
+    val (kept, empty) = staged.partition(f => statRows.contains(f.fileName))
+    empty.foreach(f => Files.deleteIfExists(Paths.get(f.path)))
+    (kept, statRows, kept.map(f => f.fileName -> Files.size(Paths.get(f.path))).toMap)
+  }
+
+  /** MERGE INTO (SQL standard / reference DML surface): one snapshot carrying
+    * positional deletes of every affected pre-image, post-image files with
+    * PRESERVED row ids for updated rows (so the change feed pairs
+    * update_preimage/update_postimage exactly like UPDATE), and fresh-row-id
+    * files for inserts. Source column names MUST be disjoint from the
+    * target's — the SQL lowering prefixes them `_src_`.
+    *
+    * Clause semantics: within each group the FIRST clause whose condition
+    * holds applies; a target row matched by more than one source row is an
+    * error (SQL standard cardinality rule). Returns
+    * (snapshotId, updated, deleted, inserted).
+    *
+    * Scale shape: the matched/not-matched splits are plain joins on the ON
+    * condition (equi-joins shuffle/broadcast under Catalyst+AQE as usual);
+    * driver-side collects are limited to inline-log rows (bounded by
+    * data_inlining_row_limit) and O(files) stats rows. */
+  def merge(
+      spark: SparkSession,
+      store: MetadataStore,
+      schemaName: String,
+      tableName: String,
+      source: DataFrame,
+      onCond: Column,
+      matched: Seq[MergeMatched],
+      notMatched: Seq[MergeInsert],
+      notMatchedBySource: Seq[MergeMatched] = Nil): (Long, Long, Long, Long) = {
+    val st0 = store.state()
+    val s0 = st0.currentSnapshotId
+    val tid = st0.tableAt(schemaName, tableName, s0)
+      .getOrElse(throw new NoSuchElementException(s"no table $schemaName.$tableName")).tableId
+    val cols = st0.columnsAt(tid, s0)
+    val schemaVersion = st0.snapshots.lastOption.map(_.schemaVersion).getOrElse(0L)
+    val overlap = source.columns.toSet.intersect(cols.map(_.name).toSet)
+    require(overlap.isEmpty, s"merge source columns collide with target: $overlap")
+
+    /** index of the first clause whose condition holds, else -1 */
+    def firstMatch(conds: Seq[Option[Column]]): Column =
+      conds.zipWithIndex.foldRight(lit(-1)) { case ((c, i), acc) =>
+        when(c.getOrElse(lit(true)), lit(i)).otherwise(acc)
+      }
+
+    /** affected rows of one matched-style group: post-image target columns
+      * (pre-image values for DELETE rows), scan meta, `_upd` action flag */
+    def affectedSide(df: DataFrame, clauses: Seq[MergeMatched]): DataFrame = {
+      val acted = df.withColumn("_m_act", firstMatch(clauses.map(_.cond)))
+        .filter(col("_m_act") >= 0)
+      val updIdx = clauses.zipWithIndex.collect { case (c, i) if c.set.isDefined => i }
+      acted.select(cols.map { c =>
+        updIdx.foldRight(col(c.name)) { (i, acc) =>
+          when(col("_m_act") === lit(i),
+            clauses(i).set.get.getOrElse(c.name, col(c.name))).otherwise(acc)
+        }.cast(LakeRead.sparkType(c.dataType)).as(c.name)
+      } ++ Seq(col(LakeRead.FileCol), col(LakeRead.PosCol), col(LakeRead.RowIdCol),
+        (if (updIdx.isEmpty) lit(false)
+         else col("_m_act").isin(updIdx.map(i => i: Any): _*)).as("_upd")): _*)
+    }
+
+    val tgt = LakeRead.scanDF(spark, st0, tid, s0, Nil, withRowMeta = true)
+    val mAff = affectedSide(tgt.join(source, onCond, "inner"), matched)
+    val nmbsAff =
+      if (notMatchedBySource.isEmpty) None
+      else Some(affectedSide(tgt.join(source, onCond, "left_anti"), notMatchedBySource))
+    val affected = nmbsAff.foldLeft(mAff)(_ unionByName _).persist()
+
+    // SQL cardinality rule: a target row hit by two source matches is an
+    // error, never a double-apply (nmbs rows join nothing, so checking the
+    // union is equivalent and saves a pass)
+    if (matched.nonEmpty &&
+      !affected.groupBy(col(LakeRead.RowIdCol)).count()
+        .filter(col("count") > 1).isEmpty)
+      throw new IllegalStateException(
+        "MERGE: a target row matched multiple source rows")
+
+    val inline = col(LakeRead.FileCol).startsWith("inline:")
+    // inline log side (driver-held, bounded by data_inlining_row_limit)
+    val inlineDelIds = affected.filter(inline && !col("_upd"))
+      .select(col(LakeRead.RowIdCol)).collect().map(_.getLong(0)).toSet
+    val inlineUpd = affected.filter(inline && col("_upd"))
+    val inlineUpdIds = inlineUpd.select(col(LakeRead.RowIdCol)).collect().map(_.getLong(0))
+    val inlineUpdJson: Map[Long, String] = inlineUpdIds.zip(
+      inlineUpd.drop(LakeRead.FileCol, LakeRead.PosCol, LakeRead.RowIdCol, "_upd")
+        .toJSON.collect()).toMap
+
+    // parquet side: one delete file over every affected pre-image
+    val delFile = writeDeleteFile(spark, store, tid, affected.filter(!inline))
+    val counts = affected.filter(!inline).groupBy(col("_upd")).count()
+      .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+
+    val wopts = writeOptions(st0, tid, s0)
+    val dataDir = s"${tableDir(store.root, tid)}/data"
+    val statCols = cols.filter(c => statsEligible(LakeRead.sparkType(c.dataType)))
+    val baseStruct = LakeRead.structFor(cols)
+
+    // post-image files (explicit row ids, like UPDATE)
+    val postStaged = if (counts.getOrElse(true, 0L) == 0) Nil else {
+      val staging = s"${store.root}/_staging/${uuid()}"
+      affected.filter(col("_upd") && !inline)
+        .drop(LakeRead.FileCol, LakeRead.PosCol, "_upd")
+        .write.options(wopts).mode(SaveMode.Overwrite).parquet(staging)
+      promoteStaged(staging, dataDir, Nil)
+    }
+    affected.unpersist()
+    val (postKept, postStats, postSizes) = stagedStats(spark,
+      baseStruct.add(StructField(LakeRead.RowIdCol, LongType)), statCols, postStaged)
+
+    // insert files (fresh row ids assigned at commit)
+    val insActed = source.join(tgt, onCond, "left_anti")
+      .withColumn("_i_act", firstMatch(notMatched.map(_.cond)))
+      .filter(col("_i_act") >= 0)
+    val insStaged = if (notMatched.isEmpty) Nil else {
+      val ins = insActed.select(cols.map { c =>
+        notMatched.zipWithIndex.foldRight(lit(null): Column) { case ((cl, i), acc) =>
+          when(col("_i_act") === lit(i),
+            cl.values.getOrElse(c.name, lit(null))).otherwise(acc)
+        }.cast(LakeRead.sparkType(c.dataType)).as(c.name)
+      }: _*)
+      val staging = s"${store.root}/_staging/${uuid()}"
+      ins.write.options(wopts).mode(SaveMode.Overwrite).parquet(staging)
+      promoteStaged(staging, dataDir, Nil)
+    }
+    val (insKept, insStats, insSizes) = stagedStats(spark, baseStruct, statCols, insStaged)
+
+    val updCnt = counts.getOrElse(true, 0L) + inlineUpdJson.size
+    val delCnt = counts.getOrElse(false, 0L) + inlineDelIds.size
+    val insCnt = insKept.map(f => insStats(f.fileName).getLong(
+      insStats(f.fileName).fieldIndex("_cnt"))).sum
+
+    val sid = store.commitWithRetry() { (st, sid) =>
+      val fileIdByName = st.filesAt(tid, st.currentSnapshotId)
+        .map(f => f.fileName -> f.fileId).toMap
+      delFile.foreach { case (_, cnts, _) =>
+        val gone = cnts.keys.filterNot(fileIdByName.contains)
+        if (gone.nonEmpty) throw new java.util.ConcurrentModificationException(
+          s"MERGE conflicts with a concurrent rewrite of: ${gone.mkString(", ")}")
+      }
+      var fileId = st.nextFileId
+      var rowId = st.nextRowId(tid)
+      def entryFor(f: StagedFile, stats: Map[String, Row], sizes: Map[String, Long],
+          explicit: Boolean): DataFileEntry = {
+        val r = stats(f.fileName)
+        val cnt = r.getLong(r.fieldIndex("_cnt"))
+        val fe = DataFileEntry(fileId, tid, f.path, f.fileName, cnt,
+          sizes(f.fileName), firstRowId = if (explicit) 0L else rowId,
+          schemaVersion = schemaVersion, explicitRowIds = explicit,
+          partitionValues = Map.empty, begin = sid, end = None)
+        fileId += 1
+        if (!explicit) rowId += cnt
+        fe
+      }
+      val newFiles =
+        postKept.sortBy(_.fileName).map(entryFor(_, postStats, postSizes, explicit = true)).toList ++
+          insKept.sortBy(_.fileName).map(entryFor(_, insStats, insSizes, explicit = false)).toList
+      val newStats = newFiles.flatMap { fe =>
+        val r = postStats.getOrElse(fe.fileName, insStats(fe.fileName))
+        statCols.map { c =>
+          FileColumnStats(fe.fileId, c.name, c.dataType,
+            Option(r.getString(r.fieldIndex(s"_min_${c.name}"))),
+            Option(r.getString(r.fieldIndex(s"_max_${c.name}"))),
+            r.getLong(r.fieldIndex(s"_nulls_${c.name}")))
+        }
+      }
+      val newDel = delFile.toList.map { case (path, cnts, cnt) =>
+        val fe = DeleteFileEntry(fileId, tid, path, cnt,
+          cnts.flatMap { case (fn, c) => fileIdByName.get(fn).map(_.toString -> c) },
+          sid, None)
+        fileId += 1
+        fe
+      }
+      val (endedB, keptB) = rewriteInlineBatches(st, tid, sid,
+        keep = (rid, _) => !inlineDelIds.contains(rid) && !inlineUpdJson.contains(rid),
+        transform = (j, _) => j)
+      val updatedBatch =
+        if (inlineUpdJson.isEmpty) Nil
+        else {
+          val ids = inlineUpdJson.keys.toList.sorted
+          List(InlinedBatch(
+            (keptB.map(_.batchId) :+ (st.nextBatchId - 1)).max + 1, tid,
+            schemaVersion, ids.head, ids.map(inlineUpdJson), sid, None,
+            rowIds = Some(ids)))
+        }
+      CommitDelta(
+        snapshot = Snapshot(sid, System.currentTimeMillis(), schemaVersion,
+          List(s"merged:$tid:${updCnt + delCnt + insCnt}")),
+        newFiles = newFiles, newStats = newStats, newDeleteFiles = newDel,
+        endedInlined = endedB, newInlined = keptB ++ updatedBatch)
+    }
+    (sid, updCnt, delCnt, insCnt)
+  }
 }

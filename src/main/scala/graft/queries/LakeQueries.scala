@@ -424,6 +424,38 @@ object LakeQueries {
         .orderBy("n_nationkey")
     }),
 
+    // ---- §2.B DML: SQL MERGE INTO lowered onto the native positional-
+    // delete machinery (one snapshot; update/delete/insert clauses + exact
+    // per-kind row counts, the reference's command-tag contract) -----------
+    "l28_sql_merge" -> ((s, dir) => {
+      import s.implicits._
+      val lake = newLake(s)
+      val nation = t(s, dir, "nation")
+      lake.createTableAs("main.mg", nation)
+      val cat = s"lqmg${System.nanoTime()}"
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", lake.root)
+      val src = nation.filter(col("n_regionkey").isin(1, 2))
+        .select(col("n_nationkey").as("k"),
+          when(col("n_regionkey") === 2, "del").otherwise("upd").as("op"),
+          col("n_name").as("nm"))
+        .unionByName(Seq((100, "ins", "NEWLAND"), (101, "ins", "OLDLAND"))
+          .toDF("k", "op", "nm").select(col("k").cast("int"), col("op"), col("nm")))
+      val view = s"msrc_${System.nanoTime()}"
+      src.createOrReplaceTempView(view)
+      val res = s.sql(
+        s"""MERGE INTO $cat.main.mg t USING $view s ON t.n_nationkey = s.k
+           |WHEN MATCHED AND s.op = 'del' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET n_name = concat('M:', s.nm)
+           |WHEN NOT MATCHED THEN INSERT (n_nationkey, n_name, n_regionkey)
+           |  VALUES (s.k, s.nm, 9)""".stripMargin).collect().head
+      lake.table("main.mg")
+        .withColumn("n_upd", lit(res.getLong(0)))
+        .withColumn("n_del", lit(res.getLong(1)))
+        .withColumn("n_ins", lit(res.getLong(2)))
+        .orderBy("n_nationkey")
+    }),
+
     // ---- §1.2 variant: semi-structured columns (variant.sql; Spark 4
     // VariantType). Insert JSON of mixed shapes, DML by extracted field,
     // read back typed extractions ------------------------------------------
@@ -616,6 +648,20 @@ object LakeQueries {
         |  'expire old history' AS last_message,
         |  1 AS tt_refused
         |FROM nation WHERE n_regionkey <> 0
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "l28_sql_merge" ->
+      """SELECT n_nationkey, n_name, n_regionkey,
+        |  (SELECT count(*) FROM nation WHERE n_regionkey = 1) AS n_upd,
+        |  (SELECT count(*) FROM nation WHERE n_regionkey = 2) AS n_del,
+        |  CAST(2 AS BIGINT) AS n_ins
+        |FROM (
+        |  SELECT n_nationkey,
+        |    CASE WHEN n_regionkey = 1 THEN 'M:' || n_name ELSE n_name END AS n_name,
+        |    n_regionkey
+        |  FROM nation WHERE n_regionkey <> 2
+        |  UNION ALL SELECT CAST(100 AS INTEGER), 'NEWLAND', CAST(9 AS INTEGER)
+        |  UNION ALL SELECT CAST(101 AS INTEGER), 'OLDLAND', CAST(9 AS INTEGER)) t
         |ORDER BY n_nationkey""".stripMargin,
 
     "l21_variant" ->

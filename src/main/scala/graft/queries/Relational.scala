@@ -302,6 +302,21 @@ object Relational {
       s.range(1, 10001).agg(
         sum(col("id")).as("total"), count(lit(1)).as("n"),
         sum(when(col("id") % 7 === 0, col("id"))).as("total_mod7"))
+    }),
+
+    // as-of join (DuckDB ASOF JOIN semantics): latest purchase at-or-before
+    // each click, per user — single keyed window pass, no range-join blowup
+    "q23_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.ops.AsofJoin.backward(clicks, purchases, Seq("user_id"), "ts", "ts", "p_")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          col("p_ts"), col("p_value"))
+        .orderBy(col("event_id"))
+        .limit(500)
     })
   )
 
@@ -486,6 +501,16 @@ object Relational {
     "q22_generate_series" ->
       """SELECT CAST(SUM(i) AS BIGINT) AS total, COUNT(*) AS n,
         |  CAST(SUM(CASE WHEN i % 7 = 0 THEN i END) AS BIGINT) AS total_mod7
-        |FROM generate_series(1, 10000) g(i)""".stripMargin
+        |FROM generate_series(1, 10000) g(i)""".stripMargin,
+
+    "q23_asof_join" ->
+      """SELECT c.event_id, c.user_id, c.ts, c.value,
+        |  p.ts AS p_ts, p.value AS p_value
+        |FROM (SELECT event_id, user_id, ts, value FROM events
+        |      WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+        |      WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id LIMIT 500""".stripMargin
   )
 }

@@ -134,18 +134,7 @@ object VectorOps {
       // broadcast. This is the 100 TB path: nothing all-pairs, the big
       // payload moves once per CANDIDATE, not once per (table, row).
       val ep = e.persist()
-      val cand = ep.selectExpr("vec_id", s"posexplode($bucketsExpr) AS (tab, bucket)")
-        .groupBy("tab", "bucket")
-        .agg(sort_array(collect_list(col("vec_id"))).as("ms"))
-        .filter(size(col("ms")).between(2, bucketCap))
-        .selectExpr(s"filter(ms, m -> m < $nQueries) AS qs", "ms")
-        .filter(size(col("qs")) > 0)
-        .selectExpr(
-          """explode(flatten(transform(qs, a ->
-            |  transform(ms, m -> struct(a AS query_id, m AS neighbor_id))))) AS p""".stripMargin)
-        .select(col("p.query_id").as("query_id"), col("p.neighbor_id").as("neighbor_id"))
-        .filter(col("query_id") =!= col("neighbor_id"))
-        .distinct()
+      val cand = candidateStage(ep, bucketsExpr, bucketCap, nQueries)
       val qv = ep.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("q").as("qa"), col("nsq").as("na"))
       val cv = ep.select(col("vec_id").as("neighbor_id"), col("q").as("qb"),
@@ -168,30 +157,70 @@ object VectorOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** the distinct (query_id, neighbor_id) pairs LSH bucketing selects for
+    * scoring — the stage whose row count IS the work/recall trade-off */
+  private def candidateStage(ep: DataFrame, bucketsExpr: String,
+      bucketCap: Int, nQueries: Int): DataFrame =
+    ep.selectExpr("vec_id", s"posexplode($bucketsExpr) AS (tab, bucket)")
+      .groupBy("tab", "bucket")
+      .agg(sort_array(collect_list(col("vec_id"))).as("ms"))
+      .filter(size(col("ms")).between(2, bucketCap))
+      .selectExpr(s"filter(ms, m -> m < $nQueries) AS qs", "ms")
+      .filter(size(col("qs")) > 0)
+      .selectExpr(
+        """explode(flatten(transform(qs, a ->
+          |  transform(ms, m -> struct(a AS query_id, m AS neighbor_id))))) AS p""".stripMargin)
+      .select(col("p.query_id").as("query_id"), col("p.neighbor_id").as("neighbor_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .distinct()
+
+  /** candidate pairs for an embeddings DataFrame (test/diagnostic surface:
+    * `count()` of this vs `nQueries × (corpus-1)` measures how much scoring
+    * work LSH pruning saves over brute force at a given recall). */
+  def lshCandidates(emb: DataFrame, nTables: Int = N_TABLES,
+      bitsPerTable: Int = BITS_PER_TABLE, bucketCap: Int = 512,
+      nQueries: Int = 10): DataFrame = {
+    val pl = planesFor(nTables * bitsPerTable)
+    val e = emb
+      .selectExpr("vec_id", s"$QVEC AS q")
+      .selectExpr("vec_id", "q", s"$SQNORM AS nsq",
+        s"${bitsExpr(planesLitOf(pl, "array(", ")"))} AS bits")
+      .filter(col("nsq") > 0)
+    candidateStage(e, bucketsFromBitsFor(nTables, bitsPerTable), bucketCap, nQueries)
+  }
+
+  /** Brute-force cosine top-k: every query row against the whole corpus.
+    * Exact, embarrassingly parallel (query side broadcast, corpus side
+    * partition-local), and O(nQueries × corpus) work — the correctness
+    * baseline LSH is measured against, and the better plan when the query
+    * batch is small (a handful of probes never amortizes building
+    * signatures for the whole corpus). */
+  def knnBrute(emb: DataFrame, nQueries: Int = 10, topK: Int = 5): DataFrame = {
+    val e = emb
+      .selectExpr("vec_id", s"$QVEC AS q")
+      .selectExpr("vec_id", "q", s"$SQNORM AS nsq")
+      .filter(col("nsq") > 0)
+    val qs = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qa"), col("nsq").as("na"))
+    val cand = e.select(col("vec_id").as("neighbor_id"), col("q").as("qb"),
+      col("nsq").as("nb"))
+    val rnk = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cand.join(broadcast(qs), col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot",
+        expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+      .withColumn("cosine", col("dot").cast("double")
+        / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .withColumn("rank", row_number().over(rnk).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- brute-force cosine top-k (correctness baseline) -------------------
-    "v01_knn_brute" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-        .selectExpr("vec_id", s"$QVEC AS q")
-        .selectExpr("vec_id", "q", s"$SQNORM AS nsq")
-        .filter(col("nsq") > 0)
-      val qs = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("q").as("qa"), col("nsq").as("na"))
-      val cand = e.select(col("vec_id").as("neighbor_id"), col("q").as("qb"),
-        col("nsq").as("nb"))
-      val rnk = Window.partitionBy(col("query_id"))
-        .orderBy(col("cosine").desc, col("neighbor_id"))
-      cand.join(broadcast(qs), col("query_id") =!= col("neighbor_id"))
-        .withColumn("dot",
-          expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
-        .withColumn("cosine", col("dot").cast("double")
-          / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
-        .withColumn("rank", row_number().over(rnk).cast("long"))
-        .filter(col("rank") <= 5)
-        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
-        .orderBy(col("query_id"), col("rank"))
-    }),
+    "v01_knn_brute" -> ((s, dir) => knnBrute(t(s, dir, "embeddings"))),
 
     // ---- LSH-bucketed ANN (sign random projection, the 100 TB scale path) --
     // Multi-table LSH: 12 tables × 4 sign bits from the precomputed sparse

@@ -15,4 +15,13 @@ object StreamingBatch {
     val spark = df.sparkSession.asInstanceOf[ClassicSparkSession]
     spark.internalCreateDataFrame(df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** Bridge to `private[sql] Dataset.ofRows`: rehydrate an already-resolved
+    * logical plan (e.g. a MERGE source captured at analysis time) as a
+    * DataFrame. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[ClassicSparkSession], plan)
 }

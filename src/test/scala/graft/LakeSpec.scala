@@ -654,6 +654,58 @@ class LakeSpec extends AnyFunSuite {
       ("update_preimage", 2, 20), ("update_preimage", 3, 30)))
   }
 
+  test("SQL MERGE updates, deletes, and inserts in one snapshot; change feed pairs images") {
+    val root = Files.createTempDirectory("graft_sqlmerge").toString
+    val cat = s"mrgcat${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE TABLE $cat.main.m (k INT, v INT, txt STRING)")
+    spark.sql(s"INSERT INTO $cat.main.m VALUES (1, 10, 'a'), (2, 20, 'b'), (3, 30, 'c'), (4, 40, 'd')")
+    import spark.implicits._
+    Seq((2, 200, "upd"), (3, 0, "del"), (5, 500, "ins"))
+      .toDF("k", "nv", "op").createOrReplaceTempView("msrc")
+    val res = spark.sql(
+      s"""MERGE INTO $cat.main.m t USING msrc s ON t.k = s.k
+         |WHEN MATCHED AND s.op = 'del' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = s.nv, txt = concat(t.txt, '*')
+         |WHEN NOT MATCHED THEN INSERT (k, v, txt) VALUES (s.k, s.nv, 'new')
+         |""".stripMargin).collect().head
+    assert((res.getLong(0), res.getLong(1), res.getLong(2)) == (1L, 1L, 1L),
+      "updated/deleted/inserted counts")
+    assert(spark.sql(s"SELECT k, v, txt FROM $cat.main.m ORDER BY k").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSeq ==
+      Seq((1, 10, "a"), (2, 200, "b*"), (4, 40, "d"), (5, 500, "new")))
+
+    // one snapshot, correctly classified change feed
+    val lake = new Lake(spark, root)
+    val changes = lake.tableChanges("main.m", lake.currentSnapshot() - 1,
+      lake.currentSnapshot())
+      .select("_change_type", "k", "v").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).sorted
+    assert(changes.toSeq == Seq(
+      ("delete", 3, 30), ("insert", 5, 500),
+      ("update_postimage", 2, 200), ("update_preimage", 2, 20)))
+
+    // WHEN NOT MATCHED BY SOURCE sees unmatched target rows
+    val res2 = spark.sql(
+      s"""MERGE INTO $cat.main.m t USING (SELECT 2 AS k) s ON t.k = s.k
+         |WHEN NOT MATCHED BY SOURCE AND t.k > 4 THEN DELETE
+         |""".stripMargin).collect().head
+    assert(res2.getLong(1) == 1L, "nmbs delete count")
+    assert(spark.sql(s"SELECT k FROM $cat.main.m ORDER BY k").collect()
+      .map(_.getInt(0)).toSeq == Seq(1, 2, 4))
+
+    // SQL-standard cardinality rule: two source rows hitting one target row
+    Seq((2, 1, "x"), (2, 2, "y")).toDF("k", "nv", "op").createOrReplaceTempView("mdup")
+    val err = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO $cat.main.m t USING mdup s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET v = s.nv
+           |""".stripMargin).collect()
+    }
+    assert(err.getMessage != null)
+  }
+
   // ---- ddl.sql: column defaults — existence vs current ---------------------
   test("ADD COLUMN DEFAULT fills old files; SET DEFAULT only affects inserts") {
     val root = Files.createTempDirectory("graft_def").toString
