@@ -45,6 +45,13 @@ object ScanBench {
       med
     }
 
+    // the three paths must agree before their times mean anything
+    def canon(rows: Array[org.apache.spark.sql.Row]): Seq[String] =
+      rows.map(_.toString).sorted.toSeq
+    val expect = canon(spark.sql(agg("li_plain")).collect())
+    require(canon(spark.sql(agg("sb.main.li")).collect()) == expect,
+      "dsv2 catalog path disagrees with plain parquet")
+
     val plain = time("plain_parquet") { spark.sql(agg("li_plain")).collect() }
     val dsv2 = time("dsv2_sql") { spark.sql(agg("sb.main.li")).collect() }
     val facade = time("scala_facade") {

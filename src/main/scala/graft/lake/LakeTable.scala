@@ -88,6 +88,29 @@ class LakeTable(
   /** fresh snapshot-scoped DataFrame (used by the scan and by LakeOps) */
   def scanDF(spark: SparkSession, filters: Seq[Filter] = Nil): DataFrame =
     LakeRead.scanDF(spark, store.state(), entry.tableId, snapshot, filters)
+
+  /** Native-scan eligibility: when the snapshot has NO merge-on-read
+    * overlay — no live delete files, no inlined batches, and every live
+    * file's schema epoch carries the same (id, name, type) column list as
+    * the scan snapshot — a plain parquet read of the pruned file list IS
+    * the table, and the scan can run on Spark's own columnar DSv2 parquet
+    * path with zero conversion tax (vacuum/flush return DML'd tables to
+    * this state). Returns the stats/partition-pruned live files, or None
+    * when the composed merge-on-read plan (V1 path) is required. */
+  private[lake] def nativeScanFiles(filters: Seq[Filter]): Option[Vector[DataFileEntry]] = {
+    val tid = entry.tableId
+    if (st.deleteFilesAt(tid, snapshot).nonEmpty) return None
+    if (st.inlinedAt(tid, snapshot).nonEmpty) return None
+    val files = st.filesAt(tid, snapshot)
+    val sig = cols.map(c => (c.columnId, c.name, c.dataType))
+    val sameShape = files.map(_.schemaVersion).distinct.forall { sv =>
+      st.columnsAt(tid, sv).map(c => (c.columnId, c.name, c.dataType)) == sig
+    }
+    if (!sameShape) None
+    else Some(Pruning.prune(files, st.statsFor,
+      cols.map(c => c.name -> c.dataType).toMap,
+      st.partitionKeysAt(tid, snapshot), filters))
+  }
 }
 
 private[lake] class LakeScanBuilder(table: LakeTable) extends ScanBuilder
@@ -104,7 +127,18 @@ private[lake] class LakeScanBuilder(table: LakeTable) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = Some(requiredSchema)
 
-  override def build(): Scan = new LakeScan(table, pushed, required)
+  override def build(): Scan = {
+    val session = SparkSession.active
+    val native = session.conf.getOption("spark.graft.lake.nativeScan")
+      .forall(_.toBoolean)
+    (if (native) table.nativeScanFiles(pushed.toSeq) else None) match {
+      case Some(files) =>
+        org.apache.spark.sql.graft.NativeParquet.parquetScan(session,
+          files.map(f => (f.path, f.fileSizeBytes)),
+          table.schema(), required.getOrElse(table.schema()), pushed)
+      case None => new LakeScan(table, pushed, required)
+    }
+  }
 }
 
 private[lake] class LakeScan(table: LakeTable, filters: Array[Filter],
