@@ -89,27 +89,45 @@ class LakeTable(
   def scanDF(spark: SparkSession, filters: Seq[Filter] = Nil): DataFrame =
     LakeRead.scanDF(spark, store.state(), entry.tableId, snapshot, filters)
 
-  /** Native-scan eligibility: when the snapshot has NO merge-on-read
-    * overlay — no live delete files, no inlined batches, and every live
-    * file's schema epoch carries the same (id, name, type) column list as
-    * the scan snapshot — a plain parquet read of the pruned file list IS
-    * the table, and the scan can run on Spark's own columnar DSv2 parquet
-    * path with zero conversion tax (vacuum/flush return DML'd tables to
-    * this state). Returns the stats/partition-pruned live files, or None
-    * when the composed merge-on-read plan (V1 path) is required. */
-  private[lake] def nativeScanFiles(filters: Seq[Filter]): Option[Vector[DataFileEntry]] = {
+  /** Native-scan eligibility: no inlined batches, and every live file's
+    * schema epoch carries the same (id, name, type) column list as the
+    * scan snapshot. Then the scan runs on Spark's own DSv2 parquet path:
+    * columnar when the snapshot also has no delete files, or the
+    * delete-aware row path (executor-local position skipping — the delete
+    * set never travels) when it does. Inline rows or unrewritten
+    * schema-evolved files keep the composed V1 plan. Returns the
+    * stats/partition-pruned live files + per-file delete parts. */
+  private[lake] def nativePlan(filters: Seq[Filter]): Option[(Vector[DataFileEntry], Map[String, Seq[String]])] = {
     val tid = entry.tableId
-    if (st.deleteFilesAt(tid, snapshot).nonEmpty) return None
     if (st.inlinedAt(tid, snapshot).nonEmpty) return None
     val files = st.filesAt(tid, snapshot)
     val sig = cols.map(c => (c.columnId, c.name, c.dataType))
     val sameShape = files.map(_.schemaVersion).distinct.forall { sv =>
       st.columnsAt(tid, sv).map(c => (c.columnId, c.name, c.dataType)) == sig
     }
-    if (!sameShape) None
-    else Some(Pruning.prune(files, st.statsFor,
+    if (!sameShape) return None
+    val pruned = Pruning.prune(files, st.statsFor,
       cols.map(c => c.name -> c.dataType).toMap,
-      st.partitionKeysAt(tid, snapshot), filters))
+      st.partitionKeysAt(tid, snapshot), filters)
+    val deletes = st.deleteFilesAt(tid, snapshot)
+    if (deletes.isEmpty) return Some((pruned, Map.empty))
+    // per-file delete parts: O(delete dirs) driver-side listings, the same
+    // metadata weight as the file list itself
+    val hc = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+    val nameById = files.map(f => f.fileId.toString -> f.fileName).toMap
+    val byFile = scala.collection.mutable.Map.empty[String, Vector[String]]
+    deletes.foreach { d =>
+      val dir = new org.apache.hadoop.fs.Path(d.path)
+      val parts = dir.getFileSystem(hc).listStatus(dir).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toString)
+      if (parts.nonEmpty) d.countsByFile.keys.foreach { fid =>
+        nameById.get(fid).foreach { fn =>
+          byFile(fn) = byFile.getOrElse(fn, Vector.empty) ++ parts
+        }
+      }
+    }
+    Some((pruned, byFile.toMap))
   }
 }
 
@@ -131,11 +149,16 @@ private[lake] class LakeScanBuilder(table: LakeTable) extends ScanBuilder
     val session = SparkSession.active
     val native = session.conf.getOption("spark.graft.lake.nativeScan")
       .forall(_.toBoolean)
-    (if (native) table.nativeScanFiles(pushed.toSeq) else None) match {
-      case Some(files) =>
-        org.apache.spark.sql.graft.NativeParquet.parquetScan(session,
-          files.map(f => (f.path, f.fileSizeBytes)),
-          table.schema(), required.getOrElse(table.schema()), pushed)
+    (if (native) table.nativePlan(pushed.toSeq) else None) match {
+      case Some((files, deletesByFile)) =>
+        val sizes = files.map(f => (f.path, f.fileSizeBytes))
+        val readSchema = required.getOrElse(table.schema())
+        if (deletesByFile.isEmpty)
+          org.apache.spark.sql.graft.NativeParquet.parquetScan(
+            session, sizes, table.schema(), readSchema, pushed)
+        else
+          org.apache.spark.sql.graft.NativeParquet.deleteAwareScan(
+            session, sizes, deletesByFile, table.schema(), readSchema, pushed)
       case None => new LakeScan(table, pushed, required)
     }
   }

@@ -350,6 +350,13 @@ object LakeWrite {
     parquetHits
       .select(col(LakeRead.FileCol).as("file"), col(LakeRead.PosCol).as("pos"),
         col(LakeRead.RowIdCol).as("row_id"))
+      // range-partition + sort by (file, pos): every output part covers a
+      // contiguous file-name range, so a scan task fetching ONE data file's
+      // positions prunes to its row groups via file-column min/max stats
+      // (the executor-local delete application in NativeParquet) — and the
+      // sort stays distributed, no single-task funnel for a big DELETE
+      .repartitionByRange(col("file"), col("pos"))
+      .sortWithinPartitions("file", "pos")
       .write.mode(SaveMode.Overwrite).parquet(delDir)
     val counts = spark.read.parquet(delDir).groupBy("file").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap // O(files)

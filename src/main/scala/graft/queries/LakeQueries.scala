@@ -369,6 +369,23 @@ object LakeQueries {
         .orderBy("n_nationkey")
     }),
 
+    // ---- A2/A3 delete-aware native scan: a catalog SQL read over a table
+    // with live positional deletes runs scan-local position skipping (the
+    // delete set never joins/broadcasts) and must agree with the oracle --
+    "l29_native_delete_scan" -> ((s, dir) => {
+      val lake = newLake(s)
+      lake.createTableAs("main.od", t(s, dir, "orders"))
+      lake.delete("main.od", col("o_orderstatus") === "F")
+      val cat = s"lqnd${System.nanoTime()}"
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", lake.root)
+      s.sql(
+        s"""SELECT o_orderpriority, count(*) AS n,
+           |  CAST(sum(o_orderkey) AS BIGINT) AS keysum
+           |FROM $cat.main.od WHERE o_orderkey > 100
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    }),
+
     // ---- A10 column defaults (ddl.sql): ADD COLUMN DEFAULT backfills old
     // files with the frozen existence default; SET DEFAULT redefines only
     // the current default used by later inserts ---------------------------
@@ -625,6 +642,12 @@ object LakeQueries {
         |  CASE WHEN n_regionkey = 1 THEN n_name || '!' ELSE n_name END AS n_name,
         |  (SELECT count(*) FROM nation WHERE n_regionkey = 1) AS n_updated
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "l29_native_delete_scan" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS keysum
+        |FROM orders WHERE o_orderstatus <> 'F' AND o_orderkey > 100
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "l25_column_default" ->
       """SELECT * FROM (

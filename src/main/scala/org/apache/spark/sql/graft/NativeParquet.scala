@@ -1,15 +1,26 @@
 package org.apache.spark.sql.graft
 
+import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.ColumnIOFactory
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.paths.SparkPath
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.classic.{SparkSession => ClassicSparkSession}
-import org.apache.spark.sql.connector.read.Scan
-import org.apache.spark.sql.execution.datasources.{NoopCache, PartitionSpec, PartitioningAwareFileIndex}
-import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan}
+import org.apache.spark.sql.execution.datasources.{FilePartition, NoopCache, PartitionSpec, PartitionedFile, PartitioningAwareFileIndex}
+import org.apache.spark.sql.execution.datasources.parquet.{ParquetFileFormat, ParquetOptions}
+import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetPartitionReaderFactory, ParquetScan}
 import org.apache.spark.sql.sources.Filter
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
 import scala.collection.mutable
+import scala.jdk.CollectionConverters._
 
 /** Bridge into Spark's own DataSource-V2 parquet machinery, so lake scans
   * with no merge-on-read overlay run on the EXACT code path a plain
@@ -44,6 +55,202 @@ object NativeParquet {
       StructType(Nil), // no hive-style partition columns: values live in-file
       filters,
       CaseInsensitiveStringMap.empty())
+  }
+
+  /** Delete-aware native scan: merge-on-read with EXECUTOR-LOCAL delete
+    * application. Each task reads only the delete positions of the data
+    * files it scans (row-group-pruned out of the sorted delete parquet),
+    * so the delete set never travels — no broadcast, no anti-join shuffle
+    * of the table, no driver materialization. This is the Iceberg/Delta-DV
+    * plan shape: at 100 TB a `DELETE WHERE` touching 9% of the table costs
+    * each scan task a footer read + its own files' position lists, while
+    * the composed anti-join alternative re-shuffles every row of the table.
+    *
+    * Readers are row-based (position skipping is row-level); columnar
+    * resumes once vacuum rewrites the deleted files. Spark still applies
+    * residual filters + projection above, exactly like the clean scan.
+    *
+    * @param deletesByFile data-file NAME → delete parquet part paths
+    *                      holding positions for it (empty list = clean
+    *                      file, scanned with zero skip overhead)
+    */
+  def deleteAwareScan(
+      spark: SparkSession,
+      files: Seq[(String, Long)],
+      deletesByFile: Map[String, Seq[String]],
+      dataSchema: StructType,
+      readSchema: StructType,
+      filters: Array[Filter]): Scan = {
+    val classic = spark.asInstanceOf[ClassicSparkSession]
+    new LakeDeleteAwareScan(classic, files, deletesByFile, dataSchema, readSchema, filters)
+  }
+}
+
+/** Scan+Batch producing Spark's own parquet readers per file, wrapped with
+  * a sorted-merge skip over that file's deleted row positions. */
+private[graft] class LakeDeleteAwareScan(
+    spark: ClassicSparkSession,
+    files: Seq[(String, Long)],
+    deletesByFile: Map[String, Seq[String]],
+    dataSchema: StructType,
+    requiredSchema: StructType,
+    filters: Array[Filter]) extends Scan with Batch {
+
+  override def readSchema(): StructType = requiredSchema
+
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"graft-lake delete-aware scan (${files.size} files, " +
+      s"${deletesByFile.count(_._2.nonEmpty)} with deletes)"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // standard Spark split sizing (maxPartitionBytes / openCost / min
+    // parallelism), so split granularity matches a plain parquet scan
+    val conf = spark.sessionState.conf
+    val openCost = conf.filesOpenCostInBytes
+    val minPartitionNum = conf.filesMinPartitionNum
+      .getOrElse(spark.sparkContext.defaultParallelism)
+    val totalBytes = files.map(_._2 + openCost).sum
+    val maxSplit = math.min(conf.filesMaxPartitionBytes,
+      math.max(openCost, totalBytes / math.max(1, minPartitionNum)))
+
+    val hc = spark.sessionState.newHadoopConf()
+    val splits: Seq[PartitionedFile] = files.flatMap { case (p, size) =>
+      val raw = new Path(p)
+      val q = raw.getFileSystem(hc).makeQualified(raw)
+      (0L until size by maxSplit).map { start =>
+        PartitionedFile(InternalRow.empty, SparkPath.fromPath(q), start,
+          math.min(maxSplit, size - start), Array.empty[String], 0L, size,
+          Map.empty[String, Any])
+      }
+    }
+    FilePartition.getFilePartitions(spark, splits, maxSplit)
+      .map(fp => DeleteAwareFilePartition(fp, fp.files.toSeq.map { pf =>
+        val name = pf.toPath.getName
+        name -> deletesByFile.getOrElse(name, Nil)
+      }.toMap): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // the inner factory reads required columns PLUS the parquet row index
+    // (generated by Spark's readers, correct under row-group/page
+    // skipping). Built via a ParquetScan so the broadcast hadoop conf
+    // carries everything Spark's readers expect (read-support class,
+    // requested-schema json, timezone/legacy flags) — hand-assembling that
+    // conf would chase internals across versions.
+    val readWithIdx = StructType(requiredSchema.fields :+
+      StructField(ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME, LongType))
+    val inner = ParquetScan(spark, spark.sessionState.newHadoopConf(),
+      new MetadataFileIndex(spark, files), dataSchema, readWithIdx,
+      StructType(Nil), filters, CaseInsensitiveStringMap.empty())
+      .createReaderFactory().asInstanceOf[ParquetPartitionReaderFactory]
+    val bc = SerializableConfiguration.broadcast(spark.sparkContext,
+      spark.sessionState.newHadoopConf())
+    new DeleteAwareReaderFactory(inner, requiredSchema.length, bc)
+  }
+}
+
+private[graft] case class DeleteAwareFilePartition(
+    inner: FilePartition,
+    deletesByFile: Map[String, Seq[String]]) extends InputPartition
+
+/** Wraps Spark's parquet row readers: per file, skip rows whose row index
+  * appears in that file's sorted delete-position list (single forward
+  * pointer — both streams are ascending). Rows physically carry a trailing
+  * row-index field the consumer never reads (ordinal-based access). */
+private[graft] class DeleteAwareReaderFactory(
+    inner: ParquetPartitionReaderFactory,
+    rowIdxOrdinal: Int,
+    conf: Broadcast[SerializableConfiguration]) extends PartitionReaderFactory {
+
+  override def supportColumnarReads(partition: InputPartition): Boolean = false
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val dp = partition.asInstanceOf[DeleteAwareFilePartition]
+    new PartitionReader[InternalRow] {
+      private val fileIter = dp.inner.files.iterator
+      private var current: PartitionReader[InternalRow] = _
+      private var positions: Array[Long] = Array.emptyLongArray
+      private var pi = 0
+
+      private def openNext(): Boolean = {
+        if (!fileIter.hasNext) return false
+        val pf = fileIter.next()
+        positions = DeletePositions.forFile(pf.toPath.getName,
+          dp.deletesByFile.getOrElse(pf.toPath.getName, Nil), conf.value.value)
+        pi = 0
+        current = inner.createReader(FilePartition(dp.inner.index, Array(pf)))
+        true
+      }
+
+      override def next(): Boolean = {
+        while (true) {
+          if (current == null && !openNext()) return false
+          if (!current.next()) { current.close(); current = null }
+          else {
+            if (positions.isEmpty) return true
+            val idx = current.get().getLong(rowIdxOrdinal)
+            while (pi < positions.length && positions(pi) < idx) pi += 1
+            if (pi >= positions.length || positions(pi) != idx) return true
+            // else deleted: fall through, fetch the next row
+          }
+        }
+        false
+      }
+
+      override def get(): InternalRow = current.get()
+
+      override def close(): Unit = if (current != null) current.close()
+    }
+  }
+}
+
+/** Executor-side reader of lake delete files ((file, pos, row_id) parquet,
+  * written range-partitioned and sorted by (file, pos)): returns the
+  * ascending positions deleted from ONE data file, pruning row groups via
+  * the file column's min/max stats so a task touches only its slice of the
+  * delete set. */
+private[graft] object DeletePositions {
+
+  def forFile(fileName: String, delParts: Seq[String], conf: Configuration): Array[Long] = {
+    if (delParts.isEmpty) return Array.emptyLongArray
+    val out = mutable.ArrayBuilder.make[Long]
+    delParts.foreach { part =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(part), conf))
+      try {
+        val schema = reader.getFooter.getFileMetaData.getSchema
+        val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        val colIO = new ColumnIOFactory().getColumnIO(schema)
+        blocks.foreach { b =>
+          val fileStats = b.getColumns.asScala
+            .find(_.getPath.toDotString == "file").map(_.getStatistics)
+          val mayContain = fileStats.forall { s =>
+            if (s.isEmpty || !s.hasNonNullValue) true
+            else {
+              val min = new String(s.getMinBytes, java.nio.charset.StandardCharsets.UTF_8)
+              val max = new String(s.getMaxBytes, java.nio.charset.StandardCharsets.UTF_8)
+              min <= fileName && fileName <= max
+            }
+          }
+          if (!mayContain) reader.skipNextRowGroup()
+          else {
+            val pages = reader.readNextRowGroup()
+            val rr = colIO.getRecordReader(pages, new GroupRecordConverter(schema))
+            var i = 0L
+            val n = pages.getRowCount
+            while (i < n) {
+              val g = rr.read()
+              if (g.getString("file", 0) == fileName) out += g.getLong("pos", 0)
+              i += 1
+            }
+          }
+        }
+      } finally reader.close()
+    }
+    val arr = out.result()
+    java.util.Arrays.sort(arr)
+    arr
   }
 }
 

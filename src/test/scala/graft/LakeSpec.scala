@@ -654,6 +654,48 @@ class LakeSpec extends AnyFunSuite {
       ("update_preimage", 2, 20), ("update_preimage", 3, 30)))
   }
 
+  // ---- delete-aware native scan: executor-local position skipping -------
+  test("native scan applies a big delete set without joins or broadcast") {
+    val root = Files.createTempDirectory("graft_natdel").toString
+    val cat = s"ndcat${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val lake = new Lake(spark, root)
+    import spark.implicits._
+    val n = 200000L
+    lake.createTableAs("main.big",
+      spark.range(n).select(col("id").as("a"), (col("id") % 97).as("b")))
+    // delete a third of the rows — far above any broadcast threshold once
+    // multiplied out at scale; the point is the PLAN shape, which must not
+    // depend on the delete set's size at all
+    lake.delete("main.big", col("a") % 3 === 0)
+
+    val q = spark.sql(s"SELECT sum(a) AS s, count(*) AS c FROM $cat.main.big")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BatchScan"), s"expected native BatchScan, got:\n$plan")
+    assert(!plan.toLowerCase.contains("join"),
+      s"delete application must be scan-local, not a join:\n$plan")
+    val r = q.collect().head
+    val expS = (0L until n).filter(_ % 3 != 0).sum
+    val expC = (0L until n).count(_ % 3 != 0).toLong
+    assert((r.getLong(0), r.getLong(1)) == (expS, expC))
+
+    // pushed predicates still correct across deleted/kept rows
+    assert(spark.sql(s"SELECT b FROM $cat.main.big WHERE a = 12").collect().isEmpty)
+    assert(spark.sql(s"SELECT b FROM $cat.main.big WHERE a = 13").collect()
+      .map(_.getLong(0)).toSeq == Seq(13L % 97))
+
+    // a second DELETE stacks another live delete file over the same files
+    lake.delete("main.big", col("a") % 3 === 1)
+    assert(spark.sql(s"SELECT count(*) AS c FROM $cat.main.big").collect()
+      .head.getLong(0) == (0L until n).count(_ % 3 == 2).toLong)
+
+    // time travel to the pre-delete snapshot stays native and full
+    val v0 = 1L // CTAS snapshot
+    assert(spark.sql(s"SELECT count(*) FROM $cat.main.big VERSION AS OF $v0")
+      .collect().head.getLong(0) == n)
+  }
+
   test("SQL MERGE updates, deletes, and inserts in one snapshot; change feed pairs images") {
     val root = Files.createTempDirectory("graft_sqlmerge").toString
     val cat = s"mrgcat${System.nanoTime()}"
