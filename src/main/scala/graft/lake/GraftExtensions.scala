@@ -41,6 +41,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL UPDATE/MERGE on lake tables → the native positional-delete DML
     ext.injectResolutionRule(new ResolveLakeUpdate(_))
     ext.injectResolutionRule(new ResolveLakeMerge(_))
+    // codegen'd scalar for the vector hot paths (kNN / LSH / near-dup)
+    ext.injectFunction((FunctionIdentifier("graft_vec_dot"),
+      new ExpressionInfo("graft.functions.VecDotLong", "graft_vec_dot",
+        "graft_vec_dot(a, b) - dot product of two ARRAY<BIGINT> vectors"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_vec_dot takes 2 arguments")
+        graft.functions.VecDotLong(children.head, children(1))
+      }))
     ext.injectTableFunction(tvf("graft_snapshots", "graft_snapshots(root)") { args =>
       new Lake(SparkSession.active, lit(args.head, "root")).snapshots()
         .queryExecution.analyzed

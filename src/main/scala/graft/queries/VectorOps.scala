@@ -25,7 +25,7 @@ object VectorOps {
   /** integer milli-quantization of the float vector */
   private val QVEC =
     "transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))"
-  private val SQNORM = "aggregate(transform(q, x -> x * x), 0L, (acc, v) -> acc + v)"
+  private val SQNORM = "graft_vec_dot(q, q)"
 
   // --- LSH hyperplane family (shared by the Spark plan and the oracle) -----
   // 12 tables × 4 sign bits; each hyperplane is SPARSE (±1 on 16 of the 64
@@ -122,7 +122,7 @@ object VectorOps {
           s"""explode(flatten(transform(qs, a ->
              |  slice(array_sort(transform(filter(ms, m -> m.vec_id != a.vec_id), m ->
              |    struct(a.vec_id AS query_id, m.vec_id AS neighbor_id,
-             |      aggregate(zip_with(a.q, m.q, (x, y) -> x * y), 0L, (acc, v) -> acc + v) AS dot,
+             |      graft_vec_dot(a.q, m.q) AS dot,
              |      a.nsq AS na, m.nsq AS nb)),
              |    $candCmp), 1, $topK)))) AS p""".stripMargin)
         .select(col("p.query_id").as("query_id"),
@@ -141,7 +141,7 @@ object VectorOps {
         col("nsq").as("nb"))
       cand.join(broadcast(qv), Seq("query_id")).join(cv, Seq("neighbor_id"))
         .withColumn("dot",
-          expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+          expr("graft_vec_dot(qa, qb)"))
         .select(col("query_id"),
           struct(col("neighbor_id"), col("dot"), col("na"), col("nb")).as("cand"))
     }
@@ -208,7 +208,7 @@ object VectorOps {
       .orderBy(col("cosine").desc, col("neighbor_id"))
     cand.join(broadcast(qs), col("query_id") =!= col("neighbor_id"))
       .withColumn("dot",
-        expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+        expr("graft_vec_dot(qa, qb)"))
       .withColumn("cosine", col("dot").cast("double")
         / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
       .withColumn("rank", row_number().over(rnk).cast("long"))
@@ -228,7 +228,8 @@ object VectorOps {
     //   1. groupBy (table, bucket): collect each bucket's members (with
     //      vector payload), capped at 512 so a hot bucket can never go
     //      quadratic; buckets containing a query score query × member
-    //      cosines bucket-locally (exact int64 dot via zip_with).
+    //      cosines bucket-locally (exact int64 dot via the codegen'd
+    //      graft_vec_dot expression - no per-pair array allocation).
     //   2. groupBy query_id: collect_set dedups candidates seen in several
     //      tables, then an array_sort comparator takes the top-5 — no
     //      window, no self-join, no broadcast build.
@@ -262,7 +263,7 @@ object VectorOps {
           """explode(flatten(transform(ms, (a, i) ->
             |  transform(slice(ms, i + 2, size(ms)), m ->
             |    struct(a.vec_id AS vec_a, m.vec_id AS vec_b,
-            |      aggregate(zip_with(a.q, m.q, (x, y) -> x * y), 0L, (acc, v) -> acc + v) AS dot,
+            |      graft_vec_dot(a.q, m.q) AS dot,
             |      a.nsq AS na, m.nsq AS nb))))) AS p""".stripMargin)
         .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"),
           (col("p.dot").cast("double")

@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** graft_vec_dot: the codegen'd dot product must agree exactly with the
+  * higher-order-lambda formulation it replaced, across both the codegen
+  * path (top-level projection) and the interpreted path (inside a
+  * higher-order lambda, where expressions evaluate via eval()). */
+class FunctionsSpec extends AnyFunSuite {
+  import TestSession._
+
+  private val lambdaDot =
+    "aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+
+  test("graft_vec_dot agrees with the lambda dot on random vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 500).map { _ =>
+      val n = 1 + rnd.nextInt(96)
+      (Seq.fill(n)(rnd.nextLong() % 1000L), Seq.fill(n)(rnd.nextLong() % 1000L))
+    }
+    val df = rows.toDF("a", "b")
+      .selectExpr(s"graft_vec_dot(a, b) AS fast", s"$lambdaDot AS slow")
+    assert(df.filter(col("fast") =!= col("slow")).count() == 0)
+  }
+
+  test("graft_vec_dot null and empty semantics") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(Seq(1L, 2L)), Some(Seq(3L, 4L))),   // 11
+      (None, Some(Seq(1L))),                    // null
+      (Some(Seq(1L)), None),                    // null
+      (Some(Seq.empty[Long]), Some(Seq.empty[Long]))) // 0
+      .toDF("a", "b")
+      .selectExpr("graft_vec_dot(a, b) AS d")
+    val got = df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(got.toSeq == Seq(Some(11L), None, None, Some(0L)))
+  }
+
+  test("graft_vec_dot works inside a higher-order lambda (interpreted eval)") {
+    import spark.implicits._
+    val df = Seq((Seq(Seq(1L, 2L), Seq(3L, 4L)), Seq(10L, 20L))).toDF("vs", "q")
+      .selectExpr("transform(vs, v -> graft_vec_dot(v, q)) AS ds")
+    assert(df.collect().head.getSeq[Long](0) == Seq(50L, 110L))
+  }
+}
