@@ -41,13 +41,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL UPDATE/MERGE on lake tables → the native positional-delete DML
     ext.injectResolutionRule(new ResolveLakeUpdate(_))
     ext.injectResolutionRule(new ResolveLakeMerge(_))
-    // codegen'd scalar for the vector hot paths (kNN / LSH / near-dup)
+    // codegen'd scalars for the vector hot paths (kNN / LSH / near-dup)
     ext.injectFunction((FunctionIdentifier("graft_vec_dot"),
       new ExpressionInfo("graft.functions.VecDotLong", "graft_vec_dot",
         "graft_vec_dot(a, b) - dot product of two ARRAY<BIGINT> vectors"),
       (children: Seq[Expression]) => {
         require(children.length == 2, "graft_vec_dot takes 2 arguments")
         graft.functions.VecDotLong(children.head, children(1))
+      }))
+    ext.injectFunction((FunctionIdentifier("graft_lsh_bits"),
+      new ExpressionInfo("graft.functions.LshBits", "graft_lsh_bits",
+        "graft_lsh_bits(q, planes) - sign bits of sparse hyperplane projections"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_lsh_bits takes 2 arguments")
+        graft.functions.LshBits(children.head, children(1))
       }))
     ext.injectTableFunction(tvf("graft_snapshots", "graft_snapshots(root)") { args =>
       new Lake(SparkSession.active, lit(args.head, "root")).snapshots()

@@ -57,11 +57,11 @@ object VectorOps {
 
   private def planesLit(open: String, close: String): String = planesLitOf(planes, open, close)
 
-  /** array<int> of the sign bits of `q` (bigint vector column) */
+  /** array<int> of the sign bits of `q` (bigint vector column) — the
+    * codegen'd [[graft.functions.LshBits]] expression; the once-per-row
+    * signature build is the dominant LSH indexing cost at corpus scale */
   private def bitsExpr(lit: String): String =
-    s"""transform($lit, p -> CASE WHEN aggregate(p, 0L, (acc, t) ->
-       |  acc + (CASE WHEN t > 0 THEN element_at(q, t) ELSE -element_at(q, -t) END)) >= 0
-       |  THEN 1 ELSE 0 END)""".stripMargin
+    s"graft_lsh_bits(q, $lit)"
 
   /** array<int> of per-table bucket ids from a `bits` column */
   private def bucketsFromBitsFor(nTables: Int, bits: Int): String =

@@ -44,4 +44,23 @@ class FunctionsSpec extends AnyFunSuite {
       .selectExpr("transform(vs, v -> graft_vec_dot(v, q)) AS ds")
     assert(df.collect().head.getSeq[Long](0) == Seq(50L, 110L))
   }
+
+  test("graft_lsh_bits agrees with the lambda sign-projection") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // sparse signed-dim planes in the VectorOps encoding (+d ⇒ +q[d])
+    val planes = (0 until 48).map { h =>
+      val r = new scala.util.Random(9000 + h)
+      r.shuffle((1 to 64).toList).take(16).sorted.map(d => if (r.nextBoolean()) d else -d)
+    }
+    val planesLit = planes.map(_.mkString("array(", ", ", ")"))
+      .mkString("array(", ", ", ")")
+    val rows = (1 to 200).map(_ => Seq.fill(64)(rnd.nextLong() % 2000L))
+    val df = rows.toDF("q").selectExpr(
+      s"graft_lsh_bits(q, $planesLit) AS fast",
+      s"""transform($planesLit, p -> CASE WHEN aggregate(p, 0L, (acc, t) ->
+         |  acc + (CASE WHEN t > 0 THEN element_at(q, t) ELSE -element_at(q, -t) END)) >= 0
+         |  THEN 1 ELSE 0 END) AS slow""".stripMargin)
+    assert(df.filter(col("fast") =!= col("slow")).count() == 0)
+  }
 }
