@@ -169,7 +169,9 @@ object LakeWrite {
       changeTag: String = "inserted",
       extraEnded: CatalogState => (List[Long], List[Long], List[Long]) = _ => (Nil, Nil, Nil),
       sorted: Boolean = false,
-      repartitionForWrite: Boolean = true): Long = {
+      repartitionForWrite: Boolean = true,
+      extraTags: (CatalogState, Long) => (List[TagEntry], List[String]) =
+        (_, _) => (Nil, Nil)): Long = {
     val st0 = store.state()
     val s0 = st0.currentSnapshotId
     val tid = st0.tableAt(schemaName, tableName, s0)
@@ -261,11 +263,13 @@ object LakeWrite {
       val endedDel = (if (overwrite) st.deleteFilesAt(tid, st.currentSnapshotId).map(_.deleteFileId).toList else Nil) ++ extraDel
       val endedInl = (if (overwrite) st.inlinedAt(tid, st.currentSnapshotId).map(_.batchId).toList else Nil) ++ extraInl
       val n = newFiles.map(_.rowCount).sum
+      val (tagsNew, tagsEnded) = extraTags(st, sid)
       CommitDelta(
         snapshot = Snapshot(sid, System.currentTimeMillis(), schemaVersion,
           List(s"$changeTag:$tid:$n")),
         newFiles = newFiles, endedFiles = endedFiles,
         endedDeleteFiles = endedDel, endedInlined = endedInl,
+        newTags = tagsNew, endedTags = tagsEnded,
         newStats = newStats,
         newScheduledDeletions = (endedFiles.flatMap(id =>
           st.files.find(_.fileId == id).map(_.path)) ++

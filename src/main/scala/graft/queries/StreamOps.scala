@@ -35,6 +35,34 @@ object StreamOps {
       q.awaitTermination()
       s.table(sink).select("_change_type", "n_nationkey", "n_name")
         .orderBy("_change_type", "n_nationkey")
+    }),
+
+    // ---- CDC replication pipeline: CDF source → exactly-once lake sink ---
+    // readStream the change feed of a mutating source table, keep the live
+    // image (inserts + update post-images of rows never later deleted),
+    // writeStream into a SECOND lake table — the full streaming loop runs
+    // on the lake format end to end with snapshot-tagged exactly-once.
+    "s02_stream_pipeline" -> ((s, dir) => {
+      val lake = LakeQueries.freshLake(s)
+      val nation = t(s, dir, "nation")
+      lake.createTable("main.src", nation.schema)
+      lake.append("main.src", nation)
+      lake.delete("main.src", col("n_regionkey") === 3)
+      lake.update("main.src", col("n_regionkey") === 1,
+        Map("n_name" -> concat(col("n_name"), lit("_v2"))))
+      lake.createTable("main.dst", nation.schema)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_s02_ckpt").toString
+      val q = s.readStream.format("graft-changes")
+        .option("root", lake.root).option("table", "main.src").load()
+        .filter(col("_change_type").isin("insert", "update_postimage"))
+        .select(nation.columns.map(col).toIndexedSeq: _*)
+        .writeStream.format("graft-lake")
+        .option("root", lake.root).option("table", "main.dst")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // dst holds every row version that was ever inserted (CDC append log)
+      lake.table("main.dst").orderBy("n_nationkey", "n_name")
     })
   )
 
@@ -44,6 +72,14 @@ object StreamOps {
         |  SELECT 'insert' AS _change_type, n_nationkey, n_name FROM nation
         |  UNION ALL
         |  SELECT 'delete', n_nationkey, n_name FROM nation WHERE n_regionkey = 1) t
-        |ORDER BY _change_type, n_nationkey""".stripMargin
+        |ORDER BY _change_type, n_nationkey""".stripMargin,
+
+    "s02_stream_pipeline" ->
+      """SELECT * FROM (
+        |  SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey, n_name || '_v2', n_regionkey
+        |  FROM nation WHERE n_regionkey = 1) t
+        |ORDER BY n_nationkey, n_name""".stripMargin
   )
 }

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.graft.StreamingBatch
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider}
+import org.apache.spark.sql.streaming.OutputMode
+import graft.lake.{Lake, LakeWrite, MetadataStore}
+import graft.lake.Meta.TagEntry
+
+/** Structured Streaming sink writing micro-batches into a lake table with
+  * EXACTLY-ONCE semantics (the write side of the CDF loop —
+  * [[ChangeFeedSourceProvider]] is the read side; together they run a
+  * streaming ingest/replicate pipeline entirely on the lake format).
+  *
+  * {{{
+  *   df.writeStream.format("graft-lake")
+  *     .option("root", "/lake/root").option("table", "main.t")
+  *     .option("checkpointLocation", ...)   // also the default txn id
+  *     .start()
+  * }}}
+  *
+  * Exactly-once: each committed micro-batch atomically records its batch
+  * id in a per-query snapshot tag (`stream_txn:<txnId>`) IN THE SAME
+  * snapshot commit as the data files — the Delta `txnVersion` idiom on
+  * this metadata store. A batch replayed after a crash-restart sees
+  * `batchId <= last` and no-ops, so rows land exactly once no matter
+  * where the checkpoint recovery restarts the query. The data write is
+  * the normal distributed append (staging parquet + stats job + optimistic
+  * commit); Append mode appends, Complete mode atomically replaces the
+  * table contents per batch.
+  *
+  * The target table is auto-created from the first batch's schema when
+  * absent; lake-side partitioning/sorting (set_partition / set_sorted_by)
+  * applies to streamed writes like any other append.
+  */
+class LakeSinkProvider extends StreamSinkProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-lake"
+
+  override def createSink(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    val p = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val root = p.getOrElse("root",
+      throw new IllegalArgumentException("graft-lake sink: option 'root' required"))
+    val table = p.getOrElse("table",
+      throw new IllegalArgumentException("graft-lake sink: option 'table' required"))
+    val txnId = p.get("txnid").orElse(p.get("checkpointlocation")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft-lake sink: 'txnId' or a checkpointLocation required for exactly-once tracking"))
+    require(outputMode == OutputMode.Append() || outputMode == OutputMode.Complete(),
+      s"graft-lake sink supports Append and Complete output modes, got $outputMode")
+    new LakeSink(root, table, txnId, overwrite = outputMode == OutputMode.Complete())
+  }
+}
+
+class LakeSink(root: String, table: String, txnId: String, overwrite: Boolean)
+  extends Sink {
+
+  private def txnKey = s"stream_txn:$txnId"
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val spark = data.sparkSession
+    val store = new MetadataStore(root)
+    val lake = new Lake(spark, root)
+    val st0 = store.state()
+    val (schemaName, tableName) = {
+      val parts = table.split('.')
+      if (parts.length == 2) (parts(0), parts(1)) else ("main", table)
+    }
+    val tid = st0.tableAt(schemaName, tableName, st0.currentSnapshotId)
+      .map(_.tableId).getOrElse {
+        lake.createTable(s"$schemaName.$tableName", data.schema)
+        store.state().tableAt(schemaName, tableName, store.state().currentSnapshotId).get.tableId
+      }
+
+    // replayed batch after restart: the tag says it already committed
+    val last = store.state()
+      .tagAt(tid.toString, txnKey, store.state().currentSnapshotId)
+      .map(_.toLong).getOrElse(-1L)
+    if (batchId <= last) return
+
+    val batchDF = StreamingBatch.asBatch(data)
+    LakeWrite.append(spark, store, schemaName, tableName, batchDF,
+      overwrite = overwrite,
+      extraTags = (st, sid) => {
+        // re-check inside the commit: if a concurrent retry of the same
+        // query already recorded this batch, abort rather than double-write
+        val cur = st.tagAt(tid.toString, txnKey, st.currentSnapshotId)
+          .map(_.toLong).getOrElse(-1L)
+        if (batchId <= cur) throw new IllegalStateException(
+          s"batch $batchId already committed by a concurrent writer of txn $txnId")
+        (List(TagEntry(tid.toString, txnKey, batchId.toString, sid, None)),
+          List(s"$tid:$txnKey"))
+      })
+  }
+
+  override def toString: String = s"LakeSink[$table @ $root, txn=$txnId]"
+}

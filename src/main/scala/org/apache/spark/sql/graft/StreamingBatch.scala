@@ -16,6 +16,16 @@ object StreamingBatch {
     spark.internalCreateDataFrame(df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
 
+  /** The reverse bridge for streaming SINKS: inside `Sink.addBatch` the
+    * incoming DataFrame is flagged streaming (calling `.write` on it
+    * throws), but its physical plan IS one finite micro-batch — re-wrap
+    * the executed RDD as a plain batch DataFrame so the normal lake append
+    * path (staging write, stats job, snapshot commit) can consume it. */
+  def asBatch(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[ClassicSparkSession]
+    spark.internalCreateDataFrame(df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
+
   /** Bridge to `private[sql] Dataset.ofRows`: rehydrate an already-resolved
     * logical plan (e.g. a MERGE source captured at analysis time) as a
     * DataFrame. */

@@ -654,6 +654,42 @@ class LakeSpec extends AnyFunSuite {
       ("update_preimage", 2, 20), ("update_preimage", 3, 30)))
   }
 
+  // ---- streaming sink: exactly-once micro-batch ingest -------------------
+  test("streaming sink ingests exactly-once across restarts and replays") {
+    val root = Files.createTempDirectory("graft_sink").toString
+    val ckpt = Files.createTempDirectory("graft_sink_ckpt").toString
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Int, String)]
+
+    def start() = mem.toDF().toDF("k", "v").writeStream
+      .format("graft-lake")
+      .option("root", root).option("table", "main.ing")
+      .option("checkpointLocation", ckpt)
+      .start()
+
+    mem.addData((1, "a"), (2, "b"))
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+
+    mem.addData((3, "c"))
+    val q2 = start() // restart from checkpoint: batch 0 must not re-apply
+    q2.processAllAvailable(); q2.stop()
+
+    val lake = new Lake(spark, root)
+    assert(lake.table("main.ing").orderBy("k").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "a"), (2, "b"), (3, "c")))
+
+    // direct replay of an already-committed batch id is a no-op
+    val sink = new graft.streaming.LakeSink(root, "main.ing", ckpt, overwrite = false)
+    sink.addBatch(0, Seq((9, "dup")).toDF("k", "v"))
+    assert(lake.table("main.ing").count() == 3, "replayed batch must not append")
+    // a NEW batch id from the same txn does append
+    sink.addBatch(99, Seq((4, "d")).toDF("k", "v"))
+    assert(lake.table("main.ing").count() == 4)
+  }
+
   // ---- delete-aware native scan: executor-local position skipping -------
   test("native scan applies a big delete set without joins or broadcast") {
     val root = Files.createTempDirectory("graft_natdel").toString
