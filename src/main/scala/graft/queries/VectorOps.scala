@@ -217,10 +217,75 @@ object VectorOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // --- IVF (inverted-file) ANN constants — the second scale path next to
+  // LSH. Deterministic seeded centroids (quantized to the same int64
+  // milli-units as the vectors) are shared between the Spark plan and the
+  // DuckDB oracle, so assignment and probing agree exactly cross-engine.
+  private val IVF_K = 16
+  private val IVF_NPROBE = 4
+
+  private[queries] val ivfCentroids: IndexedSeq[Seq[Long]] =
+    (0 until IVF_K).map { c =>
+      val rnd = new scala.util.Random(7100 + c)
+      Seq.fill(64)(math.round(rnd.nextGaussian() * 1000))
+    }
+
+  /** centroid family literal; `suffix` renders int64 elements ("L" for
+    * Spark SQL, "" for DuckDB) */
+  private def centroidsLit(open: String, close: String, suffix: String): String =
+    ivfCentroids.map(_.map(v => s"$v$suffix").mkString(open, ", ", close))
+      .mkString(open, ", ", close)
+
+  /** IVF top-k ANN: assign every vector to its argmax-dot centroid (one
+    * pass, codegen'd dots), probe each query's top-`nprobe` clusters, and
+    * score exactly within the probed inverted lists.
+    *
+    * Scale shape (100 TB): the corpus is PARTITIONED BY CLUSTER at index
+    * time, so a query batch touches nprobe/K of the data — candidate
+    * volume is bounded by cluster sizes, the query side broadcasts, and
+    * nothing is all-pairs. Versus LSH: IVF gives contiguous
+    * cluster-pruned scans (better locality, natural partition pruning if
+    * the table is partitioned by `cl`), LSH gives finer per-row buckets;
+    * both are served by the same codegen'd dot kernel. */
+  def knnIvf(emb: DataFrame, nQueries: Int = 10, topK: Int = 5,
+      nprobe: Int = IVF_NPROBE): DataFrame = {
+    val cents = centroidsLit("array(", ")", "L")
+    val e = emb
+      .selectExpr("vec_id", s"$QVEC AS q")
+      .selectExpr("vec_id", "q", s"$SQNORM AS nsq")
+      .filter(col("nsq") > 0)
+      .selectExpr("vec_id", "q", "nsq",
+        s"transform($cents, c -> graft_vec_dot(q, c)) AS ds")
+      .selectExpr("vec_id", "q", "nsq", "ds",
+        "array_position(ds, array_max(ds)) AS cl")
+    val qs = e.filter(col("vec_id") < nQueries).selectExpr(
+      "vec_id AS query_id", "q AS qa", "nsq AS na",
+      // top-nprobe clusters by dot desc, index asc on ties — the struct
+      // sort is lexicographic (-dot, index) in Spark and DuckDB alike
+      s"""slice(transform(array_sort(
+         |  zip_with(ds, sequence(1L, ${IVF_K}L), (d, i) -> struct(-d AS nd, i AS i))),
+         |  s -> s.i), 1, $nprobe) AS probes""".stripMargin)
+    val cv = e.selectExpr("vec_id AS neighbor_id", "q AS qb", "nsq AS nb", "cl")
+    val rnk = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cv.join(broadcast(qs),
+        expr("array_contains(probes, cl)") && col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot", expr("graft_vec_dot(qa, qb)"))
+      .withColumn("cosine", col("dot").cast("double")
+        / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .withColumn("rank", row_number().over(rnk).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- brute-force cosine top-k (correctness baseline) -------------------
     "v01_knn_brute" -> ((s, dir) => knnBrute(t(s, dir, "embeddings"))),
+
+    // ---- IVF ANN (centroid inverted lists, cluster-pruned probe) ----------
+    "v05_knn_ivf" -> ((s, dir) => knnIvf(t(s, dir, "embeddings"))),
 
     // ---- LSH-bucketed ANN (sign random projection, the 100 TB scale path) --
     // Multi-table LSH: 12 tables × 4 sign bits from the precomputed sparse
@@ -315,6 +380,47 @@ object VectorOps {
            |      neighbor_id) AS BIGINT) AS rank
            |  FROM pairs) t
            |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+      "v05_knn_ivf" -> {
+        val centsD = centroidsLit("[", "]", "")
+        s"""WITH e0 AS (
+           |  SELECT vec_id, $qvecD AS q FROM embeddings
+           |), n AS (
+           |  SELECT vec_id, q,
+           |    CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nsq
+           |  FROM e0
+           |), a AS (
+           |  SELECT vec_id, q, nsq,
+           |    list_transform($centsD, c ->
+           |      CAST(list_sum(list_transform(generate_series(1, len(q)),
+           |        i -> q[i] * c[i])) AS BIGINT)) AS ds
+           |  FROM n WHERE nsq > 0
+           |), b AS (
+           |  SELECT vec_id, q, nsq, ds,
+           |    CAST(list_position(ds, list_max(ds)) AS BIGINT) AS cl
+           |  FROM a
+           |), qs AS (
+           |  SELECT vec_id AS query_id, q AS qa, nsq AS na,
+           |    list_transform(list_sort(list_transform(generate_series(1, $IVF_K),
+           |      i -> {'nd': -ds[i], 'i': CAST(i AS BIGINT)})), s -> s.i)[1:$IVF_NPROBE] AS probes
+           |  FROM b WHERE vec_id < 10
+           |), cand AS (
+           |  SELECT qs.query_id, b.vec_id AS neighbor_id,
+           |    CAST(list_sum(list_transform(generate_series(1, len(qs.qa)),
+           |      i -> qs.qa[i] * b.q[i])) AS BIGINT) AS dot,
+           |    qs.na AS na, b.nsq AS nb
+           |  FROM qs JOIN b ON list_contains(qs.probes, b.cl)
+           |    AND b.vec_id <> qs.query_id
+           |)
+           |SELECT query_id, rank, neighbor_id, cosine FROM (
+           |  SELECT query_id, neighbor_id,
+           |    CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cosine,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+           |      CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) DESC,
+           |      neighbor_id) AS BIGINT) AS rank
+           |  FROM cand) t
+           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+      },
 
       "v03_knn_lsh" -> {
         val bitsD =
