@@ -654,6 +654,26 @@ class LakeSpec extends AnyFunSuite {
       ("update_preimage", 2, 20), ("update_preimage", 3, 30)))
   }
 
+  // ---- native-scan escape hatch ------------------------------------------
+  test("spark.graft.lake.nativeScan=false falls back to the composed V1 plan") {
+    val root = Files.createTempDirectory("graft_nsoff").toString
+    val cat = s"nsoff${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE TABLE $cat.main.t (a INT, b INT)")
+    spark.sql(s"INSERT INTO $cat.main.t VALUES (1, 10), (2, 20), (3, 30)")
+    def q() = spark.sql(s"SELECT b FROM $cat.main.t WHERE a >= 2 ORDER BY b")
+    assert(q().queryExecution.executedPlan.toString.contains("BatchScan"))
+    spark.conf.set("spark.graft.lake.nativeScan", "false")
+    try {
+      val off = q()
+      assert(!off.queryExecution.executedPlan.toString.contains("BatchScan"),
+        "flag off must route through the V1 composed plan")
+      assert(off.collect().map(_.getInt(0)).toSeq == Seq(20, 30))
+    } finally spark.conf.unset("spark.graft.lake.nativeScan")
+    assert(q().collect().map(_.getInt(0)).toSeq == Seq(20, 30))
+  }
+
   // ---- streaming sink: exactly-once micro-batch ingest -------------------
   test("streaming sink ingests exactly-once across restarts and replays") {
     val root = Files.createTempDirectory("graft_sink").toString
