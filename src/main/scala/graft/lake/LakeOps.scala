@@ -480,6 +480,57 @@ class Lake(val spark: SparkSession, val root: String) {
       })
   }
 
+  /** Consolidate a table's live delete files into ONE sorted delete dir.
+    *
+    * Every DELETE/UPDATE/MERGE leaves its own delete dir; files BELOW the
+    * rewrite threshold keep accumulating overlays until vacuum. Each live
+    * delete dir costs every delete-aware scan task a footer probe, so the
+    * maintenance move is to merge them: read all live (file, pos, row_id)
+    * rows, rewrite range-partitioned/sorted by (file, pos) (the same
+    * layout single-DML delete files get), and swap the entries in one
+    * snapshot. Row data is untouched — this is metadata+overlay hygiene,
+    * distributed like any delete-file write. The snapshot tag is
+    * `compacted:` so the change feed correctly sees NO logical change.
+    * Returns the committed snapshot id, or the current one if the table
+    * has fewer than two live delete files. */
+  def consolidateDeleteFiles(table: String): Long = {
+    val st0 = store.state()
+    val e = resolve(table, st0)
+    val tid = e.tableId
+    val cur = st0.currentSnapshotId
+    val dels = st0.deleteFilesAt(tid, cur)
+    if (dels.size < 2) return cur
+    val delStruct = StructType(Seq(StructField("file", StringType),
+      StructField("pos", LongType), StructField("row_id", LongType)))
+    val hits = spark.read.schema(delStruct).parquet(dels.map(_.path): _*)
+      .select(col("file").as(LakeRead.FileCol), col("pos").as(LakeRead.PosCol),
+        col("row_id").as(LakeRead.RowIdCol))
+    val written = LakeWrite.writeDeleteFile(spark, store, tid, hits)
+      .getOrElse(return cur)
+    val (path, counts, total) = written
+    store.commitWithRetry() { (st, sid) =>
+      // the overlay set must not have changed under us: a concurrent DML
+      // added positions we did not merge, a concurrent vacuum ended files
+      // we are about to re-add — both are retryable conflicts
+      val now = st.deleteFilesAt(tid, st.currentSnapshotId).map(_.deleteFileId).toSet
+      if (now != dels.map(_.deleteFileId).toSet)
+        throw new java.util.ConcurrentModificationException(
+          "delete-file consolidation raced a concurrent DML or vacuum")
+      val fileIdByName = st.filesAt(tid, st.currentSnapshotId)
+        .map(f => f.fileName -> f.fileId).toMap
+      CommitDelta(
+        snapshot = Snapshot(sid, System.currentTimeMillis(),
+          st.snapshots.lastOption.map(_.schemaVersion).getOrElse(0L),
+          List(s"compacted:$tid:deletes")),
+        newDeleteFiles = List(DeleteFileEntry(st.nextFileId, tid, path, total,
+          counts.flatMap { case (fn, c) => fileIdByName.get(fn).map(_.toString -> c) },
+          sid, None)),
+        endedDeleteFiles = dels.map(_.deleteFileId).toList,
+        newScheduledDeletions = dels.map(d =>
+          ScheduledDeletion(d.path, System.currentTimeMillis(), sid)).toList)
+    }
+  }
+
   /** rewrite files past the delete threshold, reading the threshold from
     * the `rewrite_delete_threshold` option (table scope, then global, then
     * the reference GUC default 0.1 — src/pgducklake_guc.cpp:21,37-41). */

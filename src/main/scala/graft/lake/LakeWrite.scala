@@ -346,7 +346,7 @@ object LakeWrite {
   /** distributed write of (file, pos, row_id) hit rows into a positional
     * delete "file" (a parquet directory — the scan reads it as one unit);
     * returns (path, per-data-file counts, total). None when no hits. */
-  private def writeDeleteFile(
+  private[lake] def writeDeleteFile(
       spark: SparkSession, store: MetadataStore, tid: Long,
       parquetHits: DataFrame): Option[(String, Map[String, Long], Long)] = {
     val delDir = s"${tableDir(store.root, tid)}/deletes/d${uuid()}"

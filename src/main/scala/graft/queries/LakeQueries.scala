@@ -386,6 +386,18 @@ object LakeQueries {
            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
     }),
 
+    // ---- maintenance: consolidate per-DML delete overlays into one sorted
+    // delete file (scan tasks probe one footer instead of one per DML) ----
+    "l30_delete_consolidation" -> ((s, dir) => {
+      val lake = newLake(s)
+      lake.createTableAs("main.dc", t(s, dir, "nation"))
+      lake.delete("main.dc", col("n_regionkey") === 0)
+      lake.delete("main.dc", col("n_regionkey") === 4)
+      lake.consolidateDeleteFiles("main.dc")
+      val info = lake.tableInfo().select(col("delete_file_count"))
+      lake.table("main.dc").crossJoin(info).orderBy("n_nationkey")
+    }),
+
     // ---- A10 column defaults (ddl.sql): ADD COLUMN DEFAULT backfills old
     // files with the frozen existence default; SET DEFAULT redefines only
     // the current default used by later inserts ---------------------------
@@ -648,6 +660,12 @@ object LakeQueries {
         |  CAST(sum(o_orderkey) AS BIGINT) AS keysum
         |FROM orders WHERE o_orderstatus <> 'F' AND o_orderkey > 100
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "l30_delete_consolidation" ->
+      """SELECT n_nationkey, n_name, n_regionkey,
+        |  CAST(1 AS BIGINT) AS delete_file_count
+        |FROM nation WHERE n_regionkey NOT IN (0, 4)
+        |ORDER BY n_nationkey""".stripMargin,
 
     "l25_column_default" ->
       """SELECT * FROM (

@@ -654,6 +654,40 @@ class LakeSpec extends AnyFunSuite {
       ("update_preimage", 2, 20), ("update_preimage", 3, 30)))
   }
 
+  // ---- delete-file consolidation -----------------------------------------
+  test("consolidateDeleteFiles merges overlays without changing rows or CDF") {
+    val root = Files.createTempDirectory("graft_dcons").toString
+    val cat = s"dcons${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val lake = new Lake(spark, root)
+    import spark.implicits._
+    lake.createTableAs("main.t",
+      spark.range(1000).select(col("id").as("a"), (col("id") % 7).as("b")))
+    lake.delete("main.t", col("a") % 5 === 0)
+    lake.delete("main.t", col("a") % 5 === 1)
+    lake.update("main.t", col("a") === 2, Map("b" -> lit(99L)))
+    def delCount() = lake.tableInfo().select("delete_file_count")
+      .collect().head.getLong(0)
+    assert(delCount() == 3L)
+    val expected = spark.sql(s"SELECT a, b FROM $cat.main.t ORDER BY a").collect().toSeq
+
+    lake.consolidateDeleteFiles("main.t")
+    assert(delCount() == 1L, "three overlays must merge into one")
+    assert(spark.sql(s"SELECT a, b FROM $cat.main.t ORDER BY a").collect().toSeq
+      == expected, "consolidation must not change table contents")
+    // CDF: the consolidation snapshot itself contributes no changes, and
+    // the original DML snapshots still classify
+    val changes = lake.tableChanges("main.t", 1L, lake.currentSnapshot())
+      .groupBy("_change_type").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(changes == Map("delete" -> 400L,
+      "update_preimage" -> 1L, "update_postimage" -> 1L))
+    // consolidating again is a no-op
+    val before = lake.currentSnapshot()
+    assert(lake.consolidateDeleteFiles("main.t") == before)
+  }
+
   // ---- native-scan escape hatch ------------------------------------------
   test("spark.graft.lake.nativeScan=false falls back to the composed V1 plan") {
     val root = Files.createTempDirectory("graft_nsoff").toString
