@@ -68,6 +68,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new Lake(SparkSession.active, lit(args.head, "root"))
         .listFiles(lit(args(1), "table")).queryExecution.analyzed
     })
+    ext.injectTableFunction(tvf("graft_last_committed_snapshot",
+      "graft_last_committed_snapshot(root)") { args =>
+      new Lake(SparkSession.active, lit(args.head, "root")).lastCommittedSnapshot()
+        .queryExecution.analyzed
+    })
+    ext.injectTableFunction(tvf("graft_get_partition", "graft_get_partition(root, table)") { args =>
+      new Lake(SparkSession.active, lit(args.head, "root"))
+        .getPartition(lit(args(1), "table")).queryExecution.analyzed
+    })
+    ext.injectTableFunction(tvf("graft_get_sort", "graft_get_sort(root, table)") { args =>
+      new Lake(SparkSession.active, lit(args.head, "root"))
+        .getSort(lit(args(1), "table")).queryExecution.analyzed
+    })
     ext.injectTableFunction(tvf("graft_options", "graft_options(root)") { args =>
       new Lake(SparkSession.active, lit(args.head, "root")).options()
         .queryExecution.analyzed

@@ -128,19 +128,60 @@ class Lake(val spark: SparkSession, val root: String) {
 
   // ------------------------------------------------------------- metadata TVFs
 
+  private val snapshotSchema = StructType(Seq(
+    StructField("snapshot_id", LongType), StructField("snapshot_time", TimestampType),
+    StructField("schema_version", LongType), StructField("changes", StringType),
+    StructField("commit_message", StringType)))
+
+  private def snapshotRow(s: Snapshot): Row =
+    Row(s.snapshotId, new java.sql.Timestamp(s.snapshotTimeMs), s.schemaVersion,
+      s.changes.mkString(","), s.commitMessage.orNull)
+
   /** snapshots() TVF (reference src/pgducklake_functions.cpp:93-103) */
   def snapshots(): DataFrame = {
     val st = store.state()
-    val rows = st.snapshots.map(s =>
-      Row(s.snapshotId, new java.sql.Timestamp(s.snapshotTimeMs), s.schemaVersion,
-        s.changes.mkString(","), s.commitMessage.orNull))
-    spark.createDataFrame(rows.toList.asJava, StructType(Seq(
-      StructField("snapshot_id", LongType), StructField("snapshot_time", TimestampType),
-      StructField("schema_version", LongType), StructField("changes", StringType),
-      StructField("commit_message", StringType))))
+    spark.createDataFrame(st.snapshots.map(snapshotRow).toList.asJava, snapshotSchema)
+  }
+
+  /** last_committed_snapshot() TVF (sql/pg_ducklake--0.1.0.sql:296-300;
+    * snapshots.sql Test 2: exactly one row — the newest committed snapshot,
+    * which in this engine is also the current one since commits are the
+    * only way snapshots appear). */
+  def lastCommittedSnapshot(): DataFrame = {
+    val st = store.state()
+    spark.createDataFrame(
+      st.snapshots.lastOption.map(snapshotRow).toList.asJava, snapshotSchema)
   }
 
   def currentSnapshot(): Long = store.state().currentSnapshotId
+
+  /** get_partition TVF (sql/pg_ducklake--0.1.0.sql:214-239): the table's
+    * live partition keys, one row per key, ordered by key index. */
+  def getPartition(table: String): DataFrame = {
+    val st = store.state()
+    val e = resolve(table, st)
+    val rows = st.partitionKeysAt(e.tableId, st.currentSnapshotId).zipWithIndex
+      .map { case (k, i) => Row(i.toLong, k.column, k.transform) }
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("partition_key_index", LongType),
+      StructField("column_name", StringType),
+      StructField("transform", StringType))))
+  }
+
+  /** get_sort TVF (sql/pg_ducklake--0.1.0.sql:254-278): the table's live
+    * sort keys with direction and null order, ordered by key index. */
+  def getSort(table: String): DataFrame = {
+    val st = store.state()
+    val e = resolve(table, st)
+    val rows = st.sortKeysAt(e.tableId, st.currentSnapshotId).zipWithIndex
+      .map { case (k, i) =>
+        Row(i.toLong, k.expr, if (k.ascending) "ASC" else "DESC",
+          if (k.nullsFirst) "NULLS FIRST" else "NULLS LAST")
+      }
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("sort_key_index", LongType), StructField("expression", StringType),
+      StructField("direction", StringType), StructField("null_order", StringType))))
+  }
 
   /** list_files TVF (reference sql/pg_ducklake--0.1.0.sql:312-323) */
   def listFiles(table: String): DataFrame = {
@@ -704,6 +745,13 @@ class Lake(val spark: SparkSession, val root: String) {
           else List(PartitionInfoEntry(tid, keys, sid, None)))
     }
   }
+
+  /** reset_partition (native proc, sql/pg_ducklake--0.1.0.sql:209-211):
+    * ends the live partition info; future files land unpartitioned. */
+  def resetPartition(table: String): Long = setPartition(table, Nil)
+
+  /** reset_sort (sql/pg_ducklake--0.1.0.sql:249-251) */
+  def resetSort(table: String): Long = setSort(table, Nil)
 
   /** set_sort (reference src/pgducklake_sorted_by.cpp:186-268): sort
     * applied on compaction/flush, not direct inserts. */

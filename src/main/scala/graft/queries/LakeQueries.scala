@@ -398,6 +398,35 @@ object LakeQueries {
       lake.table("main.dc").crossJoin(info).orderBy("n_nationkey")
     }),
 
+    // ---- metadata TVFs get_partition / get_sort / last_committed_snapshot
+    // (sql/pg_ducklake--0.1.0.sql:214-300; sorted_table.sql Tests 1-4,
+    // snapshots.sql Test 2) plus reset_partition / reset_sort -------------
+    "l31_sort_partition_meta" -> ((s, dir) => {
+      val lake = newLake(s)
+      lake.createTable("main.sp", t(s, dir, "orders").schema)
+      lake.setPartition("main.sp", List(PartitionKey("year", "o_orderdate")))
+      lake.setSort("main.sp", List(
+        SortKey("o_orderdate", ascending = true, nullsFirst = true),
+        SortKey("o_totalprice", ascending = false, nullsFirst = false)))
+      val parts = lake.getPartition("main.sp")
+        .select(lit("partition").as("kind"), col("partition_key_index").as("idx"),
+          col("column_name").as("name"), col("transform").as("detail"))
+      // the SQL TVF route for sort keys (extensions registered in Tables)
+      val sorts = s.sql(s"SELECT * FROM graft_get_sort('${lake.root}', 'main.sp')")
+        .select(lit("sort").as("kind"), col("sort_key_index").as("idx"),
+          col("expression").as("name"),
+          concat_ws(" ", col("direction"), col("null_order")).as("detail"))
+      lake.resetSort("main.sp")
+      lake.resetPartition("main.sp")
+      // DROP INDEX / reset leaves no live keys (sorted_table.sql Test 4)
+      val nAfter = lake.getPartition("main.sp").count() + lake.getSort("main.sp").count()
+      val lcs = lake.lastCommittedSnapshot()
+      val lcsRow = lcs.select(lit("last_committed").as("kind"), lit(nAfter).as("idx"),
+        lit(if (lcs.count() == 1L) "one_row" else "bad_count").as("name"),
+        (col("snapshot_id") === lit(lake.currentSnapshot())).cast("string").as("detail"))
+      parts.unionByName(sorts).unionByName(lcsRow).orderBy("kind", "idx")
+    }),
+
     // ---- A10 column defaults (ddl.sql): ADD COLUMN DEFAULT backfills old
     // files with the frozen existence default; SET DEFAULT redefines only
     // the current default used by later inserts ---------------------------
@@ -666,6 +695,15 @@ object LakeQueries {
         |  CAST(1 AS BIGINT) AS delete_file_count
         |FROM nation WHERE n_regionkey NOT IN (0, 4)
         |ORDER BY n_nationkey""".stripMargin,
+
+    "l31_sort_partition_meta" ->
+      """SELECT * FROM (VALUES
+        |  ('last_committed', CAST(0 AS BIGINT), 'one_row', 'true'),
+        |  ('partition', CAST(0 AS BIGINT), 'o_orderdate', 'year'),
+        |  ('sort', CAST(0 AS BIGINT), 'o_orderdate', 'ASC NULLS FIRST'),
+        |  ('sort', CAST(1 AS BIGINT), 'o_totalprice', 'DESC NULLS LAST'))
+        |  v(kind, idx, name, detail)
+        |ORDER BY kind, idx""".stripMargin,
 
     "l25_column_default" ->
       """SELECT * FROM (

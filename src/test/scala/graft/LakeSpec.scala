@@ -479,6 +479,28 @@ class LakeSpec extends AnyFunSuite {
     assert(ch == Seq(("delete", 1), ("insert", 1), ("insert", 2)), s"got $ch")
   }
 
+  test("get_partition/get_sort/last_committed_snapshot TVFs (sorted_table.sql, snapshots.sql)") {
+    val lake = newLake()
+    lake.createTable("main.gm", abSchema)
+    lake.setPartition("main.gm", List(Meta.PartitionKey("identity", "b")))
+    lake.setSort("main.gm", List(Meta.SortKey("a", ascending = false, nullsFirst = true)))
+    val r = lake.root.replace("'", "''")
+    val p = spark.sql(s"SELECT * FROM graft_get_partition('$r', 'main.gm')").collect()
+    assert(p.map(x => (x.getLong(0), x.getString(1), x.getString(2))).toSeq ==
+      Seq((0L, "b", "identity")))
+    val so = spark.sql(s"SELECT * FROM graft_get_sort('$r', 'main.gm')").collect()
+    assert(so.map(x => (x.getLong(0), x.getString(1), x.getString(2), x.getString(3))).toSeq ==
+      Seq((0L, "a", "DESC", "NULLS FIRST")))
+    // snapshots.sql Test 2: exactly one row, and it is the current snapshot
+    val lcs = spark.sql(s"SELECT snapshot_id FROM graft_last_committed_snapshot('$r')").collect()
+    assert(lcs.length == 1 && lcs.head.getLong(0) == lake.currentSnapshot())
+    // reset_* ends the live info (sorted_table.sql Test 4 DROP INDEX shape)
+    lake.resetSort("main.gm")
+    lake.resetPartition("main.gm")
+    assert(lake.getSort("main.gm").count() == 0)
+    assert(lake.getPartition("main.gm").count() == 0)
+  }
+
   // ---- type palette round-trip (types.sql) --------------------------------
   test("full type palette round-trips through parquet path incl. DML") {
     val lake = newLake()
