@@ -427,6 +427,21 @@ object LakeQueries {
       parts.unionByName(sorts).unionByName(lcsRow).orderBy("kind", "idx")
     }),
 
+    // ---- hybrid scan (hybrid_scan.sql): one query combining a lake scan
+    // (merge-on-read, with a live delete overlay) and a plain non-lake
+    // relation — the lake table is just another Catalyst source, so the
+    // optimizer still broadcasts the small side and pushes filters --------
+    "l32_hybrid_scan" -> ((s, dir) => {
+      val lake = newLake(s)
+      lake.createTableAs("main.hn", t(s, dir, "nation"))
+      lake.delete("main.hn", col("n_nationkey") === 0)
+      t(s, dir, "region").join(lake.table("main.hn"),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_nations"), min(col("n_name")).as("first_nation"))
+        .orderBy(col("r_name"))
+    }),
+
     // ---- A10 column defaults (ddl.sql): ADD COLUMN DEFAULT backfills old
     // files with the frozen existence default; SET DEFAULT redefines only
     // the current default used by later inserts ---------------------------
@@ -704,6 +719,12 @@ object LakeQueries {
         |  ('sort', CAST(1 AS BIGINT), 'o_totalprice', 'DESC NULLS LAST'))
         |  v(kind, idx, name, detail)
         |ORDER BY kind, idx""".stripMargin,
+
+    "l32_hybrid_scan" ->
+      """SELECT r_name, count(*) AS n_nations, min(n_name) AS first_nation
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |WHERE n_nationkey <> 0
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
 
     "l25_column_default" ->
       """SELECT * FROM (

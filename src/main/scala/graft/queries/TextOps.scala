@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis / deduplication operators over the `documents` table —
@@ -231,6 +232,81 @@ object TextOps {
           "c_de", "c_en", "c_es", "c_fr", "c_zh", s"$best AS pred_lang")
         .orderBy(col("doc_id"))
         .limit(500)
+    }),
+
+    // ---- deterministic stratified sampling --------------------------------
+    // Training-mix downsampling without a random() (reproducible across
+    // engines, runs, and retries): each doc lands in an md5-derived bucket
+    // 0-99 and a per-language keep-rate decides membership. Embarrassingly
+    // parallel — the sample is a pure filter, no shuffle, no driver state;
+    // at 100 TB it composes with the scan (predicate on a computed column).
+    "t12_hash_sample" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .selectExpr("doc_id", "lang",
+          "cast((instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1)) - 1) * 16 + (instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 2, 1)) - 1) as bigint) % 100 AS bucket")
+        .filter(expr("bucket < CASE WHEN lang = 'en' THEN 20 ELSE 60 END"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy(col("lang"))
+    }),
+
+    // ---- token-budget selection -------------------------------------------
+    // Per-language token budget for a training mix: admit docs longest-first
+    // (doc_id tiebreak) while the language's running token total stays
+    // within budget. The naive form is one window PARTITION BY lang — a
+    // serial per-language scan at corpus scale (|langs| is tiny). Instead:
+    // cumulate over the per-(lang, n_tokens) HISTOGRAM (cardinality ≤
+    // langs × distinct lengths) to find each language's cutoff length, then
+    // admit via a distributed semi-join; only the single boundary-length
+    // bucket per language needs a doc-level row_number, and that window's
+    // input is one histogram bucket, not the corpus. Output is identical to
+    // the windowed spec (the oracle states it that way).
+    "t13_token_budget" -> ((s, dir) => {
+      val budget = 3000L
+      val d = t(s, dir, "documents")
+        .selectExpr("doc_id", "lang", s"cast(size($TOKS) as bigint) AS n_tokens")
+      val hist = d.groupBy("lang", "n_tokens")
+        .agg(sum("n_tokens").as("grp_tokens"))
+      val wAbove = Window.partitionBy("lang").orderBy(desc("n_tokens"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cut = hist
+        .withColumn("cum_above", coalesce(sum("grp_tokens").over(wAbove), lit(0L)))
+        .withColumn("admit_full", col("cum_above") + col("grp_tokens") <= budget)
+        .withColumn("k_boundary", when(!col("admit_full") && col("cum_above") <= budget,
+          floor((lit(budget) - col("cum_above")) / col("n_tokens"))).otherwise(lit(0L)))
+      val full = d.join(broadcast(cut.filter(col("admit_full")).select("lang", "n_tokens")),
+        Seq("lang", "n_tokens"))
+      val bnd = cut.filter(col("k_boundary") > 0).select("lang", "n_tokens", "k_boundary")
+      val wBoundary = Window.partitionBy("lang", "n_tokens").orderBy("doc_id")
+      val part = d.join(broadcast(bnd), Seq("lang", "n_tokens"))
+        .withColumn("rn", row_number().over(wBoundary))
+        .filter(col("rn") <= col("k_boundary"))
+        .drop("rn", "k_boundary")
+      full.unionByName(part)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens_used"))
+        .orderBy(col("lang"))
+    }),
+
+    // ---- PII-shaped redaction ----------------------------------------------
+    // regexp_replace scrub of synthetic email/url spans. The corpus is
+    // clean, so the entry plants one of each per doc (derived from doc_id)
+    // and proves the scrub removes exactly those spans: redacted text ==
+    // original text (plus markers), per-row span counts asserted.
+    "t14_redact" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .selectExpr("doc_id", "text",
+          "concat(text, ' contact user', cast(doc_id as string), '@example.com or http://host/p/', cast(doc_id as string), ' end') AS dirty")
+        .selectExpr("doc_id",
+          "regexp_replace(regexp_replace(dirty, 'http://[a-z0-9./]+', '<URL>'), '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>') AS clean",
+          "cast(size(split(dirty, '@')) - 1 as bigint) AS n_at_before")
+        .selectExpr("doc_id", "n_at_before",
+          "cast(size(split(clean, '<EMAIL>')) - 1 as bigint) AS n_email_redacted",
+          "cast(size(split(clean, '<URL>')) - 1 as bigint) AS n_url_redacted",
+          "clean LIKE '%@%' AS email_leaked")
+        .orderBy(col("doc_id"))
+        .limit(500)
     })
   )
 
@@ -358,6 +434,46 @@ object TextOps {
          |  $scoreCols
          |  FROM documents) t
          |ORDER BY doc_id LIMIT 500""".stripMargin
-    }
+    },
+
+    "t12_hash_sample" ->
+      """SELECT lang, count(*) AS n_sampled, min(doc_id) AS min_id,
+        |  max(doc_id) AS max_id
+        |FROM (SELECT doc_id, lang,
+        |    CAST((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |      + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS BIGINT) % 100 AS bucket
+        |  FROM documents) t
+        |WHERE bucket < CASE WHEN lang = 'en' THEN 20 ELSE 60 END
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "t13_token_budget" ->
+      s"""SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS tokens_used
+         |FROM (
+         |  SELECT doc_id, lang, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY lang
+         |      ORDER BY n_tokens DESC, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         |  FROM (SELECT doc_id, lang,
+         |      CAST(len($TOKS_D) AS BIGINT) AS n_tokens FROM documents) d) w
+         |WHERE cum_tokens <= 3000
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "t14_redact" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(dirty, '@')) - 1 AS BIGINT) AS n_at_before,
+        |  CAST(len(string_split(clean, '<EMAIL>')) - 1 AS BIGINT) AS n_email_redacted,
+        |  CAST(len(string_split(clean, '<URL>')) - 1 AS BIGINT) AS n_url_redacted,
+        |  clean LIKE '%@%' AS email_leaked
+        |FROM (
+        |  SELECT doc_id, dirty,
+        |    regexp_replace(regexp_replace(dirty, 'http://[a-z0-9./]+', '<URL>', 'g'),
+        |      '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g') AS clean
+        |  FROM (SELECT doc_id,
+        |      text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |        || '@example.com or http://host/p/' || CAST(doc_id AS VARCHAR)
+        |        || ' end' AS dirty
+        |    FROM documents) a) b
+        |ORDER BY doc_id LIMIT 500""".stripMargin
   )
 }
