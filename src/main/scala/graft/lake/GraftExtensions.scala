@@ -41,6 +41,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL UPDATE/MERGE on lake tables → the native positional-delete DML
     ext.injectResolutionRule(new ResolveLakeUpdate(_))
     ext.injectResolutionRule(new ResolveLakeMerge(_))
+    // size-based broadcast for tier-3 lake scans (V1ScanWrapper hides stats)
+    ext.injectPreCBORule(new LakeJoinHint(_))
     // codegen'd scalars for the vector hot paths (kNN / LSH / near-dup)
     ext.injectFunction((FunctionIdentifier("graft_vec_dot"),
       new ExpressionInfo("graft.functions.VecDotLong", "graft_vec_dot",

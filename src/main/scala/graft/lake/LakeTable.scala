@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
@@ -89,6 +89,27 @@ class LakeTable(
   def scanDF(spark: SparkSession, filters: Seq[Filter] = Nil): DataFrame =
     LakeRead.scanDF(spark, store.state(), entry.tableId, snapshot, filters)
 
+  /** Physical footprint from metadata (exact for parquet, estimated for
+    * inline JSON rows). Reported as the V1 relation's `sizeInBytes` so the
+    * join planner can auto-broadcast a small lake table — without it a V1
+    * relation defaults to `defaultSizeInBytes` (effectively infinite) and a
+    * lake dim table would never be the broadcast side. The native tiers
+    * already report this through `MetadataFileIndex.sizeInBytes`. */
+  private[lake] def estimatedSizeInBytes: Long = {
+    val tid = entry.tableId
+    st.filesAt(tid, snapshot).map(_.fileSizeBytes).sum +
+      st.inlinedAt(tid, snapshot).map(_.rowsJson.map(_.length.toLong).sum).sum
+  }
+
+  /** live row count from metadata (upper bound: delete files subtracted,
+    * but un-pruned filters aren't modeled) */
+  private[lake] def estimatedRowCount: Long = {
+    val tid = entry.tableId
+    (st.filesAt(tid, snapshot).map(_.rowCount).sum +
+      st.inlinedAt(tid, snapshot).map(_.rowsJson.length.toLong).sum -
+      st.deleteFilesAt(tid, snapshot).map(_.deleteCount).sum).max(0L)
+  }
+
   /** Native-scan eligibility: no inlined batches, and every live file's
     * schema epoch carries the same (id, name, type) column list as the
     * scan snapshot. Then the scan runs on Spark's own DSv2 parquet path:
@@ -165,14 +186,29 @@ private[lake] class LakeScanBuilder(table: LakeTable) extends ScanBuilder
 }
 
 private[lake] class LakeScan(table: LakeTable, filters: Array[Filter],
-    required: Option[StructType]) extends Scan with V1Scan {
+    required: Option[StructType]) extends Scan with V1Scan
+    with SupportsReportStatistics {
 
   override def readSchema(): StructType = required.getOrElse(table.schema())
+
+  /** metadata footprint for [[LakeJoinHint]] (the V1ScanWrapper Spark puts
+    * around this scan hides `estimateStatistics` from the planner) */
+  private[lake] def sizeHint: Long = table.estimatedSizeInBytes
+
+  // metadata-exact footprint (kept even though the current V1 fallback
+  // wrapper doesn't consult it — LakeJoinHint covers join planning)
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(table.estimatedSizeInBytes)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(table.estimatedRowCount)
+  }
 
   override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
     new BaseRelation with TableScan {
       override def sqlContext: SQLContext = context
       override def schema: StructType = readSchema()
+      override def sizeInBytes: Long = table.estimatedSizeInBytes
       // the composed plan already produces InternalRows in exactly
       // `readSchema()` order — hand them over as-is (needConversion=false
       // makes Spark treat the RDD[Row] as RDD[InternalRow]), skipping the

@@ -479,6 +479,39 @@ class LakeSpec extends AnyFunSuite {
     assert(ch == Seq(("delete", 1), ("insert", 1), ("insert", 2)), s"got $ch")
   }
 
+  test("small lake table auto-broadcasts in a join (metadata-backed sizeInBytes)") {
+    val lake = newLake()
+    import spark.implicits._
+    lake.createTableAs("main.dim", Seq((1, 10), (2, 20), (3, 30)).toDF("a", "b"))
+    val cat = s"lbc${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", lake.root)
+    // fact side is sized past autoBroadcastJoinThreshold (10 MB), so a
+    // BroadcastHashJoin can only appear if the LAKE side reports a small
+    // finite size — a V1 relation without sizeInBytes defaults to
+    // effectively-infinite and would force a sort-merge/shuffled-hash join
+    spark.range(0, 2000000).selectExpr("cast(id % 3 + 1 as int) AS a", "id AS v")
+      .createOrReplaceTempView("bigfact")
+    // force the composed V1 tier — the native tiers get stats from
+    // MetadataFileIndex already
+    spark.conf.set("spark.graft.lake.nativeScan", "false")
+    try {
+      val joined = spark.sql(
+        s"SELECT b, count(*) AS n FROM bigfact JOIN $cat.main.dim USING (a) GROUP BY b")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"expected broadcast of lake dim side:\n$plan")
+      assert(joined.collect().map(_.getLong(1)).sum == 2000000L)
+      // guard: with size-based broadcasting disabled the hint must not fire
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val p2 = spark.sql(
+          s"SELECT b, count(*) AS n FROM bigfact JOIN $cat.main.dim USING (a) GROUP BY b")
+          .queryExecution.executedPlan.toString
+        assert(!p2.contains("BroadcastHashJoin"), s"hint fired with threshold off:\n$p2")
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    } finally spark.conf.unset("spark.graft.lake.nativeScan")
+  }
+
   test("get_partition/get_sort/last_committed_snapshot TVFs (sorted_table.sql, snapshots.sql)") {
     val lake = newLake()
     lake.createTable("main.gm", abSchema)
