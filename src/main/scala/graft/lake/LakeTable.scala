@@ -5,7 +5,8 @@ import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.read.{Batch, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
@@ -101,6 +102,19 @@ class LakeTable(
       st.inlinedAt(tid, snapshot).map(_.rowsJson.map(_.length.toLong).sum).sum
   }
 
+  /** Columns on which runtime (DPP) filters can prune files: hidden
+    * partition source columns (pruned via recorded per-file values) and
+    * plain-column sort keys (a sorted table's per-file min/max ranges are
+    * tight, so zone-map pruning of a runtime IN is selective). Other
+    * columns also carry stats, but with no layout clustering a runtime
+    * filter would rarely eliminate a file — not worth the subquery. */
+  private[lake] def runtimeFilterColumns: Array[String] = {
+    val names = cols.map(_.name).toSet
+    (st.partitionKeysAt(entry.tableId, snapshot).map(_.column) ++
+      st.sortKeysAt(entry.tableId, snapshot).map(_.expr).filter(names))
+      .distinct.toArray
+  }
+
   /** live row count from metadata (upper bound: delete files subtracted,
     * but un-pruned filters aren't modeled) */
   private[lake] def estimatedRowCount: Long = {
@@ -171,17 +185,80 @@ private[lake] class LakeScanBuilder(table: LakeTable) extends ScanBuilder
     val native = session.conf.getOption("spark.graft.lake.nativeScan")
       .forall(_.toBoolean)
     (if (native) table.nativePlan(pushed.toSeq) else None) match {
-      case Some((files, deletesByFile)) =>
-        val sizes = files.map(f => (f.path, f.fileSizeBytes))
-        val readSchema = required.getOrElse(table.schema())
-        if (deletesByFile.isEmpty)
-          org.apache.spark.sql.graft.NativeParquet.parquetScan(
-            session, sizes, table.schema(), readSchema, pushed)
-        else
-          org.apache.spark.sql.graft.NativeParquet.deleteAwareScan(
-            session, sizes, deletesByFile, table.schema(), readSchema, pushed)
+      case Some(initial) => new LakeNativeScan(session, table, pushed, required, initial)
       case None => new LakeScan(table, pushed, required)
     }
+  }
+}
+
+/** Native-tier scan with runtime file pruning (dynamic partition pruning).
+  *
+  * Wraps the tier-1/2 parquet scans and implements
+  * `SupportsRuntimeFiltering` over the HIDDEN partition source columns:
+  * when the optimizer derives a DPP subquery from a join (fact joined to a
+  * filtered dim on a partition column), the runtime `In` filter re-runs
+  * the same metadata pruning the compile-time filters use — recorded
+  * per-file partition values plus min/max stats — and the batch re-plans
+  * over the surviving file list. Spark's own DPP only prunes hive-style
+  * directory partitions, which lake tables deliberately don't have
+  * (Iceberg-style hidden partitioning, SURVEY.md §2 A21); this restores
+  * the same at-scale behavior: a 100 TB fact scan joined to `dim WHERE
+  * region = 'ASIA'` reads only the matching partition files.
+  *
+  * Also re-exports metadata statistics (the wrapper would otherwise hide
+  * the inner `FileScan`'s stats exactly like Spark's V1ScanWrapper does).
+  */
+private[graft] class LakeNativeScan(
+    session: SparkSession,
+    table: LakeTable,
+    pushed: Array[Filter],
+    required: Option[StructType],
+    initial: (Vector[DataFileEntry], Map[String, Seq[String]]))
+  extends Scan with SupportsRuntimeFiltering with SupportsReportStatistics {
+
+  private var files: Vector[DataFileEntry] = initial._1
+  private var deletesByFile: Map[String, Seq[String]] = initial._2
+  private var inner: Scan = buildInner()
+
+  private def buildInner(): Scan = {
+    val sizes = files.map(f => (f.path, f.fileSizeBytes))
+    if (deletesByFile.isEmpty)
+      org.apache.spark.sql.graft.NativeParquet.parquetScan(
+        session, sizes, table.schema(), readSchema(), pushed)
+    else
+      org.apache.spark.sql.graft.NativeParquet.deleteAwareScan(
+        session, sizes, deletesByFile, table.schema(), readSchema(), pushed)
+  }
+
+  override def readSchema(): StructType = required.getOrElse(table.schema())
+
+  override def toBatch: Batch = inner.toBatch
+
+  override def description(): String =
+    s"graft-lake native scan ${table.name()}@${table.snapshot} " +
+      s"(${files.size} files, ${deletesByFile.count(_._2.nonEmpty)} with deletes)"
+
+  override def filterAttributes(): Array[NamedReference] =
+    table.runtimeFilterColumns
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(runtime: Array[Filter]): Unit =
+    // same conservative pruner as compile-time filters; eligibility is
+    // snapshot-static, so nativePlan can only return Some here
+    table.nativePlan(pushed.toSeq ++ runtime).foreach { case (fs, dbf) =>
+      files = fs
+      deletesByFile = dbf
+      inner = buildInner()
+    }
+
+  /** current file count after pruning (test observability) */
+  private[graft] def currentFileCount: Int = files.size
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(files.map(_.fileSizeBytes).sum)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(files.map(_.rowCount).sum)
   }
 }
 

@@ -512,6 +512,124 @@ class LakeSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.lake.nativeScan")
   }
 
+  test("runtime (DPP) file pruning on the native scan via hidden partition values") {
+    val lake = newLake()
+    import spark.implicits._
+    lake.createTable("main.fact", StructType(Seq(
+      StructField("k", IntegerType), StructField("v", LongType))),
+      partitionKeys = List(PartitionKey("identity", "k")))
+    // one append per partition value → 5 files, each with a recorded k
+    (0 until 5).foreach { k =>
+      lake.append("main.fact",
+        spark.range(0, 50000).selectExpr(s"cast($k as int) AS k", "id AS v"))
+    }
+    val st = lake.store.state()
+    val t = new LakeTable(lake.store, "main", "fact", st.currentSnapshotId, st)
+    val scan = t.newScanBuilder(
+      org.apache.spark.sql.util.CaseInsensitiveStringMap.empty()).build()
+    val native = scan.asInstanceOf[LakeNativeScan]
+    assert(native.currentFileCount == 5)
+    assert(native.filterAttributes().map(_.describe()).toSeq == Seq("k"))
+    // a runtime IN filter (what a DPP subquery delivers) re-prunes the list
+    native.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("k", Array(2, 4))))
+    assert(native.currentFileCount == 2)
+    assert(native.toBatch.planInputPartitions().nonEmpty)
+    // end-to-end: join on the partition column against a filtered dim
+    // derives a DPP subquery against the lake fact scan. The dim must be a
+    // real source (a LocalRelation folds the filter away and DPP sees no
+    // selective predicate), and the broadcast threshold sits between dim
+    // and fact sizes so only the dim broadcasts.
+    val cat = s"ldpp${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", lake.root)
+    val dimDir = Files.createTempDirectory("graft_dpp_dim").toString
+    Seq((2, "keep"), (7, "other")).toDF("k", "tag")
+      .write.mode("overwrite").parquet(dimDir)
+    spark.read.parquet(dimDir).createOrReplaceTempView("dpp_dim")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10240")
+    try {
+      val q = spark.sql(
+        s"""SELECT tag, count(*) AS n FROM $cat.main.fact f
+           |JOIN dpp_dim d ON f.k = d.k WHERE d.tag = 'keep' GROUP BY tag""".stripMargin)
+      assert(q.queryExecution.optimizedPlan.toString.contains("dynamicpruning"),
+        q.queryExecution.optimizedPlan.toString)
+      val rows = q.collect()
+      assert(rows.length == 1 && rows.head.getLong(1) == 50000L)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("runtime filters prune files by min/max stats on sort-key columns") {
+    val lake = newLake()
+    import spark.implicits._
+    lake.createTable("main.sf", StructType(Seq(
+      StructField("k", LongType), StructField("v", LongType))))
+    lake.setSort("main.sf", List(SortKey("k", ascending = true, nullsFirst = false)))
+    // three appends with disjoint k ranges → tight per-file min/max
+    Seq(0L, 100L, 200L).foreach { base =>
+      lake.append("main.sf",
+        spark.range(base, base + 100).selectExpr("id AS k", "id * 2 AS v")
+          .coalesce(1))
+    }
+    val st = lake.store.state()
+    val t = new LakeTable(lake.store, "main", "sf", st.currentSnapshotId, st)
+    val scan = t.newScanBuilder(
+      org.apache.spark.sql.util.CaseInsensitiveStringMap.empty()).build()
+    val native = scan.asInstanceOf[LakeNativeScan]
+    // the sort column is runtime-filterable even with no partition keys
+    assert(native.filterAttributes().map(_.describe()).toSeq == Seq("k"))
+    assert(native.currentFileCount == 3)
+    native.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("k", Array(150L, 160L))))
+    assert(native.currentFileCount == 1)
+  }
+
+  test("rewriteSorted clusters the table into disjoint sort-key ranges") {
+    val lake = newLake()
+    lake.createTable("main.cl", StructType(Seq(
+      StructField("k", LongType), StructField("v", LongType))))
+    lake.setSort("main.cl", List(SortKey("k", ascending = true, nullsFirst = false)))
+    lake.setOption("target_file_size", "16384", Some("main.cl"))
+    // interleaved appends → every file spans nearly the whole k domain
+    (0 until 4).foreach { i =>
+      lake.append("main.cl",
+        spark.range(0, 5000).selectExpr(s"id * 4 + $i AS k", "id AS v").coalesce(1))
+    }
+    lake.delete("main.cl", col("k") < 100)
+    val beforeCnt = lake.table("main.cl").count()
+    val beforeSum = lake.table("main.cl").agg(sum(col("k"))).collect().head.getLong(0)
+    val preSid = lake.currentSnapshot()
+
+    val sid = lake.rewriteSorted("main.cl")
+
+    // contents identical, overlays consumed, CDF silent
+    assert(lake.table("main.cl").count() == beforeCnt)
+    assert(lake.table("main.cl").agg(sum(col("k"))).collect().head.getLong(0) == beforeSum)
+    val info = lake.tableInfo().filter(col("table_name") === "cl").collect().head
+    assert(info.getAs[Long]("delete_file_count") == 0L)
+    assert(lake.tableChanges("main.cl", preSid, sid).count() == 0)
+
+    // per-file sort-key ranges are now disjoint (zone maps selective)
+    val ranges = lake.tableWithRowMeta("main.cl")
+      .groupBy(col(LakeRead.FileCol))
+      .agg(min(col("k")).as("mn"), max(col("k")).as("mx"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length >= 2, s"expected a multi-file clustered layout, got $ranges")
+    ranges.sliding(2).foreach { case Array((_, mx1), (mn2, _)) =>
+      assert(mx1 < mn2, s"overlapping file ranges: $ranges")
+    }
+
+    // and the clustered layout makes runtime filters prune whole files
+    val st = lake.store.state()
+    val t = new LakeTable(lake.store, "main", "cl", st.currentSnapshotId, st)
+    val scan = t.newScanBuilder(
+      org.apache.spark.sql.util.CaseInsensitiveStringMap.empty()).build()
+    val native = scan.asInstanceOf[LakeNativeScan]
+    native.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("k", Array(ranges.head._2))))
+    assert(native.currentFileCount == 1)
+  }
+
   test("get_partition/get_sort/last_committed_snapshot TVFs (sorted_table.sql, snapshots.sql)") {
     val lake = newLake()
     lake.createTable("main.gm", abSchema)
