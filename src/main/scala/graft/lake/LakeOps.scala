@@ -521,6 +521,59 @@ class Lake(val spark: SparkSession, val root: String) {
       })
   }
 
+  /** Cluster-rewrite: globally range-partition the table's live rows by the
+    * declared sort order and rewrite into ~target_file_size files with
+    * DISJOINT sort-key ranges.
+    *
+    * The reference sorts each compaction batch independently
+    * (src/pgducklake_sorted_by.cpp, sorted_table.sql), which leaves
+    * per-file ranges overlapping across batches; after this rewrite the
+    * per-file min/max zone maps are disjoint, so the scan's stats pruning
+    * and the runtime (DPP) filters eliminate whole files instead of
+    * touching all of them. Plan shape at scale: ONE range-partitioning
+    * shuffle (sampled bounds), write parallelism = output file count; no
+    * driver-side data movement. Merge-on-read overlays are consumed (the
+    * rewrite scans survivors), inline batches are absorbed, and a
+    * concurrent DML or append is a retryable conflict — the same guard
+    * compaction uses. Change feed sees no logical change (compacted tag).
+    */
+  def rewriteSorted(table: String): Long = {
+    val (sn, tn) = schemaOf(table)
+    val st = store.state()
+    val e = resolve(table, st)
+    val tid = e.tableId
+    val cur = st.currentSnapshotId
+    val sortKeys = st.sortKeysAt(tid, cur)
+    require(sortKeys.nonEmpty, s"$table has no declared sort order (set_sort first)")
+    val live = st.filesAt(tid, cur)
+    if (live.isEmpty && st.inlinedAt(tid, cur).isEmpty) return cur
+    val target = optionTag(st, tid, "target_file_size")
+      .map(LakeOptions.parseBytes).getOrElse(LakeOptions.DefaultTargetFileSize)
+    val nOut = math.max(1, math.ceil(
+      live.map(_.fileSizeBytes).sum.toDouble / target).toInt)
+    val df = LakeRead.scanDF(spark, st, tid, cur, Nil, withRowMeta = true)
+      .drop(LakeRead.FileCol, LakeRead.PosCol)
+      .repartitionByRange(nOut, sortKeys.map(LakeWrite.sortCol): _*)
+    val liveIds = live.map(_.fileId).toSet
+    LakeWrite.append(spark, store, sn, tn, df, explicitRowIds = true,
+      changeTag = "compacted", sorted = true, repartitionForWrite = false,
+      extraEnded = stNow => {
+        val curN = stNow.currentSnapshotId
+        // any DML or append that landed after our scan would be silently
+        // dropped by the whole-table rewrite — fail instead (caller retries)
+        val racedDel = stNow.deleteFilesAt(tid, curN).exists(_.begin > cur)
+        val racedAdd = stNow.filesAt(tid, curN).exists(f =>
+          f.begin > cur && !liveIds.contains(f.fileId))
+        val racedInl = stNow.inlinedAt(tid, curN).exists(_.begin > cur)
+        if (racedDel || racedAdd || racedInl)
+          throw new java.util.ConcurrentModificationException(
+            s"sorted rewrite of $table conflicts with a concurrent write")
+        (liveIds.toList.sorted,
+          stNow.deleteFilesAt(tid, curN).map(_.deleteFileId).toList,
+          stNow.inlinedAt(tid, curN).map(_.batchId).toList)
+      })
+  }
+
   /** Consolidate a table's live delete files into ONE sorted delete dir.
     *
     * Every DELETE/UPDATE/MERGE leaves its own delete dir; files BELOW the

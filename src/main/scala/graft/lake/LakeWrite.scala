@@ -101,7 +101,7 @@ object LakeWrite {
     case other => throw new IllegalArgumentException(s"unknown partition transform: $other")
   }
 
-  private def sortCol(sk: SortKey): Column = {
+  private[lake] def sortCol(sk: SortKey): Column = {
     val base = expr(sk.expr)
     (sk.ascending, sk.nullsFirst) match {
       case (true, true) => base.asc_nulls_first

@@ -442,6 +442,32 @@ object LakeQueries {
         .orderBy(col("r_name"))
     }),
 
+    // ---- cluster rewrite: one range-partitioning shuffle turns an
+    // interleaved-append sorted table into disjoint per-file sort-key
+    // ranges (zone maps become selective; overlays/inline absorbed) ------
+    "l33_sorted_rewrite" -> ((s, dir) => {
+      val lake = newLake(s)
+      val orders = t(s, dir, "orders")
+      lake.createTable("main.so", orders.schema)
+      lake.setSort("main.so", List(SortKey("o_orderkey", ascending = true, nullsFirst = false)))
+      lake.setOption("target_file_size", "65536", Some("main.so"))
+      (1 to 3).foreach(_ => lake.append("main.so", orders))
+      lake.delete("main.so", col("o_orderkey") < 100)
+      lake.rewriteSorted("main.so")
+      val ranges = lake.tableWithRowMeta("main.so")
+        .groupBy(col(LakeRead.FileCol))
+        .agg(min(col("o_orderkey")).as("mn"), max(col("o_orderkey")).as("mx"))
+      val overlapping = ranges.as("a").join(ranges.as("b"),
+        col(s"a.${LakeRead.FileCol}") < col(s"b.${LakeRead.FileCol}") &&
+          col("a.mn") <= col("b.mx") && col("b.mn") <= col("a.mx")).count()
+      val delFiles = lake.tableInfo().filter(col("table_name") === "so")
+        .collect().head.getAs[Long]("delete_file_count")
+      lake.table("main.so")
+        .agg(count(lit(1)).as("n_rows"), sum(col("o_orderkey")).as("sum_key"))
+        .withColumn("overlapping_file_pairs", lit(overlapping))
+        .withColumn("delete_files_left", lit(delFiles))
+    }),
+
     // ---- A10 column defaults (ddl.sql): ADD COLUMN DEFAULT backfills old
     // files with the frozen existence default; SET DEFAULT redefines only
     // the current default used by later inserts ---------------------------
@@ -725,6 +751,15 @@ object LakeQueries {
         |FROM region JOIN nation ON n_regionkey = r_regionkey
         |WHERE n_nationkey <> 0
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "l33_sorted_rewrite" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |  CAST(0 AS BIGINT) AS overlapping_file_pairs,
+        |  CAST(0 AS BIGINT) AS delete_files_left
+        |FROM (SELECT * FROM orders UNION ALL SELECT * FROM orders
+        |      UNION ALL SELECT * FROM orders) t
+        |WHERE o_orderkey >= 100""".stripMargin,
 
     "l25_column_default" ->
       """SELECT * FROM (
