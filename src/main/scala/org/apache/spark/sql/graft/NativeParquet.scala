@@ -11,7 +11,9 @@ import org.apache.spark.paths.SparkPath
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.classic.{SparkSession => ClassicSparkSession}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan}
+import org.apache.spark.sql.connector.expressions.{Expressions, Expression => V2Expression}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
 import org.apache.spark.sql.execution.datasources.{FilePartition, NoopCache, PartitionSpec, PartitionedFile, PartitioningAwareFileIndex}
 import org.apache.spark.sql.execution.datasources.parquet.{ParquetFileFormat, ParquetOptions}
 import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetPartitionReaderFactory, ParquetScan}
@@ -56,6 +58,18 @@ object NativeParquet {
       filters,
       CaseInsensitiveStringMap.empty())
   }
+
+  /** key-grouped scan over pre-grouped (partitionKey → files) lists, for
+    * storage-partitioned joins; see [[KeyGroupedParquetScan]] */
+  def keyGroupedScan(
+      spark: SparkSession,
+      groups: Seq[(InternalRow, Seq[(String, Long)])],
+      keyColumns: Array[String],
+      dataSchema: StructType,
+      readSchema: StructType,
+      filters: Array[Filter]): Scan =
+    new KeyGroupedParquetScan(spark.asInstanceOf[ClassicSparkSession],
+      groups, keyColumns, dataSchema, readSchema, filters)
 
   /** Delete-aware native scan: merge-on-read with EXECUTOR-LOCAL delete
     * application. Each task reads only the delete positions of the data
@@ -252,6 +266,77 @@ private[graft] object DeletePositions {
     java.util.Arrays.sort(arr)
     arr
   }
+}
+
+/** Key-grouped columnar scan for STORAGE-PARTITIONED JOINS (SPJ): files
+  * grouped by their recorded identity-partition values, one
+  * `HasPartitionKey` input partition per key. When two lake tables are
+  * co-partitioned on the join key and
+  * `spark.sql.sources.v2.bucketing.enabled` is on, Spark's
+  * EnsureRequirements recognizes the matching `KeyGroupedPartitioning`s
+  * and plans the join with ZERO shuffle on either side — at 100 TB the
+  * single biggest cost of a fact-fact join. Readers are the same columnar
+  * parquet factory as the clean scan (partitions carry whole files).
+  */
+private[graft] class KeyGroupedParquetScan(
+    spark: ClassicSparkSession,
+    groups: Seq[(InternalRow, Seq[(String, Long)])],
+    keyColumns: Array[String],
+    dataSchema: StructType,
+    requiredSchema: StructType,
+    filters: Array[Filter]) extends Scan with Batch with SupportsReportPartitioning {
+
+  override def readSchema(): StructType = requiredSchema
+
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"graft-lake key-grouped scan (${groups.size} partitions on " +
+      s"${keyColumns.mkString(",")}, ${groups.map(_._2.size).sum} files)"
+
+  override def outputPartitioning(): Partitioning =
+    new KeyGroupedPartitioning(
+      keyColumns.map(c => Expressions.identity(c): V2Expression), groups.size)
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val hc = spark.sessionState.newHadoopConf()
+    groups.map { case (key, fs) =>
+      val splits = fs.map { case (p, size) =>
+        val raw = new Path(p)
+        val q = raw.getFileSystem(hc).makeQualified(raw)
+        PartitionedFile(InternalRow.empty, SparkPath.fromPath(q), 0, size,
+          Array.empty[String], 0L, size, Map.empty[String, Any])
+      }
+      KeyedFilePartition(FilePartition(0, splits.toArray), key): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val inner = ParquetScan(spark, spark.sessionState.newHadoopConf(),
+      new MetadataFileIndex(spark, groups.flatMap(_._2)), dataSchema,
+      requiredSchema, StructType(Nil), filters, CaseInsensitiveStringMap.empty())
+      .createReaderFactory()
+    new UnwrapKeyedFactory(inner)
+  }
+}
+
+private[graft] case class KeyedFilePartition(inner: FilePartition, key: InternalRow)
+  extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
+/** delegates to Spark's parquet reader factory, unwrapping the key carrier */
+private[graft] class UnwrapKeyedFactory(inner: PartitionReaderFactory)
+  extends PartitionReaderFactory {
+  private def unwrap(p: InputPartition): InputPartition =
+    p.asInstanceOf[KeyedFilePartition].inner
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    inner.supportColumnarReads(unwrap(p))
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    inner.createReader(unwrap(p))
+  override def createColumnarReader(p: InputPartition) =
+    inner.createColumnarReader(unwrap(p))
 }
 
 /** A [[PartitioningAwareFileIndex]] backed entirely by catalog metadata:

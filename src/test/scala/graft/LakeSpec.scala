@@ -584,6 +584,35 @@ class LakeSpec extends AnyFunSuite {
     assert(native.currentFileCount == 1)
   }
 
+  test("storage-partitioned join: co-partitioned lake tables join with no shuffle") {
+    val lake = newLake()
+    def mk(name: String): Unit = {
+      lake.createTable(s"main.$name", StructType(Seq(
+        StructField("k", IntegerType), StructField("v", LongType))),
+        partitionKeys = List(PartitionKey("identity", "k")))
+      lake.append(s"main.$name",
+        spark.range(0, 300).selectExpr("cast(id % 3 as int) AS k", "id AS v"))
+    }
+    mk("spa"); mk("spb")
+    val cat = s"lspj${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", lake.root)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = spark.sql(
+        s"SELECT count(*) AS n FROM $cat.main.spa a JOIN $cat.main.spb b ON a.k = b.k")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"co-partitioned join still shuffled:\n$plan")
+      assert(q.collect().head.getLong(0) == 3L * 100 * 100)
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("rewriteSorted clusters the table into disjoint sort-key ranges") {
     val lake = newLake()
     lake.createTable("main.cl", StructType(Seq(
