@@ -63,6 +63,37 @@ object StreamOps {
       q.awaitTermination()
       // dst holds every row version that was ever inserted (CDC append log)
       lake.table("main.dst").orderBy("n_nationkey", "n_name")
+    }),
+
+    // ---- event-time tumbling window + watermark over the CDF stream ------
+    // The state-bounding contract a 100-TB stream needs: the watermark caps
+    // window state at (max event time - delay) while late data inside the
+    // delay still lands in its window. Complete-mode drain makes the entry
+    // deterministic (every window emits once the feed is exhausted);
+    // Spark's windows are epoch-aligned, which the oracle reproduces.
+    "s03_stream_window" -> ((s, dir) => {
+      val lake = LakeQueries.freshLake(s)
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"))
+        .filter(col("o_orderkey") < 20000)
+      lake.createTable("main.ev", orders.schema)
+      lake.append("main.ev", orders)
+      val sink = s"graft_s03_${UUID.randomUUID().toString.replace("-", "")}"
+      val q = s.readStream.format("graft-changes")
+        .option("root", lake.root).option("table", "main.ev").load()
+        .filter(col("_change_type") === "insert")
+        .withColumn("ts", col("o_orderdate").cast("timestamp"))
+        .withWatermark("ts", "1 day")
+        .groupBy(window(col("ts"), "30 days"))
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+        .select(col("window.start").cast("date").as("w_start"),
+          col("n_orders"), col("min_key"), col("max_key"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink).orderBy("w_start")
     })
   )
 
@@ -80,6 +111,17 @@ object StreamOps {
         |  UNION ALL
         |  SELECT n_nationkey, n_name || '_v2', n_regionkey
         |  FROM nation WHERE n_regionkey = 1) t
-        |ORDER BY n_nationkey, n_name""".stripMargin
+        |ORDER BY n_nationkey, n_name""".stripMargin,
+
+    // Spark tumbling windows are aligned to the unix epoch: window start =
+    // 1970-01-01 + floor(days_since_epoch / 30) * 30 days
+    "s03_stream_window" ->
+      """SELECT DATE '1970-01-01'
+        |    + CAST(FLOOR(datediff('day', DATE '1970-01-01', o_orderdate) / 30) * 30
+        |           AS INTEGER) AS w_start,
+        |  count(*) AS n_orders,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders WHERE o_orderkey < 20000
+        |GROUP BY 1 ORDER BY w_start""".stripMargin
   )
 }
