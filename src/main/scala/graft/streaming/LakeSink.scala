@@ -1,11 +1,15 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.connector.catalog.{Table, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.execution.streaming.Sink
 import org.apache.spark.sql.graft.StreamingBatch
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider}
 import org.apache.spark.sql.streaming.OutputMode
-import graft.lake.{Lake, LakeWrite, MetadataStore}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import graft.lake.{Lake, LakeTable, LakeWrite, MetadataStore}
 import graft.lake.Meta.TagEntry
 
 /** Structured Streaming sink writing micro-batches into a lake table with
@@ -33,10 +37,67 @@ import graft.lake.Meta.TagEntry
   * The target table is auto-created from the first batch's schema when
   * absent; lake-side partitioning/sorting (set_partition / set_sorted_by)
   * applies to streamed writes like any other append.
+  *
+  * The same format also serves BATCH reads (reference A12 surface):
+  * {{{
+  *   spark.read.format("graft-lake")
+  *     .option("root", root).option("table", "main.t")
+  *     .option("versionAsOf", "3")          // or timestampAsOf (epoch ms)
+  *     .load()
+  * }}}
+  * which resolves to the identical DSv2 [[LakeTable]] the catalog serves —
+  * same scan tiers, pruning, and runtime filtering.
   */
-class LakeSinkProvider extends StreamSinkProvider with DataSourceRegister {
+class LakeSinkProvider extends StreamSinkProvider with DataSourceRegister
+    with TableProvider {
 
   override def shortName(): String = "graft-lake"
+
+  // ---- batch read path: format("graft-lake") → the DSv2 table ----------
+  private def load(o: CaseInsensitiveStringMap): Table = {
+    val root = Option(o.get("root")).getOrElse(
+      throw new IllegalArgumentException("graft-lake requires option 'root'"))
+    val name = Option(o.get("table")).getOrElse(
+      throw new IllegalArgumentException("graft-lake requires option 'table'"))
+    val (sn, tn) = name.split('.') match {
+      case Array(s, t) => (s, t)
+      case Array(t) => ("main", t)
+      case _ => throw new IllegalArgumentException(s"bad table name: $name")
+    }
+    val store = new MetadataStore(root)
+    val st = store.state()
+    try {
+      val snap = Option(o.get("versionAsOf")).map(_.toLong)
+        .orElse(Option(o.get("timestampAsOf")).map { ts =>
+          st.snapshotAtTime(ts.toLong).getOrElse(throw new NoSuchElementException(
+            s"no snapshot at or before $ts"))
+        })
+        .getOrElse(st.currentSnapshotId)
+      new LakeTable(store, sn, tn, snap, st)
+    } catch {
+      case _: NoSuchElementException =>
+        // writeStream probes the TableProvider BEFORE the sink's first
+        // batch auto-creates the table; a capability-less placeholder
+        // routes Spark to the V1 StreamSinkProvider fallback (and LakeTable
+        // itself never reports STREAMING_WRITE, so existing tables take
+        // the same exactly-once sink path)
+        new Table {
+          override def name(): String = s"$sn.$tn (not created)"
+          override def schema(): StructType = new StructType()
+          override def capabilities(): java.util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
+            java.util.Collections.emptySet()
+        }
+    }
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    load(options).schema()
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    load(new CaseInsensitiveStringMap(properties))
 
   override def createSink(
       sqlContext: SQLContext,

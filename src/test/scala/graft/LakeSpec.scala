@@ -584,6 +584,23 @@ class LakeSpec extends AnyFunSuite {
     assert(native.currentFileCount == 1)
   }
 
+  test("batch read via format(graft-lake) with versionAsOf/timestampAsOf") {
+    val lake = newLake()
+    import spark.implicits._
+    lake.createTableAs("main.fr", Seq((1, 10), (2, 20)).toDF("a", "b"))
+    val v1 = lake.currentSnapshot()
+    lake.append("main.fr", Seq((3, 30)).toDF("a", "b"))
+    def rd = spark.read.format("graft-lake")
+      .option("root", lake.root).option("table", "main.fr")
+    assert(rd.load().count() == 3)
+    assert(rd.option("versionAsOf", v1.toString).load().count() == 2)
+    assert(rd.option("timestampAsOf", System.currentTimeMillis.toString)
+      .load().count() == 3)
+    // pushdown reaches the same native tier as the catalog path
+    val filtered = rd.load().filter(col("a") === 3)
+    assert(filtered.collect().map(_.getInt(1)).toSeq == Seq(30))
+  }
+
   test("storage-partitioned join: co-partitioned lake tables join with no shuffle") {
     val lake = newLake()
     def mk(name: String): Unit = {
