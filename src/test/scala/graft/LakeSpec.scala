@@ -630,6 +630,34 @@ class LakeSpec extends AnyFunSuite {
     }
   }
 
+  test("runtime filters compose with the delete-aware tier") {
+    val lake = newLake()
+    import spark.implicits._
+    lake.createTable("main.fd", StructType(Seq(
+      StructField("k", IntegerType), StructField("v", LongType))),
+      partitionKeys = List(PartitionKey("identity", "k")))
+    (0 until 4).foreach { k =>
+      lake.append("main.fd",
+        spark.range(0, 100).selectExpr(s"cast($k as int) AS k", "id AS v"))
+    }
+    lake.delete("main.fd", col("v") < 10) // live overlay → tier 2
+    val st = lake.store.state()
+    val t = new LakeTable(lake.store, "main", "fd", st.currentSnapshotId, st)
+    val scan = t.newScanBuilder(
+      org.apache.spark.sql.util.CaseInsensitiveStringMap.empty()).build()
+    val native = scan.asInstanceOf[LakeNativeScan]
+    assert(native.currentFileCount == 4)
+    assert(native.description().contains("with deletes"), native.description())
+    native.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("k", Array(1))))
+    assert(native.currentFileCount == 1)
+    // the re-planned delete-aware batch still applies positions correctly
+    val parts = native.toBatch.planInputPartitions()
+    assert(parts.nonEmpty)
+    val rows = lake.table("main.fd").filter(col("k") === 1).count()
+    assert(rows == 90)
+  }
+
   test("rewriteSorted clusters the table into disjoint sort-key ranges") {
     val lake = newLake()
     lake.createTable("main.cl", StructType(Seq(
