@@ -537,7 +537,7 @@ class Lake(val spark: SparkSession, val root: String) {
     * concurrent DML or append is a retryable conflict — the same guard
     * compaction uses. Change feed sees no logical change (compacted tag).
     */
-  def rewriteSorted(table: String): Long = {
+  def rewriteSorted(table: String, beforeCommit: () => Unit = () => ()): Long = {
     val (sn, tn) = schemaOf(table)
     val st = store.state()
     val e = resolve(table, st)
@@ -555,6 +555,7 @@ class Lake(val spark: SparkSession, val root: String) {
       .drop(LakeRead.FileCol, LakeRead.PosCol)
       .repartitionByRange(nOut, sortKeys.map(LakeWrite.sortCol): _*)
     val liveIds = live.map(_.fileId).toSet
+    beforeCommit() // test seam: a write landing here must be detected below
     LakeWrite.append(spark, store, sn, tn, df, explicitRowIds = true,
       changeTag = "compacted", sorted = true, repartitionForWrite = false,
       extraEnded = stNow => {

@@ -94,9 +94,11 @@ object NativeParquet {
       deletesByFile: Map[String, Seq[String]],
       dataSchema: StructType,
       readSchema: StructType,
-      filters: Array[Filter]): Scan = {
+      filters: Array[Filter],
+      keyed: Option[(Array[String], Seq[(InternalRow, Seq[(String, Long)])])] = None): Scan = {
     val classic = spark.asInstanceOf[ClassicSparkSession]
-    new LakeDeleteAwareScan(classic, files, deletesByFile, dataSchema, readSchema, filters)
+    new LakeDeleteAwareScan(classic, files, deletesByFile, dataSchema, readSchema,
+      filters, keyed)
   }
 }
 
@@ -108,7 +110,9 @@ private[graft] class LakeDeleteAwareScan(
     deletesByFile: Map[String, Seq[String]],
     dataSchema: StructType,
     requiredSchema: StructType,
-    filters: Array[Filter]) extends Scan with Batch {
+    filters: Array[Filter],
+    keyed: Option[(Array[String], Seq[(InternalRow, Seq[(String, Long)])])] = None)
+  extends Scan with Batch with SupportsReportPartitioning {
 
   override def readSchema(): StructType = requiredSchema
 
@@ -116,9 +120,39 @@ private[graft] class LakeDeleteAwareScan(
 
   override def description(): String =
     s"graft-lake delete-aware scan (${files.size} files, " +
-      s"${deletesByFile.count(_._2.nonEmpty)} with deletes)"
+      s"${deletesByFile.count(_._2.nonEmpty)} with deletes" +
+      keyed.map(k => s", key-grouped on ${k._1.mkString(",")}").getOrElse("") + ")"
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  // with key groups a co-partitioned join stays shuffle-free even while a
+  // merge-on-read overlay is live (vacuum is not a prerequisite for SPJ)
+  override def outputPartitioning(): Partitioning = keyed match {
+    case Some((cols, groups)) => new KeyGroupedPartitioning(
+      cols.map(c => Expressions.identity(c): V2Expression), groups.size)
+    case None => new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = keyed match {
+    case Some((_, groups)) =>
+      val hc = spark.sessionState.newHadoopConf()
+      groups.map { case (key, fs) =>
+        val splits = fs.map { case (p, size) =>
+          val raw = new Path(p)
+          val q = raw.getFileSystem(hc).makeQualified(raw)
+          PartitionedFile(InternalRow.empty, SparkPath.fromPath(q), 0, size,
+            Array.empty[String], 0L, size, Map.empty[String, Any])
+        }
+        val fp = FilePartition(0, splits.toArray)
+        KeyedFilePartition(
+          DeleteAwareFilePartition(fp, fp.files.toSeq.map { pf =>
+            val name = pf.toPath.getName
+            name -> deletesByFile.getOrElse(name, Nil)
+          }.toMap),
+          key): InputPartition
+      }.toArray
+    case None => planUngrouped()
+  }
+
+  private def planUngrouped(): Array[InputPartition] = {
     // standard Spark split sizing (maxPartitionBytes / openCost / min
     // parallelism), so split granularity matches a plain parquet scan
     val conf = spark.sessionState.conf
@@ -161,7 +195,8 @@ private[graft] class LakeDeleteAwareScan(
       .createReaderFactory().asInstanceOf[ParquetPartitionReaderFactory]
     val bc = SerializableConfiguration.broadcast(spark.sparkContext,
       spark.sessionState.newHadoopConf())
-    new DeleteAwareReaderFactory(inner, requiredSchema.length, bc)
+    val base = new DeleteAwareReaderFactory(inner, requiredSchema.length, bc)
+    if (keyed.isDefined) new UnwrapKeyedFactory(base) else base
   }
 }
 
@@ -320,7 +355,7 @@ private[graft] class KeyGroupedParquetScan(
   }
 }
 
-private[graft] case class KeyedFilePartition(inner: FilePartition, key: InternalRow)
+private[graft] case class KeyedFilePartition(inner: InputPartition, key: InternalRow)
   extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = key
   override def preferredLocations(): Array[String] = inner.preferredLocations()

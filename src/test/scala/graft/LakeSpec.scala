@@ -459,6 +459,29 @@ class LakeSpec extends AnyFunSuite {
     assert(n == 5 && lake.table("main.cc").count() == 15)
   }
 
+  test("DML racing a sorted rewrite is detected, not silently lost") {
+    val lake = newLake()
+    import spark.implicits._
+    lake.createTable("main.rr", abSchema)
+    lake.setSort("main.rr", List(SortKey("a", ascending = true, nullsFirst = false)))
+    lake.append("main.rr", (1 to 10).map(i => (i, i)).toDF("a", "b"))
+    lake.append("main.rr", (11 to 20).map(i => (i, i)).toDF("a", "b"))
+    // the delete lands between the rewrite's snapshot read and its commit;
+    // the rewrite's survivors were computed WITHOUT it, so committing would
+    // resurrect the deleted rows — must fail instead
+    val e = intercept[java.util.ConcurrentModificationException] {
+      lake.rewriteSorted("main.rr",
+        beforeCommit = () => lake.delete("main.rr", col("a") <= 5))
+    }
+    assert(e.getMessage.contains("concurrent write"))
+    // the delete survived the aborted rewrite; retrying the rewrite works
+    assert(lake.table("main.rr").count() == 15)
+    lake.rewriteSorted("main.rr")
+    assert(lake.table("main.rr").count() == 15)
+    assert(lake.tableInfo().filter(col("table_name") === "rr")
+      .collect().head.getAs[Long]("delete_file_count") == 0L)
+  }
+
   // ---- SQL TVF sugar (session extensions) ---------------------------------
   test("graft_* table functions resolve through the session extensions") {
     val lake = newLake()
@@ -624,6 +647,17 @@ class LakeSpec extends AnyFunSuite {
       assert(!plan.contains("Exchange hashpartitioning"),
         s"co-partitioned join still shuffled:\n$plan")
       assert(q.collect().head.getLong(0) == 3L * 100 * 100)
+      // a live delete overlay must NOT re-introduce the shuffle: the
+      // delete-aware tier key-groups too (vacuum is not an SPJ prerequisite)
+      lake.delete("main.spb", col("v") < 10)
+      val q2 = spark.sql(
+        s"SELECT count(*) AS n FROM $cat.main.spa a JOIN $cat.main.spb b ON a.k = b.k")
+      val plan2 = q2.queryExecution.executedPlan.toString
+      assert(plan2.contains("SortMergeJoin"), plan2)
+      assert(!plan2.contains("Exchange hashpartitioning"),
+        s"delete overlay re-introduced the shuffle:\n$plan2")
+      // spb keeps per k: k=0 → 96, k=1 → 97, k=2 → 97 of its 100 rows
+      assert(q2.collect().head.getLong(0) == 100L * (96 + 97 + 97))
     } finally {
       spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
