@@ -692,6 +692,34 @@ class LakeSpec extends AnyFunSuite {
     assert(rows == 90)
   }
 
+  test("SPJ and runtime (DPP) filtering compose on the same scan") {
+    val lake = newLake()
+    import spark.implicits._
+    def mk(name: String, rows: Long): Unit = {
+      lake.createTable(s"main.$name", StructType(Seq(
+        StructField("k", IntegerType), StructField("v", LongType))),
+        partitionKeys = List(PartitionKey("identity", "k")))
+      (0 until 4).foreach { k =>
+        lake.append(s"main.$name",
+          spark.range(0, rows).selectExpr(s"cast($k as int) AS k", "id AS v"))
+      }
+    }
+    mk("ja", 20000) // big fact: stays over the broadcast threshold
+    mk("jb", 50)    // small co-partitioned side, selectively filtered
+    val cat = s"lsd${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", lake.root)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val q = spark.sql(
+        s"""SELECT count(*) AS n FROM $cat.main.ja a JOIN $cat.main.jb b
+           |ON a.k = b.k WHERE b.v = 0 AND b.k IN (1, 2)""".stripMargin)
+      // whatever strategy the planner picks (SPJ sort-merge or broadcast
+      // with a DPP subquery), the result must be exact
+      assert(q.collect().head.getLong(0) == 2L * 20000)
+    } finally spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+  }
+
   test("rewriteSorted clusters the table into disjoint sort-key ranges") {
     val lake = newLake()
     lake.createTable("main.cl", StructType(Seq(
