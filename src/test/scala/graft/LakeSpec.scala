@@ -692,6 +692,51 @@ class LakeSpec extends AnyFunSuite {
     assert(rows == 90)
   }
 
+  test("native tier survives defaultless ADD COLUMN and DROP COLUMN epochs") {
+    val lake = newLake()
+    import spark.implicits._
+    lake.createTableAs("main.ne", Seq((1, 10), (2, 20)).toDF("a", "b"))
+    val cat = s"lne${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", lake.root)
+    def scanOf(): org.apache.spark.sql.connector.read.Scan = {
+      val st = lake.store.state()
+      new LakeTable(lake.store, "main", "ne", st.currentSnapshotId, st)
+        .newScanBuilder(org.apache.spark.sql.util.CaseInsensitiveStringMap.empty()).build()
+    }
+    // defaultless ADD COLUMN: by-name reader null-fills old files natively
+    spark.sql(s"ALTER TABLE $cat.main.ne ADD COLUMN c INT")
+    lake.append("main.ne", Seq((3, 30, 300)).toDF("a", "b", "c"))
+    assert(scanOf().isInstanceOf[LakeNativeScan], "ADD COLUMN dropped the native tier")
+    assert(lake.table("main.ne").orderBy("a").collect().map(r =>
+      (r.getInt(0), if (r.isNullAt(2)) -1 else r.getInt(2))).toSeq ==
+      Seq((1, -1), (2, -1), (3, 300)))
+    // DROP COLUMN: the by-name reader just ignores the stale column
+    spark.sql(s"ALTER TABLE $cat.main.ne DROP COLUMN b")
+    assert(scanOf().isInstanceOf[LakeNativeScan], "DROP COLUMN dropped the native tier")
+    assert(lake.table("main.ne").columns.toSeq == Seq("a", "c"))
+    // re-adding a dropped NAME mints a new column id: the old files' stale
+    // "b" data must NOT leak into the successor → composed plan, all null
+    spark.sql(s"ALTER TABLE $cat.main.ne ADD COLUMN b INT")
+    assert(!scanOf().isInstanceOf[LakeNativeScan], "re-added name must not read stale data")
+    assert(lake.table("main.ne").collect().forall(r => r.isNullAt(r.fieldIndex("b"))))
+  }
+
+  test("ADD COLUMN WITH DEFAULT keeps the composed tier (default must be filled)") {
+    val lake = newLake()
+    import spark.implicits._
+    lake.createTableAs("main.nd", Seq((1, 10)).toDF("a", "b"))
+    val cat = s"lnd${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", lake.root)
+    spark.sql(s"ALTER TABLE $cat.main.nd ADD COLUMN t STRING DEFAULT 'x'")
+    val st = lake.store.state()
+    val scan = new LakeTable(lake.store, "main", "nd", st.currentSnapshotId, st)
+      .newScanBuilder(org.apache.spark.sql.util.CaseInsensitiveStringMap.empty()).build()
+    assert(!scan.isInstanceOf[LakeNativeScan])
+    assert(lake.table("main.nd").collect().head.getString(2) == "x")
+  }
+
   test("SPJ and runtime (DPP) filtering compose on the same scan") {
     val lake = newLake()
     import spark.implicits._
