@@ -722,6 +722,26 @@ class LakeSpec extends AnyFunSuite {
     assert(lake.table("main.ne").collect().forall(r => r.isNullAt(r.fieldIndex("b"))))
   }
 
+  test("ALTER TYPE widening keeps old epochs on the native tier") {
+    val lake = newLake()
+    import spark.implicits._
+    lake.createTableAs("main.nw", Seq((1, 10), (2, 20)).toDF("a", "b"))
+    val cat = s"lnw${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", lake.root)
+    spark.sql(s"ALTER TABLE $cat.main.nw ALTER COLUMN b TYPE BIGINT")
+    lake.append("main.nw", Seq((3, 3000000000L)).toDF("a", "b"))
+    val st = lake.store.state()
+    val scan = new LakeTable(lake.store, "main", "nw", st.currentSnapshotId, st)
+      .newScanBuilder(org.apache.spark.sql.util.CaseInsensitiveStringMap.empty()).build()
+    assert(scan.isInstanceOf[LakeNativeScan], "int->bigint widening dropped the native tier")
+    assert(lake.table("main.nw").orderBy("a").collect().map(_.getLong(1)).toSeq ==
+      Seq(10L, 20L, 3000000000L))
+    // pushed filter over the widened column stays correct across epochs
+    assert(spark.sql(s"SELECT a FROM $cat.main.nw WHERE b > 15")
+      .collect().map(_.getInt(0)).sorted.toSeq == Seq(2, 3))
+  }
+
   test("ADD COLUMN WITH DEFAULT keeps the composed tier (default must be filled)") {
     val lake = newLake()
     import spark.implicits._
