@@ -4,6 +4,7 @@ import java.util
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.MetadataColumn
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -42,7 +43,21 @@ class LakeTable(
     val tableName: String,
     val snapshot: Long,
     st: CatalogState) extends Table
-    with SupportsRead with SupportsWrite with SupportsDelete {
+    with SupportsRead with SupportsWrite with SupportsDelete
+    with SupportsMetadataColumns {
+
+  /** the upstream-DuckLake `rowid` virtual column as a DSv2 metadata
+    * column: `SELECT _row_id, * FROM lake.main.t` surfaces stable row
+    * lineage (implicit ids = file.firstRowId + position; survivors keep
+    * their id across UPDATE rewrites). Referencing it routes the scan to
+    * the composed tier, which already materializes row identity. */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = LakeTable.RowIdMetaCol
+      override def dataType(): DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment(): String = "stable lake row id (row lineage)"
+    })
 
   val entry: TableEntry = st.tableAt(schemaName, tableName, snapshot)
     .getOrElse(throw new NoSuchElementException(s"no table $schemaName.$tableName@$snapshot"))
@@ -90,8 +105,10 @@ class LakeTable(
   }
 
   /** fresh snapshot-scoped DataFrame (used by the scan and by LakeOps) */
-  def scanDF(spark: SparkSession, filters: Seq[Filter] = Nil): DataFrame =
-    LakeRead.scanDF(spark, store.state(), entry.tableId, snapshot, filters)
+  def scanDF(spark: SparkSession, filters: Seq[Filter] = Nil,
+      withRowMeta: Boolean = false): DataFrame =
+    LakeRead.scanDF(spark, store.state(), entry.tableId, snapshot, filters,
+      withRowMeta = withRowMeta)
 
   /** Physical footprint from metadata (exact for parquet, estimated for
     * inline JSON rows). Reported as the V1 relation's `sizeInBytes` so the
@@ -247,6 +264,11 @@ class LakeTable(
   }
 }
 
+object LakeTable {
+  /** name of the row-lineage metadata column (upstream DuckLake `rowid`) */
+  val RowIdMetaCol = "_row_id"
+}
+
 private[lake] class LakeScanBuilder(table: LakeTable) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
@@ -263,8 +285,10 @@ private[lake] class LakeScanBuilder(table: LakeTable) extends ScanBuilder
 
   override def build(): Scan = {
     val session = SparkSession.active
-    val native = session.conf.getOption("spark.graft.lake.nativeScan")
-      .forall(_.toBoolean)
+    // the _row_id metadata column only exists on the composed tier
+    val wantsRowId = required.exists(_.fieldNames.contains(LakeTable.RowIdMetaCol))
+    val native = !wantsRowId && session.conf
+      .getOption("spark.graft.lake.nativeScan").forall(_.toBoolean)
     (if (native) table.nativePlan(pushed.toSeq) else None) match {
       case Some(initial) => new LakeNativeScan(session, table, pushed, required, initial)
       case None => new LakeScan(table, pushed, required)
@@ -393,7 +417,13 @@ private[lake] class LakeScan(table: LakeTable, filters: Array[Filter],
       // per-row external-Row round trip `.rdd` would pay on every read
       override def needConversion: Boolean = false
       override def buildScan(): RDD[org.apache.spark.sql.Row] = {
-        var df = table.scanDF(context.sparkSession, filters.toSeq)
+        val wantsRowId = readSchema().fieldNames.contains(LakeTable.RowIdMetaCol)
+        var df = table.scanDF(context.sparkSession, filters.toSeq,
+          withRowMeta = wantsRowId)
+        if (wantsRowId) df = df
+          .withColumn(LakeTable.RowIdMetaCol,
+            org.apache.spark.sql.functions.col(LakeRead.RowIdCol))
+          .drop(LakeRead.FileCol, LakeRead.PosCol, LakeRead.RowIdCol)
         // apply the translatable pushed filters INSIDE the composed plan so
         // Catalyst drives them into the underlying parquet scan (row-group
         // skipping) — Spark still re-applies all residuals above, so a

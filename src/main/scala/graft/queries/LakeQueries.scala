@@ -471,6 +471,20 @@ object LakeQueries {
         .withColumn("delete_files_left", lit(delFiles))
     }),
 
+    // ---- rowid virtual column (upstream DuckLake rowid; exposed as the
+    // _row_id DSv2 metadata column): ids assign in write order and
+    // survivors keep them across DML ---------------------------------------
+    "l34_rowid" -> ((s, dir) => {
+      val lake = newLake(s)
+      val nation = t(s, dir, "nation").orderBy("n_nationkey").coalesce(1)
+      lake.createTableAs("main.ri", nation)
+      lake.delete("main.ri", col("n_regionkey") === 2)
+      val cat = s"lqrid${System.nanoTime()}"
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", lake.root)
+      s.sql(s"SELECT _row_id AS rid, n_nationkey, n_name FROM $cat.main.ri ORDER BY n_nationkey")
+    }),
+
     // ---- A10 column defaults (ddl.sql): ADD COLUMN DEFAULT backfills old
     // files with the frozen existence default; SET DEFAULT redefines only
     // the current default used by later inserts ---------------------------
@@ -763,6 +777,13 @@ object LakeQueries {
         |FROM (SELECT * FROM orders UNION ALL SELECT * FROM orders
         |      UNION ALL SELECT * FROM orders) t
         |WHERE o_orderkey >= 100 AND o_orderkey < 50000""".stripMargin,
+
+    "l34_rowid" ->
+      """SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_nationkey) - 1 AS BIGINT)
+        |    AS rid,
+        |  n_nationkey, n_name
+        |FROM nation QUALIFY n_regionkey <> 2
+        |ORDER BY n_nationkey""".stripMargin,
 
     "l25_column_default" ->
       """SELECT * FROM (

@@ -722,6 +722,26 @@ class LakeSpec extends AnyFunSuite {
     assert(lake.table("main.ne").collect().forall(r => r.isNullAt(r.fieldIndex("b"))))
   }
 
+  test("_row_id metadata column: SQL-visible row lineage (upstream rowid)") {
+    val lake = newLake()
+    import spark.implicits._
+    lake.createTableAs("main.rid", Seq((1, 10), (2, 20), (3, 30)).toDF("a", "b"))
+    val cat = s"lrid${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", lake.root)
+    val ids = spark.sql(s"SELECT _row_id, a FROM $cat.main.rid ORDER BY a")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(ids.map(_._1).distinct.length == 3, s"row ids not unique: ${ids.toSeq}")
+    // row identity survives an UPDATE rewrite (survivors keep their id)
+    val id2 = ids.find(_._2 == 2).get._1
+    lake.update("main.rid", col("a") === 2, Map("b" -> lit(99)))
+    val after = spark.sql(s"SELECT _row_id FROM $cat.main.rid WHERE a = 2")
+      .collect().head.getLong(0)
+    assert(after == id2, s"row id changed across UPDATE: $id2 -> $after")
+    // plain reads are unaffected (and still eligible for the native tier)
+    assert(spark.sql(s"SELECT a FROM $cat.main.rid ORDER BY a").count() == 3)
+  }
+
   test("ALTER TYPE widening keeps old epochs on the native tier") {
     val lake = newLake()
     import spark.implicits._
