@@ -289,6 +289,26 @@ object TextOps {
         .orderBy(col("lang"))
     }),
 
+    // ---- cross-doc duplicated-span mining ----------------------------------
+    // Dolma/Gopher-style paragraph dedup: explode sentence spans, count
+    // corpus-wide occurrences, score each doc by its duplicated-span count.
+    // Both shuffles are keyed (span hash, then doc_id) — never all-pairs —
+    // so the plan is two hash aggregations and one equi-join at any scale.
+    "t15_span_dedup" -> ((s, dir) => {
+      val spans = t(s, dir, "documents")
+        .selectExpr("doc_id", s"$TOKS AS toks")
+        .selectExpr("doc_id",
+          "explode(transform(sequence(0, greatest(size(toks) div 10, 1) - 1), i -> concat_ws(' ', slice(toks, i * 10 + 1, 10)))) AS span")
+        .filter(length(col("span")) >= 20)
+      val occ = spans.groupBy(col("span")).agg(count(lit(1)).as("n_occ"))
+      spans.join(occ, Seq("span"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+        .orderBy(col("doc_id"))
+        .limit(500)
+    }),
+
     // ---- PII-shaped redaction ----------------------------------------------
     // regexp_replace scrub of synthetic email/url spans. The corpus is
     // clean, so the entry plants one of each per doc (derived from doc_id)
@@ -458,6 +478,21 @@ object TextOps {
          |      CAST(len($TOKS_D) AS BIGINT) AS n_tokens FROM documents) d) w
          |WHERE cum_tokens <= 3000
          |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "t15_span_dedup" ->
+      s"""WITH spans AS (
+         |  SELECT doc_id,
+         |    array_to_string(list_slice(toks, i * 10 + 1, i * 10 + 10), ' ')
+         |      AS span
+         |  FROM (SELECT doc_id, $TOKS_D AS toks FROM documents) d,
+         |    unnest(range(0, greatest(len(toks) // 10, 1))) AS t(i)
+         |), fspans AS (SELECT * FROM spans WHERE length(span) >= 20),
+         |occ AS (SELECT span, count(*) AS n_occ FROM fspans GROUP BY span)
+         |SELECT doc_id, count(*) AS n_spans,
+         |  CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_spans
+         |FROM fspans JOIN occ USING (span)
+         |GROUP BY doc_id ORDER BY doc_id LIMIT 500""".stripMargin,
 
     "t14_redact" ->
       """SELECT doc_id,
