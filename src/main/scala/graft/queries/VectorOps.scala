@@ -340,6 +340,26 @@ object VectorOps {
     }),
 
     // ---- per-label corpus stats --------------------------------------------
+    // ---- int8 quantization (storage compression for training corpora) ----
+    // Per-vector symmetric quantization: scale = max |x|, q = floor(x*127/
+    // scale + 0.5). floor(x+0.5) instead of round() because the two engines
+    // disagree on round-half modes; all math in float64 so both compute
+    // bit-identical values. `mx` is referenced twice (lambda + scale
+    // output), which keeps CollapseProject from inlining the array_max into
+    // the lambda body — inlined it would re-evaluate per ELEMENT (the v03
+    // generator-substitution trap, see PLANS.md).
+    "v06_quantize" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS e")
+        .selectExpr("vec_id", "e",
+          "greatest(array_max(transform(e, x -> abs(x))), 1e-30d) AS mx")
+        .selectExpr("vec_id",
+          "cast(round(mx * 1000000) as bigint) AS scale_ppm",
+          "concat_ws('|', transform(e, x -> cast(cast(floor(x * 127.0d / mx + 0.5d) as bigint) as string))) AS q8")
+        .orderBy(col("vec_id"))
+        .limit(300)
+    }),
+
     "v02_label_stats" -> ((s, dir) => {
       t(s, dir, "embeddings")
         .selectExpr("label", s"$QVEC AS q")
@@ -479,6 +499,19 @@ object VectorOps {
            |    CAST(list_sum(list_transform($qvecD, x -> x * x)) AS BIGINT) AS nsq
            |  FROM embeddings) t
            |GROUP BY label ORDER BY label""".stripMargin,
+
+      "v06_quantize" ->
+        """SELECT vec_id,
+          |  CAST(round(mx * 1000000) AS BIGINT) AS scale_ppm,
+          |  array_to_string(list_transform(e,
+          |    x -> CAST(CAST(floor(x * 127.0 / mx + 0.5) AS BIGINT) AS VARCHAR)), '|') AS q8
+          |FROM (
+          |  SELECT vec_id, e,
+          |    greatest(list_max(list_transform(e, x -> abs(x))), 1e-30) AS mx
+          |  FROM (SELECT vec_id,
+          |      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          |    FROM embeddings) a) b
+          |ORDER BY vec_id LIMIT 300""".stripMargin,
 
       "v04_embedding_neardup" -> {
         val nT = 12; val bits = 8
