@@ -1,11 +1,11 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode}
 import org.apache.spark.sql.connector.catalog.{Table, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.execution.streaming.Sink
 import org.apache.spark.sql.graft.StreamingBatch
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, StreamSinkProvider}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -46,12 +46,42 @@ import graft.lake.Meta.TagEntry
   *     .load()
   * }}}
   * which resolves to the identical DSv2 [[LakeTable]] the catalog serves —
-  * same scan tiers, pruning, and runtime filtering.
+  * same scan tiers, pruning, and runtime filtering — and batch WRITES
+  * (`df.write.format("graft-lake").mode(...).save()`, all four save
+  * modes, target auto-created from the frame's schema).
   */
 class LakeSinkProvider extends StreamSinkProvider with DataSourceRegister
-    with TableProvider {
+    with TableProvider with CreatableRelationProvider {
 
   override def shortName(): String = "graft-lake"
+
+  /** batch `df.write.format("graft-lake")` — Spark routes V1_BATCH_WRITE
+    * tables through the V1 save path, which needs this provider. The
+    * target table is auto-created from the frame's schema when absent
+    * (same contract as the streaming sink). */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val root = parameters.getOrElse("root",
+      throw new IllegalArgumentException("graft-lake requires option 'root'"))
+    val name = parameters.getOrElse("table",
+      throw new IllegalArgumentException("graft-lake requires option 'table'"))
+    val lake = new Lake(data.sparkSession, root)
+    val (sn, tn) = lake.schemaOf(name)
+    val exists = lake.store.state()
+      .tableAt(sn, tn, lake.store.state().currentSnapshotId).isDefined
+    mode match {
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalStateException(s"table $name already exists")
+      case SaveMode.Ignore if exists => ()
+      case _ =>
+        if (!exists) lake.createTable(name, data.schema)
+        lake.append(name, data, overwrite = mode == SaveMode.Overwrite)
+    }
+    new BaseRelation {
+      override def sqlContext: SQLContext = data.sparkSession.sqlContext
+      override def schema: StructType = data.schema
+    }
+  }
 
   // ---- batch read path: format("graft-lake") → the DSv2 table ----------
   private def load(o: CaseInsensitiveStringMap): Table = {

@@ -622,6 +622,12 @@ class LakeSpec extends AnyFunSuite {
     // pushdown reaches the same native tier as the catalog path
     val filtered = rd.load().filter(col("a") === 3)
     assert(filtered.collect().map(_.getInt(1)).toSeq == Seq(30))
+    // batch WRITE through the same format (V1_BATCH_WRITE capability)
+    Seq((4, 40)).toDF("a", "b").write.format("graft-lake")
+      .option("root", lake.root).option("table", "main.fr")
+      .mode("append").save()
+    assert(rd.load().count() == 4)
+    assert(lake.table("main.fr").filter(col("a") === 4).count() == 1)
   }
 
   test("storage-partitioned join: co-partitioned lake tables join with no shuffle") {
