@@ -387,7 +387,7 @@ class Lake(val spark: SparkSession, val root: String) {
         Nil, withRowMeta = true)
       val delStruct = StructType(Seq(StructField("file", StringType),
         StructField("pos", LongType), StructField("row_id", LongType)))
-      val dd = spark.read.schema(delStruct).parquet(delFiles.map(_.path): _*)
+      val dd = spark.read.schema(delStruct).parquet(deleteReadPaths(delFiles): _*)
         .select(col("file").as(LakeRead.FileCol), col("pos").as(LakeRead.PosCol))
       // same size gate as the scan's anti-join: broadcast only provably
       // small delete sets (metadata-known counts), else let AQE choose
@@ -597,12 +597,11 @@ class Lake(val spark: SparkSession, val root: String) {
     if (dels.size < 2) return cur
     val delStruct = StructType(Seq(StructField("file", StringType),
       StructField("pos", LongType), StructField("row_id", LongType)))
-    val hits = spark.read.schema(delStruct).parquet(dels.map(_.path): _*)
+    val hits = spark.read.schema(delStruct).parquet(deleteReadPaths(dels): _*)
       .select(col("file").as(LakeRead.FileCol), col("pos").as(LakeRead.PosCol),
         col("row_id").as(LakeRead.RowIdCol))
     val written = LakeWrite.writeDeleteFile(spark, store, tid, hits)
       .getOrElse(return cur)
-    val (path, counts, total) = written
     store.commitWithRetry() { (st, sid) =>
       // the overlay set must not have changed under us: a concurrent DML
       // added positions we did not merge, a concurrent vacuum ended files
@@ -617,9 +616,10 @@ class Lake(val spark: SparkSession, val root: String) {
         snapshot = Snapshot(sid, System.currentTimeMillis(),
           st.snapshots.lastOption.map(_.schemaVersion).getOrElse(0L),
           List(s"compacted:$tid:deletes")),
-        newDeleteFiles = List(DeleteFileEntry(st.nextFileId, tid, path, total,
-          counts.flatMap { case (fn, c) => fileIdByName.get(fn).map(_.toString -> c) },
-          sid, None)),
+        newDeleteFiles = List(DeleteFileEntry(st.nextFileId, tid, written.path,
+          written.total,
+          written.counts.flatMap { case (fn, c) => fileIdByName.get(fn).map(_.toString -> c) },
+          sid, None, parts = written.parts)),
         endedDeleteFiles = dels.map(_.deleteFileId).toList,
         newScheduledDeletions = dels.map(d =>
           ScheduledDeletion(d.path, System.currentTimeMillis(), sid)).toList)

@@ -156,7 +156,7 @@ object LakeRead {
       val delStruct = StructType(Seq(
         StructField("file", StringType), StructField("pos", LongType),
         StructField("row_id", LongType)))
-      val dd = spark.read.schema(delStruct).parquet(deletes.map(_.path): _*)
+      val dd = spark.read.schema(delStruct).parquet(deleteReadPaths(deletes): _*)
         .select(col("file").as(FileCol), col("pos").as(PosCol))
       all = all.join(gateBroadcast(spark, dd, deletes.map(_.deleteCount).sum),
         Seq(FileCol, PosCol), "left_anti")

@@ -244,16 +244,22 @@ class LakeTable(
       st.partitionKeysAt(tid, snapshot), filters)
     val deletes = st.deleteFilesAt(tid, snapshot)
     if (deletes.isEmpty) return Some((pruned, Map.empty))
-    // per-file delete parts: O(delete dirs) driver-side listings, the same
-    // metadata weight as the file list itself
-    val hc = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+    // per-file delete parts come straight from metadata (recorded at write
+    // time, VERDICT r4 #5) — zero filesystem RPCs per scan. The listStatus
+    // fallback only fires for entries written before `parts` existed
+    // (e.g. a thawed external catalog).
+    lazy val hc = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
     val nameById = files.map(f => f.fileId.toString -> f.fileName).toMap
     val byFile = scala.collection.mutable.Map.empty[String, Vector[String]]
     deletes.foreach { d =>
-      val dir = new org.apache.hadoop.fs.Path(d.path)
-      val parts = dir.getFileSystem(hc).listStatus(dir).toSeq
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .map(_.getPath.toString)
+      val parts =
+        if (d.parts.nonEmpty) d.parts
+        else {
+          val dir = new org.apache.hadoop.fs.Path(d.path)
+          dir.getFileSystem(hc).listStatus(dir).toSeq
+            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+            .map(_.getPath.toString).toList
+        }
       if (parts.nonEmpty) d.countsByFile.keys.foreach { fid =>
         nameById.get(fid).foreach { fn =>
           byFile(fn) = byFile.getOrElse(fn, Vector.empty) ++ parts

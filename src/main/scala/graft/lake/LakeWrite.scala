@@ -5,6 +5,7 @@ import java.util.UUID
 import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
 import Meta._
 
 /** Write path: append (Parquet + snapshot commit), inline fast path, and
@@ -343,12 +344,19 @@ object LakeWrite {
       s"${jsonEscape(c.name)}: $j"
     }.mkString("{", ", ", "}")
 
+  /** One written positional-delete "file" (a parquet directory): its path,
+    * per-data-file hit counts, total hits, and the concrete part files —
+    * listed ONCE here at write time and recorded in metadata, so scans
+    * never re-list the directory (VERDICT r4 #5). */
+  private[lake] case class WrittenDeletes(
+      path: String, counts: Map[String, Long], total: Long, parts: List[String])
+
   /** distributed write of (file, pos, row_id) hit rows into a positional
     * delete "file" (a parquet directory — the scan reads it as one unit);
-    * returns (path, per-data-file counts, total). None when no hits. */
+    * None when no hits. */
   private[lake] def writeDeleteFile(
       spark: SparkSession, store: MetadataStore, tid: Long,
-      parquetHits: DataFrame): Option[(String, Map[String, Long], Long)] = {
+      parquetHits: DataFrame): Option[WrittenDeletes] = {
     val delDir = s"${tableDir(store.root, tid)}/deletes/d${uuid()}"
     Files.createDirectories(Paths.get(delDir).getParent)
     parquetHits
@@ -366,7 +374,14 @@ object LakeWrite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap // O(files)
     val total = counts.values.sum
     if (total == 0) { deleteRecursively(delDir); None }
-    else Some((delDir, counts, total))
+    else {
+      val stream = Files.list(Paths.get(delDir))
+      val parts =
+        try stream.iterator().asScala.map(_.toString)
+          .filter(_.endsWith(".parquet")).toList.sorted
+        finally stream.close()
+      Some(WrittenDeletes(delDir, counts, total, parts))
+    }
   }
 
   /** Row-level DELETE. Returns (snapshotId, deletedRowCount) — the
@@ -392,7 +407,7 @@ object LakeWrite {
     matched.unpersist()
     beforeCommit()
 
-    val total = delFile.map(_._3).getOrElse(0L) + inlineIds.size
+    val total = delFile.map(_.total).getOrElse(0L) + inlineIds.size
     val sid = store.commitWithRetry() { (st, sid) =>
       val fileIdByName = st.filesAt(tid, st.currentSnapshotId)
         .map(f => f.fileName -> f.fileId).toMap
@@ -402,15 +417,15 @@ object LakeWrite {
       // silently lose the delete. Mirrors the reference's retryable
       // TransactionException path (metadata_manager.cpp:294-364); the
       // caller re-runs the whole DML against fresh state.
-      delFile.foreach { case (_, counts, _) =>
-        val gone = counts.keys.filterNot(fileIdByName.contains)
+      delFile.foreach { wd =>
+        val gone = wd.counts.keys.filterNot(fileIdByName.contains)
         if (gone.nonEmpty) throw new java.util.ConcurrentModificationException(
           s"DELETE conflicts with a concurrent rewrite of: ${gone.mkString(", ")}")
       }
-      val newDel = delFile.toList.map { case (path, counts, cnt) =>
-        DeleteFileEntry(st.nextFileId, tid, path, cnt,
-          counts.flatMap { case (fn, c) => fileIdByName.get(fn).map(_.toString -> c) },
-          sid, None)
+      val newDel = delFile.toList.map { wd =>
+        DeleteFileEntry(st.nextFileId, tid, wd.path, wd.total,
+          wd.counts.flatMap { case (fn, c) => fileIdByName.get(fn).map(_.toString -> c) },
+          sid, None, parts = wd.parts)
       }
       val (endedB, newB) = rewriteInlineBatches(st, tid, sid,
         keep = (rid, _) => !inlineIds.contains(rid), transform = (j, _) => j)
@@ -511,12 +526,12 @@ object LakeWrite {
       .foreach(f => Files.deleteIfExists(Paths.get(f.path)))
     val sizes = keptStaged.map(f => f.fileName -> Files.size(Paths.get(f.path))).toMap
 
-    val total = delFile.map(_._3).getOrElse(0L) + inlineIds.length
+    val total = delFile.map(_.total).getOrElse(0L) + inlineIds.length
     val sid = store.commitWithRetry() { (st, sid) =>
       val fileIdByName = st.filesAt(tid, st.currentSnapshotId)
         .map(f => f.fileName -> f.fileId).toMap
-      delFile.foreach { case (_, counts, _) =>
-        val gone = counts.keys.filterNot(fileIdByName.contains)
+      delFile.foreach { wd =>
+        val gone = wd.counts.keys.filterNot(fileIdByName.contains)
         if (gone.nonEmpty) throw new java.util.ConcurrentModificationException(
           s"UPDATE conflicts with a concurrent rewrite of: ${gone.mkString(", ")}")
       }
@@ -539,10 +554,10 @@ object LakeWrite {
             r.getLong(r.fieldIndex(s"_nulls_${c.name}")))
         }
       }
-      val newDel = delFile.toList.map { case (path, counts, cnt) =>
-        DeleteFileEntry(fileId, tid, path, cnt,
-          counts.flatMap { case (fn, c) => fileIdByName.get(fn).map(_.toString -> c) },
-          sid, None)
+      val newDel = delFile.toList.map { wd =>
+        DeleteFileEntry(fileId, tid, wd.path, wd.total,
+          wd.counts.flatMap { case (fn, c) => fileIdByName.get(fn).map(_.toString -> c) },
+          sid, None, parts = wd.parts)
       }
       // inline rewrites: survivors keep their batch's schema epoch; rows the
       // UPDATE re-serialized (current column names) move to their OWN batch
@@ -719,8 +734,8 @@ object LakeWrite {
     val sid = store.commitWithRetry() { (st, sid) =>
       val fileIdByName = st.filesAt(tid, st.currentSnapshotId)
         .map(f => f.fileName -> f.fileId).toMap
-      delFile.foreach { case (_, cnts, _) =>
-        val gone = cnts.keys.filterNot(fileIdByName.contains)
+      delFile.foreach { wd =>
+        val gone = wd.counts.keys.filterNot(fileIdByName.contains)
         if (gone.nonEmpty) throw new java.util.ConcurrentModificationException(
           s"MERGE conflicts with a concurrent rewrite of: ${gone.mkString(", ")}")
       }
@@ -750,10 +765,10 @@ object LakeWrite {
             r.getLong(r.fieldIndex(s"_nulls_${c.name}")))
         }
       }
-      val newDel = delFile.toList.map { case (path, cnts, cnt) =>
-        val fe = DeleteFileEntry(fileId, tid, path, cnt,
-          cnts.flatMap { case (fn, c) => fileIdByName.get(fn).map(_.toString -> c) },
-          sid, None)
+      val newDel = delFile.toList.map { wd =>
+        val fe = DeleteFileEntry(fileId, tid, wd.path, wd.total,
+          wd.counts.flatMap { case (fn, c) => fileIdByName.get(fn).map(_.toString -> c) },
+          sid, None, parts = wd.parts)
         fileId += 1
         fe
       }

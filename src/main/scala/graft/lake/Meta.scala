@@ -84,7 +84,11 @@ object Meta {
 
   /** ducklake_delete_file: positional deletes (fileName, pos) parquet.
     * countsByFile: deleted-row count per data fileId (drives the
-    * rewrite_data_files threshold). */
+    * rewrite_data_files threshold). parts: the concrete part-file paths
+    * inside `path`, recorded at write time so scans never pay a driver-side
+    * FileSystem.listStatus per query (on object storage that is an RPC per
+    * delete dir per scan); empty on entries written before this field
+    * existed → readers fall back to listing. */
   case class DeleteFileEntry(
       deleteFileId: Long,
       tableId: Long,
@@ -92,7 +96,8 @@ object Meta {
       deleteCount: Long,
       countsByFile: Map[String, Long], // fileId (as string; JSON map keys) -> count
       begin: Long,
-      end: Option[Long])
+      end: Option[Long],
+      parts: List[String] = Nil)
 
   /** ducklake_partition_info + ducklake_partition_column.
     * transform ∈ {identity, year, month, day, hour}. */
@@ -170,6 +175,12 @@ object Meta {
       expiredSnapshots: List[Long] = Nil)               // snapshotIds
 
   /** Interval check: is a row live as of snapshot S? */
+  /** concrete parquet paths for reading a set of delete files: the parts
+    * recorded at write time when present (zero filesystem listings), else
+    * the directory path (legacy entries / thawed external catalogs). */
+  def deleteReadPaths(ds: Seq[DeleteFileEntry]): Seq[String] =
+    ds.flatMap(d => if (d.parts.nonEmpty) d.parts else List(d.path))
+
   def liveAt(begin: Long, end: Option[Long], s: Long): Boolean =
     begin <= s && end.forall(_ > s)
 

@@ -130,7 +130,16 @@ class MetadataStore(val root: String) {
 
   /** Commit with optimistic retry: `build` receives the fresh state and the
     * snapshot id to claim; on conflict it is re-invoked against re-read
-    * state. Returns the committed snapshot id. */
+    * state. Returns the committed snapshot id.
+    *
+    * Backoff: a bare retry loop livelocks under real contention — N writers
+    * all re-read, all claim `sid+1`, one wins, repeat, so the pack stays in
+    * lock-step and each round burns a full state re-read per loser. Losers
+    * instead sleep exponentially (5 ms base, doubling, 200 ms cap) with full
+    * jitter (uniform in [0, backoff)), the standard decorrelation that breaks
+    * the lock-step (AWS architecture blog "Exponential Backoff And Jitter";
+    * same shape as PG's deadlock retry the reference leans on via
+    * subtransaction retry, src/pgducklake_metadata_manager.cpp:294-364). */
   def commitWithRetry(maxRetries: Int = 20)(build: (CatalogState, Long) => CommitDelta): Long = {
     var attempt = 0
     while (true) {
@@ -143,6 +152,9 @@ class MetadataStore(val root: String) {
       } catch {
         case _: CommitConflictException if attempt < maxRetries =>
           attempt += 1
+          val cap = math.min(200L, 5L << math.min(attempt, 6))
+          val jittered = java.util.concurrent.ThreadLocalRandom.current().nextLong(cap + 1)
+          if (jittered > 0) Thread.sleep(jittered)
       }
     }
     -1L // unreachable

@@ -407,6 +407,42 @@ class LakeSpec extends AnyFunSuite {
     assert(sids.last - sids.head == sids.length - 1, "snapshot ids contiguous")
   }
 
+  test("isolation: 32-thread commit storm — zero lost commits, bounded retries") {
+    // VERDICT r4 #4: without backoff the optimistic loop livelocks under a
+    // commit storm (all writers re-read, all claim sid+1, one wins, repeat).
+    // With exponential backoff + full jitter every commit must land within
+    // the default retry budget.
+    val dir = java.nio.file.Files.createTempDirectory("graft-storm").toString
+    val store = new MetadataStore(dir)
+    val threads = 32
+    val perThread = 4
+    val maxAttempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val futs = (0 until threads).map { t =>
+      pool.submit(new java.util.concurrent.Callable[Seq[Long]] {
+        override def call(): Seq[Long] = (0 until perThread).map { i =>
+          val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+          val sid = store.commitWithRetry() { (_, sid) =>
+            attempts.incrementAndGet()
+            Meta.CommitDelta(Meta.Snapshot(sid, System.currentTimeMillis(), 0,
+              List(s"storm:$t:$i")))
+          }
+          maxAttempts.accumulateAndGet(attempts.get(), Math.max)
+          sid
+        }
+      })
+    }
+    val sids = futs.flatMap(_.get()).sorted
+    pool.shutdown()
+    // zero lost commits: every claim landed, ids unique and contiguous
+    assert(sids.length == threads * perThread)
+    assert(sids.distinct.length == sids.length, "duplicate snapshot ids")
+    assert(sids.last - sids.head == sids.length - 1, "snapshot ids contiguous")
+    // retry budget never exhausted (commitWithRetry would have thrown), and
+    // the worst-case attempt count stays well inside the default budget of 20
+    assert(maxAttempts.get() <= 20, s"worst commit took ${maxAttempts.get()} attempts")
+  }
+
   test("isolation: concurrent cross-table writes don't interfere") {
     val lake = newLake()
     lake.setOption("data_inlining_row_limit", "1000")
@@ -1184,6 +1220,48 @@ class LakeSpec extends AnyFunSuite {
     val v0 = 1L // CTAS snapshot
     assert(spark.sql(s"SELECT count(*) FROM $cat.main.big VERSION AS OF $v0")
       .collect().head.getLong(0) == n)
+  }
+
+  test("scan reads delete parts from metadata, never lists the directory") {
+    // VERDICT r4 #5: part files are recorded in DeleteFileEntry at write
+    // time. Proof the scan trusts metadata only: plant a STRAY delete part
+    // (deleting extra rows) into the directory after the commit — a scan
+    // that re-lists the dir would pick it up and lose rows; a metadata
+    // scan must not.
+    val root = Files.createTempDirectory("graft_delparts").toString
+    val cat = s"dpcat${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val lake = new Lake(spark, root)
+    import spark.implicits._
+    lake.createTableAs("main.dp",
+      spark.range(100).select(col("id").as("a"), (col("id") % 7).as("b")))
+    lake.delete("main.dp", col("a") < 10)
+
+    val entry = lake.store.state().deleteFiles.filter(_.end.isEmpty)
+    assert(entry.nonEmpty && entry.forall(_.parts.nonEmpty),
+      "delete part files must be recorded in metadata at write time")
+    assert(entry.forall(_.parts.forall(p => java.nio.file.Files.exists(
+      java.nio.file.Paths.get(p)))), "recorded parts must exist on disk")
+
+    // stray part: positions 10..19 of the same data file — rows the real
+    // delete did NOT touch
+    val dataFile = lake.store.state().files.filter(_.end.isEmpty).head.fileName
+    val delDir = entry.head.path
+    val strayStage = Files.createTempDirectory("graft_stray").toString
+    (10L until 20L).map(p => (dataFile, p, p)).toDF("file", "pos", "row_id")
+      .coalesce(1).write.mode("overwrite").parquet(strayStage)
+    val strayPart = java.nio.file.Files.list(java.nio.file.Paths.get(strayStage))
+      .iterator().asScala.find(_.toString.endsWith(".parquet")).get
+    java.nio.file.Files.copy(strayPart,
+      java.nio.file.Paths.get(delDir, "part-stray-poison.parquet"))
+
+    // both tiers must still see 90 rows (10 really deleted) — rows 10..19
+    // survive because the stray part is invisible to metadata
+    assert(spark.sql(s"SELECT count(*) FROM $cat.main.dp").collect()
+      .head.getLong(0) == 90)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.main.dp WHERE a BETWEEN 10 AND 19")
+      .collect().head.getLong(0) == 10)
   }
 
   test("SQL MERGE updates, deletes, and inserts in one snapshot; change feed pairs images") {
