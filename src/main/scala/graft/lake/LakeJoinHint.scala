@@ -46,16 +46,37 @@ class LakeJoinHint(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  // mirror JoinSelectionHelper.canBuildBroadcastLeft/Right: the preserved
+  // side of an outer join can't be broadcast, a full outer join neither —
+  // hinting those sides would only produce planner-warning noise
+  private def canBuildLeft(jt: org.apache.spark.sql.catalyst.plans.JoinType): Boolean =
+    jt match {
+      case org.apache.spark.sql.catalyst.plans.Inner |
+           org.apache.spark.sql.catalyst.plans.Cross |
+           org.apache.spark.sql.catalyst.plans.RightOuter => true
+      case _ => false
+    }
+  private def canBuildRight(jt: org.apache.spark.sql.catalyst.plans.JoinType): Boolean =
+    jt match {
+      case org.apache.spark.sql.catalyst.plans.Inner |
+           org.apache.spark.sql.catalyst.plans.Cross |
+           org.apache.spark.sql.catalyst.plans.LeftOuter |
+           org.apache.spark.sql.catalyst.plans.LeftSemi |
+           org.apache.spark.sql.catalyst.plans.LeftAnti => true
+      case _: org.apache.spark.sql.catalyst.plans.ExistenceJoin => true
+      case _ => false
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val threshold = conf.autoBroadcastJoinThreshold
     if (threshold <= 0) return plan
     def small(p: LogicalPlan): Boolean = lakeSize(p).exists(_ <= threshold)
     plan.transform {
-      case j @ Join(l, r, _, _, hint) =>
+      case j @ Join(l, r, jt, _, hint) =>
         val lh = hint.leftHint.orElse(
-          if (small(l)) Some(HintInfo(Some(BROADCAST))) else None)
+          if (canBuildLeft(jt) && small(l)) Some(HintInfo(Some(BROADCAST))) else None)
         val rh = hint.rightHint.orElse(
-          if (small(r)) Some(HintInfo(Some(BROADCAST))) else None)
+          if (canBuildRight(jt) && small(r)) Some(HintInfo(Some(BROADCAST))) else None)
         if ((lh eq hint.leftHint) && (rh eq hint.rightHint)) j
         else j.copy(hint = JoinHint(lh, rh))
     }

@@ -11,8 +11,50 @@ import Meta._
   * Everything metadata-shaped returns a DataFrame so the surface composes
   * with Spark SQL exactly like the reference's TVFs compose with PG SQL.
   */
-class Lake(val spark: SparkSession, val root: String) {
-  val store = new MetadataStore(root)
+class Lake(val spark: SparkSession, val root: String,
+    txStore: Option[MetadataStore] = None) {
+  val store: MetadataStore = txStore.getOrElse(new MetadataStore(root))
+
+  /** Run `body` as ONE transaction: every DDL/DML op inside commits into a
+    * staging log (reads see the transaction's own writes, and nothing
+    * outside sees any of them), and the whole group lands as a SINGLE
+    * snapshot on successful return — reference `BEGIN; ...; COMMIT`
+    * semantics (test/regression/sql/transaction.sql,
+    * test/isolation/specs/explicit_transaction_commit.spec). If `body`
+    * throws, every staged data file is deleted and no metadata changes —
+    * rollback invisibility. If another writer committed since the
+    * transaction began, the commit aborts the same way with
+    * `ConcurrentModificationException` (serial transactions; the caller
+    * retries the whole block, exactly like a PG serialization failure).
+    * Maintenance ops (vacuum/cleanup/freeze/rewrites) are rejected inside a
+    * transaction — they delete physical files, which cannot be rolled back.
+    * Returns (body result, committed snapshot id). */
+  def transaction[T](body: Lake => T): (T, Long) = {
+    require(!store.isInstanceOf[StagingStore], "transactions cannot nest")
+    val staging = new StagingStore(store)
+    val tx = new Lake(spark, root, Some(staging))
+    def rollback(): Unit = staging.stagedPaths.foreach(LakeWrite.deleteRecursively)
+    val result =
+      try body(tx)
+      catch { case e: Throwable => rollback(); throw e }
+    val stagedDeltas = staging.staged.toList
+    if (stagedDeltas.isEmpty) return (result, store.state().currentSnapshotId)
+    val finalSid = staging.baseSid + 1
+    val merged = LakeTransaction.merge(staging.baseSid, stagedDeltas, finalSid,
+      System.currentTimeMillis())
+    try store.commit(merged)
+    catch {
+      case e: CommitConflictException =>
+        rollback()
+        throw new java.util.ConcurrentModificationException(
+          s"transaction conflicts with a concurrent commit: ${e.getMessage}")
+    }
+    (result, finalSid)
+  }
+
+  private def requireNotInTransaction(op: String): Unit =
+    require(!store.isInstanceOf[StagingStore],
+      s"$op deletes or exports physical files and cannot run inside a transaction")
 
   def schemaOf(table: String): (String, String) = table.split('.') match {
     case Array(s, t) => (s, t)
@@ -176,7 +218,9 @@ class Lake(val spark: SparkSession, val root: String) {
     val rows = st.sortKeysAt(e.tableId, st.currentSnapshotId).zipWithIndex
       .map { case (k, i) =>
         Row(i.toLong, k.expr, if (k.ascending) "ASC" else "DESC",
-          if (k.nullsFirst) "NULLS FIRST" else "NULLS LAST")
+          // underscore form matches the reference's output exactly
+          // (test/regression/expected/sorted_table.out:19,28-29)
+          if (k.nullsFirst) "NULLS_FIRST" else "NULLS_LAST")
       }
     spark.createDataFrame(rows.asJava, StructType(Seq(
       StructField("sort_key_index", LongType), StructField("expression", StringType),
@@ -252,8 +296,14 @@ class Lake(val spark: SparkSession, val root: String) {
       .foreach { snap =>
         val sid = snap.snapshotId
         val tag = snap.changes.headOption.getOrElse("")
-        if (tag.startsWith("inserted:") || tag.startsWith("inlined:")) run :+= sid
-        else if (tag.startsWith("deleted:") || tag.startsWith("updated:")) {
+        // a transaction snapshot can carry inserts AND deletes in one delta
+        // (changes head is whatever op came first) — only a PURE insert
+        // snapshot joins an insert run; mixed ones take the DML branch,
+        // which nets out rows inserted and deleted in the same snapshot
+        lazy val hasDeletes = store.delta(sid).newDeleteFiles.exists(_.tableId == tid)
+        val insertish = tag.startsWith("inserted:") || tag.startsWith("inlined:")
+        if (insertish && !hasDeletes) run :+= sid
+        else if (tag.startsWith("deleted:") || tag.startsWith("updated:") || insertish) {
           flushRun()
           val delta = store.delta(sid)
           val isUpdate = tag.startsWith("updated:")
@@ -332,10 +382,11 @@ class Lake(val spark: SparkSession, val root: String) {
   /** scope a state view to an explicit file/batch set: intervals are opened
     * so the scan keeps them regardless of the snapshot used for schema */
   private def scopedState(st: CatalogState, files: Seq[DataFileEntry],
-      batches: Seq[InlinedBatch]): CatalogState =
+      batches: Seq[InlinedBatch],
+      deletes: Seq[DeleteFileEntry] = Nil): CatalogState =
     st.copy(
       files = files.map(_.copy(begin = 0L, end = None)).toVector,
-      deleteFiles = Vector.empty,
+      deleteFiles = deletes.map(_.copy(begin = 0L, end = None)).toVector,
       inlined = batches.map(_.copy(begin = 0L, end = None)).toVector)
 
   private def tagChanges(df: DataFrame, changeType: String, sid: Long): DataFrame =
@@ -363,7 +414,12 @@ class Lake(val spark: SparkSession, val root: String) {
         b.copy(rowsJson = kept.map(_._1), rowIds = Some(kept.map(_._2)))
       }.filter(_.rowsJson.nonEmpty)
     if (files.isEmpty && fresh.isEmpty && changed.isEmpty) return None
-    val scoped = scopedState(st, files, fresh ++ changed)
+    // same-snapshot delete files are scoped in so a row inserted AND
+    // deleted by one transaction snapshot nets to no change (it was never
+    // observable); for plain UPDATE snapshots the delete targets old files
+    // the scope doesn't contain, so this is a no-op there
+    val scoped = scopedState(st, files, fresh ++ changed,
+      deletes = delta.newDeleteFiles.filter(_.tableId == tid))
     Some(tagChanges(
       LakeRead.scanDF(spark, scoped, tid, sid, Nil, withRowMeta = true),
       changeType, sid))
@@ -382,7 +438,10 @@ class Lake(val spark: SparkSession, val root: String) {
     // files the delete file targets (countsByFile keys = data file ids)
     val parquetPart: Option[DataFrame] = if (delFiles.isEmpty) None else {
       val targetIds = delFiles.flatMap(_.countsByFile.keys.map(_.toLong)).toSet
-      val targets = st.files.filter(f => targetIds.contains(f.fileId))
+      // begin < sid: positions hitting files CREATED in this same snapshot
+      // (transaction grouping) have no observable pre-image — the row was
+      // never visible outside the transaction
+      val targets = st.files.filter(f => targetIds.contains(f.fileId) && f.begin < sid)
       val pre = LakeRead.scanDF(spark, scopedState(st, targets, Nil), tid, sid,
         Nil, withRowMeta = true)
       val delStruct = StructType(Seq(StructField("file", StringType),
@@ -478,6 +537,7 @@ class Lake(val spark: SparkSession, val root: String) {
     * small-file tail, never the whole table. One snapshot swaps the file
     * entries; row ids are preserved (explicit `_graft_row_id`). */
   def mergeAdjacentFiles(table: String): Long = {
+    requireNotInTransaction("mergeAdjacentFiles")
     val (sn, tn) = schemaOf(table)
     val st = store.state()
     val e = resolve(table, st)
@@ -538,6 +598,7 @@ class Lake(val spark: SparkSession, val root: String) {
     * compaction uses. Change feed sees no logical change (compacted tag).
     */
   def rewriteSorted(table: String, beforeCommit: () => Unit = () => ()): Long = {
+    requireNotInTransaction("rewriteSorted")
     val (sn, tn) = schemaOf(table)
     val st = store.state()
     val e = resolve(table, st)
@@ -566,9 +627,18 @@ class Lake(val spark: SparkSession, val root: String) {
         val racedAdd = stNow.filesAt(tid, curN).exists(f =>
           f.begin > cur && !liveIds.contains(f.fileId))
         val racedInl = stNow.inlinedAt(tid, curN).exists(_.begin > cur)
-        if (racedDel || racedAdd || racedInl)
+        // concurrent METADATA changes conflict too: an ALTER TABLE would
+        // commit rows under a stale schema, a set_sort/set_partition reset
+        // would silently stamp the rewrite as clustered by an order the
+        // table no longer declares
+        val racedMeta =
+          stNow.columnsAt(tid, curN) != st.columnsAt(tid, cur) ||
+          stNow.sortKeysAt(tid, curN) != sortKeys ||
+          stNow.partitionKeysAt(tid, curN) != st.partitionKeysAt(tid, cur)
+        if (racedDel || racedAdd || racedInl || racedMeta)
           throw new java.util.ConcurrentModificationException(
-            s"sorted rewrite of $table conflicts with a concurrent write")
+            s"sorted rewrite of $table conflicts with a concurrent " +
+              (if (racedMeta) "metadata change" else "write"))
         (liveIds.toList.sorted,
           stNow.deleteFilesAt(tid, curN).map(_.deleteFileId).toList,
           stNow.inlinedAt(tid, curN).map(_.batchId).toList)
@@ -589,6 +659,7 @@ class Lake(val spark: SparkSession, val root: String) {
     * Returns the committed snapshot id, or the current one if the table
     * has fewer than two live delete files. */
   def consolidateDeleteFiles(table: String): Long = {
+    requireNotInTransaction("consolidateDeleteFiles")
     val st0 = store.state()
     val e = resolve(table, st0)
     val tid = e.tableId
@@ -640,6 +711,7 @@ class Lake(val spark: SparkSession, val root: String) {
     * src/pgducklake_vacuum.cpp:45-66; default threshold from GUC
     * ducklake.vacuum_delete_threshold = 0.1). */
   def rewriteDataFiles(table: String, threshold: Double): Long = {
+    requireNotInTransaction("rewriteDataFiles")
     val (sn, tn) = schemaOf(table)
     val st = store.state()
     val e = resolve(table, st)
@@ -704,6 +776,7 @@ class Lake(val spark: SparkSession, val root: String) {
     * physically delete files scheduled for deletion. The retention window
     * defaults to the `delete_older_than` option (docs/settings.md). */
   def cleanupOldFiles(olderThanMs: Option[Long] = None): Long = {
+    requireNotInTransaction("cleanupOldFiles")
     val st = store.state()
     val now = System.currentTimeMillis()
     val window = olderThanMs.orElse(
@@ -734,6 +807,7 @@ class Lake(val spark: SparkSession, val root: String) {
     * at replacement time, so expiry + `cleanupOldFiles` together bound how
     * far back the physical data must be retained. */
   def expireSnapshots(olderThanMs: Option[Long] = None): Long = {
+    requireNotInTransaction("expireSnapshots")
     val st = store.state()
     val cur = st.currentSnapshotId
     val window = olderThanMs.orElse(
@@ -823,7 +897,10 @@ class Lake(val spark: SparkSession, val root: String) {
   }
 
   /** freeze/export (reference src/pgducklake_freeze.cpp:81-140) */
-  def freeze(target: String): Unit = store.freeze(target)
+  def freeze(target: String): Unit = {
+    requireNotInTransaction("freeze")
+    store.freeze(target)
+  }
 
   /** Incremental change-feed consumption: tracks the last snapshot seen and
     * returns (changesSinceLastPoll, newCursor) per call — the snapshot-range

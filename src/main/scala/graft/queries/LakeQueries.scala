@@ -485,6 +485,31 @@ object LakeQueries {
       s.sql(s"SELECT _row_id AS rid, n_nationkey, n_name FROM $cat.main.ri ORDER BY n_nationkey")
     }),
 
+    // ---- multi-statement transaction grouping (transaction.sql,
+    // explicit_transaction_commit.spec): two appends + a delete inside one
+    // lake.transaction{} land as EXACTLY ONE snapshot; a failing
+    // transaction is observably absent (rollback invisibility) ------------
+    "l35_transaction" -> ((s, dir) => {
+      val lake = newLake(s)
+      val nation = t(s, dir, "nation")
+      lake.createTable("main.tx", nation.schema)
+      val before = lake.currentSnapshot()
+      lake.transaction { tx =>
+        tx.append("main.tx", nation.filter(col("n_nationkey") < 13))
+        tx.append("main.tx", nation.filter(col("n_nationkey") >= 13))
+        tx.delete("main.tx", col("n_regionkey") === 2)
+      }
+      // rollback invisibility: the failed transaction contributes nothing
+      try lake.transaction { tx =>
+        tx.append("main.tx", nation)
+        throw new RuntimeException("client abort")
+      } catch { case e: RuntimeException if e.getMessage == "client abort" => () }
+      val after = lake.currentSnapshot()
+      lake.table("main.tx").select("n_nationkey", "n_name", "n_regionkey")
+        .withColumn("txn_snapshots", lit(after - before))
+        .orderBy("n_nationkey")
+    }),
+
     // ---- A10 column defaults (ddl.sql): ADD COLUMN DEFAULT backfills old
     // files with the frozen existence default; SET DEFAULT redefines only
     // the current default used by later inserts ---------------------------
@@ -758,8 +783,8 @@ object LakeQueries {
       """SELECT * FROM (VALUES
         |  ('last_committed', CAST(0 AS BIGINT), 'one_row', 'true'),
         |  ('partition', CAST(0 AS BIGINT), 'o_orderdate', 'year'),
-        |  ('sort', CAST(0 AS BIGINT), 'o_orderdate', 'ASC NULLS FIRST'),
-        |  ('sort', CAST(1 AS BIGINT), 'o_totalprice', 'DESC NULLS LAST'))
+        |  ('sort', CAST(0 AS BIGINT), 'o_orderdate', 'ASC NULLS_FIRST'),
+        |  ('sort', CAST(1 AS BIGINT), 'o_totalprice', 'DESC NULLS_LAST'))
         |  v(kind, idx, name, detail)
         |ORDER BY kind, idx""".stripMargin,
 
@@ -783,6 +808,12 @@ object LakeQueries {
         |    AS rid,
         |  n_nationkey, n_name
         |FROM nation QUALIFY n_regionkey <> 2
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "l35_transaction" ->
+      """SELECT n_nationkey, n_name, n_regionkey,
+        |  CAST(1 AS BIGINT) AS txn_snapshots
+        |FROM nation WHERE n_regionkey <> 2
         |ORDER BY n_nationkey""".stripMargin,
 
     "l25_column_default" ->

@@ -96,28 +96,35 @@ class LakeSinkProvider extends StreamSinkProvider with DataSourceRegister
     }
     val store = new MetadataStore(root)
     val st = store.state()
-    try {
-      val snap = Option(o.get("versionAsOf")).map(_.toLong)
-        .orElse(Option(o.get("timestampAsOf")).map { ts =>
-          st.snapshotAtTime(ts.toLong).getOrElse(throw new NoSuchElementException(
-            s"no snapshot at or before $ts"))
-        })
-        .getOrElse(st.currentSnapshotId)
-      new LakeTable(store, sn, tn, snap, st)
-    } catch {
-      case _: NoSuchElementException =>
-        // writeStream probes the TableProvider BEFORE the sink's first
-        // batch auto-creates the table; a capability-less placeholder
-        // routes Spark to the V1 StreamSinkProvider fallback (and LakeTable
-        // itself never reports STREAMING_WRITE, so existing tables take
-        // the same exactly-once sink path)
-        new Table {
-          override def name(): String = s"$sn.$tn (not created)"
-          override def schema(): StructType = new StructType()
-          override def capabilities(): java.util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
-            java.util.Collections.emptySet()
-        }
-    }
+    // time-travel resolution errors must PROPAGATE with their message (no
+    // snapshot at/before the timestamp, version beyond current) — only the
+    // table being absent at the CURRENT snapshot may fall back to the
+    // placeholder below, so a bad versionAsOf on a batch read fails loudly
+    // instead of as a generic "table does not support reads"
+    val version = Option(o.get("versionAsOf")).map(_.toLong)
+    version.filter(_ > st.currentSnapshotId).foreach(v =>
+      throw new IllegalArgumentException(
+        s"no snapshot $v (current is ${st.currentSnapshotId})"))
+    val snap = version
+      .orElse(Option(o.get("timestampAsOf")).map { ts =>
+        st.snapshotAtTime(ts.toLong).getOrElse(throw new NoSuchElementException(
+          s"no snapshot at or before $ts"))
+      })
+      .getOrElse(st.currentSnapshotId)
+    val timeTravel = snap != st.currentSnapshotId
+    if (!timeTravel && st.tableAt(sn, tn, st.currentSnapshotId).isEmpty)
+      // writeStream probes the TableProvider BEFORE the sink's first
+      // batch auto-creates the table; a capability-less placeholder
+      // routes Spark to the V1 StreamSinkProvider fallback (and LakeTable
+      // itself never reports STREAMING_WRITE, so existing tables take
+      // the same exactly-once sink path)
+      new Table {
+        override def name(): String = s"$sn.$tn (not created)"
+        override def schema(): StructType = new StructType()
+        override def capabilities(): java.util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
+          java.util.Collections.emptySet()
+      }
+    else new LakeTable(store, sn, tn, snap, st)
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =

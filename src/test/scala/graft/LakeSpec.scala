@@ -518,6 +518,125 @@ class LakeSpec extends AnyFunSuite {
       .collect().head.getAs[Long]("delete_file_count") == 0L)
   }
 
+  // ---- multi-statement transactions (transaction.sql,
+  // explicit_transaction_commit.spec) -------------------------------------
+  test("transaction: multiple ops land as exactly one snapshot") {
+    val lake = newLake()
+    import spark.implicits._
+    lake.createTable("main.tg", abSchema)
+    val before = lake.currentSnapshot()
+    val (_, sid) = lake.transaction { tx =>
+      tx.append("main.tg", Seq((1, 10), (2, 20)).toDF("a", "b"))
+      tx.append("main.tg", Seq((3, 30), (4, 40)).toDF("a", "b"))
+      tx.delete("main.tg", col("a") === 2)
+      // reads-your-own-writes inside the transaction
+      assert(tx.table("main.tg").count() == 3)
+    }
+    assert(sid == before + 1, "transaction must claim exactly the next snapshot id")
+    assert(lake.currentSnapshot() == before + 1)
+    assert(lake.table("main.tg").collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 3, 4))
+    // change feed over the single snapshot carries the NET transaction result
+    val feed = lake.tableChanges("main.tg", before, sid)
+    assert(feed.filter(col("_change_type") === "insert").count() == 3)
+    // time travel to `before` sees the pre-transaction (empty) table
+    assert(lake.table("main.tg", Some(before)).count() == 0)
+  }
+
+  test("transaction: rollback removes staged files and metadata is untouched") {
+    val lake = newLake()
+    import spark.implicits._
+    lake.createTable("main.tr", abSchema)
+    lake.append("main.tr", Seq((1, 10)).toDF("a", "b"))
+    val before = lake.currentSnapshot()
+    val dataDirFiles = () => {
+      val d = java.nio.file.Paths.get(lake.root)
+      java.nio.file.Files.walk(d).iterator().asScala
+        .count(p => p.toString.endsWith(".parquet"))
+    }
+    val filesBefore = dataDirFiles()
+    val e = intercept[RuntimeException] {
+      lake.transaction { tx =>
+        tx.append("main.tr", Seq((2, 20)).toDF("a", "b"))
+        tx.delete("main.tr", col("a") === 1)
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(e.getMessage == "boom")
+    assert(lake.currentSnapshot() == before, "rollback must not commit")
+    assert(lake.table("main.tr").collect().map(_.getInt(0)).toSeq == Seq(1))
+    assert(dataDirFiles() == filesBefore,
+      "staged parquet files must be deleted on rollback")
+  }
+
+  test("transaction: concurrent commit aborts the transaction (serial)") {
+    val lake = newLake()
+    import spark.implicits._
+    lake.createTable("main.tc2", abSchema)
+    val outside = new Lake(spark, lake.root)
+    intercept[java.util.ConcurrentModificationException] {
+      lake.transaction { tx =>
+        tx.append("main.tc2", Seq((1, 10)).toDF("a", "b"))
+        // another writer lands between transaction start and commit
+        outside.append("main.tc2", Seq((99, 990)).toDF("a", "b"))
+      }
+    }
+    // the outside write survives; the transaction's rows do not
+    assert(lake.table("main.tc2").collect().map(_.getInt(0)).toSeq == Seq(99))
+  }
+
+  test("transaction: maintenance ops are rejected inside") {
+    val lake = newLake()
+    import spark.implicits._
+    lake.createTable("main.tm", abSchema)
+    lake.append("main.tm", Seq((1, 10)).toDF("a", "b"))
+    lake.transaction { tx =>
+      val e = intercept[IllegalArgumentException](tx.vacuum("main.tm"))
+      assert(e.getMessage.contains("transaction"))
+      intercept[IllegalArgumentException](tx.cleanupOldFiles())
+      intercept[IllegalArgumentException](tx.freeze("/tmp/never"))
+    }
+    // nesting is rejected too
+    lake.transaction { tx =>
+      intercept[IllegalArgumentException](tx.transaction(_ => ()))
+    }
+  }
+
+  test("transaction: create-and-populate a new table inside one transaction") {
+    val lake = newLake()
+    import spark.implicits._
+    lake.createTable("main.t1", abSchema)
+    lake.append("main.t1", Seq((1, 10)).toDF("a", "b"))
+    val before = lake.currentSnapshot()
+    lake.transaction { tx =>
+      tx.append("main.t1", Seq((2, 20)).toDF("a", "b"))
+      tx.createTable("main.t2", abSchema)
+      tx.append("main.t2", Seq((7, 70)).toDF("a", "b"))
+      tx.insertRows("main.t2", Seq(Seq(8, 80)))
+    }
+    assert(lake.currentSnapshot() == before + 1)
+    assert(lake.table("main.t1").count() == 2)
+    assert(lake.table("main.t2").collect().map(_.getInt(0)).sorted.toSeq == Seq(7, 8))
+  }
+
+  test("metadata change racing a sorted rewrite is detected too") {
+    // ADVICE r4: a set_sort reset landing between the rewrite's snapshot
+    // read and its commit must abort the rewrite — otherwise it commits
+    // stamped as clustered by an order the table no longer declares
+    val lake = newLake()
+    import spark.implicits._
+    lake.createTable("main.rm", abSchema)
+    lake.setSort("main.rm", List(SortKey("a", ascending = true, nullsFirst = false)))
+    lake.append("main.rm", (1 to 10).map(i => (i, i)).toDF("a", "b"))
+    val e = intercept[java.util.ConcurrentModificationException] {
+      lake.rewriteSorted("main.rm",
+        beforeCommit = () => lake.setSort("main.rm",
+          List(SortKey("b", ascending = false, nullsFirst = true))))
+    }
+    assert(e.getMessage.contains("metadata change"))
+    // table contents untouched by the aborted rewrite
+    assert(lake.table("main.rm").count() == 10)
+  }
+
   // ---- SQL TVF sugar (session extensions) ---------------------------------
   test("graft_* table functions resolve through the session extensions") {
     val lake = newLake()
@@ -904,7 +1023,7 @@ class LakeSpec extends AnyFunSuite {
       Seq((0L, "b", "identity")))
     val so = spark.sql(s"SELECT * FROM graft_get_sort('$r', 'main.gm')").collect()
     assert(so.map(x => (x.getLong(0), x.getString(1), x.getString(2), x.getString(3))).toSeq ==
-      Seq((0L, "a", "DESC", "NULLS FIRST")))
+      Seq((0L, "a", "DESC", "NULLS_FIRST")))
     // snapshots.sql Test 2: exactly one row, and it is the current snapshot
     val lcs = spark.sql(s"SELECT snapshot_id FROM graft_last_committed_snapshot('$r')").collect()
     assert(lcs.length == 1 && lcs.head.getLong(0) == lake.currentSnapshot())
