@@ -80,8 +80,19 @@ object Relational {
       val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val o = t(s, dir, "orders")
       val l = t(s, dir, "lineitem")
-      c.join(o, col("c_custkey") === col("o_custkey"))
-        .join(l, col("o_orderkey") === col("l_orderkey"))
+      // Join shape for scale: customer only FILTERS orders (left_semi — no
+      // payload, no duplicate risk), and the orders⋈lineitem equi-join runs
+      // as a shuffled-hash join (preferSortMergeJoin=false in sessionConf)
+      // — the sf10 bench showed the two full sorts of the SMJ were the
+      // dominant cost vs DuckDB's hash joins. (A pre-aggregation of
+      // lineitem by l_orderkey was measured WORSE: ~15M scattered groups
+      // defeat map-side combining and widen the shuffle rows.)
+      // shuffle_hash: build the (semi-reduced) orders side as parallel
+      // per-partition hash maps — skips both SMJ sorts; the size gate
+      // can't see through the semi-join's estimate, hence the hint
+      val oFiltered = o.join(c, col("o_custkey") === col("c_custkey"), "left_semi")
+        .hint("shuffle_hash")
+      oFiltered.join(l, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"),
           col("o_orderpriority"))
         .agg(sumd(d2(col("l_extendedprice")) * (lit(1) - d4(col("l_discount"))))
@@ -108,11 +119,24 @@ object Relational {
           && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
       val l = t(s, dir, "lineitem")
       val su = t(s, dir, "supplier")
-      broadcast(r).join(n, col("r_regionkey") === col("n_regionkey"))
-        .join(c, col("n_nationkey") === col("c_nationkey"))
-        .join(o, col("c_custkey") === col("o_custkey"))
-        .join(l, col("o_orderkey") === col("l_orderkey"))
-        .join(su, col("l_suppkey") === col("s_suppkey")
+      // Star-join order matters at scale: push the region restriction down
+      // the DIM CHAIN (region → nation → supplier) and broadcast-join it
+      // into lineitem FIRST, so the fact table is cut to the ASIA fifth
+      // BEFORE its orderkey shuffle — the sf10 bench showed shuffling raw
+      // lineitem costs 6× vs DuckDB. s_nationkey = c_nationkey +
+      // n_nationkey = s_nationkey is the same constraint set as the
+      // original customer-side chain, so results are identical. The
+      // broadcast is the filtered dim chain (supplier rows of one region),
+      // the standard star-schema play; drop the hint if dims outgrow the
+      // driver and AQE picks the shuffle variant.
+      val asiaN = n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val asiaS = su.join(broadcast(asiaN), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      val lred = l.join(broadcast(asiaS), col("l_suppkey") === col("s_suppkey"))
+      val co = c.join(o, col("c_custkey") === col("o_custkey"))
+        .select(col("o_orderkey"), col("c_nationkey")).hint("shuffle_hash")
+      lred.join(co, col("l_orderkey") === col("o_orderkey")
           && col("s_nationkey") === col("c_nationkey"))
         .groupBy(col("n_name"))
         .agg(sumd(d2(col("l_extendedprice")) * (lit(1) - d4(col("l_discount"))))

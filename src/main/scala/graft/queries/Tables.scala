@@ -22,7 +22,28 @@ object Tables {
     * plus the lake TVF SQL sugar; apply at session build. */
   val sessionConf: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
-    "spark.sql.extensions" -> "graft.lake.GraftExtensions")
+    "spark.sql.extensions" -> "graft.lake.GraftExtensions",
+    // Shuffled-hash over sort-merge: equi-joins on parquet-backed frames
+    // build a per-partition hash table instead of fully sorting both sides
+    // — the sf10 bench showed the two 60M-row sorts in q03/q05 were the
+    // single largest cost vs DuckDB (whose joins are hash-based). The
+    // planner still requires the build side to fit a partition-local map
+    // (canBuildLocalHashMap gates on size stats), so V1 lake relations
+    // with unknown sizes keep sort-merge.
+    // (A raised autoBroadcastJoinThreshold was measured WORSE: a
+    // multi-million-row dim then broadcasts, and the hashed-relation build
+    // is single-threaded on the driver. Queries that want a parallel
+    // per-partition hash build on a mid-size side use an explicit
+    // shuffle_hash hint instead.)
+    "spark.sql.join.preferSortMergeJoin" -> "false",
+    // Runtime bloom-filter joins: let the filtered/semi-reduced side of a
+    // shuffle join inject a bloom filter into the big probe scan, cutting
+    // probe-side shuffle volume before the exchange. The default 10 MB
+    // creation-side gate rejects any dim bigger than toy scale; the bloom
+    // itself stays small (maxNumBits-bounded), so a sub-512 MB creation
+    // side is exactly the 100 TB-cluster trade (tiny broadcast, huge
+    // shuffle saving).
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "512MB")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
