@@ -202,7 +202,8 @@ object FreezeSql {
         "default_value VARCHAR", "nulls_allowed BOOLEAN", "parent_column BIGINT"),
       st.columns.map(c => Seq(c.columnId, c.begin, c.end, c.tableId,
         c.ordinal.toLong, c.name,
-        TypeMap.sparkToDuck(LakeRead.sparkType(c.dataType)),
+        if (c.dataType.equalsIgnoreCase("geometry")) "geometry"
+        else TypeMap.sparkToDuck(LakeRead.sparkType(c.dataType)),
         c.existsDefault, c.defaultValue, c.nullable, None)))
 
     insertAll(sb, "ducklake_data_file",
@@ -283,6 +284,19 @@ object FreezeSql {
         "schedule_start TIMESTAMPTZ"),
       Nil) // frozen exports never carry pending deletions (freeze.cpp:102)
 
+    // variant path min/max recorded at write time (LakeWrite.append) under
+    // synthetic "<col>.$.<path>" stat names (pgducklake_freeze.cpp:60)
+    insertAll(sb, "ducklake_file_variant_stats",
+      Seq("data_file_id BIGINT", "table_id BIGINT", "column_name VARCHAR",
+        "variant_path VARCHAR", "value_type VARCHAR", "min_value VARCHAR",
+        "max_value VARCHAR", "null_count BIGINT"),
+      st.stats.filter(_.columnName.contains(".$.")).flatMap { s =>
+        val Array(colName, path) = s.columnName.split("\\.\\$\\.", 2)
+        st.files.find(_.fileId == s.fileId).map(f =>
+          Seq(s.fileId, f.tableId, colName, "$." + path, s.dataType,
+            s.minValue, s.maxValue, s.nullCount))
+      })
+
     insertAll(sb, "ducklake_schema_versions",
       Seq("begin_snapshot BIGINT", "schema_version BIGINT"),
       st.snapshots.map(s => Seq(s.snapshotId, s.schemaVersion)))
@@ -295,7 +309,8 @@ object FreezeSql {
       "ducklake_delete_file", "ducklake_partition_info",
       "ducklake_partition_column", "ducklake_file_partition_value",
       "ducklake_tag", "ducklake_sort_info", "ducklake_sort_expression",
-      "ducklake_files_scheduled_for_deletion", "ducklake_schema_versions")
+      "ducklake_files_scheduled_for_deletion", "ducklake_schema_versions",
+      "ducklake_file_variant_stats")
     AllTables.filterNot(emitted).foreach(t =>
       insertAll(sb, t, Seq("placeholder VARCHAR"), Nil))
 

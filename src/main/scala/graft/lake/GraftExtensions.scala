@@ -43,6 +43,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectResolutionRule(new ResolveLakeMerge(_))
     // size-based broadcast for tier-3 lake scans (V1ScanWrapper hides stats)
     ext.injectPreCBORule(new LakeJoinHint(_))
+    // variant_get predicates → file pruning on recorded variant path stats
+    ext.injectOptimizerRule(new LakeVariantPruning(_))
     // codegen'd scalars for the vector hot paths (kNN / LSH / near-dup)
     ext.injectFunction((FunctionIdentifier("graft_vec_dot"),
       new ExpressionInfo("graft.functions.VecDotLong", "graft_vec_dot",

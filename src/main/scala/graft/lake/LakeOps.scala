@@ -83,8 +83,12 @@ class Lake(val spark: SparkSession, val root: String,
           List(s"created_table:$sn.$tn")),
         newTables = List(TableEntry(tid, sn, tn, sid, None)),
         newColumns = schema.fields.zipWithIndex.map { case (f, i) =>
-          ColumnEntry(tid, i + 1, i, f.name,
-            LakeRead.relaxNullability(f.dataType).sql, f.nullable, None, sid, None)
+          // column metadata {"graft.type": "geometry"} declares a catalog
+          // type annotation over the Spark storage type (WKB-in-binary)
+          val declared =
+            if (f.metadata.contains("graft.type")) f.metadata.getString("graft.type")
+            else LakeRead.relaxNullability(f.dataType).sql
+          ColumnEntry(tid, i + 1, i, f.name, declared, f.nullable, None, sid, None)
         }.toList,
         newPartitionInfo =
           if (partitionKeys.nonEmpty) List(PartitionInfoEntry(tid, partitionKeys, sid, None)) else Nil,
@@ -900,6 +904,27 @@ class Lake(val spark: SparkSession, val root: String,
   def freeze(target: String): Unit = {
     requireNotInTransaction("freeze")
     store.freeze(target)
+    // the engine-neutral interop artifact (thaw/import surface): the
+    // ducklake_* layout as parquet datasets an external engine can COPY
+    // from AND mutate — see Thaw
+    Thaw.dumpParquet(spark, store.state(), s"$target/catalog_parquet")
+  }
+
+  /** Thaw: import an externally-written `ducklake_*` parquet catalog
+    * (reference interop surface: FDW attach pgducklake_fdw.cpp:167-190 +
+    * external-writer sync metadata_sync.sql). The full snapshot history is
+    * replayed into THIS store — time travel and the change feed work on
+    * the imported snapshots. Requires an empty store (import adopts the
+    * external catalog wholesale; merging two live catalogs is not a
+    * defined operation in the reference either). Data files are adopted
+    * in place by path. Returns the imported current snapshot id. */
+  def importCatalog(catalogDir: String): Long = {
+    requireNotInTransaction("importCatalog")
+    require(store.state().currentSnapshotId == -1L,
+      "importCatalog requires an empty metadata store")
+    val external = Thaw.load(spark, catalogDir)
+    Thaw.reconstructDeltas(external).foreach(store.commit)
+    store.state().currentSnapshotId
   }
 
   /** Incremental change-feed consumption: tracks the last snapshot seen and
@@ -998,6 +1023,9 @@ object LakeOptions {
   * freeze interop so an external DuckLake reader agrees on column types. */
 object TypeMap {
   val duckToSpark: Map[String, DataType] = Map(
+    // geometry (docs/data_types.md GEOMETRY row): WKB bytes; the catalog
+    // keeps the distinct type, Spark reads/writes it as BINARY
+    "geometry" -> BinaryType,
     "boolean" -> BooleanType, "int8" -> ByteType, "int16" -> ShortType,
     "int32" -> IntegerType, "int64" -> LongType,
     "uint8" -> ShortType, "uint16" -> IntegerType, "uint32" -> LongType,

@@ -28,7 +28,13 @@ object LakeRead {
   val PosCol = "_graft_pos"
   val RowIdCol = "_graft_row_id"
 
-  def sparkType(ddl: String): DataType = DataType.fromDDL(ddl)
+  /** catalog type string → Spark type. "geometry" is a catalog-level
+    * annotation over WKB bytes (reference docs/data_types.md GEOMETRY row):
+    * it reads/writes as BINARY — stats-ineligible, inline-JSON-ineligible —
+    * while the catalog keeps the distinct type for interop (freeze/thaw
+    * emit it as geometry, not blob). */
+  def sparkType(ddl: String): DataType =
+    if (ddl.equalsIgnoreCase("geometry")) BinaryType else DataType.fromDDL(ddl)
 
   /** normalize nested nullability: data written through the lake is read
     * back with nullable leaves (parquet), so stored column types must not

@@ -42,9 +42,18 @@ class LakeTable(
     val schemaName: String,
     val tableName: String,
     val snapshot: Long,
-    st: CatalogState) extends Table
+    st: CatalogState,
+    /** extra FILE-PRUNE-ONLY predicates on synthetic stat names (variant
+      * paths like "v.$.price", attached by [[LakeVariantPruning]]); never
+      * pushed to parquet or applied to rows — Spark's own Filter above the
+      * scan keeps row-level semantics */
+    val variantPrune: Seq[Filter] = Nil) extends Table
     with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsMetadataColumns {
+
+  /** copy with variant file-prune predicates (LakeVariantPruning) */
+  private[lake] def withVariantPrune(fs: Seq[Filter]): LakeTable =
+    new LakeTable(store, schemaName, tableName, snapshot, st, fs)
 
   /** the upstream-DuckLake `rowid` virtual column as a DSv2 metadata
     * column: `SELECT _row_id, * FROM lake.main.t` surfaces stable row
@@ -104,11 +113,13 @@ class LakeTable(
     LakeWrite.delete(SparkSession.active, store, schemaName, tableName, cond)
   }
 
-  /** fresh snapshot-scoped DataFrame (used by the scan and by LakeOps) */
+  /** fresh snapshot-scoped DataFrame (used by the scan and by LakeOps);
+    * variantPrune joins the pushed filters for FILE pruning only (scanDF
+    * uses filters solely to prune the file list) */
   def scanDF(spark: SparkSession, filters: Seq[Filter] = Nil,
       withRowMeta: Boolean = false): DataFrame =
-    LakeRead.scanDF(spark, store.state(), entry.tableId, snapshot, filters,
-      withRowMeta = withRowMeta)
+    LakeRead.scanDF(spark, store.state(), entry.tableId, snapshot,
+      filters ++ variantPrune, withRowMeta = withRowMeta)
 
   /** Physical footprint from metadata (exact for parquet, estimated for
     * inline JSON rows). Reported as the V1 relation's `sizeInBytes` so the
@@ -241,7 +252,7 @@ class LakeTable(
     if (!sameShape) return None
     val pruned = Pruning.prune(files, st.statsFor,
       cols.map(c => c.name -> c.dataType).toMap,
-      st.partitionKeysAt(tid, snapshot), filters)
+      st.partitionKeysAt(tid, snapshot), filters ++ variantPrune)
     val deletes = st.deleteFilesAt(tid, snapshot)
     if (deletes.isEmpty) return Some((pruned, Map.empty))
     // per-file delete parts come straight from metadata (recorded at write

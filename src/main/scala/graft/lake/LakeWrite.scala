@@ -143,6 +143,47 @@ object LakeWrite {
     b.result()
   }
 
+  /** parse `schema_of_variant_agg` output ("OBJECT<price: BIGINT, tag:
+    * STRING, nest: OBJECT<…>>") into top-level (key, spark-ddl-type) pairs,
+    * scalar orderable types only — nested objects/arrays aren't prunable
+    * ranges. Non-object variants (bare "BIGINT") yield nothing. */
+  private[lake] def topLevelVariantPaths(schema: String): Seq[(String, String)] = {
+    val s = schema.trim
+    if (!s.startsWith("OBJECT<") || !s.endsWith(">")) return Nil
+    val inner = s.stripPrefix("OBJECT<").stripSuffix(">")
+    // split on top-level commas (angle-bracket depth 0)
+    val fields = Vector.newBuilder[String]
+    var depth = 0
+    val cur = new StringBuilder
+    inner.foreach {
+      case ',' if depth == 0 => fields += cur.result(); cur.clear()
+      case c =>
+        if (c == '<') depth += 1 else if (c == '>') depth -= 1
+        cur += c
+    }
+    if (cur.nonEmpty) fields += cur.result()
+    fields.result().flatMap { f =>
+      f.split(":", 2) match {
+        case Array(k, t) =>
+          val key = k.trim
+          val typ = t.trim.toUpperCase
+          val mapped = typ match {
+            case "TINYINT" | "SMALLINT" | "INT" | "BIGINT" => Some(typ.toLowerCase)
+            case "FLOAT" | "REAL" => Some("float")
+            case "DOUBLE" => Some("double")
+            case "STRING" => Some("string")
+            case "BOOLEAN" => Some("boolean")
+            case "DATE" => Some("date")
+            case d if d.startsWith("DECIMAL(") => Some(d.toLowerCase)
+            case ts if ts.startsWith("TIMESTAMP") => None // tz-sensitive: skip
+            case _ => None
+          }
+          if (key.matches("[A-Za-z_][A-Za-z0-9_]*")) mapped.map(key -> _) else None
+        case _ => None
+      }
+    }
+  }
+
   private def statAggsFor(statCols: Seq[ColumnEntry]): Seq[Column] =
     Seq(count(lit(1)).as("_cnt")) ++ statCols.flatMap { c =>
       Seq(min(col(c.name)).cast(StringType).as(s"_min_${c.name}"),
@@ -223,12 +264,43 @@ object LakeWrite {
       val base = LakeRead.structFor(cols)
       if (explicitRowIds) base.add(StructField(LakeRead.RowIdCol, LongType)) else base
     }
+    // variant path stats (ducklake_file_variant_stats,
+    // src/pgducklake_freeze.cpp:60; exercised by variant.sql): discover the
+    // union of top-level scalar paths via schema_of_variant_agg, then fold
+    // per-path min/max/null into the SAME per-file stats job. The stat rows
+    // use synthetic names ("v.$.price") that [[LakeVariantPruning]] matches
+    // so variant_get predicates prune files.
+    val variantCols = cols.filter(c => LakeRead.sparkType(c.dataType) match {
+      case _: VariantType => true
+      case _ => false
+    })
+    val variantPaths: Seq[(String, String, String)] = // (colName, key, sparkType)
+      if (variantCols.isEmpty || staged.isEmpty) Nil
+      else {
+        val aggs = variantCols.map(c => schema_of_variant_agg(col(c.name)).as(c.name))
+        val row = spark.read.schema(readStruct).parquet(staged.map(_.path): _*)
+          .agg(aggs.head, aggs.tail: _*).collect().head
+        variantCols.zipWithIndex.flatMap { case (c, i) =>
+          topLevelVariantPaths(Option(row.getString(i)).getOrElse(""))
+            .map { case (k, t) => (c.name, k, t) }
+        }
+      }
+    val variantAggs: Seq[Column] = variantPaths.zipWithIndex.flatMap {
+      case ((cn, k, t), i) =>
+        val v = try_variant_get(col(cn), s"$$.$k", t)
+        Seq(min(v).cast(StringType).as(s"_vmin_$i"),
+          max(v).cast(StringType).as(s"_vmax_$i"),
+          sum(when(v.isNull, 1L).otherwise(0L)).as(s"_vnull_$i"))
+    }
     val statRows: Map[String, Row] =
       if (staged.isEmpty) Map.empty
-      else spark.read.schema(readStruct).parquet(staged.map(_.path): _*)
-        .groupBy(col("_metadata.file_name").as("_file"))
-        .agg(statAggsFor(statCols).head, statAggsFor(statCols).tail: _*)
-        .collect().map(r => r.getString(0) -> r).toMap // one row per file
+      else {
+        val aggs = statAggsFor(statCols) ++ variantAggs
+        spark.read.schema(readStruct).parquet(staged.map(_.path): _*)
+          .groupBy(col("_metadata.file_name").as("_file"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect().map(r => r.getString(0) -> r).toMap // one row per file
+      }
     // zero-row part files (empty write partitions) have no stats row:
     // physically drop them, they carry nothing
     val (kept, empty) = staged.partition(f => statRows.contains(f.fileName))
@@ -257,6 +329,11 @@ object LakeWrite {
             Option(r.getString(r.fieldIndex(s"_min_${c.name}"))),
             Option(r.getString(r.fieldIndex(s"_max_${c.name}"))),
             r.getLong(r.fieldIndex(s"_nulls_${c.name}")))
+        } ++ variantPaths.zipWithIndex.map { case ((cn, k, t), i) =>
+          FileColumnStats(fe.fileId, s"$cn.$$.$k", t,
+            Option(r.getString(r.fieldIndex(s"_vmin_$i"))),
+            Option(r.getString(r.fieldIndex(s"_vmax_$i"))),
+            r.getLong(r.fieldIndex(s"_vnull_$i")))
         }
       }
       val (extraFiles, extraDel, extraInl) = extraEnded(st)
@@ -295,8 +372,11 @@ object LakeWrite {
       .getOrElse(throw new NoSuchElementException(s"no table $schemaName.$tableName")).tableId
     val cols = st0.columnsAt(tid, s0)
     // variant columns disable inlining entirely (reference:
-    // src/pgducklake_direct_insert.cpp:144-146, variant.sql:8-13)
-    val hasVariant = cols.exists(_.dataType.toUpperCase.contains("VARIANT"))
+    // src/pgducklake_direct_insert.cpp:144-146, variant.sql:8-13); binary /
+    // geometry (WKB bytes) likewise — raw bytes don't survive the JSON
+    // inline log
+    val hasVariant = cols.exists(c => c.dataType.toUpperCase.contains("VARIANT") ||
+      c.dataType.equalsIgnoreCase("binary") || c.dataType.equalsIgnoreCase("geometry"))
     val limit =
       if (hasVariant) 0L
       else st0.tagAt(tid.toString, "data_inlining_row_limit", s0)

@@ -39,7 +39,11 @@ object Pruning {
       mayMatch(l, file, stats, colTypes, partitionKeys) ||
         mayMatch(r, file, stats, colTypes, partitionKeys)
     case Not(EqualTo(a, v)) => // only prune when the file is constant = v
-      !(constantValue(a, file, stats, colTypes).exists(c => cmpTyped(colTypes(a), c, v).contains(0)))
+      !(statFor(stats, a).exists(s => (s.minValue, s.maxValue) match {
+        case (Some(mn), Some(mx)) if mn == mx && s.nullCount == 0 =>
+          cmpTyped(colTypes.getOrElse(a, s.dataType), mn, v).contains(0)
+        case _ => false
+      }))
     case EqualTo(a, v) => rangeMayContain(a, v, file, stats, colTypes, partitionKeys, eq = true)
     case EqualNullSafe(a, v) if v != null =>
       rangeMayContain(a, v, file, stats, colTypes, partitionKeys, eq = true)
@@ -63,17 +67,6 @@ object Pruning {
   private def statFor(stats: Vector[FileColumnStats], a: String): Option[FileColumnStats] =
     stats.find(_.columnName == a)
 
-  /** the file's constant value of column a, when min == max and no nulls */
-  private def constantValue(
-      a: String, file: DataFileEntry, stats: Vector[FileColumnStats],
-      colTypes: Map[String, String]): Option[String] =
-    statFor(stats, a).flatMap { s =>
-      (s.minValue, s.maxValue) match {
-        case (Some(mn), Some(mx)) if mn == mx && s.nullCount == 0 => Some(mn)
-        case _ => None
-      }
-    }
-
   /** may the file contain a row with column a == v (or in [v,∞)/(−∞,v])? */
   private def rangeMayContain(
       a: String, v: Any, file: DataFileEntry, stats: Vector[FileColumnStats],
@@ -85,8 +78,11 @@ object Pruning {
         // no recorded bounds: all-null column can't equal a non-null literal
         s.nullCount < file.rowCount || file.rowCount == 0
       case Some(s) =>
-        s.minValue.forall(mn => cmpTyped(colTypes.getOrElse(a, "string"), mn, v).forall(_ <= 0)) &&
-          s.maxValue.forall(mx => cmpTyped(colTypes.getOrElse(a, "string"), mx, v).forall(_ >= 0))
+        // colTypes fallback: variant-path stats ("v.$.price") have no table
+        // column entry — their comparison type is the stat row's own
+        val dt = colTypes.getOrElse(a, s.dataType)
+        s.minValue.forall(mn => cmpTyped(dt, mn, v).forall(_ <= 0)) &&
+          s.maxValue.forall(mx => cmpTyped(dt, mx, v).forall(_ >= 0))
       case None => true
     }
     byStats && partitionMayContain(a, v, file, colTypes, partitionKeys, PartCmp.Eq)
@@ -100,7 +96,7 @@ object Pruning {
     val byStats = statFor(stats, a) match {
       case Some(s) =>
         val bound = if (upper) s.maxValue else s.minValue
-        bound.forall(b => cmpTyped(colTypes.getOrElse(a, "string"), b, v).forall(ok))
+        bound.forall(b => cmpTyped(colTypes.getOrElse(a, s.dataType), b, v).forall(ok))
       case None => true
     }
     byStats && partitionMayContain(a, v, file, colTypes, partitionKeys,

@@ -1,0 +1,349 @@
+package graft.lake
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types._
+import Meta._
+
+/** Thaw — the inverse of freeze (VERDICT r4 #3): import an
+  * externally-written `ducklake_*` catalog back into [[CatalogState]] and
+  * replay it into a [[MetadataStore]] with full per-snapshot fidelity
+  * (time travel and the change feed work on the imported history).
+  *
+  * Reference surface being reproduced: the live FDW attach of a foreign
+  * DuckLake catalog (src/pgducklake_fdw.cpp:167-190) and external-writer
+  * sync (test/regression/sql/metadata_sync.sql) — another engine commits
+  * snapshots into the shared catalog and this engine sees them after a
+  * re-read.
+  *
+  * Interop format: one parquet dataset per `ducklake_*` table (the layout
+  * of pgducklake_freeze.cpp:32-60, same columns FreezeSql emits as SQL) —
+  * the engine-neutral materialization any engine can COPY to/from.
+  * `Lake.freeze` writes these dumps under `<target>/catalog_parquet/`;
+  * an external writer mutates them (adds snapshot + data-file rows for
+  * parquet it wrote itself); `Lake.importCatalog` replays the result.
+  *
+  * Extension columns (lossless round-trip of engine concepts the
+  * reference's narrower layout can't carry; absent in foreign catalogs →
+  * defaults): `ducklake_column.spark_type` (exact Spark DDL, else the
+  * DuckDB type string is mapped), `ducklake_data_file.schema_version` /
+  * `explicit_row_ids` (else derived from begin_snapshot via
+  * ducklake_schema_versions / false), `ducklake_delete_file
+  * .counts_by_file` (JSON fileId→count, else the single data_file_id row
+  * the reference schema models). Delete part-file lists are re-listed on
+  * demand (deleteReadPaths' directory fallback).
+  */
+object Thaw {
+
+  // ---------------------------------------------------------------- schemas
+
+  private def fld(n: String, t: DataType) = StructField(n, t)
+  private val snapshotSchema = StructType(Seq(
+    fld("snapshot_id", LongType), fld("snapshot_time_ms", LongType),
+    fld("schema_version", LongType)))
+  private val changesSchema = StructType(Seq(
+    fld("snapshot_id", LongType), fld("changes_made", StringType),
+    fld("commit_message", StringType)))
+  private val tableSchema = StructType(Seq(
+    fld("table_id", LongType), fld("begin_snapshot", LongType),
+    fld("end_snapshot", LongType), fld("schema_name", StringType),
+    fld("table_name", StringType)))
+  private val columnSchema = StructType(Seq(
+    fld("column_id", LongType), fld("begin_snapshot", LongType),
+    fld("end_snapshot", LongType), fld("table_id", LongType),
+    fld("column_order", LongType), fld("column_name", StringType),
+    fld("column_type", StringType), fld("initial_default", StringType),
+    fld("default_value", StringType), fld("nulls_allowed", BooleanType),
+    fld("spark_type", StringType)))
+  private val dataFileSchema = StructType(Seq(
+    fld("data_file_id", LongType), fld("table_id", LongType),
+    fld("begin_snapshot", LongType), fld("end_snapshot", LongType),
+    fld("path", StringType), fld("record_count", LongType),
+    fld("file_size_bytes", LongType), fld("row_id_start", LongType),
+    fld("schema_version", LongType), fld("explicit_row_ids", BooleanType)))
+  private val statsSchema = StructType(Seq(
+    fld("data_file_id", LongType), fld("table_id", LongType),
+    fld("column_id", LongType), fld("null_count", LongType),
+    fld("min_value", StringType), fld("max_value", StringType)))
+  private val deleteFileSchema = StructType(Seq(
+    fld("delete_file_id", LongType), fld("table_id", LongType),
+    fld("begin_snapshot", LongType), fld("end_snapshot", LongType),
+    fld("data_file_id", LongType), fld("path", StringType),
+    fld("delete_count", LongType), fld("counts_by_file", StringType)))
+  private val partInfoSchema = StructType(Seq(
+    fld("table_id", LongType), fld("begin_snapshot", LongType),
+    fld("end_snapshot", LongType)))
+  private val partColSchema = StructType(Seq(
+    fld("table_id", LongType), fld("begin_snapshot", LongType),
+    fld("partition_key_index", LongType), fld("column_name", StringType),
+    fld("transform", StringType)))
+  private val filePartValSchema = StructType(Seq(
+    fld("data_file_id", LongType), fld("partition_key_index", LongType),
+    fld("partition_key_label", StringType), fld("partition_value", StringType)))
+  private val sortInfoSchema = StructType(Seq(
+    fld("table_id", LongType), fld("begin_snapshot", LongType),
+    fld("end_snapshot", LongType)))
+  private val sortExprSchema = StructType(Seq(
+    fld("table_id", LongType), fld("begin_snapshot", LongType),
+    fld("sort_key_index", LongType), fld("expression", StringType),
+    fld("ascending", BooleanType), fld("nulls_first", BooleanType)))
+  private val tagSchema = StructType(Seq(
+    fld("object_id", StringType), fld("begin_snapshot", LongType),
+    fld("end_snapshot", LongType), fld("key", StringType),
+    fld("value", StringType)))
+
+  private def jl(v: Long): java.lang.Long = java.lang.Long.valueOf(v)
+  private def jl(v: Option[Long]): java.lang.Long = v.map(jl).orNull
+
+  // ------------------------------------------------------------------- dump
+
+  /** write the catalog as `ducklake_*` parquet datasets under `dir` */
+  def dumpParquet(spark: SparkSession, st: CatalogState, dir: String): Unit = {
+    def w(name: String, schema: StructType, rows: Seq[Row]): Unit = {
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(rows.asJava, schema).coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    }
+    w("ducklake_snapshot", snapshotSchema, st.snapshots.map(s =>
+      Row(jl(s.snapshotId), jl(s.snapshotTimeMs), jl(s.schemaVersion))))
+    w("ducklake_snapshot_changes", changesSchema, st.snapshots.map(s =>
+      Row(jl(s.snapshotId), s.changes.mkString(","), s.commitMessage.orNull)))
+    w("ducklake_table", tableSchema, st.tables.map(t =>
+      Row(jl(t.tableId), jl(t.begin), jl(t.end), t.schemaName, t.tableName)))
+    w("ducklake_column", columnSchema, st.columns.map(c =>
+      Row(jl(c.columnId), jl(c.begin), jl(c.end), jl(c.tableId),
+        jl(c.ordinal.toLong), c.name,
+        if (c.dataType.equalsIgnoreCase("geometry")) "geometry"
+        else TypeMap.sparkToDuck(LakeRead.sparkType(c.dataType)),
+        c.existsDefault.orNull, c.defaultValue.orNull,
+        java.lang.Boolean.valueOf(c.nullable), c.dataType)))
+    w("ducklake_data_file", dataFileSchema, st.files.map(f =>
+      Row(jl(f.fileId), jl(f.tableId), jl(f.begin), jl(f.end), f.path,
+        jl(f.rowCount), jl(f.fileSizeBytes), jl(f.firstRowId),
+        jl(f.schemaVersion), java.lang.Boolean.valueOf(f.explicitRowIds))))
+    val colIdByName = st.columns.map(c => (c.tableId, c.name) -> c.columnId).toMap
+    val fileById = st.files.map(f => f.fileId -> f).toMap
+    w("ducklake_file_column_stats", statsSchema, st.stats.flatMap { s =>
+      fileById.get(s.fileId).map { f =>
+        Row(jl(s.fileId), jl(f.tableId),
+          jl(colIdByName.getOrElse((f.tableId, s.columnName), -1L)),
+          jl(s.nullCount), s.minValue.orNull, s.maxValue.orNull)
+      }
+    })
+    w("ducklake_delete_file", deleteFileSchema, st.deleteFiles.map { d =>
+      val json = d.countsByFile.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}")
+      Row(jl(d.deleteFileId), jl(d.tableId), jl(d.begin), jl(d.end),
+        jl(d.countsByFile.keys.headOption.map(_.toLong)), d.path,
+        jl(d.deleteCount), json)
+    })
+    w("ducklake_partition_info", partInfoSchema, st.partitionInfo.map(p =>
+      Row(jl(p.tableId), jl(p.begin), jl(p.end))))
+    w("ducklake_partition_column", partColSchema, st.partitionInfo.flatMap(p =>
+      p.keys.zipWithIndex.map { case (k, i) =>
+        Row(jl(p.tableId), jl(p.begin), jl(i.toLong), k.column, k.transform)
+      }))
+    w("ducklake_file_partition_value", filePartValSchema, st.files.flatMap(f =>
+      f.partitionValues.toSeq.sortBy(_._1).zipWithIndex.map { case ((label, v), i) =>
+        Row(jl(f.fileId), jl(i.toLong), label, v)
+      }))
+    w("ducklake_sort_info", sortInfoSchema, st.sortInfo.map(s =>
+      Row(jl(s.tableId), jl(s.begin), jl(s.end))))
+    w("ducklake_sort_expression", sortExprSchema, st.sortInfo.flatMap(s =>
+      s.keys.zipWithIndex.map { case (k, i) =>
+        Row(jl(s.tableId), jl(s.begin), jl(i.toLong), k.expr,
+          java.lang.Boolean.valueOf(k.ascending),
+          java.lang.Boolean.valueOf(k.nullsFirst))
+      }))
+    w("ducklake_tag", tagSchema, st.tags.map(t =>
+      Row(t.scope, jl(t.begin), jl(t.end), t.key, t.value)))
+  }
+
+  // ------------------------------------------------------------------- load
+
+  /** DuckDB type string → Spark DDL (inverse of TypeMap for the scalar
+    * palette; `t[]` lists recurse; unknown falls back to string) */
+  private[lake] def duckToSparkDdl(duck: String): String = {
+    val d = duck.trim
+    if (d.equalsIgnoreCase("geometry")) "geometry" // annotation kept distinct
+    else if (d.endsWith("[]")) s"array<${duckToSparkDdl(d.dropRight(2))}>"
+    else if (d.toLowerCase.startsWith("decimal")) d.toLowerCase
+    else TypeMap.duckToSpark.get(d.toLowerCase).map(_.sql.toLowerCase)
+      .getOrElse(d.toLowerCase match {
+        case "integer" => "int" // DuckDB alias palette
+        case "bigint" => "bigint"
+        case "smallint" => "smallint"
+        case "tinyint" => "tinyint"
+        case "real" => "float"
+        case "double" => "double"
+        case _ => "string"
+      })
+  }
+
+  /** read a `ducklake_*` parquet catalog into CatalogState */
+  def load(spark: SparkSession, dir: String): CatalogState = {
+    def rd(name: String): Seq[Row] = {
+      val p = s"$dir/$name.parquet"
+      if (new java.io.File(p).exists) spark.read.parquet(p).collect().toSeq
+      else Seq.empty
+    }
+    def opt(r: Row, field: String): Option[Long] = {
+      val i = r.schema.fieldNames.indexOf(field)
+      if (i < 0 || r.isNullAt(i)) None else Some(r.getLong(i))
+    }
+    def get(r: Row, field: String, dflt: Long = -1L): Long =
+      opt(r, field).getOrElse(dflt)
+    def getS(r: Row, field: String): Option[String] = {
+      val i = r.schema.fieldNames.indexOf(field)
+      if (i < 0 || r.isNullAt(i)) None else Some(r.getString(i))
+    }
+    def getB(r: Row, field: String, dflt: Boolean): Boolean = {
+      val i = r.schema.fieldNames.indexOf(field)
+      if (i < 0 || r.isNullAt(i)) dflt else r.getBoolean(i)
+    }
+
+    val msgs = rd("ducklake_snapshot_changes").map(r =>
+      get(r, "snapshot_id") -> (getS(r, "changes_made"), getS(r, "commit_message"))).toMap
+    val snapshots = rd("ducklake_snapshot").map { r =>
+      val sid = get(r, "snapshot_id")
+      val (ch, msg) = msgs.getOrElse(sid, (None, None))
+      Snapshot(sid, get(r, "snapshot_time_ms", 0L), get(r, "schema_version", 0L),
+        ch.map(_.split(',').toList.filter(_.nonEmpty)).getOrElse(Nil), msg)
+    }.sortBy(_.snapshotId).toVector
+
+    val schemaVerOf: Long => Long = {
+      val m = snapshots.map(s => s.snapshotId -> s.schemaVersion).toMap
+      sid => m.getOrElse(sid, 0L)
+    }
+
+    val tables = rd("ducklake_table").map(r =>
+      TableEntry(get(r, "table_id"), getS(r, "schema_name").getOrElse("main"),
+        getS(r, "table_name").get, get(r, "begin_snapshot"),
+        opt(r, "end_snapshot"))).toVector
+
+    val columns = rd("ducklake_column").map { r =>
+      val sparkDdl = getS(r, "spark_type").getOrElse(
+        duckToSparkDdl(getS(r, "column_type").getOrElse("varchar")))
+      ColumnEntry(get(r, "table_id"), get(r, "column_id"),
+        get(r, "column_order", 0L).toInt, getS(r, "column_name").get,
+        sparkDdl, getB(r, "nulls_allowed", dflt = true),
+        getS(r, "default_value"), get(r, "begin_snapshot"),
+        opt(r, "end_snapshot"), getS(r, "initial_default"))
+    }.toVector
+
+    val partCols = rd("ducklake_partition_column")
+      .groupBy(r => (get(r, "table_id"), get(r, "begin_snapshot")))
+      .map { case (k, rs) =>
+        k -> rs.sortBy(get(_, "partition_key_index"))
+          .map(r => PartitionKey(getS(r, "transform").getOrElse("identity"),
+            getS(r, "column_name").get)).toList
+      }
+    val partitionInfo = rd("ducklake_partition_info").map { r =>
+      val key = (get(r, "table_id"), get(r, "begin_snapshot"))
+      PartitionInfoEntry(key._1, partCols.getOrElse(key, Nil), key._2,
+        opt(r, "end_snapshot"))
+    }.toVector
+
+    val partValsByFile = rd("ducklake_file_partition_value")
+      .groupBy(get(_, "data_file_id"))
+      .map { case (fid, rs) =>
+        fid -> rs.flatMap(r => getS(r, "partition_key_label")
+          .map(_ -> getS(r, "partition_value").getOrElse(""))).toMap
+      }
+
+    val files = rd("ducklake_data_file").map { r =>
+      val begin = get(r, "begin_snapshot")
+      val path = getS(r, "path").get
+      DataFileEntry(get(r, "data_file_id"), get(r, "table_id"), path,
+        path.split('/').last, get(r, "record_count", 0L),
+        get(r, "file_size_bytes", 0L), get(r, "row_id_start", 0L),
+        opt(r, "schema_version").getOrElse(schemaVerOf(begin)),
+        getB(r, "explicit_row_ids", dflt = false),
+        partValsByFile.getOrElse(get(r, "data_file_id"), Map.empty),
+        begin, opt(r, "end_snapshot"))
+    }.toVector
+
+    val colNameById = columns.map(c => (c.tableId, c.columnId) -> c).toMap
+    val fileById = files.map(f => f.fileId -> f).toMap
+    val stats = rd("ducklake_file_column_stats").flatMap { r =>
+      for {
+        f <- fileById.get(get(r, "data_file_id"))
+        c <- colNameById.get((f.tableId, get(r, "column_id")))
+      } yield FileColumnStats(f.fileId, c.name, c.dataType,
+        getS(r, "min_value"), getS(r, "max_value"), get(r, "null_count", 0L))
+    }.toVector
+
+    val deleteFiles = rd("ducklake_delete_file").map { r =>
+      val counts: Map[String, Long] = getS(r, "counts_by_file") match {
+        case Some(json) => // {"5": 3, "7": 1}
+          "\"?(\\d+)\"?\\s*:\\s*(\\d+)".r.findAllMatchIn(json)
+            .map(m => m.group(1) -> m.group(2).toLong).toMap
+        case None => // reference shape: one data_file_id per delete file
+          opt(r, "data_file_id")
+            .map(id => Map(id.toString -> get(r, "delete_count", 0L)))
+            .getOrElse(Map.empty)
+      }
+      DeleteFileEntry(get(r, "delete_file_id"), get(r, "table_id"),
+        getS(r, "path").get, get(r, "delete_count", 0L), counts,
+        get(r, "begin_snapshot"), opt(r, "end_snapshot"))
+    }.toVector
+
+    val sortExprs = rd("ducklake_sort_expression")
+      .groupBy(r => (get(r, "table_id"), get(r, "begin_snapshot")))
+      .map { case (k, rs) =>
+        k -> rs.sortBy(get(_, "sort_key_index"))
+          .map(r => SortKey(getS(r, "expression").get,
+            getB(r, "ascending", dflt = true),
+            getB(r, "nulls_first", dflt = false))).toList
+      }
+    val sortInfo = rd("ducklake_sort_info").map { r =>
+      val key = (get(r, "table_id"), get(r, "begin_snapshot"))
+      SortInfoEntry(key._1, sortExprs.getOrElse(key, Nil), key._2,
+        opt(r, "end_snapshot"))
+    }.toVector
+
+    val tags = rd("ducklake_tag").map(r =>
+      TagEntry(getS(r, "object_id").getOrElse("global"),
+        getS(r, "key").get, getS(r, "value").getOrElse(""),
+        get(r, "begin_snapshot"), opt(r, "end_snapshot"))).toVector
+
+    CatalogState(snapshots, tables, columns, files, deleteFiles, stats,
+      partitionInfo, sortInfo, inlined = Vector.empty, tags,
+      scheduledDeletions = Vector.empty)
+  }
+
+  // ----------------------------------------------------------------- replay
+
+  /** reconstruct one CommitDelta per snapshot from interval-versioned rows:
+    * `begin == sid` → new entry, `end == Some(sid)` → ended id. Replaying
+    * them into an empty store reproduces the full history — time travel
+    * and the change feed see the imported snapshots exactly as the
+    * external writer committed them. */
+  def reconstructDeltas(st: CatalogState): Seq[CommitDelta] =
+    st.snapshots.map { snap =>
+      val s = snap.snapshotId
+      CommitDelta(
+        snapshot = snap,
+        newTables = st.tables.filter(_.begin == s).toList,
+        endedTables = st.tables.filter(_.end.contains(s)).map(_.tableId).toList,
+        newColumns = st.columns.filter(_.begin == s).toList,
+        endedColumns = st.columns.filter(_.end.contains(s))
+          .map(c => s"${c.tableId}:${c.columnId}").toList,
+        newFiles = st.files.filter(_.begin == s).toList,
+        endedFiles = st.files.filter(_.end.contains(s)).map(_.fileId).toList,
+        newDeleteFiles = st.deleteFiles.filter(_.begin == s).toList,
+        endedDeleteFiles = st.deleteFiles.filter(_.end.contains(s))
+          .map(_.deleteFileId).toList,
+        newStats = st.stats.filter(stat =>
+          st.files.exists(f => f.fileId == stat.fileId && f.begin == s)).toList,
+        newPartitionInfo = st.partitionInfo.filter(_.begin == s).toList,
+        endedPartitionInfo = st.partitionInfo.filter(_.end.contains(s))
+          .map(_.tableId).toList,
+        newSortInfo = st.sortInfo.filter(_.begin == s).toList,
+        endedSortInfo = st.sortInfo.filter(_.end.contains(s)).map(_.tableId).toList,
+        newInlined = st.inlined.filter(_.begin == s).toList,
+        endedInlined = st.inlined.filter(_.end.contains(s)).map(_.batchId).toList,
+        newTags = st.tags.filter(_.begin == s).toList,
+        endedTags = st.tags.filter(_.end.contains(s))
+          .map(t => s"${t.scope}:${t.key}").toList)
+    }
+}

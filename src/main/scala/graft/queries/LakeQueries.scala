@@ -510,6 +510,64 @@ object LakeQueries {
         .orderBy("n_nationkey")
     }),
 
+    // ---- thaw / external-catalog import (pgducklake_fdw.cpp:167-190,
+    // metadata_sync.sql): freeze exports the ducklake_* catalog as parquet;
+    // an EXTERNAL writer appends a data file + snapshot by mutating those
+    // dumps; importCatalog replays the whole history into a fresh lake ----
+    "l36_thaw" -> ((s, dir) => {
+      val a = newLake(s)
+      val nation = t(s, dir, "nation")
+      a.createTableAs("main.ext", nation)
+      a.delete("main.ext", col("n_regionkey") === 3)
+      val frozen = Files.createTempDirectory("graft_thawq").toString
+      a.freeze(frozen)
+      val cat = s"$frozen/catalog_parquet"
+
+      // external writer: parquet data written OUTSIDE the engine...
+      val extData = Files.createTempDirectory("graft_extdata").toString
+      val extra = nation.filter(col("n_regionkey") === 3)
+        .withColumn("n_name", concat(col("n_name"), lit("_EXT")))
+      extra.coalesce(1).write.mode("overwrite").parquet(extData)
+      val part = new java.io.File(extData).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      // ...committed by appending rows to the catalog dumps (what a foreign
+      // engine's COPY back into ducklake_snapshot/ducklake_data_file does)
+      val snaps = s.read.parquet(s"$cat/ducklake_snapshot.parquet").collect()
+      val sid = snaps.map(_.getLong(0)).max + 1
+      val schemaVer = snaps.maxBy(_.getLong(0)).getLong(2)
+      val filesDf = s.read.parquet(s"$cat/ducklake_data_file.parquet")
+      val fileRows = filesDf.collect()
+      val tid = s.read.parquet(s"$cat/ducklake_table.parquet")
+        .filter(col("table_name") === "ext").collect().head.getLong(0)
+      val nextFid = fileRows.map(_.getLong(0)).max + 1
+      val nextRow = fileRows.map(r => r.getLong(7) + r.getLong(5)).max
+      import s.implicits._
+      val mutated = Files.createTempDirectory("graft_thawmut").toString
+      // copy the untouched dumps, rewrite the two mutated ones
+      val catDir = java.nio.file.Paths.get(cat)
+      java.nio.file.Files.list(catDir).forEach { p =>
+        val name = p.getFileName.toString
+        if (name != "ducklake_snapshot.parquet" && name != "ducklake_data_file.parquet")
+          s.read.parquet(p.toString).write.parquet(s"$mutated/$name")
+      }
+      s.read.parquet(s"$cat/ducklake_snapshot.parquet")
+        .unionByName(Seq((sid, System.currentTimeMillis(), schemaVer))
+          .toDF("snapshot_id", "snapshot_time_ms", "schema_version"))
+        .write.parquet(s"$mutated/ducklake_snapshot.parquet")
+      filesDf.unionByName(Seq((nextFid, tid, sid, Option.empty[Long],
+          part.getAbsolutePath, extra.count(), part.length(), nextRow,
+          schemaVer, false))
+          .toDF("data_file_id", "table_id", "begin_snapshot", "end_snapshot",
+            "path", "record_count", "file_size_bytes", "row_id_start",
+            "schema_version", "explicit_row_ids"))
+        .write.parquet(s"$mutated/ducklake_data_file.parquet")
+
+      val b = newLake(s)
+      b.importCatalog(mutated)
+      b.table("main.ext").select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    }),
+
     // ---- A10 column defaults (ddl.sql): ADD COLUMN DEFAULT backfills old
     // files with the frozen existence default; SET DEFAULT redefines only
     // the current default used by later inserts ---------------------------
@@ -815,6 +873,13 @@ object LakeQueries {
         |  CAST(1 AS BIGINT) AS txn_snapshots
         |FROM nation WHERE n_regionkey <> 2
         |ORDER BY n_nationkey""".stripMargin,
+
+    "l36_thaw" ->
+      """SELECT n_nationkey,
+        |  CASE WHEN n_regionkey = 3 THEN n_name || '_EXT' ELSE n_name END
+        |    AS n_name,
+        |  n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
 
     "l25_column_default" ->
       """SELECT * FROM (

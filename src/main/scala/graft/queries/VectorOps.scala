@@ -37,6 +37,10 @@ object VectorOps {
   // optimizer + janino work). Both the Spark expression and the DuckDB
   // oracle SQL are printed from the same in-memory constants, so
   // cross-engine agreement holds by construction.
+  /** name of the kNN-LSH observation carrying bucket-cap metrics (same
+    * (capped_buckets, dropped_members) contract as TextOps.LshCapMetrics) */
+  val LshCapMetrics = "vec_lsh_caps"
+
   private val N_TABLES = 12
   private val BITS_PER_TABLE = 4
 
@@ -112,6 +116,10 @@ object VectorOps {
       e.selectExpr("vec_id", "q", "nsq", s"posexplode($bucketsExpr) AS (tab, bucket)")
         .groupBy("tab", "bucket")
         .agg(collect_list(struct(col("vec_id"), col("q"), col("nsq"))).as("ms"))
+        .observe(VectorOps.LshCapMetrics,
+          sum(when(size(col("ms")) > bucketCap, 1L).otherwise(0L)).as("capped_buckets"),
+          sum(when(size(col("ms")) > bucketCap, size(col("ms")).cast("long"))
+            .otherwise(0L)).as("dropped_members"))
         .filter(size(col("ms")).between(2, bucketCap))
         .selectExpr(s"filter(ms, m -> m.vec_id < $nQueries) AS qs", "ms")
         .filter(size(col("qs")) > 0)
@@ -164,6 +172,11 @@ object VectorOps {
     ep.selectExpr("vec_id", s"posexplode($bucketsExpr) AS (tab, bucket)")
       .groupBy("tab", "bucket")
       .agg(sort_array(collect_list(col("vec_id"))).as("ms"))
+      // dropped-bucket observability — same metric contract as TextOps t11
+      .observe(VectorOps.LshCapMetrics,
+        sum(when(size(col("ms")) > bucketCap, 1L).otherwise(0L)).as("capped_buckets"),
+        sum(when(size(col("ms")) > bucketCap, size(col("ms")).cast("long"))
+          .otherwise(0L)).as("dropped_members"))
       .filter(size(col("ms")).between(2, bucketCap))
       .selectExpr(s"filter(ms, m -> m < $nQueries) AS qs", "ms")
       .filter(size(col("qs")) > 0)
@@ -323,6 +336,10 @@ object VectorOps {
           s"posexplode(${bucketsFromBitsFor(nT, bits)}) AS (tab, bucket)")
         .groupBy("tab", "bucket")
         .agg(sort_array(collect_list(struct(col("vec_id"), col("q"), col("nsq")))).as("ms"))
+        .observe("v04_lsh_caps",
+          sum(when(size(col("ms")) > 256, 1L).otherwise(0L)).as("capped_buckets"),
+          sum(when(size(col("ms")) > 256, size(col("ms")).cast("long"))
+            .otherwise(0L)).as("dropped_members"))
         .filter(size(col("ms")).between(2, 256))
         .selectExpr(
           """explode(flatten(transform(ms, (a, i) ->

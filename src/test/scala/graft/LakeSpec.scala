@@ -618,6 +618,113 @@ class LakeSpec extends AnyFunSuite {
     assert(lake.table("main.t2").collect().map(_.getInt(0)).sorted.toSeq == Seq(7, 8))
   }
 
+  // ---- variant path stats + pruning (ducklake_file_variant_stats) --------
+  test("variant path stats are recorded and variant_get predicates prune files") {
+    val lake = newLake()
+    import spark.implicits._
+    lake.createTable("main.vp", StructType(Seq(
+      StructField("id", IntegerType), StructField("v", VariantType))))
+    // three appends with disjoint $.price ranges → three files with
+    // disjoint recorded variant path min/max
+    Seq(0, 100, 200).foreach { base =>
+      lake.append("main.vp", spark.range(10).coalesce(1).selectExpr(
+        s"cast(id + $base as int) AS id",
+        s"""parse_json(concat('{"price": ', id + $base, ', "tag": "t', id % 3, '"}')) AS v"""))
+    }
+    val st = lake.store.state()
+    val priceStats = st.stats.filter(_.columnName == "v.$.price")
+    assert(priceStats.size == 3, s"one v.$$.price stat per file: $priceStats")
+    assert(priceStats.exists(s => s.minValue.contains("200") && s.maxValue.contains("209")))
+    assert(st.stats.exists(_.columnName == "v.$.tag"), "string paths get stats too")
+
+    val cat = s"vpcat${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", lake.root)
+    val q = spark.sql(
+      s"SELECT count(*) FROM $cat.main.vp WHERE variant_get(v, '$$.price', 'bigint') >= 200")
+    // the rule attached file-prune predicates to the relation's LakeTable
+    // (after pushdown the optimized plan holds a DataSourceV2ScanRelation)
+    def lakeTableOf(df: org.apache.spark.sql.DataFrame): Option[LakeTable] =
+      df.queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+            if r.table.isInstanceOf[LakeTable] => r.table.asInstanceOf[LakeTable]
+        case s: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+            if s.relation.table.isInstanceOf[LakeTable] =>
+          s.relation.table.asInstanceOf[LakeTable]
+      }
+    val table = lakeTableOf(q)
+    assert(table.exists(_.variantPrune.nonEmpty),
+      "LakeVariantPruning must extract the variant_get comparison")
+    // and the predicate prunes the file list to the single matching file
+    def fileCount(t: LakeTable): Int =
+      t.newScanBuilder(org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+        .build().asInstanceOf[LakeNativeScan].currentFileCount
+    assert(fileCount(table.get) == 1, "variant stats must prune to 1 of 3 files")
+    // row-level semantics intact
+    assert(q.collect().head.getLong(0) == 10)
+    // a range hitting two files keeps exactly those two
+    val q2 = spark.sql(
+      s"SELECT count(*) FROM $cat.main.vp WHERE variant_get(v, '$$.price', 'bigint') < 105")
+    val t2 = lakeTableOf(q2)
+    assert(fileCount(t2.get) == 2)
+    assert(q2.collect().head.getLong(0) == 15)
+  }
+
+  // ---- thaw: external ducklake_* catalog import ---------------------------
+  test("thaw round-trip: freeze → importCatalog reproduces history") {
+    val lake = newLake()
+    import spark.implicits._
+    lake.createTable("main.rt", abSchema,
+      sortKeys = List(SortKey("a", ascending = true, nullsFirst = false)))
+    lake.append("main.rt", (1 to 20).map(i => (i, i * 10)).toDF("a", "b"))
+    lake.delete("main.rt", col("a") % 5 === 0)
+    lake.setOption("target_file_size", "64MB", Some("main.rt"))
+    val frozen = Files.createTempDirectory("graft_rtfreeze").toString
+    lake.freeze(frozen)
+
+    val b = new Lake(spark, Files.createTempDirectory("graft_rtlake").toString)
+    val sid = b.importCatalog(s"$frozen/catalog_parquet")
+    assert(sid == lake.currentSnapshot())
+    // current content identical
+    assert(b.table("main.rt").collect().map(_.getInt(0)).sorted.toSeq ==
+      (1 to 20).filter(_ % 5 != 0))
+    // history replayed: time travel to the pre-delete snapshot (history is
+    // create=0, append=1, delete=2, setOption=3)
+    assert(b.table("main.rt", Some(1)).count() == 20)
+    // metadata preserved: sort keys and options survive the round trip
+    assert(b.store.state().sortKeysAt(
+      b.store.state().tableAt("main", "rt", sid).get.tableId, sid)
+      .map(_.expr) == List("a"))
+    assert(b.options().filter(col("key") === "target_file_size").count() == 1)
+  }
+
+  test("thaw accepts a reference-shaped delete file (single data_file_id)") {
+    // foreign catalogs model one delete file per data file with no
+    // counts_by_file extension column — the loader reconstructs countsByFile
+    // from (data_file_id, delete_count)
+    val lake = newLake()
+    import spark.implicits._
+    lake.createTableAs("main.fs", (1 to 10).map(i => (i, i)).toDF("a", "b"))
+    lake.delete("main.fs", col("a") <= 3)
+    val frozen = Files.createTempDirectory("graft_fsfreeze").toString
+    lake.freeze(frozen)
+    val cat = s"$frozen/catalog_parquet"
+    // strip the extension column like a foreign writer would
+    val stripped = Files.createTempDirectory("graft_fsstrip").toString
+    java.nio.file.Files.list(java.nio.file.Paths.get(cat)).forEach { p =>
+      val name = p.getFileName.toString
+      val df = spark.read.parquet(p.toString)
+      val out = if (name == "ducklake_delete_file.parquet")
+        df.drop("counts_by_file") else df
+      out.write.parquet(s"$stripped/$name")
+    }
+    val b = new Lake(spark, Files.createTempDirectory("graft_fslake").toString)
+    b.importCatalog(stripped)
+    assert(b.table("main.fs").collect().map(_.getInt(0)).sorted.toSeq == (4 to 10))
+    val dels = b.store.state().deleteFiles.filter(_.end.isEmpty)
+    assert(dels.nonEmpty && dels.forall(_.countsByFile.nonEmpty))
+  }
+
   test("metadata change racing a sorted rewrite is detected too") {
     // ADVICE r4: a set_sort reset landing between the rewrite's snapshot
     // read and its commit must abort the rewrite — otherwise it commits
@@ -1032,6 +1139,48 @@ class LakeSpec extends AnyFunSuite {
     lake.resetPartition("main.gm")
     assert(lake.getSort("main.gm").count() == 0)
     assert(lake.getPartition("main.gm").count() == 0)
+  }
+
+  // ---- geometry (WKB) catalog annotation (docs/data_types.md) ------------
+  test("geometry columns: WKB round-trip, distinct catalog type, no stats, no inline") {
+    val lake = newLake()
+    lake.setOption("data_inlining_row_limit", "100")
+    val geomMeta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString("graft.type", "geometry").build()
+    lake.createTable("main.geo", StructType(Seq(
+      StructField("id", IntegerType),
+      StructField("wkb", BinaryType, nullable = true, geomMeta))))
+    // the catalog column carries the distinct annotation, not plain binary
+    val st0 = lake.store.state()
+    val geoCol = st0.columnsAt(
+      st0.tableAt("main", "geo", st0.currentSnapshotId).get.tableId,
+      st0.currentSnapshotId).find(_.name == "wkb").get
+    assert(geoCol.dataType == "geometry")
+    // WKB payload round-trips byte-exact (a tiny POINT(1 2) little-endian)
+    val wkb = Array[Byte](1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, -16, 63,
+      0, 0, 0, 0, 0, 0, 0, 64)
+    import spark.implicits._
+    lake.insertRows("main.geo", Seq(Seq(1, wkb), Seq(2, null)))
+    // binary/geometry disables the inline fast path (bytes don't survive
+    // the JSON log) — rows must land as parquet despite the inline limit
+    assert(lake.store.state().inlined.isEmpty, "geometry rows must not inline")
+    val back = lake.table("main.geo").orderBy("id").collect()
+    assert(back(0).getAs[Array[Byte]]("wkb").toSeq == wkb.toSeq)
+    assert(back(1).isNullAt(1))
+    // stats-safe: no min/max recorded for the WKB column
+    assert(!lake.store.state().stats.exists(_.columnName == "wkb"))
+    // freeze keeps the distinct type in the ducklake_column layout
+    val out = Files.createTempDirectory("graft_geo").toString
+    lake.freeze(out)
+    val cat = Files.readString(java.nio.file.Paths.get(out, "ducklake_catalog.sql"))
+    assert(cat.contains("'geometry'"), "frozen catalog must keep the geometry type")
+    // and thaw restores it as geometry
+    val b = new Lake(spark, Files.createTempDirectory("graft_geo2").toString)
+    b.importCatalog(s"$out/catalog_parquet")
+    val stB = b.store.state()
+    assert(stB.columnsAt(stB.tableAt("main", "geo", stB.currentSnapshotId).get.tableId,
+      stB.currentSnapshotId).find(_.name == "wkb").get.dataType == "geometry")
+    assert(b.table("main.geo").count() == 2)
   }
 
   // ---- type palette round-trip (types.sql) --------------------------------

@@ -116,5 +116,8 @@ class MetaSpec extends AnyFunSuite {
     assert(TypeMap.duckToSpark("uint64") == DecimalType(20, 0))
     assert(TypeMap.duckToSpark("hugeint") == DecimalType(38, 0))
     assert(TypeMap.sparkToDuck(ArrayType(IntegerType)) == "int32[]")
+    // geometry (docs/data_types.md): WKB bytes in Spark, distinct in catalog
+    assert(TypeMap.duckToSpark("geometry") == BinaryType)
+    assert(graft.lake.LakeRead.sparkType("geometry") == BinaryType)
   }
 }

@@ -125,6 +125,52 @@ class QueriesSpec extends AnyFunSuite {
     assert(frac <= 0.05,
       f"LSH scored $candidates pairs = ${frac * 100}%.1f%% of brute's $brutePairs (cap 5%%)")
   }
+
+  test("lsh bucket caps emit observed drop metrics on a deliberate hot bucket") {
+    import spark.implicits._
+    // 500 IDENTICAL vectors → every table hashes them into one bucket of
+    // 500 members, far over the v03 cap (2048 here would pass; default 512)
+    val vec = Seq.fill(64)(1.0f)
+    val emb = (0L until 500L).map(i => (i, vec, 0)).toDF("vec_id", "embedding", "label")
+    // QueryExecution.observedMetrics doesn't see through AQE's re-planned
+    // tree — pin AQE off for the observation reads (production monitoring
+    // reads the same metrics via a QueryExecutionListener, AQE or not)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+    val df = graft.queries.VectorOps.knnLsh(emb, nTables = 4, bitsPerTable = 4,
+      nQueries = 5, bucketCap = 100, carryPayload = false)
+    df.collect()
+    val metrics = df.queryExecution.observedMetrics
+      .get(graft.queries.VectorOps.LshCapMetrics)
+    assert(metrics.isDefined, s"expected observation, got ${df.queryExecution.observedMetrics.keys}")
+    val m = metrics.get
+    assert(m.getAs[Long]("capped_buckets") == 4L,
+      s"all 4 tables put the hot bucket over the cap: $m")
+    assert(m.getAs[Long]("dropped_members") == 4L * 500,
+      s"each capped bucket held all 500 members: $m")
+    // and with no hot bucket the metric reads zero
+    val rnd = new scala.util.Random(7)
+    val spread = (0L until 200L)
+      .map(i => (i, Seq.fill(64)(rnd.nextGaussian().toFloat), 0))
+      .toDF("vec_id", "embedding", "label")
+    val df2 = graft.queries.VectorOps.knnLsh(spread, nTables = 4, bitsPerTable = 8,
+      nQueries = 5, bucketCap = 512, carryPayload = false)
+    df2.collect()
+    val m2 = df2.queryExecution.observedMetrics(graft.queries.VectorOps.LshCapMetrics)
+    assert(m2.getAs[Long]("capped_buckets") == 0L)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("t11 repartition width derives from corpus size, not a constant") {
+    import graft.queries.TextOps.lshWidth
+    // small corpus: spread across cores at ~64 KB/task, floor 2
+    assert(lshWidth(BigInt(600 * 1024), parallelism = 32) == 10)
+    assert(lshWidth(BigInt(10 * 1024), parallelism = 32) == 2)
+    // large corpus: ~64 MB/task bound dominates the core count
+    assert(lshWidth(BigInt(100L * 1024 * 1024 * 1024), parallelism = 32) == 1601)
+    // mid corpus on a big machine: capped by parallelism until data grows
+    assert(lshWidth(BigInt(10L * 1024 * 1024), parallelism = 64) == 64)
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
