@@ -96,13 +96,13 @@ object Thaw {
 
   // ------------------------------------------------------------------- dump
 
-  /** write the catalog as `ducklake_*` parquet datasets under `dir` */
+  /** write the catalog as `ducklake_*` parquet datasets under `dir`.
+    * Each dataset is a tiny driver-local frame; the 13 writes run as
+    * concurrent Spark jobs so a freeze pays ~1 job latency, not 13. */
   def dumpParquet(spark: SparkSession, st: CatalogState, dir: String): Unit = {
-    def w(name: String, schema: StructType, rows: Seq[Row]): Unit = {
-      import scala.jdk.CollectionConverters._
-      spark.createDataFrame(rows.asJava, schema).coalesce(1)
-        .write.mode("overwrite").parquet(s"$dir/$name.parquet")
-    }
+    val pending = Vector.newBuilder[(String, StructType, Seq[Row])]
+    def w(name: String, schema: StructType, rows: Seq[Row]): Unit =
+      pending += ((name, schema, rows))
     w("ducklake_snapshot", snapshotSchema, st.snapshots.map(s =>
       Row(jl(s.snapshotId), jl(s.snapshotTimeMs), jl(s.schemaVersion))))
     w("ducklake_snapshot_changes", changesSchema, st.snapshots.map(s =>
@@ -156,6 +156,17 @@ object Thaw {
       }))
     w("ducklake_tag", tagSchema, st.tags.map(t =>
       Row(t.scope, jl(t.begin), jl(t.end), t.key, t.value)))
+
+    import scala.jdk.CollectionConverters._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try pending.result().map { case (name, schema, rows) =>
+      pool.submit(new Runnable {
+        override def run(): Unit =
+          spark.createDataFrame(rows.asJava, schema).coalesce(1)
+            .write.mode("overwrite").parquet(s"$dir/$name.parquet")
+      })
+    }.foreach(_.get())
+    finally pool.shutdown()
   }
 
   // ------------------------------------------------------------------- load

@@ -543,12 +543,17 @@ object LakeQueries {
       val nextRow = fileRows.map(r => r.getLong(7) + r.getLong(5)).max
       import s.implicits._
       val mutated = Files.createTempDirectory("graft_thawmut").toString
-      // copy the untouched dumps, rewrite the two mutated ones
+      // copy the untouched dumps byte-for-byte (no Spark jobs needed),
+      // rewrite only the two the external writer mutates
       val catDir = java.nio.file.Paths.get(cat)
       java.nio.file.Files.list(catDir).forEach { p =>
         val name = p.getFileName.toString
-        if (name != "ducklake_snapshot.parquet" && name != "ducklake_data_file.parquet")
-          s.read.parquet(p.toString).write.parquet(s"$mutated/$name")
+        if (name != "ducklake_snapshot.parquet" && name != "ducklake_data_file.parquet") {
+          val dst = java.nio.file.Paths.get(mutated, name)
+          java.nio.file.Files.createDirectories(dst)
+          java.nio.file.Files.list(p).forEach(f =>
+            java.nio.file.Files.copy(f, dst.resolve(f.getFileName.toString)))
+        }
       }
       s.read.parquet(s"$cat/ducklake_snapshot.parquet")
         .unionByName(Seq((sid, System.currentTimeMillis(), schemaVer))

@@ -315,7 +315,16 @@ object VectorOps {
     // near-neighbor collision rate far exceeds the random-pair rate, so the
     // candidate fraction shrinks as the corpus grows; on this synthetic
     // near-random data 12×4 still reaches recall ≥ 0.8 (QueriesSpec).
-    "v03_knn_lsh" -> ((s, dir) => knnLsh(t(s, dir, "embeddings"))),
+    // payload-vs-id-only chosen from corpus stats (metadata-only): small
+    // corpora ship vectors with their bucket rows (zero joins); big ones
+    // ship ids only and re-join candidates — 12 tables × a big payload
+    // through the explode shuffle is the thing that doesn't scale. Both
+    // paths produce the identical exact top-k given the same candidates.
+    "v03_knn_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val small = emb.queryExecution.optimizedPlan.stats.sizeInBytes < 16L * 1024 * 1024
+      knnLsh(emb, carryPayload = small)
+    }),
 
     // ---- embedding-cosine near-duplicate pairs (dedup modality) ------------
     // All-pairs-free near-dup mining over vectors: 12 tables × 8 sign bits
