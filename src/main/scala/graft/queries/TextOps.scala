@@ -337,6 +337,95 @@ object TextOps {
         .limit(500)
     }),
 
+    // ---- within-document repetition (Gopher/Rae quality filters) ----------
+    // Fraction of duplicated word 2-grams per document — the standard
+    // "repetitious text" signal LLM pipelines filter on. Pure per-row array
+    // arithmetic: zero shuffles beyond the final order, embarrassingly
+    // parallel at any scale. Flag threshold 0.2 (Gopher's dup-line band).
+    "t16_repetition" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .selectExpr("doc_id", s"$TOKS AS tk")
+        .filter(expr("size(tk) >= 2"))
+        .selectExpr("doc_id",
+          """transform(sequence(1, size(tk) - 1),
+            |  i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1))) AS g""".stripMargin)
+        .selectExpr("doc_id",
+          "cast(size(g) as bigint) AS n2",
+          "cast(size(array_distinct(g)) as bigint) AS n2_uniq")
+        .selectExpr("doc_id", "n2", "n2_uniq",
+          "cast(1 as double) - cast(n2_uniq as double) / n2 AS dup2_frac")
+        .selectExpr("doc_id", "n2", "n2_uniq", "dup2_frac",
+          "CASE WHEN dup2_frac > 0.2 THEN 1 ELSE 0 END AS flagged")
+        .orderBy(col("doc_id"))
+        .limit(500)
+    }),
+
+    // ---- benchmark decontamination (n-gram overlap) -----------------------
+    // Classic eval-set decontamination: a training doc is contaminated when
+    // it shares any 5-gram with the benchmark set (here: source 'src0').
+    // Shape at 100 TB: distinct benchmark grams are a keyed build side and
+    // the probe is one equi-join on the gram — never all-pairs, and the
+    // benchmark side (an eval set) is small enough to broadcast in
+    // production.
+    "t17_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def grams(df: DataFrame): DataFrame = df
+        .selectExpr("doc_id", "source", s"$TOKS AS tk")
+        .filter(expr("size(tk) >= 5"))
+        .selectExpr("doc_id", "source",
+          """explode(array_distinct(transform(sequence(1, size(tk) - 4),
+            |  i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1),
+            |    element_at(tk, i + 2), element_at(tk, i + 3),
+            |    element_at(tk, i + 4))))) AS g""".stripMargin)
+      val all = grams(docs)
+      val bench = all.filter(col("source") === "src0").select("g").distinct()
+      all.filter(col("source") =!= "src0")
+        .join(bench, "g")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_overlap"))
+        .orderBy(col("n_overlap").desc, col("doc_id"))
+        .limit(200)
+    }),
+
+    // ---- near-dup cluster resolution (keep-one-per-cluster) ---------------
+    // The pipeline stage AFTER pair mining: pairs → connected components →
+    // one keeper per cluster (the min doc_id). Edges = docs sharing a
+    // duplicated 10-token span (t15 machinery, groups capped at 16 so no
+    // span can go quadratic); components via THREE rounds of min-label
+    // propagation — both engines run the identical bounded iteration, so
+    // results match even on a not-yet-converged pathological chain. At
+    // 100 TB this is the standard keyed-join label propagation (diameter
+    // of near-dup clusters is tiny; log-round large-star/small-star is the
+    // escalation if it ever isn't).
+    "t18_dedup_clusters" -> ((s, dir) => {
+      val spans = t(s, dir, "documents")
+        .selectExpr("doc_id", s"$TOKS AS toks")
+        .selectExpr("doc_id",
+          "explode(transform(sequence(0, greatest(size(toks) div 10, 1) - 1), i -> concat_ws(' ', slice(toks, i * 10 + 1, 10)))) AS span")
+        .filter(length(col("span")) >= 20)
+      val groups = spans.groupBy(col("span"))
+        .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")).between(2, 16))
+      val edges = groups.selectExpr(
+          """explode(flatten(transform(ds, (x, i) ->
+            |  transform(slice(ds, i + 2, size(ds)), y -> struct(x AS a, y AS b))))) AS e""".stripMargin)
+        .select(col("e.a").as("a"), col("e.b").as("b")).distinct()
+      val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+        .persist()
+      var lab = sym.select(col("a").as("v")).distinct().withColumn("l", col("v"))
+      for (_ <- 1 to 3) {
+        val nbr = sym
+          .join(lab.select(col("v").as("b"), col("l").as("nl")), Seq("b"))
+          .groupBy(col("a")).agg(min(col("nl")).as("nmin"))
+        lab = lab.join(nbr.withColumnRenamed("a", "v"), Seq("v"), "left")
+          .select(col("v"), least(col("l"), coalesce(col("nmin"), col("l"))).as("l"))
+      }
+      lab.select(col("v").as("doc_id"), col("l").as("cluster"),
+          when(col("v") === col("l"), 1).otherwise(0).as("is_keeper"))
+        .orderBy(col("cluster"), col("doc_id"))
+        .limit(500)
+    }),
+
     // ---- PII-shaped redaction ----------------------------------------------
     // regexp_replace scrub of synthetic email/url spans. The corpus is
     // clean, so the entry plants one of each per doc (derived from doc_id)
@@ -368,6 +457,61 @@ object TextOps {
        |ELSE [] END""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "t16_repetition" ->
+      s"""WITH tok AS (SELECT doc_id, $TOKS_D AS tk FROM documents),
+         |g2 AS (SELECT doc_id,
+         |  list_transform(generate_series(1, len(tk) - 1),
+         |    i -> tk[i] || ' ' || tk[i + 1]) AS g
+         |  FROM tok WHERE len(tk) >= 2)
+         |SELECT doc_id, CAST(len(g) AS BIGINT) AS n2,
+         |  CAST(len(list_distinct(g)) AS BIGINT) AS n2_uniq,
+         |  CAST(1 AS DOUBLE) - CAST(len(list_distinct(g)) AS DOUBLE) / len(g)
+         |    AS dup2_frac,
+         |  CASE WHEN CAST(1 AS DOUBLE) - CAST(len(list_distinct(g)) AS DOUBLE) / len(g) > 0.2
+         |    THEN 1 ELSE 0 END AS flagged
+         |FROM g2 ORDER BY doc_id LIMIT 500""".stripMargin,
+
+    "t17_decontaminate" ->
+      s"""WITH tok AS (SELECT doc_id, source, $TOKS_D AS tk FROM documents),
+         |grams AS (SELECT doc_id, source,
+         |  unnest(list_distinct(list_transform(generate_series(1, len(tk) - 4),
+         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+         |         tk[i+3] || ' ' || tk[i+4]))) AS g
+         |  FROM tok WHERE len(tk) >= 5),
+         |bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0')
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+         |FROM grams JOIN bench USING (g)
+         |WHERE grams.source <> 'src0'
+         |GROUP BY doc_id ORDER BY n_overlap DESC, doc_id LIMIT 200""".stripMargin,
+
+    "t18_dedup_clusters" ->
+      s"""WITH spans AS (
+         |  SELECT doc_id,
+         |    array_to_string(list_slice(toks, i * 10 + 1, i * 10 + 10), ' ')
+         |      AS span
+         |  FROM (SELECT doc_id, $TOKS_D AS toks FROM documents) d,
+         |    unnest(range(0, greatest(len(toks) // 10, 1))) AS t(i)
+         |), memb AS (SELECT DISTINCT doc_id, span FROM spans
+         |            WHERE length(span) >= 20),
+         |gsz AS (SELECT span, count(*) AS n FROM memb GROUP BY span),
+         |pairs AS (SELECT DISTINCT m1.doc_id AS a, m2.doc_id AS b
+         |  FROM memb m1 JOIN memb m2 USING (span) JOIN gsz USING (span)
+         |  WHERE gsz.n BETWEEN 2 AND 16 AND m1.doc_id < m2.doc_id),
+         |sym AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+         |l0 AS (SELECT DISTINCT a AS v, a AS l FROM sym),
+         |l1 AS (SELECT t.v, least(t.l, coalesce(min(u.l), t.l)) AS l
+         |  FROM l0 t LEFT JOIN sym e ON e.a = t.v LEFT JOIN l0 u ON u.v = e.b
+         |  GROUP BY t.v, t.l),
+         |l2 AS (SELECT t.v, least(t.l, coalesce(min(u.l), t.l)) AS l
+         |  FROM l1 t LEFT JOIN sym e ON e.a = t.v LEFT JOIN l1 u ON u.v = e.b
+         |  GROUP BY t.v, t.l),
+         |l3 AS (SELECT t.v, least(t.l, coalesce(min(u.l), t.l)) AS l
+         |  FROM l2 t LEFT JOIN sym e ON e.a = t.v LEFT JOIN l2 u ON u.v = e.b
+         |  GROUP BY t.v, t.l)
+         |SELECT v AS doc_id, l AS cluster,
+         |  CASE WHEN v = l THEN 1 ELSE 0 END AS is_keeper
+         |FROM l3 ORDER BY cluster, doc_id LIMIT 500""".stripMargin,
+
     "t01_token_count" ->
       s"""SELECT doc_id, CAST(len($TOKS_D) AS BIGINT) AS n_tokens,
          |  CAST(length(text) AS BIGINT) AS n_chars_actual
