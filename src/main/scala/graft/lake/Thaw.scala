@@ -328,33 +328,45 @@ object Thaw {
     * `begin == sid` → new entry, `end == Some(sid)` → ended id. Replaying
     * them into an empty store reproduces the full history — time travel
     * and the change feed see the imported snapshots exactly as the
-    * external writer committed them. */
-  def reconstructDeltas(st: CatalogState): Seq[CommitDelta] =
+    * external writer committed them.
+    *
+    * Expired-history safety: a catalog whose old snapshots were expired
+    * (reference expire_snapshots) carries entity rows whose `begin`
+    * predates every surviving snapshot. Those rows attach to the FIRST
+    * surviving snapshot's delta with their original interval intact —
+    * liveAt() works off the stored begin/end, so visibility at every
+    * surviving snapshot is unchanged; only the delta that introduces the
+    * row moves. */
+  def reconstructDeltas(st: CatalogState): Seq[CommitDelta] = {
+    val first = st.snapshots.headOption.map(_.snapshotId).getOrElse(-1L)
+    def isNew(begin: Long, s: Long): Boolean =
+      begin == s || (s == first && begin < first)
     st.snapshots.map { snap =>
       val s = snap.snapshotId
       CommitDelta(
         snapshot = snap,
-        newTables = st.tables.filter(_.begin == s).toList,
+        newTables = st.tables.filter(t => isNew(t.begin, s)).toList,
         endedTables = st.tables.filter(_.end.contains(s)).map(_.tableId).toList,
-        newColumns = st.columns.filter(_.begin == s).toList,
+        newColumns = st.columns.filter(c => isNew(c.begin, s)).toList,
         endedColumns = st.columns.filter(_.end.contains(s))
           .map(c => s"${c.tableId}:${c.columnId}").toList,
-        newFiles = st.files.filter(_.begin == s).toList,
+        newFiles = st.files.filter(f => isNew(f.begin, s)).toList,
         endedFiles = st.files.filter(_.end.contains(s)).map(_.fileId).toList,
-        newDeleteFiles = st.deleteFiles.filter(_.begin == s).toList,
+        newDeleteFiles = st.deleteFiles.filter(d => isNew(d.begin, s)).toList,
         endedDeleteFiles = st.deleteFiles.filter(_.end.contains(s))
           .map(_.deleteFileId).toList,
         newStats = st.stats.filter(stat =>
-          st.files.exists(f => f.fileId == stat.fileId && f.begin == s)).toList,
-        newPartitionInfo = st.partitionInfo.filter(_.begin == s).toList,
+          st.files.exists(f => f.fileId == stat.fileId && isNew(f.begin, s))).toList,
+        newPartitionInfo = st.partitionInfo.filter(p => isNew(p.begin, s)).toList,
         endedPartitionInfo = st.partitionInfo.filter(_.end.contains(s))
           .map(_.tableId).toList,
-        newSortInfo = st.sortInfo.filter(_.begin == s).toList,
+        newSortInfo = st.sortInfo.filter(p => isNew(p.begin, s)).toList,
         endedSortInfo = st.sortInfo.filter(_.end.contains(s)).map(_.tableId).toList,
-        newInlined = st.inlined.filter(_.begin == s).toList,
+        newInlined = st.inlined.filter(b => isNew(b.begin, s)).toList,
         endedInlined = st.inlined.filter(_.end.contains(s)).map(_.batchId).toList,
-        newTags = st.tags.filter(_.begin == s).toList,
+        newTags = st.tags.filter(t => isNew(t.begin, s)).toList,
         endedTags = st.tags.filter(_.end.contains(s))
           .map(t => s"${t.scope}:${t.key}").toList)
     }
+  }
 }

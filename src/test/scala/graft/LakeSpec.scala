@@ -698,6 +698,36 @@ class LakeSpec extends AnyFunSuite {
     assert(b.options().filter(col("key") === "target_file_size").count() == 1)
   }
 
+  test("thaw survives expired history: orphaned begins attach to the first snapshot") {
+    val lake = newLake()
+    import spark.implicits._
+    lake.createTable("main.eh", abSchema)                        // snap 0
+    lake.append("main.eh", (1 to 10).map(i => (i, i)).toDF("a", "b")) // snap 1
+    lake.delete("main.eh", col("a") <= 2)                        // snap 2
+    lake.append("main.eh", Seq((11, 11)).toDF("a", "b"))         // snap 3
+    val frozen = Files.createTempDirectory("graft_ehfreeze").toString
+    lake.freeze(frozen)
+    val cat = s"$frozen/catalog_parquet"
+    // external expiry: snapshots 0-1 gone from the catalog, their entity
+    // rows (table, columns, first data file) keep begin=0/1
+    val stripped = Files.createTempDirectory("graft_ehstrip").toString
+    java.nio.file.Files.list(java.nio.file.Paths.get(cat)).forEach { p =>
+      val name = p.getFileName.toString
+      val df = spark.read.parquet(p.toString)
+      val out = if (name == "ducklake_snapshot.parquet" ||
+          name == "ducklake_snapshot_changes.parquet")
+        df.filter(col("snapshot_id") >= 2) else df
+      out.write.parquet(s"$stripped/$name")
+    }
+    val b = new Lake(spark, Files.createTempDirectory("graft_ehlake").toString)
+    val sid = b.importCatalog(stripped)
+    assert(sid == 3)
+    // the pre-expiry table/files are visible at every surviving snapshot
+    assert(b.table("main.eh").collect().map(_.getInt(0)).sorted.toSeq ==
+      ((3 to 10) :+ 11))
+    assert(b.table("main.eh", Some(2)).count() == 8)
+  }
+
   test("thaw accepts a reference-shaped delete file (single data_file_id)") {
     // foreign catalogs model one delete file per data file with no
     // counts_by_file extension column — the loader reconstructs countsByFile
