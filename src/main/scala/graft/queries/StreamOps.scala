@@ -94,6 +94,35 @@ object StreamOps {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       s.table(sink).orderBy("w_start")
+    }),
+
+    // ---- event-time SESSION windows over the CDF stream -------------------
+    // The remaining stateful shape after tumbling (s03): gap-based
+    // sessionization via Spark's native session_window — state merges
+    // events whose inter-arrival is under the gap, the standard user-
+    // activity segmentation. Complete-mode drain keeps the entry
+    // deterministic; the oracle reproduces the identical semantics with
+    // gaps-and-islands SQL (new session when ts - lag(ts) >= gap).
+    "s04_stream_session" -> ((s, dir) => {
+      val lake = LakeQueries.freshLake(s)
+      val ev = t(s, dir, "events").filter(col("user_id") < 50)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      lake.createTable("main.sev", ev.schema)
+      lake.append("main.sev", ev)
+      val sink = s"graft_s04_${UUID.randomUUID().toString.replace("-", "")}"
+      val q = s.readStream.format("graft-changes")
+        .option("root", lake.root).option("table", "main.sev").load()
+        .filter(col("_change_type") === "insert")
+        .groupBy(col("user_id"), session_window(col("ts"), "12 hours"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("event_id")).as("min_event"), max(col("event_id")).as("max_event"))
+        .select(col("user_id"), col("session_window.start").as("s_start"),
+          col("n_events"), col("min_event"), col("max_event"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink).orderBy("user_id", "s_start")
     })
   )
 
@@ -122,6 +151,23 @@ object StreamOps {
         |  count(*) AS n_orders,
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM orders WHERE o_orderkey < 20000
-        |GROUP BY 1 ORDER BY w_start""".stripMargin
+        |GROUP BY 1 ORDER BY w_start""".stripMargin,
+
+    // gaps-and-islands sessionization with the same gap rule Spark's
+    // session_window applies: a new session starts when the inter-event
+    // gap is >= 12 hours; session start = first event's ts
+    "s04_stream_session" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE user_id < 50),
+        |m AS (SELECT *, CASE WHEN ts - lag(ts) OVER
+        |    (PARTITION BY user_id ORDER BY ts) >= INTERVAL 12 HOUR
+        |  THEN 1 ELSE 0 END AS brk FROM e),
+        |sgrp AS (SELECT *, sum(brk) OVER
+        |    (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, min(ts) AS s_start, count(*) AS n_events,
+        |  min(event_id) AS min_event, max(event_id) AS max_event
+        |FROM sgrp GROUP BY user_id, sid
+        |ORDER BY user_id, s_start""".stripMargin
   )
 }
