@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.lake.Meta
 
 /** Embedding similarity-search operators over the `embeddings` table
   * (vec_id BIGINT, embedding ARRAY<FLOAT>, label INT).
@@ -300,6 +301,55 @@ object VectorOps {
     // ---- IVF ANN (centroid inverted lists, cluster-pruned probe) ----------
     "v05_knn_ivf" -> ((s, dir) => knnIvf(t(s, dir, "embeddings"))),
 
+    // ---- IVF over the PRODUCTION layout: a lake table hidden-partitioned
+    // by cluster. Index build = assign centroids and store the quantized
+    // vectors partitioned by `cl`; probe = the query batch's probe-cluster
+    // set becomes a pushed `cl IN (...)` filter, which the lake's
+    // hidden-partition pruning turns into FILE pruning — at 100 TB the
+    // probe physically reads nprobe/K of the index, the at-scale claim
+    // v05's doc makes, demonstrated end to end. Results are identical to
+    // v05 (same assignment, same probes, same exact re-rank). ------------
+    "v07_ivf_partitioned" -> ((s, dir) => {
+      val lake = LakeQueries.freshLake(s)
+      val cents = centroidsLit("array(", ")", "L")
+      val indexed = t(s, dir, "embeddings")
+        .selectExpr("vec_id", s"$QVEC AS q")
+        .selectExpr("vec_id", "q", s"$SQNORM AS nsq")
+        .filter(col("nsq") > 0)
+        .selectExpr("vec_id", "q", "nsq",
+          s"array_position(transform($cents, c -> graft_vec_dot(q, c)), " +
+            s"array_max(transform($cents, c -> graft_vec_dot(q, c)))) AS cl")
+      lake.createTable("main.ivf", indexed.schema,
+        partitionKeys = List(Meta.PartitionKey("identity", "cl")))
+      lake.append("main.ivf", indexed)
+
+      val stored = lake.table("main.ivf")
+      val qs = stored.filter(col("vec_id") < 10)
+        .selectExpr("vec_id", "q", "nsq",
+          s"transform($cents, c -> graft_vec_dot(q, c)) AS ds")
+        .selectExpr("vec_id AS query_id", "q AS qa", "nsq AS na",
+          s"""slice(transform(array_sort(
+             |  zip_with(ds, sequence(1L, ${IVF_K}L), (d, i) -> struct(-d AS nd, i AS i))),
+             |  s -> s.i), 1, $IVF_NPROBE) AS probes""".stripMargin)
+      // the query batch's union of probe clusters — O(queries × nprobe)
+      // driver-side, the partition-pruning predicate of the index scan
+      val probeSet = qs.selectExpr("explode(probes) AS c").distinct()
+        .collect().map(_.getLong(0))
+      val cand = stored.filter(col("cl").isin(probeSet.toIndexedSeq: _*))
+        .selectExpr("vec_id AS neighbor_id", "q AS qb", "nsq AS nb", "cl")
+      val rnk = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      cand.join(broadcast(qs),
+          expr("array_contains(probes, cl)") && col("query_id") =!= col("neighbor_id"))
+        .withColumn("dot", expr("graft_vec_dot(qa, qb)"))
+        .withColumn("cosine", col("dot").cast("double")
+          / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+        .withColumn("rank", row_number().over(rnk).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- LSH-bucketed ANN (sign random projection, the 100 TB scale path) --
     // Multi-table LSH: 12 tables × 4 sign bits from the precomputed sparse
     // hyperplane family above. The whole probe is TWO keyed shuffles:
@@ -402,7 +452,7 @@ object VectorOps {
   def oracleSql: Map[String, String] = {
     val qvecD =
       "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
-    Map(
+    val base = Map(
       "v01_knn_brute" ->
         s"""WITH e AS (
            |  SELECT vec_id, $qvecD AS q FROM embeddings
@@ -580,5 +630,9 @@ object VectorOps {
            |ORDER BY cosine DESC, vec_a, vec_b LIMIT 100""".stripMargin
       }
     )
+    // v07 stores the same assignment in a cluster-partitioned lake table
+    // and probes it with file pruning — the RESULT is identical to v05,
+    // so the oracle is shared
+    base + ("v07_ivf_partitioned" -> base("v05_knn_ivf"))
   }
 }

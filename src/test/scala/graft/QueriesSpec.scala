@@ -161,6 +161,12 @@ class QueriesSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("v07 partitioned-lake IVF returns exactly v05's results") {
+    val v05 = SparkEntry.queries("v05_knn_ivf")(spark, sf).collect().toSeq
+    val v07 = SparkEntry.queries("v07_ivf_partitioned")(spark, sf).collect().toSeq
+    assert(v07 == v05, "cluster-partitioned index probe must not change results")
+  }
+
   test("t11 repartition width derives from corpus size, not a constant") {
     import graft.queries.TextOps.lshWidth
     // small corpus: spread across cores at ~64 KB/task, floor 2
