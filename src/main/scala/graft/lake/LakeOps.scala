@@ -901,6 +901,16 @@ class Lake(val spark: SparkSession, val root: String,
   }
 
   /** freeze/export (reference src/pgducklake_freeze.cpp:81-140) */
+  /** Materialize the folded catalog state into one checkpoint file so cold
+    * opens read checkpoint + tail instead of the whole log (the reference
+    * lists CHECKPOINT as unsupported — this is the at-scale requirement a
+    * 100k-commit catalog has). Pure read accelerator: the delta log stays
+    * authoritative; time travel and the change feed are unaffected. */
+  def checkpoint(): Long = {
+    requireNotInTransaction("checkpoint")
+    store.checkpoint()
+  }
+
   def freeze(target: String): Unit = {
     requireNotInTransaction("freeze")
     store.freeze(target)

@@ -37,6 +37,7 @@ class MetadataStore(val root: String) {
   @volatile private var cachedState: (Long, CatalogState) = (-1L, CatalogState.empty)
 
   private def deltaPath(sid: Long): Path = logDir.resolve(f"v$sid%010d.json")
+  private def ckptPath(sid: Long): Path = logDir.resolve(f"ckpt$sid%010d.json")
 
   private def listSnapshotIds(): Vector[Long] = {
     val it = Files.newDirectoryStream(logDir, "v*.json")
@@ -46,6 +47,49 @@ class MetadataStore(val root: String) {
         .stripSuffix(".json").toLong)
       ids.result().sorted
     } finally it.close()
+  }
+
+  /** Checkpoint: materialize the folded state at the current snapshot into
+    * ONE file, so a cold open reads checkpoint + newer deltas instead of
+    * folding the whole log — O(1) + O(tail) instead of O(commits). The log
+    * stays the source of truth (time travel and the change feed still read
+    * per-snapshot deltas); the checkpoint is a pure read accelerator, safe
+    * to delete, atomic via temp+link like commits. The reference lists
+    * CHECKPOINT as unsupported (docs/ducklake_feature_coverage.md:112) —
+    * at 100k-commit scale a driver can't refold the log per cold session.
+    * Returns the checkpointed snapshot id. */
+  def checkpoint(): Long = {
+    val st = state()
+    val sid = st.currentSnapshotId
+    if (sid < 0) return sid
+    val target = ckptPath(sid)
+    if (Files.exists(target)) return sid
+    val tmp = Files.createTempFile(logDir, ".ckpt", ".tmp")
+    try {
+      Files.write(tmp, Serialization.write(st).getBytes(StandardCharsets.UTF_8))
+      try Files.createLink(target, tmp)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    } finally Files.deleteIfExists(tmp)
+    sid
+  }
+
+  /** newest readable checkpoint at or below `upTo`, if any */
+  private def loadCheckpoint(upTo: Long): Option[(Long, CatalogState)] = {
+    val it = Files.newDirectoryStream(logDir, "ckpt*.json")
+    val ids =
+      try {
+        val b = Vector.newBuilder[Long]
+        it.forEach(p => b += p.getFileName.toString.stripPrefix("ckpt")
+          .stripSuffix(".json").toLong)
+        b.result().filter(_ <= upTo).sorted.reverse
+      } finally it.close()
+    ids.iterator.flatMap { sid =>
+      // a torn/unreadable checkpoint is skipped — the log is authoritative
+      try {
+        val txt = new String(Files.readAllBytes(ckptPath(sid)), StandardCharsets.UTF_8)
+        Some(sid -> Serialization.read[CatalogState](txt))
+      } catch { case _: Exception => None }
+    }.nextOption()
   }
 
   private def readDelta(sid: Long): CommitDelta = {
@@ -62,10 +106,14 @@ class MetadataStore(val root: String) {
   /** The raw commit delta of one snapshot (change-feed computation). */
   def delta(sid: Long): CommitDelta = readDelta(sid)
 
-  /** Current materialized catalog state (re-folds only new deltas). */
+  /** Current materialized catalog state (re-folds only new deltas; a cold
+    * instance starts from the newest checkpoint when one exists). */
   def state(): CatalogState = synchronized {
     val ids = listSnapshotIds()
-    val (upTo, st) = cachedState
+    var (upTo, st) = cachedState
+    if (upTo < 0 && ids.nonEmpty) loadCheckpoint(ids.last).foreach { case (cs, c) =>
+      upTo = cs; st = c; cachedState = (cs, c)
+    }
     val newIds = ids.filter(_ > upTo)
     if (newIds.isEmpty) st
     else {

@@ -573,6 +573,21 @@ object LakeQueries {
         .orderBy("n_nationkey")
     }),
 
+    // ---- metadata checkpoint: cold opens read checkpoint + tail ----------
+    "l37_checkpoint" -> ((s, dir) => {
+      val lake = newLake(s)
+      val nation = t(s, dir, "nation")
+      lake.createTableAs("main.ck", nation)
+      lake.delete("main.ck", col("n_regionkey") === 0)
+      lake.checkpoint()
+      lake.append("main.ck", nation.filter(col("n_nationkey") === 0)
+        .withColumn("n_nationkey", lit(99).cast("int")))
+      // a cold store (fresh caches) resolves from checkpoint + tail delta
+      val cold = new Lake(s, lake.root)
+      cold.table("main.ck").select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    }),
+
     // ---- A10 column defaults (ddl.sql): ADD COLUMN DEFAULT backfills old
     // files with the frozen existence default; SET DEFAULT redefines only
     // the current default used by later inserts ---------------------------
@@ -885,6 +900,15 @@ object LakeQueries {
         |    AS n_name,
         |  n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "l37_checkpoint" ->
+      """SELECT * FROM (
+        |  SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |  WHERE n_regionkey <> 0
+        |  UNION ALL
+        |  SELECT CAST(99 AS INTEGER), n_name, n_regionkey FROM nation
+        |  WHERE n_nationkey = 0) t
+        |ORDER BY n_nationkey""".stripMargin,
 
     "l25_column_default" ->
       """SELECT * FROM (

@@ -1796,6 +1796,37 @@ class LakeSpec extends AnyFunSuite {
     assert(cat.contains("INSERT INTO ducklake_data_file"))
   }
 
+  // ---- metadata checkpoint (cold-open accelerator) ------------------------
+  test("checkpoint: cold opens read checkpoint + tail; log stays authoritative") {
+    val lake = newLake()
+    import spark.implicits._
+    lake.createTable("main.ck", abSchema)
+    lake.append("main.ck", (1 to 10).map(i => (i, i)).toDF("a", "b"))
+    lake.delete("main.ck", col("a") <= 3)
+    val ckSid = lake.checkpoint()
+    assert(ckSid == lake.currentSnapshot())
+    // commits AFTER the checkpoint form the tail
+    lake.append("main.ck", Seq((11, 11)).toDF("a", "b"))
+
+    // a COLD store instance (fresh caches) must see checkpoint + tail
+    val cold = new Lake(spark, lake.root)
+    assert(cold.table("main.ck").collect().map(_.getInt(0)).sorted.toSeq ==
+      ((4 to 10) :+ 11))
+    assert(cold.snapshots().count() == lake.snapshots().count())
+    // time travel crosses the checkpoint boundary (deltas still read)
+    assert(cold.table("main.ck", Some(1)).count() == 10)
+    assert(cold.tableChanges("main.ck", 0, cold.currentSnapshot())
+      .filter(col("_change_type") === "insert").count() == 11)
+
+    // a torn checkpoint never poisons a cold open — the log is authoritative
+    val stray = java.nio.file.Files.list(
+      java.nio.file.Paths.get(lake.root, "_ducklake")).iterator().asScala
+      .find(_.getFileName.toString.startsWith("ckpt")).get
+    java.nio.file.Files.write(stray, "{ truncated".getBytes)
+    val cold2 = new Lake(spark, lake.root)
+    assert(cold2.table("main.ck").count() == 8)
+  }
+
   // ---- metadata store crash-atomicity -------------------------------------
   test("commit is crash-atomic: truncated temp never poisons the log") {
     val lake = newLake()
