@@ -39,6 +39,10 @@ private[lake] class StagingStore(base: MetadataStore) extends MetadataStore(base
     staged += delta
   }
 
+  // a checkpoint of STAGED state must never reach disk — uncommitted
+  // transaction effects would leak to every cold reader
+  override def checkpoint(): Long = state().currentSnapshotId
+
   /** all data-file/delete-file paths the staged ops wrote (rollback set) */
   private[lake] def stagedPaths: Seq[String] = synchronized {
     staged.flatMap(d => d.newFiles.map(_.path) ++ d.newDeleteFiles.map(_.path)).toSeq

@@ -196,6 +196,14 @@ class MetadataStore(val root: String) {
       val delta = stampCommitMessage(st, build(st, sid))
       try {
         commit(delta)
+        // auto-checkpoint (option checkpoint_interval): every Nth snapshot
+        // folds the log into a fresh checkpoint so cold-open cost stays
+        // bounded without anyone scheduling maintenance. Failure is
+        // swallowed — the commit already landed and the log is the truth.
+        st.tagAt("global", "checkpoint_interval", st.currentSnapshotId)
+          .flatMap(v => scala.util.Try(v.toLong).toOption).filter(_ > 0)
+          .foreach(iv => if (sid % iv == 0)
+            try checkpoint() catch { case _: Exception => () })
         return sid
       } catch {
         case _: CommitConflictException if attempt < maxRetries =>

@@ -1827,6 +1827,33 @@ class LakeSpec extends AnyFunSuite {
     assert(cold2.table("main.ck").count() == 8)
   }
 
+  test("checkpoint_interval option auto-checkpoints every Nth commit") {
+    val lake = newLake()
+    lake.createTable("main.ak", abSchema)
+    lake.setOption("data_inlining_row_limit", "1000")
+    lake.setOption("checkpoint_interval", "5")
+    def ckpts(): Seq[String] = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(lake.root, "_ducklake"))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("ckpt")).toSeq
+      finally s.close()
+    }
+    assert(ckpts().isEmpty)
+    // snapshots so far: 0 create, 1 limit, 2 interval; inserts land 3,4,5 →
+    // snapshot 5 triggers the auto-checkpoint
+    (1 to 3).foreach(i => lake.insertRows("main.ak", Seq(Seq(i, i))))
+    assert(ckpts() == Seq("ckpt0000000005.json"))
+    // a transaction never auto-checkpoints staged state
+    lake.transaction { tx =>
+      (1 to 7).foreach(i => tx.insertRows("main.ak", Seq(Seq(100 + i, i))))
+    }
+    assert(ckpts() == Seq("ckpt0000000005.json"),
+      "staged commits must not write checkpoints")
+    // a cold open after the auto-checkpoint sees everything
+    val cold = new Lake(spark, lake.root)
+    assert(cold.table("main.ak").count() == 10)
+  }
+
   // ---- metadata store crash-atomicity -------------------------------------
   test("commit is crash-atomic: truncated temp never poisons the log") {
     val lake = newLake()
