@@ -212,12 +212,26 @@ object Thaw {
       if (i < 0 || r.isNullAt(i)) dflt else r.getBoolean(i)
     }
 
+    // snapshot_time: our dumps carry epoch ms (snapshot_time_ms BIGINT); a
+    // foreign engine COPYing the reference-shaped layout writes a
+    // TIMESTAMPTZ column named snapshot_time
+    def getTimeMs(r: Row): Long = opt(r, "snapshot_time_ms").getOrElse {
+      val i = r.schema.fieldNames.indexOf("snapshot_time")
+      if (i < 0 || r.isNullAt(i)) 0L
+      else r.get(i) match {
+        case t: java.sql.Timestamp => t.getTime
+        case t: java.time.Instant => t.toEpochMilli
+        case t: java.time.LocalDateTime =>
+          t.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        case _ => 0L
+      }
+    }
     val msgs = rd("ducklake_snapshot_changes").map(r =>
       get(r, "snapshot_id") -> (getS(r, "changes_made"), getS(r, "commit_message"))).toMap
     val snapshots = rd("ducklake_snapshot").map { r =>
       val sid = get(r, "snapshot_id")
       val (ch, msg) = msgs.getOrElse(sid, (None, None))
-      Snapshot(sid, get(r, "snapshot_time_ms", 0L), get(r, "schema_version", 0L),
+      Snapshot(sid, getTimeMs(r), get(r, "schema_version", 0L),
         ch.map(_.split(',').toList.filter(_.nonEmpty)).getOrElse(Nil), msg)
     }.sortBy(_.snapshotId).toVector
 
@@ -226,8 +240,14 @@ object Thaw {
       sid => m.getOrElse(sid, 0L)
     }
 
+    // schema name: inline in our dumps; the reference-shaped layout keys
+    // tables by schema_id into ducklake_schema
+    val schemaNameById = rd("ducklake_schema").map(r =>
+      get(r, "schema_id") -> getS(r, "schema_name").getOrElse("main")).toMap
     val tables = rd("ducklake_table").map(r =>
-      TableEntry(get(r, "table_id"), getS(r, "schema_name").getOrElse("main"),
+      TableEntry(get(r, "table_id"),
+        getS(r, "schema_name").orElse(
+          opt(r, "schema_id").flatMap(schemaNameById.get)).getOrElse("main"),
         getS(r, "table_name").get, get(r, "begin_snapshot"),
         opt(r, "end_snapshot"))).toVector
 
@@ -241,27 +261,36 @@ object Thaw {
         opt(r, "end_snapshot"), getS(r, "initial_default"))
     }.toVector
 
+    // partition keys: our dumps carry (table_id, begin_snapshot,
+    // column_name); the reference-shaped layout carries (partition_id =
+    // table_id, column_id) with no epoch — group under begin -1 and
+    // resolve column ids through ducklake_column
+    val colNameForId = rd("ducklake_column")
+      .map(r => (get(r, "table_id"), get(r, "column_id")) ->
+        getS(r, "column_name").getOrElse("")).toMap
     val partCols = rd("ducklake_partition_column")
-      .groupBy(r => (get(r, "table_id"), get(r, "begin_snapshot")))
+      .groupBy(r => (opt(r, "table_id").orElse(opt(r, "partition_id"))
+        .getOrElse(-1L), get(r, "begin_snapshot")))
       .map { case (k, rs) =>
         k -> rs.sortBy(get(_, "partition_key_index"))
           .map(r => PartitionKey(getS(r, "transform").getOrElse("identity"),
-            getS(r, "column_name").get)).toList
+            getS(r, "column_name").orElse(opt(r, "column_id")
+              .flatMap(cid => colNameForId.get((k._1, cid)))).getOrElse("")))
+          .filter(_.column.nonEmpty).toList
       }
     val partitionInfo = rd("ducklake_partition_info").map { r =>
-      val key = (get(r, "table_id"), get(r, "begin_snapshot"))
-      PartitionInfoEntry(key._1, partCols.getOrElse(key, Nil), key._2,
-        opt(r, "end_snapshot"))
+      val tid = get(r, "table_id")
+      val begin = get(r, "begin_snapshot")
+      val keys = partCols.getOrElse((tid, begin),
+        partCols.getOrElse((tid, -1L), Nil))
+      PartitionInfoEntry(tid, keys, begin, opt(r, "end_snapshot"))
     }.toVector
 
-    val partValsByFile = rd("ducklake_file_partition_value")
-      .groupBy(get(_, "data_file_id"))
-      .map { case (fid, rs) =>
-        fid -> rs.flatMap(r => getS(r, "partition_key_label")
-          .map(_ -> getS(r, "partition_value").getOrElse(""))).toMap
-      }
-
-    val files = rd("ducklake_data_file").map { r =>
+    // per-file partition values: our dumps carry the key LABEL; the
+    // reference-shaped layout only the key index — resolve via the file's
+    // table partition spec after files are known
+    val fpvRows = rd("ducklake_file_partition_value")
+    val files0 = rd("ducklake_data_file").map { r =>
       val begin = get(r, "begin_snapshot")
       val path = getS(r, "path").get
       DataFileEntry(get(r, "data_file_id"), get(r, "table_id"), path,
@@ -269,9 +298,25 @@ object Thaw {
         get(r, "file_size_bytes", 0L), get(r, "row_id_start", 0L),
         opt(r, "schema_version").getOrElse(schemaVerOf(begin)),
         getB(r, "explicit_row_ids", dflt = false),
-        partValsByFile.getOrElse(get(r, "data_file_id"), Map.empty),
-        begin, opt(r, "end_snapshot"))
+        Map.empty[String, String], begin, opt(r, "end_snapshot"))
     }.toVector
+    val fileById0 = files0.map(f => f.fileId -> f).toMap
+    val partValsByFile: Map[Long, Map[String, String]] = fpvRows
+      .groupBy(get(_, "data_file_id"))
+      .flatMap { case (fid, rs) =>
+        fileById0.get(fid).map { f =>
+          val keys = partitionInfo.filter(p => p.tableId == f.tableId &&
+            liveAt(p.begin, p.end, f.begin)).flatMap(_.keys)
+          fid -> rs.flatMap { r =>
+            getS(r, "partition_key_label")
+              .orElse(opt(r, "partition_key_index")
+                .flatMap(i => keys.lift(i.toInt)).map(_.label))
+              .map(_ -> getS(r, "partition_value").getOrElse(""))
+          }.toMap
+        }
+      }
+    val files = files0.map(f =>
+      f.copy(partitionValues = partValsByFile.getOrElse(f.fileId, Map.empty)))
 
     val colNameById = columns.map(c => (c.tableId, c.columnId) -> c).toMap
     val fileById = files.map(f => f.fileId -> f).toMap
@@ -298,8 +343,11 @@ object Thaw {
         get(r, "begin_snapshot"), opt(r, "end_snapshot"))
     }.toVector
 
+    // sort keys: reference-shaped expressions key by sort_info_id (=
+    // tableId in our freeze emission) with no epoch — same fallback shape
     val sortExprs = rd("ducklake_sort_expression")
-      .groupBy(r => (get(r, "table_id"), get(r, "begin_snapshot")))
+      .groupBy(r => (opt(r, "table_id").orElse(opt(r, "sort_info_id"))
+        .getOrElse(-1L), get(r, "begin_snapshot")))
       .map { case (k, rs) =>
         k -> rs.sortBy(get(_, "sort_key_index"))
           .map(r => SortKey(getS(r, "expression").get,
@@ -307,9 +355,10 @@ object Thaw {
             getB(r, "nulls_first", dflt = false))).toList
       }
     val sortInfo = rd("ducklake_sort_info").map { r =>
-      val key = (get(r, "table_id"), get(r, "begin_snapshot"))
-      SortInfoEntry(key._1, sortExprs.getOrElse(key, Nil), key._2,
-        opt(r, "end_snapshot"))
+      val tid = get(r, "table_id")
+      val begin = get(r, "begin_snapshot")
+      SortInfoEntry(tid, sortExprs.getOrElse((tid, begin),
+        sortExprs.getOrElse((tid, -1L), Nil)), begin, opt(r, "end_snapshot"))
     }.toVector
 
     val tags = rd("ducklake_tag").map(r =>
