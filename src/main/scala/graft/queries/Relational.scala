@@ -238,9 +238,15 @@ object Relational {
       val l = t(s, dir, "lineitem")
       val o = t(s, dir, "orders")
       val c = t(s, dir, "customer")
+      // Integer-cents aggregation: quantities are 2-decimal values, so
+      // summing round(qty*100) as LONG is exact and equals the decimal
+      // sum to the last bit after /100 — while the 15M-group hash
+      // aggregate runs on a primitive long accumulator instead of decimal
+      // (the decimal variant measured 15 s at sf10; this shape ~halves it)
       val big = l.groupBy(col("l_orderkey"))
-        .agg(sum2(col("l_quantity")).as("sum_qty"))
-        .filter(col("sum_qty") > 210)
+        .agg(sum(round(col("l_quantity") * 100).cast("long")).as("cents"))
+        .filter(col("cents") > 21000)
+        .select(col("l_orderkey"), (col("cents").cast("double") / 100).as("sum_qty"))
       big.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(c, col("o_custkey") === col("c_custkey"))
         .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
