@@ -443,6 +443,40 @@ class LakeSpec extends AnyFunSuite {
     assert(maxAttempts.get() <= 20, s"worst commit took ${maxAttempts.get()} attempts")
   }
 
+  test("isolation: concurrent parquet appends never lose rows or files") {
+    // the distributed-append path under contention: staged parquet writes +
+    // stats jobs + CAS commits racing on ONE table (insertRows storms only
+    // exercise the inline path)
+    val lake = newLake()
+    import spark.implicits._
+    lake.createTable("main.pq", abSchema)
+    lake.setOption("data_inlining_row_limit", "0") // force parquet appends
+    val threads = 8
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val futs = (0 until threads).map { t =>
+      pool.submit(new Runnable {
+        override def run(): Unit = (0 until 2).foreach { i =>
+          lake.append("main.pq",
+            Seq.tabulate(10)(j => (t * 1000 + i * 100 + j, t)).toDF("a", "b"))
+        }
+      })
+    }
+    futs.foreach(_.get())
+    pool.shutdown()
+    val rows = lake.table("main.pq").collect().map(_.getInt(0))
+    assert(rows.length == threads * 2 * 10, s"lost rows: ${rows.length}")
+    assert(rows.distinct.length == rows.length, "duplicate rows")
+    val st = lake.store.state()
+    val sids = st.snapshots.map(_.snapshotId)
+    assert(sids.distinct.length == sids.length)
+    assert(sids.max - sids.min == sids.length - 1, "snapshot ids contiguous")
+    // every committed file exists on disk and row counts reconcile
+    val tid = st.tableAt("main", "pq", st.currentSnapshotId).get.tableId
+    val files = st.filesAt(tid, st.currentSnapshotId)
+    assert(files.forall(f => java.nio.file.Files.exists(java.nio.file.Paths.get(f.path))))
+    assert(files.map(_.rowCount).sum == threads * 2 * 10)
+  }
+
   test("isolation: concurrent cross-table writes don't interfere") {
     val lake = newLake()
     lake.setOption("data_inlining_row_limit", "1000")
