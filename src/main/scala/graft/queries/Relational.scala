@@ -266,8 +266,14 @@ object Relational {
 
     "q15_above_avg" -> ((s, dir) => {
       val l = t(s, dir, "lineitem")
+      // long-cents sum ≡ the decimal(12,2) sum to the bit: round() is the
+      // same HALF_UP the decimal cast applies, the cents total is < 2^53
+      // (exactly representable), and IEEE division by 100 returns the same
+      // nearest double as casting the decimal quotient — while the 60M-row
+      // pass runs on a primitive accumulator (the q13 lesson)
       val avgPrice = l.agg(
-        (dbl(sum(d2(col("l_extendedprice")))) / count(lit(1))).as("avg_price"))
+        (sum(round(col("l_extendedprice") * 100).cast("long")).cast("double")
+          / 100 / count(lit(1))).as("avg_price"))
       l.crossJoin(broadcast(avgPrice))
         .filter(col("l_extendedprice") > col("avg_price"))
         .agg(count(lit(1)).as("n_above"))
