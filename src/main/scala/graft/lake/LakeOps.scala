@@ -42,12 +42,17 @@ class Lake(val spark: SparkSession, val root: String,
     val finalSid = staging.baseSid + 1
     val merged = LakeTransaction.merge(staging.baseSid, stagedDeltas, finalSid,
       System.currentTimeMillis())
-    try store.commit(merged)
+    // same message stamping + require_commit_message enforcement as every
+    // other write path (commitWithRetry) — a transaction snapshot is not a
+    // back door around a live require_commit_message tag (ADVICE r5)
+    try store.commit(store.stampCommitMessage(store.state(), merged))
     catch {
       case e: CommitConflictException =>
         rollback()
         throw new java.util.ConcurrentModificationException(
           s"transaction conflicts with a concurrent commit: ${e.getMessage}")
+      case e: Throwable => // e.g. require_commit_message unmet: same rollback
+        rollback(); throw e
     }
     (result, finalSid)
   }

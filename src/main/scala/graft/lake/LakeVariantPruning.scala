@@ -33,9 +33,16 @@ class LakeVariantPruning(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** synthetic stat name for attribute + path: "v" + "$.price" → "v.$.price"
-    * (must match LakeWrite.append's variant stat naming) */
-  private def statName(attr: String, path: String): String = s"$attr.$path"
+  /** synthetic stat name for attribute + path + REQUESTED extraction type:
+    * "v" + "$.price" as bigint → "v.$.price#bigint". The "#type" suffix is
+    * stripped by [[Pruning]] before matching the stat row (whose name is
+    * LakeWrite.append's "v.$.price") and compared against the stat's
+    * write-time inferred type: bounds recorded under one extraction type
+    * do not transfer to a query requesting another (double→bigint
+    * truncates, numeric-vs-string orders differently), so a mismatch makes
+    * the stat incomparable and the file is kept. */
+  private def statName(attr: String, path: String, vg: VariantGet): String =
+    s"$attr.$path#${vg.dataType.catalogString.toLowerCase}"
 
   private def litValue(l: Literal): Option[Any] = l.value match {
     case null => None
@@ -50,7 +57,7 @@ class LakeVariantPruning(spark: SparkSession) extends Rule[LogicalPlan] {
     * variant_get over a plain attribute against a literal */
   private def toSource(e: Expression): Option[sources.Filter] = {
     def name(vg: VariantGet): Option[String] = vg.child match {
-      case a: AttributeReference => pathOf(vg).map(statName(a.name, _))
+      case a: AttributeReference => pathOf(vg).map(statName(a.name, _, vg))
       case _ => None
     }
     e match {

@@ -153,7 +153,7 @@ class MetadataStore(val root: String) {
     * `spark.graft.lake.commitMessage`; when a live require_commit_message
     * tag covers a table the delta touches (or is global), a missing
     * message fails the commit. */
-  private def stampCommitMessage(st: CatalogState, delta: CommitDelta): CommitDelta = {
+  private[lake] def stampCommitMessage(st: CatalogState, delta: CommitDelta): CommitDelta = {
     val confMsg = org.apache.spark.sql.SparkSession.getActiveSession
       .flatMap(_.conf.getOption("spark.graft.lake.commitMessage"))
       .filter(_.nonEmpty)

@@ -67,25 +67,46 @@ object Pruning {
   private def statFor(stats: Vector[FileColumnStats], a: String): Option[FileColumnStats] =
     stats.find(_.columnName == a)
 
+  /** Resolve a (possibly variant-synthetic) filter attribute to its base
+    * name + usable stat. Variant filters arrive as "v.$.price#bigint"
+    * (LakeVariantPruning.statName): the suffix is the query's REQUESTED
+    * extraction type, the stat row was computed under the write-time
+    * inferred type. Bounds only describe the query's values when the two
+    * agree exactly — double→bigint truncation, numeric-vs-string ordering,
+    * and cast-failure nulls in the recorded null count all break the
+    * mapping otherwise — so a type mismatch drops the stat (file kept). */
+  private def resolveStat(
+      stats: Vector[FileColumnStats], a: String): (String, Option[FileColumnStats]) = {
+    val i = a.lastIndexOf('#')
+    if (i < 0) (a, statFor(stats, a))
+    else {
+      val base = a.substring(0, i)
+      val req = a.substring(i + 1)
+      (base, statFor(stats, base)
+        .filter(_.dataType.toLowerCase.replace(" ", "") == req.replace(" ", "")))
+    }
+  }
+
   /** may the file contain a row with column a == v (or in [v,∞)/(−∞,v])? */
   private def rangeMayContain(
       a: String, v: Any, file: DataFileEntry, stats: Vector[FileColumnStats],
       colTypes: Map[String, String], partitionKeys: List[PartitionKey],
       eq: Boolean): Boolean = {
     if (v == null) return false // EqualTo(null) matches nothing in SQL
-    val byStats = statFor(stats, a) match {
+    val (base, stat) = resolveStat(stats, a)
+    val byStats = stat match {
       case Some(s) if s.minValue.isEmpty && s.maxValue.isEmpty =>
         // no recorded bounds: all-null column can't equal a non-null literal
         s.nullCount < file.rowCount || file.rowCount == 0
       case Some(s) =>
         // colTypes fallback: variant-path stats ("v.$.price") have no table
         // column entry — their comparison type is the stat row's own
-        val dt = colTypes.getOrElse(a, s.dataType)
+        val dt = colTypes.getOrElse(base, s.dataType)
         s.minValue.forall(mn => cmpTyped(dt, mn, v).forall(_ <= 0)) &&
           s.maxValue.forall(mx => cmpTyped(dt, mx, v).forall(_ >= 0))
       case None => true
     }
-    byStats && partitionMayContain(a, v, file, colTypes, partitionKeys, PartCmp.Eq)
+    byStats && partitionMayContain(base, v, file, colTypes, partitionKeys, PartCmp.Eq)
   }
 
   private def boundMay(
@@ -93,13 +114,14 @@ object Pruning {
       colTypes: Map[String, String], partitionKeys: List[PartitionKey],
       ok: Int => Boolean, upper: Boolean): Boolean = {
     if (v == null) return false
-    val byStats = statFor(stats, a) match {
+    val (base, stat) = resolveStat(stats, a)
+    val byStats = stat match {
       case Some(s) =>
         val bound = if (upper) s.maxValue else s.minValue
-        bound.forall(b => cmpTyped(colTypes.getOrElse(a, s.dataType), b, v).forall(ok))
+        bound.forall(b => cmpTyped(colTypes.getOrElse(base, s.dataType), b, v).forall(ok))
       case None => true
     }
-    byStats && partitionMayContain(a, v, file, colTypes, partitionKeys,
+    byStats && partitionMayContain(base, v, file, colTypes, partitionKeys,
       if (upper) PartCmp.Ge else PartCmp.Le)
   }
 

@@ -142,10 +142,22 @@ object Thaw {
       p.keys.zipWithIndex.map { case (k, i) =>
         Row(jl(p.tableId), jl(p.begin), jl(i.toLong), k.column, k.transform)
       }))
-    w("ducklake_file_partition_value", filePartValSchema, st.files.flatMap(f =>
-      f.partitionValues.toSeq.sortBy(_._1).zipWithIndex.map { case ((label, v), i) =>
-        Row(jl(f.fileId), jl(i.toLong), label, v)
-      }))
+    w("ducklake_file_partition_value", filePartValSchema, st.files.flatMap { f =>
+      // partition_key_index must follow the live partition-spec key order
+      // for the file's table/epoch (ADVICE r5): a reference-shaped consumer
+      // (and load()'s index fallback) resolves values BY INDEX, so
+      // label-sorted order mis-keys multi-key specs whose labels aren't
+      // alphabetical. Labels outside the spec (stale epochs) keep a stable
+      // slot after the live keys.
+      val liveKeys = st.partitionInfo.filter(p => p.tableId == f.tableId &&
+        liveAt(p.begin, p.end, f.begin)).flatMap(_.keys).map(_.label)
+      val idxOf = liveKeys.zipWithIndex.toMap
+      val (inSpec, stale) = f.partitionValues.toSeq.partition(kv => idxOf.contains(kv._1))
+      inSpec.map { case (label, v) => Row(jl(f.fileId), jl(idxOf(label).toLong), label, v) } ++
+        stale.sortBy(_._1).zipWithIndex.map { case ((label, v), i) =>
+          Row(jl(f.fileId), jl((liveKeys.size + i).toLong), label, v)
+        }
+    })
     w("ducklake_sort_info", sortInfoSchema, st.sortInfo.map(s =>
       Row(jl(s.tableId), jl(s.begin), jl(s.end))))
     w("ducklake_sort_expression", sortExprSchema, st.sortInfo.flatMap(s =>
@@ -192,9 +204,25 @@ object Thaw {
 
   /** read a `ducklake_*` parquet catalog into CatalogState */
   def load(spark: SparkSession, dir: String): CatalogState = {
+    // existence through the path's OWN FileSystem — java.io.File silently
+    // reads every dataset as absent on s3://gs:// (ADVICE r5: an
+    // object-store catalog would thaw as empty with no error)
+    lazy val hconf = spark.sessionState.newHadoopConf()
+    def exists(p: String): Boolean = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).exists(hp)
+    }
+    // ducklake_snapshot is mandatory in every DuckLake catalog — its
+    // absence means `dir` is not a catalog dump (typo'd path, wrong FS),
+    // and "successfully imported an empty catalog" is a data-loss-shaped
+    // lie. The other datasets are genuinely optional (a catalog with no
+    // deletes has no ducklake_delete_file dump).
+    if (!exists(s"$dir/ducklake_snapshot.parquet"))
+      throw new IllegalArgumentException(
+        s"$dir has no ducklake_snapshot.parquet — not a DuckLake catalog dump")
     def rd(name: String): Seq[Row] = {
       val p = s"$dir/$name.parquet"
-      if (new java.io.File(p).exists) spark.read.parquet(p).collect().toSeq
+      if (exists(p)) spark.read.parquet(p).collect().toSeq
       else Seq.empty
     }
     def opt(r: Row, field: String): Option[Long] = {
@@ -380,16 +408,22 @@ object Thaw {
     * external writer committed them.
     *
     * Expired-history safety: a catalog whose old snapshots were expired
-    * (reference expire_snapshots) carries entity rows whose `begin`
-    * predates every surviving snapshot. Those rows attach to the FIRST
-    * surviving snapshot's delta with their original interval intact —
-    * liveAt() works off the stored begin/end, so visibility at every
-    * surviving snapshot is unchanged; only the delta that introduces the
-    * row moves. */
+    * (reference expire_snapshots) carries entity rows whose `begin` is not
+    * any surviving snapshot id — predating the first survivor OR falling
+    * in an interior id gap (non-contiguous foreign histories). Those rows
+    * attach to the first surviving snapshot >= begin (last, if none is)
+    * with their original interval intact — liveAt() works off the stored
+    * begin/end, so visibility at every surviving snapshot is unchanged;
+    * only the delta that introduces the row moves. */
   def reconstructDeltas(st: CatalogState): Seq[CommitDelta] = {
-    val first = st.snapshots.headOption.map(_.snapshotId).getOrElse(-1L)
-    def isNew(begin: Long, s: Long): Boolean =
-      begin == s || (s == first && begin < first)
+    val ids = st.snapshots.map(_.snapshotId) // sorted by load()
+    val idSet = ids.toSet
+    // the delta that introduces a row with this begin (ADVICE r5: interior
+    // gaps must attach too, not just begin < first)
+    def owner(begin: Long): Long =
+      if (idSet.contains(begin)) begin
+      else ids.find(_ >= begin).orElse(ids.lastOption).getOrElse(-1L)
+    def isNew(begin: Long, s: Long): Boolean = owner(begin) == s
     st.snapshots.map { snap =>
       val s = snap.snapshotId
       CommitDelta(

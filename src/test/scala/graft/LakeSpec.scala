@@ -704,6 +704,46 @@ class LakeSpec extends AnyFunSuite {
     assert(q2.collect().head.getLong(0) == 15)
   }
 
+  test("variant pruning: requested type ≠ stat type is incomparable (file kept)") {
+    // ADVICE r5 (high): $.price values 1..9 recorded with bigint stats
+    // (min 1, max 9); variant_get(v,'$.price','string') > '15' matches
+    // rows under STRING ordering ('9' > '15'), but comparing the literal
+    // against the bigint bounds numerically (9 < 15) would silently drop
+    // the file. The requested extraction type now rides in the synthetic
+    // filter name and a mismatch keeps the file.
+    val lake = newLake()
+    lake.createTable("main.vt", StructType(Seq(
+      StructField("id", IntegerType), StructField("v", VariantType))))
+    lake.append("main.vt", spark.range(1, 10).coalesce(1).selectExpr(
+      "cast(id as int) AS id",
+      """parse_json(concat('{"price": ', id, '}')) AS v"""))
+    val st = lake.store.state()
+    val ps = st.stats.filter(_.columnName == "v.$.price")
+    assert(ps.nonEmpty && ps.forall(_.dataType.equalsIgnoreCase("bigint")),
+      s"setup: price stats must be bigint-typed: $ps")
+
+    val cat = s"vtcat${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", lake.root)
+    // string extraction, string ordering: '2'..'9' > '15' → 8 rows
+    val q = spark.sql(s"SELECT count(*) FROM $cat.main.vt " +
+      s"WHERE variant_get(v, '$$.price', 'string') > '15'")
+    assert(q.collect().head.getLong(0) == 8,
+      "type-mismatched variant stat must not prune the file")
+    // matching type still prunes: bigint > 15 eliminates the only file
+    val q2 = spark.sql(s"SELECT count(*) FROM $cat.main.vt " +
+      s"WHERE variant_get(v, '$$.price', 'bigint') > 15")
+    def fileCount(df: org.apache.spark.sql.DataFrame): Option[Int] =
+      df.queryExecution.optimizedPlan.collectFirst {
+        case s: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+            if s.relation.table.isInstanceOf[LakeTable] =>
+          s.relation.table.asInstanceOf[LakeTable]
+      }.map(_.newScanBuilder(org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+        .build().asInstanceOf[LakeNativeScan].currentFileCount)
+    assert(fileCount(q2).contains(0), "same-type variant predicate still prunes")
+    assert(q2.collect().head.getLong(0) == 0)
+  }
+
   // ---- thaw: external ducklake_* catalog import ---------------------------
   test("thaw round-trip: freeze → importCatalog reproduces history") {
     val lake = newLake()
@@ -787,6 +827,66 @@ class LakeSpec extends AnyFunSuite {
     assert(b.table("main.fs").collect().map(_.getInt(0)).sorted.toSeq == (4 to 10))
     val dels = b.store.state().deleteFiles.filter(_.end.isEmpty)
     assert(dels.nonEmpty && dels.forall(_.countsByFile.nonEmpty))
+  }
+
+  test("thaw survives INTERIOR snapshot-id gaps: rows attach to the next survivor") {
+    // ADVICE r5: a foreign catalog with non-contiguous ids (interior
+    // snapshots expired, not just a prefix) carries entity rows whose
+    // begin equals no surviving snapshot — they must attach to the first
+    // surviving snapshot >= begin, not be silently dropped.
+    val lake = newLake()
+    import spark.implicits._
+    lake.createTable("main.ig", abSchema)                         // snap 0
+    lake.append("main.ig", Seq((1, 1)).toDF("a", "b"))            // snap 1
+    lake.append("main.ig", Seq((2, 2)).toDF("a", "b"))            // snap 2
+    lake.append("main.ig", Seq((3, 3)).toDF("a", "b"))            // snap 3
+    val frozen = Files.createTempDirectory("graft_igfreeze").toString
+    lake.freeze(frozen)
+    val stripped = Files.createTempDirectory("graft_igstrip").toString
+    java.nio.file.Files.list(java.nio.file.Paths.get(s"$frozen/catalog_parquet")).forEach { p =>
+      val name = p.getFileName.toString
+      val df = spark.read.parquet(p.toString)
+      val out = if (name == "ducklake_snapshot.parquet" ||
+          name == "ducklake_snapshot_changes.parquet")
+        df.filter(col("snapshot_id") === 0 || col("snapshot_id") === 3) else df
+      out.write.parquet(s"$stripped/$name")
+    }
+    val b = new Lake(spark, Files.createTempDirectory("graft_iglake").toString)
+    assert(b.importCatalog(stripped) == 3)
+    // files begun at gap snapshots 1 and 2 survive, visible at snapshot 3
+    assert(b.table("main.ig").collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3))
+    // and correctly invisible at the surviving snapshot BEFORE the gap
+    assert(b.table("main.ig", Some(0)).count() == 0)
+  }
+
+  test("freeze dump indexes partition values by the table's key order") {
+    // ADVICE r5: partition_key_index followed label-sorted order, so a
+    // multi-key spec whose labels aren't alphabetical ("z" before "a")
+    // mis-keys values for any reference-shaped consumer resolving by index.
+    val lake = newLake()
+    import spark.implicits._
+    lake.createTable("main.ko", StructType(Seq(
+      StructField("z", IntegerType), StructField("a", IntegerType),
+      StructField("x", IntegerType))),
+      partitionKeys = List(PartitionKey("identity", "z"), PartitionKey("identity", "a")))
+    lake.append("main.ko", Seq((7, 3, 1)).toDF("z", "a", "x"))
+    val frozen = Files.createTempDirectory("graft_kofreeze").toString
+    lake.freeze(frozen)
+    val fpv = spark.read
+      .parquet(s"$frozen/catalog_parquet/ducklake_file_partition_value.parquet")
+      .collect().map(r => r.getString(r.fieldIndex("partition_key_label")) ->
+        r.getLong(r.fieldIndex("partition_key_index"))).toMap
+    assert(fpv == Map("z" -> 0L, "a" -> 1L),
+      s"indices must follow the spec's key order (z first), got $fpv")
+  }
+
+  test("importCatalog of a non-catalog dir fails loudly") {
+    // ADVICE r5: java.io.File probing read every dataset as absent on a
+    // non-local FS (or typo'd path) and "imported" an empty catalog.
+    val lake = newLake()
+    val empty = Files.createTempDirectory("graft_nocat").toString
+    val e = intercept[IllegalArgumentException] { lake.importCatalog(empty) }
+    assert(e.getMessage.contains("ducklake_snapshot"))
   }
 
   test("metadata change racing a sorted rewrite is detected too") {
@@ -1789,6 +1889,28 @@ class LakeSpec extends AnyFunSuite {
     assert(lake.table("main.cm").count() == 1)
     val msgs = lake.snapshots().select("commit_message").collect().map(_.getString(0))
     assert(msgs.contains("load batch 1"))
+  }
+
+  test("require_commit_message applies to transaction commits too") {
+    // ADVICE r5: transaction() committed via store.commit directly,
+    // bypassing stampCommitMessage — a tagged table could be written
+    // message-less through the transaction back door.
+    val lake = newLake()
+    import spark.implicits._
+    lake.createTable("main.tcm", abSchema)
+    lake.setOption("require_commit_message", "true")
+    val e = intercept[IllegalStateException] {
+      lake.transaction(tx => tx.append("main.tcm", Seq((1, 1)).toDF("a", "b")))
+    }
+    assert(e.getMessage.contains("require_commit_message"))
+    // the failed transaction rolled back: nothing visible
+    assert(lake.table("main.tcm").count() == 0)
+    spark.conf.set("spark.graft.lake.commitMessage", "tx batch")
+    try lake.transaction(tx => tx.append("main.tcm", Seq((1, 1)).toDF("a", "b")))
+    finally spark.conf.unset("spark.graft.lake.commitMessage")
+    assert(lake.table("main.tcm").count() == 1)
+    val msgs = lake.snapshots().select("commit_message").collect().map(_.getString(0))
+    assert(msgs.contains("tx batch"), "transaction snapshot carries the stamped message")
   }
 
   // ---- snapshot expiry (expire_older_than) --------------------------------
