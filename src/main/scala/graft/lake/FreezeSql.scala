@@ -265,7 +265,27 @@ object FreezeSql {
     insertAll(sb, "ducklake_tag",
       Seq("object_id VARCHAR", "begin_snapshot BIGINT", "end_snapshot BIGINT",
         "key VARCHAR", "value VARCHAR"),
-      st.tags.map(t => Seq(t.scope, t.begin, t.end, t.key, t.value)))
+      st.tags.filterNot(Thaw.isForeignCarrier)
+        .map(t => Seq(t.scope, t.begin, t.end, t.key, t.value)))
+
+    // preserved foreign view/macro rows re-emitted with their original
+    // columns (Thaw.ForeignTables carrier round-trip); timestamps/binary
+    // surface as implicit-castable string literals
+    val foreignBy = st.tags.filter(Thaw.isForeignCarrier)
+      .groupBy(_.scope.stripPrefix("ducklake:"))
+    val foreignEmitted = Thaw.ForeignTables.flatMap { tn =>
+      foreignBy.get(tn).filter(_.nonEmpty).map { tags =>
+        val (schema, rows) = Thaw.foreignRowsFromTags(tags)
+        insertAll(sb, tn,
+          schema.map(f => s"${qi(f.name)} ${TypeMap.sparkToDuck(f.dataType)}"),
+          rows.map(_.toSeq.map {
+            case b: Array[Byte] => java.util.Base64.getEncoder.encodeToString(b)
+            case t: java.sql.Timestamp => t.toString
+            case other => other
+          }))
+        tn
+      }
+    }.toSet
 
     insertAll(sb, "ducklake_sort_info",
       Seq("sort_info_id BIGINT", "table_id BIGINT", "begin_snapshot BIGINT",
@@ -311,7 +331,7 @@ object FreezeSql {
       "ducklake_tag", "ducklake_sort_info", "ducklake_sort_expression",
       "ducklake_files_scheduled_for_deletion", "ducklake_schema_versions",
       "ducklake_file_variant_stats")
-    AllTables.filterNot(emitted).foreach(t =>
+    AllTables.filterNot(t => emitted(t) || foreignEmitted(t)).foreach(t =>
       insertAll(sb, t, Seq("placeholder VARCHAR"), Nil))
 
     sb.result()

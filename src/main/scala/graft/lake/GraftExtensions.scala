@@ -60,6 +60,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "graft_lsh_bits takes 2 arguments")
         graft.functions.LshBits(children.head, children(1))
       }))
+    // bucket-cap gate with accumulator-backed drop counters (AQE-safe
+    // observability — see graft.functions.CapMetrics): the metric NAME is a
+    // literal resolved at plan time on the driver, where the accumulator
+    // pair is registered and captured into the expression instance.
+    ext.injectFunction((FunctionIdentifier("graft_cap_gate"),
+      new ExpressionInfo("graft.functions.BucketCapGate", "graft_cap_gate",
+        "graft_cap_gate(size, cap, name) - true iff size <= cap; counts " +
+          "capped buckets/dropped members into named accumulators"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "graft_cap_gate takes 3 arguments")
+        val cap = lit(children(1), "cap").toInt
+        val name = lit(children(2), "metric name")
+        val (c, d) = graft.functions.CapMetrics.forName(SparkSession.active, name)
+        graft.functions.BucketCapGate(children.head, cap, c, d)
+      }))
     ext.injectTableFunction(tvf("graft_snapshots", "graft_snapshots(root)") { args =>
       new Lake(SparkSession.active, lit(args.head, "root")).snapshots()
         .queryExecution.analyzed

@@ -798,6 +798,10 @@ class Lake(val spark: SparkSession, val root: String,
       if (Files.isDirectory(p)) LakeWrite.deleteRecursively(sd.path)
       else Files.deleteIfExists(p)
     }
+    // superseded metadata checkpoints are cleanup's responsibility too —
+    // auto-checkpointing every N commits otherwise accretes full-state
+    // snapshots forever (newest 2 kept: a torn newest falls back)
+    store.gcCheckpoints()
     if (victims.isEmpty) return st.currentSnapshotId
     store.commitWithRetry() { (stN, sid) =>
       CommitDelta(
@@ -916,29 +920,61 @@ class Lake(val spark: SparkSession, val root: String,
     store.checkpoint()
   }
 
-  def freeze(target: String): Unit = {
+  def freeze(target: String, parquetCatalog: Boolean = true): Unit = {
     requireNotInTransaction("freeze")
     store.freeze(target)
     // the engine-neutral interop artifact (thaw/import surface): the
     // ducklake_* layout as parquet datasets an external engine can COPY
-    // from AND mutate — see Thaw
-    Thaw.dumpParquet(spark, store.state(), s"$target/catalog_parquet")
+    // from AND mutate — see Thaw. Opt out (parquetCatalog=false) when the
+    // freeze only feeds a read-only mount / views.sql consumer — the
+    // 13-dataset dump is the bulk of freeze's job cost (l14 bench).
+    if (parquetCatalog)
+      Thaw.dumpParquet(spark, store.state(), s"$target/catalog_parquet")
   }
 
   /** Thaw: import an externally-written `ducklake_*` parquet catalog
     * (reference interop surface: FDW attach pgducklake_fdw.cpp:167-190 +
     * external-writer sync metadata_sync.sql). The full snapshot history is
     * replayed into THIS store — time travel and the change feed work on
-    * the imported snapshots. Requires an empty store (import adopts the
-    * external catalog wholesale; merging two live catalogs is not a
-    * defined operation in the reference either). Data files are adopted
-    * in place by path. Returns the imported current snapshot id. */
+    * the imported snapshots. Data files are adopted in place by path.
+    *
+    * Repeated sync (VERDICT r5 #2 — the reference's FDW attach is LIVE:
+    * an external writer keeps committing and readers see new snapshots on
+    * re-read, metadata_sync.sql syncs the same catalog repeatedly): into a
+    * NON-empty store, only snapshots newer than the local head are
+    * appended. The local history must be a prefix of the external one —
+    * the head id must exist externally and every common snapshot id must
+    * carry the same commit time; anything else means the two catalogs
+    * forked (or the external side expired past our head) and a silent
+    * merge would corrupt both, so the import aborts. Entity rows the
+    * external writer ENDED in a new snapshot (deletes/compaction of files
+    * we already imported) arrive through the ended-id lists of the
+    * reconstructed deltas and stamp the local rows as usual.
+    *
+    * Returns the imported current snapshot id. */
   def importCatalog(catalogDir: String): Long = {
     requireNotInTransaction("importCatalog")
-    require(store.state().currentSnapshotId == -1L,
-      "importCatalog requires an empty metadata store")
     val external = Thaw.load(spark, catalogDir)
-    Thaw.reconstructDeltas(external).foreach(store.commit)
+    val local = store.state()
+    val head = local.currentSnapshotId
+    val deltas =
+      if (head == -1L) Thaw.reconstructDeltas(external)
+      else {
+        val localById = local.snapshots.map(s => s.snapshotId -> s.snapshotTimeMs).toMap
+        if (!external.snapshots.exists(_.snapshotId == head))
+          throw new IllegalStateException(
+            s"divergent history: local head snapshot $head does not exist in " +
+              s"$catalogDir (external head " +
+              s"${external.snapshots.lastOption.map(_.snapshotId).getOrElse(-1L)})")
+        external.snapshots.filter(s => s.snapshotId <= head)
+          .find(s => localById.get(s.snapshotId).exists(_ != s.snapshotTimeMs))
+          .foreach(s => throw new IllegalStateException(
+            s"divergent history: snapshot ${s.snapshotId} in $catalogDir has " +
+              s"commit time ${s.snapshotTimeMs} but the local copy has " +
+              s"${localById(s.snapshotId)} — the catalogs forked"))
+        Thaw.reconstructDeltas(external).filter(_.snapshot.snapshotId > head)
+      }
+    deltas.foreach(store.commit)
     store.state().currentSnapshotId
   }
 

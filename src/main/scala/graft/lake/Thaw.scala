@@ -34,6 +34,100 @@ import Meta._
   */
 object Thaw {
 
+  // ------------------------------------------- foreign (preserved) datasets
+
+  /** Catalog tables we PRESERVE but don't execute — views and macros
+    * (4 of the 28 frozen tables, pgducklake_freeze.cpp:38,55-57). The
+    * reference doesn't support CREATE VIEW/macros either
+    * (docs/ducklake_feature_coverage.md:30), but a foreign catalog may
+    * carry rows, and an import that silently DROPS them corrupts the
+    * catalog on re-export. Rows round-trip losslessly as carrier tags
+    * (scope `ducklake:<table>`, key = content hash, value = JSON
+    * {ddl, vals}); freeze/dumpParquet re-emit them as real datasets and
+    * exclude the carriers from `ducklake_tag`. */
+  private[lake] val ForeignTables: Seq[String] =
+    Seq("ducklake_view", "ducklake_macro", "ducklake_macro_impl",
+      "ducklake_macro_parameters")
+
+  private[lake] def foreignScope(table: String): String = s"ducklake:$table"
+  private[lake] def isForeignCarrier(t: TagEntry): Boolean =
+    t.scope.startsWith("ducklake:")
+
+  /** value → portable string (binary → base64; everything else toString) */
+  private def fieldToString(v: Any): String = v match {
+    case null => null
+    case b: Array[Byte] => java.util.Base64.getEncoder.encodeToString(b)
+    case other => other.toString
+  }
+
+  /** portable string → typed value for the round-tripped schema */
+  private def stringToField(dt: DataType, s: String): Any =
+    if (s == null) null
+    else dt match {
+      case StringType => s
+      case LongType => s.toLong
+      case IntegerType => s.toInt
+      case ShortType => s.toShort
+      case ByteType => s.toByte
+      case BooleanType => s.toBoolean
+      case DoubleType => s.toDouble
+      case FloatType => s.toFloat
+      case _: DecimalType => new java.math.BigDecimal(s)
+      case BinaryType => java.util.Base64.getDecoder.decode(s)
+      case TimestampType =>
+        try java.sql.Timestamp.valueOf(s)
+        catch { case _: Exception =>
+          java.sql.Timestamp.from(java.time.Instant.parse(s)) }
+      case _ => s
+    }
+
+  /** types outside the portable palette round-trip as VARCHAR */
+  private def portableSchema(schema: StructType): StructType =
+    StructType(schema.map { f =>
+      f.dataType match {
+        case StringType | LongType | IntegerType | ShortType | ByteType |
+             BooleanType | DoubleType | FloatType | BinaryType |
+             TimestampType => f.copy(nullable = true)
+        case _: DecimalType => f.copy(nullable = true)
+        case _ => f.copy(dataType = StringType, nullable = true)
+      }
+    })
+
+  private def foreignRowJson(schema: StructType, row: Row): String = {
+    import org.json4s.JsonDSL._
+    import org.json4s._
+    val vals = JArray(schema.indices.map { i =>
+      if (row.isNullAt(i)) (JNull: JValue)
+      else JString(fieldToString(row.get(i)))
+    }.toList)
+    org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(
+        ("ddl" -> portableSchema(schema).toDDL) ~ ("vals" -> vals)))
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  /** rebuild (schema, rows) of one foreign dataset from its carrier tags */
+  private[lake] def foreignRowsFromTags(tags: Seq[TagEntry]): (StructType, Seq[Row]) = {
+    import org.json4s._
+    implicit val fmts: Formats = DefaultFormats
+    val parsed = tags.sortBy(_.key)
+      .map(t => org.json4s.jackson.JsonMethods.parse(t.value))
+    val schema = StructType.fromDDL((parsed.head \ "ddl").extract[String])
+    val rows = parsed.map { j =>
+      val vals = (j \ "vals").asInstanceOf[JArray].arr
+      Row.fromSeq(schema.zip(vals).map {
+        case (_, JNull) => null
+        case (f, JString(s)) => stringToField(f.dataType, s)
+        case (f, other) => stringToField(f.dataType, other.values.toString)
+      })
+    }
+    (schema, rows)
+  }
+
   // ---------------------------------------------------------------- schemas
 
   private def fld(n: String, t: DataType) = StructField(n, t)
@@ -166,8 +260,17 @@ object Thaw {
           java.lang.Boolean.valueOf(k.ascending),
           java.lang.Boolean.valueOf(k.nullsFirst))
       }))
-    w("ducklake_tag", tagSchema, st.tags.map(t =>
+    w("ducklake_tag", tagSchema, st.tags.filterNot(isForeignCarrier).map(t =>
       Row(t.scope, jl(t.begin), jl(t.end), t.key, t.value)))
+    // preserved foreign view/macro rows re-emerge as their real datasets
+    val carriers = st.tags.filter(isForeignCarrier)
+      .groupBy(_.scope.stripPrefix("ducklake:"))
+    ForeignTables.foreach { tn =>
+      carriers.get(tn).filter(_.nonEmpty).foreach { tags =>
+        val (schema, rows) = foreignRowsFromTags(tags)
+        w(tn, schema, rows)
+      }
+    }
 
     import scala.jdk.CollectionConverters._
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
@@ -394,8 +497,27 @@ object Thaw {
         getS(r, "key").get, getS(r, "value").getOrElse(""),
         get(r, "begin_snapshot"), opt(r, "end_snapshot"))).toVector
 
+    // view/macro rows (not executed, preserved losslessly — see
+    // ForeignTables). The carrier tag's begin mirrors the row's
+    // begin_snapshot so incremental re-sync picks up rows an external
+    // writer added between syncs; the row's OWN begin/end columns ride
+    // inside the JSON untouched.
+    val foreignTags = ForeignTables.flatMap { tn =>
+      val p = s"$dir/$tn.parquet"
+      if (!exists(p)) Seq.empty
+      else {
+        val df = spark.read.parquet(p)
+        if (df.schema.fieldNames.sameElements(Array("placeholder"))) Seq.empty
+        else df.collect().toSeq.map { row =>
+          val json = foreignRowJson(df.schema, row)
+          TagEntry(foreignScope(tn), md5hex(json), json,
+            opt(row, "begin_snapshot").getOrElse(0L), None)
+        }
+      }
+    }.toVector
+
     CatalogState(snapshots, tables, columns, files, deleteFiles, stats,
-      partitionInfo, sortInfo, inlined = Vector.empty, tags,
+      partitionInfo, sortInfo, inlined = Vector.empty, tags ++ foreignTags,
       scheduledDeletions = Vector.empty)
   }
 

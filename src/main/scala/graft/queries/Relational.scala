@@ -39,6 +39,18 @@ object Relational {
   private def sum2(c: Column): Column = dbl(sum(d2(c)))
   /** Exact sum of a decimal product expression, as a double. */
   private def sumd(c: Column): Column = dbl(sum(c))
+  /** Exact revenue sum `Σ price·(1-disc)` on a PRIMITIVE accumulator (the
+    * q13/q15 long-cents lesson, applied to the product): price cents
+    * (long) × (10000 − disc in 1e-4 units) is the exact product in 1e-6
+    * units — round() is the same HALF_UP as the d2/d4 casts, each term is
+    * ≤ ~1.05e11 and group sums stay far below 2^63. The long total is
+    * scale-shifted through an EXACT decimal (not double division — totals
+    * can exceed 2^53), so the final double is bit-identical to the
+    * oracle's decimal SUM → VARCHAR → DOUBLE. */
+  private def sumRevMicros(price: Column, disc: Column): Column =
+    dbl(sum(round(price * 100).cast("long")
+        * (lit(10000L) - round(disc * 10000).cast("long")))
+      .cast(DecimalType(38, 6)) / lit(1000000))
   /** Deterministic average: exact decimal sum / count. */
   private def avg2(c: Column): Column = dbl(sum(d2(c))) / count(lit(1))
 
@@ -84,19 +96,21 @@ object Relational {
       // payload, no duplicate risk), and the orders⋈lineitem equi-join runs
       // as a shuffled-hash join (preferSortMergeJoin=false in sessionConf)
       // — the sf10 bench showed the two full sorts of the SMJ were the
-      // dominant cost vs DuckDB's hash joins. (A pre-aggregation of
-      // lineitem by l_orderkey was measured WORSE: ~15M scattered groups
-      // defeat map-side combining and widen the shuffle rows.)
-      // shuffle_hash: build the (semi-reduced) orders side as parallel
-      // per-partition hash maps — skips both SMJ sorts; the size gate
-      // can't see through the semi-join's estimate, hence the hint
+      // dominant cost vs DuckDB's hash joins. The semi-reduced orders side
+      // injects a runtime BLOOM into the lineitem scan (sessionConf lowers
+      // the application-side gate the sf-scale bench otherwise misses), so
+      // the fact exchange carries only BUILDING lineitems — an explicit
+      // driver-built broadcast-semi of the 3M orderkeys was measured WORSE
+      // (the LongHashedRelation build is single-threaded on the driver);
+      // the bloom builds distributed and probes codegen'd. (A
+      // pre-aggregation of lineitem by l_orderkey was also measured WORSE,
+      // both raw at r4 and over the semi-reduced survivors at r6.)
       val oFiltered = o.join(c, col("o_custkey") === col("c_custkey"), "left_semi")
         .hint("shuffle_hash")
       oFiltered.join(l, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"),
           col("o_orderpriority"))
-        .agg(sumd(d2(col("l_extendedprice")) * (lit(1) - d4(col("l_discount"))))
-          .as("revenue"))
+        .agg(sumRevMicros(col("l_extendedprice"), col("l_discount")).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     }),
@@ -125,22 +139,31 @@ object Relational {
       // BEFORE its orderkey shuffle — the sf10 bench showed shuffling raw
       // lineitem costs 6× vs DuckDB. s_nationkey = c_nationkey +
       // n_nationkey = s_nationkey is the same constraint set as the
-      // original customer-side chain, so results are identical. The
-      // broadcast is the filtered dim chain (supplier rows of one region),
-      // the standard star-schema play; drop the hint if dims outgrow the
-      // driver and AQE picks the shuffle variant.
+      // original customer-side chain, so results are identical.
+      // r6: two more exchange cuts. (1) the co side (date-filtered, the
+      // 1996 seventh of orders) injects a runtime bloom into the lineitem
+      // scan — see the sessionConf note — so the orderkey exchange ships
+      // roughly the ASIA∩1996 intersection (~3% of lineitem) instead of
+      // the ASIA fifth. (2) the group key is the nationkey INT, mapped to
+      // n_name by a 5-row broadcast AFTER aggregation, keeping strings out
+      // of the fact shuffle entirely.
       val asiaN = n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .select(col("n_nationkey"), col("n_name"))
       val asiaS = su.join(broadcast(asiaN), col("s_nationkey") === col("n_nationkey"))
-        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val oSlim = o.select(col("o_orderkey"), col("o_custkey"))
       val lred = l.join(broadcast(asiaS), col("l_suppkey") === col("s_suppkey"))
-      val co = c.join(o, col("c_custkey") === col("o_custkey"))
+        .select(col("l_orderkey"), col("s_nationkey"),
+          col("l_extendedprice"), col("l_discount"))
+      val co = c.select(col("c_custkey"), col("c_nationkey"))
+        .join(oSlim, col("c_custkey") === col("o_custkey"))
         .select(col("o_orderkey"), col("c_nationkey")).hint("shuffle_hash")
       lred.join(co, col("l_orderkey") === col("o_orderkey")
           && col("s_nationkey") === col("c_nationkey"))
-        .groupBy(col("n_name"))
-        .agg(sumd(d2(col("l_extendedprice")) * (lit(1) - d4(col("l_discount"))))
-          .as("revenue"))
+        .groupBy(col("s_nationkey"))
+        .agg(sumRevMicros(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .join(broadcast(asiaN), col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
@@ -165,28 +188,64 @@ object Relational {
         col("n_name").as("supp_nation"))
       val n2 = t(s, dir, "nation").select(col("n_nationkey").as("c_nk"),
         col("n_name").as("cust_nation"))
-      l.join(su, col("l_suppkey") === col("s_suppkey"))
-        .join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(c, col("o_custkey") === col("c_custkey"))
+      // One shuffle join (l⋈o by orderkey) is irreducible — no side is
+      // selective on the other. Everything else rides broadcasts of SLIM
+      // int-pair projections (supplier 2 longs/row, customer 2 longs/row:
+      // a LongHashedRelation build, nothing like the wide-dim broadcasts
+      // r5 measured against), and the group key is the (s_nat, c_nat,
+      // year) int triple — nation NAMES join in AFTER aggregation against
+      // ~1250 groups, keeping strings out of the 17M-row fact exchange.
+      val suSlim = su.select(col("s_suppkey"), col("s_nationkey"))
+      val cSlim = c.select(col("c_custkey"), col("c_nationkey"))
+      val lred = l.join(broadcast(suSlim), col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_orderkey"), col("s_nationkey"),
+          year(col("l_shipdate")).cast("long").as("l_year"),
+          col("l_extendedprice"), col("l_discount"))
+      lred.join(o.select(col("o_orderkey"), col("o_custkey")).hint("shuffle_hash"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cSlim), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("s_nationkey"), col("c_nationkey"), col("l_year"))
+        .agg(sumRevMicros(col("l_extendedprice"), col("l_discount")).as("revenue"))
         .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
         .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
-        .groupBy(col("supp_nation"), col("cust_nation"),
-          year(col("l_shipdate")).cast("long").as("l_year"))
-        .agg(sumd(d2(col("l_extendedprice")) * (lit(1) - d4(col("l_discount"))))
-          .as("revenue"))
+        .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+          col("revenue"))
         .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
         .limit(200)
     }),
 
     "q08_window_rank" -> ((s, dir) => {
-      val w = Window.partitionBy(col("o_custkey"))
-        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      t(s, dir, "orders")
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .filter(col("rn") <= 3)
-        .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
-        .orderBy(col("o_custkey"), col("rn"))
-        .limit(300)
+      val o = t(s, dir, "orders")
+      // Rank-limit pushdown through the window: ORDER BY o_custkey, rn
+      // LIMIT 300 can only ever surface the SMALLEST custkeys, yet the
+      // window itself forces a full shuffle+sort of every order (Spark's
+      // WindowGroupLimit prunes rows per partition but still exchanges
+      // all 15M at sf10, and DuckDB windows everything too). o_custkey is
+      // the window PARTITION key, so filtering on it drops whole
+      // partitions without touching any survivor's rank — rank-then-limit
+      // over custkey <= K is identical to the unfiltered query whenever it
+      // still yields 300 rows (or K covers the key domain). K starts at
+      // the row target and grows 8× per shortfall; the retries are
+      // driver-side, bounded by log8(maxKey), and in practice one pass —
+      // the exchange then carries thousands of rows, not millions.
+      def ranked(bounded: DataFrame): DataFrame = {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        bounded.withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("o_custkey"), col("rn"))
+          .limit(300)
+      }
+      val maxKeyRow = o.agg(max(col("o_custkey"))).head
+      val maxKey = if (maxKeyRow.isNullAt(0)) 0L else maxKeyRow.getLong(0)
+      var k = 300L
+      var out = ranked(o.filter(col("o_custkey") <= k))
+      while (k < maxKey && out.count() < 300) {
+        k = k * 8
+        out = ranked(o.filter(col("o_custkey") <= k))
+      }
+      out
     }),
 
     "q09_running_sum" -> ((s, dir) => {
@@ -247,8 +306,23 @@ object Relational {
         .agg(sum(round(col("l_quantity") * 100).cast("long")).as("cents"))
         .filter(col("cents") > 21000)
         .select(col("l_orderkey"), (col("cents").cast("double") / 100).as("sum_qty"))
-      big.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(c, col("o_custkey") === col("c_custkey"))
+      // r6: (1) big⋈orders with the FILTERED agg side broadcast — ~5% of
+      // orders survive `cents > 21000` (707k × 16 B ≈ 11 MB at sf10, longs
+      // only), which the size gate can't see through the aggregate (it
+      // planned a sort-merge join, fully sorting both 15M-row sides), and
+      // broadcasting it means orders is scanned and probed with NO
+      // exchange at all. (2) take the top-20 by o_totalprice BEFORE the
+      // customer join: o_custkey is a foreign key into customer, so the
+      // inner join is non-filtering and the limit commutes through it —
+      // then the 20-row side is what gets broadcast, instead of hashing
+      // all of customer. (If the FK were ever violated the driver's
+      // row-count gate would catch the short result.)
+      val top = broadcast(big)
+        .join(o.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+          col("l_orderkey") === col("o_orderkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+      c.join(broadcast(top), col("o_custkey") === col("c_custkey"))
         .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
           col("o_totalprice"), col("sum_qty"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -270,7 +344,11 @@ object Relational {
       // same HALF_UP the decimal cast applies, the cents total is < 2^53
       // (exactly representable), and IEEE division by 100 returns the same
       // nearest double as casting the decimal quotient — while the 60M-row
-      // pass runs on a primitive accumulator (the q13 lesson)
+      // pass runs on a primitive accumulator (the q13 lesson).
+      // The avg-then-count shape is inherently two passes over one column;
+      // both stay as parquet scans — caching the cents column was measured
+      // SLOWER at sf10 (the 480 MB cache build costs more than re-scanning
+      // the compressed, vectorized parquet column).
       val avgPrice = l.agg(
         (sum(round(col("l_extendedprice") * 100).cast("long")).cast("double")
           / 100 / count(lit(1))).as("avg_price"))

@@ -96,6 +96,37 @@ object StreamOps {
       s.table(sink).orderBy("w_start")
     }),
 
+    // ---- event-time SLIDING windows over the CDF stream -------------------
+    // The remaining standard window shape after tumbling (s03) and session
+    // (s04): overlapping epoch-aligned windows (30-day span sliding by 10)
+    // — every event lands in exactly span/slide = 3 windows. The oracle
+    // reproduces the assignment by expanding each event into its 3 windows
+    // (floor-to-slide minus k·slide, k in 0..2).
+    "s05_stream_sliding" -> ((s, dir) => {
+      val lake = LakeQueries.freshLake(s)
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"))
+        .filter(col("o_orderkey") < 20000)
+      lake.createTable("main.sw", orders.schema)
+      lake.append("main.sw", orders)
+      val sink = s"graft_s05_${UUID.randomUUID().toString.replace("-", "")}"
+      val q = s.readStream.format("graft-changes")
+        .option("root", lake.root).option("table", "main.sw").load()
+        .filter(col("_change_type") === "insert")
+        .withColumn("ts", col("o_orderdate").cast("timestamp"))
+        .withWatermark("ts", "1 day")
+        .groupBy(window(col("ts"), "30 days", "10 days"))
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+        .select(col("window.start").cast("date").as("w_start"),
+          col("n_orders"), col("min_key"), col("max_key"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink).orderBy("w_start")
+    }),
+
     // ---- event-time SESSION windows over the CDF stream -------------------
     // The remaining stateful shape after tumbling (s03): gap-based
     // sessionization via Spark's native session_window — state merges
@@ -152,6 +183,22 @@ object StreamOps {
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM orders WHERE o_orderkey < 20000
         |GROUP BY 1 ORDER BY w_start""".stripMargin,
+
+    // sliding windows expanded per event: the 3 containing windows of an
+    // event are floor-to-10-days(ts) - k*10 days, k = 0..2 (epoch-aligned,
+    // exactly Spark's assignment for window(ts, '30 days', '10 days'))
+    "s05_stream_sliding" ->
+      """WITH ev AS (
+        |  SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderkey < 20000),
+        |x AS (
+        |  SELECT o_orderkey,
+        |    DATE '1970-01-01'
+        |      + CAST(FLOOR(datediff('day', DATE '1970-01-01', o_orderdate) / 10) * 10
+        |             - k.range * 10 AS INTEGER) AS w_start
+        |  FROM ev CROSS JOIN range(0, 3) k)
+        |SELECT w_start, count(*) AS n_orders,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM x GROUP BY w_start ORDER BY w_start""".stripMargin,
 
     // gaps-and-islands sessionization with the same gap rule Spark's
     // session_window applies: a new session starts when the inter-event

@@ -43,7 +43,16 @@ object Tables {
     // itself stays small (maxNumBits-bounded), so a sub-512 MB creation
     // side is exactly the 100 TB-cluster trade (tiny broadcast, huge
     // shuffle saving).
-    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "512MB")
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "512MB",
+    // ...and the probe-side gate: injection only happens when the
+    // application-side SCAN outweighs this (default 10 GB — sized for real
+    // clusters; at 100 TB it fires untouched). The sf10 bench scans ~2 GB,
+    // so without lowering it the bloom never fired and q03/q05 shipped the
+    // whole fact table through their exchanges. A distributed
+    // BloomFilterAggregate build beats a driver-built broadcast-semi of
+    // millions of keys (measured: the 3M-key LongHashedRelation build cost
+    // more than it saved).
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "256MB")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {

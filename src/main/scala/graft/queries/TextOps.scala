@@ -222,7 +222,10 @@ object TextOps {
           sum(when(size(col("ms")) > 64, 1L).otherwise(0L)).as("capped_buckets"),
           sum(when(size(col("ms")) > 64, size(col("ms")).cast("long"))
             .otherwise(0L)).as("dropped_members"))
-        .filter(size(col("ms")).between(2, 64))
+        // the cap itself is an accumulator-counting gate (VERDICT r5 #6):
+        // observe() is invisible under AQE; the accumulators aren't
+        .filter(expr(s"graft_cap_gate(size(ms), 64, '$LshCapMetrics')")
+          && size(col("ms")) >= 2)
         .selectExpr(
           """explode(flatten(transform(ms, (a, i) ->
             |  transform(slice(ms, i + 2, size(ms)),

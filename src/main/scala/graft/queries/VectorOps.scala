@@ -121,7 +121,8 @@ object VectorOps {
           sum(when(size(col("ms")) > bucketCap, 1L).otherwise(0L)).as("capped_buckets"),
           sum(when(size(col("ms")) > bucketCap, size(col("ms")).cast("long"))
             .otherwise(0L)).as("dropped_members"))
-        .filter(size(col("ms")).between(2, bucketCap))
+        .filter(expr(s"graft_cap_gate(size(ms), $bucketCap, '${VectorOps.LshCapMetrics}')")
+          && size(col("ms")) >= 2)
         .selectExpr(s"filter(ms, m -> m.vec_id < $nQueries) AS qs", "ms")
         .filter(size(col("qs")) > 0)
         .selectExpr(
@@ -173,12 +174,14 @@ object VectorOps {
     ep.selectExpr("vec_id", s"posexplode($bucketsExpr) AS (tab, bucket)")
       .groupBy("tab", "bucket")
       .agg(sort_array(collect_list(col("vec_id"))).as("ms"))
-      // dropped-bucket observability — same metric contract as TextOps t11
+      // dropped-bucket observability — same metric contract as TextOps t11;
+      // the gate's accumulators survive AQE re-planning (observe() doesn't)
       .observe(VectorOps.LshCapMetrics,
         sum(when(size(col("ms")) > bucketCap, 1L).otherwise(0L)).as("capped_buckets"),
         sum(when(size(col("ms")) > bucketCap, size(col("ms")).cast("long"))
           .otherwise(0L)).as("dropped_members"))
-      .filter(size(col("ms")).between(2, bucketCap))
+      .filter(expr(s"graft_cap_gate(size(ms), $bucketCap, '${VectorOps.LshCapMetrics}')")
+        && size(col("ms")) >= 2)
       .selectExpr(s"filter(ms, m -> m < $nQueries) AS qs", "ms")
       .filter(size(col("qs")) > 0)
       .selectExpr(
@@ -307,6 +310,77 @@ object VectorOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Embedding-cosine near-duplicate pairs (the v04 operator, parameterized
+    * for the equality spec). Both paths produce identical results from the
+    * identical capped buckets:
+    *   - carryPayload=true (small corpus): vectors travel with their bucket
+    *     rows; in-bucket pair scoring is join-free.
+    *   - carryPayload=false (the 100 TB shape, VERDICT r5 #4): the 12-table
+    *     banding shuffle carries ONLY vec_ids — with 1-4 KB embeddings the
+    *     payload-through-shuffle width is the scale bottleneck — and the
+    *     candidate pairs re-join the persisted vectors by id, moving each
+    *     payload once per CANDIDATE instead of once per (table, row). */
+  def embeddingNearDup(emb: DataFrame, carryPayload: Boolean,
+      threshold: Double = 0.35): DataFrame = {
+    val nT = 12; val bits = 8
+    val pl = planesFor(nT * bits)
+    val bucketsExpr = bucketsFromBitsFor(nT, bits)
+    val e = emb
+      .selectExpr("vec_id", s"$QVEC AS q")
+      .selectExpr("vec_id", "q", s"$SQNORM AS nsq",
+        s"${bitsExpr(planesLitOf(pl, "array(", ")"))} AS bits")
+      .filter(col("nsq") > 0)
+    val scored: DataFrame = if (carryPayload) {
+      e.selectExpr("vec_id", "q", "nsq",
+          s"posexplode($bucketsExpr) AS (tab, bucket)")
+        .groupBy("tab", "bucket")
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("q"), col("nsq")))).as("ms"))
+        .observe("v04_lsh_caps",
+          sum(when(size(col("ms")) > 256, 1L).otherwise(0L)).as("capped_buckets"),
+          sum(when(size(col("ms")) > 256, size(col("ms")).cast("long"))
+            .otherwise(0L)).as("dropped_members"))
+        .filter(expr("graft_cap_gate(size(ms), 256, 'v04_lsh_caps')")
+          && size(col("ms")) >= 2)
+        .selectExpr(
+          """explode(flatten(transform(ms, (a, i) ->
+            |  transform(slice(ms, i + 2, size(ms)), m ->
+            |    struct(a.vec_id AS vec_a, m.vec_id AS vec_b,
+            |      graft_vec_dot(a.q, m.q) AS dot,
+            |      a.nsq AS na, m.nsq AS nb))))) AS p""".stripMargin)
+        .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"),
+          (col("p.dot").cast("double")
+            / (sqrt(col("p.na").cast("double")) * sqrt(col("p.nb").cast("double")))).as("cosine"))
+    } else {
+      val ep = e.persist()
+      val pairs = ep.selectExpr("vec_id", s"posexplode($bucketsExpr) AS (tab, bucket)")
+        .groupBy("tab", "bucket")
+        .agg(sort_array(collect_list(col("vec_id"))).as("ms"))
+        .observe("v04_lsh_caps",
+          sum(when(size(col("ms")) > 256, 1L).otherwise(0L)).as("capped_buckets"),
+          sum(when(size(col("ms")) > 256, size(col("ms")).cast("long"))
+            .otherwise(0L)).as("dropped_members"))
+        .filter(expr("graft_cap_gate(size(ms), 256, 'v04_lsh_caps')")
+          && size(col("ms")) >= 2)
+        .selectExpr(
+          """explode(flatten(transform(ms, (a, i) ->
+            |  transform(slice(ms, i + 2, size(ms)), m ->
+            |    struct(a AS vec_a, m AS vec_b))))) AS p""".stripMargin)
+        .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"))
+        .distinct()
+      val va = ep.select(col("vec_id").as("vec_a"), col("q").as("qa"), col("nsq").as("na"))
+      val vb = ep.select(col("vec_id").as("vec_b"), col("q").as("qb"), col("nsq").as("nb"))
+      pairs.join(va, Seq("vec_a")).join(vb, Seq("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          (expr("graft_vec_dot(qa, qb)").cast("double")
+            / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))).as("cosine"))
+    }
+    scored
+      .filter(col("cosine") >= threshold)
+      .distinct()
+      .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
+      .limit(100)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- brute-force cosine top-k (correctness baseline) -------------------
@@ -397,36 +471,12 @@ object VectorOps {
     // exact int64 cosine re-rank, threshold filter. For true near-dups
     // (cos ≥ 0.9) the 12×8 family catches ≈98%; the 0.35 threshold makes
     // the output non-empty on this synthetic near-random corpus.
+    // payload-vs-id-only chosen from corpus stats like v03: big corpora
+    // must not ship the full vector through the 12-table banding shuffle.
     "v04_embedding_neardup" -> ((s, dir) => {
-      val nT = 12; val bits = 8
-      val pl = planesFor(nT * bits)
-      t(s, dir, "embeddings")
-        .selectExpr("vec_id", s"$QVEC AS q")
-        .selectExpr("vec_id", "q", s"$SQNORM AS nsq",
-          s"${bitsExpr(planesLitOf(pl, "array(", ")"))} AS bits")
-        .filter(col("nsq") > 0)
-        .selectExpr("vec_id", "q", "nsq",
-          s"posexplode(${bucketsFromBitsFor(nT, bits)}) AS (tab, bucket)")
-        .groupBy("tab", "bucket")
-        .agg(sort_array(collect_list(struct(col("vec_id"), col("q"), col("nsq")))).as("ms"))
-        .observe("v04_lsh_caps",
-          sum(when(size(col("ms")) > 256, 1L).otherwise(0L)).as("capped_buckets"),
-          sum(when(size(col("ms")) > 256, size(col("ms")).cast("long"))
-            .otherwise(0L)).as("dropped_members"))
-        .filter(size(col("ms")).between(2, 256))
-        .selectExpr(
-          """explode(flatten(transform(ms, (a, i) ->
-            |  transform(slice(ms, i + 2, size(ms)), m ->
-            |    struct(a.vec_id AS vec_a, m.vec_id AS vec_b,
-            |      graft_vec_dot(a.q, m.q) AS dot,
-            |      a.nsq AS na, m.nsq AS nb))))) AS p""".stripMargin)
-        .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"),
-          (col("p.dot").cast("double")
-            / (sqrt(col("p.na").cast("double")) * sqrt(col("p.nb").cast("double")))).as("cosine"))
-        .filter(col("cosine") >= 0.35)
-        .distinct()
-        .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
-        .limit(100)
+      val emb = t(s, dir, "embeddings")
+      val small = emb.queryExecution.optimizedPlan.stats.sizeInBytes < 16L * 1024 * 1024
+      embeddingNearDup(emb, carryPayload = small)
     }),
 
     // ---- per-label corpus stats --------------------------------------------

@@ -772,6 +772,106 @@ class LakeSpec extends AnyFunSuite {
     assert(b.options().filter(col("key") === "target_file_size").count() == 1)
   }
 
+  test("incremental importCatalog: re-sync appends only new snapshots; forks abort") {
+    val a = newLake()
+    import spark.implicits._
+    a.createTable("main.inc", abSchema)                                // 0
+    a.append("main.inc", (1 to 5).map(i => (i, i)).toDF("a", "b"))     // 1
+    val f1 = Files.createTempDirectory("graft_inc1").toString
+    a.freeze(f1)
+    val b = newLake()
+    b.importCatalog(s"$f1/catalog_parquet")
+    assert(b.currentSnapshot() == 1)
+    // the external writer keeps committing into the shared catalog
+    a.append("main.inc", Seq((6, 6)).toDF("a", "b"))                   // 2
+    a.delete("main.inc", col("a") === 1)                               // 3
+    val f2 = Files.createTempDirectory("graft_inc2").toString
+    a.freeze(f2)
+    val sid = b.importCatalog(s"$f2/catalog_parquet")
+    assert(sid == 3)
+    assert(b.table("main.inc").collect().map(_.getInt(0)).sorted.toSeq == (2 to 6))
+    // the change feed works over the synced range
+    val ch = b.tableChanges("main.inc", 1, 3)
+      .select("_change_type", "a").collect()
+      .map(r => (r.getString(0), r.getInt(1))).sorted.toSeq
+    assert(ch == Seq(("delete", 1), ("insert", 6)))
+    // re-importing the identical catalog is a no-op
+    assert(b.importCatalog(s"$f2/catalog_parquet") == 3)
+    // a LOCAL commit forks the history → the next sync must abort loudly
+    b.append("main.inc", Seq((99, 99)).toDF("a", "b"))                 // local 4
+    Thread.sleep(3) // distinct commit time for the external snapshot 4
+    a.append("main.inc", Seq((7, 7)).toDF("a", "b"))                   // external 4
+    val f3 = Files.createTempDirectory("graft_inc3").toString
+    a.freeze(f3)
+    val e = intercept[IllegalStateException] { b.importCatalog(s"$f3/catalog_parquet") }
+    assert(e.getMessage.contains("divergent"))
+  }
+
+  test("checkpoint GC keeps the newest 2; a torn survivor falls back cleanly") {
+    val lake = newLake()
+    import spark.implicits._
+    lake.createTable("main.cg", abSchema)
+    for (i <- 1 to 4) {
+      lake.append("main.cg", Seq((i, i)).toDF("a", "b"))
+      lake.checkpoint()
+    }
+    val dir = java.nio.file.Paths.get(lake.root, "_ducklake")
+    def ckpts: Seq[String] = {
+      val s = java.nio.file.Files.list(dir)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("ckpt")).toSeq.sorted
+      finally s.close()
+    }
+    assert(ckpts.size == 4)
+    lake.cleanupOldFiles()
+    assert(ckpts.size == 2, s"GC keeps newest 2: $ckpts")
+    // torn newest checkpoint: a cold open skips it and reads the older one
+    java.nio.file.Files.write(dir.resolve(ckpts.last), "torn{".getBytes)
+    val cold = new Lake(spark, lake.root)
+    assert(cold.table("main.cg").count() == 4)
+  }
+
+  test("foreign view/macro rows survive import → freeze round-trip") {
+    val lake = newLake()
+    import spark.implicits._
+    lake.createTable("main.vw", abSchema)
+    lake.append("main.vw", Seq((1, 1)).toDF("a", "b"))
+    val frozen = Files.createTempDirectory("graft_vwfreeze").toString
+    lake.freeze(frozen)
+    val cat = s"$frozen/catalog_parquet"
+    // a foreign engine records a view and a macro in the shared catalog —
+    // we don't execute them, but dropping them on import would corrupt the
+    // catalog on re-export (VERDICT r5 missing #2)
+    Seq((7L, "uuid-7", 0L, Option.empty[Long], 0L, "my_view", "duckdb",
+        "SELECT * FROM vw WHERE a > 0", Option.empty[String]))
+      .toDF("view_id", "view_uuid", "begin_snapshot", "end_snapshot",
+        "schema_id", "view_name", "dialect", "sql", "column_aliases")
+      .write.parquet(s"$cat/ducklake_view.parquet")
+    Seq((3L, "uuid-m3", 0L, Option.empty[Long], 0L, "my_macro"))
+      .toDF("macro_id", "macro_uuid", "begin_snapshot", "end_snapshot",
+        "schema_id", "macro_name")
+      .write.parquet(s"$cat/ducklake_macro.parquet")
+    val b = newLake()
+    b.importCatalog(cat)
+    val refrozen = Files.createTempDirectory("graft_vwrefreeze").toString
+    b.freeze(refrozen)
+    // the rows re-emerge with their original columns in the parquet dump...
+    val vw = spark.read.parquet(s"$refrozen/catalog_parquet/ducklake_view.parquet").collect()
+    assert(vw.length == 1 && vw.head.getAs[String]("view_name") == "my_view"
+      && vw.head.getAs[String]("sql") == "SELECT * FROM vw WHERE a > 0"
+      && vw.head.getAs[Long]("view_id") == 7L && vw.head.isNullAt(
+        vw.head.fieldIndex("end_snapshot")))
+    val mc = spark.read.parquet(s"$refrozen/catalog_parquet/ducklake_macro.parquet").collect()
+    assert(mc.length == 1 && mc.head.getAs[String]("macro_name") == "my_macro")
+    // ...the carrier tags never leak into ducklake_tag...
+    assert(spark.read.parquet(s"$refrozen/catalog_parquet/ducklake_tag.parquet")
+      .filter(col("object_id").startsWith("ducklake:")).count() == 0)
+    // ...and the SQL artifact carries the rows too
+    val sql = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(refrozen, "ducklake_catalog.sql")))
+    assert(sql.contains("my_view") && sql.contains("my_macro"))
+  }
+
   test("thaw survives expired history: orphaned begins attach to the first snapshot") {
     val lake = newLake()
     import spark.implicits._

@@ -167,6 +167,43 @@ class QueriesSpec extends AnyFunSuite {
     assert(v07 == v05, "cluster-partitioned index probe must not change results")
   }
 
+  test("v04 id-only banding path returns exactly the payload path's results") {
+    // the 100 TB shape (ids through the shuffle, vectors re-joined per
+    // candidate) must be result-identical to the small-corpus shape
+    val emb = graft.queries.Tables.load(spark, sf, "embeddings")
+    val withPayload = graft.queries.VectorOps
+      .embeddingNearDup(emb, carryPayload = true).collect().toSeq
+    val idOnly = graft.queries.VectorOps
+      .embeddingNearDup(emb, carryPayload = false).collect().toSeq
+    assert(idOnly == withPayload, "id-only near-dup path must not change results")
+  }
+
+  test("lsh cap accumulators count drops WITH AQE ON (observe() cannot)") {
+    import spark.implicits._
+    import graft.functions.CapMetrics
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    val name = graft.queries.VectorOps.LshCapMetrics
+    CapMetrics.reset(name)
+    // 500 identical vectors hash into one 500-member bucket per table —
+    // over the cap in all 4 tables
+    val vec = Seq.fill(64)(1.0f)
+    val emb = (0L until 500L).map(i => (i, vec, 0)).toDF("vec_id", "embedding", "label")
+    graft.queries.VectorOps.knnLsh(emb, nTables = 4, bitsPerTable = 4,
+      nQueries = 5, bucketCap = 100, carryPayload = false).collect()
+    val (capped, dropped) = CapMetrics.value(name)
+    assert(capped == 4L, s"4 capped buckets expected, got $capped")
+    assert(dropped == 4L * 500, s"2000 dropped members expected, got $dropped")
+    // no hot bucket → counters stay where they were
+    CapMetrics.reset(name)
+    val rnd = new scala.util.Random(7)
+    val spread = (0L until 200L)
+      .map(i => (i, Seq.fill(64)(rnd.nextGaussian().toFloat), 0))
+      .toDF("vec_id", "embedding", "label")
+    graft.queries.VectorOps.knnLsh(spread, nTables = 4, bitsPerTable = 8,
+      nQueries = 5, bucketCap = 512, carryPayload = false).collect()
+    assert(CapMetrics.value(name) == ((0L, 0L)))
+  }
+
   test("t11 repartition width derives from corpus size, not a constant") {
     import graft.queries.TextOps.lshWidth
     // small corpus: spread across cores at ~64 KB/task, floor 2
