@@ -30,6 +30,20 @@ object ThawDemo {
         println(s"[thaw-demo] $name rows=${df.count()} snapshot=$sid")
         df.orderBy(df.columns.head).show(3, truncate = false)
       }
+    // preserved foreign view/macro rows (thaw_check.py --add-view): prove
+    // the import kept them and a re-freeze re-emits the dataset
+    val preserved = st.tags.filter(_.scope.startsWith("ducklake:"))
+    if (preserved.nonEmpty) {
+      println(s"[thaw-demo] preserved foreign rows: " +
+        preserved.groupBy(_.scope).view.mapValues(_.size).toMap)
+      val refrozen = java.nio.file.Files.createTempDirectory("graft_refreeze").toString
+      lake.freeze(refrozen)
+      preserved.map(_.scope.stripPrefix("ducklake:")).distinct.foreach { tn =>
+        val re = spark.read.parquet(s"$refrozen/catalog_parquet/$tn.parquet")
+        println(s"[thaw-demo] re-frozen $tn rows=${re.count()}")
+        re.show(5, truncate = false)
+      }
+    }
     spark.stop()
   }
 }

@@ -306,18 +306,19 @@ object Relational {
         .agg(sum(round(col("l_quantity") * 100).cast("long")).as("cents"))
         .filter(col("cents") > 21000)
         .select(col("l_orderkey"), (col("cents").cast("double") / 100).as("sum_qty"))
-      // r6: (1) big⋈orders with the FILTERED agg side broadcast — ~5% of
-      // orders survive `cents > 21000` (707k × 16 B ≈ 11 MB at sf10, longs
-      // only), which the size gate can't see through the aggregate (it
-      // planned a sort-merge join, fully sorting both 15M-row sides), and
-      // broadcasting it means orders is scanned and probed with NO
-      // exchange at all. (2) take the top-20 by o_totalprice BEFORE the
-      // customer join: o_custkey is a foreign key into customer, so the
-      // inner join is non-filtering and the limit commutes through it —
-      // then the 20-row side is what gets broadcast, instead of hashing
-      // all of customer. (If the FK were ever violated the driver's
-      // row-count gate would catch the short result.)
-      val top = broadcast(big)
+      // r6: (1) big⋈orders as an explicit shuffle_hash — the size gate
+      // can't see through the aggregate and planned a sort-merge join,
+      // fully sorting both 15M-row sides. (broadcast(big) was ALSO
+      // measured worse: ~707k rows survive the cents filter at sf10 and
+      // the driver-side hashed-relation build cost more than the slim
+      // orders exchange it saved — same lesson as the q03 broadcast-semi.)
+      // (2) take the top-20 by o_totalprice BEFORE the customer join:
+      // o_custkey is a foreign key into customer, so the inner join is
+      // non-filtering and the limit commutes through it — then the 20-row
+      // side is what gets broadcast, instead of hashing all of customer.
+      // (If the FK were ever violated the driver's row-count gate would
+      // catch the short result.)
+      val top = big.hint("shuffle_hash")
         .join(o.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
           col("l_orderkey") === col("o_orderkey"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
