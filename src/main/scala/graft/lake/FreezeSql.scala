@@ -265,8 +265,16 @@ object FreezeSql {
     insertAll(sb, "ducklake_tag",
       Seq("object_id VARCHAR", "begin_snapshot BIGINT", "end_snapshot BIGINT",
         "key VARCHAR", "value VARCHAR"),
-      st.tags.filterNot(Thaw.isForeignCarrier)
+      st.tags.filterNot(t => Thaw.isForeignCarrier(t) || Thaw.isColumnTag(t))
         .map(t => Seq(t.scope, t.begin, t.end, t.key, t.value)))
+
+    insertAll(sb, "ducklake_column_tag",
+      Seq("table_id BIGINT", "column_id BIGINT", "begin_snapshot BIGINT",
+        "end_snapshot BIGINT", "key VARCHAR", "value VARCHAR"),
+      st.tags.filter(Thaw.isColumnTag).map { t =>
+        val (tid, cid) = Thaw.columnTagIds(t)
+        Seq(tid, cid, t.begin, t.end, t.key, t.value)
+      })
 
     // preserved foreign view/macro rows re-emitted with their original
     // columns (Thaw.ForeignTables carrier round-trip); timestamps/binary
@@ -328,7 +336,8 @@ object FreezeSql {
       "ducklake_column", "ducklake_data_file", "ducklake_file_column_stats",
       "ducklake_delete_file", "ducklake_partition_info",
       "ducklake_partition_column", "ducklake_file_partition_value",
-      "ducklake_tag", "ducklake_sort_info", "ducklake_sort_expression",
+      "ducklake_tag", "ducklake_column_tag",
+      "ducklake_sort_info", "ducklake_sort_expression",
       "ducklake_files_scheduled_for_deletion", "ducklake_schema_versions",
       "ducklake_file_variant_stats")
     AllTables.filterNot(t => emitted(t) || foreignEmitted(t)).foreach(t =>

@@ -128,9 +128,13 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
     requireWritable()
     val schemaName = ns(ident)
     val partKeys = partitions.toList.map(parseTransform)
+    // PROP_COMMENT stays: `CREATE TABLE ... COMMENT '...'` and
+    // `COMMENT ON TABLE` land in ducklake_tag (key 'comment') like any
+    // other table-scoped tag — the reference lists comments unsupported
+    // (docs/ducklake_feature_coverage.md:34) but stores them there
     val props = properties.asScala.toMap -
       (TableCatalog.PROP_PROVIDER, TableCatalog.PROP_OWNER, TableCatalog.PROP_LOCATION,
-        TableCatalog.PROP_COMMENT, TableCatalog.PROP_EXTERNAL)
+        TableCatalog.PROP_EXTERNAL)
     store.commitWithRetry() { (st, sid) =>
       if (st.tableAt(schemaName, ident.name(), st.currentSnapshotId).isDefined)
         throw new TableAlreadyExistsException(ident)
@@ -223,11 +227,49 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
               defaultValue = Option(d.newDefaultValue()).filter(_.nonEmpty),
               begin = sid, end = None)
           }
+        // ALTER COLUMN SET/DROP NOT NULL (reference lists NOT NULL
+        // management unsupported, docs/ducklake_feature_coverage.md:112).
+        // SET NOT NULL proves the data first: the metadata path accepts
+        // when every live file's recorded nullCount is 0 and no inline
+        // batches exist; otherwise one column-pruned scan checks for a
+        // surviving null (deletes may have removed them all, so stats
+        // alone may not refuse). Not a file-schema change — epochs and
+        // file readability are untouched.
+        case nl: TableChange.UpdateColumnNullability =>
+          val name = nl.fieldNames().mkString(".")
+          cols.find(_.name == name).foreach { c =>
+            if (!nl.nullable()) {
+              val statsClean = st.inlinedAt(tid, cur).isEmpty &&
+                st.deleteFilesAt(tid, cur).isEmpty &&
+                st.filesAt(tid, cur).forall(f => st.statsFor(f.fileId)
+                  .exists(s => s.columnName == name && s.nullCount == 0L))
+              if (!statsClean) {
+                val nulls = LakeRead.scanDF(SparkSession.active, st, tid, cur, Nil)
+                  .filter(org.apache.spark.sql.functions.col(name).isNull)
+                  .limit(1).count()
+                if (nulls > 0) throw new IllegalStateException(
+                  s"ALTER COLUMN $name SET NOT NULL: column contains nulls")
+              }
+            }
+            endedCols += s"$tid:${c.columnId}"
+            newCols += c.copy(nullable = nl.nullable(), begin = sid, end = None)
+          }
         case p: TableChange.SetProperty =>
           endedTags += s"$tid:${p.property()}"
           newTags += TagEntry(tid.toString, p.property(), p.value(), sid, None)
         case p: TableChange.RemoveProperty =>
           endedTags += s"$tid:${p.property()}"
+        // ALTER TABLE t ALTER COLUMN c COMMENT '...': stored per-column in
+        // the `col:<tid>:<colId>` scope, dumped as ducklake_column_tag on
+        // freeze (pgducklake_freeze.cpp:40). Not a DDL change — the column
+        // epoch (and file readability) is untouched.
+        case cc: TableChange.UpdateColumnComment =>
+          val name = cc.fieldNames().mkString(".")
+          cols.find(_.name == name).foreach { c =>
+            endedTags += s"col:$tid:${c.columnId}:comment"
+            newTags += TagEntry(s"col:$tid:${c.columnId}", "comment",
+              cc.newComment(), sid, None)
+          }
         case other =>
           throw new UnsupportedOperationException(s"unsupported table change: $other")
       }

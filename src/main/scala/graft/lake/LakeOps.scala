@@ -120,6 +120,129 @@ class Lake(val spark: SparkSession, val root: String,
     LakeWrite.insertRows(spark, store, sn, tn, rows)
   }
 
+  /** add_data_files (upstream DuckLake `ducklake_add_data_files`; the
+    * reference lists it unsupported, docs/ducklake_feature_coverage.md:94):
+    * register existing parquet files into a table WITHOUT rewriting them.
+    *
+    * Metadata-first by design — row counts and sizes come from the parquet
+    * footers and the filesystem, so registering a 100 TB directory reads
+    * zero data rows. With `collectStats` (default) ONE distributed agg job
+    * additionally records per-file min/max/null stats (the same job shape
+    * and stringification as the write path, so registered files prune
+    * exactly like native ones); `collectStats = false` is the pure-footer
+    * bulk path — absent stats make the pruner keep the files, never drop
+    * them. Identity partition-key values are recorded when a file's stats
+    * prove a single value (min == max, no nulls); transform keys stay
+    * unrecorded → the file is always read, never mis-pruned.
+    *
+    * Validation is strict: every file column must exist in the table with
+    * the exact Spark type (no silent widening — the native scan tier
+    * stamps these files with the CURRENT schema epoch and Spark's by-name
+    * parquet reader does not cast); table columns absent from a file must
+    * be nullable with no existence default (the reader null-fills them).
+    * Registered files become lake-managed: compaction may rewrite them and
+    * `cleanup_old_files` may delete them once superseded. */
+  def addDataFiles(table: String, paths: Seq[String],
+      collectStats: Boolean = true): Long = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    require(paths.nonEmpty, "addDataFiles: no paths given")
+    val st0 = store.state()
+    val e = resolve(table, st0)
+    val tid = e.tableId
+    val cur = st0.currentSnapshotId
+    val cols = st0.columnsAt(tid, cur)
+    val byName = cols.map(c => c.name -> c).toMap
+    val hconf = spark.sessionState.newHadoopConf()
+
+    case class Candidate(path: String, fileName: String, rows: Long, size: Long)
+    val cands = paths.map { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(hconf)
+      val status = fs.getFileStatus(hp) // throws loudly when absent
+      require(status.isFile, s"addDataFiles: not a file: $p")
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(hp, hconf))
+      val rows = try reader.getRecordCount finally reader.close()
+      val fileSchema = spark.read.parquet(p).schema
+      fileSchema.fields.foreach { f =>
+        val c = byName.getOrElse(f.name, throw new IllegalArgumentException(
+          s"addDataFiles: $p has column '${f.name}' not in table $table"))
+        val want = LakeRead.sparkType(c.dataType)
+        require(LakeRead.relaxNullability(f.dataType).sql ==
+            LakeRead.relaxNullability(want).sql,
+          s"addDataFiles: $p column '${f.name}' is ${f.dataType.sql}, table declares ${want.sql}")
+      }
+      val present = fileSchema.fieldNames.toSet
+      cols.filterNot(c => present.contains(c.name)).foreach { c =>
+        require(c.nullable && c.existsDefault.isEmpty,
+          s"addDataFiles: $p lacks column '${c.name}' (not null-fillable)")
+      }
+      Candidate(hp.toString, hp.getName, rows, status.getLen)
+    }
+    val names = cands.map(_.fileName)
+    require(names.distinct.size == names.size,
+      s"addDataFiles: duplicate file names in batch: ${names.diff(names.distinct).distinct.mkString(", ")}")
+    // fileName is the positional-delete join key — unique store-wide
+    val taken = st0.files.map(_.fileName).toSet
+    names.find(taken).foreach(n => throw new IllegalArgumentException(
+      s"addDataFiles: file name '$n' is already registered; rename the file"))
+
+    val statCols = cols.filter(c => LakeWrite.statsEligible(LakeRead.sparkType(c.dataType)))
+    val statRows: Map[String, Row] =
+      if (!collectStats || statCols.isEmpty || cands.forall(_.rows == 0L)) Map.empty
+      else {
+        val aggs = LakeWrite.statAggsFor(statCols)
+        spark.read.schema(LakeRead.structFor(cols)).parquet(cands.map(_.path): _*)
+          .groupBy(col("_metadata.file_name").as("_file"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect().map(r => r.getString(0) -> r).toMap
+      }
+    val statColNames = statCols.map(_.name).toSet
+    val partKeys = st0.partitionKeysAt(tid, cur)
+
+    store.commitWithRetry() { (st, sid) =>
+      if (st.tableById(tid, st.currentSnapshotId).isEmpty)
+        throw new IllegalStateException(s"table $table dropped concurrently")
+      val schemaVersion = st.snapshots.lastOption.map(_.schemaVersion).getOrElse(0L)
+      var fileId = st.nextFileId
+      var rowId = st.nextRowId(tid)
+      val newFiles = cands.sortBy(_.fileName).map { cd =>
+        val r = statRows.get(cd.fileName)
+        val pvals = partKeys
+          .filter(pk => pk.transform == "identity" && statColNames.contains(pk.column))
+          .flatMap { pk =>
+            r.flatMap { row =>
+              val mn = Option(row.getString(row.fieldIndex(s"_min_${pk.column}")))
+              val mx = Option(row.getString(row.fieldIndex(s"_max_${pk.column}")))
+              val nulls = row.getLong(row.fieldIndex(s"_nulls_${pk.column}"))
+              if (nulls == 0L && mn.isDefined && mn == mx) Some(pk.label -> mn.get)
+              else None
+            }
+          }.toMap
+        val fe = DataFileEntry(fileId, tid, cd.path, cd.fileName, cd.rows,
+          cd.size, firstRowId = rowId, schemaVersion = schemaVersion,
+          explicitRowIds = false, partitionValues = pvals, begin = sid, end = None)
+        fileId += 1; rowId += cd.rows
+        fe
+      }.toList
+      val newStats = newFiles.flatMap { fe =>
+        statRows.get(fe.fileName).toList.flatMap { r =>
+          statCols.map { c =>
+            FileColumnStats(fe.fileId, c.name, c.dataType,
+              Option(r.getString(r.fieldIndex(s"_min_${c.name}"))),
+              Option(r.getString(r.fieldIndex(s"_max_${c.name}"))),
+              r.getLong(r.fieldIndex(s"_nulls_${c.name}")))
+          }
+        }
+      }
+      val n = newFiles.map(_.rowCount).sum
+      CommitDelta(
+        snapshot = Snapshot(sid, System.currentTimeMillis(), schemaVersion,
+          List(s"inserted:$tid:$n")),
+        newFiles = newFiles, newStats = newStats)
+    }
+  }
+
   def delete(table: String, cond: Column): (Long, Long) = {
     val (sn, tn) = schemaOf(table)
     LakeWrite.delete(spark, store, sn, tn, cond)
@@ -529,11 +652,9 @@ class Lake(val spark: SparkSession, val root: String,
 
   // ------------------------------------------------------------ maintenance
 
-  /** table-scoped option with global fallback (docs/settings.md scoping) */
-  private def optionTag(st: CatalogState, tid: Long, key: String): Option[String] = {
-    val cur = st.currentSnapshotId
-    st.tagAt(tid.toString, key, cur).orElse(st.tagAt("global", key, cur))
-  }
+  /** scoped option: table beats schema beats global (docs/settings.md) */
+  private def optionTag(st: CatalogState, tid: Long, key: String): Option[String] =
+    st.optionAt(tid, key, st.currentSnapshotId)
 
   /** Merge adjacent small files (VACUUM step 2, src/pgducklake_vacuum.cpp:
     * 73-86; DuckLake `ducklake_merge_adjacent_files`): live files SMALLER
@@ -845,10 +966,16 @@ class Lake(val spark: SparkSession, val root: String,
 
   // ------------------------------------------------------------- options
 
-  /** set_option (reference docs/settings.md, sql/pg_ducklake--0.1.0.sql:150-176) */
-  def setOption(key: String, value: String, table: Option[String] = None): Long = {
+  /** set_option (reference docs/settings.md, sql/pg_ducklake--0.1.0.sql:150-176).
+    * `schema` adds the middle scope of table > schema > global — the
+    * schema-level scoping the reference lists as unsupported
+    * (docs/ducklake_feature_coverage.md:112). */
+  def setOption(key: String, value: String, table: Option[String] = None,
+      schema: Option[String] = None): Long = {
+    require(table.isEmpty || schema.isEmpty, "setOption: give table OR schema, not both")
     val st0 = store.state()
-    val scope = table.map(t => resolve(t, st0).tableId.toString).getOrElse("global")
+    val scope = table.map(t => resolve(t, st0).tableId.toString)
+      .orElse(schema.map(sc => s"schema:$sc")).getOrElse("global")
     store.commitWithRetry() { (st, sid) =>
       CommitDelta(
         snapshot = Snapshot(sid, System.currentTimeMillis(),
@@ -857,6 +984,80 @@ class Lake(val spark: SparkSession, val root: String,
         endedTags = List(s"$scope:$key"),
         newTags = List(TagEntry(scope, key, value, sid, None)))
     }
+  }
+
+  /** ALTER COLUMN SET/DROP NOT NULL (reference lists NOT NULL management
+    * unsupported, docs/ducklake_feature_coverage.md:112). Spark's SQL
+    * analyzer refuses nullable→non-nullable outright ("Cannot change
+    * nullable column to non-nullable") because it cannot validate the
+    * data — this API can: the catalog path proves absence of nulls from
+    * per-file stats, falling back to one column-pruned scan. DROP NOT
+    * NULL also works through plain SQL. */
+  def setNotNull(table: String, column: String, notNull: Boolean = true): Long = {
+    requireNotInTransaction("setNotNull")
+    val (sn, tn) = schemaOf(table)
+    val cat = new LakeCatalog()
+    val m = new java.util.HashMap[String, String]()
+    m.put("root", root)
+    cat.initialize("lake", new org.apache.spark.sql.util.CaseInsensitiveStringMap(m))
+    cat.alterTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array(sn), tn),
+      org.apache.spark.sql.connector.catalog.TableChange
+        .updateColumnNullability(Array(column), !notNull))
+    store.state().currentSnapshotId
+  }
+
+  /** COMMENT ON TABLE (reference lists comments unsupported,
+    * docs/ducklake_feature_coverage.md:34; upstream DuckLake keeps them in
+    * ducklake_tag). SQL `COMMENT ON TABLE` lowers onto the same tag via
+    * the DSv2 catalog's SetProperty("comment"). None clears. */
+  def setComment(table: String, comment: Option[String]): Long = {
+    val st0 = store.state()
+    val tid = resolve(table, st0).tableId
+    store.commitWithRetry() { (st, sid) =>
+      CommitDelta(
+        snapshot = Snapshot(sid, System.currentTimeMillis(),
+          st.snapshots.lastOption.map(_.schemaVersion).getOrElse(0L),
+          List(s"comment:$tid")),
+        endedTags = List(s"$tid:comment"),
+        newTags = comment.map(c => TagEntry(tid.toString, "comment", c, sid, None)).toList)
+    }
+  }
+
+  /** COMMENT ON COLUMN — scope `col:<tid>:<colId>`, frozen as
+    * ducklake_column_tag (pgducklake_freeze.cpp:40). The column EPOCH is
+    * untouched: comments never affect file readability or time travel. */
+  def setColumnComment(table: String, column: String, comment: Option[String]): Long = {
+    val st0 = store.state()
+    val tid = resolve(table, st0).tableId
+    val c = st0.columnsAt(tid, st0.currentSnapshotId).find(_.name == column)
+      .getOrElse(throw new IllegalArgumentException(s"no column $column in $table"))
+    store.commitWithRetry() { (st, sid) =>
+      CommitDelta(
+        snapshot = Snapshot(sid, System.currentTimeMillis(),
+          st.snapshots.lastOption.map(_.schemaVersion).getOrElse(0L),
+          List(s"comment:$tid")),
+        endedTags = List(s"col:$tid:${c.columnId}:comment"),
+        newTags = comment.map(v =>
+          TagEntry(s"col:$tid:${c.columnId}", "comment", v, sid, None)).toList)
+    }
+  }
+
+  /** commented objects of one table: (object_type, name, comment) */
+  def comments(table: String): DataFrame = {
+    val st = store.state()
+    val cur = st.currentSnapshotId
+    val e = resolve(table, st)
+    val tid = e.tableId
+    val rows =
+      st.tagAt(tid.toString, "comment", cur)
+        .map(v => Row("table", e.tableName, v)).toList ++
+      st.columnsAt(tid, cur).flatMap(c =>
+        st.tagAt(s"col:$tid:${c.columnId}", "comment", cur)
+          .map(v => Row("column", c.name, v)))
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("object_type", StringType), StructField("name", StringType),
+      StructField("comment", StringType)))).orderBy("object_type", "name")
   }
 
   def options(): DataFrame = {

@@ -74,7 +74,15 @@ class LakeTable(
 
   override def name(): String = s"$schemaName.$tableName"
 
-  override def schema(): StructType = LakeRead.structFor(cols)
+  override def schema(): StructType = {
+    // column comments (scope col:<tid>:<colId>, freeze: ducklake_column_tag)
+    // ride the StructField metadata so DESCRIBE surfaces them
+    val base = LakeRead.structFor(cols)
+    StructType(base.fields.zip(cols).map { case (f, c) =>
+      st.tagAt(s"col:${entry.tableId}:${c.columnId}", "comment", snapshot)
+        .map(f.withComment).getOrElse(f)
+    })
+  }
 
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,

@@ -31,7 +31,7 @@ object LakeWrite {
   def tableDir(root: String, tid: Long) = s"$root/t$tid"
 
   /** stats-eligible leaf types (orderable, cast-to-string round-trippable) */
-  private def statsEligible(dt: DataType): Boolean = dt match {
+  private[lake] def statsEligible(dt: DataType): Boolean = dt match {
     case _: NumericType | StringType | DateType | TimestampType | BooleanType => true
     case _ => false
   }
@@ -119,8 +119,7 @@ object LakeWrite {
     * honored adaptively — bytes/row estimated from the table's existing
     * files (the parquet-hadoop writer sizes row groups in bytes only). */
   private def writeOptions(st: CatalogState, tid: Long, s: Long): Map[String, String] = {
-    def tag(k: String): Option[String] =
-      st.tagAt(tid.toString, k, s).orElse(st.tagAt("global", k, s))
+    def tag(k: String): Option[String] = st.optionAt(tid, k, s)
     def bytesPerRow: Option[Long] = {
       val live = st.filesAt(tid, s)
       val rows = live.map(_.rowCount).sum
@@ -184,7 +183,7 @@ object LakeWrite {
     }
   }
 
-  private def statAggsFor(statCols: Seq[ColumnEntry]): Seq[Column] =
+  private[lake] def statAggsFor(statCols: Seq[ColumnEntry]): Seq[Column] =
     Seq(count(lit(1)).as("_cnt")) ++ statCols.flatMap { c =>
       Seq(min(col(c.name)).cast(StringType).as(s"_min_${c.name}"),
         max(col(c.name)).cast(StringType).as(s"_max_${c.name}"),
@@ -223,13 +222,20 @@ object LakeWrite {
     val sortKeys = st0.sortKeysAt(tid, s0)
     val schemaVersion = st0.snapshots.lastOption.map(_.schemaVersion).getOrElse(0L)
 
-    def tag(k: String): Option[String] =
-      st0.tagAt(tid.toString, k, s0).orElse(st0.tagAt("global", k, s0))
+    def tag(k: String): Option[String] = st0.optionAt(tid, k, s0)
 
-    // align to table schema (by name, cast to declared types)
+    // align to table schema (by name, cast to declared types); NOT NULL
+    // columns get a codegen'd per-row guard (assert_true short-circuits to
+    // null on success, throws on the first violating row)
     val rowIdSel = if (explicitRowIds) Seq(col(LakeRead.RowIdCol)) else Nil
     var aligned = df.select(
-      cols.map(c => col(c.name).cast(LakeRead.sparkType(c.dataType)).as(c.name)) ++ rowIdSel: _*)
+      cols.map { c =>
+        val base = col(c.name).cast(LakeRead.sparkType(c.dataType))
+        if (c.nullable) base.as(c.name)
+        else when(assert_true(base.isNotNull,
+          lit(s"NOT NULL constraint on column ${c.name} violated")).isNull,
+          base).as(c.name)
+      } ++ rowIdSel: _*)
     // per_thread_output=false (docs/settings.md): funnel into one output
     // file per write instead of the default one-per-task
     if (tag("per_thread_output").exists(v => v == "false" || v == "0"))
@@ -371,6 +377,12 @@ object LakeWrite {
     val tid = st0.tableAt(schemaName, tableName, s0)
       .getOrElse(throw new NoSuchElementException(s"no table $schemaName.$tableName")).tableId
     val cols = st0.columnsAt(tid, s0)
+    // NOT NULL enforcement for the inline fast path (the append path's
+    // per-row guard covers everything that writes parquet)
+    cols.zipWithIndex.filterNot(_._1.nullable).foreach { case (c, i) =>
+      require(rows.forall(r => i < r.length && r(i) != null),
+        s"NOT NULL constraint on column ${c.name} violated")
+    }
     // variant columns disable inlining entirely (reference:
     // src/pgducklake_direct_insert.cpp:144-146, variant.sql:8-13); binary /
     // geometry (WKB bytes) likewise — raw bytes don't survive the JSON
@@ -379,8 +391,7 @@ object LakeWrite {
       c.dataType.equalsIgnoreCase("binary") || c.dataType.equalsIgnoreCase("geometry"))
     val limit =
       if (hasVariant) 0L
-      else st0.tagAt(tid.toString, "data_inlining_row_limit", s0)
-        .orElse(st0.tagAt("global", "data_inlining_row_limit", s0))
+      else st0.optionAt(tid, "data_inlining_row_limit", s0)
         .map(_.toLong).getOrElse(DefaultInlineLimit)
     if (rows.size > limit) {
       val schema = LakeRead.structFor(cols)

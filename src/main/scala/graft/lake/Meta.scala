@@ -240,6 +240,16 @@ object Meta {
       tags.find(t => t.scope == scope && t.key == key && liveAt(t.begin, t.end, s))
         .map(_.value)
 
+    /** Catalog-option resolution (docs/settings.md scoping, plus the
+      * schema level the reference lists as unsupported): table beats
+      * schema beats global. The schema scope is keyed by name
+      * (`schema:<name>`) — schemas have no ids in this catalog. */
+    def optionAt(tableId: Long, key: String, s: Long): Option[String] =
+      tagAt(tableId.toString, key, s)
+        .orElse(tableById(tableId, s).flatMap(t =>
+          tagAt(s"schema:${t.schemaName}", key, s)))
+        .orElse(tagAt("global", key, s))
+
     def statsFor(fileId: Long): Vector[FileColumnStats] =
       stats.filter(_.fileId == fileId)
 

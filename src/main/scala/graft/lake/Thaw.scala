@@ -53,6 +53,14 @@ object Thaw {
   private[lake] def isForeignCarrier(t: TagEntry): Boolean =
     t.scope.startsWith("ducklake:")
 
+  /** column comments/tags live in scope `col:<tid>:<colId>` and freeze as
+    * ducklake_column_tag (pgducklake_freeze.cpp:40), never ducklake_tag */
+  private[lake] def isColumnTag(t: TagEntry): Boolean = t.scope.startsWith("col:")
+  private[lake] def columnTagIds(t: TagEntry): (Long, Long) = {
+    val p = t.scope.split(':')
+    (p(1).toLong, p(2).toLong)
+  }
+
   /** value → portable string (binary → base64; everything else toString) */
   private def fieldToString(v: Any): String = v match {
     case null => null
@@ -184,6 +192,10 @@ object Thaw {
     fld("object_id", StringType), fld("begin_snapshot", LongType),
     fld("end_snapshot", LongType), fld("key", StringType),
     fld("value", StringType)))
+  private val columnTagSchema = StructType(Seq(
+    fld("table_id", LongType), fld("column_id", LongType),
+    fld("begin_snapshot", LongType), fld("end_snapshot", LongType),
+    fld("key", StringType), fld("value", StringType)))
 
   private def jl(v: Long): java.lang.Long = java.lang.Long.valueOf(v)
   private def jl(v: Option[Long]): java.lang.Long = v.map(jl).orNull
@@ -260,8 +272,13 @@ object Thaw {
           java.lang.Boolean.valueOf(k.ascending),
           java.lang.Boolean.valueOf(k.nullsFirst))
       }))
-    w("ducklake_tag", tagSchema, st.tags.filterNot(isForeignCarrier).map(t =>
-      Row(t.scope, jl(t.begin), jl(t.end), t.key, t.value)))
+    w("ducklake_tag", tagSchema,
+      st.tags.filterNot(t => isForeignCarrier(t) || isColumnTag(t)).map(t =>
+        Row(t.scope, jl(t.begin), jl(t.end), t.key, t.value)))
+    w("ducklake_column_tag", columnTagSchema, st.tags.filter(isColumnTag).map { t =>
+      val (tid, cid) = columnTagIds(t)
+      Row(jl(tid), jl(cid), jl(t.begin), jl(t.end), t.key, t.value)
+    })
     // preserved foreign view/macro rows re-emerge as their real datasets
     val carriers = st.tags.filter(isForeignCarrier)
       .groupBy(_.scope.stripPrefix("ducklake:"))
@@ -496,6 +513,10 @@ object Thaw {
       TagEntry(getS(r, "object_id").getOrElse("global"),
         getS(r, "key").get, getS(r, "value").getOrElse(""),
         get(r, "begin_snapshot"), opt(r, "end_snapshot"))).toVector
+    val colTags = rd("ducklake_column_tag").map(r =>
+      TagEntry(s"col:${get(r, "table_id")}:${get(r, "column_id")}",
+        getS(r, "key").get, getS(r, "value").getOrElse(""),
+        get(r, "begin_snapshot"), opt(r, "end_snapshot"))).toVector
 
     // view/macro rows (not executed, preserved losslessly — see
     // ForeignTables). The carrier tag's begin mirrors the row's
@@ -517,8 +538,8 @@ object Thaw {
     }.toVector
 
     CatalogState(snapshots, tables, columns, files, deleteFiles, stats,
-      partitionInfo, sortInfo, inlined = Vector.empty, tags ++ foreignTags,
-      scheduledDeletions = Vector.empty)
+      partitionInfo, sortInfo, inlined = Vector.empty,
+      tags ++ colTags ++ foreignTags, scheduledDeletions = Vector.empty)
   }
 
   // ----------------------------------------------------------------- replay

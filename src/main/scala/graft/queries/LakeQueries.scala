@@ -609,6 +609,66 @@ object LakeQueries {
         .orderBy("n_nationkey")
     }),
 
+    // ---- add_data_files: register external parquet without rewriting it.
+    // Batch 1 takes the stats path (footer counts + one distributed stats
+    // job), batch 2 the pure-footer bulk path (no stats, pruner keeps the
+    // file); a positional delete then proves registered files join the
+    // delete layer by name exactly like native ones -------------------------
+    "l39_add_data_files" -> ((s, dir) => {
+      val lake = newLake(s)
+      val nation = t(s, dir, "nation")
+      lake.createTableAs("main.ext", nation.filter(col("n_nationkey") < 10))
+      val ext = Files.createTempDirectory("graft_ext").toString
+      nation.filter(col("n_nationkey") >= 10 && col("n_nationkey") < 20)
+        .coalesce(1).write.mode("overwrite").parquet(s"$ext/a")
+      nation.filter(col("n_nationkey") >= 20)
+        .coalesce(1).write.mode("overwrite").parquet(s"$ext/b")
+      def parts(d: String): Seq[String] = new java.io.File(d).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSeq
+      lake.addDataFiles("main.ext", parts(s"$ext/a"))
+      lake.addDataFiles("main.ext", parts(s"$ext/b"), collectStats = false)
+      lake.delete("main.ext", col("n_nationkey") === 12)
+      lake.table("main.ext").orderBy("n_nationkey")
+    }),
+
+    // ---- COMMENT ON TABLE/COLUMN: stored as ducklake_tag /
+    // ducklake_column_tag, set through Spark SQL, and proven to survive a
+    // freeze → thaw round-trip into a second lake ---------------------------
+    "l40_comments" -> ((s, dir) => {
+      val lake = newLake(s)
+      lake.createTableAs("main.cmt", t(s, dir, "region"))
+      val cat = s"lcmt${System.nanoTime()}"
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", lake.root)
+      s.sql(s"COMMENT ON TABLE $cat.main.cmt IS 'regions snapshot'")
+      s.sql(s"ALTER TABLE $cat.main.cmt ALTER COLUMN r_name COMMENT 'region name'")
+      val frozen = Files.createTempDirectory("graft_cmt").toString
+      lake.freeze(frozen)
+      val thawed = newLake(s)
+      thawed.importCatalog(s"$frozen/catalog_parquet")
+      thawed.comments("main.cmt")
+    }),
+
+    // ---- NOT NULL management: SET NOT NULL validates existing data (via
+    // stats or one scan), the constraint then rejects violating writes ------
+    "l41_notnull" -> ((s, dir) => {
+      val lake = newLake(s)
+      lake.createTableAs("main.nn", t(s, dir, "nation"))
+      val cat = s"lnn${System.nanoTime()}"
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", lake.root)
+      lake.setNotNull("main.nn", "n_name")
+      val rejected =
+        try { lake.insertRows("main.nn", Seq(Seq(99, null, 0, "x"))); 0 }
+        catch { case _: IllegalArgumentException => 1 }
+      // DROP NOT NULL goes through plain Spark SQL; the insert then lands
+      s.sql(s"ALTER TABLE $cat.main.nn ALTER COLUMN n_name DROP NOT NULL")
+      lake.insertRows("main.nn", Seq(Seq(99, null, 0, "x")))
+      lake.table("main.nn")
+        .select(col("n_nationkey"), col("n_name"), lit(rejected).as("rejected_nulls"))
+        .orderBy("n_nationkey")
+    }),
+
     // ---- metadata checkpoint: cold opens read checkpoint + tail ----------
     "l37_checkpoint" -> ((s, dir) => {
       val lake = newLake(s)
@@ -955,6 +1015,25 @@ object LakeQueries {
         |  (SELECT COUNT(*) FROM nation WHERE n_regionkey = 4) AS feed_inserts,
         |  (SELECT COUNT(*) FROM nation WHERE n_nationkey = 0) AS feed_deletes
         |FROM nation WHERE n_nationkey <> 0
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "l39_add_data_files" ->
+      """SELECT * FROM nation WHERE n_nationkey <> 12
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "l40_comments" ->
+      """SELECT * FROM (
+        |  SELECT 'column' AS object_type, 'r_name' AS name,
+        |         'region name' AS comment
+        |  UNION ALL
+        |  SELECT 'table', 'cmt', 'regions snapshot') t
+        |ORDER BY object_type, name""".stripMargin,
+
+    "l41_notnull" ->
+      """SELECT * FROM (
+        |  SELECT n_nationkey, n_name, 1 AS rejected_nulls FROM nation
+        |  UNION ALL
+        |  SELECT 99, NULL, 1) t
         |ORDER BY n_nationkey""".stripMargin,
 
     "l25_column_default" ->

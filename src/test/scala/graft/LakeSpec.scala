@@ -283,6 +283,97 @@ class LakeSpec extends AnyFunSuite {
     assert(lake.table("main.s").filter(col("a") > 50).count() == 11)
   }
 
+  // ---- add_data_files (upstream DuckLake; reference lists unsupported) --
+  test("add_data_files: registration, stats pruning, deletes, validation") {
+    val lake = newLake()
+    import spark.implicits._
+    def parts(d: String): Seq[String] = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSeq
+    lake.createTable("main.x", abSchema)
+    lake.append("main.x", (1 to 5).map(i => (i, i)).toDF("a", "b"))
+    val ext = Files.createTempDirectory("graft_addf").toString
+    (100 to 110).map(i => (i, i)).toDF("a", "b").coalesce(1)
+      .write.parquet(s"$ext/hi")
+    lake.addDataFiles("main.x", parts(s"$ext/hi"))
+    assert(lake.table("main.x").count() == 16)
+    // the registration stats job makes the external file prunable
+    val st = lake.store.state()
+    val tid = st.tableAt("main", "x", st.currentSnapshotId).get.tableId
+    val live = st.filesAt(tid, st.currentSnapshotId)
+    val kept = Pruning.prune(live, st.statsFor, Map("a" -> "INT", "b" -> "INT"),
+      Nil, Seq(org.apache.spark.sql.sources.LessThan("a", 50)))
+    assert(kept.length < live.length, "registered file pruned by its stats")
+    // positional deletes join the registered file by name like native ones
+    lake.delete("main.x", col("a") === 105)
+    assert(lake.table("main.x").count() == 15)
+    assert(lake.table("main.x").filter(col("a") === 105).count() == 0)
+    // a basename can only be registered once (it is the delete join key)
+    val dup = intercept[IllegalArgumentException] {
+      lake.addDataFiles("main.x", parts(s"$ext/hi").take(1))
+    }
+    assert(dup.getMessage.contains("already registered"))
+    // type mismatch is rejected loudly — no silent widening
+    Seq(("x", 1)).toDF("a", "b").write.parquet(s"$ext/bad")
+    assertThrows[IllegalArgumentException] {
+      lake.addDataFiles("main.x", parts(s"$ext/bad"))
+    }
+    // pure-footer path: no stats job, missing nullable column null-fills
+    Seq(200, 201).toDF("a").write.parquet(s"$ext/partial")
+    lake.addDataFiles("main.x", parts(s"$ext/partial"), collectStats = false)
+    val nulls = lake.table("main.x").filter(col("a") >= 200)
+      .select("b").collect()
+    assert(nulls.length == 2 && nulls.forall(_.isNullAt(0)))
+  }
+
+  // ---- NOT NULL management (reference lists unsupported) ----------------
+  test("not null: SET validates existing data, both write paths enforce") {
+    val lake = newLake()
+    import spark.implicits._
+    lake.createTable("main.n", StructType(Seq(
+      StructField("a", IntegerType), StructField("b", StringType))))
+    lake.append("main.n", Seq((1, "x"), (2, null)).toDF("a", "b"))
+    // a surviving null refuses the constraint
+    assertThrows[IllegalStateException] { lake.setNotNull("main.n", "b") }
+    // after deleting it, file stats still count the null — the fallback
+    // scan (not stats) is what must clear the constraint
+    lake.delete("main.n", col("a") === 2)
+    lake.setNotNull("main.n", "b")
+    // parquet write path: codegen'd per-row guard
+    intercept[Exception] {
+      lake.append("main.n", Seq((3, null: String)).toDF("a", "b"))
+    }
+    // inline fast path: driver-side check
+    assertThrows[IllegalArgumentException] {
+      lake.insertRows("main.n", Seq(Seq(4, null)))
+    }
+    lake.setNotNull("main.n", "b", notNull = false)
+    lake.insertRows("main.n", Seq(Seq(4, null)))
+    assert(lake.table("main.n").count() == 2)
+  }
+
+  // ---- schema-level option scoping (reference lists unsupported) --------
+  test("options: table beats schema beats global") {
+    val lake = newLake()
+    lake.createTable("main.o", abSchema)
+    val tid = {
+      val st = lake.store.state()
+      st.tableAt("main", "o", st.currentSnapshotId).get.tableId
+    }
+    def resolved: Option[String] = {
+      val st = lake.store.state()
+      st.optionAt(tid, "parquet_compression", st.currentSnapshotId)
+    }
+    lake.setOption("parquet_compression", "zstd")
+    assert(resolved.contains("zstd"))
+    lake.setOption("parquet_compression", "snappy", schema = Some("main"))
+    assert(resolved.contains("snappy"), "schema scope beats global")
+    lake.setOption("parquet_compression", "gzip", table = Some("main.o"))
+    assert(resolved.contains("gzip"), "table scope beats schema")
+    assertThrows[IllegalArgumentException] {
+      lake.setOption("k", "v", table = Some("main.o"), schema = Some("main"))
+    }
+  }
+
   // ---- sorted_table.sql --------------------------------------------------
   test("sorted table: compaction applies sort order") {
     val lake = newLake()
