@@ -1,0 +1,87 @@
+package graft.lake
+
+import Meta._
+
+/** Catalog views and scalar SQL macros (reference layout tables
+  * `ducklake_view` / `ducklake_macro` / `ducklake_macro_impl` /
+  * `ducklake_macro_parameters`, pgducklake_freeze.cpp:38,55-57 — the
+  * reference itself lists CREATE VIEW and macros as unsupported,
+  * docs/ducklake_feature_coverage.md:30, and only round-trips the rows;
+  * graft stores AND EXECUTES them, see [[LakeViewResolution]]).
+  *
+  * Storage: one interval-versioned [[Meta.TagEntry]] per definition —
+  * scope `view:<schema>` / `macro:<schema>`, key = object name, value =
+  * the JSON codec below. Riding the tag machinery buys versioning
+  * (CREATE OR REPLACE ends the old row), time travel, transactions,
+  * checkpointing and incremental import with zero metadata-format
+  * changes; freeze/thaw translate the tags to/from the reference-shaped
+  * `ducklake_view` / `ducklake_macro*` datasets (dialect `spark`), so a
+  * DuckDB-side consumer sees real catalog rows, not carrier blobs.
+  */
+object LakeViewDefs {
+
+  /** One view: `sql` is the defining SELECT in Spark SQL (dialect
+    * `spark`); `aliases` optionally rename the output columns (the
+    * `column_aliases` column of ducklake_view); `uuid` is stable across
+    * freeze/thaw round-trips. */
+  case class ViewDef(sql: String, aliases: List[String], uuid: String)
+
+  /** One scalar SQL macro: positional `params` substituted into the
+    * `sql` expression body at analysis time (DuckDB CREATE MACRO
+    * semantics: lazy textual expansion, not a compiled function). */
+  case class MacroDef(params: List[String], sql: String, uuid: String)
+
+  def viewScope(schema: String): String = s"view:$schema"
+  def macroScope(schema: String): String = s"macro:$schema"
+  private[lake] def isViewTag(t: TagEntry): Boolean = t.scope.startsWith("view:")
+  private[lake] def isMacroTag(t: TagEntry): Boolean = t.scope.startsWith("macro:")
+  private[lake] def schemaOfScope(t: TagEntry): String =
+    t.scope.substring(t.scope.indexOf(':') + 1)
+
+  // ------------------------------------------------------------- JSON codec
+
+  import org.json4s._
+  import org.json4s.JsonDSL._
+  import org.json4s.jackson.JsonMethods
+  private implicit val fmts: Formats = DefaultFormats
+
+  def encodeView(v: ViewDef): String =
+    JsonMethods.compact(JsonMethods.render(
+      ("sql" -> v.sql) ~ ("aliases" -> v.aliases) ~ ("uuid" -> v.uuid)))
+
+  def decodeView(json: String): ViewDef = {
+    val j = JsonMethods.parse(json)
+    ViewDef((j \ "sql").extract[String],
+      (j \ "aliases").extractOrElse[List[String]](Nil),
+      (j \ "uuid").extractOrElse[String](""))
+  }
+
+  def encodeMacro(m: MacroDef): String =
+    JsonMethods.compact(JsonMethods.render(
+      ("params" -> m.params) ~ ("sql" -> m.sql) ~ ("uuid" -> m.uuid)))
+
+  def decodeMacro(json: String): MacroDef = {
+    val j = JsonMethods.parse(json)
+    MacroDef((j \ "params").extractOrElse[List[String]](Nil),
+      (j \ "sql").extract[String],
+      (j \ "uuid").extractOrElse[String](""))
+  }
+
+  // ---------------------------------------------------------------- lookups
+
+  def viewAt(st: CatalogState, schema: String, name: String,
+      s: Long): Option[ViewDef] =
+    st.tagAt(viewScope(schema), name, s).map(decodeView)
+
+  def macroAt(st: CatalogState, schema: String, name: String,
+      s: Long): Option[MacroDef] =
+    st.tagAt(macroScope(schema), name, s).map(decodeMacro)
+
+  /** every view tag row ever written (live and ended), with its schema —
+    * the freeze emission set */
+  private[lake] def allViewTags(st: CatalogState): Seq[(String, TagEntry)] =
+    st.tags.filter(isViewTag).map(t => (schemaOfScope(t), t))
+
+  private[lake] def allMacroTags(st: CatalogState): Seq[(String, TagEntry)] =
+    st.tags.filter(isMacroTag).map(t => (schemaOfScope(t), t))
+}
