@@ -5,14 +5,16 @@ import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-provided parquet tables (TESTDATA.md).
   *
-  * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark 4 rejects
-  * outright. Sessions must set `spark.sql.legacy.parquet.nanosAsLong=true`
-  * at build time (Verify/Bench/TestSession do — the loader deliberately does
-  * NOT mutate session conf per call, which would race under concurrent
-  * queries); the int64-nanos column is rebuilt into a microsecond
-  * TimestampType with integer arithmetic (`DIV`, not `/` — ns-since-epoch
-  * overflows double precision). Day/week-level semantics match DuckDB's
-  * native ns handling exactly.
+  * `events.ts` has shipped in two encodings across fixture generations:
+  * parquet TIMESTAMP(NANOS) (read as int64 under
+  * `spark.sql.legacy.parquet.nanosAsLong=true`, which sessions still set
+  * for old fixtures) and parquet TIMESTAMP(MICROS) (read natively as a
+  * timestamp). The loader sniffs the arrived type: an integer column is
+  * rebuilt into a microsecond TimestampType with integer arithmetic
+  * (`DIV`, not `/` — ns-since-epoch overflows double precision); a native
+  * timestamp passes through, cast to session-TZ TimestampType so
+  * downstream date arithmetic is encoding-independent. Day/week-level
+  * semantics match DuckDB's handling exactly in both cases.
   */
 object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
@@ -56,8 +58,15 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
+      import org.apache.spark.sql.types.{LongType, TimestampType}
       val raw = spark.read.parquet(s"$dir/events.parquet")
-      raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      raw.schema("ts").dataType match {
+        case LongType => // legacy nanosAsLong fixture: int64 ns since epoch
+          raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        case TimestampType => raw
+        case _ => // TIMESTAMP_NTZ (timestamp[us] fixture): align to TimestampType
+          raw.withColumn("ts", col("ts").cast(TimestampType))
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 }
