@@ -37,6 +37,25 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
+    // Fixed-cost machine sentinel (VERDICT r6 #7): a constant workload with
+    // no data dependency, timed at suite start and end. If the reported
+    // values drift >1.5x from the committed reference (BASELINE.md), the
+    // whole run was taken on a loaded machine and its absolute numbers are
+    // untrustworthy — compare ratios to the sentinel instead. Median of 3
+    // after 1 warmup, same protocol as the queries.
+    def sentinel(): Double = {
+      import org.apache.spark.sql.functions._
+      def one(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(10000000L).select(
+            sum(hash(col("id"), lit(42)).cast("long")).as("h"))
+          .collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      one()
+      Seq.fill(3)(one()).sorted.apply(1)
+    }
+    val sentinelStart = sentinel()
     // SPARK_GRAFT_ONLY=q01_pricing_summary,q03_... restricts the suite —
     // used for the large-sf job-floor bench where the lakehouse op
     // sequences (create/DML per invocation) are not the object of study
@@ -55,10 +74,12 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       name -> timed(timed.length / 2)
     }
+    val sentinelEnd = sentinel()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""sentinel_start":$sentinelStart,"sentinel_end":$sentinelEnd,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
