@@ -182,7 +182,9 @@ object FreezeSql {
       st.snapshots.map(s => Seq(s.snapshotId, s.changes.mkString(","),
         None, s.commitMessage, None)))
 
-    val schemas = st.tables.map(_.schemaName).distinct.sorted.zipWithIndex
+    val schemas = (st.tables.map(_.schemaName) ++
+      st.tags.filter(t => LakeViewDefs.isViewTag(t) || LakeViewDefs.isMacroTag(t))
+        .map(LakeViewDefs.schemaOfScope)).distinct.sorted.zipWithIndex
     insertAll(sb, "ducklake_schema",
       Seq("schema_id BIGINT", "schema_uuid VARCHAR", "begin_snapshot BIGINT",
         "end_snapshot BIGINT", "schema_name VARCHAR"),
@@ -265,7 +267,8 @@ object FreezeSql {
     insertAll(sb, "ducklake_tag",
       Seq("object_id VARCHAR", "begin_snapshot BIGINT", "end_snapshot BIGINT",
         "key VARCHAR", "value VARCHAR"),
-      st.tags.filterNot(t => Thaw.isForeignCarrier(t) || Thaw.isColumnTag(t))
+      st.tags.filterNot(t => Thaw.isForeignCarrier(t) || Thaw.isColumnTag(t)
+          || LakeViewDefs.isViewTag(t) || LakeViewDefs.isMacroTag(t))
         .map(t => Seq(t.scope, t.begin, t.end, t.key, t.value)))
 
     insertAll(sb, "ducklake_column_tag",
@@ -276,23 +279,97 @@ object FreezeSql {
         Seq(tid, cid, t.begin, t.end, t.key, t.value)
       })
 
-    // preserved foreign view/macro rows re-emitted with their original
-    // columns (Thaw.ForeignTables carrier round-trip); timestamps/binary
-    // surface as implicit-castable string literals
+    // Native view/macro definitions (scopes view:/macro:, excluded from
+    // ducklake_tag above) emit reference-shaped with dialect 'spark' and
+    // schema_id keying; preserved foreign carrier rows re-emit with their
+    // original columns (Thaw.ForeignTables round-trip) — field-name union
+    // when a dataset holds both. Timestamps/binary surface as
+    // implicit-castable string literals.
     val foreignBy = st.tags.filter(Thaw.isForeignCarrier)
       .groupBy(_.scope.stripPrefix("ducklake:"))
+      .collect { case (tn, tags) if tags.nonEmpty => tn -> Thaw.foreignRowsFromTags(tags) }
+    def carrierMaxId(tn: String, field: String): Long =
+      foreignBy.get(tn).map { case (sch, rows) =>
+        val i = sch.fieldNames.indexOf(field)
+        if (i < 0) 0L
+        else rows.map(r => if (r.isNullAt(i)) 0L else r.get(i) match {
+          case n: java.lang.Number => n.longValue
+          case s: String => scala.util.Try(s.toLong).getOrElse(0L)
+          case _ => 0L
+        }).foldLeft(0L)(math.max)
+      }.getOrElse(0L)
+    val viewTags = st.tags.filter(LakeViewDefs.isViewTag)
+      .sortBy(t => (t.begin, t.scope, t.key))
+    val viewBase = carrierMaxId("ducklake_view", "view_id")
+    val nativeViews: Seq[(Seq[String], Seq[Seq[Any]])] =
+      if (viewTags.isEmpty) Nil
+      else Seq((
+        Seq("view_id BIGINT", "view_uuid VARCHAR", "begin_snapshot BIGINT",
+          "end_snapshot BIGINT", "schema_id BIGINT", "view_name VARCHAR",
+          "dialect VARCHAR", "sql VARCHAR", "column_aliases VARCHAR"),
+        viewTags.zipWithIndex.map { case (t, i) =>
+          val v = LakeViewDefs.decodeView(t.value)
+          Seq(viewBase + i + 1, v.uuid, t.begin, t.end,
+            schemaId.getOrElse(LakeViewDefs.schemaOfScope(t), 0L), t.key,
+            "spark", v.sql,
+            if (v.aliases.isEmpty) None else Some(v.aliases.mkString(",")))
+        }))
+    val macroTags = st.tags.filter(LakeViewDefs.isMacroTag)
+      .sortBy(t => (t.begin, t.scope, t.key))
+    val macroBase = carrierMaxId("ducklake_macro", "macro_id")
+    val decodedMacros = macroTags.zipWithIndex.map { case (t, i) =>
+      (macroBase + i + 1, t, LakeViewDefs.decodeMacro(t.value))
+    }
+    val nativeByTable: Map[String, (Seq[String], Seq[Seq[Any]])] = (Map(
+      "ducklake_macro" -> ((
+        Seq("macro_id BIGINT", "macro_uuid VARCHAR", "begin_snapshot BIGINT",
+          "end_snapshot BIGINT", "schema_id BIGINT", "macro_name VARCHAR"),
+        decodedMacros.map { case (id, t, m) =>
+          Seq(id, m.uuid, t.begin, t.end,
+            schemaId.getOrElse(LakeViewDefs.schemaOfScope(t), 0L), t.key)
+        }: Seq[Seq[Any]])),
+      "ducklake_macro_impl" -> ((
+        Seq("macro_id BIGINT", "begin_snapshot BIGINT", "end_snapshot BIGINT",
+          "impl_id BIGINT", "dialect VARCHAR", "sql VARCHAR"),
+        decodedMacros.map { case (id, t, m) =>
+          Seq(id, t.begin, t.end, 0L, "spark", m.sql)
+        }: Seq[Seq[Any]])),
+      "ducklake_macro_parameters" -> ((
+        Seq("macro_id BIGINT", "begin_snapshot BIGINT", "end_snapshot BIGINT",
+          "impl_id BIGINT", "parameter_index BIGINT", "parameter_name VARCHAR"),
+        decodedMacros.flatMap { case (id, t, m) =>
+          m.params.zipWithIndex.map { case (p, pi) =>
+            Seq(id, t.begin, t.end, 0L, pi.toLong, p): Seq[Any]
+          }
+        }: Seq[Seq[Any]]))
+    ).filter(_._2._2.nonEmpty)) ++ nativeViews.map("ducklake_view" -> _).toMap
     val foreignEmitted = Thaw.ForeignTables.flatMap { tn =>
-      foreignBy.get(tn).filter(_.nonEmpty).map { tags =>
-        val (schema, rows) = Thaw.foreignRowsFromTags(tags)
-        insertAll(sb, tn,
-          schema.map(f => s"${qi(f.name)} ${TypeMap.sparkToDuck(f.dataType)}"),
+      val carrier = foreignBy.get(tn).map { case (schema, rows) =>
+        (schema.map(f => s"${qi(f.name)} ${TypeMap.sparkToDuck(f.dataType)}"),
           rows.map(_.toSeq.map {
             case b: Array[Byte] => java.util.Base64.getEncoder.encodeToString(b)
             case t: java.sql.Timestamp => t.toString
             case other => other
-          }))
-        tn
+          }): Seq[Seq[Any]])
       }
+      val native = nativeByTable.get(tn)
+      val merged: Option[(Seq[String], Seq[Seq[Any]])] = (carrier, native) match {
+        case (None, None) => None
+        case (Some(c), None) => Some(c)
+        case (None, Some(n)) => Some(n)
+        case (Some((cCols, cRows)), Some((nCols, nRows))) =>
+          // field-name union: carrier columns first, native-only appended
+          def base(col: String) = col.trim.split("\\s+").head.replace("\"", "")
+          val cNames = cCols.map(base)
+          val extra = nCols.filterNot(nc => cNames.contains(base(nc)))
+          val allCols = cCols ++ extra
+          val allNames = allCols.map(base)
+          val nIdx = nCols.map(base).zipWithIndex.toMap
+          Some((allCols,
+            cRows.map(r => r ++ Seq.fill(extra.length)(None)) ++
+            nRows.map(r => allNames.map(nm => nIdx.get(nm).map(r).getOrElse(None)))))
+      }
+      merged.map { case (cols, rows) => insertAll(sb, tn, cols, rows); tn }
     }.toSet
 
     insertAll(sb, "ducklake_sort_info",

@@ -336,7 +336,7 @@ class Lake(val spark: SparkSession, val root: String,
     val e = resolve(table, st)
     val rows = st.partitionKeysAt(e.tableId, st.currentSnapshotId).zipWithIndex
       .map { case (k, i) => Row(i.toLong, k.column, k.transform) }
-    spark.createDataFrame(rows.asJava, StructType(Seq(
+    spark.createDataFrame(rows.toList.asJava, StructType(Seq(
       StructField("partition_key_index", LongType),
       StructField("column_name", StringType),
       StructField("transform", StringType))))
@@ -354,7 +354,7 @@ class Lake(val spark: SparkSession, val root: String,
           // (test/regression/expected/sorted_table.out:19,28-29)
           if (k.nullsFirst) "NULLS_FIRST" else "NULLS_LAST")
       }
-    spark.createDataFrame(rows.asJava, StructType(Seq(
+    spark.createDataFrame(rows.toList.asJava, StructType(Seq(
       StructField("sort_key_index", LongType), StructField("expression", StringType),
       StructField("direction", StringType), StructField("null_order", StringType))))
   }
@@ -1055,9 +1055,215 @@ class Lake(val spark: SparkSession, val root: String,
       st.columnsAt(tid, cur).flatMap(c =>
         st.tagAt(s"col:$tid:${c.columnId}", "comment", cur)
           .map(v => Row("column", c.name, v)))
-    spark.createDataFrame(rows.asJava, StructType(Seq(
+    spark.createDataFrame(rows.toList.asJava, StructType(Seq(
       StructField("object_type", StringType), StructField("name", StringType),
       StructField("comment", StringType)))).orderBy("object_type", "name")
+  }
+
+  // ---------------------------------------------------------- views / macros
+
+  /** CREATE [OR REPLACE] VIEW (catalog table `ducklake_view`,
+    * pgducklake_freeze.cpp:38; the reference lists CREATE VIEW as
+    * unsupported for itself, docs/ducklake_feature_coverage.md:30, and only
+    * round-trips foreign rows — graft stores the definition AND executes
+    * it, see [[view]]). `viewSql` is Spark SQL over lake table/view names
+    * (`t` or `schema.t`); `aliases` rename the output columns
+    * (ducklake_view.column_aliases). The definition rides the
+    * interval-versioned tag machinery (scope `view:<schema>`), so OR
+    * REPLACE ends the old generation and time travel resolves the
+    * definition live at the requested snapshot. */
+  def createView(name: String, viewSql: String, aliases: Seq[String] = Nil,
+      orReplace: Boolean = true): Long = {
+    val (sn, vn) = schemaOf(name)
+    // parse now: a syntactically broken definition should fail CREATE,
+    // not the first read
+    spark.sessionState.sqlParser.parsePlan(viewSql)
+    val json = LakeViewDefs.encodeView(LakeViewDefs.ViewDef(viewSql,
+      aliases.toList, java.util.UUID.randomUUID().toString))
+    store.commitWithRetry() { (st, sid) =>
+      val existing = LakeViewDefs.viewAt(st, sn, vn, st.currentSnapshotId)
+      require(orReplace || existing.isEmpty, s"view $name already exists")
+      require(st.tableAt(sn, vn, st.currentSnapshotId).isEmpty,
+        s"a table named $name exists")
+      CommitDelta(
+        snapshot = Snapshot(sid, System.currentTimeMillis(),
+          st.snapshots.lastOption.map(_.schemaVersion).getOrElse(0L),
+          List(s"created_view:$sn.$vn")),
+        endedTags = List(s"${LakeViewDefs.viewScope(sn)}:$vn"),
+        newTags = List(TagEntry(LakeViewDefs.viewScope(sn), vn, json, sid, None)))
+    }
+  }
+
+  def dropView(name: String): Long = {
+    val (sn, vn) = schemaOf(name)
+    store.commitWithRetry() { (st, sid) =>
+      require(LakeViewDefs.viewAt(st, sn, vn, st.currentSnapshotId).isDefined,
+        s"no view $name")
+      CommitDelta(
+        snapshot = Snapshot(sid, System.currentTimeMillis(),
+          st.snapshots.lastOption.map(_.schemaVersion).getOrElse(0L),
+          List(s"dropped_view:$sn.$vn")),
+        endedTags = List(s"${LakeViewDefs.viewScope(sn)}:$vn"))
+    }
+  }
+
+  /** Execute a stored view. Both the DEFINITION and every lake table it
+    * references resolve at the same snapshot (`version`, else the session
+    * as-of conf, else current) — an AS-OF read of a view sees the view
+    * text AND the data as they were then. Table names inside the SQL
+    * resolve views-first (views can stack), in the view's own schema, then
+    * `main`; names that are neither stay unresolved for the session
+    * analyzer (temp views etc.). */
+  def view(name: String, version: Option[Long] = None): DataFrame = {
+    val st = store.state()
+    val s = version
+      .orElse(spark.conf.getOption("spark.graft.lake.asOfSnapshot").map(_.toLong))
+      .orElse(spark.conf.getOption("spark.graft.lake.asOfTimestampMs")
+        .flatMap(ms => st.snapshotAtTime(ms.toLong)))
+      .getOrElse(st.currentSnapshotId)
+    require(st.snapshots.exists(_.snapshotId == s),
+      s"snapshot $s does not exist or has been expired")
+    resolveView(st, name, s, depth = 0)
+  }
+
+  private def resolveView(st: CatalogState, name: String, s: Long,
+      depth: Int): DataFrame = {
+    require(depth < 16, s"view nesting deeper than 16 — definition cycle? ($name)")
+    val (sn, vn) = schemaOf(name)
+    val vd = LakeViewDefs.viewAt(st, sn, vn, s)
+      .getOrElse(throw new NoSuchElementException(s"no view $name at snapshot $s"))
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    val substituted = spark.sessionState.sqlParser.parsePlan(vd.sql).transformUp {
+      case u: UnresolvedRelation =>
+        val candidates = u.multipartIdentifier match {
+          case Seq(t1) => Seq((sn, t1), ("main", t1))
+          case Seq(s1, t1) => Seq((s1, t1))
+          case _ => Nil
+        }
+        candidates.collectFirst {
+          case (cs, ct) if LakeViewDefs.viewAt(st, cs, ct, s).isDefined =>
+            resolveView(st, s"$cs.$ct", s, depth + 1).queryExecution.analyzed
+          case (cs, ct) if st.tableAt(cs, ct, s).isDefined =>
+            LakeRead.scanDF(spark, st, st.tableAt(cs, ct, s).get.tableId, s)
+              .queryExecution.analyzed
+        }.getOrElse(u)
+    }
+    val df = org.apache.spark.sql.graft.StreamingBatch.ofRows(spark, substituted)
+    if (vd.aliases.nonEmpty) df.toDF(vd.aliases: _*) else df
+  }
+
+  /** live views: (schema_name, view_name, sql, column_aliases, view_uuid) */
+  def views(): DataFrame = {
+    val st = store.state()
+    val cur = st.currentSnapshotId
+    val rows = st.tags.filter(LakeViewDefs.isViewTag)
+      .filter(t => liveAt(t.begin, t.end, cur))
+      .map { t =>
+        val v = LakeViewDefs.decodeView(t.value)
+        Row(LakeViewDefs.schemaOfScope(t), t.key, v.sql,
+          if (v.aliases.isEmpty) null else v.aliases.mkString(","), v.uuid)
+      }.sortBy(r => (r.getString(0), r.getString(1)))
+    spark.createDataFrame(rows.toList.asJava, StructType(Seq(
+      StructField("schema_name", StringType), StructField("view_name", StringType),
+      StructField("sql", StringType), StructField("column_aliases", StringType),
+      StructField("view_uuid", StringType))))
+  }
+
+  /** CREATE [OR REPLACE] MACRO — a scalar SQL macro with DuckDB CREATE
+    * MACRO semantics: LAZY TEXTUAL EXPANSION at analysis time, not a
+    * compiled function (catalog tables ducklake_macro /
+    * ducklake_macro_impl / ducklake_macro_parameters,
+    * pgducklake_freeze.cpp:55-57). The macro registers into the session's
+    * FunctionRegistry on create, so `expr("name(args)")` / spark.sql use
+    * it immediately; a fresh session re-registers via [[registerMacros]].
+    * Positional `params` substitute into the parsed `body` expression by
+    * (case-insensitive) name. */
+  def createMacro(name: String, params: Seq[String], body: String,
+      orReplace: Boolean = true): Long = {
+    val (sn, mn) = schemaOf(name)
+    spark.sessionState.sqlParser.parseExpression(body)
+    val json = LakeViewDefs.encodeMacro(LakeViewDefs.MacroDef(params.toList,
+      body, java.util.UUID.randomUUID().toString))
+    val sid = store.commitWithRetry() { (st, sid) =>
+      val existing = LakeViewDefs.macroAt(st, sn, mn, st.currentSnapshotId)
+      require(orReplace || existing.isEmpty, s"macro $name already exists")
+      CommitDelta(
+        snapshot = Snapshot(sid, System.currentTimeMillis(),
+          st.snapshots.lastOption.map(_.schemaVersion).getOrElse(0L),
+          List(s"created_macro:$sn.$mn")),
+        endedTags = List(s"${LakeViewDefs.macroScope(sn)}:$mn"),
+        newTags = List(TagEntry(LakeViewDefs.macroScope(sn), mn, json, sid, None)))
+    }
+    registerMacro(mn, params.toList, body)
+    sid
+  }
+
+  def dropMacro(name: String): Long = {
+    val (sn, mn) = schemaOf(name)
+    val sid = store.commitWithRetry() { (st, sid) =>
+      require(LakeViewDefs.macroAt(st, sn, mn, st.currentSnapshotId).isDefined,
+        s"no macro $name")
+      CommitDelta(
+        snapshot = Snapshot(sid, System.currentTimeMillis(),
+          st.snapshots.lastOption.map(_.schemaVersion).getOrElse(0L),
+          List(s"dropped_macro:$sn.$mn")),
+        endedTags = List(s"${LakeViewDefs.macroScope(sn)}:$mn"))
+    }
+    spark.sessionState.functionRegistry.dropFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(mn))
+    sid
+  }
+
+  private def registerMacro(fname: String, params: List[String],
+      body: String): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+    val lowered = params.map(_.toLowerCase)
+    val builder = (children: Seq[Expression]) => {
+      require(children.length == params.length,
+        s"macro $fname takes ${params.length} argument(s), got ${children.length}")
+      val byName = lowered.zip(children).toMap
+      spark.sessionState.sqlParser.parseExpression(body).transformUp {
+        case a: UnresolvedAttribute if a.nameParts.length == 1 &&
+            byName.contains(a.name.toLowerCase) => byName(a.name.toLowerCase)
+      }
+    }
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(fname),
+      new ExpressionInfo("graft.lake.Lake", fname,
+        s"$fname(${params.mkString(", ")}) - lake macro: $body"),
+      builder)
+  }
+
+  /** register every live macro into this session's FunctionRegistry (a
+    * fresh session attaching to an existing store calls this once) */
+  def registerMacros(): Unit = {
+    val st = store.state()
+    val cur = st.currentSnapshotId
+    st.tags.filter(LakeViewDefs.isMacroTag)
+      .filter(t => liveAt(t.begin, t.end, cur))
+      .foreach { t =>
+        val m = LakeViewDefs.decodeMacro(t.value)
+        registerMacro(t.key, m.params, m.sql)
+      }
+  }
+
+  /** live macros: (schema_name, macro_name, parameters, sql, macro_uuid) */
+  def macros(): DataFrame = {
+    val st = store.state()
+    val cur = st.currentSnapshotId
+    val rows = st.tags.filter(LakeViewDefs.isMacroTag)
+      .filter(t => liveAt(t.begin, t.end, cur))
+      .map { t =>
+        val m = LakeViewDefs.decodeMacro(t.value)
+        Row(LakeViewDefs.schemaOfScope(t), t.key, m.params.mkString(","),
+          m.sql, m.uuid)
+      }.sortBy(r => (r.getString(0), r.getString(1)))
+    spark.createDataFrame(rows.toList.asJava, StructType(Seq(
+      StructField("schema_name", StringType), StructField("macro_name", StringType),
+      StructField("parameters", StringType), StructField("sql", StringType),
+      StructField("macro_uuid", StringType))))
   }
 
   def options(): DataFrame = {

@@ -7,16 +7,22 @@ import Meta._
   * `ducklake_macro_parameters`, pgducklake_freeze.cpp:38,55-57 — the
   * reference itself lists CREATE VIEW and macros as unsupported,
   * docs/ducklake_feature_coverage.md:30, and only round-trips the rows;
-  * graft stores AND EXECUTES them, see [[LakeViewResolution]]).
+  * graft stores AND EXECUTES them: [[Lake.createView]]/[[Lake.view]]
+  * substitute snapshot-scoped lake scans into the parsed definition,
+  * [[Lake.createMacro]] registers a FunctionRegistry builder that expands
+  * the body at analysis time — DuckDB macro semantics).
   *
   * Storage: one interval-versioned [[Meta.TagEntry]] per definition —
   * scope `view:<schema>` / `macro:<schema>`, key = object name, value =
   * the JSON codec below. Riding the tag machinery buys versioning
   * (CREATE OR REPLACE ends the old row), time travel, transactions,
   * checkpointing and incremental import with zero metadata-format
-  * changes; freeze/thaw translate the tags to/from the reference-shaped
-  * `ducklake_view` / `ducklake_macro*` datasets (dialect `spark`), so a
-  * DuckDB-side consumer sees real catalog rows, not carrier blobs.
+  * changes. Freeze (Thaw.dumpParquet / FreezeSql.catalogSql) translates
+  * the tags into reference-shaped `ducklake_view` / `ducklake_macro*`
+  * rows (dialect `spark`) and excludes them from the `ducklake_tag` dump,
+  * so a DuckDB-side consumer sees real catalog rows, not carrier blobs;
+  * Thaw.load inverts spark-dialect rows back into these tags (other
+  * dialects stay opaque carrier rows, round-tripped losslessly).
   */
 object LakeViewDefs {
 
@@ -77,8 +83,10 @@ object LakeViewDefs {
       s: Long): Option[MacroDef] =
     st.tagAt(macroScope(schema), name, s).map(decodeMacro)
 
-  /** every view tag row ever written (live and ended), with its schema —
-    * the freeze emission set */
+  /** every view tag row ever written (live and ended), with its schema.
+    * Freeze emits one ducklake_view row per TagEntry interval, begin/end
+    * mapped to begin_snapshot/end_snapshot — ended generations are rows
+    * too, preserving time travel over CREATE OR REPLACE history. */
   private[lake] def allViewTags(st: CatalogState): Seq[(String, TagEntry)] =
     st.tags.filter(isViewTag).map(t => (schemaOfScope(t), t))
 

@@ -196,6 +196,27 @@ object Thaw {
     fld("table_id", LongType), fld("column_id", LongType),
     fld("begin_snapshot", LongType), fld("end_snapshot", LongType),
     fld("key", StringType), fld("value", StringType)))
+  // reference-shaped view/macro datasets (pgducklake_freeze.cpp:38,55-57);
+  // schema_name inline like every other dataset in this dump (the load path
+  // also accepts the reference's schema_id keying via ducklake_schema)
+  private val viewSchema = StructType(Seq(
+    fld("view_id", LongType), fld("view_uuid", StringType),
+    fld("begin_snapshot", LongType), fld("end_snapshot", LongType),
+    fld("schema_name", StringType), fld("view_name", StringType),
+    fld("dialect", StringType), fld("sql", StringType),
+    fld("column_aliases", StringType)))
+  private val macroSchema = StructType(Seq(
+    fld("macro_id", LongType), fld("macro_uuid", StringType),
+    fld("begin_snapshot", LongType), fld("end_snapshot", LongType),
+    fld("schema_name", StringType), fld("macro_name", StringType)))
+  private val macroImplSchema = StructType(Seq(
+    fld("macro_id", LongType), fld("begin_snapshot", LongType),
+    fld("end_snapshot", LongType), fld("impl_id", LongType),
+    fld("dialect", StringType), fld("sql", StringType)))
+  private val macroParamSchema = StructType(Seq(
+    fld("macro_id", LongType), fld("begin_snapshot", LongType),
+    fld("end_snapshot", LongType), fld("impl_id", LongType),
+    fld("parameter_index", LongType), fld("parameter_name", StringType)))
 
   private def jl(v: Long): java.lang.Long = java.lang.Long.valueOf(v)
   private def jl(v: Option[Long]): java.lang.Long = v.map(jl).orNull
@@ -273,21 +294,79 @@ object Thaw {
           java.lang.Boolean.valueOf(k.nullsFirst))
       }))
     w("ducklake_tag", tagSchema,
-      st.tags.filterNot(t => isForeignCarrier(t) || isColumnTag(t)).map(t =>
+      st.tags.filterNot(t => isForeignCarrier(t) || isColumnTag(t)
+          || LakeViewDefs.isViewTag(t) || LakeViewDefs.isMacroTag(t)).map(t =>
         Row(t.scope, jl(t.begin), jl(t.end), t.key, t.value)))
     w("ducklake_column_tag", columnTagSchema, st.tags.filter(isColumnTag).map { t =>
       val (tid, cid) = columnTagIds(t)
       Row(jl(tid), jl(cid), jl(t.begin), jl(t.end), t.key, t.value)
     })
-    // preserved foreign view/macro rows re-emerge as their real datasets
-    val carriers = st.tags.filter(isForeignCarrier)
-      .groupBy(_.scope.stripPrefix("ducklake:"))
-    ForeignTables.foreach { tn =>
-      carriers.get(tn).filter(_.nonEmpty).foreach { tags =>
-        val (schema, rows) = foreignRowsFromTags(tags)
-        w(tn, schema, rows)
+    // Native view/macro definitions (tag scopes view:/macro:, never dumped
+    // into ducklake_tag above) emit as the reference-shaped datasets with
+    // dialect 'spark'; preserved FOREIGN rows (carrier tags) re-emerge
+    // unchanged in the same datasets. Native ids start above the carrier
+    // max so a DuckDB consumer never sees an id collision.
+    val carrierData: Map[String, (StructType, Seq[Row])] =
+      st.tags.filter(isForeignCarrier)
+        .groupBy(_.scope.stripPrefix("ducklake:"))
+        .collect { case (tn, tags) if tags.nonEmpty => tn -> foreignRowsFromTags(tags) }
+    def carrierMaxId(tn: String, field: String): Long =
+      carrierData.get(tn).map { case (sch, rows) =>
+        val i = sch.fieldNames.indexOf(field)
+        if (i < 0) 0L
+        else rows.map(r => if (r.isNullAt(i)) 0L else r.get(i) match {
+          case l: java.lang.Long => l.longValue
+          case n: java.lang.Number => n.longValue
+          case s: String => scala.util.Try(s.toLong).getOrElse(0L)
+          case _ => 0L
+        }).foldLeft(0L)(math.max)
+      }.getOrElse(0L)
+    // carrier + native rows under one dataset: field-name union, null-padded
+    def mergeForeign(tn: String, nativeSchema: StructType, nativeRows: Seq[Row]): Unit =
+      carrierData.get(tn) match {
+        case None => if (nativeRows.nonEmpty) w(tn, nativeSchema, nativeRows)
+        case Some((cs, cr)) =>
+          if (nativeRows.isEmpty) w(tn, cs, cr)
+          else {
+            val merged = StructType(cs ++ nativeSchema.filterNot(f =>
+              cs.fieldNames.contains(f.name)))
+            def pad(from: StructType)(r: Row) = Row.fromSeq(merged.map { f =>
+              val i = from.fieldNames.indexOf(f.name)
+              if (i < 0) null else r.get(i)
+            })
+            w(tn, merged, cr.map(pad(cs)) ++ nativeRows.map(pad(nativeSchema)))
+          }
       }
+    val viewTags = st.tags.filter(LakeViewDefs.isViewTag)
+      .sortBy(t => (t.begin, t.scope, t.key))
+    mergeForeign("ducklake_view", viewSchema, {
+      val base = carrierMaxId("ducklake_view", "view_id")
+      viewTags.zipWithIndex.map { case (t, i) =>
+        val v = LakeViewDefs.decodeView(t.value)
+        Row(jl(base + i + 1), v.uuid, jl(t.begin), jl(t.end),
+          LakeViewDefs.schemaOfScope(t), t.key, "spark", v.sql,
+          if (v.aliases.isEmpty) null else v.aliases.mkString(","))
+      }
+    })
+    val macroTags = st.tags.filter(LakeViewDefs.isMacroTag)
+      .sortBy(t => (t.begin, t.scope, t.key))
+    val macroBase = carrierMaxId("ducklake_macro", "macro_id")
+    val macroRows = macroTags.zipWithIndex.map { case (t, i) =>
+      (jl(macroBase + i + 1), t, LakeViewDefs.decodeMacro(t.value))
     }
+    mergeForeign("ducklake_macro", macroSchema, macroRows.map { case (id, t, m) =>
+      Row(id, m.uuid, jl(t.begin), jl(t.end), LakeViewDefs.schemaOfScope(t), t.key)
+    })
+    mergeForeign("ducklake_macro_impl", macroImplSchema,
+      macroRows.map { case (id, t, m) =>
+        Row(id, jl(t.begin), jl(t.end), jl(0L), "spark", m.sql)
+      })
+    mergeForeign("ducklake_macro_parameters", macroParamSchema,
+      macroRows.flatMap { case (id, t, m) =>
+        m.params.zipWithIndex.map { case (p, pi) =>
+          Row(id, jl(t.begin), jl(t.end), jl(0L), jl(pi.toLong), p)
+        }
+      })
 
     import scala.jdk.CollectionConverters._
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
@@ -518,19 +597,75 @@ object Thaw {
         getS(r, "key").get, getS(r, "value").getOrElse(""),
         get(r, "begin_snapshot"), opt(r, "end_snapshot"))).toVector
 
-    // view/macro rows (not executed, preserved losslessly — see
+    def foreignDf(tn: String): Option[(StructType, Seq[Row])] = {
+      val p = s"$dir/$tn.parquet"
+      if (!exists(p)) None
+      else {
+        val df = spark.read.parquet(p)
+        if (df.schema.fieldNames.sameElements(Array("placeholder"))) None
+        else Some((df.schema, df.collect().toSeq))
+      }
+    }
+    // spark-dialect view/macro rows import as NATIVE executable definitions
+    // (scopes view:/macro: — the freeze emission's exact inverse, with the
+    // row's real begin/end interval so time travel over definitions
+    // survives the round trip); any other dialect stays an opaque carrier.
+    val viewData = foreignDf("ducklake_view")
+    val nativeViewTags = viewData.toSeq.flatMap { case (_, rows) =>
+      rows.filter(r => getS(r, "dialect").contains("spark")).map { r =>
+        val schema = getS(r, "schema_name")
+          .orElse(opt(r, "schema_id").flatMap(schemaNameById.get))
+          .getOrElse("main")
+        TagEntry(LakeViewDefs.viewScope(schema), getS(r, "view_name").get,
+          LakeViewDefs.encodeView(LakeViewDefs.ViewDef(getS(r, "sql").get,
+            getS(r, "column_aliases").map(_.split(',').toList.filter(_.nonEmpty))
+              .getOrElse(Nil),
+            getS(r, "view_uuid").getOrElse(""))),
+          get(r, "begin_snapshot"), opt(r, "end_snapshot"))
+      }
+    }
+    val macroData = foreignDf("ducklake_macro")
+    val implData = foreignDf("ducklake_macro_impl")
+    val paramData = foreignDf("ducklake_macro_parameters")
+    val implRows = implData.toSeq.flatMap(_._2)
+    val sparkMacroIds = implRows.filter(r => getS(r, "dialect").contains("spark"))
+      .map(get(_, "macro_id")).toSet
+    val nativeMacroTags = macroData.toSeq.flatMap { case (_, rows) =>
+      rows.filter(r => sparkMacroIds(get(r, "macro_id"))).flatMap { r =>
+        val mid = get(r, "macro_id")
+        val schema = getS(r, "schema_name")
+          .orElse(opt(r, "schema_id").flatMap(schemaNameById.get)).getOrElse("main")
+        implRows.find(ir => get(ir, "macro_id") == mid &&
+          getS(ir, "dialect").contains("spark")).flatMap(getS(_, "sql")).map { body =>
+          val params = paramData.toSeq.flatMap(_._2)
+            .filter(pr => get(pr, "macro_id") == mid)
+            .sortBy(get(_, "parameter_index"))
+            .flatMap(getS(_, "parameter_name")).toList
+          TagEntry(LakeViewDefs.macroScope(schema), getS(r, "macro_name").get,
+            LakeViewDefs.encodeMacro(LakeViewDefs.MacroDef(params, body,
+              getS(r, "macro_uuid").getOrElse(""))),
+            get(r, "begin_snapshot"), opt(r, "end_snapshot"))
+        }
+      }
+    }
+    // remaining rows preserve losslessly as carrier tags (see
     // ForeignTables). The carrier tag's begin mirrors the row's
     // begin_snapshot so incremental re-sync picks up rows an external
     // writer added between syncs; the row's OWN begin/end columns ride
-    // inside the JSON untouched.
+    // inside the JSON untouched. Rows already imported as native
+    // definitions above never become carriers.
+    def skipAsNative(tn: String, r: Row): Boolean = tn match {
+      case "ducklake_view" => getS(r, "dialect").contains("spark")
+      case "ducklake_macro" | "ducklake_macro_impl" | "ducklake_macro_parameters" =>
+        sparkMacroIds(get(r, "macro_id"))
+      case _ => false
+    }
+    val preread = Map("ducklake_view" -> viewData, "ducklake_macro" -> macroData,
+      "ducklake_macro_impl" -> implData, "ducklake_macro_parameters" -> paramData)
     val foreignTags = ForeignTables.flatMap { tn =>
-      val p = s"$dir/$tn.parquet"
-      if (!exists(p)) Seq.empty
-      else {
-        val df = spark.read.parquet(p)
-        if (df.schema.fieldNames.sameElements(Array("placeholder"))) Seq.empty
-        else df.collect().toSeq.map { row =>
-          val json = foreignRowJson(df.schema, row)
+      preread.getOrElse(tn, foreignDf(tn)).toSeq.flatMap { case (schema, rows) =>
+        rows.filterNot(skipAsNative(tn, _)).map { row =>
+          val json = foreignRowJson(schema, row)
           TagEntry(foreignScope(tn), md5hex(json), json,
             opt(row, "begin_snapshot").getOrElse(0L), None)
         }
@@ -539,7 +674,9 @@ object Thaw {
 
     CatalogState(snapshots, tables, columns, files, deleteFiles, stats,
       partitionInfo, sortInfo, inlined = Vector.empty,
-      tags ++ colTags ++ foreignTags, scheduledDeletions = Vector.empty)
+      tags ++ colTags ++ nativeViewTags.toVector ++ nativeMacroTags.toVector
+        ++ foreignTags,
+      scheduledDeletions = Vector.empty)
   }
 
   // ----------------------------------------------------------------- replay

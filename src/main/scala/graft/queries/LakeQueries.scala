@@ -669,6 +669,24 @@ object LakeQueries {
         .orderBy("n_nationkey")
     }),
 
+    // ---- executable views + macros: definition versioning (OR REPLACE),
+    // snapshot-scoped execution, macro expansion at analysis time ----------
+    "l42_views_macros" -> ((s, dir) => {
+      val lake = newLake(s)
+      lake.createTableAs("main.nat", t(s, dir, "nation"))
+      val g1 = lake.createView("main.v",
+        "SELECT n_regionkey AS rk, count(*) AS n_nations FROM nat GROUP BY n_regionkey")
+      lake.createMacro("main.keysq", Seq("k"), "cast(k * k + 1 AS bigint)")
+      lake.createView("main.v", // replace: generation 2 filters
+        "SELECT n_regionkey AS rk, count(*) AS n_nations FROM nat " +
+          "WHERE n_nationkey >= 10 GROUP BY n_regionkey")
+      val cur = lake.view("main.v")
+        .selectExpr("rk", "n_nations", "keysq(rk) AS k2", "'current' AS gen")
+      val old = lake.view("main.v", Some(g1)) // old text AND old data
+        .selectExpr("rk", "n_nations", "keysq(rk) AS k2", "'v1' AS gen")
+      cur.union(old).orderBy("gen", "rk")
+    }),
+
     // ---- metadata checkpoint: cold opens read checkpoint + tail ----------
     "l37_checkpoint" -> ((s, dir) => {
       val lake = newLake(s)
@@ -1035,6 +1053,18 @@ object LakeQueries {
         |  UNION ALL
         |  SELECT 99, NULL, 1) t
         |ORDER BY n_nationkey""".stripMargin,
+
+    "l42_views_macros" ->
+      """WITH v1 AS (SELECT n_regionkey AS rk, count(*) AS n_nations
+        |            FROM nation GROUP BY 1),
+        |     v2 AS (SELECT n_regionkey AS rk, count(*) AS n_nations
+        |            FROM nation WHERE n_nationkey >= 10 GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT rk, n_nations, CAST(rk * rk + 1 AS BIGINT) AS k2,
+        |         'current' AS gen FROM v2
+        |  UNION ALL
+        |  SELECT rk, n_nations, CAST(rk * rk + 1 AS BIGINT), 'v1' FROM v1) t
+        |ORDER BY gen, rk""".stripMargin,
 
     "l25_column_default" ->
       """SELECT * FROM (
