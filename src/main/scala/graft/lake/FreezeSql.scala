@@ -1,7 +1,6 @@
 package graft.lake
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path}
 import Meta._
 
 /** DuckDB-executable freeze companion (reference freeze.sql: the frozen
@@ -54,11 +53,10 @@ object FreezeSql {
   private def castAs(inner: String, sparkDdl: String): String =
     duckType(sparkDdl).map(t => s"CAST($inner AS $t)").getOrElse(inner)
 
-  def emit(st: CatalogState, dir: Path): Unit = {
-    Files.write(dir.resolve("views.sql"),
-      viewsSql(st).getBytes(StandardCharsets.UTF_8))
-    Files.write(dir.resolve("ducklake_catalog.sql"),
-      catalogSql(st).getBytes(StandardCharsets.UTF_8))
+  def emit(st: CatalogState, dir: String): Unit = {
+    val io = StoreIO.forPath(dir)
+    io.putString(s"$dir/views.sql", viewsSql(st))
+    io.putString(s"$dir/ducklake_catalog.sql", catalogSql(st))
   }
 
   // ------------------------------------------------------------- views.sql

