@@ -43,7 +43,13 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces {
       case None =>
         val root = Option(options.get("root")).getOrElse(
           throw new IllegalArgumentException(s"catalog $name: option 'root' required"))
-        store = new MetadataStore(root)
+        // option jdbc=<url>: metadata in a shared live database (the
+        // reference's N-clients-on-one-PG-catalog deployment shape) —
+        // data files stay under `root`
+        store = Option(options.get("jdbc")) match {
+          case Some(url) => new JdbcMetadataStore(root, url)
+          case None => new MetadataStore(root)
+        }
     }
   }
 

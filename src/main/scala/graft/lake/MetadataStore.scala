@@ -41,13 +41,32 @@ class MetadataStore(val root: String) {
   private def deltaPath(sid: Long): String = f"$logDir/v$sid%010d.json"
   private def ckptPath(sid: Long): String = f"$logDir/ckpt$sid%010d.json"
 
-  private def listSnapshotIds(): Vector[Long] =
+  // ---- log primitives: the seam a non-filesystem store overrides --------
+  // ([[JdbcMetadataStore]] maps them onto tables in a shared database; the
+  // folding/caching/retry logic above them is substrate-independent)
+
+  protected def listSnapshotIds(): Vector[Long] =
     io.list(logDir, "v", ".json")
       .map(_.stripPrefix("v").stripSuffix(".json").toLong).sorted
 
-  private def listCheckpointIds(): Vector[Long] =
+  protected def listCheckpointIds(): Vector[Long] =
     io.list(logDir, "ckpt", ".json")
       .map(_.stripPrefix("ckpt").stripSuffix(".json").toLong).sorted
+
+  protected def readDeltaJson(sid: Long): String = io.readString(deltaPath(sid))
+
+  protected def readCheckpointJson(sid: Long): String = io.readString(ckptPath(sid))
+
+  /** claim the delta slot iff absent — the commit CAS */
+  protected def putDeltaIfAbsent(sid: Long, json: String): Boolean =
+    io.putIfAbsent(deltaPath(sid), json.getBytes(StandardCharsets.UTF_8))
+
+  /** idempotent checkpoint write (losing a race to an identical writer is fine) */
+  protected def putCheckpointIfAbsent(sid: Long, json: String): Unit =
+    if (!io.exists(ckptPath(sid)))
+      io.putIfAbsent(ckptPath(sid), json.getBytes(StandardCharsets.UTF_8))
+
+  protected def deleteCheckpoint(sid: Long): Unit = io.delete(ckptPath(sid))
 
   /** Checkpoint: materialize the folded state at the current snapshot into
     * ONE file, so a cold open reads checkpoint + newer deltas instead of
@@ -63,9 +82,7 @@ class MetadataStore(val root: String) {
     val st = state()
     val sid = st.currentSnapshotId
     if (sid < 0) return sid
-    val target = ckptPath(sid)
-    if (io.exists(target)) return sid
-    io.putIfAbsent(target, Serialization.write(st).getBytes(StandardCharsets.UTF_8))
+    putCheckpointIfAbsent(sid, Serialization.write(st))
     sid
   }
 
@@ -76,7 +93,7 @@ class MetadataStore(val root: String) {
     * older readable one before the log-only fallback. Returns #deleted. */
   def gcCheckpoints(keep: Int = 2): Int = {
     val victims = listCheckpointIds().dropRight(math.max(keep, 1))
-    victims.foreach(sid => io.delete(ckptPath(sid)))
+    victims.foreach(deleteCheckpoint)
     victims.size
   }
 
@@ -85,7 +102,7 @@ class MetadataStore(val root: String) {
     val ids = listCheckpointIds().filter(_ <= upTo).reverse
     ids.iterator.flatMap { sid =>
       // a torn/unreadable checkpoint is skipped — the log is authoritative
-      try Some(sid -> Serialization.read[CatalogState](io.readString(ckptPath(sid))))
+      try Some(sid -> Serialization.read[CatalogState](readCheckpointJson(sid)))
       catch { case _: Exception => None }
     }.nextOption()
   }
@@ -94,7 +111,7 @@ class MetadataStore(val root: String) {
     val cached = cache.get(sid)
     if (cached != null) cached
     else {
-      val d = Serialization.read[CommitDelta](io.readString(deltaPath(sid)))
+      val d = Serialization.read[CommitDelta](readDeltaJson(sid))
       cache.put(sid, d)
       d
     }
@@ -129,9 +146,7 @@ class MetadataStore(val root: String) {
     * never leave a truncated delta poisoning the log — the failure mode of
     * a CREATE_NEW-then-write sequence. */
   def commit(delta: CommitDelta): Unit = {
-    val json = Serialization.write(delta)
-    if (!io.putIfAbsent(deltaPath(delta.snapshot.snapshotId),
-        json.getBytes(StandardCharsets.UTF_8)))
+    if (!putDeltaIfAbsent(delta.snapshot.snapshotId, Serialization.write(delta)))
       throw new CommitConflictException(
         s"snapshot ${delta.snapshot.snapshotId} already committed by another writer")
   }

@@ -687,6 +687,27 @@ object LakeQueries {
       cur.union(old).orderBy("gen", "rk")
     }),
 
+    // ---- live shared JDBC catalog: two engines, one metadata database ----
+    "l43_jdbc_catalog" -> ((s, dir) => {
+      val dataRoot = Files.createTempDirectory("graft_jdbcq").toString
+      val dbDir = Files.createTempDirectory("graft_jdbcq_db").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        LakeWrite.deleteRecursively(dataRoot); LakeWrite.deleteRecursively(dbDir)
+      }))
+      val url = s"jdbc:derby:$dbDir/cat;create=true"
+      val writer = new Lake(s, dataRoot, Some(new JdbcMetadataStore(dataRoot, url)))
+      val reader = new Lake(s, dataRoot, Some(new JdbcMetadataStore(dataRoot, url)))
+      writer.createTableAs("main.nat", t(s, dir, "nation"))
+      writer.delete("main.nat", col("n_regionkey") === 0)
+      // the OTHER engine mutates the shared catalog; the writer's next
+      // read sees it — live, no freeze/import
+      reader.update("main.nat", col("n_regionkey") === 1,
+        Map("n_name" -> lit("SHARED")))
+      writer.table("main.nat")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy("n_nationkey")
+    }),
+
     // ---- metadata checkpoint: cold opens read checkpoint + tail ----------
     "l37_checkpoint" -> ((s, dir) => {
       val lake = newLake(s)
@@ -1065,6 +1086,13 @@ object LakeQueries {
         |  UNION ALL
         |  SELECT rk, n_nations, CAST(rk * rk + 1 AS BIGINT), 'v1' FROM v1) t
         |ORDER BY gen, rk""".stripMargin,
+
+    "l43_jdbc_catalog" ->
+      """SELECT n_nationkey,
+        |  CASE WHEN n_regionkey = 1 THEN 'SHARED' ELSE n_name END AS n_name,
+        |  n_regionkey
+        |FROM nation WHERE n_regionkey <> 0
+        |ORDER BY n_nationkey""".stripMargin,
 
     "l25_column_default" ->
       """SELECT * FROM (
