@@ -34,6 +34,13 @@ object FreezeDemo {
         Array("tag"), org.apache.spark.sql.types.StringType))
     lake.append("main.nat", nation.limit(2)
       .withColumn("tag", lit("late")))
+    // native view + macro: freeze must emit reference-shaped ducklake_view /
+    // ducklake_macro* rows (dialect 'spark') that real DuckDB can load —
+    // scripts/thaw_check.py executes the catalog SQL verbatim
+    lake.createView("main.big_nations",
+      "SELECT n_name, n_regionkey FROM nat WHERE n_nationkey >= 10",
+      aliases = Seq("name", "region"))
+    lake.createMacro("main.keysq", Seq("k"), "k * k + 1")
     lake.freeze(outDir)
     val expect = lake.table("main.nat").count()
     println(s"[freeze-demo] frozen at $outDir, engine row count = $expect")

@@ -111,5 +111,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           lit(args(3), "s1").toLong)
         .queryExecution.analyzed
     })
+    // stored catalog views execute straight from SQL (optional third arg =
+    // AS-OF snapshot: both the definition and the data resolve there)
+    ext.injectTableFunction(tvf("graft_view", "graft_view(root, name[, version])") { args =>
+      require(args.length == 2 || args.length == 3,
+        "graft_view takes (root, name) or (root, name, version)")
+      new Lake(SparkSession.active, lit(args.head, "root"))
+        .view(lit(args(1), "view name"),
+          if (args.length == 3) Some(lit(args(2), "version").toLong) else None)
+        .queryExecution.analyzed
+    })
+    ext.injectTableFunction(tvf("graft_views", "graft_views(root)") { args =>
+      new Lake(SparkSession.active, lit(args.head, "root")).views()
+        .queryExecution.analyzed
+    })
+    ext.injectTableFunction(tvf("graft_macros", "graft_macros(root)") { args =>
+      new Lake(SparkSession.active, lit(args.head, "root")).macros()
+        .queryExecution.analyzed
+    })
   }
 }

@@ -154,6 +154,26 @@ class ViewMacroSpec extends AnyFunSuite {
     assert(lake2.views().collect().head.getAs[String]("view_uuid") == uuid0)
   }
 
+  test("SQL surface: graft_view/graft_views/graft_macros TVFs") {
+    val lake = newLake()
+    import spark.implicits._
+    lake.createTable("main.t", abSchema)
+    lake.append("main.t", Seq((1, 10), (2, 20)).toDF("a", "b"))
+    val s1 = lake.createView("main.v", "SELECT sum(b) AS s FROM t")
+    lake.append("main.t", Seq((3, 30)).toDF("a", "b"))
+    lake.createMacro("main.neg", Seq("x"), "-x")
+    assert(spark.sql(s"SELECT * FROM graft_view('${lake.root}', 'main.v')")
+      .collect().head.getLong(0) == 60L)
+    // AS-OF overload: definition AND data at the older snapshot
+    assert(spark.sql(s"SELECT * FROM graft_view('${lake.root}', 'main.v', $s1)")
+      .collect().head.getLong(0) == 30L)
+    assert(spark.sql(s"SELECT view_name FROM graft_views('${lake.root}')")
+      .collect().map(_.getString(0)).toSeq == Seq("v"))
+    assert(spark.sql(s"SELECT macro_name, parameters FROM graft_macros('${lake.root}')")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("neg", "x")))
+  }
+
   test("foreign-dialect rows stay carriers; spark rows import native (mixed)") {
     import spark.implicits._
     val cat = Files.createTempDirectory("graft_vm_mixed").toString
