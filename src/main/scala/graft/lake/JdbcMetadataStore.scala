@@ -49,12 +49,20 @@ class JdbcMetadataStore(root: String, val url: String)
         catch { case _: Exception => st.close(); throw e }
     } finally st.close()
   }
+  // unbounded-text DDL type by dialect: PG has no CLOB (TEXT is its
+  // unbounded type — the reference's catalog database), MySQL's TEXT caps
+  // at 64 KB (a wide commit delta overflows it), Derby and the SQL
+  // standard spell it CLOB
+  private val textType =
+    if (url.startsWith("jdbc:postgresql:")) "TEXT"
+    else if (url.startsWith("jdbc:mysql:") || url.startsWith("jdbc:mariadb:")) "LONGTEXT"
+    else "CLOB"
   synchronized {
     ensureTable(
-      "CREATE TABLE graft_commit_log (snapshot_id BIGINT PRIMARY KEY, delta CLOB NOT NULL)",
+      s"CREATE TABLE graft_commit_log (snapshot_id BIGINT PRIMARY KEY, delta $textType NOT NULL)",
       "SELECT snapshot_id FROM graft_commit_log FETCH FIRST 1 ROWS ONLY")
     ensureTable(
-      "CREATE TABLE graft_checkpoint (snapshot_id BIGINT PRIMARY KEY, state CLOB NOT NULL)",
+      s"CREATE TABLE graft_checkpoint (snapshot_id BIGINT PRIMARY KEY, state $textType NOT NULL)",
       "SELECT snapshot_id FROM graft_checkpoint FETCH FIRST 1 ROWS ONLY")
   }
 
@@ -82,8 +90,9 @@ class JdbcMetadataStore(root: String, val url: String)
       val rs = ps.executeQuery()
       if (!rs.next())
         throw new NoSuchElementException(s"$table has no snapshot $sid")
-      val clob = rs.getClob(1)
-      val out = clob.getSubString(1, clob.length().toInt)
+      // getString reads both Derby CLOB and PG/MySQL text types; getClob
+      // would pin the code to databases with a true LOB locator API
+      val out = rs.getString(1)
       rs.close()
       out
     } finally ps.close()

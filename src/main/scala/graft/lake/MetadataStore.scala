@@ -192,7 +192,20 @@ class MetadataStore(val root: String) {
     * the lock-step (AWS architecture blog "Exponential Backoff And Jitter";
     * same shape as PG's deadlock retry the reference leans on via
     * subtransaction retry, src/pgducklake_metadata_manager.cpp:294-364). */
-  def commitWithRetry(maxRetries: Int = 20)(build: (CatalogState, Long) => CommitDelta): Long = {
+  def commitWithRetry(maxRetries: Int = -1)(build: (CatalogState, Long) => CommitDelta): Long = {
+    // retry knobs (upstream DuckLake's extension-level settings
+    // ducklake_max_retry_count / ducklake_retry_wait_ms /
+    // ducklake_retry_backoff, docs/ducklake_feature_coverage.md:76 — the
+    // reference lists them unsupported): session confs with the upstream
+    // defaults; an explicit maxRetries argument wins over the conf.
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession.map(_.conf)
+    def confVal(key: String): Option[String] =
+      conf.flatMap(_.getOption(s"spark.graft.lake.$key"))
+    val retries =
+      if (maxRetries >= 0) maxRetries
+      else confVal("maxRetryCount").map(_.toInt).getOrElse(20)
+    val waitMs = confVal("retryWaitMs").map(_.toLong).getOrElse(5L)
+    val backoff = confVal("retryBackoff").map(_.toDouble).getOrElse(2.0)
     var attempt = 0
     while (true) {
       val st = state()
@@ -210,9 +223,12 @@ class MetadataStore(val root: String) {
             try checkpoint() catch { case _: Exception => () })
         return sid
       } catch {
-        case _: CommitConflictException if attempt < maxRetries =>
+        case _: CommitConflictException if attempt < retries =>
           attempt += 1
-          val cap = math.min(200L, 5L << math.min(attempt, 6))
+          // waitMs * backoff^attempt with full jitter, capped at 40 base
+          // waits (defaults 5 ms / 2.0 → the former 5<<n, 200 ms cap)
+          val cap = math.min(waitMs * 40,
+            math.max(waitMs, (waitMs * math.pow(backoff, math.min(attempt, 24))).toLong))
           val jittered = java.util.concurrent.ThreadLocalRandom.current().nextLong(cap + 1)
           if (jittered > 0) Thread.sleep(jittered)
       }
