@@ -930,6 +930,44 @@ class Lake(val spark: SparkSession, val root: String,
     }
   }
 
+  /** delete_orphaned_files (upstream `ducklake_delete_orphaned_files()`,
+    * which the reference itself lacks, docs/ducklake_feature_coverage.md:84):
+    * remove files sitting under a table directory that NO catalog row —
+    * live or historical — references and no scheduled deletion owns. These
+    * are the residue of writers that crashed between staging promotion and
+    * commit; at 100 TB scale with preemptible executors that residue is a
+    * real storage-cost leak no snapshot-based GC can see (GC only walks
+    * files the catalog knows). The grace window (default 1h, override via
+    * `olderThanMs` or option `orphan_older_than`) spares files another
+    * writer has promoted but not yet committed. Returns the deleted paths. */
+  def deleteOrphanedFiles(olderThanMs: Option[Long] = None): Vector[String] = {
+    requireNotInTransaction("deleteOrphanedFiles")
+    val st = store.state()
+    val io = StoreIO.forPath(store.root)
+    val graceMs = olderThanMs.orElse(
+      st.tagAt("global", "orphan_older_than", st.currentSnapshotId)
+        .map(LakeOptions.parseIntervalMs)).getOrElse(3600L * 1000)
+    val horizon = System.currentTimeMillis() - graceMs
+    // every path any catalog interval references, live OR ended (ended
+    // files are owned by scheduled deletions until cleanup reaps them)
+    val referenced: Set[String] =
+      (st.files.map(_.path) ++
+        st.deleteFiles.flatMap(d => d.path +: d.parts)).toSet
+    val protectedPrefixes = st.scheduledDeletions.map(_.path) ++
+      st.deleteFiles.map(_.path) // delete dirs: non-parquet sidecars stay
+    val deleted = Vector.newBuilder[String]
+    st.tables.map(_.tableId).distinct.foreach { tid =>
+      val dir = LakeWrite.tableDir(store.root, tid)
+      io.listFilesRecursive(dir).foreach { rel =>
+        val p = s"$dir/$rel"
+        val owned = referenced.contains(p) ||
+          protectedPrefixes.exists(pref => p == pref || p.startsWith(pref + "/"))
+        if (!owned && io.mtime(p) < horizon) { io.delete(p); deleted += p }
+      }
+    }
+    deleted.result()
+  }
+
   /** expire_snapshots (docs/settings.md expire_older_than): snapshots older
     * than the retention window disappear from the history — time travel,
     * `snapshots()`, and the change feed refuse them afterwards. The

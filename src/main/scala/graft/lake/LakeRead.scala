@@ -73,6 +73,7 @@ object LakeRead {
       s: Long,
       filters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
       withRowMeta: Boolean = false): DataFrame = {
+    LakeEncryption.ensureReadConfFor(spark, st, tableId, s)
     val cols = st.columnsAt(tableId, s)
     require(cols.nonEmpty, s"table $tableId has no columns at snapshot $s")
     val colTypes = cols.map(c => c.name -> c.dataType).toMap

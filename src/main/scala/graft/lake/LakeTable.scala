@@ -42,7 +42,7 @@ class LakeTable(
     val schemaName: String,
     val tableName: String,
     val snapshot: Long,
-    st: CatalogState,
+    private[lake] val st: CatalogState,
     /** extra FILE-PRUNE-ONLY predicates on synthetic stat names (variant
       * paths like "v.$.price", attached by [[LakeVariantPruning]]); never
       * pushed to parquet or applied to rows — Spark's own Filter above the
@@ -310,6 +310,8 @@ private[lake] class LakeScanBuilder(table: LakeTable) extends ScanBuilder
 
   override def build(): Scan = {
     val session = SparkSession.active
+    LakeEncryption.ensureReadConfFor(session, table.st, table.entry.tableId,
+      table.snapshot)
     // the _row_id metadata column only exists on the composed tier
     val wantsRowId = required.exists(_.fieldNames.contains(LakeTable.RowIdMetaCol))
     val native = !wantsRowId && session.conf

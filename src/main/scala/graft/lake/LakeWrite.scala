@@ -130,6 +130,15 @@ object LakeWrite {
     tag("target_file_size").foreach(v => bytesPerRow.foreach(bpr =>
       b += "maxRecordsPerFile" ->
         math.max(1L, LakeOptions.parseBytes(v) / bpr).toString))
+    val enc = LakeEncryption.writeOptions(st, tid, s)
+    if (enc.nonEmpty) {
+      b ++= enc
+      // the write path itself reads staged files back (stats, row counts),
+      // so the decryption side must be live in this session too
+      org.apache.spark.sql.SparkSession.getActiveSession
+        .foreach(LakeEncryption.ensureReadConf(_,
+          enc.get("parquet.encryption.kms.client.class")))
+    }
     b.result()
   }
 
@@ -452,7 +461,12 @@ object LakeWrite {
       // sort stays distributed, no single-task funnel for a big DELETE
       .repartitionByRange(col("file"), col("pos"))
       .sortWithinPartitions("file", "pos")
-      .write.mode(SaveMode.Overwrite).parquet(delDir)
+      // delete vectors leak row lineage — on an encrypted table they get
+      // the same uniform-key treatment as data files
+      .write.options({
+        val st = store.state()
+        LakeEncryption.writeOptions(st, tid, st.currentSnapshotId)
+      }).mode(SaveMode.Overwrite).parquet(delDir)
     val counts = spark.read.parquet(delDir).groupBy("file").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap // O(files)
     val total = counts.values.sum

@@ -42,6 +42,8 @@ trait StoreIO {
   /** same-filesystem rename (staged-file promotion) */
   def move(src: String, dst: String): Unit
   def size(path: String): Long
+  /** last-modified epoch millis (orphan-deletion grace window) */
+  def mtime(path: String): Long
   /** relative paths (to `dir`) of every regular file under `dir`, any depth */
   def listFilesRecursive(dir: String): Vector[String]
   def deleteRecursively(dir: String): Unit
@@ -92,6 +94,8 @@ object LocalStoreIO extends StoreIO {
   override def move(src: String, dst: String): Unit =
     Files.move(Paths.get(src), Paths.get(dst))
   override def size(path: String): Long = Files.size(Paths.get(path))
+  override def mtime(path: String): Long =
+    Files.getLastModifiedTime(Paths.get(path)).toMillis
   override def listFilesRecursive(dir: String): Vector[String] = {
     val root = Paths.get(dir)
     if (!Files.exists(root)) return Vector.empty
@@ -160,6 +164,8 @@ class HadoopStoreIO(anchor: String) extends StoreIO {
       throw new java.io.IOException(s"rename failed: $src -> $dst")
   }
   override def size(path: String): Long = fs.getFileStatus(new HPath(path)).getLen
+  override def mtime(path: String): Long =
+    fs.getFileStatus(new HPath(path)).getModificationTime
   override def listFilesRecursive(dir: String): Vector[String] = {
     val root = new HPath(dir)
     if (!fs.exists(root)) return Vector.empty

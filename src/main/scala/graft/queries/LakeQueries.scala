@@ -708,6 +708,87 @@ object LakeQueries {
         .orderBy("n_nationkey")
     }),
 
+    // ---- A25 frozen mount over HTTP (the reference's frozen_url shape:
+    // a frozen catalog served by any web server, no shared filesystem —
+    // src/pgducklake_fdw.cpp:84-93). Metadata crosses HTTP GET through
+    // Hadoop's read-only HttpFileSystem via the StoreIO seam; data files
+    // still read from the lake's storage root ----------------------------
+    "l44_http_frozen_mount" -> ((s, dir) => {
+      val lake = newLake(s)
+      val nation = t(s, dir, "nation").filter(col("n_regionkey") >= 3)
+      lake.createTableAs("main.nath", nation)
+      lake.delete("main.nath", col("n_nationkey") % 2 === 0)
+      val frozenDir = Files.createTempDirectory("graft_httpfzq").toString
+      lake.freeze(frozenDir, parquetCatalog = false)
+      val srv = MiniHttp.serve(frozenDir)
+      try {
+        val c = new LakeCatalog()
+        val m = new java.util.HashMap[String, String]()
+        m.put("frozen", s"http://127.0.0.1:${srv.getAddress.getPort}")
+        c.initialize("httpfzq", new CaseInsensitiveStringMap(m))
+        c.loadTable(Identifier.of(Array("main"), "nath"))
+          .asInstanceOf[LakeTable].scanDF(s)
+          .orderBy("n_nationkey")
+        // catalog state fully materializes at initialize; the server can
+        // stop before the (lazy) scan runs — only data-file reads remain
+      } finally srv.stop(0)
+    }),
+
+    // ---- Parquet Modular Encryption (the ENCRYPTED flag both the
+    // reference and upstream DuckLake leave unimplemented,
+    // docs/ducklake_feature_coverage.md:63): every data + delete file is
+    // an encrypted-footer parquet (magic PARE), envelope-encrypted under
+    // a master key the session provides; scans decrypt transparently.
+    // The result carries all_encrypted = 1 asserting on-disk ciphertext.
+    "l45_encryption" -> ((s, dir) => {
+      // deterministic demo master key (bytes 0..15); real deployments set
+      // graft.encryption.keys themselves or plug a KMS-backed client
+      s.sparkContext.hadoopConfiguration.set(
+        LakeEncryption.KeysConf, "graft0:AAECAwQFBgcICQoLDA0ODw==")
+      val lake = newLake(s)
+      lake.setOption("encrypted", "true")
+      lake.createTableAs("main.encn", t(s, dir, "nation"))
+      lake.delete("main.encn", col("n_regionkey") === 2)
+      def pareOnDisk(): Boolean = {
+        var all = true; var seen = 0
+        Files.walk(java.nio.file.Paths.get(lake.root)).iterator()
+          .forEachRemaining { p =>
+            if (p.toString.endsWith(".parquet")) {
+              seen += 1
+              val in = Files.newInputStream(p)
+              val b = new Array[Byte](4)
+              try in.read(b) finally in.close()
+              all &&= new String(b, "US-ASCII") == "PARE"
+            }
+          }
+        all && seen > 0
+      }
+      lake.table("main.encn")
+        .withColumn("all_encrypted", lit(if (pareOnDisk()) 1 else 0))
+        .orderBy("n_nationkey")
+    }),
+
+    // ---- delete_orphaned_files (upstream ducklake_delete_orphaned_files,
+    // unimplemented in the reference): catalog-vs-disk diff reaps the
+    // residue of writers that crashed after staging promotion ------------
+    "l46_orphan_cleanup" -> ((s, dir) => {
+      val lake = newLake(s)
+      lake.createTableAs("main.orp", t(s, dir, "nation"))
+      // simulate the crash residue: a stray parquet beside the real data
+      var dataDir: String = null
+      Files.walk(java.nio.file.Paths.get(lake.root)).iterator()
+        .forEachRemaining { p =>
+          if (p.toString.contains("/data/") && p.toString.endsWith(".parquet"))
+            dataDir = p.getParent.toString
+        }
+      Files.write(java.nio.file.Paths.get(s"$dataDir/part-orphan.parquet"),
+        Array[Byte](0, 1, 2, 3))
+      val reaped = lake.deleteOrphanedFiles(olderThanMs = Some(0L))
+      lake.table("main.orp")
+        .withColumn("n_orphans_deleted", lit(reaped.size))
+        .orderBy("n_nationkey")
+    }),
+
     // ---- metadata checkpoint: cold opens read checkpoint + tail ----------
     "l37_checkpoint" -> ((s, dir) => {
       val lake = newLake(s)
@@ -1094,6 +1175,20 @@ object LakeQueries {
         |FROM nation WHERE n_regionkey <> 0
         |ORDER BY n_nationkey""".stripMargin,
 
+    "l44_http_frozen_mount" ->
+      """SELECT * FROM nation
+        |WHERE n_regionkey >= 3 AND n_nationkey % 2 <> 0
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "l45_encryption" ->
+      """SELECT *, 1 AS all_encrypted FROM nation
+        |WHERE n_regionkey <> 2
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "l46_orphan_cleanup" ->
+      """SELECT *, 1 AS n_orphans_deleted FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
+
     "l25_column_default" ->
       """SELECT * FROM (
         |  SELECT r_regionkey, r_name, 'legacy' AS tag FROM region
@@ -1140,4 +1235,29 @@ object LakeQueries {
         |  (5, NULL, NULL, NULL)) v(id, name, age, first_elem)
         |ORDER BY id""".stripMargin
   )
+}
+
+/** Minimal static file server for the HTTP frozen-mount demo (l44) and its
+  * spec: stands in for the web server of the reference's `frozen_url`
+  * deployment (src/pgducklake_fdw.cpp:84-93). GET-only; the freeze manifest
+  * is fixed-name JSON files, so no listing support is needed. */
+private[graft] object MiniHttp {
+  import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+
+  def serve(dir: String): HttpServer = {
+    val srv = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val f = java.nio.file.Paths.get(dir, ex.getRequestURI.getPath.stripPrefix("/"))
+        if (java.nio.file.Files.isRegularFile(f)) {
+          val bytes = java.nio.file.Files.readAllBytes(f)
+          ex.sendResponseHeaders(200, bytes.length)
+          ex.getResponseBody.write(bytes)
+        } else ex.sendResponseHeaders(404, -1)
+        ex.close()
+      }
+    })
+    srv.start()
+    srv
+  }
 }

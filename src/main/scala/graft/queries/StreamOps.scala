@@ -154,6 +154,53 @@ object StreamOps {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       s.table(sink).orderBy("user_id", "s_start")
+    }),
+
+    // ---- stream-stream inner join between two CDF streams -----------------
+    // The last core stateful shape: two live change feeds joined on key
+    // with an event-time RANGE condition (ship within [order, order+150d]).
+    // The range + both-side watermarks is the 100 TB contract — it lets
+    // Spark evict buffered rows once the other side's watermark passes the
+    // reachable window, so join state is bounded by the time band instead
+    // of growing with the stream. Raw matches land in the sink (append
+    // mode, the only mode stream-stream joins support); the deterministic
+    // per-order rollup happens batch-side on the drained sink.
+    "s06_stream_join" -> ((s, dir) => {
+      val lake = LakeQueries.freshLake(s)
+      val ord = t(s, dir, "orders").filter(col("o_orderkey") < 4000)
+        .select(col("o_orderkey"), col("o_orderdate").cast("timestamp").as("o_ts"))
+      val li = t(s, dir, "lineitem").filter(col("l_orderkey") < 4000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_shipdate").cast("timestamp").as("l_ts"))
+      lake.createTable("main.sjo", ord.schema)
+      lake.append("main.sjo", ord)
+      lake.createTable("main.sjl", li.schema)
+      lake.append("main.sjl", li)
+      val left = s.readStream.format("graft-changes")
+        .option("root", lake.root).option("table", "main.sjo").load()
+        .filter(col("_change_type") === "insert")
+        .select("o_orderkey", "o_ts")
+        .withWatermark("o_ts", "1 day")
+      val right = s.readStream.format("graft-changes")
+        .option("root", lake.root).option("table", "main.sjl").load()
+        .filter(col("_change_type") === "insert")
+        .select("l_orderkey", "l_linenumber", "l_ts")
+        .withWatermark("l_ts", "1 day")
+      val joined = left.join(right,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_ts") >= col("o_ts") &&
+          col("l_ts") <= col("o_ts") + expr("INTERVAL 150 DAYS"))
+      val sink = s"graft_s06_${UUID.randomUUID().toString.replace("-", "")}"
+      val q = joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink).groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_items"),
+          min(col("l_linenumber")).as("min_line"),
+          max(col("l_linenumber")).as("max_line"),
+          max(col("l_ts")).cast("date").as("last_ship"))
+        .orderBy("o_orderkey")
     })
   )
 
@@ -215,6 +262,17 @@ object StreamOps {
         |SELECT user_id, min(ts) AS s_start, count(*) AS n_events,
         |  min(event_id) AS min_event, max(event_id) AS max_event
         |FROM sgrp GROUP BY user_id, sid
-        |ORDER BY user_id, s_start""".stripMargin
+        |ORDER BY user_id, s_start""".stripMargin,
+
+    // same key + event-time-range join, computed as a plain batch join
+    "s06_stream_join" ->
+      """SELECT o_orderkey, count(*) AS n_items,
+        |  min(l_linenumber) AS min_line, max(l_linenumber) AS max_line,
+        |  CAST(max(l_shipdate) AS DATE) AS last_ship
+        |FROM orders o JOIN lineitem l ON o_orderkey = l_orderkey
+        |  AND l_shipdate >= o_orderdate
+        |  AND l_shipdate <= o_orderdate + INTERVAL 150 DAY
+        |WHERE o_orderkey < 4000 AND l_orderkey < 4000
+        |GROUP BY 1 ORDER BY o_orderkey""".stripMargin
   )
 }
