@@ -129,5 +129,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new Lake(SparkSession.active, lit(args.head, "root")).macros()
         .queryExecution.analyzed
     })
+    // instance metadata (upstream ducklake_settings())
+    ext.injectTableFunction(tvf("graft_settings", "graft_settings(root)") { args =>
+      new Lake(SparkSession.active, lit(args.head, "root")).settings()
+        .queryExecution.analyzed
+    })
   }
 }

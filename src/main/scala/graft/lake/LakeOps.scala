@@ -962,7 +962,9 @@ class Lake(val spark: SparkSession, val root: String,
         val p = s"$dir/$rel"
         val owned = referenced.contains(p) ||
           protectedPrefixes.exists(pref => p == pref || p.startsWith(pref + "/"))
-        if (!owned && io.mtime(p) < horizon) { io.delete(p); deleted += p }
+        // <= : with a zero grace window a file created in the same
+        // millisecond as the horizon must still count as past it
+        if (!owned && io.mtime(p) <= horizon) { io.delete(p); deleted += p }
       }
     }
     deleted.result()
@@ -1312,6 +1314,30 @@ class Lake(val spark: SparkSession, val root: String,
       StructField("value", StringType))))
   }
 
+  /** Instance metadata (upstream `ducklake_settings()`,
+    * docs/ducklake_feature_coverage.md:74 — unimplemented in the
+    * reference): ENGINE-level settings as (setting, value) rows, distinct
+    * from [[options]] (catalog-level, snapshot-versioned). Values resolve
+    * session conf > default, the same resolution the commit path uses. */
+  def settings(): DataFrame = {
+    def conf(key: String, default: String): String =
+      spark.conf.getOption(s"spark.graft.lake.$key").getOrElse(default)
+    val backend = store match {
+      case _: JdbcMetadataStore => "jdbc"
+      case _ if StoreIO.isRemote(root) => "hadoop"
+      case _ => "file"
+    }
+    val rows = Vector(
+      "max_retry_count" -> conf("maxRetryCount", "20"),
+      "metadata_backend" -> backend,
+      "native_scan" -> spark.conf
+        .getOption("spark.graft.lake.nativeScan").getOrElse("true"),
+      "retry_backoff" -> conf("retryBackoff", "2.0"),
+      "retry_wait_ms" -> conf("retryWaitMs", "5")).map(kv => Row(kv._1, kv._2))
+    spark.createDataFrame(rows.toList.asJava, StructType(Seq(
+      StructField("setting", StringType), StructField("value", StringType))))
+  }
+
   /** set_partition (reference src/pgducklake_partition.cpp:31-74): applies
     * to FUTURE files; existing files keep their recorded values
     * (partition.sql:43-57 retroactive safety). */
@@ -1360,6 +1386,68 @@ class Lake(val spark: SparkSession, val root: String,
   def checkpoint(): Long = {
     requireNotInTransaction("checkpoint")
     store.checkpoint()
+  }
+
+  /** All-in-one maintenance (upstream DuckLake's `CHECKPOINT`, which runs
+    * every maintenance op sequentially — docs/ducklake_feature_coverage.md:88
+    * lists it unsupported in the reference): per live table flush inlined
+    * rows, bin-pack small files, and rewrite past the delete threshold
+    * (vacuum); then expire old snapshots, reap scheduled deletions and
+    * orphaned files, and checkpoint the metadata log. One call a scheduler
+    * can cron against a 100 TB lake instead of six. Window arguments
+    * default to the catalog options (`expire_older_than`,
+    * `delete_older_than`, `orphan_older_than`). Returns an op→count
+    * summary. */
+  def maintain(expireOlderThanMs: Option[Long] = None,
+      deleteOlderThanMs: Option[Long] = None,
+      orphanOlderThanMs: Option[Long] = None): Map[String, Long] = {
+    requireNotInTransaction("maintain")
+    val st = store.state()
+    val cur = st.currentSnapshotId
+    val live = st.tables.filter(t => t.begin <= cur && t.end.forall(_ > cur))
+    live.foreach { t =>
+      val name = s"${t.schemaName}.${t.tableName}"
+      flushInlinedData(name)
+      vacuum(name) // merge small files + rewrite past delete threshold
+    }
+    expireSnapshots(expireOlderThanMs)
+    val stE = store.state()
+    val expired =
+      (st.snapshots.map(_.snapshotId).toSet --
+        stE.snapshots.map(_.snapshotId).toSet).size
+    val beforeClean = stE.scheduledDeletions.size
+    cleanupOldFiles(deleteOlderThanMs)
+    val cleaned = beforeClean - store.state().scheduledDeletions.size
+    val orphans = deleteOrphanedFiles(orphanOlderThanMs).size
+    val ckpt = checkpoint()
+    Map(
+      "tables_maintained" -> live.size.toLong,
+      "snapshots_expired" -> expired.toLong,
+      "scheduled_deletions_cleaned" -> cleaned.toLong,
+      "orphans_deleted" -> orphans.toLong,
+      "checkpoint_snapshot" -> ckpt)
+  }
+
+  /** Whole-database migration (upstream `COPY FROM DATABASE`,
+    * docs/ducklake_feature_coverage.md:97 — unimplemented in the
+    * reference): every parquet table under `sourceDir` (a file or dataset
+    * directory named `<table>.parquet`) becomes a lake table in
+    * `targetSchema`, schema inferred, data physically copied through the
+    * normal write path so the lake owns its files (zero-copy registration
+    * of external files is [[addDataFiles]]). Returns migrated table names.
+    * `only` restricts to named tables. */
+  def migrate(sourceDir: String, targetSchema: String = "main",
+      only: Seq[String] = Nil): Vector[String] = {
+    val io = StoreIO.forPath(sourceDir)
+    val found = io.list(sourceDir, "", ".parquet")
+      .map(_.stripSuffix(".parquet")).sorted
+    val names = if (only.nonEmpty) found.filter(only.contains(_)) else found
+    require(names.nonEmpty, s"migrate: no parquet tables under $sourceDir")
+    names.foreach { n =>
+      createTableAs(s"$targetSchema.$n",
+        spark.read.parquet(s"$sourceDir/$n.parquet"))
+    }
+    names
   }
 
   def freeze(target: String, parquetCatalog: Boolean = true): Unit = {

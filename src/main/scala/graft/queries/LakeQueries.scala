@@ -789,6 +789,51 @@ object LakeQueries {
         .orderBy("n_nationkey")
     }),
 
+    // ---- CHECKPOINT all-in-one maintenance (upstream runs every
+    // maintenance op sequentially; unimplemented in the reference) -------
+    "l47_maintenance" -> ((s, dir) => {
+      val lake = newLake(s)
+      val region = t(s, dir, "region")
+      lake.createTable("main.mt", region.schema)
+      lake.setOption("data_inlining_row_limit", "10", Some("main.mt"))
+      lake.append("main.mt", region.filter(col("r_regionkey") < 2))  // inlined
+      lake.append("main.mt", region.filter(col("r_regionkey") >= 2)) // inlined
+      val summary = lake.maintain(
+        expireOlderThanMs = Some(Long.MaxValue), // keep all history
+        deleteOlderThanMs = Some(0L), orphanOlderThanMs = Some(0L))
+      val st = lake.store.state()
+      val tid = st.tableAt("main", "mt", st.currentSnapshotId).get.tableId
+      lake.table("main.mt")
+        .withColumn("n_files",
+          lit(st.filesAt(tid, st.currentSnapshotId).size))
+        .withColumn("n_inlined",
+          lit(st.inlinedAt(tid, st.currentSnapshotId).map(_.rowsJson.size).sum))
+        .withColumn("tables_maintained", lit(summary("tables_maintained")))
+        .orderBy("r_regionkey")
+    }),
+
+    // ---- COPY FROM DATABASE migration (upstream whole-database import;
+    // unimplemented in the reference): every parquet table under a
+    // directory becomes a lake table, schema inferred, data owned -------
+    "l48_migrate" -> ((s, dir) => {
+      import s.implicits._
+      val lake = newLake(s)
+      val migrated = lake.migrate(dir, "lakedb",
+        only = Seq("nation", "region", "supplier"))
+      migrated.map(n => (n, lake.table(s"lakedb.$n").count()))
+        .toDF("table_name", "n_rows").orderBy("table_name")
+    }),
+
+    // ---- settings() instance metadata (upstream ducklake_settings();
+    // unimplemented in the reference) -----------------------------------
+    "l49_settings" -> ((s, dir) => {
+      val lake = newLake(s)
+      lake.createTableAs("main.st", t(s, dir, "region"))
+      lake.settings()
+        .crossJoin(lake.table("main.st").agg(count(lit(1)).as("n_rows")))
+        .orderBy("setting")
+    }),
+
     // ---- metadata checkpoint: cold opens read checkpoint + tail ----------
     "l37_checkpoint" -> ((s, dir) => {
       val lake = newLake(s)
@@ -1188,6 +1233,28 @@ object LakeQueries {
     "l46_orphan_cleanup" ->
       """SELECT *, 1 AS n_orphans_deleted FROM nation
         |ORDER BY n_nationkey""".stripMargin,
+
+    // after maintain(): both inline batches flushed (0 inlined rows) and
+    // bin-packed into ONE parquet file; one live table maintained
+    "l47_maintenance" ->
+      """SELECT *, 1 AS n_files, 0 AS n_inlined,
+        |  CAST(1 AS BIGINT) AS tables_maintained
+        |FROM region ORDER BY r_regionkey""".stripMargin,
+
+    "l48_migrate" ->
+      """SELECT * FROM (
+        |  SELECT 'nation' AS table_name, count(*) AS n_rows FROM nation
+        |  UNION ALL SELECT 'region', count(*) FROM region
+        |  UNION ALL SELECT 'supplier', count(*) FROM supplier) t
+        |ORDER BY table_name""".stripMargin,
+
+    "l49_settings" ->
+      """SELECT setting, value, (SELECT count(*) FROM region) AS n_rows
+        |FROM (VALUES
+        |  ('max_retry_count', '20'), ('metadata_backend', 'file'),
+        |  ('native_scan', 'true'), ('retry_backoff', '2.0'),
+        |  ('retry_wait_ms', '5')) v(setting, value)
+        |ORDER BY setting""".stripMargin,
 
     "l25_column_default" ->
       """SELECT * FROM (

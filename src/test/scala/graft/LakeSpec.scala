@@ -1117,6 +1117,10 @@ class LakeSpec extends AnyFunSuite {
       s"SELECT _change_type, a FROM graft_table_changes('$r', 'main.tf', 0, 2) ORDER BY _change_type, a")
       .collect().map(x => (x.getString(0), x.getInt(1))).toSeq
     assert(ch == Seq(("delete", 1), ("insert", 1), ("insert", 2)), s"got $ch")
+    val be = spark.sql(
+      s"SELECT value FROM graft_settings('$r') WHERE setting = 'metadata_backend'")
+      .collect().head.getString(0)
+    assert(be == "file")
   }
 
   test("small lake table auto-broadcasts in a join (metadata-backed sizeInBytes)") {
