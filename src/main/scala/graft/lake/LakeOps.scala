@@ -775,6 +775,86 @@ class Lake(val spark: SparkSession, val root: String,
       })
   }
 
+  /** Z-order clustering rewrite: re-cluster the whole table by the Morton
+    * interleave of 2-4 columns' quantile buckets, so per-file min/max zone
+    * maps tighten on EVERY participating column at once — a point/range
+    * filter on any z-column prunes files, where [[rewriteSorted]]'s linear
+    * order only serves its leading key. The multi-dimensional analogue of
+    * Delta's OPTIMIZE ZORDER BY, expressed Spark-first: one
+    * approx-quantile pass derives per-column cut points (skew-balanced
+    * buckets), the codegen'd [[graft.functions.ZValue]] stamps the key,
+    * and ONE `repartitionByRange` shuffle re-clusters into
+    * size-targeted files — identical commit/conflict machinery to
+    * [[rewriteSorted]] (absorbs delete overlays + inline batches, aborts
+    * on any concurrent write or metadata change, CDF-silent `compacted`
+    * snapshot). Columns must be numeric, date, or timestamp. */
+  def rewriteZOrder(table: String, zcols: Seq[String], buckets: Int = 256,
+      beforeCommit: () => Unit = () => ()): Long = {
+    requireNotInTransaction("rewriteZOrder")
+    require(zcols.size >= 2 && zcols.size <= 4,
+      "rewriteZOrder takes 2-4 columns (one column wants rewriteSorted)")
+    require(buckets >= 2 && buckets <= 65536, "buckets must be in [2, 65536]")
+    val (sn, tn) = schemaOf(table)
+    val st = store.state()
+    val e = resolve(table, st)
+    val tid = e.tableId
+    val cur = st.currentSnapshotId
+    val names = st.columnsAt(tid, cur).map(_.name).toSet
+    zcols.foreach(c => require(names.contains(c), s"$table has no column $c"))
+    val live = st.filesAt(tid, cur)
+    if (live.isEmpty && st.inlinedAt(tid, cur).isEmpty) return cur
+    val target = optionTag(st, tid, "target_file_size")
+      .map(LakeOptions.parseBytes).getOrElse(LakeOptions.DefaultTargetFileSize)
+    val nOut = math.max(1, math.ceil(
+      live.map(_.fileSizeBytes).sum.toDouble / target).toInt)
+    val base = LakeRead.scanDF(spark, st, tid, cur, Nil, withRowMeta = true)
+      .drop(LakeRead.FileCol, LakeRead.PosCol)
+    // numeric/timestamp → double directly; date routes via timestamp (a
+    // direct date→double cast is not defined in Spark)
+    def zDouble(c: String): Column = base.schema(c).dataType match {
+      case org.apache.spark.sql.types.DateType =>
+        col(c).cast("timestamp").cast("double")
+      case _ => col(c).cast("double")
+    }
+    // quantile cut points per column (skew-balanced buckets)
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val cuts: Array[Array[Double]] = zcols.map { c =>
+      val d = base.select(zDouble(c).as("v")).filter(col("v").isNotNull)
+      val q = d.stat.approxQuantile("v", probs, 1.0 / (4 * buckets))
+      val distinctCuts = q.distinct.sorted
+      require(distinctCuts.nonEmpty, s"rewriteZOrder: column $c has no values")
+      distinctCuts
+    }.toArray
+    import org.apache.spark.sql.graft.NativeParquet.{columnOf, expressionOf}
+    val zv = columnOf(graft.functions.ZValue(
+      zcols.map(c => expressionOf(zDouble(c))), cuts))
+    val df = base.withColumn("_graft_zv", zv)
+      .repartitionByRange(nOut, col("_graft_zv"))
+      .sortWithinPartitions("_graft_zv")
+      .drop("_graft_zv")
+    val liveIds = live.map(_.fileId).toSet
+    beforeCommit()
+    LakeWrite.append(spark, store, sn, tn, df, explicitRowIds = true,
+      changeTag = "compacted", sorted = false, repartitionForWrite = false,
+      extraEnded = stNow => {
+        val curN = stNow.currentSnapshotId
+        val racedDel = stNow.deleteFilesAt(tid, curN).exists(_.begin > cur)
+        val racedAdd = stNow.filesAt(tid, curN).exists(f =>
+          f.begin > cur && !liveIds.contains(f.fileId))
+        val racedInl = stNow.inlinedAt(tid, curN).exists(_.begin > cur)
+        val racedMeta =
+          stNow.columnsAt(tid, curN) != st.columnsAt(tid, cur) ||
+          stNow.partitionKeysAt(tid, curN) != st.partitionKeysAt(tid, cur)
+        if (racedDel || racedAdd || racedInl || racedMeta)
+          throw new java.util.ConcurrentModificationException(
+            s"z-order rewrite of $table conflicts with a concurrent " +
+              (if (racedMeta) "metadata change" else "write"))
+        (liveIds.toList.sorted,
+          stNow.deleteFilesAt(tid, curN).map(_.deleteFileId).toList,
+          stNow.inlinedAt(tid, curN).map(_.batchId).toList)
+      })
+  }
+
   /** Consolidate a table's live delete files into ONE sorted delete dir.
     *
     * Every DELETE/UPDATE/MERGE leaves its own delete dir; files BELOW the

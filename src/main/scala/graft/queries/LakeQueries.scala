@@ -834,6 +834,23 @@ object LakeQueries {
         .orderBy("setting")
     }),
 
+    // ---- Z-order clustering rewrite (multi-dimensional complement of
+    // l33's linear rewriteSorted; Delta OPTIMIZE ZORDER analogue): one
+    // quantile pass + Morton-key range-repartition; zone maps tighten on
+    // every z column (pruning asserted in ZOrderSpec; content identity
+    // oracle-checked here) ----------------------------------------------
+    "l50_zorder" -> ((s, dir) => {
+      val lake = newLake(s)
+      val li = t(s, dir, "lineitem").filter(col("l_orderkey") < 2000)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"))
+      lake.createTableAs("main.zli", li)
+      lake.setOption("target_file_size", "32KB", Some("main.zli"))
+      lake.rewriteZOrder("main.zli", Seq("l_partkey", "l_suppkey"))
+      lake.table("main.zli")
+        .orderBy("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    }),
+
     // ---- metadata checkpoint: cold opens read checkpoint + tail ----------
     "l37_checkpoint" -> ((s, dir) => {
       val lake = newLake(s)
@@ -1255,6 +1272,11 @@ object LakeQueries {
         |  ('native_scan', 'true'), ('retry_backoff', '2.0'),
         |  ('retry_wait_ms', '5')) v(setting, value)
         |ORDER BY setting""".stripMargin,
+
+    "l50_zorder" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
+        |FROM lineitem WHERE l_orderkey < 2000
+        |ORDER BY l_orderkey, l_partkey, l_suppkey, l_quantity""".stripMargin,
 
     "l25_column_default" ->
       """SELECT * FROM (

@@ -37,6 +37,17 @@ import scala.jdk.CollectionConverters._
   */
 object NativeParquet {
 
+  /** wrap a raw Catalyst Expression as a user-facing Column (Spark 4 hid
+    * the Column(expr) constructor behind private[sql] ExpressionUtils;
+    * graft builds custom expressions like ZValue programmatically with
+    * non-child config that has no SQL-literal form) */
+  def columnOf(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** the inverse: the Catalyst expression behind a Column */
+  def expressionOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
   /** columnar DSv2 Scan over an explicit (path, sizeBytes) parquet file
     * list. `dataSchema` = full table schema, `readSchema` = pruned columns
     * Spark asked for, `filters` = pushed predicates (forwarded to parquet
