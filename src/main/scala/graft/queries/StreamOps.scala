@@ -191,9 +191,17 @@ object StreamOps {
           col("l_ts") >= col("o_ts") &&
           col("l_ts") <= col("o_ts") + expr("INTERVAL 150 DAYS"))
       val sink = s"graft_s06_${UUID.randomUUID().toString.replace("-", "")}"
-      val q = joined.writeStream.format("memory").queryName(sink)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow()).start()
+      // stream-stream join state cost is per (state partition × 2 sides ×
+      // 4 store instances); at demo volume the fixed store setup dominates,
+      // so pin the stateful shuffle narrow for this query (the conf is
+      // captured at query start; restored right after the drain)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = try {
+        joined.writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow()).start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       q.awaitTermination()
       s.table(sink).groupBy("o_orderkey")
         .agg(count(lit(1)).as("n_items"),
