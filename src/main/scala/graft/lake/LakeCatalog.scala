@@ -30,11 +30,26 @@ import Meta._
   * A catalog initialized with `frozen=<dir>` mounts a frozen export
   * read-only (reference A24/A25, src/pgducklake_fdw.cpp:167-190).
   */
-class LakeCatalog extends TableCatalog with SupportsNamespaces {
+class LakeCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var store: MetadataStore = _
   private var frozenState: Option[CatalogState] = None
+
+  // ---- CALL <cat>.system.<proc>(...) — see [[LakeProcedures]] ----------
+  private def lakeForProcs(): Lake = {
+    requireWritable() // every procedure mutates; frozen mounts refuse
+    new Lake(org.apache.spark.sql.SparkSession.active, store.root, Some(store))
+  }
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace().sameElements(Array("system")),
+      s"procedures live in the 'system' namespace, got ${ident.namespace().mkString(".")}")
+    LakeProcedures.load(() => lakeForProcs(), ident.name())
+  }
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    LakeProcedures.list(namespace)
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name

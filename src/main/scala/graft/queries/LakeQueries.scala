@@ -851,6 +851,29 @@ object LakeQueries {
         .orderBy("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
     }),
 
+    // ---- SQL stored procedures: CALL <cat>.system.<proc>(...) over the
+    // DSv2 ProcedureCatalog SPI — the Spark-native CALL ducklake.set_option
+    // routing (src/pgducklake_hooks.cpp:263-313), generalized to the whole
+    // maintenance surface ------------------------------------------------
+    "l51_sql_procedures" -> ((s, dir) => {
+      val lake = newLake(s)
+      val cat = "lqp" + java.util.UUID.randomUUID().toString.replace("-", "").take(10)
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", lake.root)
+      val nation = t(s, dir, "nation")
+      lake.createTableAs("main.pt", nation)
+      lake.append("main.pt", nation.filter(col("n_regionkey") === 0))
+      s.sql(s"CALL $cat.system.merge_adjacent_files('main.pt')")
+      s.sql(s"CALL $cat.system.set_option('parquet_compression', 'zstd', 'main.pt')")
+      val st = lake.store.state()
+      val tid = st.tableAt("main", "pt", st.currentSnapshotId).get.tableId
+      lake.table("main.pt")
+        .withColumn("n_files", lit(st.filesAt(tid, st.currentSnapshotId).size))
+        .withColumn("compression",
+          lit(st.optionAt(tid, "parquet_compression", st.currentSnapshotId).orNull))
+        .orderBy("n_nationkey", "n_name")
+    }),
+
     // ---- metadata checkpoint: cold opens read checkpoint + tail ----------
     "l37_checkpoint" -> ((s, dir) => {
       val lake = newLake(s)
@@ -1277,6 +1300,13 @@ object LakeQueries {
       """SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
         |FROM lineitem WHERE l_orderkey < 2000
         |ORDER BY l_orderkey, l_partkey, l_suppkey, l_quantity""".stripMargin,
+
+    // after merge_adjacent_files: one file; set_option visible on the table
+    "l51_sql_procedures" ->
+      """SELECT *, 1 AS n_files, 'zstd' AS compression FROM (
+        |  SELECT * FROM nation
+        |  UNION ALL SELECT * FROM nation WHERE n_regionkey = 0) t
+        |ORDER BY n_nationkey, n_name""".stripMargin,
 
     "l25_column_default" ->
       """SELECT * FROM (
