@@ -114,6 +114,39 @@ class EncryptionSpec extends AnyFunSuite {
     }
   }
 
+  test("encryption composes with the change feed and the streaming source") {
+    withKeys {
+      val lake = encryptedLake()
+      lake.createTableAs("main.ence",
+        spark.range(0, 100).select(col("id").as("k")))
+      lake.delete("main.ence", col("k") >= 80)
+      // batch change feed decrypts both the insert and delete images
+      val ch = lake.tableChanges("main.ence", 0, lake.currentSnapshot())
+      assert(ch.filter(col("_change_type") === "insert").count() == 100)
+      assert(ch.filter(col("_change_type") === "delete").count() == 20)
+      // streaming CDF source over the encrypted table
+      val sink = s"graft_enc_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = spark.readStream.format("graft-changes")
+        .option("root", lake.root).option("table", "main.ence").load()
+        .writeStream.format("memory").queryName(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      assert(spark.table(sink).count() == 120)
+      // z-order rewrite of an encrypted table stays encrypted
+      lake.createTableAs("main.encz", spark.range(0, 2000).select(
+        (col("id") % 40).cast("int").as("x"), (col("id") / 40).cast("int").as("y")))
+      lake.rewriteZOrder("main.encz", Seq("x", "y"))
+      val root = lake.root
+      var checked = 0
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root)).iterator()
+        .forEachRemaining { p =>
+          if (p.toString.endsWith(".parquet")) { assert(magic(p.toString) == "PARE", p); checked += 1 }
+        }
+      assert(checked > 0)
+      assert(lake.table("main.encz").count() == 2000)
+    }
+  }
+
   test("compaction of an encrypted table re-encrypts the merged output") {
     withKeys {
       val lake = encryptedLake()

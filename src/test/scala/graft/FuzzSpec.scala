@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+import scala.collection.mutable
+import scala.util.Random
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.lake._
+
+/** Randomized whole-lake DML fuzz: a seeded op sequence (append / delete /
+  * update / merge / vacuum / z-order / checkpoint) runs against one table
+  * while a driver-side Map models the expected contents. After every op
+  * the model must match; at the end, a sample of recorded snapshots must
+  * ALSO match via time travel — maintenance ops may rewrite files at any
+  * point in between, so this exercises the interval algebra, the delete
+  * overlay, compaction absorption, and historical reads under one
+  * adversarial schedule rather than one-feature-at-a-time specs. */
+class FuzzSpec extends AnyFunSuite {
+  import TestSession.spark
+
+  private def runFuzz(seed: Int, nOps: Int): Unit = {
+    val rnd = new Random(seed)
+    val lake = new Lake(spark, Files.createTempDirectory(s"graft_fuzz$seed").toString)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType)))
+    lake.createTable("main.f", schema)
+    lake.setOption("target_file_size", "64KB", Some("main.f"))
+
+    var model = Map.empty[Long, Long]
+    var nextK = 0L
+    // snapshot id -> expected contents at that snapshot
+    val history = mutable.ArrayBuffer[(Long, Map[Long, Long])]()
+    history += lake.currentSnapshot() -> model
+
+    def readLake(version: Option[Long] = None): Map[Long, Long] =
+      lake.table("main.f", version).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    var i = 0
+    while (i < nOps) {
+      val op = rnd.nextInt(10)
+      op match {
+        case 0 | 1 | 2 | 3 =>
+          val n = 50 + rnd.nextInt(150)
+          val rows = (nextK until nextK + n).map(k => (k, k * 2 + seed))
+          nextK += n
+          import spark.implicits._
+          lake.append("main.f", rows.toDF("k", "v"))
+          model ++= rows
+        case 4 =>
+          val m = 2 + rnd.nextInt(5); val r = rnd.nextInt(m)
+          lake.delete("main.f", col("k") % m === r)
+          model = model.filter { case (k, _) => k % m != r }
+        case 5 =>
+          val m = 2 + rnd.nextInt(5); val r = rnd.nextInt(m); val c = rnd.nextInt(100)
+          lake.update("main.f", col("k") % m === r, Map("v" -> (col("v") + c)))
+          model = model.map { case (k, v) => k -> (if (k % m == r) v + c else v) }
+        case 6 => lake.mergeAdjacentFiles("main.f")
+        case 7 => lake.vacuum("main.f")
+        case 8 => if (model.nonEmpty) lake.rewriteZOrder("main.f", Seq("k", "v"))
+        case 9 => lake.checkpoint()
+      }
+      history += lake.currentSnapshot() -> model
+      val got = readLake()
+      assert(got == model,
+        s"seed=$seed op#$i kind=$op: lake has ${got.size} rows, model ${model.size}; " +
+          s"diff sample: ${(got.toSet -- model.toSet).take(3)} / ${(model.toSet -- got.toSet).take(3)}")
+      i += 1
+    }
+
+    // historical reads: every 5th recorded snapshot must reproduce exactly
+    history.zipWithIndex.filter(_._2 % 5 == 0).foreach { case ((sid, want), _) =>
+      val got = readLake(Some(sid))
+      assert(got == want, s"seed=$seed time travel to $sid: " +
+        s"${got.size} rows vs expected ${want.size}")
+    }
+
+    // a cold instance (checkpoint + log tail) agrees
+    val cold = new Lake(spark, lake.root)
+    assert(cold.table("main.f").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == model)
+  }
+
+  test("fuzz seed 20260814, 24 ops")(runFuzz(20260814, 24))
+  test("fuzz seed 7, 24 ops")(runFuzz(7, 24))
+}
