@@ -44,6 +44,29 @@ object MultimodalOps {
       Multimodal.sampleFrames(s, media, stride = 4).toDF()
         .select(col("doc_id"), col("frame_idx"), col("frame_sig"), col("luma"))
         .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    // ---- media near-dup: decode → per-frame features → signature →
+    // bucket JOIN (never all-pairs). The end-to-end multimodal dedup
+    // shape: two byte-identical uploads (here: the same media under two
+    // ids) land in one feature bucket and surface as a pair; at 100 TB
+    // the signature groupBy + equi-join is one shuffle each, state
+    // O(corpus), exactly the t04 exact-dedup plan lifted onto decoded
+    // media features instead of raw text ---------------------------------
+    "m03_media_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .selectExpr("doc_id", "cast(text as binary) AS payload")
+      val copies = docs.selectExpr("doc_id + 100000 AS doc_id", "payload")
+      val frames = Multimodal.sampleFrames(s, docs.union(copies), stride = 4).toDF()
+      // per-doc signature: ordered quantized luma sequence (luma is
+      // hexdigit/16, so *16 is exactly integral — no rounding hazards)
+      val sig = frames.groupBy("doc_id").agg(expr(
+        "concat_ws(',', transform(array_sort(collect_list(struct(frame_idx, luma))), " +
+          "x -> cast(cast(x.luma * 16 as int) as string)))").as("sig"))
+      sig.as("a").join(sig.as("b"),
+          col("a.sig") === col("b.sig") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .orderBy("doc_a", "doc_b")
     })
   )
 
@@ -79,6 +102,32 @@ object MultimodalOps {
         |    CAST((strpos('0123456789abcdef', substring(md5(text), 3, 1)) - 1) * 16
         |      + (strpos('0123456789abcdef', substring(md5(text), 4, 1)) - 1) AS BIGINT) AS v2
         |  FROM documents) t
-        |ORDER BY doc_id LIMIT 500""".stripMargin
+        |ORDER BY doc_id LIMIT 500""".stripMargin,
+
+    // same decode-stub luma formula as m02, aggregated into the ordered
+    // quantized signature, paired on signature equality
+    "m03_media_neardup" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        |media AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL SELECT doc_id + 100000, text FROM base),
+        |meta AS (
+        |  SELECT doc_id, text,
+        |    CAST((strpos('0123456789abcdef', substring(md5(text), 3, 1)) - 1) * 16
+        |      + (strpos('0123456789abcdef', substring(md5(text), 4, 1)) - 1) AS BIGINT) AS v2
+        |  FROM media),
+        |f AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(0, CAST(v2 % 30 AS BIGINT), 4)) AS frame_idx
+        |  FROM meta),
+        |sig AS (
+        |  SELECT doc_id,
+        |    string_agg(CAST(strpos('0123456789abcdef',
+        |      substring(md5(text || ':' || CAST(frame_idx AS VARCHAR)), 1, 1)) - 1
+        |      AS VARCHAR), ',' ORDER BY frame_idx) AS sig
+        |  FROM f GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM sig a JOIN sig b ON a.sig = b.sig AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin
   )
 }

@@ -209,6 +209,34 @@ object StreamOps {
           max(col("l_linenumber")).as("max_line"),
           max(col("l_ts")).cast("date").as("last_ship"))
         .orderBy("o_orderkey")
+    }),
+
+    // ---- streaming deduplication over the CDF stream ----------------------
+    // THE streaming op of a training-data ingest pipeline: exact dedup on a
+    // key while the data arrives, state bounded by the event-time watermark
+    // (a key's dedup entry is dropped once the watermark passes it — at
+    // 100 TB/day the state holds one watermark-window of keys, not the
+    // corpus). The source table carries genuine duplicates (the same batch
+    // committed twice); identical payloads make keep-first deterministic.
+    "s07_stream_dedup" -> ((s, dir) => {
+      val lake = LakeQueries.freshLake(s)
+      val ev = t(s, dir, "events").filter(col("user_id") < 40)
+        .select(col("event_id"), col("user_id"), col("ts").cast("timestamp").as("ts"))
+      lake.createTable("main.dd", ev.schema)
+      lake.append("main.dd", ev)
+      lake.append("main.dd", ev) // exact duplicates, second snapshot
+      val sink = s"graft_s07_${UUID.randomUUID().toString.replace("-", "")}"
+      val q = s.readStream.format("graft-changes")
+        .option("root", lake.root).option("table", "main.dd").load()
+        .filter(col("_change_type") === "insert")
+        .select("event_id", "user_id", "ts")
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates("event_id")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink).orderBy("event_id")
     })
   )
 
@@ -281,6 +309,12 @@ object StreamOps {
         |  AND l_shipdate >= o_orderdate
         |  AND l_shipdate <= o_orderdate + INTERVAL 150 DAY
         |WHERE o_orderkey < 4000 AND l_orderkey < 4000
-        |GROUP BY 1 ORDER BY o_orderkey""".stripMargin
+        |GROUP BY 1 ORDER BY o_orderkey""".stripMargin,
+
+    // duplicates are exact copies, so keep-first == DISTINCT
+    "s07_stream_dedup" ->
+      """SELECT DISTINCT event_id, user_id, ts
+        |FROM events WHERE user_id < 40
+        |ORDER BY event_id""".stripMargin
   )
 }
