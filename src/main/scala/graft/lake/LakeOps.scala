@@ -1532,6 +1532,10 @@ class Lake(val spark: SparkSession, val root: String,
 
   def freeze(target: String, parquetCatalog: Boolean = true): Unit = {
     requireNotInTransaction("freeze")
+    // Interop caveat: the exported catalog lists data-file paths verbatim;
+    // for an `encrypted` table those files are PME parquet, readable only
+    // by engines that speak Parquet Modular Encryption with key access —
+    // plain DuckDB will see the catalog but cannot open the data.
     store.freeze(target)
     // the engine-neutral interop artifact (thaw/import surface): the
     // ducklake_* layout as parquet datasets an external engine can COPY
