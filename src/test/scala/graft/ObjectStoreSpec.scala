@@ -134,6 +134,20 @@ class ObjectStoreSpec extends AnyFunSuite {
       cold.store.commit(Meta.CommitDelta(snapshot = Meta.Snapshot(
         d.currentSnapshotId, 0L, 0L, Nil))) // claim an already-taken slot
     }
+
+    // orphan reaping + all-in-one maintenance run through the FS too
+    // (listFilesRecursive / mtime / delete on the non-file: scheme)
+    val st = lake.store.state()
+    val tid = st.tableAt("main", "t", st.currentSnapshotId).get.tableId
+    val dataDirLocal = Paths.get(local, s"t$tid", "data")
+    Files.write(dataDirLocal.resolve("part-stray.parquet"), Array[Byte](1))
+    val reaped = lake.deleteOrphanedFiles(olderThanMs = Some(0L))
+    assert(reaped.size == 1 && reaped.head.startsWith("graftfs://"),
+      s"orphan must resolve through the scheme, got $reaped")
+    val summary = lake.maintain(expireOlderThanMs = Some(Long.MaxValue),
+      deleteOlderThanMs = Some(0L), orphanOlderThanMs = Some(0L))
+    assert(summary("tables_maintained") == 1L)
+    assert(lake.table("main.t").count() == 16)
   }
 
   test("freeze to and frozen-mount from the non-file: filesystem") {
