@@ -178,17 +178,26 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
   }
 
   private def parseTransform(t: Transform): PartitionKey = {
-    val colName = t.arguments().headOption match {
-      case Some(r: org.apache.spark.sql.connector.expressions.NamedReference) =>
+    // bucket(n, col) carries its width literal before the reference, so
+    // locate the column by type rather than by position
+    val colName = t.arguments().collectFirst {
+      case r: org.apache.spark.sql.connector.expressions.NamedReference =>
         r.fieldNames().mkString(".")
-      case _ => throw new IllegalArgumentException(s"unsupported partition transform: $t")
-    }
+    }.getOrElse(
+      throw new IllegalArgumentException(s"unsupported partition transform: $t"))
     t.name().toLowerCase match {
       case "identity" => PartitionKey("identity", colName)
       case "years" | "year" => PartitionKey("year", colName)
       case "months" | "month" => PartitionKey("month", colName)
       case "days" | "day" => PartitionKey("day", colName)
       case "hours" | "hour" => PartitionKey("hour", colName)
+      case "bucket" =>
+        val n = t.arguments().collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value().toString.toInt
+        }.getOrElse(throw new IllegalArgumentException(
+          s"bucket transform needs a width literal: $t"))
+        PartitionKey(BucketTransform(n), colName)
       case other => throw new IllegalArgumentException(s"unsupported partition transform: $other")
     }
   }

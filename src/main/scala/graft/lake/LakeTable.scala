@@ -96,6 +96,7 @@ class LakeTable(
         case "month" => Expressions.months(pk.column)
         case "day" => Expressions.days(pk.column)
         case "hour" => Expressions.hours(pk.column)
+        case BucketTransform(n) => Expressions.bucket(n, pk.column)
         case other => Expressions.apply(other, Expressions.column(pk.column))
       }
     }.toArray

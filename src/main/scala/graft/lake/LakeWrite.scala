@@ -83,13 +83,18 @@ object LakeWrite {
     out.result()
   }
 
-  /** partition transform expression for a data column */
-  private def transformCol(pk: PartitionKey): Column = pk.transform match {
+  /** partition transform expression for a data column. `bucket[N]` is the
+    * Iceberg-style hash transform for high-cardinality keys (superset —
+    * the reference supports identity/year/month/day/hour only): the
+    * recorded per-file value is `pmod(murmur3(col), N)`, reproduced
+    * driver-side by [[Pruning]] for point-filter and DPP file pruning. */
+  private[lake] def transformCol(pk: PartitionKey): Column = pk.transform match {
     case "identity" => col(pk.column)
     case "year" => year(col(pk.column))
     case "month" => month(col(pk.column))
     case "day" => dayofmonth(col(pk.column))
     case "hour" => hour(col(pk.column))
+    case BucketTransform(n) => pmod(hash(col(pk.column)), lit(n))
     case other => throw new IllegalArgumentException(s"unknown partition transform: $other")
   }
 
@@ -886,4 +891,13 @@ object LakeWrite {
     }
     (sid, updCnt, delCnt, insCnt)
   }
+}
+
+/** `bucket[N]` partition-transform name codec: extractor yields N. */
+object BucketTransform {
+  def apply(n: Int): String = s"bucket[$n]"
+  def unapply(transform: String): Option[Int] =
+    if (transform.startsWith("bucket[") && transform.endsWith("]"))
+      transform.stripPrefix("bucket[").stripSuffix("]").toIntOption.filter(_ > 0)
+    else None
 }

@@ -137,6 +137,8 @@ object Pruning {
       file.partitionValues.get(pk.label) match {
         case None => true
         case Some(pv) if pv.contains("HIVE_DEFAULT_PARTITION") || pv.contains("%") => true
+        case Some(pv) if mode != PartCmp.Eq && pk.transform.startsWith("bucket[") =>
+          true // bucket is NOT monotone: only equality prunes
         case Some(pv) =>
           transformOfLiteral(pk.transform, v, colTypes.getOrElse(a, "string")) match {
             case None => true
@@ -171,6 +173,17 @@ object Pruning {
       case "month" => toLocal.map(_.getMonthValue)
       case "day" => toLocal.map(_.getDayOfMonth)
       case "hour" => toLocal.map(_.getHour)
+      case BucketTransform(n) =>
+        // reproduce the writer's pmod(murmur3(col), n) on the literal via
+        // Catalyst itself — Literal.create performs the same
+        // external→internal conversion the column value saw, so the hash
+        // bytes agree for every supported type
+        try {
+          val lit = org.apache.spark.sql.catalyst.expressions.Literal.create(v)
+          val h = org.apache.spark.sql.catalyst.expressions.Murmur3Hash(Seq(lit), 42)
+            .eval(null).asInstanceOf[Int]
+          Some(((h % n) + n) % n)
+        } catch { case _: Exception => None }
       case _ => None
     }
   }

@@ -874,6 +874,22 @@ object LakeQueries {
         .orderBy("n_nationkey", "n_name")
     }),
 
+    // ---- bucket[N] hidden-partition transform (Iceberg-style; superset —
+    // the reference supports identity/year/month/day/hour only): point
+    // lookups on a high-cardinality key prune to ONE bucket's files via
+    // the driver-side murmur3 of the literal (BucketSpec) ----------------
+    "l52_bucket_partition" -> ((s, dir) => {
+      val lake = newLake(s)
+      val cust = t(s, dir, "customer")
+      lake.createTable("main.bc", cust.schema,
+        partitionKeys = List(PartitionKey(BucketTransform(8), "c_custkey")))
+      lake.append("main.bc", cust)
+      lake.table("main.bc").filter(col("c_custkey").isin(7, 42, 99))
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+        .crossJoin(lake.table("main.bc").agg(count(lit(1)).as("n_total")))
+        .orderBy("c_custkey")
+    }),
+
     // ---- metadata checkpoint: cold opens read checkpoint + tail ----------
     "l37_checkpoint" -> ((s, dir) => {
       val lake = newLake(s)
@@ -1300,6 +1316,12 @@ object LakeQueries {
       """SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
         |FROM lineitem WHERE l_orderkey < 2000
         |ORDER BY l_orderkey, l_partkey, l_suppkey, l_quantity""".stripMargin,
+
+    "l52_bucket_partition" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |  (SELECT count(*) FROM customer) AS n_total
+        |FROM customer WHERE c_custkey IN (7, 42, 99)
+        |ORDER BY c_custkey""".stripMargin,
 
     // after merge_adjacent_files: one file; set_option visible on the table
     "l51_sql_procedures" ->

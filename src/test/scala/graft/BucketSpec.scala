@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{EqualTo, GreaterThan}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.lake._
+import graft.lake.Meta.PartitionKey
+
+/** Iceberg-style `bucket[N]` hidden-partition transform: the scale answer
+  * for point lookups on HIGH-CARDINALITY keys, where identity partitioning
+  * would mint millions of partitions and year/month serve only time. A
+  * point filter prunes to the one bucket's files (murmur3 of the literal
+  * reproduced driver-side); range filters must NOT prune — bucket is not
+  * monotone. */
+class BucketSpec extends AnyFunSuite {
+  import TestSession.spark
+
+  private def bucketedLake(n: Int): (Lake, String) = {
+    val lake = new Lake(spark, Files.createTempDirectory("graft_bucket").toString)
+    val df = spark.range(0, 5000).select(col("id").as("k"), (col("id") * 3).as("v"))
+    lake.createTable("main.b", df.schema,
+      partitionKeys = List(PartitionKey(BucketTransform(n), "k")))
+    lake.append("main.b", df)
+    (lake, "main.b")
+  }
+
+  private def pruned(lake: Lake, f: org.apache.spark.sql.sources.Filter): (Int, Int) = {
+    val st = lake.store.state()
+    val e = st.tableAt("main", "b", st.currentSnapshotId).get
+    val files = st.filesAt(e.tableId, st.currentSnapshotId)
+    val ct = st.columnsAt(e.tableId, st.currentSnapshotId)
+      .map(c => c.name -> c.dataType).toMap
+    val kept = Pruning.prune(files, st.statsFor, ct,
+      st.partitionKeysAt(e.tableId, st.currentSnapshotId), Seq(f))
+    (kept.size, files.size)
+  }
+
+  test("point filter prunes to one bucket; ranges keep everything; scans exact") {
+    val (lake, t) = bucketedLake(8)
+    val st = lake.store.state()
+    val e = st.tableAt("main", "b", st.currentSnapshotId).get
+    val files = st.filesAt(e.tableId, st.currentSnapshotId)
+    assert(files.size == 8, s"one file per bucket expected, got ${files.size}")
+    assert(files.forall(_.partitionValues.contains("bucket[8](k)")))
+
+    val (keptEq, total) = pruned(lake, EqualTo("k", 1234L))
+    assert(keptEq == 1, s"point filter must keep exactly the literal's bucket, kept $keptEq/$total")
+    // the surviving file really contains the row
+    assert(lake.table(t).filter(col("k") === 1234L).count() == 1)
+    assert(lake.table(t).filter(col("k") === 1234L).head.getLong(1) == 3702L)
+
+    // bucket is not monotone, so the TRANSFORM must not range-prune; the
+    // per-file min/max stats may still legitimately drop buckets whose
+    // k-range misses the predicate — safety bound: every bucket holding a
+    // matching key survives, and the scan is exact
+    val matchBuckets = spark.range(4991, 5000)
+      .select(pmod(hash(col("id")), lit(8)).as("b")).distinct().count()
+    val (keptGt, _) = pruned(lake, GreaterThan("k", 4990L))
+    assert(keptGt >= matchBuckets,
+      s"range filter kept $keptGt files but $matchBuckets buckets hold matches")
+    assert(lake.table(t).filter(col("k") > 4990L).count() == 9)
+  }
+
+  test("SQL DDL round trip: PARTITIONED BY (bucket(4, k)) via the catalog") {
+    val root = Files.createTempDirectory("graft_bucket_sql").toString
+    val cat = "bcat" + java.util.UUID.randomUUID().toString.take(6).replace("-", "")
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE TABLE $cat.main.bt (k BIGINT, v BIGINT) PARTITIONED BY (bucket(4, k))")
+    spark.sql(s"INSERT INTO $cat.main.bt SELECT id, id * 2 FROM range(0, 1000)")
+    val lake = new Lake(spark, root)
+    val st = lake.store.state()
+    val e = st.tableAt("main", "bt", st.currentSnapshotId).get
+    assert(st.partitionKeysAt(e.tableId, st.currentSnapshotId) ==
+      List(PartitionKey("bucket[4]", "k")))
+    assert(st.filesAt(e.tableId, st.currentSnapshotId).size == 4)
+    assert(spark.sql(s"SELECT v FROM $cat.main.bt WHERE k = 77").head.getLong(0) == 154L)
+    // the reported partitioning renders back as a bucket transform
+    val show = spark.sql(s"DESCRIBE TABLE EXTENDED $cat.main.bt").collect()
+      .map(_.mkString(" ")).mkString("\n")
+    assert(show.contains("bucket(4, k)"), s"DESCRIBE missing bucket transform:\n$show")
+  }
+
+  test("DPP: a runtime IN filter on the bucketed key re-prunes the file list") {
+    val (lake, _) = bucketedLake(8)
+    val st = lake.store.state()
+    val e = st.tableAt("main", "b", st.currentSnapshotId).get
+    val files = st.filesAt(e.tableId, st.currentSnapshotId)
+    val ct = st.columnsAt(e.tableId, st.currentSnapshotId)
+      .map(c => c.name -> c.dataType).toMap
+    val keys = st.partitionKeysAt(e.tableId, st.currentSnapshotId)
+    val kept = Pruning.prune(files, st.statsFor, ct, keys,
+      Seq(org.apache.spark.sql.sources.In("k", Array(5L, 6L))))
+    assert(kept.size <= 2 && kept.nonEmpty,
+      s"IN(2 keys) must keep at most their 2 buckets, kept ${kept.size}")
+  }
+}
