@@ -31,7 +31,19 @@ import Meta._
   * read-only (reference A24/A25, src/pgducklake_fdw.cpp:167-190).
   */
 class LakeCatalog extends TableCatalog with SupportsNamespaces
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+
+  // ---- FunctionCatalog: the `bucket` transform function, so Spark's SPJ
+  // planner can resolve a reported bucket(n, col) partitioning ----------
+  override def listFunctions(namespace: Array[String])
+      : Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(Array.empty[String], "bucket"))
+    else Array.empty
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name() == "bucket") LakeBucketFunction
+    else throw new NoSuchElementException(s"no function ${ident.name()}")
 
   private var catalogName: String = _
   private var store: MetadataStore = _

@@ -191,13 +191,22 @@ class LakeTable(
     * retroactive-safe, partition.sql:43-57). Groups are sorted by key for
     * deterministic partition order. */
   private[lake] def keyGroups(files: Vector[DataFileEntry])
-      : Option[(Array[String], Seq[(InternalRow, Seq[(String, Long)])])] = {
+      : Option[(Array[Meta.PartitionKey], Seq[(InternalRow, Seq[(String, Long)])])] = {
     val pks = st.partitionKeysAt(entry.tableId, snapshot)
-    if (files.isEmpty || pks.isEmpty || !pks.forall(_.transform == "identity"))
+    // SPJ-groupable transforms: identity, and bucket[N] (key value = the
+    // bucket ordinal — two co-bucketed tables report the same
+    // bucket(n, col) transform and join with no exchange, the shape
+    // identity keys cannot give on high-cardinality columns)
+    def groupable(pk: PartitionKey): Boolean =
+      pk.transform == "identity" || BucketTransform.unapply(pk.transform).isDefined
+    if (files.isEmpty || pks.isEmpty || !pks.forall(groupable))
       return None
-    val keyTypes: List[DataType] = pks.map(pk =>
-      cols.find(_.name == pk.column)
-        .map(c => LakeRead.sparkType(c.dataType)).getOrElse(return None))
+    val keyTypes: List[DataType] = pks.map {
+      case pk if pk.transform == "identity" =>
+        cols.find(_.name == pk.column)
+          .map(c => LakeRead.sparkType(c.dataType)).getOrElse(return None)
+      case _ => IntegerType // bucket ordinal
+    }
     val parsed: Vector[(Vector[Any], (String, Long))] = files.map { f =>
       val vs = pks.zip(keyTypes).map { case (pk, dt) =>
         f.partitionValues.get(pk.label).flatMap(spjValue(_, dt))
@@ -210,7 +219,7 @@ class LakeTable(
       .map { case (key, fs) =>
         (new GenericInternalRow(key.toArray): InternalRow, fs.map(_._2): Seq[(String, Long)])
       }
-    Some((pks.map(_.column).toArray, grouped))
+    Some((pks.toArray, grouped))
   }
 
   /** live row count from metadata (upper bound: delete files subtracted,

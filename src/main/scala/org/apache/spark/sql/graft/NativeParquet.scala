@@ -48,6 +48,17 @@ object NativeParquet {
   def expressionOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 
+  /** V2 transform expression of a lake partition key (SPJ reporting):
+    * identity and bucket[N] are the SPJ-groupable transforms; bucket
+    * resolves against [[graft.lake.LakeBucketFunction]] through the
+    * catalog's FunctionCatalog. */
+  private[graft] def v2Transform(pk: graft.lake.Meta.PartitionKey): V2Expression =
+    pk.transform match {
+      case "identity" => Expressions.identity(pk.column)
+      case graft.lake.BucketTransform(n) => Expressions.bucket(n, pk.column)
+      case other => Expressions.apply(other, Expressions.column(pk.column))
+    }
+
   /** columnar DSv2 Scan over an explicit (path, sizeBytes) parquet file
     * list. `dataSchema` = full table schema, `readSchema` = pruned columns
     * Spark asked for, `filters` = pushed predicates (forwarded to parquet
@@ -75,12 +86,12 @@ object NativeParquet {
   def keyGroupedScan(
       spark: SparkSession,
       groups: Seq[(InternalRow, Seq[(String, Long)])],
-      keyColumns: Array[String],
+      keys: Array[graft.lake.Meta.PartitionKey],
       dataSchema: StructType,
       readSchema: StructType,
       filters: Array[Filter]): Scan =
     new KeyGroupedParquetScan(spark.asInstanceOf[ClassicSparkSession],
-      groups, keyColumns, dataSchema, readSchema, filters)
+      groups, keys, dataSchema, readSchema, filters)
 
   /** Delete-aware native scan: merge-on-read with EXECUTOR-LOCAL delete
     * application. Each task reads only the delete positions of the data
@@ -106,7 +117,7 @@ object NativeParquet {
       dataSchema: StructType,
       readSchema: StructType,
       filters: Array[Filter],
-      keyed: Option[(Array[String], Seq[(InternalRow, Seq[(String, Long)])])] = None): Scan = {
+      keyed: Option[(Array[graft.lake.Meta.PartitionKey], Seq[(InternalRow, Seq[(String, Long)])])] = None): Scan = {
     val classic = spark.asInstanceOf[ClassicSparkSession]
     new LakeDeleteAwareScan(classic, files, deletesByFile, dataSchema, readSchema,
       filters, keyed)
@@ -122,7 +133,7 @@ private[graft] class LakeDeleteAwareScan(
     dataSchema: StructType,
     requiredSchema: StructType,
     filters: Array[Filter],
-    keyed: Option[(Array[String], Seq[(InternalRow, Seq[(String, Long)])])] = None)
+    keyed: Option[(Array[graft.lake.Meta.PartitionKey], Seq[(InternalRow, Seq[(String, Long)])])] = None)
   extends Scan with Batch with SupportsReportPartitioning {
 
   override def readSchema(): StructType = requiredSchema
@@ -132,13 +143,13 @@ private[graft] class LakeDeleteAwareScan(
   override def description(): String =
     s"graft-lake delete-aware scan (${files.size} files, " +
       s"${deletesByFile.count(_._2.nonEmpty)} with deletes" +
-      keyed.map(k => s", key-grouped on ${k._1.mkString(",")}").getOrElse("") + ")"
+      keyed.map(k => s", key-grouped on ${k._1.map(_.label).mkString(",")}").getOrElse("") + ")"
 
   // with key groups a co-partitioned join stays shuffle-free even while a
   // merge-on-read overlay is live (vacuum is not a prerequisite for SPJ)
   override def outputPartitioning(): Partitioning = keyed match {
-    case Some((cols, groups)) => new KeyGroupedPartitioning(
-      cols.map(c => Expressions.identity(c): V2Expression), groups.size)
+    case Some((keys, groups)) => new KeyGroupedPartitioning(
+      keys.map(NativeParquet.v2Transform), groups.size)
     case None => new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
   }
 
@@ -327,7 +338,7 @@ private[graft] object DeletePositions {
 private[graft] class KeyGroupedParquetScan(
     spark: ClassicSparkSession,
     groups: Seq[(InternalRow, Seq[(String, Long)])],
-    keyColumns: Array[String],
+    keys: Array[graft.lake.Meta.PartitionKey],
     dataSchema: StructType,
     requiredSchema: StructType,
     filters: Array[Filter]) extends Scan with Batch with SupportsReportPartitioning {
@@ -338,11 +349,10 @@ private[graft] class KeyGroupedParquetScan(
 
   override def description(): String =
     s"graft-lake key-grouped scan (${groups.size} partitions on " +
-      s"${keyColumns.mkString(",")}, ${groups.map(_._2.size).sum} files)"
+      s"${keys.map(_.label).mkString(",")}, ${groups.map(_._2.size).sum} files)"
 
   override def outputPartitioning(): Partitioning =
-    new KeyGroupedPartitioning(
-      keyColumns.map(c => Expressions.identity(c): V2Expression), groups.size)
+    new KeyGroupedPartitioning(keys.map(NativeParquet.v2Transform), groups.size)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val hc = spark.sessionState.newHadoopConf()

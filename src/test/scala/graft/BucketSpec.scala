@@ -82,6 +82,36 @@ class BucketSpec extends AnyFunSuite {
     assert(show.contains("bucket(4, k)"), s"DESCRIBE missing bucket transform:\n$show")
   }
 
+  test("bucket SPJ: co-bucketed tables join with NO shuffle on either side") {
+    val lake = new Lake(spark, Files.createTempDirectory("graft_bspj").toString)
+    def mk(name: String, rows: Long): Unit = {
+      lake.createTable(s"main.$name", spark.range(0, 1).selectExpr(
+        "id AS k", "id AS v").schema,
+        partitionKeys = List(PartitionKey(BucketTransform(8), "k")))
+      lake.append(s"main.$name",
+        spark.range(0, rows).selectExpr("id % 500 AS k", "id AS v"))
+    }
+    mk("ba", 2000); mk("bb", 1500)
+    val cat = s"bspj${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", lake.root)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = spark.sql(
+        s"SELECT count(*) AS n FROM $cat.main.ba a JOIN $cat.main.bb b ON a.k = b.k")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"co-bucketed join still shuffled:\n$plan")
+      // oracle: both sides have k = id % 500; ba 4 rows/k, bb 3 rows/k
+      assert(q.collect().head.getLong(0) == 500L * 4 * 3)
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("DPP: a runtime IN filter on the bucketed key re-prunes the file list") {
     val (lake, _) = bucketedLake(8)
     val st = lake.store.state()
