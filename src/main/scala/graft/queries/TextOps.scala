@@ -503,6 +503,52 @@ object TextOps {
         .filter(col("dist") >= 0)
         .select(col("a_id"), col("b_id"), col("dist"))
         .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // ---- quality-filter funnel ---------------------------------------------
+    // The composed corpus-cleaning pipeline with per-stage attrition
+    // accounting — the report every training-data run ships with (how many
+    // documents each filter dropped, in application order). All four
+    // stage predicates evaluate in ONE scan (each stage's keep-flag is the
+    // conjunction prefix), and the whole funnel folds into a single 5-
+    // counter aggregate, so the operator costs one pass regardless of how
+    // many stages the funnel grows — partial aggregation makes the counts
+    // combine map-side at any scale. Thresholds sit inside the corpus'
+    // signal distributions so every stage shows real attrition.
+    "t21_filter_funnel" -> ((s, dir) => {
+      val sig = t(s, dir, "documents")
+        .selectExpr("lang", "text", s"$TOKS AS tk")
+        .selectExpr("lang",
+          "size(tk) AS n",
+          "cast(length(text) as double) / size(tk) AS r",
+          s"cast(size(filter(tk, x -> x IN (${inList(STOPWORDS)}))) as double) / size(tk) AS stop_ratio",
+          """CASE WHEN size(tk) >= 2 THEN
+            |  1.0d - cast(size(array_distinct(transform(sequence(1, size(tk) - 1),
+            |    i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1))))) as double)
+            |    / (size(tk) - 1)
+            |ELSE 0.0d END AS dup2""".stripMargin)
+      val flags = sig.selectExpr(
+        "n >= 30 AS c1",
+        "(lang = 'zh' OR (r >= 5.25d AND r <= 5.70d)) AS c2",
+        "(lang <> 'en' OR stop_ratio >= 0.04d) AS c3",
+        "dup2 <= 0.05d AS c4")
+        .selectExpr("c1 AS p1", "c1 AND c2 AS p2", "c1 AND c2 AND c3 AS p3",
+          "c1 AND c2 AND c3 AND c4 AS p4")
+      flags.agg(
+          count(lit(1)).as("total"),
+          count(when(col("p1"), 1)).as("k1"),
+          count(when(col("p2"), 1)).as("k2"),
+          count(when(col("p3"), 1)).as("k3"),
+          count(when(col("p4"), 1)).as("k4"))
+        .selectExpr(
+          """stack(4,
+            |  1L, 'min_tokens',      total, k1,
+            |  2L, 'chars_per_token', k1,    k2,
+            |  3L, 'stopword_ratio',  k2,    k3,
+            |  4L, 'repetition',      k3,    k4) AS (stage, filter_name, n_in, n_kept)""".stripMargin)
+        .selectExpr("stage", "filter_name", "n_in", "n_kept",
+          "n_in - n_kept AS n_dropped")
+        .orderBy(col("stage"))
     })
   )
 
@@ -758,6 +804,37 @@ object TextOps {
         |FROM d a JOIN d b
         |  ON a.lang = b.lang AND a.pfx = b.pfx AND a.doc_id < b.doc_id
         |WHERE levenshtein(a.win, b.win) <= 25
-        |ORDER BY a_id, b_id""".stripMargin
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "t21_filter_funnel" ->
+      s"""WITH tok AS (SELECT lang, text, $TOKS_D AS tk FROM documents),
+         |sig AS (SELECT lang, len(tk) AS n,
+         |  CAST(length(text) AS DOUBLE) / len(tk) AS r,
+         |  CAST(len(list_filter(tk, x -> list_contains([${inList(STOPWORDS)}], x))) AS DOUBLE)
+         |    / len(tk) AS stop_ratio,
+         |  CASE WHEN len(tk) >= 2 THEN
+         |    1.0 - CAST(len(list_distinct(list_transform(generate_series(1, len(tk) - 1),
+         |      i -> tk[i] || ' ' || tk[i + 1]))) AS DOUBLE) / (len(tk) - 1)
+         |  ELSE 0.0 END AS dup2
+         |  FROM tok),
+         |fl AS (SELECT (n >= 30) AS p1,
+         |  (n >= 30 AND (lang = 'zh' OR (r >= 5.25 AND r <= 5.70))) AS p2,
+         |  (n >= 30 AND (lang = 'zh' OR (r >= 5.25 AND r <= 5.70))
+         |    AND (lang <> 'en' OR stop_ratio >= 0.04)) AS p3,
+         |  (n >= 30 AND (lang = 'zh' OR (r >= 5.25 AND r <= 5.70))
+         |    AND (lang <> 'en' OR stop_ratio >= 0.04) AND dup2 <= 0.05) AS p4
+         |  FROM sig),
+         |a AS (SELECT count(*) AS total,
+         |  CAST(count(CASE WHEN p1 THEN 1 END) AS BIGINT) AS k1,
+         |  CAST(count(CASE WHEN p2 THEN 1 END) AS BIGINT) AS k2,
+         |  CAST(count(CASE WHEN p3 THEN 1 END) AS BIGINT) AS k3,
+         |  CAST(count(CASE WHEN p4 THEN 1 END) AS BIGINT) AS k4
+         |  FROM fl)
+         |SELECT CAST(1 AS BIGINT) AS stage, 'min_tokens' AS filter_name,
+         |  total AS n_in, k1 AS n_kept, total - k1 AS n_dropped FROM a
+         |UNION ALL SELECT 2, 'chars_per_token', k1, k2, k1 - k2 FROM a
+         |UNION ALL SELECT 3, 'stopword_ratio', k2, k3, k2 - k3 FROM a
+         |UNION ALL SELECT 4, 'repetition', k3, k4, k3 - k4 FROM a
+         |ORDER BY stage""".stripMargin
   )
 }

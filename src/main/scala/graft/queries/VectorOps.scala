@@ -500,6 +500,60 @@ object VectorOps {
         .limit(300)
     }),
 
+    // ---- two-stage quantized scan + exact re-rank --------------------------
+    // The production ANN memory-bandwidth shape: stage 1 scans the int8
+    // codes (v06's exact quantization scheme — at scale ¼ the bytes of the
+    // float corpus, SIMD int dot products) and keeps the top-C=50
+    // candidates per query by QUANTIZED cosine (scales cancel in cosine,
+    // so ranking needs only the integer code dot and code norms); stage 2
+    // re-fetches ONLY those Q×C rows by vec_id — point lookups against
+    // the full-precision corpus, not a second scan — and re-ranks exactly.
+    // The rank <= C filter plans a map-side WindowGroupLimit, so the
+    // stage-1 exchange carries O(tasks·Q·C) rows regardless of corpus
+    // size. Recall vs v01 asserted in QueriesSpec.
+    "v08_quantized_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val codes = emb
+        .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS e")
+        .selectExpr("vec_id", "e",
+          "greatest(array_max(transform(e, x -> abs(x))), 1e-30d) AS mx")
+        .selectExpr("vec_id",
+          "transform(e, x -> cast(floor(x * 127.0d / mx + 0.5d) as bigint)) AS c8")
+        .selectExpr("vec_id", "c8", "graft_vec_dot(c8, c8) AS n8")
+        .filter(col("n8") > 0)
+      val qcodes = codes.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("c8").as("qa8"),
+          col("n8").as("na8"))
+      val w1 = Window.partitionBy(col("query_id"))
+        .orderBy(col("acos").desc, col("neighbor_id"))
+      val cands = codes
+        .select(col("vec_id").as("neighbor_id"), col("c8").as("nb8"),
+          col("n8").as("nb8n"))
+        .join(broadcast(qcodes), col("query_id") =!= col("neighbor_id"))
+        .withColumn("acos", expr("graft_vec_dot(qa8, nb8)").cast("double")
+          / (sqrt(col("na8").cast("double")) * sqrt(col("nb8n").cast("double"))))
+        .withColumn("crank", row_number().over(w1))
+        .filter(col("crank") <= 50)
+        .select(col("query_id"), col("neighbor_id"))
+      val exact = emb.selectExpr("vec_id", s"$QVEC AS q")
+        .selectExpr("vec_id", "q", s"$SQNORM AS nsq")
+        .filter(col("nsq") > 0)
+      val qx = exact.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("q").as("qa"),
+          col("nsq").as("na"))
+      val nx = exact.select(col("vec_id").as("neighbor_id"),
+        col("q").as("qb"), col("nsq").as("nb"))
+      val w2 = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      cands.join(nx, Seq("neighbor_id")).join(broadcast(qx), Seq("query_id"))
+        .withColumn("cosine", expr("graft_vec_dot(qa, qb)").cast("double")
+          / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+        .withColumn("rank", row_number().over(w2).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "v02_label_stats" -> ((s, dir) => {
       t(s, dir, "embeddings")
         .selectExpr("label", s"$QVEC AS q")
@@ -692,7 +746,59 @@ object VectorOps {
            |SELECT vec_a, vec_b, cosine FROM pairs
            |WHERE cosine >= 0.35
            |ORDER BY cosine DESC, vec_a, vec_b LIMIT 100""".stripMargin
-      }
+      },
+
+      "v08_quantized_rerank" ->
+        s"""WITH e0 AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           |  FROM embeddings
+           |), m AS (
+           |  SELECT vec_id, e,
+           |    greatest(list_max(list_transform(e, x -> abs(x))), 1e-30) AS mx
+           |  FROM e0
+           |), codes AS (
+           |  SELECT vec_id,
+           |    list_transform(e, x -> CAST(floor(x * 127.0 / mx + 0.5) AS BIGINT)) AS c8
+           |  FROM m
+           |), n8 AS (
+           |  SELECT vec_id, c8,
+           |    CAST(list_sum(list_transform(c8, x -> x * x)) AS BIGINT) AS n8
+           |  FROM codes
+           |), nn AS (SELECT * FROM n8 WHERE n8 > 0
+           |), stage1 AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+           |        CAST(CAST(list_sum(list_transform(generate_series(1, len(a.c8)),
+           |          i -> a.c8[i] * b.c8[i])) AS BIGINT) AS DOUBLE)
+           |        / (sqrt(CAST(a.n8 AS DOUBLE)) * sqrt(CAST(b.n8 AS DOUBLE))) DESC,
+           |        b.vec_id) AS crank
+           |    FROM nn a JOIN nn b ON a.vec_id <> b.vec_id
+           |    WHERE a.vec_id < 10) t
+           |  WHERE crank <= 50
+           |), eq AS (
+           |  SELECT vec_id, $qvecD AS q FROM embeddings
+           |), en AS (
+           |  SELECT vec_id, q,
+           |    CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nsq
+           |  FROM eq
+           |), ee AS (SELECT * FROM en WHERE nsq > 0
+           |), pairs AS (
+           |  SELECT query_id, neighbor_id,
+           |    CAST(list_sum(list_transform(generate_series(1, len(a.q)),
+           |      i -> a.q[i] * b.q[i])) AS BIGINT) AS dot,
+           |    a.nsq AS na, b.nsq AS nb
+           |  FROM stage1 JOIN ee a ON query_id = a.vec_id
+           |    JOIN ee b ON neighbor_id = b.vec_id
+           |)
+           |SELECT query_id, rank, neighbor_id, cosine FROM (
+           |  SELECT query_id, neighbor_id,
+           |    CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cosine,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+           |      CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) DESC,
+           |      neighbor_id) AS BIGINT) AS rank
+           |  FROM pairs) t
+           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     )
     // v07 stores the same assignment in a cluster-partitioned lake table
     // and probes it with file pruning — the RESULT is identical to v05,

@@ -110,6 +110,13 @@ class QueriesSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val ivfRecall = (brute intersect ivf).size.toDouble / brute.size
     assert(ivfRecall >= 0.25, s"IVF recall vs brute too low: $ivfRecall")
+    // two-stage int8 prefilter keeps 50 of ~60 candidates per query here,
+    // and int8 quantization barely perturbs cosine ordering — near-full
+    // recall is the expectation, not a tuned floor
+    val rr = SparkEntry.queries("v08_quantized_rerank")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rrRecall = (brute intersect rr).size.toDouble / brute.size
+    assert(rrRecall >= 0.9, s"quantized-rerank recall vs brute too low: $rrRecall")
   }
 
   // The ANN scale argument, asserted deterministically. LSH pays
