@@ -34,8 +34,10 @@ object ScaleGen {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .appName("graft-scalegen")
-    // nanosAsLong: events.ts is parquet TIMESTAMP(NANOS) (see Tables.scala);
-    // the replica is written as plain int64 nanos, which Tables.load rebuilds.
+    // sessionConf carries nanosAsLong for LEGACY nanos-encoded events
+    // fixtures; current fixtures ship timestamp[us], which passes through
+    // here unchanged. Either way the replica preserves the source encoding
+    // and Tables.load sniffs it (see Tables.scala).
     graft.queries.Tables.sessionConf.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

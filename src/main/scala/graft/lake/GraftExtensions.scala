@@ -53,6 +53,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "graft_vec_dot takes 2 arguments")
         graft.functions.VecDotLong(children.head, children(1))
       }))
+    ext.injectFunction((FunctionIdentifier("graft_int8_code"),
+      new ExpressionInfo("graft.functions.Int8Code", "graft_int8_code",
+        "graft_int8_code(v) - per-vector symmetric int8 quantization codes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_int8_code takes 1 argument")
+        graft.functions.Int8Code(children.head)
+      }))
     ext.injectFunction((FunctionIdentifier("graft_lsh_bits"),
       new ExpressionInfo("graft.functions.LshBits", "graft_lsh_bits",
         "graft_lsh_bits(q, planes) - sign bits of sparse hyperplane projections"),

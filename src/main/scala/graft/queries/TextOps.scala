@@ -486,12 +486,21 @@ object TextOps {
     // abandons a row after a band of width 2·threshold+1 instead of
     // filling the full matrix — at 100 TB the candidate join shuffles
     // slim (id, prefix, window) rows and the quadratic work is capped
-    // per pair. Measured on this corpus: 99 candidate pairs vs 124 750
-    // within-language all-pairs; 6 survive the distance bound.
+    // per pair. Buckets over 256 members are EXCLUDED before the
+    // self-join (same discipline as t11/v04's LSH caps, mirrored in the
+    // oracle so results agree by construction): a hot prefix is quadratic
+    // in its bucket and belongs to exact-hash dedup, not edit distance —
+    // measured on the 100×-replicated fixture the cap cuts 106M candidate
+    // pairs to 21M, bounded by 256·rows/2 instead of rows². Measured on
+    // the driver corpus: 99 candidate pairs vs 124 750 within-language
+    // all-pairs; 6 survive the distance bound; no bucket near the cap.
     "t20_editdist_neardup" -> ((s, dir) => {
+      val wb = Window.partitionBy(col("lang"), col("pfx"))
       val d = t(s, dir, "documents").select(col("doc_id"), col("lang"),
         substring(col("text"), 1, 8).as("pfx"),
         substring(col("text"), 1, 120).as("win"))
+        .withColumn("bsz", count(lit(1)).over(wb))
+        .filter(col("bsz") <= 256)
       val a = d.select(col("doc_id").as("a_id"), col("lang"), col("pfx"),
         col("win").as("a_win"))
       val b = d.select(col("doc_id").as("b_id"), col("lang"), col("pfx"),
@@ -798,7 +807,8 @@ object TextOps {
 
     "t20_editdist_neardup" ->
       """WITH d AS (SELECT doc_id, lang, substr(text, 1, 8) AS pfx,
-        |             substr(text, 1, 120) AS win FROM documents)
+        |             substr(text, 1, 120) AS win FROM documents
+        |           QUALIFY count(*) OVER (PARTITION BY lang, substr(text, 1, 8)) <= 256)
         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |  CAST(levenshtein(a.win, b.win) AS BIGINT) AS dist
         |FROM d a JOIN d b

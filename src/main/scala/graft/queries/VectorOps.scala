@@ -28,6 +28,19 @@ object VectorOps {
     "transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))"
   private val SQNORM = "graft_vec_dot(q, q)"
 
+  /** Rows whose milli-quantized vector is nonzero — semantically identical
+    * to `SQNORM > 0` after quantization (HALF_UP: round(x·1000) ≠ 0 for
+    * some element ⟺ |x|·1000 ≥ 0.5, and |x|·1000 = |x·1000| exactly in
+    * IEEE), but expressed on the SOURCE column. Filtering on the aliased
+    * `nsq` lets PushDownPredicates substitute the whole quantization
+    * expression tree into the pushed scan filter and re-compute it per
+    * row (the t11/v03 trap, see PLANS.md — on v08 at sf10 this filter
+    * alone was 41.5 → 11.3 s, and the whole vector family sped up:
+    * v01 4.1 → 2.6 s, v03 6.7 → 4.8 s, v05 3.5 → 2.8 s); this cheap
+    * exists() pushes instead. */
+  private def nonzeroQ(emb: DataFrame): DataFrame =
+    emb.filter(expr("exists(embedding, x -> abs(cast(x as double)) * 1000d >= 0.5d)"))
+
   // --- LSH hyperplane family (shared by the Spark plan and the oracle) -----
   // 12 tables × 4 sign bits; each hyperplane is SPARSE (±1 on 16 of the 64
   // dims — Achlioptas-style sparse random projection), generated once on the
@@ -104,11 +117,10 @@ object VectorOps {
     // into the generator, which re-expands the 48-plane bits computation
     // once per element_at reference (a measured 30× blowup).
     val bucketsExpr = bucketsFromBitsFor(nTables, bitsPerTable)
-    val e = emb
+    val e = nonzeroQ(emb)
       .selectExpr("vec_id", s"$QVEC AS q")
       .selectExpr("vec_id", "q", s"$SQNORM AS nsq",
         s"${bitsExpr(planesLitOf(pl, "array(", ")"))} AS bits")
-      .filter(col("nsq") > 0)
 
     val scoredCands: DataFrame = if (carryPayload) {
       // small-corpus shape: vectors travel WITH their bucket row, scoring is
@@ -198,11 +210,10 @@ object VectorOps {
       bitsPerTable: Int = BITS_PER_TABLE, bucketCap: Int = 512,
       nQueries: Int = 10): DataFrame = {
     val pl = planesFor(nTables * bitsPerTable)
-    val e = emb
+    val e = nonzeroQ(emb)
       .selectExpr("vec_id", s"$QVEC AS q")
       .selectExpr("vec_id", "q", s"$SQNORM AS nsq",
         s"${bitsExpr(planesLitOf(pl, "array(", ")"))} AS bits")
-      .filter(col("nsq") > 0)
     candidateStage(e, bucketsFromBitsFor(nTables, bitsPerTable), bucketCap, nQueries)
   }
 
@@ -213,10 +224,9 @@ object VectorOps {
     * batch is small (a handful of probes never amortizes building
     * signatures for the whole corpus). */
   def knnBrute(emb: DataFrame, nQueries: Int = 10, topK: Int = 5): DataFrame = {
-    val e = emb
+    val e = nonzeroQ(emb)
       .selectExpr("vec_id", s"$QVEC AS q")
       .selectExpr("vec_id", "q", s"$SQNORM AS nsq")
-      .filter(col("nsq") > 0)
     val qs = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("q").as("qa"), col("nsq").as("na"))
     val cand = e.select(col("vec_id").as("neighbor_id"), col("q").as("qb"),
@@ -267,10 +277,9 @@ object VectorOps {
   def knnIvf(emb: DataFrame, nQueries: Int = 10, topK: Int = 5,
       nprobe: Int = IVF_NPROBE): DataFrame = {
     val cents = centroidsLit("array(", ")", "L")
-    val e = emb
+    val e = nonzeroQ(emb)
       .selectExpr("vec_id", s"$QVEC AS q")
       .selectExpr("vec_id", "q", s"$SQNORM AS nsq")
-      .filter(col("nsq") > 0)
       .selectExpr("vec_id", "q", "nsq",
         s"transform($cents, c -> graft_vec_dot(q, c)) AS ds")
       .selectExpr("vec_id", "q", "nsq", "ds",
@@ -325,11 +334,10 @@ object VectorOps {
     val nT = 12; val bits = 8
     val pl = planesFor(nT * bits)
     val bucketsExpr = bucketsFromBitsFor(nT, bits)
-    val e = emb
+    val e = nonzeroQ(emb)
       .selectExpr("vec_id", s"$QVEC AS q")
       .selectExpr("vec_id", "q", s"$SQNORM AS nsq",
         s"${bitsExpr(planesLitOf(pl, "array(", ")"))} AS bits")
-      .filter(col("nsq") > 0)
     val scored: DataFrame = if (carryPayload) {
       e.selectExpr("vec_id", "q", "nsq",
           s"posexplode($bucketsExpr) AS (tab, bucket)")
@@ -400,10 +408,9 @@ object VectorOps {
     "v07_ivf_partitioned" -> ((s, dir) => {
       val lake = LakeQueries.freshLake(s)
       val cents = centroidsLit("array(", ")", "L")
-      val indexed = t(s, dir, "embeddings")
+      val indexed = nonzeroQ(t(s, dir, "embeddings"))
         .selectExpr("vec_id", s"$QVEC AS q")
         .selectExpr("vec_id", "q", s"$SQNORM AS nsq")
-        .filter(col("nsq") > 0)
         .selectExpr("vec_id", "q", "nsq",
           s"array_position(transform($cents, c -> graft_vec_dot(q, c)), " +
             s"array_max(transform($cents, c -> graft_vec_dot(q, c)))) AS cl")
@@ -510,42 +517,43 @@ object VectorOps {
     // the full-precision corpus, not a second scan — and re-ranks exactly.
     // The rank <= C filter plans a map-side WindowGroupLimit, so the
     // stage-1 exchange carries O(tasks·Q·C) rows regardless of corpus
-    // size. Recall vs v01 asserted in QueriesSpec.
+    // size. Recall vs v01 asserted in QueriesSpec. Both stages take the
+    // corpus from the one nonzeroQ precondition (nsq > 0 makes the int8
+    // max code 127, so code-norm positivity is implied — the oracle
+    // filters the same way).
     "v08_quantized_rerank" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val codes = emb
-        .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS e")
-        .selectExpr("vec_id", "e",
-          "greatest(array_max(transform(e, x -> abs(x))), 1e-30d) AS mx")
-        .selectExpr("vec_id",
-          "transform(e, x -> cast(floor(x * 127.0d / mx + 0.5d) as bigint)) AS c8")
-        .selectExpr("vec_id", "c8", "graft_vec_dot(c8, c8) AS n8")
-        .filter(col("n8") > 0)
-      val qcodes = codes.filter(col("vec_id") < 10)
+      val emb = nonzeroQ(t(s, dir, "embeddings"))
+      // ONE corpus pass computes both representations — the int8 code
+      // (stage 1 ranks on it) and the exact milli-quantized vector
+      // (stage 2 needs it). Carrying the exact payload through stage 1
+      // is free: the map-side WindowGroupLimit caps the exchange at
+      // tasks·Q·C rows, so the wide rows never ship corpus-sized.
+      // The int8 code is the codegen'd [[graft.functions.Int8Code]] (one
+      // primitive two-pass loop, bit-identical to the lambda formulation
+      // the oracle mirrors) — the interpreted transform/array_max chain
+      // it replaces kept the whole coarse scan outside whole-stage
+      // codegen and dominated the runtime (11.9 s with lambdas at sf10).
+      val base = emb
+        .selectExpr("vec_id", "embedding", s"$QVEC AS q")
+        .selectExpr("vec_id", "q", s"$SQNORM AS nsq",
+          "graft_int8_code(embedding) AS c8")
+        .selectExpr("vec_id", "q", "nsq", "c8",
+          "graft_vec_dot(c8, c8) AS n8")
+      val qcodes = base.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("c8").as("qa8"),
-          col("n8").as("na8"))
+          col("n8").as("na8"), col("q").as("qa"), col("nsq").as("na"))
       val w1 = Window.partitionBy(col("query_id"))
         .orderBy(col("acos").desc, col("neighbor_id"))
-      val cands = codes
+      val w2 = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      base
         .select(col("vec_id").as("neighbor_id"), col("c8").as("nb8"),
-          col("n8").as("nb8n"))
+          col("n8").as("nb8n"), col("q").as("qb"), col("nsq").as("nb"))
         .join(broadcast(qcodes), col("query_id") =!= col("neighbor_id"))
         .withColumn("acos", expr("graft_vec_dot(qa8, nb8)").cast("double")
           / (sqrt(col("na8").cast("double")) * sqrt(col("nb8n").cast("double"))))
         .withColumn("crank", row_number().over(w1))
         .filter(col("crank") <= 50)
-        .select(col("query_id"), col("neighbor_id"))
-      val exact = emb.selectExpr("vec_id", s"$QVEC AS q")
-        .selectExpr("vec_id", "q", s"$SQNORM AS nsq")
-        .filter(col("nsq") > 0)
-      val qx = exact.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("q").as("qa"),
-          col("nsq").as("na"))
-      val nx = exact.select(col("vec_id").as("neighbor_id"),
-        col("q").as("qb"), col("nsq").as("nb"))
-      val w2 = Window.partitionBy(col("query_id"))
-        .orderBy(col("cosine").desc, col("neighbor_id"))
-      cands.join(nx, Seq("neighbor_id")).join(broadcast(qx), Seq("query_id"))
         .withColumn("cosine", expr("graft_vec_dot(qa, qb)").cast("double")
           / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
         .withColumn("rank", row_number().over(w2).cast("long"))
@@ -749,9 +757,16 @@ object VectorOps {
       },
 
       "v08_quantized_rerank" ->
-        s"""WITH e0 AS (
+        s"""WITH eq AS (
+           |  SELECT vec_id, embedding, $qvecD AS q FROM embeddings
+           |), en AS (
+           |  SELECT vec_id, embedding, q,
+           |    CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nsq
+           |  FROM eq
+           |), ee AS (SELECT * FROM en WHERE nsq > 0
+           |), e0 AS (
            |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-           |  FROM embeddings
+           |  FROM ee
            |), m AS (
            |  SELECT vec_id, e,
            |    greatest(list_max(list_transform(e, x -> abs(x))), 1e-30) AS mx
@@ -764,7 +779,6 @@ object VectorOps {
            |  SELECT vec_id, c8,
            |    CAST(list_sum(list_transform(c8, x -> x * x)) AS BIGINT) AS n8
            |  FROM codes
-           |), nn AS (SELECT * FROM n8 WHERE n8 > 0
            |), stage1 AS (
            |  SELECT query_id, neighbor_id FROM (
            |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -773,16 +787,9 @@ object VectorOps {
            |          i -> a.c8[i] * b.c8[i])) AS BIGINT) AS DOUBLE)
            |        / (sqrt(CAST(a.n8 AS DOUBLE)) * sqrt(CAST(b.n8 AS DOUBLE))) DESC,
            |        b.vec_id) AS crank
-           |    FROM nn a JOIN nn b ON a.vec_id <> b.vec_id
+           |    FROM n8 a JOIN n8 b ON a.vec_id <> b.vec_id
            |    WHERE a.vec_id < 10) t
            |  WHERE crank <= 50
-           |), eq AS (
-           |  SELECT vec_id, $qvecD AS q FROM embeddings
-           |), en AS (
-           |  SELECT vec_id, q,
-           |    CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nsq
-           |  FROM eq
-           |), ee AS (SELECT * FROM en WHERE nsq > 0
            |), pairs AS (
            |  SELECT query_id, neighbor_id,
            |    CAST(list_sum(list_transform(generate_series(1, len(a.q)),

@@ -63,4 +63,33 @@ class FunctionsSpec extends AnyFunSuite {
          |  THEN 1 ELSE 0 END) AS slow""".stripMargin)
     assert(df.filter(col("fast") =!= col("slow")).count() == 0)
   }
+
+  private val lambdaInt8 =
+    """transform(e, x -> cast(floor(x * 127.0d / greatest(array_max(
+      |  transform(e, y -> abs(y))), 1e-30d) + 0.5d) as bigint))""".stripMargin
+
+  test("graft_int8_code agrees with the lambda quantization (float and double)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 300).map { _ =>
+      Seq.fill(64)((rnd.nextGaussian() * rnd.nextInt(3)).toFloat)
+    } :+ Seq.fill(64)(0.0f) :+ Seq.fill(8)(1e-31f)
+    val f = rows.toDF("emb")
+      .selectExpr("graft_int8_code(emb) AS fast",
+        "transform(emb, x -> cast(x as double)) AS e")
+      .selectExpr("fast", "e", s"$lambdaInt8 AS slow")
+    assert(f.filter(col("fast") =!= col("slow")).count() == 0)
+    val d = rows.map(_.map(_.toDouble)).toDF("e")
+      .selectExpr(s"graft_int8_code(e) AS fast", "e")
+      .selectExpr("fast", s"$lambdaInt8 AS slow")
+    assert(d.filter(col("fast") =!= col("slow")).count() == 0)
+  }
+
+  test("graft_int8_code null and empty semantics") {
+    import spark.implicits._
+    val df = Seq(Some(Seq(1.0f, -2.0f)), None, Some(Seq.empty[Float]))
+      .toDF("emb").selectExpr("graft_int8_code(emb) AS c")
+    val got = df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getSeq[Long](0)))
+    assert(got.toSeq == Seq(Some(Seq(64L, -127L)), None, Some(Seq.empty[Long])))
+  }
 }
