@@ -507,8 +507,12 @@ object TextOps {
         col("win").as("b_win"))
       a.join(b, Seq("lang", "pfx"))
         .filter(col("a_id") < col("b_id"))
+        // equality short-circuit: near-dup-heavy corpora resolve most
+        // candidate pairs to IDENTICAL windows (exact duplicates of the
+        // doc head) — one memcmp instead of the O(len·threshold) DP
         .withColumn("dist",
-          levenshtein(col("a_win"), col("b_win"), 25).cast("long"))
+          when(col("a_win") === col("b_win"), 0L)
+            .otherwise(levenshtein(col("a_win"), col("b_win"), 25).cast("long")))
         .filter(col("dist") >= 0)
         .select(col("a_id"), col("b_id"), col("dist"))
         .orderBy(col("a_id"), col("b_id"))
