@@ -279,6 +279,22 @@ object Relational {
         .orderBy(col("flag"), col("status"))
     }),
 
+    // CUBE with GROUPING() markers — all four aggregation levels in one
+    // pass (Spark expands grouping sets inside a single hash aggregate,
+    // so partial aggregation still combines map-side; no per-level rescan)
+    "q25_cube_grouping" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping(col("l_returnflag")).cast("long").as("g_flag"),
+          grouping(col("l_linestatus")).cast("long").as("g_status"),
+          count(lit(1)).as("n"),
+          sum2(col("l_quantity")).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("g_flag"), col("g_status"), col("n"), col("sum_qty"))
+        .orderBy(col("g_flag"), col("g_status"), col("flag"), col("status"))
+    }),
+
     "q11_cust_distribution" -> ((s, dir) => {
       val c = t(s, dir, "customer")
       val o = t(s, dir, "orders")
@@ -573,6 +589,16 @@ object Relational {
         |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY flag, status""".stripMargin,
+
+    "q25_cube_grouping" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+        |  COALESCE(l_linestatus, 'ALL') AS status,
+        |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+        |  COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status, flag, status""".stripMargin,
 
     "q11_cust_distribution" ->
       """SELECT c_count, COUNT(*) AS custdist FROM (

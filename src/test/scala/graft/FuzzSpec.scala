@@ -8,13 +8,15 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.lake._
 
 /** Randomized whole-lake DML fuzz: a seeded op sequence (append / delete /
-  * update / merge / vacuum / z-order / checkpoint) runs against one table
-  * while a driver-side Map models the expected contents. After every op
-  * the model must match; at the end, a sample of recorded snapshots must
-  * ALSO match via time travel — maintenance ops may rewrite files at any
-  * point in between, so this exercises the interval algebra, the delete
-  * overlay, compaction absorption, and historical reads under one
-  * adversarial schedule rather than one-feature-at-a-time specs. */
+  * update / merge / vacuum / z-order / sorted-rewrite / inline-flush /
+  * checkpoint / multi-op transaction) runs against one table while a
+  * driver-side Map models the expected contents. After every op the model
+  * must match; at the end, a sample of recorded snapshots must ALSO match
+  * via time travel — maintenance ops may rewrite files at any point in
+  * between, so this exercises the interval algebra, the delete overlay,
+  * compaction absorption, transactional staging, and historical reads
+  * under one adversarial schedule rather than one-feature-at-a-time
+  * specs. */
 class FuzzSpec extends AnyFunSuite {
   import TestSession.spark
 
@@ -26,6 +28,7 @@ class FuzzSpec extends AnyFunSuite {
       org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType)))
     lake.createTable("main.f", schema)
     lake.setOption("target_file_size", "64KB", Some("main.f"))
+    lake.setSort("main.f", List(Meta.SortKey("k", ascending = true, nullsFirst = false)))
 
     var model = Map.empty[Long, Long]
     var nextK = 0L
@@ -39,7 +42,7 @@ class FuzzSpec extends AnyFunSuite {
 
     var i = 0
     while (i < nOps) {
-      val op = rnd.nextInt(10)
+      val op = rnd.nextInt(13)
       op match {
         case 0 | 1 | 2 | 3 =>
           val n = 50 + rnd.nextInt(150)
@@ -60,6 +63,23 @@ class FuzzSpec extends AnyFunSuite {
         case 7 => lake.vacuum("main.f")
         case 8 => if (model.nonEmpty) lake.rewriteZOrder("main.f", Seq("k", "v"))
         case 9 => lake.checkpoint()
+        case 10 => if (model.nonEmpty) lake.rewriteSorted("main.f")
+        case 11 => lake.flushInlinedData("main.f")
+        case 12 =>
+          // multi-op transaction: append + keyed delete land as ONE
+          // snapshot; the delete sees the staged append (reads-your-own-
+          // writes), so the model applies both in order
+          val n = 20 + rnd.nextInt(30)
+          val rows = (nextK until nextK + n).map(k => (k, k * 3 + seed))
+          nextK += n
+          val m = 2 + rnd.nextInt(4); val r = rnd.nextInt(m)
+          import spark.implicits._
+          lake.transaction { tx =>
+            tx.append("main.f", rows.toDF("k", "v"))
+            tx.delete("main.f", col("k") % m === r)
+          }
+          model ++= rows
+          model = model.filter { case (k, _) => k % m != r }
       }
       history += lake.currentSnapshot() -> model
       val got = readLake()
