@@ -295,6 +295,25 @@ object Relational {
         .orderBy(col("g_flag"), col("g_status"), col("flag"), col("status"))
     }),
 
+    // PIVOT: priority counts per order status. Explicit pivot values keep
+    // the output schema static (no extra distinct-values job, and the
+    // plan is one hash aggregate with conditional counters — exactly the
+    // CASE-expansion the oracle writes out)
+    "q26_pivot" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .select(col("o_orderstatus"),
+          coalesce(col("1-URGENT"), lit(0L)).as("p1_urgent"),
+          coalesce(col("2-HIGH"), lit(0L)).as("p2_high"),
+          coalesce(col("3-MEDIUM"), lit(0L)).as("p3_medium"),
+          coalesce(col("4-NOT SPECIFIED"), lit(0L)).as("p4_notspec"),
+          coalesce(col("5-LOW"), lit(0L)).as("p5_low"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     "q11_cust_distribution" -> ((s, dir) => {
       val c = t(s, dir, "customer")
       val o = t(s, dir, "orders")
@@ -589,6 +608,15 @@ object Relational {
         |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY flag, status""".stripMargin,
+
+    "q26_pivot" ->
+      """SELECT o_orderstatus,
+        |  COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS p1_urgent,
+        |  COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS p2_high,
+        |  COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS p3_medium,
+        |  COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS p4_notspec,
+        |  COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS p5_low
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q25_cube_grouping" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
