@@ -63,6 +63,36 @@ object Multimodal {
     }
   }
 
+  /** One resized media item: original and new dims plus the re-encoded
+    * payload's length and signature (the payload itself stays binary and
+    * partition-local — only derived metadata leaves the transform). */
+  case class Resized(doc_id: Long, width: Long, height: Long, new_w: Long,
+      new_h: Long, new_byte_len: Long, out_sig: String)
+
+  /** STUB resize: scale dims to fit `target` preserving aspect ratio
+    * (integer arithmetic), "re-encode" to a deterministic fake payload
+    * (the payload-hash hex repeated to the new length — SQL-expressible,
+    * so the whole transform carries a DuckDB oracle). A real
+    * implementation would swap the body for a codec call; the Spark
+    * plumbing — binary in/out, typed mapPartitions batch, per-partition
+    * codec-context slot, zero shuffles — is the production shape. */
+  def resizeStub(spark: SparkSession, media: DataFrame, target: Int = 128): Dataset[Resized] = {
+    import spark.implicits._
+    media.as[Media].mapPartitions { it =>
+      // per-partition setup (a real codec would init its context here)
+      it.map { m =>
+        val (w, h, _, _) = decodeStub(m.payload)
+        val mx = math.max(w, h)
+        val nw = w * target / mx
+        val nh = h * target / mx
+        val newLen = nw * nh / 64 + 16
+        val hex = md5Hex(m.payload ++ ":resize".getBytes("UTF-8"))
+        val body = (hex * (newLen / 32 + 1)).substring(0, newLen).getBytes("UTF-8")
+        Resized(m.doc_id, w, h, nw, nh, body.length, md5Hex(body))
+      }
+    }
+  }
+
   /** Sample every `stride`-th frame of each media item; emits one row per
     * sampled frame with a deterministic per-frame signature. Frame
     * extraction is per-row (each media item carries everything its frames

@@ -53,6 +53,17 @@ object MultimodalOps {
     // the signature groupBy + equi-join is one shuffle each, state
     // O(corpus), exactly the t04 exact-dedup plan lifted onto decoded
     // media features instead of raw text ---------------------------------
+    // ---- stubbed resize / re-encode (typed mapPartitions, binary in/out) --
+    "m04_resize" -> ((s, dir) => {
+      val media = t(s, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .selectExpr("doc_id", "cast(text as binary) AS payload")
+      Multimodal.resizeStub(s, media, target = 128).toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("new_w"),
+          col("new_h"), col("new_byte_len"), col("out_sig"))
+        .orderBy(col("doc_id"))
+    }),
+
     "m03_media_neardup" -> ((s, dir) => {
       val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
         .selectExpr("doc_id", "cast(text as binary) AS payload")
@@ -103,6 +114,35 @@ object MultimodalOps {
         |      + (strpos('0123456789abcdef', substring(md5(text), 4, 1)) - 1) AS BIGINT) AS v2
         |  FROM documents) t
         |ORDER BY doc_id LIMIT 500""".stripMargin,
+
+    // mirrors Multimodal.resizeStub: aspect-preserving integer rescale of
+    // the m01 stub dims, fake re-encode = md5(text || ':resize') hex
+    // repeated to the new length
+    "m04_resize" ->
+      """WITH meta AS (
+        |  SELECT doc_id, text,
+        |    CAST(64 + 8 * (((strpos('0123456789abcdef', substring(md5(text), 1, 1)) - 1) * 16
+        |      + (strpos('0123456789abcdef', substring(md5(text), 2, 1)) - 1)) % 48) AS BIGINT) AS width,
+        |    CAST(64 + 8 * (((strpos('0123456789abcdef', substring(md5(text), 3, 1)) - 1) * 16
+        |      + (strpos('0123456789abcdef', substring(md5(text), 4, 1)) - 1)) % 48) AS BIGINT) AS height
+        |  FROM documents WHERE doc_id < 200
+        |), dims AS (
+        |  SELECT doc_id, text, width, height,
+        |    width * 128 // greatest(width, height) AS new_w,
+        |    height * 128 // greatest(width, height) AS new_h
+        |  FROM meta
+        |), enc AS (
+        |  SELECT doc_id, width, height, new_w, new_h,
+        |    substr(repeat(md5(text || ':resize'),
+        |        CAST((new_w * new_h // 64 + 16) // 32 + 1 AS BIGINT)),
+        |      1, CAST(new_w * new_h // 64 + 16 AS BIGINT)) AS body
+        |  FROM dims
+        |)
+        |SELECT doc_id, width, height, CAST(new_w AS BIGINT) AS new_w,
+        |  CAST(new_h AS BIGINT) AS new_h,
+        |  CAST(octet_length(encode(body)) AS BIGINT) AS new_byte_len,
+        |  md5(body) AS out_sig
+        |FROM enc ORDER BY doc_id""".stripMargin,
 
     // same decode-stub luma formula as m02, aggregated into the ordered
     // quantized signature, paired on signature equality
