@@ -479,30 +479,17 @@ object Relational {
         .limit(500)
     }),
 
-    // pure range (interval-containment) join, binned into an equi-join:
-    // marker events (user_id = 0) each open a 1-hour window; count all
-    // events falling inside each window. With no equi key Catalyst can
-    // only plan a nested-loop join, which is quadratic in inputs — the
-    // 100 TB shape instead quantizes the time axis: each interval explodes
-    // into the hour buckets it covers (≤ 2 here, bounded by
-    // ceil(len/granularity) + 1 in general), each probe row computes its
-    // single bucket, and the join becomes a plain shuffled equi-join on
-    // the bucket followed by the exact range refine. An event matches a
-    // marker through exactly one bucket (its own), so binning introduces
-    // no duplicates and needs no post-dedup. Same decomposition DuckDB's
-    // IEJoin and Databricks' range-join optimization perform internally.
+    // pure range (interval-containment) join via graft.ops.RangeJoin's
+    // binned equi-join decomposition (see its Scaladoc and RangeBench for
+    // the naive-NLJ crossover): marker events (user_id = 0) each open a
+    // 1-hour window; count all events falling inside each window.
     "q24_range_join" -> ((s, dir) => {
       val e = t(s, dir, "events")
       val markers = e.filter(col("user_id") === 0)
         .select(col("event_id").as("m_id"), col("ts").as("m_start"),
           (col("ts") + expr("INTERVAL 1 HOUR")).as("m_end"))
-      val binned = markers.withColumn("bucket",
-        explode(sequence(date_trunc("hour", col("m_start")),
-          date_trunc("hour", col("m_end")), expr("INTERVAL 1 HOUR"))))
-      val ev = e.select(col("event_id"), col("ts"),
-        date_trunc("hour", col("ts")).as("bucket"))
-      binned.join(ev, Seq("bucket"))
-        .filter(col("ts") >= col("m_start") && col("ts") < col("m_end"))
+      val ev = e.select(col("event_id"), col("ts"))
+      graft.ops.RangeJoin.contains(ev, markers, "ts", "m_start", "m_end")
         .groupBy(col("m_id"))
         .agg(count(lit(1)).as("n_events"),
           min(col("event_id")).as("first_event"),
