@@ -279,6 +279,31 @@ object Relational {
         .orderBy(col("flag"), col("status"))
     }),
 
+    // Batch sessionization: per-user 30-minute-gap sessions in two window
+    // passes over ONE keyed shuffle (both windows partition by user_id, so
+    // Catalyst reuses the exchange and sort): lag() marks session starts,
+    // a running sum of the marks numbers them, then one aggregation per
+    // (user, session). The batch complement of s04's streaming session
+    // windows — same semantics, no state store.
+    "q27_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val marks = t(s, dir, "events")
+        .filter(col("user_id") < 50)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("long") - col("prev_ts").cast("long") > 1800L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id",
+          sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      marks.groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("event_id")).as("first_event"),
+          max(col("event_id")).as("last_event"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
     // CUBE with GROUPING() markers — all four aggregation levels in one
     // pass (Spark expands grouping sets inside a single hash aggregate,
     // so partial aggregation still combines map-side; no per-level rescan)
@@ -595,6 +620,27 @@ object Relational {
         |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY flag, status""".stripMargin,
+
+    "q27_sessionize" ->
+      """WITH m AS (
+        |  SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events WHERE user_id < 50
+        |), s AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN prev_ts IS NULL
+        |      OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM m
+        |), numbered AS (
+        |  SELECT user_id, event_id,
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM s
+        |)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  min(event_id) AS first_event, max(event_id) AS last_event
+        |FROM numbered GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
 
     "q26_pivot" ->
       """SELECT o_orderstatus,
