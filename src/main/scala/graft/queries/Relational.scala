@@ -269,10 +269,18 @@ object Relational {
         .limit(500)
     }),
 
+    // rollup AFTER the base aggregation: Spark's Expand multiplies its
+    // input by the grouping-set count, so rolling up the raw table pushes
+    // 3× 60M rows through the aggregate. Aggregating to the (flag,
+    // status) groups first (6 rows) and rolling THOSE up is exactly equal
+    // — counts and decimal sums re-aggregate losslessly — and the Expand
+    // runs over 6 rows instead of 60M (sf10: 1.80 → ~0.6 s)
     "q10_rollup" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"), sum2(col("l_quantity")).as("sum_qty"))
+      val base = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n0"), sum(d2(col("l_quantity"))).as("s0"))
+      base.rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("n0")).as("n"), dbl(sum(col("s0"))).as("sum_qty"))
         .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("status"),
           col("n"), col("sum_qty"))
@@ -308,12 +316,16 @@ object Relational {
     // pass (Spark expands grouping sets inside a single hash aggregate,
     // so partial aggregation still combines map-side; no per-level rescan)
     "q25_cube_grouping" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .cube(col("l_returnflag"), col("l_linestatus"))
+      // same pre-aggregation trick as q10: cube the 6-row base aggregate,
+      // not the 60M-row table (Expand factor 4 on 6 rows, not 240M)
+      val base = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n0"), sum(d2(col("l_quantity"))).as("s0"))
+      base.cube(col("l_returnflag"), col("l_linestatus"))
         .agg(grouping(col("l_returnflag")).cast("long").as("g_flag"),
           grouping(col("l_linestatus")).cast("long").as("g_status"),
-          count(lit(1)).as("n"),
-          sum2(col("l_quantity")).as("sum_qty"))
+          sum(col("n0")).as("n"),
+          dbl(sum(col("s0"))).as("sum_qty"))
         .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("status"),
           col("g_flag"), col("g_status"), col("n"), col("sum_qty"))
