@@ -354,9 +354,18 @@ object Relational {
     "q11_cust_distribution" -> ((s, dir) => {
       val c = t(s, dir, "customer")
       val o = t(s, dir, "orders")
-      c.join(o, col("c_custkey") === col("o_custkey"), "left")
-        .groupBy(col("c_custkey"))
-        .agg(count(col("o_orderkey")).as("c_count"))
+      // aggregate orders per customer BEFORE the join (join input 15M →
+      // 1.5M rows). Measured EQUAL to the join-then-aggregate shape at
+      // sf10 (1.38 vs 1.38 s A/B) — the fact-side exchange dominates and
+      // is identical either way — kept because the declared intent
+      // ("count per customer, then distribute") matches the plan, and on
+      // a cluster the 10× smaller join build is free memory headroom.
+      // Customers with no orders surface via the left join + coalesce 0,
+      // exactly count(o_orderkey)'s null-skipping semantics.
+      val perCust = o.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      c.join(perCust, col("c_custkey") === col("o_custkey"), "left")
+        .select(coalesce(col("n_orders"), lit(0L)).as("c_count"))
         .groupBy(col("c_count"))
         .agg(count(lit(1)).as("custdist"))
         .orderBy(col("custdist").desc, col("c_count").desc)
