@@ -372,15 +372,20 @@ object Relational {
     }),
 
     "q12_case_counts" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
+      // both exchanges slimmed to the bytes the aggregate needs: the
+      // priority CLASS (one boolean) replaces the priority string on the
+      // orders side, and the lineitem side carries only (orderkey, flag);
+      // shuffle_hash skips the two 15M/25M-row sorts a sort-merge join
+      // would pay
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("is_high"))
       val l = t(s, dir, "lineitem").filter(col("l_quantity") >= 30)
-      o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("l_orderkey"), col("l_returnflag"))
+      o.hint("shuffle_hash").join(l, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("l_returnflag"))
         .agg(
-          count(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), lit(1)))
-            .as("high_line_count"),
-          count(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), lit(1)))
-            .as("low_line_count"))
+          count(when(col("is_high"), lit(1))).as("high_line_count"),
+          count(when(!col("is_high"), lit(1))).as("low_line_count"))
         .orderBy(col("l_returnflag"))
     }),
 
