@@ -65,21 +65,37 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
     }
-    val results = selected.map { case (name, fn) =>
+    val allRuns = selected.map { case (name, fn) =>
       once(fn) // warmup (also materializes any persisted stages)
       val timed = Seq.fill(3) {
         spark.sharedState.cacheManager.clearCache()
         once(fn)
       }.sorted
       spark.sharedState.cacheManager.clearCache()
-      name -> timed(timed.length / 2)
+      name -> timed
     }
+    val results = allRuns.map { case (name, timed) => name -> timed(timed.length / 2) }
     val sentinelEnd = sentinel()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""sentinel_start":$sentinelStart,"sentinel_end":$sentinelEnd,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""sentinel_start":$sentinelStart,"sentinel_end":$sentinelEnd,"sf":"$sfDir"}"""
+    println(line)
+    // First-class JSON artifact (VERDICT r7 #7): the driver's BENCH_r{N}.json
+    // keeps only a 2000-char stdout tail, which truncates the 119-entry map —
+    // write the complete per-entry medians AND the raw sorted run triples to
+    // a file in the repo root so round-over-round comparison covers every
+    // entry. Overwritten per run; committed with the round.
+    val runsJson = allRuns.map { case (k, ts) =>
+      s"\"" + k + "\":[" + ts.mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,""" +
+      s""""queries":$qs,"runs":$runsJson,"sentinel_start":$sentinelStart,""" +
+      s""""sentinel_end":$sentinelEnd,"sf":"$sfDir","epoch_ms":${System.currentTimeMillis}}"""
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json"))
+    java.nio.file.Files.write(out, full.getBytes("UTF-8"))
     spark.stop()
   }
 }

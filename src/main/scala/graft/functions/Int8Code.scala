@@ -40,27 +40,56 @@ case class Int8Code(child: Expression) extends UnaryExpression {
       s"graft_int8_code expects ARRAY<FLOAT> or ARRAY<DOUBLE>, got ${other.sql}")
   }
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // Null elements propagate exactly as in the lambda formulation: the
+  // scale comes from array_max over non-null |x| (array_max skips nulls)
+  // and a null x yields a null code. Parquet-read embeddings carry
+  // containsNull=true schemas even when no element is ever null, so the
+  // type is mirrored from the child rather than rejected, and the no-null
+  // common case keeps the primitive long[] path (one predictable
+  // isNullAt branch per element); only a row that actually contains a
+  // null element pays for a boxed result array.
+  override def dataType: DataType = ArrayType(LongType,
+    containsNull = child.dataType match {
+      case ArrayType(_, n) => n
+      case _ => false
+    })
 
   override protected def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
     val n = a.numElements()
     val isF = elemIsFloat
     var mx = 1e-30d
+    var hasNull = false
     var i = 0
     while (i < n) {
-      val v = math.abs(if (isF) a.getFloat(i).toDouble else a.getDouble(i))
-      if (v > mx) mx = v
+      if (a.isNullAt(i)) { hasNull = true }
+      else {
+        val v = math.abs(if (isF) a.getFloat(i).toDouble else a.getDouble(i))
+        if (v > mx) mx = v
+      }
       i += 1
     }
-    val out = new Array[Long](n)
-    i = 0
-    while (i < n) {
-      val x = if (isF) a.getFloat(i).toDouble else a.getDouble(i)
-      out(i) = math.floor(x * 127.0d / mx + 0.5d).toLong
-      i += 1
+    if (!hasNull) {
+      val out = new Array[Long](n)
+      i = 0
+      while (i < n) {
+        val x = if (isF) a.getFloat(i).toDouble else a.getDouble(i)
+        out(i) = math.floor(x * 127.0d / mx + 0.5d).toLong
+        i += 1
+      }
+      new GenericArrayData(out)
+    } else {
+      val out = new Array[Any](n)
+      i = 0
+      while (i < n) {
+        if (!a.isNullAt(i)) {
+          val x = if (isF) a.getFloat(i).toDouble else a.getDouble(i)
+          out(i) = math.floor(x * 127.0d / mx + 0.5d).toLong
+        }
+        i += 1
+      }
+      new GenericArrayData(out)
     }
-    new GenericArrayData(out)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -70,19 +99,33 @@ case class Int8Code(child: Expression) extends UnaryExpression {
       val mx = ctx.freshName("mx")
       val v = ctx.freshName("v")
       val out = ctx.freshName("out")
+      val boxed = ctx.freshName("boxed")
+      val hasNull = ctx.freshName("hasNull")
       val get = if (elemIsFloat) s"(double) $a.getFloat" else s"$a.getDouble"
       s"""
          |int $n = $a.numElements();
          |double $mx = 1e-30D;
+         |boolean $hasNull = false;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { $hasNull = true; continue; }
          |  double $v = java.lang.Math.abs($get($i));
          |  if ($v > $mx) $mx = $v;
          |}
-         |long[] $out = new long[$n];
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $out[$i] = (long) java.lang.Math.floor($get($i) * 127.0D / $mx + 0.5D);
+         |if (!$hasNull) {
+         |  long[] $out = new long[$n];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $out[$i] = (long) java.lang.Math.floor($get($i) * 127.0D / $mx + 0.5D);
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |} else {
+         |  Object[] $boxed = new Object[$n];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if (!$a.isNullAt($i)) {
+         |      $boxed[$i] = (long) java.lang.Math.floor($get($i) * 127.0D / $mx + 0.5D);
+         |    }
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($boxed);
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
     })
 

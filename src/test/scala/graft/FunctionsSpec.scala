@@ -92,4 +92,20 @@ class FunctionsSpec extends AnyFunSuite {
     val got = df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getSeq[Long](0)))
     assert(got.toSeq == Seq(Some(Seq(64L, -127L)), None, Some(Seq.empty[Long])))
   }
+
+  test("graft_int8_code propagates null ELEMENTS like the lambda (ADVICE r7)") {
+    import spark.implicits._
+    // scale must come from the non-null max (4.0 here, not the null slot),
+    // and the null element must survive as a null code — matching
+    // array_max's null-skipping + transform's null propagation exactly.
+    val rows: Seq[Seq[Option[Double]]] = Seq(
+      Seq(Some(1.0), None, Some(-4.0)),
+      Seq(None, None),
+      Seq(Some(2.0), Some(-2.0)))
+    val df = rows.toDF("e")
+      .selectExpr("graft_int8_code(e) AS fast", s"$lambdaInt8 AS slow")
+    assert(df.filter(!(col("fast") <=> col("slow"))).count() == 0)
+    val first = df.collect()(0)
+    assert(first.getSeq[Any](0) == Seq(32L, null, -127L))
+  }
 }

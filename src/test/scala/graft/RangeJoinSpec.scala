@@ -43,4 +43,36 @@ class RangeJoinSpec extends AnyFunSuite {
         s"missing=${(naive.toSet -- binned.toSet).take(3)} " +
         s"extra=${(binned.toSet -- naive.toSet).take(3)}")
   }
+
+  test("malformed intervals (end < start) yield zero matches, not a crash (ADVICE r7)") {
+    import spark.implicits._
+    val base = 1700000000000L
+    val hour = 3600L * 1000
+    val points = Seq((1L, new Timestamp(base + hour / 2)),
+      (2L, new Timestamp(base + 3 * hour))).toDF("pid", "pt")
+    val intervals = Seq(
+      (10L, new Timestamp(base), new Timestamp(base + hour)),          // valid: catches pid 1
+      (11L, new Timestamp(base + 5 * hour), new Timestamp(base)),      // end < start: no matches
+      (12L, new Timestamp(base + 2 * hour), new Timestamp(base + 2 * hour)) // zero-length: no matches
+    ).toDF("iid", "istart", "iend")
+    val got = graft.ops.RangeJoin.contains(points, intervals, "pt", "istart", "iend")
+      .select("iid", "pid").as[(Long, Long)].collect().sorted.toSeq
+    assert(got == Seq((10L, 1L)))
+  }
+
+  test("binWidth/truncUnit disagreement is rejected up front (ADVICE r7)") {
+    import spark.implicits._
+    val p = Seq((1L, new Timestamp(0L))).toDF("pid", "pt")
+    val iv = Seq((1L, new Timestamp(0L), new Timestamp(1000L))).toDF("iid", "s", "e")
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.RangeJoin.contains(p, iv, "pt", "s", "e", "INTERVAL 2 HOUR", "hour")
+    }
+    assert(ex.getMessage.contains("does not agree"))
+    val ex2 = intercept[IllegalArgumentException] {
+      graft.ops.RangeJoin.contains(p, iv, "pt", "s", "e", "INTERVAL 1 HOUR", "fortnight")
+    }
+    assert(ex2.getMessage.contains("unsupported"))
+    // the agreeing pair still plans fine
+    graft.ops.RangeJoin.contains(p, iv, "pt", "s", "e", "interval 1 minute", "minute").count()
+  }
 }
