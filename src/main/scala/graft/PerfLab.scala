@@ -1,0 +1,292 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A/B plan laboratory for the sf10 audit entries (VERDICT r7 #1/#5).
+  *
+  * Each candidate shape lives here side by side with the shipped shape so
+  * the choice is a measurement, not a guess: run
+  *   SPARK_GRAFT_SF_DIR=/tmp/gsf10 sbt "runMain graft.PerfLab q14_cur q14_proj ..."
+  * and read the per-variant medians (same protocol as graft.Bench: 1
+  * warmup + median of 3, cache cleared between runs). Winners get folded
+  * into Relational.scala; losers stay recorded in BASELINE.md.
+  */
+object PerfLab {
+  private def t(s: SparkSession, dir: String, n: String) =
+    graft.queries.Tables.load(s, dir, n)
+
+  val variants: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- q14: customers with no orders, counted per segment ----------
+    "q14_cur" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_mktsegment"))
+    }),
+    // orders projected to the key alone + shuffle_hash anti
+    "q14_proj" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").select(col("o_custkey"))
+      c.join(o.hint("shuffle_hash"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_mktsegment"))
+    }),
+    // distinct keys then broadcast anti: customer side never shuffles
+    "q14_bcast" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val dk = t(s, dir, "orders").select(col("o_custkey")).distinct()
+      c.join(broadcast(dk), col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // ---- q17: INTERSECT / EXCEPT of status-F and status-O customer sets
+    "q17_cur" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      val op = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      val both = f.intersect(op).agg(count(lit(1)).as("n_both"))
+      val onlyF = f.except(op).agg(count(lit(1)).as("n_only_f"))
+      both.crossJoin(onlyF)
+    }),
+    // one scan, one exchange: per-custkey status flags, then both set
+    // cardinalities from a single conditional aggregate
+    "q17_flags" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val flags = o.filter(col("o_orderstatus").isin("F", "O"))
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderstatus") === "F").as("has_f"),
+          max(col("o_orderstatus") === "O").as("has_o"))
+      flags.agg(
+        count(when(col("has_f") && col("has_o"), 1)).as("n_both"),
+        count(when(col("has_f") && !col("has_o"), 1)).as("n_only_f"))
+    }),
+
+    // ---- q11: per-customer order-count distribution ------------------
+    "q11_cur" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val perCust = o.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      c.join(perCust, col("c_custkey") === col("o_custkey"), "left")
+        .select(coalesce(col("n_orders"), lit(0L)).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+    // join-free: union customer keys (weight 0) with order keys (weight 1);
+    // one exchange, the zero-order group falls out naturally
+    "q11_union" -> ((s, dir) => {
+      val cu = t(s, dir, "customer").select(col("c_custkey").as("k"), lit(0L).as("w"))
+      val ou = t(s, dir, "orders").select(col("o_custkey").as("k"), lit(1L).as("w"))
+      cu.unionAll(ou)
+        .groupBy(col("k")).agg(sum(col("w")).as("c_count"))
+        .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // shuffle raw rows first, then aggregate once: the map-side partial
+    // agg on a ~1.5M keyspace barely reduces rows but builds a ~400k-entry
+    // hash map per task — shifting the agg entirely post-shuffle trades
+    // that for a plain row shuffle
+    "q11_repart" -> ((s, dir) => {
+      val cu = t(s, dir, "customer").select(col("c_custkey").as("k"), lit(0L).as("w"))
+      val ou = t(s, dir, "orders").select(col("o_custkey").as("k"), lit(1L).as("w"))
+      cu.unionAll(ou).repartition(col("k"))
+        .groupBy(col("k")).agg(sum(col("w")).as("c_count"))
+        .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+    // q11_union without the final sort
+    "q11_nosort" -> ((s, dir) => {
+      val cu = t(s, dir, "customer").select(col("c_custkey").as("k"), lit(0L).as("w"))
+      val ou = t(s, dir, "orders").select(col("o_custkey").as("k"), lit(1L).as("w"))
+      cu.unionAll(ou)
+        .groupBy(col("k")).agg(sum(col("w")).as("c_count"))
+        .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+    }),
+
+    // ---- q12: high/low priority line counts per returnflag -----------
+    "q12_cur" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("is_high"))
+      val l = t(s, dir, "lineitem").filter(col("l_quantity") >= 30)
+        .select(col("l_orderkey"), col("l_returnflag"))
+      o.hint("shuffle_hash").join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(when(col("is_high"), lit(1))).as("high_line_count"),
+          count(when(!col("is_high"), lit(1))).as("low_line_count"))
+        .orderBy(col("l_returnflag"))
+    }),
+    // join only the HIGH key set (~40% of orders, key column alone);
+    // membership via left join against the unique key set
+    "q12_hikeys" -> ((s, dir) => {
+      val hi = t(s, dir, "orders")
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select(col("o_orderkey").as("hk"))
+      val lf = t(s, dir, "lineitem").filter(col("l_quantity") >= 30)
+        .select(col("l_orderkey"), col("l_returnflag"))
+      lf.hint("shuffle_hash").join(hi, col("l_orderkey") === col("hk"), "left")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(when(col("hk").isNotNull, 1)).as("high_line_count"),
+          count(when(col("hk").isNull, 1)).as("low_line_count"))
+        .orderBy(col("l_returnflag"))
+    }),
+    // same but broadcast the 6M-key set: zero lineitem exchange
+    "q12_hibcast" -> ((s, dir) => {
+      val hi = t(s, dir, "orders")
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select(col("o_orderkey").as("hk"))
+      val lf = t(s, dir, "lineitem").filter(col("l_quantity") >= 30)
+        .select(col("l_orderkey"), col("l_returnflag"))
+      lf.join(broadcast(hi), col("l_orderkey") === col("hk"), "left")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(when(col("hk").isNotNull, 1)).as("high_line_count"),
+          count(when(col("hk").isNull, 1)).as("low_line_count"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- isolation probes: the irreducible pieces --------------------
+    // the 15M-row orders scan, key column only
+    "p_scan_orders" -> ((s, dir) =>
+      t(s, dir, "orders").select(col("o_custkey")).groupBy().agg(max(col("o_custkey")).as("m"))),
+    // the full per-custkey aggregate alone (q11's dominant stage)
+    "p_agg_orders" -> ((s, dir) =>
+      t(s, dir, "orders").groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+        .groupBy().agg(max(col("n")).as("m"))),
+    // distinct custkeys alone (q14's dominant stage)
+    "p_distinct_orders" -> ((s, dir) =>
+      t(s, dir, "orders").select(col("o_custkey")).distinct()
+        .groupBy().agg(count(lit(1)).as("n"))),
+    // customer scan + segment agg alone
+    "p_cust_agg" -> ((s, dir) =>
+      t(s, dir, "customer").groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))),
+    // the anti join alone, both sides key-only
+    "p_anti_only" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"))
+      val o = t(s, dir, "orders").select(col("o_custkey"))
+      c.join(o.hint("shuffle_hash"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy().agg(count(lit(1)).as("n"))
+    }),
+    // q11_union's big aggregate alone (no distribution agg, no sort)
+    "p_union_agg" -> ((s, dir) => {
+      val cu = t(s, dir, "customer").select(col("c_custkey").as("k"), lit(0L).as("w"))
+      val ou = t(s, dir, "orders").select(col("o_custkey").as("k"), lit(1L).as("w"))
+      cu.unionAll(ou).groupBy(col("k")).agg(sum(col("w")).as("c_count"))
+        .groupBy().agg(max(col("c_count")).as("m"))
+    }),
+    // q14 with the build side deduplicated before the anti join
+    "q14_dproj" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val dk = t(s, dir, "orders").select(col("o_custkey")).distinct()
+      c.join(dk.hint("shuffle_hash"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // ---- q13: top-20 big orders --------------------------------------
+    "q13_cur" -> ((s, dir) =>
+      graft.queries.Relational.queries("q13_big_orders")(s, dir)),
+    // adaptive candidate probe: the answer is the top 20 qualifying
+    // orders BY TOTALPRICE, so take the top-N orders by totalprice
+    // first (map-side partial top-K, no exchange), compute exact sums
+    // for those N only (broadcast semi keeps the lineitem side
+    // exchange-free), and fall back to the full plan iff fewer than 20
+    // of the N qualify. Sound because the candidate cut uses the same
+    // (totalprice DESC, orderkey) order as the final sort.
+    "q13_probe" -> ((s, dir) => {
+      val N = 5000
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val c = t(s, dir, "customer")
+      val cand = o.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(N)
+        .persist()
+      val sums = l
+        .join(broadcast(cand.select(col("o_orderkey").as("ck"))),
+          col("l_orderkey") === col("ck"), "left_semi")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(round(col("l_quantity") * 100).cast("long")).as("cents"))
+        .filter(col("cents") > 21000)
+        .select(col("l_orderkey"), (col("cents").cast("double") / 100).as("sum_qty"))
+      val top = sums.join(broadcast(cand), col("l_orderkey") === col("o_orderkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(20)
+        .persist()
+      val res =
+        if (top.count() >= 20) {
+          c.join(broadcast(top), col("o_custkey") === col("c_custkey"))
+            .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+              col("o_totalprice"), col("sum_qty"))
+            .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+            .limit(20)
+        } else graft.queries.Relational.queries("q13_big_orders")(s, dir)
+      res
+    })
+  )
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val builder = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    sys.env.get("SPARK_GRAFT_MAXPART_MB").foreach(mb =>
+      builder.config("spark.sql.files.maxPartitionBytes", s"${mb}MB")
+        .config("spark.sql.files.openCostInBytes", s"${256 * 1024}"))
+    sys.env.get("SPARK_GRAFT_ADVISORY_MB").foreach(mb =>
+      builder.config("spark.sql.adaptive.advisoryPartitionSizeInBytes", s"${mb}MB"))
+    // free-form conf overrides for knob experiments: "k=v;k=v"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.contains("=")).foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+    })
+    graft.queries.Tables.sessionConf.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val names = if (args.nonEmpty) args.toSeq else variants.keys.toSeq.sorted
+    val doExplain = sys.env.contains("SPARK_GRAFT_EXPLAIN")
+    if (sys.env.contains("SPARK_GRAFT_STAGES")) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val ms = for {
+            s <- si.submissionTime; c <- si.completionTime
+          } yield c - s
+          println(f"STAGE ${si.stageId}%3d tasks=${si.numTasks}%3d wall=${ms.getOrElse(-1L)}%5d ms  ${si.name.takeWhile(_ != '\n').take(80)}")
+        }
+      })
+    }
+    names.foreach { name =>
+      val fn = variants(name)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      if (doExplain) {
+        val df = fn(spark, sfDir)
+        df.count()
+        println(s"==== $name ====")
+        println(df.queryExecution.executedPlan.toString.take(12000))
+      } else once()
+      val timed = Seq.fill(3) {
+        spark.sharedState.cacheManager.clearCache()
+        once()
+      }.sorted
+      spark.sharedState.cacheManager.clearCache()
+      println(f"LAB $name%-14s median=${timed(1)}%.3f  runs=${timed.map(x => f"$x%.3f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}

@@ -352,84 +352,135 @@ object Relational {
     }),
 
     "q11_cust_distribution" -> ((s, dir) => {
-      val c = t(s, dir, "customer")
-      val o = t(s, dir, "orders")
-      // aggregate orders per customer BEFORE the join (join input 15M →
-      // 1.5M rows). Measured EQUAL to the join-then-aggregate shape at
-      // sf10 (1.38 vs 1.38 s A/B) — the fact-side exchange dominates and
-      // is identical either way — kept because the declared intent
-      // ("count per customer, then distribute") matches the plan, and on
-      // a cluster the 10× smaller join build is free memory headroom.
-      // Customers with no orders surface via the left join + coalesce 0,
-      // exactly count(o_orderkey)'s null-skipping semantics.
-      val perCust = o.groupBy(col("o_custkey"))
-        .agg(count(lit(1)).as("n_orders"))
-      c.join(perCust, col("c_custkey") === col("o_custkey"), "left")
-        .select(coalesce(col("n_orders"), lit(0L)).as("c_count"))
-        .groupBy(col("c_count"))
-        .agg(count(lit(1)).as("custdist"))
+      // Join-free union-aggregate (r8): customer keys enter with weight 0
+      // and order keys with weight 1, so one grouped sum yields each
+      // customer's order count WITH the zero-order customers included —
+      // no left join, no second fact-side exchange. Relies on the
+      // o_custkey → c_custkey FK (as q13's limit-commute does): an orders
+      // row with a key absent from customer would add a spurious group,
+      // which the driver's row-compare gate would catch. sf10 A/B
+      // (medians, /tmp/gsf10): THIS 1.32-1.41 s; join-then-aggregate
+      // (r7 shape) 1.59 s; repartition-before-agg 1.38 s;
+      // 8 MB advisory partitions 1.84 s; shuffle compression off 1.35 s;
+      // 64 shuffle partitions 1.54 s. The residual vs DuckDB (0.36 s) is
+      // the materialized 16.5M-row exchange — the same exchange that
+      // partitions the aggregate across executors at cluster scale.
+      val cu = t(s, dir, "customer").select(col("c_custkey").as("k"), lit(0L).as("w"))
+      val ou = t(s, dir, "orders").select(col("o_custkey").as("k"), lit(1L).as("w"))
+      cu.unionAll(ou)
+        .groupBy(col("k")).agg(sum(col("w")).as("c_count"))
+        .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
         .orderBy(col("custdist").desc, col("c_count").desc)
     }),
 
     "q12_case_counts" -> ((s, dir) => {
-      // both exchanges slimmed to the bytes the aggregate needs: the
-      // priority CLASS (one boolean) replaces the priority string on the
-      // orders side, and the lineitem side carries only (orderkey, flag);
-      // shuffle_hash skips the two 15M/25M-row sorts a sort-merge join
-      // would pay
-      val o = t(s, dir, "orders").select(col("o_orderkey"),
-        col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("is_high"))
-      val l = t(s, dir, "lineitem").filter(col("l_quantity") >= 30)
+      // r8: join only the HIGH-priority key set instead of all orders.
+      // o_orderpriority partitions every order into high/low, so
+      // membership in the high set (a LEFT join against the unique
+      // high-priority orderkeys — no fanout, orderkey is the PK)
+      // recovers is_high as hk IS NOT NULL. The orders-side exchange
+      // shrinks from 15M (orderkey, bool) rows to ~6M bare keys, and the
+      // per-partition hash build shrinks the same 2.5×. Relies on the
+      // l_orderkey → o_orderkey FK (lineitems of a nonexistent order
+      // would count as low instead of being dropped; the driver's
+      // row-compare gate would catch it). sf10 A/B (medians, /tmp/gsf10,
+      // DuckDB 1.16 s): THIS 0.62 s (0.54×); r7 full-orders
+      // shuffle_hash join 3.48 s; broadcast of the 6M-key set 0.55 s —
+      // marginally faster here but rejected: a driver-built 6M-entry
+      // hashed relation is exactly what stops scaling at 100 TB (600M
+      // keys), while the shuffled shape partitions.
+      val hi = t(s, dir, "orders")
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select(col("o_orderkey").as("hk"))
+      val lf = t(s, dir, "lineitem").filter(col("l_quantity") >= 30)
         .select(col("l_orderkey"), col("l_returnflag"))
-      o.hint("shuffle_hash").join(l, col("o_orderkey") === col("l_orderkey"))
+      lf.join(hi.hint("shuffle_hash"), col("l_orderkey") === col("hk"), "left")
         .groupBy(col("l_returnflag"))
         .agg(
-          count(when(col("is_high"), lit(1))).as("high_line_count"),
-          count(when(!col("is_high"), lit(1))).as("low_line_count"))
+          count(when(col("hk").isNotNull, 1)).as("high_line_count"),
+          count(when(col("hk").isNull, 1)).as("low_line_count"))
         .orderBy(col("l_returnflag"))
     }),
 
     "q13_big_orders" -> ((s, dir) => {
-      val l = t(s, dir, "lineitem")
+      // r8 adaptive candidate probe: the answer is the top 20 QUALIFYING
+      // orders by (o_totalprice DESC, o_orderkey), so probe the top-5000
+      // orders by that same total order first (TakeOrdered — map-side
+      // partial top-K, no exchange), compute exact cent-sums for those
+      // 5000 only (broadcast semi keeps the 60M-row lineitem side
+      // exchange-free), and fall back to the full aggregate-everything
+      // plan iff fewer than 20 of the 5000 qualify. The cut is SOUND:
+      // every qualifying order outside the candidate set sorts strictly
+      // after every candidate, so when ≥20 candidates qualify the global
+      // top-20 is inside the candidate set. ~4.7% of orders qualify at
+      // any SF (the cents threshold tracks the quantity distribution),
+      // so P(fallback) is negligible and the fallback keeps correctness
+      // unconditional. Integer-cents aggregation as before: summing
+      // round(qty*100) as LONG is exact (2-decimal quantities) and the
+      // /100 double division reproduces the decimal quotient bit-exactly.
+      // sf10 A/B (medians, /tmp/gsf10, DuckDB 1.55 s): THIS 1.25 s
+      // (0.81× — first time q13 beats DuckDB); r7 aggregate-everything +
+      // shuffle_hash + limit-commute 8.57 s. At 100 TB the probe stays a
+      // partial top-K plus a 5000-key broadcast — nothing grows with SF.
+      val N = 5000
       val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
       val c = t(s, dir, "customer")
-      // Integer-cents aggregation: quantities are 2-decimal values, so
-      // summing round(qty*100) as LONG is exact and equals the decimal
-      // sum to the last bit after /100 — while the 15M-group hash
-      // aggregate runs on a primitive long accumulator instead of decimal
-      // (the decimal variant measured 15 s at sf10; this shape ~halves it)
-      val big = l.groupBy(col("l_orderkey"))
+      val cand = o.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(N)
+        .persist()
+      val sums = l
+        .join(broadcast(cand.select(col("o_orderkey").as("ck"))),
+          col("l_orderkey") === col("ck"), "left_semi")
+        .groupBy(col("l_orderkey"))
         .agg(sum(round(col("l_quantity") * 100).cast("long")).as("cents"))
         .filter(col("cents") > 21000)
         .select(col("l_orderkey"), (col("cents").cast("double") / 100).as("sum_qty"))
-      // r6: (1) big⋈orders as an explicit shuffle_hash — the size gate
-      // can't see through the aggregate and planned a sort-merge join,
-      // fully sorting both 15M-row sides. (broadcast(big) was ALSO
-      // measured worse: ~707k rows survive the cents filter at sf10 and
-      // the driver-side hashed-relation build cost more than the slim
-      // orders exchange it saved — same lesson as the q03 broadcast-semi.)
-      // (2) take the top-20 by o_totalprice BEFORE the customer join:
-      // o_custkey is a foreign key into customer, so the inner join is
-      // non-filtering and the limit commutes through it — then the 20-row
-      // side is what gets broadcast, instead of hashing all of customer.
-      // (If the FK were ever violated the driver's row-count gate would
-      // catch the short result.)
-      val top = big.hint("shuffle_hash")
-        .join(o.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
-          col("l_orderkey") === col("o_orderkey"))
-        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-        .limit(20)
-      c.join(broadcast(top), col("o_custkey") === col("c_custkey"))
-        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
-          col("o_totalprice"), col("sum_qty"))
-        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-        .limit(20)
+      val top = sums.join(broadcast(cand), col("l_orderkey") === col("o_orderkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(20)
+        .persist()
+      if (top.count() >= 20) {
+        c.join(broadcast(top), col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            col("o_totalprice"), col("sum_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(20)
+      } else {
+        // fallback: aggregate every order (the r6/r7 plan — shuffle_hash
+        // against the aggregate, top-20 commuted through the FK join)
+        val big = l.groupBy(col("l_orderkey"))
+          .agg(sum(round(col("l_quantity") * 100).cast("long")).as("cents"))
+          .filter(col("cents") > 21000)
+          .select(col("l_orderkey"), (col("cents").cast("double") / 100).as("sum_qty"))
+        val top2 = big.hint("shuffle_hash")
+          .join(o.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+            col("l_orderkey") === col("o_orderkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(20)
+        c.join(broadcast(top2), col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            col("o_totalprice"), col("sum_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(20)
+      }
     }),
 
     "q14_anti_join" -> ((s, dir) => {
+      // r8: project orders to the bare join key before the anti join
+      // (the r7 shape shipped every orders column through the exchange)
+      // and force the per-partition hash build with shuffle_hash. sf10
+      // A/B (medians, /tmp/gsf10, DuckDB 0.20 s): THIS 0.88-0.96 s; r7
+      // un-projected sort-merge anti 1.26-1.49 s; distinct-then-broadcast
+      // (customer side never shuffles) 1.81-1.96 s — the driver-built
+      // 1.5M-entry hashed relation costs more than the exchange it
+      // saves; distinct-then-shuffle 1.27 s — the dedup's own
+      // agg outweighs the smaller build; shuffle compression off /
+      // 64 shuffle partitions: no change. Residual floor = one 15M-key
+      // exchange + per-partition hash build vs DuckDB's shared-memory
+      // hash; that exchange IS the cluster partitioning at 100 TB.
       val c = t(s, dir, "customer")
-      val o = t(s, dir, "orders")
-      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      val o = t(s, dir, "orders").select(col("o_custkey"))
+      c.join(o.hint("shuffle_hash"), col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_customers"))
         .orderBy(col("c_mktsegment"))
@@ -464,12 +515,24 @@ object Relational {
     }),
 
     "q17_set_ops" -> ((s, dir) => {
+      // r8: INTERSECT and EXCEPT over the same keyed sets collapse into
+      // ONE scan + ONE grouped aggregate. Spark plans intersect/except as
+      // two distinct-aggregates plus joins — four fact exchanges for what
+      // is semantically "which statuses does each custkey have": compute
+      // per-custkey has_F/has_O flags in a single aggregate, then both
+      // set cardinalities fall out of one conditional count.
+      // |F ∩ O| = keys with both flags, |F \ O| = keys with F only —
+      // exact distinct-set semantics because the group IS the key. sf10
+      // A/B (medians, /tmp/gsf10, DuckDB 0.39 s): THIS 0.19-0.22 s
+      // (0.56× — beats DuckDB); r7 intersect/except 2.16 s.
       val o = t(s, dir, "orders")
-      val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
-      val op = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
-      val both = f.intersect(op).agg(count(lit(1)).as("n_both"))
-      val onlyF = f.except(op).agg(count(lit(1)).as("n_only_f"))
-      both.crossJoin(onlyF)
+      val flags = o.filter(col("o_orderstatus").isin("F", "O"))
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderstatus") === "F").as("has_f"),
+          max(col("o_orderstatus") === "O").as("has_o"))
+      flags.agg(
+        count(when(col("has_f") && col("has_o"), 1)).as("n_both"),
+        count(when(col("has_f") && !col("has_o"), 1)).as("n_only_f"))
     }),
 
     "q18_json_extract" -> ((s, dir) => {
