@@ -72,6 +72,11 @@ class ObjectStoreSpec extends AnyFunSuite {
 
   spark.sparkContext.hadoopConfiguration
     .set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+  // graftfs delegates create() to RawLocal inside one JVM — declare it
+  // atomic so the r8 commit-CAS substrate gate admits it (and so this
+  // suite exercises the declared-scheme path of that gate)
+  spark.sparkContext.hadoopConfiguration
+    .set("graft.commit.atomicSchemes", "graftfs")
 
   /** (graftfs:// root for the lake, plain local dir for inspection) */
   private def newRoot(prefix: String): (String, String) = {
