@@ -26,7 +26,12 @@ import java.sql.{Connection, DriverManager, SQLException}
   * Exercised with embedded Derby (already on the Spark classpath — it
   * backs the Hive metastore); any JDBC database with unique-key
   * enforcement works, for PG pass its URL + credentials in the standard
-  * JDBC form.
+  * JDBC form. The PG dialect half (TEXT DDL, FETCH FIRST probe, 23505
+  * CAS incl. a concurrent two-session claim of one slot) is proven
+  * against a live PostgreSQL 15 by `scripts/pg_catalog_check.py`, which
+  * replays this file's statements verbatim — the JDBC transport itself
+  * is proven on Derby (JdbcStoreSpec, CrossProcessSpec) because no
+  * pgjdbc jar is resolvable in the offline build environment.
   *
   * Thread safety: one Connection per store instance, every JDBC access
   * under the store monitor (the same monitor `state()` already holds, so
