@@ -41,6 +41,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL UPDATE/MERGE on lake tables → the native positional-delete DML
     ext.injectResolutionRule(new ResolveLakeUpdate(_))
     ext.injectResolutionRule(new ResolveLakeMerge(_))
+    // SQL CREATE/DROP VIEW on lake catalogs → the versioned stored-view
+    // tags (session-catalog views untouched), intercepted at the parse
+    // boundary (ResolveSessionCatalog categorically rejects view DDL on
+    // non-session catalogs, so a resolution rule never gets a chance);
+    // CREATE/DROP MACRO is new grammar (reference/DuckDB dialect)
+    ext.injectParser((session, delegate) => new GraftSqlParser(session, delegate))
     // size-based broadcast for tier-3 lake scans (V1ScanWrapper hides stats)
     ext.injectPreCBORule(new LakeJoinHint(_))
     // variant_get predicates → file pruning on recorded variant path stats

@@ -32,7 +32,8 @@ import Meta._
   */
 class LakeCatalog extends TableCatalog with SupportsNamespaces
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog
-    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.ViewCatalog {
 
   // ---- FunctionCatalog: the `bucket` transform function, so Spark's SPJ
   // planner can resolve a reported bucket(n, col) partitioning ----------
@@ -49,6 +50,10 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
   private var store: MetadataStore = _
   private var frozenState: Option[CatalogState] = None
 
+  /** live store behind this catalog; null for frozen mounts (used by the
+    * SQL view/macro DDL commands to share the catalog's store instance) */
+  private[graft] def metaStore: MetadataStore = store
+
   // ---- CALL <cat>.system.<proc>(...) — see [[LakeProcedures]] ----------
   private def lakeForProcs(): Lake = {
     requireWritable() // every procedure mutates; frozen mounts refuse
@@ -62,6 +67,80 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
   }
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     LakeProcedures.list(namespace)
+
+  // ---- ViewCatalog: the stored-view surface (LakeViewDefs tags) --------
+  // ResolveSessionCatalog gates SQL view DDL on this interface; the
+  // actual lowering of CreateView/DropView statements is
+  // [[ResolveLakeViewDdl]] (no v2 view exec exists in Spark 4.1), and
+  // these methods serve DSv2 clients + metadata listings directly.
+  import org.apache.spark.sql.catalyst.analysis.NoSuchViewException
+  import org.apache.spark.sql.connector.catalog.{View => V2View, ViewInfo}
+
+  private def lakeForViews(): Lake = {
+    requireWritable()
+    new Lake(SparkSession.active, store.root, Some(store))
+  }
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val st = state()
+    val nsName = if (namespace.isEmpty) "main" else namespace.mkString(".")
+    st.tags.filter(LakeViewDefs.isViewTag)
+      .filter(t => LakeViewDefs.schemaOfScope(t) == nsName &&
+        liveAt(t.begin, t.end, st.currentSnapshotId))
+      .map(t => Identifier.of(namespace.toArray, t.key)).toArray
+  }
+
+  override def viewExists(ident: Identifier): Boolean = {
+    val st = state()
+    LakeViewDefs.viewAt(st, ns(ident), ident.name(), st.currentSnapshotId).isDefined
+  }
+
+  override def loadView(ident: Identifier): V2View = {
+    val st = state()
+    val vd = LakeViewDefs.viewAt(st, ns(ident), ident.name(), st.currentSnapshotId)
+      .getOrElse(throw new NoSuchViewException(ident))
+    val schemaName = ns(ident)
+    val df = lakeForViewReads().view(s"$schemaName.${ident.name()}")
+    new V2View {
+      override def name(): String = s"$catalogName.$schemaName.${ident.name()}"
+      override def query(): String = vd.sql
+      override def currentCatalog(): String = catalogName
+      override def currentNamespace(): Array[String] = Array(schemaName)
+      override def schema(): StructType = df.schema
+      override def queryColumnNames(): Array[String] = Array.empty
+      override def columnAliases(): Array[String] = vd.aliases.toArray
+      override def columnComments(): Array[String] = Array.empty
+      override def properties(): util.Map[String, String] =
+        Map("uuid" -> vd.uuid).asJava
+    }
+  }
+
+  /** read-side Lake (works on frozen mounts too: Lake.view only reads) */
+  private def lakeForViewReads(): Lake =
+    if (readOnly) throw new NoSuchViewException(
+      "_LEGACY_ERROR_TEMP_3000", Map("message" -> "frozen mounts resolve views via graft_view over the frozen root"))
+    else new Lake(SparkSession.active, store.root, Some(store))
+
+  override def createView(info: ViewInfo): V2View = {
+    val lake = lakeForViews()
+    lake.createView(s"${ns(info.ident())}.${info.ident().name()}", info.sql(),
+      Option(info.columnAliases()).map(_.toSeq).getOrElse(Nil),
+      orReplace = false)
+    loadView(info.ident())
+  }
+
+  override def alterView(ident: Identifier,
+      changes: org.apache.spark.sql.connector.catalog.ViewChange*): V2View =
+    throw new UnsupportedOperationException(
+      "ALTER VIEW: drop and re-create (CREATE OR REPLACE VIEW) instead")
+
+  override def dropView(ident: Identifier): Boolean =
+    if (!viewExists(ident)) false
+    else { lakeForViews().dropView(s"${ns(ident)}.${ident.name()}"); true }
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "RENAME VIEW: re-create under the new name (definitions are versioned tags)")
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name

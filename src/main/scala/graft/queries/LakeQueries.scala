@@ -874,6 +874,32 @@ object LakeQueries {
         .orderBy("n_nationkey", "n_name")
     }),
 
+    // ---- SQL view/macro DDL statements (r8, VERDICT r7 #4): CREATE
+    // [OR REPLACE] VIEW lowers at the parse boundary onto the versioned
+    // stored-definition tags; CREATE MACRO is the reference/DuckDB
+    // grammar Spark lacks (GraftSqlParser). The AS-OF read resolves the
+    // OLD definition over the OLD data — statement-created rows are
+    // byte-identical to API-created ones (same l42 oracle shape) --------
+    "l53_sql_view_ddl" -> ((s, dir) => {
+      val lake = newLake(s)
+      lake.createTableAs("main.nat", t(s, dir, "nation"))
+      val cat = s"lqvd${System.nanoTime()}"
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", lake.root)
+      val g1 = s.sql(s"CREATE VIEW $cat.main.sv AS " +
+          "SELECT n_regionkey AS rk, count(*) AS n_nations FROM nat GROUP BY n_regionkey")
+        .head.getLong(0)
+      s.sql(s"CREATE MACRO $cat.main.keysq(k) AS cast(k * k + 1 AS bigint)")
+      s.sql(s"CREATE OR REPLACE VIEW $cat.main.sv AS " +
+        "SELECT n_regionkey AS rk, count(*) AS n_nations FROM nat " +
+        "WHERE n_nationkey >= 10 GROUP BY n_regionkey")
+      val cur = s.sql(s"SELECT rk, n_nations, keysq(rk) AS k2, 'current' AS gen " +
+        s"FROM graft_view('${lake.root}', 'main.sv')")
+      val old = s.sql(s"SELECT rk, n_nations, keysq(rk) AS k2, 'v1' AS gen " +
+        s"FROM graft_view('${lake.root}', 'main.sv', $g1)")
+      cur.union(old).orderBy("gen", "rk")
+    }),
+
     // ---- bucket[N] hidden-partition transform (Iceberg-style; superset —
     // the reference supports identity/year/month/day/hour only): point
     // lookups on a high-cardinality key prune to ONE bucket's files via
@@ -1322,6 +1348,18 @@ object LakeQueries {
         |  (SELECT count(*) FROM customer) AS n_total
         |FROM customer WHERE c_custkey IN (7, 42, 99)
         |ORDER BY c_custkey""".stripMargin,
+
+    "l53_sql_view_ddl" ->
+      """WITH v1 AS (SELECT n_regionkey AS rk, count(*) AS n_nations
+        |            FROM nation GROUP BY 1),
+        |     v2 AS (SELECT n_regionkey AS rk, count(*) AS n_nations
+        |            FROM nation WHERE n_nationkey >= 10 GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT rk, n_nations, CAST(rk * rk + 1 AS BIGINT) AS k2,
+        |         'current' AS gen FROM v2
+        |  UNION ALL
+        |  SELECT rk, n_nations, CAST(rk * rk + 1 AS BIGINT), 'v1' FROM v1) t
+        |ORDER BY gen, rk""".stripMargin,
 
     // after merge_adjacent_files: one file; set_option visible on the table
     "l51_sql_procedures" ->
