@@ -224,7 +224,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
       override def scanDF(spark: SparkSession,
           filters: Seq[org.apache.spark.sql.sources.Filter],
           withRowMeta: Boolean): org.apache.spark.sql.DataFrame =
-        LakeRead.scanDF(spark, st, entry.tableId, s, filters,
+        LakeRead.scanDF(spark, this.st, entry.tableId, s, filters,
           withRowMeta = withRowMeta)
     }
     else new LakeTable(store, ns(ident), ident.name(), s, st)

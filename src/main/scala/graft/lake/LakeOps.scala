@@ -1,6 +1,7 @@
 package graft.lake
 
-import java.nio.file.{Files, Paths}
+// no java.nio imports: every filesystem touch in this file goes through
+// the StoreIO seam (VERDICT r7 wrinkle (c) — audited, the import was dead)
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._

@@ -900,6 +900,43 @@ object LakeQueries {
       cur.union(old).orderBy("gen", "rk")
     }),
 
+    // ---- GEOMETRY round-trip (r8, VERDICT r7 stretch #9; the one §1.2
+    // type row without an oracle entry): geometry is a catalog-level
+    // annotation over WKB BinaryType (docs/data_types.md — "GEOMETRY has
+    // no PG equivalent type", so the reference has no PG surface either).
+    // Real WKB (point / linestring / polygon) goes create → append →
+    // DML → freeze → import into a fresh lake; the bytes come back
+    // bit-identical and the frozen ducklake_column row carries
+    // column_type='geometry', not 'blob' -------------------------------
+    "l54_geometry" -> ((s, dir) => {
+      import s.implicits._
+      val lake = newLake(s)
+      val geoMeta = new org.apache.spark.sql.types.MetadataBuilder()
+        .putString("graft.type", "geometry").build()
+      lake.createTable("main.geo", StructType(Seq(
+        StructField("id", IntegerType),
+        StructField("geom", org.apache.spark.sql.types.BinaryType,
+          nullable = true, metadata = geoMeta))))
+      val df = Seq(
+        (1, "0101000000000000000000F03F0000000000000040"), // POINT(1 2)
+        (2, "01020000000200000000000000000000000000000000000000000000000000F03F000000000000F03F"), // LINESTRING(0 0,1 1)
+        (3, "010300000001000000050000000000000000000000000000000000000000000000000010400000000000000000000000000000104000000000000010400000000000000000000000000000104000000000000000000000000000000000") // POLYGON((0 0,4 0,4 4,0 4,0 0))
+      ).toDF("id", "hx").select(col("id"), unhex(col("hx")).as("geom"))
+      lake.append("main.geo", df)
+      lake.delete("main.geo", col("id") === 2) // DML over opaque WKB
+      val frozen = Files.createTempDirectory("graft_geo_fz").toString
+      lake.freeze(frozen)
+      val colType = s.read.parquet(s"$frozen/catalog_parquet/ducklake_column.parquet")
+        .filter(col("column_name") === "geom")
+        .select(col("column_type")).head.getString(0)
+      val lake2 = new Lake(s, Files.createTempDirectory("graft_geo_th").toString)
+      lake2.importCatalog(s"$frozen/catalog_parquet")
+      lake2.table("main.geo")
+        .select(col("id"), upper(hex(col("geom"))).as("wkb_hex"),
+          lit(colType).as("catalog_type"))
+        .orderBy("id")
+    }),
+
     // ---- bucket[N] hidden-partition transform (Iceberg-style; superset —
     // the reference supports identity/year/month/day/hour only): point
     // lookups on a high-cardinality key prune to ONE bucket's files via
@@ -1348,6 +1385,17 @@ object LakeQueries {
         |  (SELECT count(*) FROM customer) AS n_total
         |FROM customer WHERE c_custkey IN (7, 42, 99)
         |ORDER BY c_custkey""".stripMargin,
+
+    "l54_geometry" ->
+      """SELECT * FROM (
+        |  SELECT 1 AS id,
+        |    '0101000000000000000000F03F0000000000000040' AS wkb_hex,
+        |    'geometry' AS catalog_type
+        |  UNION ALL
+        |  SELECT 3,
+        |    '010300000001000000050000000000000000000000000000000000000000000000000010400000000000000000000000000000104000000000000010400000000000000000000000000000104000000000000000000000000000000000',
+        |    'geometry') t
+        |ORDER BY id""".stripMargin,
 
     "l53_sql_view_ddl" ->
       """WITH v1 AS (SELECT n_regionkey AS rk, count(*) AS n_nations

@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.lake._
+import graft.streaming.LakeSink
+
+/** Exactly-once audit of the streaming sink (VERDICT r7 stretch #8):
+  * Structured Streaming redelivers a micro-batch with the SAME batchId
+  * after any failure between `addBatch` and checkpoint write, so the sink
+  * must make (txnId, batchId) idempotent. LakeSink records the last
+  * committed batchId as a versioned tag IN the same snapshot commit as
+  * the data (LakeSink.scala:178-196) — the fast path skips replayed ids,
+  * and the in-commit re-check makes two concurrent writers of one epoch
+  * race on the commit CAS, where exactly one records the batch. */
+class SinkReplaySpec extends AnyFunSuite {
+  import TestSession.spark
+
+  private def rows(tag: String, n: Int) = {
+    import spark.implicits._
+    (1 to n).map(i => (i, tag)).toDF("id", "src")
+  }
+
+  test("replaying the same epoch never duplicates rows") {
+    val root = Files.createTempDirectory("graft_sink_replay").toString
+    val sink = new LakeSink(root, "main.ev", txnId = "q1", overwrite = false)
+    val lake = new Lake(spark, root)
+
+    sink.addBatch(0, rows("b0", 10))
+    assert(lake.table("main.ev").count() == 10)
+    // retry of the same epoch (post-write, pre-checkpoint failure shape)
+    sink.addBatch(0, rows("b0", 10))
+    assert(lake.table("main.ev").count() == 10, "replayed epoch 0 duplicated rows")
+
+    sink.addBatch(1, rows("b1", 5))
+    assert(lake.table("main.ev").count() == 15)
+    // a LATE replay of an older epoch after newer ones committed
+    sink.addBatch(0, rows("b0", 10))
+    sink.addBatch(1, rows("b1", 5))
+    assert(lake.table("main.ev").count() == 15, "late replay duplicated rows")
+
+    // restart shape: a FRESH sink instance (new driver) replays the last
+    // epoch from the checkpoint — the tag lives in the table, not the JVM
+    val restarted = new LakeSink(root, "main.ev", txnId = "q1", overwrite = false)
+    restarted.addBatch(1, rows("b1", 5))
+    assert(lake.table("main.ev").count() == 15, "post-restart replay duplicated rows")
+    restarted.addBatch(2, rows("b2", 3))
+    assert(lake.table("main.ev").count() == 18)
+
+    // a DIFFERENT query (txnId) into the same table is independent
+    val other = new LakeSink(root, "main.ev", txnId = "q2", overwrite = false)
+    other.addBatch(0, rows("other", 2))
+    assert(lake.table("main.ev").count() == 20)
+
+    // the batch tag rides the same snapshot as its data: time travel to
+    // the epoch-1 commit sees exactly the first 15 rows
+    val snaps = lake.snapshots().select("snapshot_id").collect().map(_.getLong(0)).sorted
+    val atEpoch1 = snaps(snaps.length - 3) // ...-3: before b2 and q2 commits
+    assert(lake.table("main.ev", Some(atEpoch1)).count() == 15)
+  }
+
+  test("two sinks racing one epoch commit exactly once") {
+    val root = Files.createTempDirectory("graft_sink_race").toString
+    val a = new LakeSink(root, "main.r", txnId = "qr", overwrite = false)
+    val b = new LakeSink(root, "main.r", txnId = "qr", overwrite = false)
+    a.addBatch(0, rows("seed", 1)) // create table + epoch 0
+    val lake = new Lake(spark, root)
+    // both writers attempt epoch 1 concurrently; the commit-CAS loser must
+    // either skip (fast path) or abort on the in-commit re-check — never
+    // double-append
+    val t1 = new Thread(() => try a.addBatch(1, rows("a", 4)) catch { case _: Exception => () })
+    val t2 = new Thread(() => try b.addBatch(1, rows("b", 4)) catch { case _: Exception => () })
+    t1.start(); t2.start(); t1.join(30000); t2.join(30000)
+    assert(lake.table("main.r").count() == 5,
+      s"epoch 1 committed ${lake.table("main.r").count() - 1} rows, want 4")
+  }
+}
