@@ -193,6 +193,37 @@ object PerfLab {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // ---- q19: weekly per-type event rollup ---------------------------
+    "q19_cur" -> ((s, dir) =>
+      graft.queries.Relational.queries("q19_date_trunc")(s, dir)),
+    // decimal accumulator -> primitive long cents (the q13/q15 lesson)
+    "q19_cents" -> ((s, dir) => {
+      val t = graft.queries.Tables.load(s, dir, "events")
+      t.groupBy(date_trunc("week", col("ts")).cast("date").as("week"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("value") * 100).cast("long")).cast("double") / 100)
+            .as("sum_value"))
+        .orderBy(col("week"), col("event_type"))
+    }),
+    // ...plus integer week grouping: (days+3) div 7 replaces the per-row
+    // timestamp date_trunc; the Monday date is rebuilt on ~O(weeks) rows
+    "q19_intweek" -> ((s, dir) => {
+      val t = graft.queries.Tables.load(s, dir, "events")
+      t.select(
+          ((unix_micros(col("ts")) / lit(86400000000L)).cast("long") + 3).as("d3"),
+          col("event_type"), col("value"))
+        .withColumn("wk", (col("d3") / 7).cast("long"))
+        .groupBy(col("wk"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("value") * 100).cast("long")).cast("double") / 100)
+            .as("sum_value"))
+        .select(date_add(lit(java.sql.Date.valueOf("1969-12-29")),
+            (col("wk") * 7).cast("int")).as("week"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("week"), col("event_type"))
+    }),
+
     // ---- q13: top-20 big orders --------------------------------------
     "q13_cur" -> ((s, dir) =>
       graft.queries.Relational.queries("q13_big_orders")(s, dir)),
