@@ -193,6 +193,103 @@ object PerfLab {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // ---- t13: per-language token-budget selection --------------------
+    "t13_cur" -> ((s, dir) =>
+      graft.queries.TextOps.queries("t13_token_budget")(s, dir)),
+    // derived (doc_id, lang, n_tokens) frame persisted: the histogram,
+    // full-bucket join and boundary-bucket join each re-tokenized the
+    // corpus otherwise (3 scans x split-array materialization)
+    "t13_persist" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 3000L
+      val d = graft.queries.Tables.load(s, dir, "documents")
+        .selectExpr("doc_id", "lang",
+          "cast(size(split(lower(trim(text)), ' ')) as bigint) AS n_tokens")
+        .persist()
+      val hist = d.groupBy("lang", "n_tokens").agg(sum("n_tokens").as("grp_tokens"))
+      val wAbove = Window.partitionBy("lang").orderBy(desc("n_tokens"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cut = hist
+        .withColumn("cum_above", coalesce(sum("grp_tokens").over(wAbove), lit(0L)))
+        .withColumn("admit_full", col("cum_above") + col("grp_tokens") <= budget)
+        .withColumn("k_boundary", when(!col("admit_full") && col("cum_above") <= budget,
+          floor((lit(budget) - col("cum_above")) / col("n_tokens"))).otherwise(lit(0L)))
+      val full = d.join(broadcast(cut.filter(col("admit_full")).select("lang", "n_tokens")),
+        Seq("lang", "n_tokens"))
+      val bnd = cut.filter(col("k_boundary") > 0).select("lang", "n_tokens", "k_boundary")
+      val wBoundary = Window.partitionBy("lang", "n_tokens").orderBy("doc_id")
+      val part = d.join(broadcast(bnd), Seq("lang", "n_tokens"))
+        .withColumn("rn", row_number().over(wBoundary))
+        .filter(col("rn") <= col("k_boundary"))
+        .drop("rn", "k_boundary")
+      full.unionByName(part)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens_used"))
+        .orderBy(col("lang"))
+    }),
+    // persist + drop the lower() copy: case changes no token boundary
+    "t13_nolower" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 3000L
+      val d = graft.queries.Tables.load(s, dir, "documents")
+        .selectExpr("doc_id", "lang",
+          "cast(size(split(trim(text), ' ')) as bigint) AS n_tokens")
+        .persist()
+      val hist = d.groupBy("lang", "n_tokens").agg(sum("n_tokens").as("grp_tokens"))
+      val wAbove = Window.partitionBy("lang").orderBy(desc("n_tokens"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cut = hist
+        .withColumn("cum_above", coalesce(sum("grp_tokens").over(wAbove), lit(0L)))
+        .withColumn("admit_full", col("cum_above") + col("grp_tokens") <= budget)
+        .withColumn("k_boundary", when(!col("admit_full") && col("cum_above") <= budget,
+          floor((lit(budget) - col("cum_above")) / col("n_tokens"))).otherwise(lit(0L)))
+      val full = d.join(broadcast(cut.filter(col("admit_full")).select("lang", "n_tokens")),
+        Seq("lang", "n_tokens"))
+      val bnd = cut.filter(col("k_boundary") > 0).select("lang", "n_tokens", "k_boundary")
+      val wBoundary = Window.partitionBy("lang", "n_tokens").orderBy("doc_id")
+      val part = d.join(broadcast(bnd), Seq("lang", "n_tokens"))
+        .withColumn("rn", row_number().over(wBoundary))
+        .filter(col("rn") <= col("k_boundary"))
+        .drop("rn", "k_boundary")
+      full.unionByName(part)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens_used"))
+        .orderBy(col("lang"))
+    }),
+    // ...plus the token count WITHOUT materializing the split array:
+    // split on a literal single space yields exactly (#spaces + 1)
+    // elements (empties included), so length arithmetic is equivalent
+    "t13_lencount" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 3000L
+      val d = graft.queries.Tables.load(s, dir, "documents")
+        .selectExpr("doc_id", "lang",
+          """cast(char_length(lower(trim(text)))
+            |  - char_length(replace(lower(trim(text)), ' ', '')) + 1
+            |  as bigint) AS n_tokens""".stripMargin)
+        .persist()
+      val hist = d.groupBy("lang", "n_tokens").agg(sum("n_tokens").as("grp_tokens"))
+      val wAbove = Window.partitionBy("lang").orderBy(desc("n_tokens"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cut = hist
+        .withColumn("cum_above", coalesce(sum("grp_tokens").over(wAbove), lit(0L)))
+        .withColumn("admit_full", col("cum_above") + col("grp_tokens") <= budget)
+        .withColumn("k_boundary", when(!col("admit_full") && col("cum_above") <= budget,
+          floor((lit(budget) - col("cum_above")) / col("n_tokens"))).otherwise(lit(0L)))
+      val full = d.join(broadcast(cut.filter(col("admit_full")).select("lang", "n_tokens")),
+        Seq("lang", "n_tokens"))
+      val bnd = cut.filter(col("k_boundary") > 0).select("lang", "n_tokens", "k_boundary")
+      val wBoundary = Window.partitionBy("lang", "n_tokens").orderBy("doc_id")
+      val part = d.join(broadcast(bnd), Seq("lang", "n_tokens"))
+        .withColumn("rn", row_number().over(wBoundary))
+        .filter(col("rn") <= col("k_boundary"))
+        .drop("rn", "k_boundary")
+      full.unionByName(part)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens_used"))
+        .orderBy(col("lang"))
+    }),
+
     // ---- q19: weekly per-type event rollup ---------------------------
     "q19_cur" -> ((s, dir) =>
       graft.queries.Relational.queries("q19_date_trunc")(s, dir)),

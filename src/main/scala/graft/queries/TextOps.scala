@@ -295,8 +295,20 @@ object TextOps {
     // the windowed spec (the oracle states it that way).
     "t13_token_budget" -> ((s, dir) => {
       val budget = 3000L
+      // r8: (1) the derived (doc_id, lang, n_tokens) frame is PERSISTED —
+      // the histogram, full-bucket join and boundary-bucket join each
+      // re-tokenized the whole corpus otherwise (three scans, each
+      // materializing the split array per doc); ~12 MB cached at sf10.
+      // (2) lower() is dropped from the count: case changes no token
+      // boundary, so size(split(trim(text))) ≡ size(split(lower(trim(
+      // text)))) while skipping a full per-doc string copy. sf10 A/B
+      // (PerfLab t13_cur/t13_persist/t13_nolower/t13_lencount): 2.51 →
+      // 1.37 s (DuckDB 0.64); the replace()-arithmetic count measured
+      // WORSE than split (1.63) — the copy costs what the array costs.
       val d = t(s, dir, "documents")
-        .selectExpr("doc_id", "lang", s"cast(size($TOKS) as bigint) AS n_tokens")
+        .selectExpr("doc_id", "lang",
+          "cast(size(split(trim(text), ' ')) as bigint) AS n_tokens")
+        .persist()
       val hist = d.groupBy("lang", "n_tokens")
         .agg(sum("n_tokens").as("grp_tokens"))
       val wAbove = Window.partitionBy("lang").orderBy(desc("n_tokens"))
