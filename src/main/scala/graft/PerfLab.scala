@@ -193,6 +193,21 @@ object PerfLab {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // ---- q16: suppliers with any qty>49 lineitem, top-10 by acctbal --
+    "q16_cur" -> ((s, dir) =>
+      graft.queries.Relational.queries("q16_semi_top_suppliers")(s, dir)),
+    // distinct matching suppkeys are <=100k ints: broadcast them so the
+    // supplier side never shuffles
+    "q16_bcast" -> ((s, dir) => {
+      val su = t(s, dir, "supplier")
+      val keys = t(s, dir, "lineitem").filter(col("l_quantity") > 49)
+        .select(col("l_suppkey")).distinct()
+      su.join(broadcast(keys), col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+        .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+        .limit(10)
+    }),
+
     // ---- t13: per-language token-budget selection --------------------
     "t13_cur" -> ((s, dir) =>
       graft.queries.TextOps.queries("t13_token_budget")(s, dir)),

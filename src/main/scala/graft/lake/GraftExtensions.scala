@@ -47,6 +47,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // non-session catalogs, so a resolution rule never gets a chance);
     // CREATE/DROP MACRO is new grammar (reference/DuckDB dialect)
     ext.injectParser((session, delegate) => new GraftSqlParser(session, delegate))
+    // SELECT from catalog-qualified stored views (Spark 4.1 ships the
+    // ViewCatalog interface but no read rule)
+    ext.injectResolutionRule(new ResolveLakeViewRead(_))
     // size-based broadcast for tier-3 lake scans (V1ScanWrapper hides stats)
     ext.injectPreCBORule(new LakeJoinHint(_))
     // variant_get predicates → file pruning on recorded variant path stats

@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical.{CreateView, DropView, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.graft.CatalogAccess
 import org.apache.spark.sql.types.{DataType, LongType, StructType}
@@ -38,6 +39,35 @@ import org.apache.spark.sql.types.{DataType, LongType, StructType}
   * session as-of confs resolve BOTH the definition and the data at the
   * requested snapshot ([[Lake.view]]).
   */
+/** Resolves `SELECT ... FROM <lakecat>.<schema>.<view>` reads: Spark 4.1
+  * has the DSv2 ViewCatalog interface but no analyzer rule that reads
+  * through it, so a catalog-qualified view name stays an
+  * [[UnresolvedRelation]] all the way to CheckAnalysis — this injected
+  * rule substitutes the stored view's resolved plan first (the same
+  * snapshot-consistent resolution the `graft_view` TVF uses, so the
+  * session as-of confs apply to both the definition and the data).
+  * Tables are untouched (they resolve through loadTable before this
+  * fires); a name that is neither stays unresolved for Spark's own
+  * error. Frozen mounts resolve views via `graft_view` over the frozen
+  * root. */
+class ResolveLakeViewRead(session: SparkSession) extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    case u: UnresolvedRelation =>
+      (try SqlViews.target(session, u.multipartIdentifier) catch {
+        case _: Exception => None
+      }) match {
+        case Some((lc, schema, name)) if lc.metaStore != null =>
+          val lake = new Lake(session, lc.metaStore.root, Some(lc.metaStore))
+          val st = lc.metaStore.state()
+          if (LakeViewDefs.viewAt(st, schema, name, st.currentSnapshotId).isDefined)
+            lake.view(s"$schema.$name").queryExecution.analyzed
+          else u
+        case _ => u
+      }
+  }
+}
+
 private[lake] object SqlViews {
 
   /** (lake catalog, schema, object name) when `parts` lands in a

@@ -243,6 +243,20 @@ class ViewMacroSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT * FROM graft_view('$root', 'main.sv', $s1) ORDER BY a")
       .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((2, 21), (3, 31)))
 
+    // plain SELECT through the catalog-qualified name (ResolveLakeViewRead
+    // — Spark 4.1 ships ViewCatalog but no read rule of its own)
+    assert(spark.sql("SELECT * FROM vmsql.main.sv").head.getLong(0) == 3L)
+    // views stack under SQL reads too, and session as-of applies to both
+    // the definition and the data
+    spark.sql("CREATE VIEW vmsql.main.sv2 AS SELECT n + 1 AS n1 FROM sv")
+    assert(spark.sql("SELECT n1 FROM vmsql.main.sv2").head.getLong(0) == 4L)
+    spark.conf.set("spark.graft.lake.asOfSnapshot", s1.toString)
+    try {
+      val old = spark.sql("SELECT * FROM vmsql.main.sv ORDER BY a").collect()
+      assert(old.map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((2, 21), (3, 31)))
+    } finally spark.conf.unset("spark.graft.lake.asOfSnapshot")
+    spark.sql("DROP VIEW vmsql.main.sv2")
+
     spark.sql("DROP VIEW vmsql.main.sv")
     assert(lake.views().count() == 0)
     intercept[Exception] { spark.sql("DROP VIEW vmsql.main.sv") }
