@@ -193,6 +193,12 @@ object PerfLab {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // ---- q05: five-join star, stage profile under the r8 listener ----
+    "q05_cur" -> ((s, dir) =>
+      graft.queries.Relational.queries("q05_nation_revenue")(s, dir)),
+    "q03_cur" -> ((s, dir) =>
+      graft.queries.Relational.queries("q03_top_revenue_orders")(s, dir)),
+
     // ---- q16: suppliers with any qty>49 lineitem, top-10 by acctbal --
     "q16_cur" -> ((s, dir) =>
       graft.queries.Relational.queries("q16_semi_top_suppliers")(s, dir)),
