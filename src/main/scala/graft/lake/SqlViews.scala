@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
-import org.apache.spark.sql.catalyst.plans.logical.{CreateView, DropView, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{CreateView, DropView, LogicalPlan, ShowViews}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.graft.CatalogAccess
@@ -20,13 +20,15 @@ import org.apache.spark.sql.types.{DataType, LongType, StructType}
   * to API-created ones (versioned tags → ducklake_view / ducklake_macro*
   * on freeze).
   *
-  *  - `CREATE [OR REPLACE] VIEW <lakecat>.<schema>.<name> AS <select>`
-  *    and `DROP VIEW [IF EXISTS] <lakecat>.<schema>.<name>` ride Spark's
-  *    native parse tree: the analyzer parses them to [[CreateView]] /
-  *    [[DropView]], and [[ResolveLakeViewDdl]] lowers exactly the
-  *    statements whose target catalog is a [[LakeCatalog]] — session-
-  *    catalog views are untouched (same interception pattern as
-  *    [[ResolveLakeUpdate]] / [[ResolveLakeMerge]]).
+  *  - `CREATE [OR REPLACE] VIEW <lakecat>.<schema>.<name> AS <select>`,
+  *    `DROP VIEW [IF EXISTS]` and `SHOW VIEWS IN <lakecat>.<schema>`
+  *    ride Spark's native parse tree ([[CreateView]] / [[DropView]] /
+  *    [[ShowViews]]) and are lowered by [[GraftSqlParser]] right at the
+  *    parse boundary when — and only when — the target catalog is a
+  *    [[LakeCatalog]] (Spark 4.1's ResolveSessionCatalog categorically
+  *    rejects view DDL on non-session catalogs before any injected
+  *    resolution rule runs); session-catalog statements pass through
+  *    verbatim. Reads resolve via [[ResolveLakeViewRead]].
   *  - `CREATE [OR REPLACE] MACRO [cat.][schema.]name(p, …) AS <expr>` and
   *    `DROP MACRO [IF EXISTS] [cat.][schema.]name` have no Spark grammar
   *    at all (they are the reference/DuckDB dialect,
@@ -134,6 +136,30 @@ case class DropLakeViewCommand(catalogName: String, viewName: String,
   }
 }
 
+/** `SHOW VIEWS IN <lakecat>.<schema> [LIKE pattern]` — same output
+  * columns as Spark's session-catalog ShowViewsCommand. */
+case class ShowLakeViewsCommand(catalogName: String, schemaName: String,
+    pattern: Option[String]) extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("namespace", org.apache.spark.sql.types.StringType, nullable = false)(),
+    AttributeReference("viewName", org.apache.spark.sql.types.StringType, nullable = false)(),
+    AttributeReference("isTemporary", org.apache.spark.sql.types.BooleanType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val lake = SqlViews.lakeOf(spark, catalogName)
+    val names = lake.views().filter(s"schema_name = '$schemaName'")
+      .select("view_name").collect().map(_.getString(0)).toSeq.sorted
+    val matched = pattern match {
+      case Some(p) =>
+        // SHOW ... LIKE patterns: '*' any chars, '|' alternation
+        val rx = p.split("\\|").map(a =>
+          a.replace(".", "\\.").replace("*", ".*")).mkString("^(", "|", ")$").r
+        names.filter(n => rx.findFirstIn(n).isDefined)
+      case None => names
+    }
+    matched.map(n => Row(schemaName, n, false))
+  }
+}
+
 case class CreateLakeMacroCommand(nameParts: Seq[String], params: Seq[String],
     body: String, replace: Boolean) extends LeafRunnableCommand {
   override def output: Seq[Attribute] =
@@ -219,6 +245,19 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           case Some((lc, schema, name)) =>
             DropLakeViewCommand(lc.name(), s"$schema.$name", dv.ifExists)
           case None => dv
+        }
+      case sv: ShowViews =>
+        val ns = sv.namespace match {
+          case u: org.apache.spark.sql.catalyst.analysis.UnresolvedNamespace =>
+            Some(u.multipartIdentifier)
+          case _ => None
+        }
+        // `SHOW VIEWS IN <lakecat>.<schema>` — appending a sentinel name
+        // lets target() do the same catalog/schema split as the DDL paths
+        ns.flatMap(parts => SqlViews.target(session, parts :+ "_")) match {
+          case Some((lc, schema, _)) =>
+            ShowLakeViewsCommand(lc.name(), schema, sv.pattern)
+          case None => sv
         }
       case other => other
     }

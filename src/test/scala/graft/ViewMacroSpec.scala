@@ -250,6 +250,10 @@ class ViewMacroSpec extends AnyFunSuite {
     // the definition and the data
     spark.sql("CREATE VIEW vmsql.main.sv2 AS SELECT n + 1 AS n1 FROM sv")
     assert(spark.sql("SELECT n1 FROM vmsql.main.sv2").head.getLong(0) == 4L)
+    // SHOW VIEWS over the lake catalog (+ LIKE pattern)
+    assert(spark.sql("SHOW VIEWS IN vmsql.main").collect()
+      .map(_.getString(1)).toSeq == Seq("sv", "sv2"))
+    assert(spark.sql("SHOW VIEWS IN vmsql.main LIKE 'sv2'").count() == 1)
     spark.conf.set("spark.graft.lake.asOfSnapshot", s1.toString)
     try {
       val old = spark.sql("SELECT * FROM vmsql.main.sv ORDER BY a").collect()
