@@ -199,6 +199,43 @@ object PerfLab {
     "q03_cur" -> ((s, dir) =>
       graft.queries.Relational.queries("q03_top_revenue_orders")(s, dir)),
 
+    // ---- q07: the one fact-fact SHJ that overflows at sf30 -----------
+    "q07_cur" -> ((s, dir) =>
+      graft.queries.Relational.queries("q07_volume_shipping")(s, dir)),
+    // same plan with the l⋈o join forced to sort-merge: spillable at any
+    // scale (SHJ's per-partition build of the FULL orders table is the
+    // memory hazard — 45M rows / 32 fixed partitions died at sf30)
+    "q07_smj" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      val su = t(s, dir, "supplier")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n1 = t(s, dir, "nation").select(col("n_nationkey").as("s_nk"),
+        col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation").select(col("n_nationkey").as("c_nk"),
+        col("n_name").as("cust_nation"))
+      val suSlim = su.select(col("s_suppkey"), col("s_nationkey"))
+      val cSlim = c.select(col("c_custkey"), col("c_nationkey"))
+      val lred = l.join(broadcast(suSlim), col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_orderkey"), col("s_nationkey"),
+          year(col("l_shipdate")).cast("long").as("l_year"),
+          col("l_extendedprice"), col("l_discount"))
+      lred.join(o.select(col("o_orderkey"), col("o_custkey")).hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cSlim), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("s_nationkey"), col("c_nationkey"), col("l_year"))
+        .agg(graft.queries.Relational.sumRevMicrosPub(col("l_extendedprice"),
+          col("l_discount")).as("revenue"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+          col("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .limit(200)
+    }),
+
     // ---- q16: suppliers with any qty>49 lineitem, top-10 by acctbal --
     "q16_cur" -> ((s, dir) =>
       graft.queries.Relational.queries("q16_semi_top_suppliers")(s, dir)),

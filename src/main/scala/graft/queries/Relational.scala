@@ -49,6 +49,9 @@ object Relational {
     * oracle's decimal SUM → VARCHAR → DOUBLE. */
   private def sumRevMicros(price: Column, disc: Column): Column =
     sumOfRevMicros(revMicros(price, disc))
+  /** [[sumRevMicros]] exposed for PerfLab A/B variants */
+  def sumRevMicrosPub(price: Column, disc: Column): Column =
+    sumRevMicros(price, disc)
   /** the per-row exact revenue term in 1e-6 units (long) — compute this
     * BEFORE a fact shuffle to exchange one long instead of two doubles */
   private def revMicros(price: Column, disc: Column): Column =
@@ -207,11 +210,21 @@ object Relational {
       // 4.3 s A/B'd same fixture/protocol. The 8-bytes/row shuffle saving
       // loses to running the two BigDecimal-HALF_UP rounds in their own
       // projection instead of fused inside the partial-agg stage.)
+      // r8: the l⋈o join is forced to SORT-MERGE, not shuffle_hash. The
+      // SHJ build side here is the FULL orders table — unlike q03's
+      // date-filtered or q12's priority-filtered key sets, nothing
+      // shrinks it — and a full-table per-partition hash build over a
+      // FIXED partition count is a memory hazard that scales with data:
+      // at sf30 (45M orders / 32 partitions) it died with "Can't acquire
+      // memory to build hash relation". SMJ spills; measured cost of the
+      // robustness: sf10 3.53 → 3.82 s (8%), and sf30 COMPLETES at
+      // 6.9 s (PerfLab q07_cur/q07_smj). The session conf prefers SHJ,
+      // so the merge hint is load-bearing.
       val lred = l.join(broadcast(suSlim), col("l_suppkey") === col("s_suppkey"))
         .select(col("l_orderkey"), col("s_nationkey"),
           year(col("l_shipdate")).cast("long").as("l_year"),
           col("l_extendedprice"), col("l_discount"))
-      lred.join(o.select(col("o_orderkey"), col("o_custkey")).hint("shuffle_hash"),
+      lred.join(o.select(col("o_orderkey"), col("o_custkey")).hint("merge"),
           col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cSlim), col("o_custkey") === col("c_custkey"))
         .groupBy(col("s_nationkey"), col("c_nationkey"), col("l_year"))
