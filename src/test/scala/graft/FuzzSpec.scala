@@ -9,8 +9,13 @@ import graft.lake._
 
 /** Randomized whole-lake DML fuzz: a seeded op sequence (append / delete /
   * update / merge / vacuum / z-order / sorted-rewrite / inline-flush /
-  * checkpoint / multi-op transaction) runs against one table while a
-  * driver-side Map models the expected contents. After every op the model
+  * checkpoint / multi-op transaction / view CREATE-OR-REPLACE + DROP)
+  * runs against one table while a driver-side Map models the expected
+  * contents (and an Option models the live view definition — r8: stored
+  * views join the schedule, so definition versioning is exercised
+  * INTERLEAVED with compaction, DML and checkpoints, and AS-OF view
+  * reads must resolve the definition live at each sampled snapshot over
+  * that snapshot's data). After every op the model
   * must match; at the end, a sample of recorded snapshots must ALSO match
   * via time travel — maintenance ops may rewrite files at any point in
   * between, so this exercises the interval algebra, the delete overlay,
@@ -31,10 +36,12 @@ class FuzzSpec extends AnyFunSuite {
     lake.setSort("main.f", List(Meta.SortKey("k", ascending = true, nullsFirst = false)))
 
     var model = Map.empty[Long, Long]
+    // live view definition: "SELECT k, v FROM f WHERE k % m = r"
+    var viewDef: Option[(Int, Int)] = None
     var nextK = 0L
-    // snapshot id -> expected contents at that snapshot
-    val history = mutable.ArrayBuffer[(Long, Map[Long, Long])]()
-    history += lake.currentSnapshot() -> model
+    // snapshot id -> (expected contents, live view def) at that snapshot
+    val history = mutable.ArrayBuffer[(Long, Map[Long, Long], Option[(Int, Int)])]()
+    history += ((lake.currentSnapshot(), model, viewDef))
 
     def readLake(version: Option[Long] = None): Map[Long, Long] =
       lake.table("main.f", version).collect()
@@ -42,7 +49,7 @@ class FuzzSpec extends AnyFunSuite {
 
     var i = 0
     while (i < nOps) {
-      val op = rnd.nextInt(13)
+      val op = rnd.nextInt(15)
       op match {
         case 0 | 1 | 2 | 3 =>
           val n = 50 + rnd.nextInt(150)
@@ -80,8 +87,22 @@ class FuzzSpec extends AnyFunSuite {
           }
           model ++= rows
           model = model.filter { case (k, _) => k % m != r }
+        case 13 =>
+          val m = 2 + rnd.nextInt(4); val r = rnd.nextInt(m)
+          lake.createView("main.fv", s"SELECT k, v FROM f WHERE k % $m = $r")
+          viewDef = Some((m, r))
+        case 14 =>
+          if (viewDef.isDefined) { lake.dropView("main.fv"); viewDef = None }
+          else i -= 1 // no-op draw, keep the op budget honest
       }
-      history += lake.currentSnapshot() -> model
+      history += ((lake.currentSnapshot(), model, viewDef))
+      viewDef.foreach { case (m, r) =>
+        val vGot = lake.view("main.fv").collect()
+          .map(x => x.getLong(0) -> x.getLong(1)).toMap
+        val vWant = model.filter { case (k, _) => k % m == r }
+        assert(vGot == vWant,
+          s"seed=$seed op#$i kind=$op view(k%$m==$r): ${vGot.size} vs ${vWant.size}")
+      }
       val got = readLake()
       assert(got == model,
         s"seed=$seed op#$i kind=$op: lake has ${got.size} rows, model ${model.size}; " +
@@ -90,10 +111,18 @@ class FuzzSpec extends AnyFunSuite {
     }
 
     // historical reads: every 5th recorded snapshot must reproduce exactly
-    history.zipWithIndex.filter(_._2 % 5 == 0).foreach { case ((sid, want), _) =>
+    history.zipWithIndex.filter(_._2 % 5 == 0).foreach { case ((sid, want, vdef), _) =>
       val got = readLake(Some(sid))
       assert(got == want, s"seed=$seed time travel to $sid: " +
         s"${got.size} rows vs expected ${want.size}")
+      // AS-OF view read: the definition live AT sid over the data AT sid
+      vdef.foreach { case (m, r) =>
+        val vGot = lake.view("main.fv", Some(sid)).collect()
+          .map(x => x.getLong(0) -> x.getLong(1)).toMap
+        val vWant = want.filter { case (k, _) => k % m == r }
+        assert(vGot == vWant, s"seed=$seed AS-OF view at $sid (k%$m==$r): " +
+          s"${vGot.size} vs ${vWant.size}")
+      }
     }
 
     // a cold instance (checkpoint + log tail) agrees
