@@ -53,20 +53,34 @@ import org.apache.spark.sql.types.{DataType, LongType, StructType}
   * error. Frozen mounts resolve views via `graft_view` over the frozen
   * root. */
 class ResolveLakeViewRead(session: SparkSession) extends Rule[LogicalPlan] {
-  import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
-    case u: UnresolvedRelation =>
-      (try SqlViews.target(session, u.multipartIdentifier) catch {
-        case _: Exception => None
-      }) match {
-        case Some((lc, schema, name)) if lc.metaStore != null =>
+  import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
+
+  /** the view's resolved plan at `version` (None → session as-of/current),
+    * or None when the name is not a stored view of a live lake catalog */
+  private def viewPlan(parts: Seq[String], version: Option[Long]): Option[LogicalPlan] =
+    (try SqlViews.target(session, parts) catch { case _: Exception => None })
+      .flatMap { case (lc, schema, name) =>
+        if (lc.metaStore == null) None
+        else {
           val lake = new Lake(session, lc.metaStore.root, Some(lc.metaStore))
           val st = lc.metaStore.state()
-          if (LakeViewDefs.viewAt(st, schema, name, st.currentSnapshotId).isDefined)
-            lake.view(s"$schema.$name").queryExecution.analyzed
-          else u
-        case _ => u
+          val at = version.getOrElse(st.currentSnapshotId)
+          if (LakeViewDefs.viewAt(st, schema, name, at).isDefined)
+            Some(lake.view(s"$schema.$name", version).queryExecution.analyzed)
+          else None
+        }
       }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    case tt @ RelationTimeTravel(u: UnresolvedRelation, None, Some(v)) =>
+      // `VERSION AS OF v` on a stored view: both the definition and the
+      // data resolve at snapshot v (timestamp form stays on Spark's
+      // table path — views are versioned by snapshot id)
+      (try Some(v.toLong) catch { case _: NumberFormatException => None })
+        .flatMap(ver => viewPlan(u.multipartIdentifier, Some(ver)))
+        .getOrElse(tt)
+    case u: UnresolvedRelation =>
+      viewPlan(u.multipartIdentifier, None).getOrElse(u)
   }
 }
 

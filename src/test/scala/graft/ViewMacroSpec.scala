@@ -259,6 +259,11 @@ class ViewMacroSpec extends AnyFunSuite {
       val old = spark.sql("SELECT * FROM vmsql.main.sv ORDER BY a").collect()
       assert(old.map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((2, 21), (3, 31)))
     } finally spark.conf.unset("spark.graft.lake.asOfSnapshot")
+    // ...and the inline VERSION AS OF form resolves definition + data at
+    // that snapshot
+    val ver = spark.sql(s"SELECT * FROM vmsql.main.sv VERSION AS OF $s1 ORDER BY a")
+      .collect()
+    assert(ver.map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((2, 21), (3, 31)))
     spark.sql("DROP VIEW vmsql.main.sv2")
 
     spark.sql("DROP VIEW vmsql.main.sv")
