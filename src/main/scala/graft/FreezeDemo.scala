@@ -41,6 +41,10 @@ object FreezeDemo {
       "SELECT n_name, n_regionkey FROM nat WHERE n_nationkey >= 10",
       aliases = Seq("name", "region"))
     lake.createMacro("main.keysq", Seq("k"), "k * k + 1")
+    // r9: a TABLE macro too — freeze emits macro_type='table' and DuckDB
+    // must still load the catalog SQL verbatim
+    lake.createMacro("main.nat_of", Seq("r"),
+      "SELECT n_name FROM nat WHERE n_regionkey = r", kind = "table")
     lake.freeze(outDir)
     val expect = lake.table("main.nat").count()
     println(s"[freeze-demo] frozen at $outDir, engine row count = $expect")

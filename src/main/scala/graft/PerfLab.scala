@@ -251,6 +251,91 @@ object PerfLab {
         .limit(10)
     }),
 
+    // r9: scan-floor probe — same lineitem scan + filter + grouped
+    // partial aggregate, no supplier side (NOT a single-row aggregate:
+    // the group key keeps the exchange, per the floor-probe rule)
+    "q16_scan" -> ((s, dir) => {
+      t(s, dir, "lineitem").filter(col("l_quantity") > 49)
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("l_suppkey")).limit(5)
+    }),
+    // r9: adaptive candidate probe (q13 pattern): collect the top-100
+    // suppliers by acctbal (tiny dimension scan), push their keys into
+    // the lineitem scan as an IN filter, and check which have a qty>49
+    // match — the 3.6M-row distinct exchange disappears; fall back to
+    // the full shape iff fewer than 10 of the 100 qualify
+    "q16_probe" -> ((s, dir) => {
+      val su = t(s, dir, "supplier")
+      val cand = su.select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+        .orderBy(col("s_acctbal").desc, col("s_suppkey")).limit(100)
+        .collect()
+      val ids = cand.map(_.getLong(0))
+      val hit = t(s, dir, "lineitem")
+        .filter(col("l_suppkey").isin(ids: _*) && col("l_quantity") > 49)
+        .select(col("l_suppkey")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      val top = cand.filter(r => hit(r.getLong(0))).take(10)
+      if (top.length >= 10) {
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(top.toList.asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("s_suppkey",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("s_name",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("s_acctbal",
+              org.apache.spark.sql.types.DoubleType))))
+      } else graft.queries.Relational.queries("q16_semi_top_suppliers")(s, dir)
+    }),
+
+    // ---- t05: exact-dedup keepers over md5(text) ---------------------
+    "t05_cur" -> ((s, dir) =>
+      graft.queries.TextOps.queries("t05_dedup_keepers")(s, dir)),
+    // r9: group on a 128-bit xxhash pair (two longs — 16 bytes, no hex
+    // string allocation, no md5 over the corpus), take the 200 keepers,
+    // then recompute md5 for those 200 docs alone via a pushed IN scan
+    "t05_hash2" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val top = d.select(col("doc_id"), xxhash64(col("text")).as("h1"),
+          xxhash64(col("text"), lit(1)).as("h2"))
+        .groupBy(col("h1"), col("h2"))
+        .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("keeper_id")).limit(200)
+        .select(col("keeper_id"), col("n_copies"))
+        .collect()
+      val ids = top.map(_.getLong(0))
+      val md5s = d.filter(col("doc_id").isin(ids: _*))
+        .select(col("doc_id"), md5(col("text")).as("text_md5"))
+      import scala.jdk.CollectionConverters._
+      val topDf = s.createDataFrame(top.toList.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("keeper_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_copies",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+      md5s.join(broadcast(topDf), col("doc_id") === col("keeper_id"))
+        .select(col("keeper_id"), col("n_copies"), col("text_md5"))
+        .orderBy(col("keeper_id"))
+    }),
+
+    // ---- q19 (r9): week-index day source — session-tz-correct datediff
+    // (shipped) vs the old UTC-pinned unix_micros division
+    "q19_unix" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(
+          (((unix_micros(col("ts")) / lit(86400000000L)).cast("long") + 3) / 7)
+            .cast("long").as("wk"),
+          col("event_type"), col("value"))
+        .groupBy(col("wk"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("value") * 100).cast("long")).cast("double") / 100)
+            .as("sum_value"))
+        .select(date_add(lit(java.sql.Date.valueOf("1969-12-29")),
+            (col("wk") * 7).cast("int")).as("week"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("week"), col("event_type"))
+    }),
+
     // ---- t13: per-language token-budget selection --------------------
     "t13_cur" -> ((s, dir) =>
       graft.queries.TextOps.queries("t13_token_budget")(s, dir)),

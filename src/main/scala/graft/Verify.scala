@@ -29,6 +29,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // entry-scoped cache hygiene (VERDICT r8 #5): persists consumed
+      // lazily by a returned plan (t11/t13/v03…) release here, so the
+      // full-registry run keeps flat storage memory
+      spark.sharedState.cacheManager.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -321,10 +321,11 @@ object FreezeSql {
     val nativeByTable: Map[String, (Seq[String], Seq[Seq[Any]])] = (Map(
       "ducklake_macro" -> ((
         Seq("macro_id BIGINT", "macro_uuid VARCHAR", "begin_snapshot BIGINT",
-          "end_snapshot BIGINT", "schema_id BIGINT", "macro_name VARCHAR"),
+          "end_snapshot BIGINT", "schema_id BIGINT", "macro_name VARCHAR",
+          "macro_type VARCHAR"),
         decodedMacros.map { case (id, t, m) =>
           Seq(id, m.uuid, t.begin, t.end,
-            schemaId.getOrElse(LakeViewDefs.schemaOfScope(t), 0L), t.key)
+            schemaId.getOrElse(LakeViewDefs.schemaOfScope(t), 0L), t.key, m.kind)
         }: Seq[Seq[Any]])),
       "ducklake_macro_impl" -> ((
         Seq("macro_id BIGINT", "begin_snapshot BIGINT", "end_snapshot BIGINT",

@@ -97,10 +97,16 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadView(ident: Identifier): V2View = {
     val st = state()
-    val vd = LakeViewDefs.viewAt(st, ns(ident), ident.name(), st.currentSnapshotId)
+    val s = sessionAsOf(st).getOrElse(st.currentSnapshotId)
+    val vd = LakeViewDefs.viewAt(st, ns(ident), ident.name(), s)
       .getOrElse(throw new NoSuchViewException(ident))
     val schemaName = ns(ident)
-    val df = lakeForViewReads().view(s"$schemaName.${ident.name()}")
+    // resolves over the CatalogState directly, so frozen mounts serve
+    // loadView read-only and the interface stays self-consistent with
+    // listViews/viewExists (ADVICE r8: a DSv2 client iterating listViews
+    // must not get 'view not found' for a view it was just shown)
+    val df = LakeViewDefs.resolveViewDF(SparkSession.active, st,
+      s"$schemaName.${ident.name()}", s)
     new V2View {
       override def name(): String = s"$catalogName.$schemaName.${ident.name()}"
       override def query(): String = vd.sql
@@ -114,12 +120,6 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
         Map("uuid" -> vd.uuid).asJava
     }
   }
-
-  /** read-side Lake (works on frozen mounts too: Lake.view only reads) */
-  private def lakeForViewReads(): Lake =
-    if (readOnly) throw new NoSuchViewException(
-      "_LEGACY_ERROR_TEMP_3000", Map("message" -> "frozen mounts resolve views via graft_view over the frozen root"))
-    else new Lake(SparkSession.active, store.root, Some(store))
 
   override def createView(info: ViewInfo): V2View = {
     val lake = lakeForViews()
@@ -172,6 +172,8 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
       s"catalog $catalogName is a read-only frozen mount")
 
   private def state(): CatalogState = frozenState.getOrElse(store.state())
+  /** read-side state for view resolution (frozen or live) */
+  private[graft] def catalogState(): CatalogState = state()
 
   private def ns(ident: Identifier): String =
     if (ident.namespace().isEmpty) "main" else ident.namespace().mkString(".")
@@ -186,7 +188,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
       .map(t => Identifier.of(namespace, t.tableName)).toArray
   }
 
-  private def sessionAsOf(st: CatalogState): Option[Long] = {
+  private[graft] def sessionAsOf(st: CatalogState): Option[Long] = {
     val conf = SparkSession.active.conf
     conf.getOption("spark.graft.lake.asOfSnapshot").map(_.toLong)
       .orElse(conf.getOption("spark.graft.lake.asOfTimestampMs").flatMap(ms =>

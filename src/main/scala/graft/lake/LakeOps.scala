@@ -1245,30 +1245,8 @@ class Lake(val spark: SparkSession, val root: String,
   }
 
   private def resolveView(st: CatalogState, name: String, s: Long,
-      depth: Int): DataFrame = {
-    require(depth < 16, s"view nesting deeper than 16 — definition cycle? ($name)")
-    val (sn, vn) = schemaOf(name)
-    val vd = LakeViewDefs.viewAt(st, sn, vn, s)
-      .getOrElse(throw new NoSuchElementException(s"no view $name at snapshot $s"))
-    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-    val substituted = spark.sessionState.sqlParser.parsePlan(vd.sql).transformUp {
-      case u: UnresolvedRelation =>
-        val candidates = u.multipartIdentifier match {
-          case Seq(t1) => Seq((sn, t1), ("main", t1))
-          case Seq(s1, t1) => Seq((s1, t1))
-          case _ => Nil
-        }
-        candidates.collectFirst {
-          case (cs, ct) if LakeViewDefs.viewAt(st, cs, ct, s).isDefined =>
-            resolveView(st, s"$cs.$ct", s, depth + 1).queryExecution.analyzed
-          case (cs, ct) if st.tableAt(cs, ct, s).isDefined =>
-            LakeRead.scanDF(spark, st, st.tableAt(cs, ct, s).get.tableId, s)
-              .queryExecution.analyzed
-        }.getOrElse(u)
-    }
-    val df = org.apache.spark.sql.graft.StreamingBatch.ofRows(spark, substituted)
-    if (vd.aliases.nonEmpty) df.toDF(vd.aliases: _*) else df
-  }
+      depth: Int): DataFrame =
+    LakeViewDefs.resolveViewDF(spark, st, name, s, depth)
 
   /** live views: (schema_name, view_name, sql, column_aliases, view_uuid) */
   def views(): DataFrame = {
@@ -1297,14 +1275,21 @@ class Lake(val spark: SparkSession, val root: String,
     * Positional `params` substitute into the parsed `body` expression by
     * (case-insensitive) name. */
   def createMacro(name: String, params: Seq[String], body: String,
-      orReplace: Boolean = true): Long = {
+      orReplace: Boolean = true, kind: String = "scalar"): Long = {
+    require(kind == "scalar" || kind == "table", s"macro kind: $kind")
     val (sn, mn) = schemaOf(name)
-    spark.sessionState.sqlParser.parseExpression(body)
+    // a broken body fails the CREATE, not the first use: scalar bodies
+    // must parse as expressions, table bodies as plans (SELECTs)
+    if (kind == "table") spark.sessionState.sqlParser.parsePlan(body)
+    else spark.sessionState.sqlParser.parseExpression(body)
     val json = LakeViewDefs.encodeMacro(LakeViewDefs.MacroDef(params.toList,
-      body, java.util.UUID.randomUUID().toString))
+      body, java.util.UUID.randomUUID().toString, kind))
     val sid = store.commitWithRetry() { (st, sid) =>
       val existing = LakeViewDefs.macroAt(st, sn, mn, st.currentSnapshotId)
       require(orReplace || existing.isEmpty, s"macro $name already exists")
+      existing.foreach(m => require(m.kind == kind,
+        s"macro $name exists with kind ${m.kind}; DROP it before " +
+          s"re-creating as $kind"))
       CommitDelta(
         snapshot = Snapshot(sid, System.currentTimeMillis(),
           st.snapshots.lastOption.map(_.schemaVersion).getOrElse(0L),
@@ -1312,23 +1297,33 @@ class Lake(val spark: SparkSession, val root: String,
         endedTags = List(s"${LakeViewDefs.macroScope(sn)}:$mn"),
         newTags = List(TagEntry(LakeViewDefs.macroScope(sn), mn, json, sid, None)))
     }
-    registerMacro(mn, params.toList, body)
+    if (kind == "table") registerTableMacro(mn, params.toList, body)
+    else registerMacro(mn, params.toList, body)
     sid
   }
 
-  def dropMacro(name: String): Long = {
+  /** DROP MACRO (kind `scalar`) / DROP MACRO TABLE (kind `table`) — like
+    * DuckDB, the statement kind must match the stored macro's kind. */
+  def dropMacro(name: String, kind: String = "scalar"): Long = {
     val (sn, mn) = schemaOf(name)
     val sid = store.commitWithRetry() { (st, sid) =>
-      require(LakeViewDefs.macroAt(st, sn, mn, st.currentSnapshotId).isDefined,
-        s"no macro $name")
+      val m = LakeViewDefs.macroAt(st, sn, mn, st.currentSnapshotId)
+      require(m.isDefined, s"no macro $name")
+      require(m.get.kind == kind,
+        s"macro $name is a ${m.get.kind} macro — use DROP MACRO" +
+          (if (m.get.kind == "table") " TABLE" else "") + " to drop it")
       CommitDelta(
         snapshot = Snapshot(sid, System.currentTimeMillis(),
           st.snapshots.lastOption.map(_.schemaVersion).getOrElse(0L),
           List(s"dropped_macro:$sn.$mn")),
         endedTags = List(s"${LakeViewDefs.macroScope(sn)}:$mn"))
     }
-    spark.sessionState.functionRegistry.dropFunction(
-      org.apache.spark.sql.catalyst.FunctionIdentifier(mn))
+    if (kind == "table")
+      spark.sessionState.tableFunctionRegistry.dropFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(mn))
+    else
+      spark.sessionState.functionRegistry.dropFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(mn))
     sid
   }
 
@@ -1354,8 +1349,63 @@ class Lake(val spark: SparkSession, val root: String,
       builder)
   }
 
-  /** register every live macro into this session's FunctionRegistry (a
-    * fresh session attaching to an existing store calls this once) */
+  /** TABLE macro: a parameterized stored SELECT registered as a session
+    * table function, so `SELECT * FROM name(args)` works in plain SQL
+    * (DuckDB `CREATE MACRO ... AS TABLE` semantics — lazy textual
+    * expansion at analysis time). Parameter names substitute for
+    * single-part attributes inside the BODY's own expressions only
+    * (substituted lake relations are already analyzed subplans, so table
+    * columns can never be captured by a same-named parameter); lake
+    * table/view names inside the body resolve snapshot-consistently at
+    * invocation time, honoring the session as-of confs exactly like
+    * [[view]]. */
+  private def registerTableMacro(fname: String, params: List[String],
+      body: String): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+    import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    val lowered = params.map(_.toLowerCase)
+    val builder = (children: Seq[Expression]) => {
+      require(children.length == params.length,
+        s"table macro $fname takes ${params.length} argument(s), got ${children.length}")
+      val byName = lowered.zip(children).toMap
+      val st = store.state()
+      val s = spark.conf.getOption("spark.graft.lake.asOfSnapshot").map(_.toLong)
+        .orElse(spark.conf.getOption("spark.graft.lake.asOfTimestampMs")
+          .flatMap(ms => st.snapshotAtTime(ms.toLong)))
+        .getOrElse(st.currentSnapshotId)
+      val substituted = spark.sessionState.sqlParser.parsePlan(body).transformUp {
+        case u: UnresolvedRelation =>
+          val candidates = u.multipartIdentifier match {
+            case Seq(t1) => Seq(("main", t1))
+            case Seq(s1, t1) => Seq((s1, t1))
+            case _ => Nil
+          }
+          candidates.collectFirst {
+            case (cs, ct) if LakeViewDefs.viewAt(st, cs, ct, s).isDefined =>
+              LakeViewDefs.resolveViewDF(spark, st, s"$cs.$ct", s)
+                .queryExecution.analyzed
+            case (cs, ct) if st.tableAt(cs, ct, s).isDefined =>
+              LakeRead.scanDF(spark, st, st.tableAt(cs, ct, s).get.tableId, s)
+                .queryExecution.analyzed
+          }.getOrElse(u)
+      }
+      substituted.transformAllExpressions {
+        case a: UnresolvedAttribute if a.nameParts.length == 1 &&
+            byName.contains(a.name.toLowerCase) => byName(a.name.toLowerCase)
+      }: LogicalPlan
+    }
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier(fname),
+      new ExpressionInfo("graft.lake.Lake", fname,
+        s"$fname(${params.mkString(", ")}) - lake table macro: $body"),
+      builder)
+  }
+
+  /** register every live macro into this session's Function/TableFunction
+    * registry (a fresh session attaching to an existing store calls this
+    * once) */
   def registerMacros(): Unit = {
     val st = store.state()
     val cur = st.currentSnapshotId
@@ -1363,7 +1413,8 @@ class Lake(val spark: SparkSession, val root: String,
       .filter(t => liveAt(t.begin, t.end, cur))
       .foreach { t =>
         val m = LakeViewDefs.decodeMacro(t.value)
-        registerMacro(t.key, m.params, m.sql)
+        if (m.kind == "table") registerTableMacro(t.key, m.params, m.sql)
+        else registerMacro(t.key, m.params, m.sql)
       }
   }
 
@@ -1376,12 +1427,12 @@ class Lake(val spark: SparkSession, val root: String,
       .map { t =>
         val m = LakeViewDefs.decodeMacro(t.value)
         Row(LakeViewDefs.schemaOfScope(t), t.key, m.params.mkString(","),
-          m.sql, m.uuid)
+          m.sql, m.uuid, m.kind)
       }.sortBy(r => (r.getString(0), r.getString(1)))
     spark.createDataFrame(rows.toList.asJava, StructType(Seq(
       StructField("schema_name", StringType), StructField("macro_name", StringType),
       StructField("parameters", StringType), StructField("sql", StringType),
-      StructField("macro_uuid", StringType))))
+      StructField("macro_uuid", StringType), StructField("macro_type", StringType))))
   }
 
   def options(): DataFrame = {

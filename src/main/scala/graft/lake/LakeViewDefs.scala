@@ -32,10 +32,15 @@ object LakeViewDefs {
     * freeze/thaw round-trips. */
   case class ViewDef(sql: String, aliases: List[String], uuid: String)
 
-  /** One scalar SQL macro: positional `params` substituted into the
-    * `sql` expression body at analysis time (DuckDB CREATE MACRO
-    * semantics: lazy textual expansion, not a compiled function). */
-  case class MacroDef(params: List[String], sql: String, uuid: String)
+  /** One SQL macro: positional `params` substituted into the `sql` body
+    * at analysis time (DuckDB CREATE MACRO semantics: lazy textual
+    * expansion, not a compiled function). `kind` is `scalar` (body = an
+    * expression, expands through the FunctionRegistry) or `table` (body =
+    * a SELECT, expands through the TableFunctionRegistry — DuckDB
+    * `CREATE MACRO ... AS TABLE`, the reference coverage row
+    * docs/ducklake_feature_coverage.md:32-33). */
+  case class MacroDef(params: List[String], sql: String, uuid: String,
+      kind: String = "scalar")
 
   def viewScope(schema: String): String = s"view:$schema"
   def macroScope(schema: String): String = s"macro:$schema"
@@ -64,13 +69,15 @@ object LakeViewDefs {
 
   def encodeMacro(m: MacroDef): String =
     JsonMethods.compact(JsonMethods.render(
-      ("params" -> m.params) ~ ("sql" -> m.sql) ~ ("uuid" -> m.uuid)))
+      ("params" -> m.params) ~ ("sql" -> m.sql) ~ ("uuid" -> m.uuid) ~
+        ("kind" -> m.kind)))
 
   def decodeMacro(json: String): MacroDef = {
     val j = JsonMethods.parse(json)
     MacroDef((j \ "params").extractOrElse[List[String]](Nil),
       (j \ "sql").extract[String],
-      (j \ "uuid").extractOrElse[String](""))
+      (j \ "uuid").extractOrElse[String](""),
+      (j \ "kind").extractOrElse[String]("scalar"))
   }
 
   // ---------------------------------------------------------------- lookups
@@ -82,6 +89,46 @@ object LakeViewDefs {
   def macroAt(st: CatalogState, schema: String, name: String,
       s: Long): Option[MacroDef] =
     st.tagAt(macroScope(schema), name, s).map(decodeMacro)
+
+  /** Execute a stored view over any [[Meta.CatalogState]] — live OR
+    * frozen (a frozen mount only needs the state + a SparkSession, so
+    * DSv2 loadView stays self-consistent with listViews/viewExists on
+    * read-only mounts — ADVICE r8). The definition parses with the
+    * session parser; lake table/view names substitute their
+    * snapshot-`s` plans (views stack, names resolve view-first in the
+    * view's own schema then `main`); anything else stays unresolved for
+    * the session analyzer. */
+  def resolveViewDF(spark: org.apache.spark.sql.SparkSession,
+      st: CatalogState, name: String, s: Long,
+      depth: Int = 0): org.apache.spark.sql.DataFrame = {
+    require(depth < 16, s"view nesting deeper than 16 — definition cycle? ($name)")
+    val (sn, vn) = name.split('.') match {
+      case Array(a, b) => (a, b)
+      case Array(b) => ("main", b)
+      case _ => throw new IllegalArgumentException(s"bad view name: $name")
+    }
+    val vd = viewAt(st, sn, vn, s)
+      .getOrElse(throw new NoSuchElementException(s"no view $name at snapshot $s"))
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    val substituted = spark.sessionState.sqlParser.parsePlan(vd.sql).transformUp {
+      case u: UnresolvedRelation =>
+        val candidates = u.multipartIdentifier match {
+          case Seq(t1) => Seq((sn, t1), ("main", t1))
+          case Seq(s1, t1) => Seq((s1, t1))
+          case _ => Nil
+        }
+        candidates.collectFirst {
+          case (cs, ct) if viewAt(st, cs, ct, s).isDefined =>
+            resolveViewDF(spark, st, s"$cs.$ct", s, depth + 1)
+              .queryExecution.analyzed
+          case (cs, ct) if st.tableAt(cs, ct, s).isDefined =>
+            LakeRead.scanDF(spark, st, st.tableAt(cs, ct, s).get.tableId, s)
+              .queryExecution.analyzed
+        }.getOrElse(u)
+    }
+    val df = org.apache.spark.sql.graft.StreamingBatch.ofRows(spark, substituted)
+    if (vd.aliases.nonEmpty) df.toDF(vd.aliases: _*) else df
+  }
 
   /** every view tag row ever written (live and ended), with its schema.
     * Freeze emits one ducklake_view row per TagEntry interval, begin/end

@@ -54,30 +54,72 @@ import org.apache.spark.sql.types.{DataType, LongType, StructType}
   * root. */
 class ResolveLakeViewRead(session: SparkSession) extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
+  import org.apache.spark.sql.catalyst.expressions.Cast
+  import org.apache.spark.sql.types.TimestampType
 
-  /** the view's resolved plan at `version` (None → session as-of/current),
-    * or None when the name is not a stored view of a live lake catalog */
-  private def viewPlan(parts: Seq[String], version: Option[Long]): Option[LogicalPlan] =
+  /** the view's resolved plan at `version` (else at the snapshot current
+    * at `tsMillis`, else session as-of/current), or None when the name is
+    * not a stored view of a live lake catalog. A timestamp that precedes
+    * the first snapshot raises (the name IS a view; silently falling
+    * through would report "table not found"). */
+  private def viewPlan(parts: Seq[String], version: Option[Long],
+      tsMillis: Option[Long] = None): Option[LogicalPlan] =
     (try SqlViews.target(session, parts) catch { case _: Exception => None })
       .flatMap { case (lc, schema, name) =>
-        if (lc.metaStore == null) None
-        else {
-          val lake = new Lake(session, lc.metaStore.root, Some(lc.metaStore))
-          val st = lc.metaStore.state()
-          val at = version.getOrElse(st.currentSnapshotId)
-          if (LakeViewDefs.viewAt(st, schema, name, at).isDefined)
-            Some(lake.view(s"$schema.$name", version).queryExecution.analyzed)
-          else None
-        }
+        // resolveViewDF works over the CatalogState directly, so this
+        // serves frozen mounts too (read-only), not just live stores
+        val st = lc.catalogState()
+        val resolved: Option[Long] =
+          version.orElse(tsMillis.flatMap { ms =>
+            val s = st.snapshotAtTime(ms)
+            if (s.isEmpty && LakeViewDefs.viewAt(st, schema, name,
+                st.currentSnapshotId).isDefined)
+              throw new NoSuchElementException(
+                s"view $schema.$name: no snapshot exists at or before the " +
+                  "requested TIMESTAMP AS OF")
+            s
+          })
+        val at = resolved
+          .orElse(lc.sessionAsOf(st)).getOrElse(st.currentSnapshotId)
+        if (LakeViewDefs.viewAt(st, schema, name, at).isDefined &&
+            !st.snapshots.exists(_.snapshotId == at))
+          throw new NoSuchElementException(
+            s"view $schema.$name: snapshot $at does not exist or has been expired")
+        if (LakeViewDefs.viewAt(st, schema, name, at).isDefined)
+          Some(LakeViewDefs.resolveViewDF(session, st, s"$schema.$name", at)
+            .queryExecution.analyzed)
+        else None
       }
+
+  /** foldable `TIMESTAMP AS OF` expression → epoch millis (the literal
+    * forms the reference's time_travel(tbl, ts) overload accepts,
+    * src/pgducklake_time_travel.cpp:36-73); non-foldable stays on
+    * Spark's table path */
+  private def evalTsMillis(e: org.apache.spark.sql.catalyst.expressions.Expression): Option[Long] =
+    try {
+      if (!e.resolved || !e.foldable) None
+      else {
+        val zone = session.sessionState.conf.sessionLocalTimeZone
+        Option(Cast(e, TimestampType, Some(zone)).eval(null))
+          .map(_.asInstanceOf[Long] / 1000L)
+      }
+    } catch { case _: Exception => None }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
     case tt @ RelationTimeTravel(u: UnresolvedRelation, None, Some(v)) =>
       // `VERSION AS OF v` on a stored view: both the definition and the
-      // data resolve at snapshot v (timestamp form stays on Spark's
-      // table path — views are versioned by snapshot id)
+      // data resolve at snapshot v
       (try Some(v.toLong) catch { case _: NumberFormatException => None })
         .flatMap(ver => viewPlan(u.multipartIdentifier, Some(ver)))
+        .getOrElse(tt)
+    case tt @ RelationTimeTravel(u: UnresolvedRelation, Some(ts), None) =>
+      // `TIMESTAMP AS OF ts` on a stored view: map the timestamp to the
+      // snapshot current at that instant — the same resolution tables get
+      // in LakeCatalog.loadTable(ident, timestampMicros) — then resolve
+      // definition AND data there, matching the reference's dual
+      // time_travel overloads (src/pgducklake_time_travel.cpp:36-73)
+      evalTsMillis(ts)
+        .flatMap(ms => viewPlan(u.multipartIdentifier, None, Some(ms)))
         .getOrElse(tt)
     case u: UnresolvedRelation =>
       viewPlan(u.multipartIdentifier, None).getOrElse(u)
@@ -109,6 +151,29 @@ private[lake] object SqlViews {
       case _ => None
     } catch { case _: Exception => None }
   }
+  /** Column-equality existence checks (ADVICE r8: interpolated filter
+    * strings break on legal backtick-quoted identifiers containing
+    * quotes — filter-string injection via identifier). `qualified` is
+    * always `<schema>.<name>` with a dot-free schema (target() only
+    * matches 1- or 2-part names). */
+  def viewExists(lake: Lake, qualified: String): Boolean = {
+    val (sn, vn) = lake.schemaOf(qualified)
+    lake.views().filter(org.apache.spark.sql.functions.col("schema_name")
+        === sn and org.apache.spark.sql.functions.col("view_name") === vn)
+      .count() > 0
+  }
+
+  def macroExists(lake: Lake, name: String): Boolean = {
+    import org.apache.spark.sql.functions.col
+    val m = lake.macros()
+    val matched = name.split('.') match {
+      case Array(sn, mn) =>
+        m.filter(col("schema_name") === sn and col("macro_name") === mn)
+      case _ => m.filter(col("macro_name") === name)
+    }
+    matched.count() > 0
+  }
+
   /** the Lake behind a registered LakeCatalog (shares its live store) */
   def lakeOf(spark: SparkSession, catalogName: String): Lake = {
     CatalogAccess.catalog(spark, catalogName) match {
@@ -129,9 +194,7 @@ case class CreateLakeViewCommand(catalogName: String, viewName: String,
     Seq(AttributeReference("snapshot_id", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val lake = SqlViews.lakeOf(spark, catalogName)
-    if (allowExisting && lake.views().filter(
-        s"schema_name || '.' || view_name = '$viewName'").count() > 0)
-      Seq(Row(-1L))
+    if (allowExisting && SqlViews.viewExists(lake, viewName)) Seq(Row(-1L))
     else
       Seq(Row(lake.createView(viewName, sql, aliases, orReplace = replace)))
   }
@@ -143,9 +206,7 @@ case class DropLakeViewCommand(catalogName: String, viewName: String,
     Seq(AttributeReference("snapshot_id", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val lake = SqlViews.lakeOf(spark, catalogName)
-    val exists = lake.views().filter(
-      s"schema_name || '.' || view_name = '$viewName'").count() > 0
-    if (!exists && ifExists) Seq(Row(-1L))
+    if (!SqlViews.viewExists(lake, viewName) && ifExists) Seq(Row(-1L))
     else Seq(Row(lake.dropView(viewName)))
   }
 }
@@ -160,13 +221,18 @@ case class ShowLakeViewsCommand(catalogName: String, schemaName: String,
     AttributeReference("isTemporary", org.apache.spark.sql.types.BooleanType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val lake = SqlViews.lakeOf(spark, catalogName)
-    val names = lake.views().filter(s"schema_name = '$schemaName'")
+    val names = lake.views()
+      .filter(org.apache.spark.sql.functions.col("schema_name") === schemaName)
       .select("view_name").collect().map(_.getString(0)).toSeq.sorted
     val matched = pattern match {
       case Some(p) =>
-        // SHOW ... LIKE patterns: '*' any chars, '|' alternation
-        val rx = p.split("\\|").map(a =>
-          a.replace(".", "\\.").replace("*", ".*")).mkString("^(", "|", ")$").r
+        // SHOW ... LIKE patterns: '*' any chars, '|' alternation; every
+        // non-wildcard segment is quoted (ADVICE r8: '+', '(' etc. are
+        // regex metachars) and matching is case-insensitive, matching
+        // Spark's StringUtils.filterPattern semantics
+        val rx = ("(?i)^(" + p.split("\\|").map(alt =>
+          alt.split("\\*", -1).map(java.util.regex.Pattern.quote)
+            .mkString(".*")).mkString("|") + ")$").r
         names.filter(n => rx.findFirstIn(n).isDefined)
       case None => names
     }
@@ -175,20 +241,7 @@ case class ShowLakeViewsCommand(catalogName: String, schemaName: String,
 }
 
 case class CreateLakeMacroCommand(nameParts: Seq[String], params: Seq[String],
-    body: String, replace: Boolean) extends LeafRunnableCommand {
-  override def output: Seq[Attribute] =
-    Seq(AttributeReference("snapshot_id", LongType, nullable = false)())
-  override def run(spark: SparkSession): Seq[Row] = {
-    val (cat, rest) =
-      if (nameParts.length > 1 && CatalogAccess.isRegistered(spark, nameParts.head))
-        (nameParts.head, nameParts.tail)
-      else (CatalogAccess.currentCatalogName(spark), nameParts)
-    val lake = SqlViews.lakeOf(spark, cat)
-    Seq(Row(lake.createMacro(rest.mkString("."), params, body, orReplace = replace)))
-  }
-}
-
-case class DropLakeMacroCommand(nameParts: Seq[String], ifExists: Boolean)
+    body: String, replace: Boolean, kind: String = "scalar")
     extends LeafRunnableCommand {
   override def output: Seq[Attribute] =
     Seq(AttributeReference("snapshot_id", LongType, nullable = false)())
@@ -198,11 +251,24 @@ case class DropLakeMacroCommand(nameParts: Seq[String], ifExists: Boolean)
         (nameParts.head, nameParts.tail)
       else (CatalogAccess.currentCatalogName(spark), nameParts)
     val lake = SqlViews.lakeOf(spark, cat)
+    Seq(Row(lake.createMacro(rest.mkString("."), params, body,
+      orReplace = replace, kind = kind)))
+  }
+}
+
+case class DropLakeMacroCommand(nameParts: Seq[String], ifExists: Boolean,
+    kind: String = "scalar") extends LeafRunnableCommand {
+  override def output: Seq[Attribute] =
+    Seq(AttributeReference("snapshot_id", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (cat, rest) =
+      if (nameParts.length > 1 && CatalogAccess.isRegistered(spark, nameParts.head))
+        (nameParts.head, nameParts.tail)
+      else (CatalogAccess.currentCatalogName(spark), nameParts)
+    val lake = SqlViews.lakeOf(spark, cat)
     val name = rest.mkString(".")
-    val exists = lake.macros().filter(
-      s"schema_name || '.' || macro_name = '$name' or macro_name = '$name'").count() > 0
-    if (!exists && ifExists) Seq(Row(-1L))
-    else Seq(Row(lake.dropMacro(name)))
+    if (!SqlViews.macroExists(lake, name) && ifExists) Seq(Row(-1L))
+    else Seq(Row(lake.dropMacro(name, kind)))
   }
 }
 
@@ -213,22 +279,27 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
 
   private val CreateMacroRe =
-    """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?MACRO\s+([\w.`]+)\s*\(([^)]*)\)\s+AS\s+(.+?)\s*;?\s*""".r
+    """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?MACRO\s+([\w.`]+)\s*\(([^)]*)\)\s+AS\s+(TABLE\s+)?(.+?)\s*;?\s*""".r
   private val DropMacroRe =
-    """(?is)\s*DROP\s+MACRO\s+(IF\s+EXISTS\s+)?([\w.`]+)\s*;?\s*""".r
+    """(?is)\s*DROP\s+MACRO\s+(TABLE\s+)?(IF\s+EXISTS\s+)?([\w.`]+)\s*;?\s*""".r
 
   private def parts(qualified: String): Seq[String] =
     delegate.parseMultipartIdentifier(qualified)
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case CreateMacroRe(orReplace, name, params, body) =>
-      // validate the body is a parseable expression NOW — a broken macro
-      // should fail its CREATE statement, not the first use
-      delegate.parseExpression(body)
+    case CreateMacroRe(orReplace, name, params, tableKw, body) =>
+      // validate the body NOW — a broken macro should fail its CREATE
+      // statement, not the first use. `AS TABLE <select>` is a TABLE
+      // macro (DuckDB grammar; reference coverage row
+      // docs/ducklake_feature_coverage.md:32): body parses as a plan
+      val isTable = tableKw != null
+      if (isTable) delegate.parsePlan(body) else delegate.parseExpression(body)
       val ps = params.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-      CreateLakeMacroCommand(parts(name), ps, body, orReplace != null)
-    case DropMacroRe(ifExists, name) =>
-      DropLakeMacroCommand(parts(name), ifExists != null)
+      CreateLakeMacroCommand(parts(name), ps, body, orReplace != null,
+        if (isTable) "table" else "scalar")
+    case DropMacroRe(tableKw, ifExists, name) =>
+      DropLakeMacroCommand(parts(name), ifExists != null,
+        if (tableKw != null) "table" else "scalar")
     case other => delegate.parsePlan(other) match {
       // CREATE/DROP VIEW aimed at a lake catalog lowers HERE, at the
       // parse boundary: Spark 4.1's ResolveSessionCatalog categorically

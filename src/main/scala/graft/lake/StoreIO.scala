@@ -156,7 +156,7 @@ class HadoopStoreIO(anchor: String) extends StoreIO {
     val declaredAtomic = conf.getTrimmedStrings("graft.commit.atomicSchemes")
       .map(_.toLowerCase).toSet
     if (builtinAtomic(scheme) || declaredAtomic(scheme)) None
-    else if (Set("s3a", "s3", "s3n")(scheme)) {
+    else if (scheme == "s3a") {
       val capName = "fs.s3a.create.conditional.enabled"
       val conditional = conf.getBoolean(capName, false) ||
         (try fs.hasPathCapability(new HPath(anchor), capName)
@@ -164,6 +164,14 @@ class HadoopStoreIO(anchor: String) extends StoreIO {
       if (conditional) None
       else Some(s"$scheme:// without conditional creates: enable $capName " +
         "(HADOOP-19256, S3 If-None-Match) on a store/release that supports it")
+    } else if (Set("s3", "s3n")(scheme)) {
+      // the conditional-create capability is s3a-SPECIFIC: a cluster-wide
+      // fs.s3a.* conf says nothing about the legacy s3/s3n connectors,
+      // which have no If-None-Match support — they stay on the fail-fast
+      // path regardless of that conf (declare via atomicSchemes to force)
+      Some(s"legacy $scheme:// connector has no conditional-create " +
+        "support; use s3a:// with fs.s3a.create.conditional.enabled " +
+        "(HADOOP-19256) instead")
     } else Some(s"scheme '$scheme://' has no atomic create(overwrite=false) " +
       "guarantee known to graft; declare it via graft.commit.atomicSchemes " +
       "if your FileSystem honors one")

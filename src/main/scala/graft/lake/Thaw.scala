@@ -208,7 +208,8 @@ object Thaw {
   private val macroSchema = StructType(Seq(
     fld("macro_id", LongType), fld("macro_uuid", StringType),
     fld("begin_snapshot", LongType), fld("end_snapshot", LongType),
-    fld("schema_name", StringType), fld("macro_name", StringType)))
+    fld("schema_name", StringType), fld("macro_name", StringType),
+    fld("macro_type", StringType))) // 'scalar' | 'table' (r9 table macros)
   private val macroImplSchema = StructType(Seq(
     fld("macro_id", LongType), fld("begin_snapshot", LongType),
     fld("end_snapshot", LongType), fld("impl_id", LongType),
@@ -355,7 +356,8 @@ object Thaw {
       (jl(macroBase + i + 1), t, LakeViewDefs.decodeMacro(t.value))
     }
     mergeForeign("ducklake_macro", macroSchema, macroRows.map { case (id, t, m) =>
-      Row(id, m.uuid, jl(t.begin), jl(t.end), LakeViewDefs.schemaOfScope(t), t.key)
+      Row(id, m.uuid, jl(t.begin), jl(t.end), LakeViewDefs.schemaOfScope(t),
+        t.key, m.kind)
     })
     mergeForeign("ducklake_macro_impl", macroImplSchema,
       macroRows.map { case (id, t, m) =>
@@ -643,7 +645,8 @@ object Thaw {
             .flatMap(getS(_, "parameter_name")).toList
           TagEntry(LakeViewDefs.macroScope(schema), getS(r, "macro_name").get,
             LakeViewDefs.encodeMacro(LakeViewDefs.MacroDef(params, body,
-              getS(r, "macro_uuid").getOrElse(""))),
+              getS(r, "macro_uuid").getOrElse(""),
+              getS(r, "macro_type").getOrElse("scalar"))),
             get(r, "begin_snapshot"), opt(r, "end_snapshot"))
         }
       }

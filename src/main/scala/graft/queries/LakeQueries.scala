@@ -890,6 +890,7 @@ object LakeQueries {
           "SELECT n_regionkey AS rk, count(*) AS n_nations FROM nat GROUP BY n_regionkey")
         .head.getLong(0)
       s.sql(s"CREATE MACRO $cat.main.keysq(k) AS cast(k * k + 1 AS bigint)")
+      Thread.sleep(60) // distinct snapshot_time for the TIMESTAMP AS OF read
       s.sql(s"CREATE OR REPLACE VIEW $cat.main.sv AS " +
         "SELECT n_regionkey AS rk, count(*) AS n_nations FROM nat " +
         "WHERE n_nationkey >= 10 GROUP BY n_regionkey")
@@ -897,7 +898,16 @@ object LakeQueries {
         s"FROM graft_view('${lake.root}', 'main.sv')")
       val old = s.sql(s"SELECT rk, n_nations, keysq(rk) AS k2, 'v1' AS gen " +
         s"FROM graft_view('${lake.root}', 'main.sv', $g1)")
-      cur.union(old).orderBy("gen", "rk")
+      // r9: the TIMESTAMP form on a stored view — maps the instant to the
+      // snapshot current then (g1's), resolving the OLD definition like
+      // the reference's time_travel(tbl, ts) overload
+      val t1 = lake.snapshots().filter(col("snapshot_id") === g1)
+        .select(col("snapshot_time")).head.getTimestamp(0)
+      val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS")
+      fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+      val ts = s.sql(s"SELECT rk, n_nations, keysq(rk) AS k2, 'ts' AS gen " +
+        s"FROM $cat.main.sv TIMESTAMP AS OF '${fmt.format(new java.util.Date(t1.getTime))}'")
+      cur.union(old).union(ts).orderBy("gen", "rk")
     }),
 
     // ---- GEOMETRY round-trip (r8, VERDICT r7 stretch #9; the one §1.2
@@ -935,6 +945,28 @@ object LakeQueries {
         .select(col("id"), upper(hex(col("geom"))).as("wkb_hex"),
           lit(colType).as("catalog_type"))
         .orderBy("id")
+    }),
+
+    // ---- TABLE macros (r9, VERDICT r8 #4; reference coverage rows
+    // docs/ducklake_feature_coverage.md:32-33 `CREATE MACRO (scalar +
+    // table)` / `DROP MACRO TABLE`): a parameterized stored SELECT
+    // registered as a session table function — created via the DuckDB
+    // grammar Spark lacks, invoked as `FROM name(args)` in plain SQL,
+    // stored as a versioned kind='table' catalog row (freeze emits
+    // macro_type='table' on ducklake_macro) ------------------------------
+    "l55_table_macro" -> ((s, dir) => {
+      val lake = newLake(s)
+      lake.createTableAs("main.nat", t(s, dir, "nation"))
+      val cat = s"lqtm${System.nanoTime()}"
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", lake.root)
+      s.sql(s"CREATE MACRO $cat.main.nat_by_region(r) AS TABLE " +
+        "SELECT n_nationkey, n_name FROM nat WHERE n_regionkey = r")
+      val kind = lake.macros().filter(col("macro_name") === "nat_by_region")
+        .select("macro_type").head.getString(0)
+      s.sql("SELECT * FROM nat_by_region(1)")
+        .withColumn("macro_type", lit(kind))
+        .orderBy("n_nationkey")
     }),
 
     // ---- bucket[N] hidden-partition transform (Iceberg-style; superset —
@@ -1406,8 +1438,15 @@ object LakeQueries {
         |  SELECT rk, n_nations, CAST(rk * rk + 1 AS BIGINT) AS k2,
         |         'current' AS gen FROM v2
         |  UNION ALL
+        |  SELECT rk, n_nations, CAST(rk * rk + 1 AS BIGINT), 'ts' FROM v1
+        |  UNION ALL
         |  SELECT rk, n_nations, CAST(rk * rk + 1 AS BIGINT), 'v1' FROM v1) t
         |ORDER BY gen, rk""".stripMargin,
+
+    "l55_table_macro" ->
+      """SELECT n_nationkey, n_name, 'table' AS macro_type
+        |FROM nation WHERE n_regionkey = 1
+        |ORDER BY n_nationkey""".stripMargin,
 
     // after merge_adjacent_files: one file; set_option visible on the table
     "l51_sql_procedures" ->

@@ -451,9 +451,16 @@ object Relational {
         .select(col("l_orderkey"), (col("cents").cast("double") / 100).as("sum_qty"))
       val top = sums.join(broadcast(cand), col("l_orderkey") === col("o_orderkey"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(20)
-        .persist()
-      if (top.count() >= 20) {
-        c.join(broadcast(top), col("o_custkey") === col("c_custkey"))
+      // one action materializes the ≤20-row probe result; the persisted
+      // candidate frame unpersists immediately after (cache hygiene —
+      // VERDICT r8 #5: a long-lived session running the registry N×
+      // must not accumulate cached probe plans)
+      val topRows = top.collect()
+      cand.unpersist()
+      if (topRows.length >= 20) {
+        val topDf = s.createDataFrame(
+          java.util.Arrays.asList(topRows: _*), top.schema)
+        c.join(broadcast(topDf), col("o_custkey") === col("c_custkey"))
           .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
             col("o_totalprice"), col("sum_qty"))
           .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -565,17 +572,20 @@ object Relational {
     "q19_date_trunc" -> ((s, dir) => {
       // r8: group on an INTEGER week index instead of per-row
       // date_trunc('week') — (days_since_epoch + 3) div 7 is the same
-      // Monday-aligned week for any positive timestamp (epoch day 0 is a
-      // Thursday, so Monday weeks start at day -3), and the Monday DATE
-      // is rebuilt on O(weeks) grouped rows, not 10M input rows. The
-      // value sum runs on primitive long cents (values are 2-decimal by
-      // generation — the q13/q15 exactness argument verbatim; the cents
-      // variant ALONE measured slightly worse, 1.20 vs 1.09 s — the win
-      // is the trunc removal: 1.09 → 0.70 s at sf10, PerfLab
-      // q19_cur/q19_cents/q19_intweek).
+      // Monday-aligned week (epoch day 0 is a Thursday, so Monday weeks
+      // start at day -3), and the Monday DATE is rebuilt on O(weeks)
+      // grouped rows, not 10M input rows. The day index comes from
+      // datediff(to_date(ts), epoch) so it follows the SESSION timezone
+      // exactly like the date_trunc('week', ts) it replaces (ADVICE r8:
+      // unix_micros is UTC-pinned and silently shifts boundary rows in a
+      // non-UTC session). The value sum runs on primitive long cents
+      // (values are 2-decimal by generation — the q13/q15 exactness
+      // argument verbatim; the cents variant ALONE measured slightly
+      // worse, 1.20 vs 1.09 s — the win is the trunc removal:
+      // 1.09 → 0.70 s at sf10, PerfLab q19_cur/q19_cents/q19_intweek).
       t(s, dir, "events")
         .select(
-          (((unix_micros(col("ts")) / lit(86400000000L)).cast("long") + 3) / 7)
+          (((datediff(to_date(col("ts")), lit("1970-01-01"))).cast("long") + 3) / 7)
             .cast("long").as("wk"),
           col("event_type"), col("value"))
         .groupBy(col("wk"), col("event_type"))

@@ -276,6 +276,154 @@ class ViewMacroSpec extends AnyFunSuite {
     spark.sql("DROP VIEW vm_tmpv")
   }
 
+  test("TIMESTAMP AS OF on a stored view resolves definition AND data (r9)") {
+    val root = Files.createTempDirectory("graft_vmts").toString
+    val lake = new Lake(spark, root)
+    import spark.implicits._
+    lake.createTable("main.t", abSchema)
+    lake.append("main.t", Seq((1, 10), (2, 20)).toDF("a", "b"))
+    val s1 = lake.createView("main.tv", "SELECT count(*) AS n FROM t")
+    Thread.sleep(60) // distinct snapshot_time for the AS-OF boundary
+    lake.append("main.t", Seq((3, 30)).toDF("a", "b"))
+    lake.createView("main.tv", "SELECT sum(b) AS s FROM t") // replace
+    spark.conf.set("spark.sql.catalog.vmts", classOf[LakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.vmts.root", root)
+    val t1 = lake.snapshots().filter(col("snapshot_id") === s1)
+      .select(col("snapshot_time")).head.getTimestamp(0)
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val lit1 = fmt.format(new java.util.Date(t1.getTime))
+    // the timestamp form maps to the snapshot current at that instant —
+    // OLD definition (count) over OLD data (2 rows), like tables
+    assert(spark.sql(
+      s"SELECT * FROM vmts.main.tv TIMESTAMP AS OF '$lit1'")
+      .head.getLong(0) == 2L)
+    // current read still sees the replaced definition over all data
+    assert(spark.sql("SELECT * FROM vmts.main.tv").head.getLong(0) == 60L)
+    // a timestamp before the first snapshot raises a clear error, not
+    // 'table not found'
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM vmts.main.tv TIMESTAMP AS OF '1999-01-01'")
+        .collect()
+    }
+    assert(e.getMessage.contains("no snapshot exists"), e.getMessage)
+  }
+
+  test("frozen mounts serve DSv2 loadView + SELECT, consistent with listViews (r9)") {
+    val root = Files.createTempDirectory("graft_vmfz").toString
+    val lake = new Lake(spark, root)
+    import spark.implicits._
+    lake.createTable("main.t", abSchema)
+    lake.append("main.t", Seq((1, 10), (2, 20), (3, 30)).toDF("a", "b"))
+    lake.createView("main.fv", "SELECT a, b * 10 AS b10 FROM t WHERE a >= 2")
+    val out = Files.createTempDirectory("graft_vmfz_out").toString
+    lake.freeze(out)
+    spark.conf.set("spark.sql.catalog.vmfz", classOf[LakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.vmfz.frozen", out)
+    val cat = org.apache.spark.sql.graft.CatalogAccess.catalog(spark, "vmfz")
+      .asInstanceOf[LakeCatalog]
+    // ADVICE r8: listViews/viewExists/loadView must agree on frozen mounts
+    val listed = cat.listViews("main").map(_.name()).toSeq
+    assert(listed == Seq("fv"))
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("main"), "fv")
+    assert(cat.viewExists(ident))
+    val v = cat.loadView(ident) // used to throw NoSuchViewException
+    assert(v.schema().fieldNames.toSeq == Seq("a", "b10"))
+    // catalog-qualified SELECT resolves on the frozen mount too
+    assert(spark.sql("SELECT * FROM vmfz.main.fv ORDER BY a").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((2, 200), (3, 300)))
+    // still read-only: DDL refuses
+    intercept[Exception] {
+      spark.sql("CREATE VIEW vmfz.main.nope AS SELECT 1")
+    }
+  }
+
+  test("SHOW VIEWS LIKE: regex metachars quoted, case-insensitive (r9)") {
+    val root = Files.createTempDirectory("graft_vmlk").toString
+    val lake = new Lake(spark, root)
+    lake.createTable("main.t", abSchema)
+    lake.createView("main.agg_v1", "SELECT count(*) AS n FROM t")
+    lake.createView("main.raw_data", "SELECT * FROM t")
+    spark.conf.set("spark.sql.catalog.vmlk", classOf[LakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.vmlk.root", root)
+    // '+' and '(' are regex metachars — ADVICE r8: these used to throw
+    // PatternSyntaxException; they should simply not match
+    assert(spark.sql("SHOW VIEWS IN vmlk.main LIKE 'x+('").count() == 0)
+    // case-insensitive like Spark's StringUtils.filterPattern
+    assert(spark.sql("SHOW VIEWS IN vmlk.main LIKE 'AGG_*'").count() == 1)
+    // alternation + wildcard still work
+    assert(spark.sql("SHOW VIEWS IN vmlk.main LIKE 'agg_*|raw_*'").count() == 2)
+    spark.sql("DROP VIEW vmlk.main.agg_v1")
+    spark.sql("DROP VIEW vmlk.main.raw_data")
+  }
+
+  test("TABLE macros: AS TABLE body, TVF invocation, kind-checked DROP (r9)") {
+    val root = Files.createTempDirectory("graft_vmtm").toString
+    val lake = new Lake(spark, root)
+    import spark.implicits._
+    lake.createTable("main.t", abSchema)
+    lake.append("main.t", Seq((1, 10), (2, 20), (3, 30)).toDF("a", "b"))
+    spark.conf.set("spark.sql.catalog.vmtm", classOf[LakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.vmtm.root", root)
+
+    // CREATE MACRO ... AS TABLE (DuckDB grammar, coverage row
+    // ducklake_feature_coverage.md:32): a parameterized stored SELECT
+    spark.sql("CREATE MACRO vmtm.main.top_b(lo) AS TABLE " +
+      "SELECT a, b FROM t WHERE b >= lo")
+    // invoked as a table function in plain SQL
+    assert(spark.sql("SELECT * FROM top_b(20) ORDER BY a").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((2, 20), (3, 30)))
+    // arguments are expressions, substituted lazily (5 + 10 → b >= 15)
+    assert(spark.sql("SELECT count(*) AS n FROM top_b(5 + 10)")
+      .head.getLong(0) == 2L)
+    // stored with kind=table
+    assert(lake.macros().filter(col("macro_name") === "top_b")
+      .select("macro_type").head.getString(0) == "table")
+    // wrong arity fails
+    intercept[Exception] { spark.sql("SELECT * FROM top_b()").collect() }
+
+    // kind-checked DROP: plain DROP MACRO refuses a table macro...
+    val e = intercept[Exception] { spark.sql("DROP MACRO vmtm.main.top_b") }
+    assert(e.getMessage.contains("table"), e.getMessage)
+    // ...and DROP MACRO TABLE refuses a scalar macro
+    spark.sql("CREATE MACRO vmtm.main.sq(x) AS x * x")
+    intercept[Exception] { spark.sql("DROP MACRO TABLE vmtm.main.sq") }
+
+    // freeze emits macro_type; a thawed lake re-executes the table macro
+    val out = Files.createTempDirectory("graft_vmtm_fz").toString
+    lake.freeze(out)
+    val mrow = spark.read.parquet(s"$out/catalog_parquet/ducklake_macro.parquet")
+      .filter(col("macro_name") === "top_b").select("macro_type").head
+    assert(mrow.getString(0) == "table")
+    val lake2 = new Lake(spark, Files.createTempDirectory("graft_vmtm_th").toString)
+    lake2.importCatalog(s"$out/catalog_parquet")
+    spark.sessionState.tableFunctionRegistry.dropFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("top_b"))
+    lake2.registerMacros()
+    assert(spark.sql("SELECT * FROM top_b(30)").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((3, 30)))
+    // rebind the session registration to the ORIGINAL lake's store (the
+    // registry holds one builder per name; lake2's registerMacros bound
+    // it to the thawed copy)
+    spark.sessionState.tableFunctionRegistry.dropFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("top_b"))
+    lake.registerMacros()
+
+    // session as-of applies to the table macro's data at invocation time
+    val sBefore = lake.append("main.t", Seq((4, 40)).toDF("a", "b")) - 1
+    spark.conf.set("spark.graft.lake.asOfSnapshot", sBefore.toString)
+    try assert(spark.sql("SELECT count(*) AS n FROM top_b(0)").head.getLong(0) == 3L)
+    finally spark.conf.unset("spark.graft.lake.asOfSnapshot")
+    assert(spark.sql("SELECT count(*) AS n FROM top_b(0)").head.getLong(0) == 4L)
+
+    spark.sql("DROP MACRO TABLE vmtm.main.top_b")
+    spark.sql("DROP MACRO vmtm.main.sq")
+    assert(lake.macros().count() == 0)
+    // dropped from the table-function registry too
+    intercept[Exception] { spark.sql("SELECT * FROM top_b(1)").collect() }
+  }
+
   test("SQL CREATE/DROP MACRO statements (reference dialect grammar)") {
     val root = Files.createTempDirectory("graft_vmsql_m").toString
     spark.conf.set("spark.sql.catalog.vmsqlm", classOf[LakeCatalog].getName)
