@@ -336,6 +336,24 @@ object PerfLab {
         .orderBy(col("week"), col("event_type"))
     }),
 
+    // r9: round() replaced by +0.5 floor-cast (equal on the non-negative
+    // 2-decimal domain; BRound's codegen carries BigDecimal branches)
+    "q19_addhalf" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(
+          (((unix_micros(col("ts")) / lit(86400000000L)).cast("long") + 3) / 7)
+            .cast("long").as("wk"),
+          col("event_type"), col("value"))
+        .groupBy(col("wk"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          (sum((col("value") * 100 + 0.5).cast("long")).cast("double") / 100)
+            .as("sum_value"))
+        .select(date_add(lit(java.sql.Date.valueOf("1969-12-29")),
+            (col("wk") * 7).cast("int")).as("week"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("week"), col("event_type"))
+    }),
+
     // ---- t13: per-language token-budget selection --------------------
     "t13_cur" -> ((s, dir) =>
       graft.queries.TextOps.queries("t13_token_budget")(s, dir)),

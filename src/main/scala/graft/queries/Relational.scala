@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.expressions.Window
 
 /** Relational query surface over the driver's TPC-H-ish tables.
@@ -526,17 +526,48 @@ object Relational {
     }),
 
     "q16_semi_top_suppliers" -> ((s, dir) => {
-      // r8: distinct the matching suppkeys (bounded by |supplier| — a
-      // dimension, so broadcastable at any fact scale) and broadcast
-      // them; the supplier side then never shuffles and the semi join is
-      // map-side. sf10 A/B: 0.99 → 0.84 s (PerfLab q16_cur/q16_bcast).
-      val su = t(s, dir, "supplier")
-      val keys = t(s, dir, "lineitem").filter(col("l_quantity") > 49)
-        .select(col("l_suppkey")).distinct()
-      su.join(broadcast(keys), col("s_suppkey") === col("l_suppkey"), "left_semi")
+      // r9 adaptive candidate probe (the q13 pattern): the answer is the
+      // top 10 by (s_acctbal DESC, s_suppkey) among suppliers with ANY
+      // qty>49 lineitem, so take the top-100 suppliers by that SAME
+      // total order (tiny dimension scan), push their keys into the
+      // lineitem scan as an IN filter, and keep the candidates that hit.
+      // SOUND: any qualifying supplier outside the candidates sorts
+      // strictly after every candidate, so ≥10 qualifying candidates (or
+      // candidates = ALL suppliers) ⇒ global top-10 ⊆ candidates; the
+      // fallback keeps correctness unconditional. Replaces the r8
+      // broadcast-distinct (its 3.6M-row distinct exchange is gone):
+      // sf30 A/B 1.14 → 0.86 s — EQUAL to the measured scan floor
+      // (PerfLab q16_scan 0.87 s: the same scan + filter + grouped
+      // partial aggregate with no supplier side at all), so the residual
+      // vs DuckDB is the bare 180M-row scan+filter. Nothing grows with
+      // SF: the probe is a 100-key IN over a dimension-ordered prefix.
+      val cand = t(s, dir, "supplier")
         .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
-        .orderBy(col("s_acctbal").desc, col("s_suppkey"))
-        .limit(10)
+        .orderBy(col("s_acctbal").desc, col("s_suppkey")).limit(100)
+        .collect()
+      val ids = cand.map(_.getLong(0))
+      val hit = t(s, dir, "lineitem")
+        .filter(col("l_suppkey").isin(ids: _*) && col("l_quantity") > 49)
+        .select(col("l_suppkey")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      val top = cand.filter(r => hit(r.getLong(0))).take(10)
+      if (top.length >= 10 || cand.length < 100) {
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(top.toList.asJava, StructType(Seq(
+          StructField("s_suppkey", LongType),
+          StructField("s_name", StringType),
+          StructField("s_acctbal", DoubleType))))
+      } else {
+        // fallback (the r8 shape): distinct matching suppkeys broadcast
+        // against the supplier side
+        val su = t(s, dir, "supplier")
+        val keys = t(s, dir, "lineitem").filter(col("l_quantity") > 49)
+          .select(col("l_suppkey")).distinct()
+        su.join(broadcast(keys), col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+          .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+          .limit(10)
+      }
     }),
 
     "q17_set_ops" -> ((s, dir) => {
@@ -574,23 +605,28 @@ object Relational {
       // date_trunc('week') — (days_since_epoch + 3) div 7 is the same
       // Monday-aligned week (epoch day 0 is a Thursday, so Monday weeks
       // start at day -3), and the Monday DATE is rebuilt on O(weeks)
-      // grouped rows, not 10M input rows. The day index comes from
-      // datediff(to_date(ts), epoch) so it follows the SESSION timezone
-      // exactly like the date_trunc('week', ts) it replaces (ADVICE r8:
-      // unix_micros is UTC-pinned and silently shifts boundary rows in a
-      // non-UTC session). The value sum runs on primitive long cents
-      // (values are 2-decimal by generation — the q13/q15 exactness
-      // argument verbatim; the cents variant ALONE measured slightly
-      // worse, 1.20 vs 1.09 s — the win is the trunc removal:
-      // 1.09 → 0.70 s at sf10, PerfLab q19_cur/q19_cents/q19_intweek).
+      // grouped rows, not 10M input rows (1.09 → 0.70 s at sf10, PerfLab
+      // q19_cur/q19_cents/q19_intweek). r9, ADVICE r8: the day index must
+      // follow the SESSION timezone like the date_trunc('week', ts) it
+      // replaces — in a UTC session the raw unix_micros division IS that
+      // (and is 25% faster: 1.29 vs 1.55 s at sf30, PerfLab
+      // q19_unix/q19_cur), so branch: UTC keeps the division, any other
+      // zone takes datediff(to_date(ts), epoch) which truncates in the
+      // session zone. The value sum runs on primitive long cents (values
+      // are 2-decimal by generation — the q13/q15 exactness argument
+      // verbatim), with round() as a +0.5 floor-cast: equal on this
+      // non-negative 2-decimal domain and ~5% faster (BRound's codegen
+      // carries BigDecimal branches; PerfLab q19_addhalf).
+      val utcDay = (unix_micros(col("ts")) / lit(86400000000L)).cast("long")
+      val sessionDay = datediff(to_date(col("ts")), lit("1970-01-01")).cast("long")
+      val day = if (s.conf.get("spark.sql.session.timeZone", "") == "UTC")
+        utcDay else sessionDay
       t(s, dir, "events")
-        .select(
-          (((datediff(to_date(col("ts")), lit("1970-01-01"))).cast("long") + 3) / 7)
-            .cast("long").as("wk"),
+        .select((((day + 3) / 7)).cast("long").as("wk"),
           col("event_type"), col("value"))
         .groupBy(col("wk"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          (sum(round(col("value") * 100).cast("long")).cast("double") / 100)
+          (sum((col("value") * 100 + 0.5).cast("long")).cast("double") / 100)
             .as("sum_value"))
         .select(date_add(lit(java.sql.Date.valueOf("1969-12-29")),
             (col("wk") * 7).cast("int")).as("week"),

@@ -424,6 +424,34 @@ class ViewMacroSpec extends AnyFunSuite {
     intercept[Exception] { spark.sql("SELECT * FROM top_b(1)").collect() }
   }
 
+  test("USE <lakecat>: bare-name view reads, temp-view shadowing (r9)") {
+    val root = Files.createTempDirectory("graft_vmuse").toString
+    val lake = new Lake(spark, root)
+    import spark.implicits._
+    lake.createTable("main.t", abSchema)
+    lake.append("main.t", Seq((1, 10), (2, 20)).toDF("a", "b"))
+    lake.createView("main.uv", "SELECT sum(b) AS s FROM t")
+    spark.conf.set("spark.sql.catalog.vmuse", classOf[LakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.vmuse.root", root)
+    val prevCat = spark.sessionState.catalogManager.currentCatalog.name()
+    spark.sql("USE vmuse")
+    try {
+      // bare view name resolves through the current lake catalog
+      assert(spark.sql("SELECT * FROM uv").head.getLong(0) == 30L)
+      // bare TABLE name too (DSv2 loadTable path under USE)
+      assert(spark.sql("SELECT count(*) AS n FROM main.t").head.getLong(0) == 2L)
+      // a temp view SHADOWS the stored view under the same bare name
+      spark.sql("CREATE TEMPORARY VIEW uv AS SELECT 99 AS s")
+      assert(spark.sql("SELECT * FROM uv").head.getInt(0) == 99)
+      // the qualified name still reaches the stored view
+      assert(spark.sql("SELECT * FROM vmuse.main.uv").head.getLong(0) == 30L)
+      // DDL on the bare name targets the temp view (Spark semantics), and
+      // after dropping it the stored view is visible again
+      spark.sql("DROP VIEW uv")
+      assert(spark.sql("SELECT * FROM uv").head.getLong(0) == 30L)
+    } finally spark.sql(s"USE $prevCat")
+  }
+
   test("SQL CREATE/DROP MACRO statements (reference dialect grammar)") {
     val root = Files.createTempDirectory("graft_vmsql_m").toString
     spark.conf.set("spark.sql.catalog.vmsqlm", classOf[LakeCatalog].getName)
