@@ -354,6 +354,36 @@ object PerfLab {
         .orderBy(col("week"), col("event_type"))
     }),
 
+    // ---- sf100 linearity spot-probes (r9, VERDICT r8 stretch #10):
+    // the five heaviest pipeline kernels, run by name at /tmp/gsf100
+    // with SPARK_GRAFT_RUNS=1 for one point each ----------------------
+    "t11_cur" -> ((s, dir) =>
+      graft.queries.TextOps.queries("t11_minhash_lsh_pairs")(s, dir)),
+    "t15_cur" -> ((s, dir) =>
+      graft.queries.TextOps.queries("t15_span_dedup")(s, dir)),
+    "t17_cur" -> ((s, dir) =>
+      graft.queries.TextOps.queries("t17_decontaminate")(s, dir)),
+    "t18_cur" -> ((s, dir) =>
+      graft.queries.TextOps.queries("t18_dedup_clusters")(s, dir)),
+    "v03_cur" -> ((s, dir) =>
+      graft.queries.VectorOps.queries("v03_knn_lsh")(s, dir)),
+    // t19 sort key: 56-bit md5 prefix as BIGINT instead of the 32-char
+    // hex string (same deterministic order both engines — t11's conv()
+    // idiom; the oracle-side twin is ('0x'||substr(md5,1,14))::BIGINT)
+    "t19_cur" -> ((s, dir) =>
+      graft.queries.TextOps.queries("t19_stratified_sample")(s, dir)),
+    "t19_longkey" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(expr("cast(conv(substring(md5(concat('t19:', cast(doc_id as string))), 1, 14), 16, 10) as bigint)"),
+          col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w).cast("long"))
+        .filter(col("rn") <= 20)
+        .select(col("lang"), col("rn"), col("doc_id"), col("n_chars"))
+        .orderBy(col("lang"), col("rn"))
+    }),
+
     // ---- t13: per-language token-budget selection --------------------
     "t13_cur" -> ((s, dir) =>
       graft.queries.TextOps.queries("t13_token_budget")(s, dir)),
@@ -563,18 +593,23 @@ object PerfLab {
         fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }
+      // SPARK_GRAFT_RUNS=1 for single-point scale probes (e.g. the sf100
+      // linearity spot-checks) where a multi-minute kernel × warmup+3
+      // would cost more than the data point is worth — 1 also skips the
+      // warmup (JIT noise is irrelevant at multi-minute wall times)
+      val nRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
       if (doExplain) {
         val df = fn(spark, sfDir)
         df.count()
         println(s"==== $name ====")
         println(df.queryExecution.executedPlan.toString.take(12000))
-      } else once()
-      val timed = Seq.fill(3) {
+      } else if (nRuns > 1) once()
+      val timed = Seq.fill(nRuns) {
         spark.sharedState.cacheManager.clearCache()
         once()
       }.sorted
       spark.sharedState.cacheManager.clearCache()
-      println(f"LAB $name%-14s median=${timed(1)}%.3f  runs=${timed.map(x => f"$x%.3f").mkString(",")}")
+      println(f"LAB $name%-14s median=${timed(nRuns / 2)}%.3f  runs=${timed.map(x => f"$x%.3f").mkString(",")}")
     }
     spark.stop()
   }

@@ -20,13 +20,19 @@ import org.apache.spark.sql.functions._
   * recomputed. embeddings keep their vectors (timing is distance-math-bound,
   * ties are irrelevant to wall time).
   *
-  * Usage: runMain graft.ScaleGen <srcSfDir> <outDir> <replicas>
+  * Usage: runMain graft.ScaleGen <srcSfDir> <outDir> <replicas> [tables]
+  * The optional 4th arg (comma-separated table names) restricts output to
+  * those tables — e.g. `documents,embeddings` for an sf100 pipeline-probe
+  * fixture without paying for a 15 GB lineitem nobody will scan.
   */
 object ScaleGen {
   private val OFFSET = 100000000L // > any key in sf0.1 by 100x
 
   def main(args: Array[String]): Unit = {
     val (src, out, n) = (args(0), args(1), args(2).toInt)
+    val only: Option[Set[String]] =
+      if (args.length > 3) Some(args(3).split(",").map(_.trim).toSet) else None
+    def wanted(t: String): Boolean = only.forall(_.contains(t))
     val builder = SparkSession
       .builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
@@ -43,6 +49,7 @@ object ScaleGen {
     spark.sparkContext.setLogLevel("WARN")
 
     def replicate(table: String, shiftCols: Seq[String], extra: DataFrame => DataFrame = identity): Unit = {
+      if (!wanted(table)) return
       val base = spark.read.parquet(s"$src/$table.parquet")
       val reps = spark.range(n).select(col("id").as("__rep"))
       var df = base.crossJoin(broadcast(reps))
@@ -56,7 +63,7 @@ object ScaleGen {
     }
 
     // constant-size dims: single copy
-    for (t <- Seq("region", "nation")) {
+    for (t <- Seq("region", "nation") if wanted(t)) {
       spark.read.parquet(s"$src/$t.parquet").write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
     replicate("customer", Seq("c_custkey"))
