@@ -128,14 +128,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         .queryExecution.analyzed
     })
     // stored catalog views execute straight from SQL (optional third arg =
-    // AS-OF snapshot: both the definition and the data resolve there)
-    ext.injectTableFunction(tvf("graft_view", "graft_view(root, name[, version])") { args =>
+    // AS-OF snapshot id OR timestamp string: both the definition and the
+    // data resolve there — the reference's dual time_travel overloads,
+    // src/pgducklake_time_travel.cpp:36-73, mirrored on the view TVF)
+    ext.injectTableFunction(tvf("graft_view", "graft_view(root, name[, version | ts])") { args =>
       require(args.length == 2 || args.length == 3,
-        "graft_view takes (root, name) or (root, name, version)")
-      new Lake(SparkSession.active, lit(args.head, "root"))
-        .view(lit(args(1), "view name"),
-          if (args.length == 3) Some(lit(args(2), "version").toLong) else None)
-        .queryExecution.analyzed
+        "graft_view takes (root, name) or (root, name, version|timestamp)")
+      val lake = new Lake(SparkSession.active, lit(args.head, "root"))
+      val asOf: Option[Long] =
+        if (args.length < 3) None
+        else {
+          val raw = lit(args(2), "version")
+          scala.util.Try(raw.toLong).toOption.orElse {
+            // timestamp string (session timezone, like TIMESTAMP AS OF) →
+            // the snapshot current at that instant
+            val zone = java.time.ZoneId.of(
+              SparkSession.active.sessionState.conf.sessionLocalTimeZone)
+            val ldt = scala.util.Try(
+                java.time.LocalDateTime.parse(raw.trim.replace(' ', 'T')))
+              .getOrElse(java.time.LocalDate.parse(raw.trim).atStartOfDay)
+            val ms = ldt.atZone(zone).toInstant.toEpochMilli
+            Some(lake.store.state().snapshotAtTime(ms).getOrElse(
+              throw new NoSuchElementException(
+                s"no snapshot exists at or before '$raw'")))
+          }
+        }
+      lake.view(lit(args(1), "view name"), asOf).queryExecution.analyzed
     })
     ext.injectTableFunction(tvf("graft_views", "graft_views(root)") { args =>
       new Lake(SparkSession.active, lit(args.head, "root")).views()

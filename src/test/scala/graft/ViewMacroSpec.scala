@@ -307,6 +307,15 @@ class ViewMacroSpec extends AnyFunSuite {
         .collect()
     }
     assert(e.getMessage.contains("no snapshot exists"), e.getMessage)
+    // the graft_view TVF accepts the same timestamp form as its third
+    // argument (the reference time_travel's dual overloads)
+    assert(spark.sql(
+      s"SELECT * FROM graft_view('$root', 'main.tv', '$lit1')")
+      .head.getLong(0) == 2L)
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_view('$root', 'main.tv', '1999-01-01')")
+        .collect()
+    }
   }
 
   test("frozen mounts serve DSv2 loadView + SELECT, consistent with listViews (r9)") {
