@@ -233,7 +233,7 @@ object TextOps {
         .selectExpr("doc_id", "sh",
           """transform(sequence(0, 15), j ->
             |  array_min(zip_with(ha, hb, (x, y) -> x + j * y))) AS sg""".stripMargin)
-        .persist()
+        .transform(CacheScope.track(_))
       val bands = d.selectExpr("doc_id",
         """transform(sequence(0, 7), b ->
           |  concat(cast(element_at(sg, 2 * b + 1) as string), ':',
@@ -335,7 +335,7 @@ object TextOps {
       val d = t(s, dir, "documents")
         .selectExpr("doc_id", "lang",
           "cast(size(split(trim(text), ' ')) as bigint) AS n_tokens")
-        .persist()
+        .transform(CacheScope.track(_))
       val hist = d.groupBy("lang", "n_tokens")
         .agg(sum("n_tokens").as("grp_tokens"))
       val wAbove = Window.partitionBy("lang").orderBy(desc("n_tokens"))
@@ -453,7 +453,7 @@ object TextOps {
             |  transform(slice(ds, i + 2, size(ds)), y -> struct(x AS a, y AS b))))) AS e""".stripMargin)
         .select(col("e.a").as("a"), col("e.b").as("b")).distinct()
       val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
-        .persist()
+        .transform(CacheScope.track(_))
       var lab = sym.select(col("a").as("v")).distinct().withColumn("l", col("v"))
       for (_ <- 1 to 3) {
         // one round = min over (own label ∪ neighbor labels). Fused as

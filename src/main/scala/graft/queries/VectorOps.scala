@@ -155,7 +155,7 @@ object VectorOps {
       // ids); candidate pairs re-join the (persisted) vectors, query side
       // broadcast. This is the 100 TB path: nothing all-pairs, the big
       // payload moves once per CANDIDATE, not once per (table, row).
-      val ep = e.persist()
+      val ep = CacheScope.track(e)
       val cand = candidateStage(ep, bucketsExpr, bucketCap, nQueries)
       val qv = ep.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("q").as("qa"), col("nsq").as("na"))
@@ -289,7 +289,7 @@ object VectorOps {
       // each re-runs the K-centroid dot sweep over the whole corpus —
       // worse, CollapseProject re-inlines `ds` into every reference
       // (measured 4× at 2M vectors; the v06 re-evaluation trap)
-      .persist()
+      .transform(CacheScope.track(_))
     val qs = e.filter(col("vec_id") < nQueries).selectExpr(
       "vec_id AS query_id", "q AS qa", "nsq AS na",
       // top-nprobe clusters by dot desc, index asc on ties — the struct
@@ -359,7 +359,7 @@ object VectorOps {
           (col("p.dot").cast("double")
             / (sqrt(col("p.na").cast("double")) * sqrt(col("p.nb").cast("double")))).as("cosine"))
     } else {
-      val ep = e.persist()
+      val ep = CacheScope.track(e)
       val pairs = ep.selectExpr("vec_id", s"posexplode($bucketsExpr) AS (tab, bucket)")
         .groupBy("tab", "bucket")
         .agg(sort_array(collect_list(col("vec_id"))).as("ms"))
