@@ -196,6 +196,40 @@ object PerfLab {
     // ---- q05: five-join star, stage profile under the r8 listener ----
     "q05_cur" -> ((s, dir) =>
       graft.queries.Relational.queries("q05_nation_revenue")(s, dir)),
+    // r9 A/B: the pre-addhalf revenue term (round() per row) on the same
+    // shipped q05 join shape, to isolate the cents-helper swap
+    "q05_roundrev" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val l = t(s, dir, "lineitem")
+      val su = t(s, dir, "supplier")
+      val asiaN = n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val asiaS = su.join(broadcast(asiaN), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val oSlim = o.select(col("o_orderkey"), col("o_custkey"))
+      val lred = l.join(broadcast(asiaS), col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_orderkey"), col("s_nationkey"),
+          col("l_extendedprice"), col("l_discount"))
+      val co = c.select(col("c_custkey"), col("c_nationkey"))
+        .join(oSlim, col("c_custkey") === col("o_custkey"))
+        .select(col("o_orderkey"), col("c_nationkey")).hint("shuffle_hash")
+      val micros = round(col("l_extendedprice") * 100).cast("long") *
+        (lit(10000L) - round(col("l_discount") * 10000).cast("long"))
+      lred.join(co, col("l_orderkey") === col("o_orderkey")
+          && col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("s_nationkey"))
+        .agg((sum(micros).cast(DecimalType(38, 6)) / lit(1000000))
+          .cast("string").cast("double").as("revenue"))
+        .join(broadcast(asiaN), col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
     "q03_cur" -> ((s, dir) =>
       graft.queries.Relational.queries("q03_top_revenue_orders")(s, dir)),
 
@@ -249,6 +283,33 @@ object PerfLab {
         .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
         .orderBy(col("s_acctbal").desc, col("s_suppkey"))
         .limit(10)
+    }),
+
+    // ---- q15: rows above the average price (two-pass by nature) ------
+    "q15_cur" -> ((s, dir) =>
+      graft.queries.Relational.queries("q15_above_avg")(s, dir)),
+    // r9: pass 1's round(price*100) runs a BigDecimal per row inside the
+    // hottest aggregate; the +0.5 floor-cast is exact on the non-negative
+    // 2-decimal domain (the q19_addhalf argument, applied to the 60M-row
+    // cents sum)
+    "q15_addhalf" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val avgPrice = l.agg(
+        (sum((col("l_extendedprice") * 100 + 0.5).cast("long")).cast("double")
+          / 100 / count(lit(1))).as("avg_price"))
+      l.crossJoin(broadcast(avgPrice))
+        .filter(col("l_extendedprice") > col("avg_price"))
+        .agg(count(lit(1)).as("n_above"))
+    }),
+    // floor probe: the bare double sum + count (no cents exactness) for
+    // pass 1 and the same pass 2 — the cheapest conceivable two-pass
+    "q15_floor" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val avgPrice = l.agg(
+        (sum(col("l_extendedprice")) / count(lit(1))).as("avg_price"))
+      l.crossJoin(broadcast(avgPrice))
+        .filter(col("l_extendedprice") > col("avg_price"))
+        .agg(count(lit(1)).as("n_above"))
     }),
 
     // r9: scan-floor probe — same lineitem scan + filter + grouped
