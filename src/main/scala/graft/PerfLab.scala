@@ -415,6 +415,60 @@ object PerfLab {
         .orderBy(col("week"), col("event_type"))
     }),
 
+    // ---- v01: QVEC quantization — round() vs sign-symmetric trunc ----
+    "v01_cur" -> ((s, dir) =>
+      graft.queries.VectorOps.queries("v01_knn_brute")(s, dir)),
+    // r9: round() per ELEMENT (64 doubles/vector) allocates a BigDecimal
+    // each; the sign-symmetric +0.5 trunc is bit-identical for
+    // FLOAT-sourced values (the pathological half-tie needs 53 mantissa
+    // bits; float×1000 carries ~34)
+    "v01_qtrunc" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val qv = "transform(embedding, x -> cast(cast(x as double) * 1000 " +
+        "+ sign(cast(x as double)) * 0.5d as bigint))"
+      val e = t(s, dir, "embeddings")
+        .filter(expr("exists(embedding, x -> abs(cast(x as double)) * 1000d >= 0.5d)"))
+        .selectExpr("vec_id", s"$qv AS q")
+        .selectExpr("vec_id", "q", "graft_vec_dot(q, q) AS nsq")
+      val qs = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("q").as("qa"), col("nsq").as("na"))
+      val cand = e.select(col("vec_id").as("neighbor_id"), col("q").as("qb"),
+        col("nsq").as("nb"))
+      val rnk = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      cand.join(broadcast(qs), col("query_id") =!= col("neighbor_id"))
+        .withColumn("dot", expr("graft_vec_dot(qa, qb)"))
+        .withColumn("cosine", col("dot").cast("double")
+          / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+        .withColumn("rank", row_number().over(rnk).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "v01_qfloor" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val qv = "transform(embedding, x -> floor(cast(x as double) * 1000 + 0.5d))"
+      val e = t(s, dir, "embeddings")
+        .filter(expr("exists(embedding, x -> abs(cast(x as double)) * 1000d >= 0.5d)"))
+        .selectExpr("vec_id", s"$qv AS q")
+        .selectExpr("vec_id", "q", "graft_vec_dot(q, q) AS nsq")
+      val qs = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("q").as("qa"), col("nsq").as("na"))
+      val cand = e.select(col("vec_id").as("neighbor_id"), col("q").as("qb"),
+        col("nsq").as("nb"))
+      val rnk = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      cand.join(broadcast(qs), col("query_id") =!= col("neighbor_id"))
+        .withColumn("dot", expr("graft_vec_dot(qa, qb)"))
+        .withColumn("cosine", col("dot").cast("double")
+          / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+        .withColumn("rank", row_number().over(rnk).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- sf100 linearity spot-probes (r9, VERDICT r8 stretch #10):
     // the five heaviest pipeline kernels, run by name at /tmp/gsf100
     // with SPARK_GRAFT_RUNS=1 for one point each ----------------------

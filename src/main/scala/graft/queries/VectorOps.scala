@@ -9,9 +9,14 @@ import graft.lake.Meta
   * (vec_id BIGINT, embedding ARRAY<FLOAT>, label INT).
   *
   * Cross-engine determinism: vectors are quantized to integer milli-units
-  * (round(x*1000) — float→double cast and rounding are identical IEEE
-  * operations in Spark and DuckDB), so dot products and squared norms are
-  * EXACT int64 arithmetic; cosine then divides identical doubles.
+  * via `floor(x*1000 + 0.5)` — float→double cast, multiply, add, floor are
+  * identical IEEE operations in Spark and DuckDB, so dot products and
+  * squared norms are EXACT int64 arithmetic; cosine then divides identical
+  * doubles. The floor form equals HALF_UP round() on every FLOAT-sourced
+  * input (an exact .5 tie needs x·1000 = k+1/2, i.e. a 1/2000 binary
+  * fraction — impossible) while skipping Round's per-row-per-ELEMENT
+  * BigDecimal: v01 at sf30 measured 6.84 → 3.4 s (PerfLab
+  * v01_cur/v01_qfloor, r9), and every v-entry shares the scan.
   *
   * Scale design (100 TB): the brute-force variant is the correctness
   * baseline (query-set × corpus broadcast join); the LSH variant buckets
@@ -25,11 +30,11 @@ object VectorOps {
 
   /** integer milli-quantization of the float vector */
   private val QVEC =
-    "transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))"
+    "transform(embedding, x -> floor(cast(x as double) * 1000 + 0.5d))"
   private val SQNORM = "graft_vec_dot(q, q)"
 
   /** Rows whose milli-quantized vector is nonzero — semantically identical
-    * to `SQNORM > 0` after quantization (HALF_UP: round(x·1000) ≠ 0 for
+    * to `SQNORM > 0` after quantization (floor(x·1000 + 0.5) ≠ 0 for
     * some element ⟺ |x|·1000 ≥ 0.5, and |x|·1000 = |x·1000| exactly in
     * IEEE), but expressed on the SOURCE column. Filtering on the aliased
     * `nsq` lets PushDownPredicates substitute the whole quantization
@@ -288,8 +293,10 @@ object VectorOps {
       // the probe-set collect, the corpus side) and without materialization
       // each re-runs the K-centroid dot sweep over the whole corpus —
       // worse, CollapseProject re-inlines `ds` into every reference
-      // (measured 4× at 2M vectors; the v06 re-evaluation trap)
-      .transform(CacheScope.track(_))
+      // (measured 4× at 2M vectors; the v06 re-evaluation trap).
+      // uses = 2: the probe-set collect below consumes it once, the
+      // caller's action is the second (and last) consumer
+      .transform(CacheScope.track(_, uses = 2))
     val qs = e.filter(col("vec_id") < nQueries).selectExpr(
       "vec_id AS query_id", "q AS qa", "nsq AS na",
       // top-nprobe clusters by dot desc, index asc on ties — the struct
@@ -501,7 +508,7 @@ object VectorOps {
         .selectExpr("vec_id", "e",
           "greatest(array_max(transform(e, x -> abs(x))), 1e-30d) AS mx")
         .selectExpr("vec_id",
-          "cast(round(mx * 1000000) as bigint) AS scale_ppm",
+          "cast(floor(mx * 1000000 + 0.5d) as bigint) AS scale_ppm",
           "concat_ws('|', transform(e, x -> cast(cast(floor(x * 127.0d / mx + 0.5d) as bigint) as string))) AS q8")
         .orderBy(col("vec_id"))
         .limit(300)
@@ -577,7 +584,7 @@ object VectorOps {
 
   def oracleSql: Map[String, String] = {
     val qvecD =
-      "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+      "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"
     val base = Map(
       "v01_knn_brute" ->
         s"""WITH e AS (
@@ -704,7 +711,7 @@ object VectorOps {
 
       "v06_quantize" ->
         """SELECT vec_id,
-          |  CAST(round(mx * 1000000) AS BIGINT) AS scale_ppm,
+          |  CAST(floor(mx * 1000000 + 0.5) AS BIGINT) AS scale_ppm,
           |  array_to_string(list_transform(e,
           |    x -> CAST(CAST(floor(x * 127.0 / mx + 0.5) AS BIGINT) AS VARCHAR)), '|') AS q8
           |FROM (
