@@ -469,6 +469,104 @@ object PerfLab {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- t11: eager cache build before the three-branch consume ------
+    // the shipped shape launches bands/da/db map-stages concurrently over
+    // the UNPOPULATED cache — each recomputes the 22 s signature scan
+    // (profiled: stages 3/4/5 all ~22 s, racing). One count() populates
+    // the cache first, then the branches read columnar.
+    "t11_eager" -> ((s, dir) => {
+      import graft.queries.{CacheScope, TextOps}
+      val raw = t(s, dir, "documents")
+      val width = TextOps.lshWidth(
+        raw.queryExecution.optimizedPlan.stats.sizeInBytes,
+        s.sparkContext.defaultParallelism)
+      val toks = "split(lower(trim(text)), ' ')"
+      val d = raw
+        .repartition(width, col("doc_id"))
+        .filter(expr(s"size($toks) >= 3"))
+        .selectExpr("doc_id", s"$toks AS tk")
+        .selectExpr("doc_id",
+          """array_distinct(transform(sequence(1, size(tk) - 2),
+            |  i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1),
+            |              ' ', element_at(tk, i + 2)))) AS sh""".stripMargin)
+        .selectExpr("doc_id", "sh", "transform(sh, x -> md5(x)) AS hs")
+        .selectExpr("doc_id", "sh",
+          "transform(hs, m -> cast(conv(substring(m, 1, 14), 16, 10) as bigint)) AS ha",
+          "transform(hs, m -> cast(conv(substring(m, 15, 14), 16, 10) as bigint)) AS hb")
+        .selectExpr("doc_id", "sh",
+          """transform(sequence(0, 15), j ->
+            |  array_min(zip_with(ha, hb, (x, y) -> x + j * y))) AS sg""".stripMargin)
+        .transform(CacheScope.track(_, uses = 2))
+      d.count()
+      val bands = d.selectExpr("doc_id",
+        """transform(sequence(0, 7), b ->
+          |  concat(cast(element_at(sg, 2 * b + 1) as string), ':',
+          |         cast(element_at(sg, 2 * b + 2) as string))) AS buckets""".stripMargin)
+        .selectExpr("doc_id", "posexplode(buckets) AS (band, bucket)")
+      val pairs = bands.groupBy("band", "bucket")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ms"))
+        .filter(size(col("ms")).between(2, 64))
+        .selectExpr(
+          """explode(flatten(transform(ms, (a, i) ->
+            |  transform(slice(ms, i + 2, size(ms)),
+            |            b2 -> struct(a AS doc_a, b2 AS doc_b))))) AS p""".stripMargin)
+        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+        .distinct()
+      val da = d.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+      val db = d.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
+      pairs.join(da, "doc_a").join(db, "doc_b")
+        .selectExpr("doc_a", "doc_b",
+          "cast(size(array_intersect(sha, shb)) as bigint) AS n_inter",
+          "cast(size(array_distinct(concat(sha, shb))) as bigint) AS n_union")
+        .selectExpr("doc_a", "doc_b", "n_inter / n_union AS jaccard")
+        .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+        .limit(200)
+    }),
+
+    // t11 with the fused codegen'd minhash kernel (graft_minhash16)
+    // replacing the five-transform lambda chain
+    "t11_fused" -> ((s, dir) => {
+      import graft.queries.{CacheScope, TextOps}
+      val raw = t(s, dir, "documents")
+      val width = TextOps.lshWidth(
+        raw.queryExecution.optimizedPlan.stats.sizeInBytes,
+        s.sparkContext.defaultParallelism)
+      val toks = "split(lower(trim(text)), ' ')"
+      val d = raw
+        .repartition(width, col("doc_id"))
+        .filter(expr(s"size($toks) >= 3"))
+        .selectExpr("doc_id", s"$toks AS tk")
+        .selectExpr("doc_id",
+          """array_distinct(transform(sequence(1, size(tk) - 2),
+            |  i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1),
+            |              ' ', element_at(tk, i + 2)))) AS sh""".stripMargin)
+        .selectExpr("doc_id", "sh", "graft_minhash16(sh) AS sg")
+        .transform(CacheScope.track(_))
+      val bands = d.selectExpr("doc_id",
+        """transform(sequence(0, 7), b ->
+          |  concat(cast(element_at(sg, 2 * b + 1) as string), ':',
+          |         cast(element_at(sg, 2 * b + 2) as string))) AS buckets""".stripMargin)
+        .selectExpr("doc_id", "posexplode(buckets) AS (band, bucket)")
+      val pairs = bands.groupBy("band", "bucket")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ms"))
+        .filter(size(col("ms")).between(2, 64))
+        .selectExpr(
+          """explode(flatten(transform(ms, (a, i) ->
+            |  transform(slice(ms, i + 2, size(ms)),
+            |            b2 -> struct(a AS doc_a, b2 AS doc_b))))) AS p""".stripMargin)
+        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+        .distinct()
+      val da = d.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+      val db = d.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
+      pairs.join(da, "doc_a").join(db, "doc_b")
+        .selectExpr("doc_a", "doc_b",
+          "cast(size(array_intersect(sha, shb)) as bigint) AS n_inter",
+          "cast(size(array_distinct(concat(sha, shb))) as bigint) AS n_union")
+        .selectExpr("doc_a", "doc_b", "n_inter / n_union AS jaccard")
+        .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+        .limit(200)
+    }),
+
     // ---- sf100 linearity spot-probes (r9, VERDICT r8 stretch #10):
     // the five heaviest pipeline kernels, run by name at /tmp/gsf100
     // with SPARK_GRAFT_RUNS=1 for one point each ----------------------

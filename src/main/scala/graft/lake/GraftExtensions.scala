@@ -69,6 +69,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "graft_int8_code takes 1 argument")
         graft.functions.Int8Code(children.head)
       }))
+    ext.injectFunction((FunctionIdentifier("graft_minhash16"),
+      new ExpressionInfo("graft.functions.MinHash16", "graft_minhash16",
+        "graft_minhash16(shingles) - 16-permutation md5 MinHash signature"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_minhash16 takes 1 argument")
+        graft.functions.MinHash16(children.head)
+      }))
     ext.injectFunction((FunctionIdentifier("graft_lsh_bits"),
       new ExpressionInfo("graft.functions.LshBits", "graft_lsh_bits",
         "graft_lsh_bits(q, planes) - sign bits of sparse hyperplane projections"),

@@ -226,13 +226,14 @@ object TextOps {
           """array_distinct(transform(sequence(1, size(tk) - 2),
             |  i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1),
             |              ' ', element_at(tk, i + 2)))) AS sh""".stripMargin)
-        .selectExpr("doc_id", "sh", "transform(sh, x -> md5(x)) AS hs")
-        .selectExpr("doc_id", "sh",
-          "transform(hs, m -> cast(conv(substring(m, 1, 14), 16, 10) as bigint)) AS ha",
-          "transform(hs, m -> cast(conv(substring(m, 15, 14), 16, 10) as bigint)) AS hb")
-        .selectExpr("doc_id", "sh",
-          """transform(sequence(0, 15), j ->
-            |  array_min(zip_with(ha, hb, (x, y) -> x + j * y))) AS sg""".stripMargin)
+        // r9: the five-transform signature chain (md5 hex → two conv
+        // parses → 16 zip_with minima, all interpreted higher-order
+        // lambdas with three intermediate arrays per shingle set) is
+        // fused into the codegen'd graft_minhash16 kernel —
+        // value-identical by construction (functions/MinHash16.scala),
+        // sf10 A/B 25.7 → 3.7 s (PerfLab t11_cur/t11_fused). The DuckDB
+        // oracle keeps the string formulation.
+        .selectExpr("doc_id", "sh", "graft_minhash16(sh) AS sg")
         .transform(CacheScope.track(_))
       val bands = d.selectExpr("doc_id",
         """transform(sequence(0, 7), b ->

@@ -108,4 +108,49 @@ class FunctionsSpec extends AnyFunSuite {
     val first = df.collect()(0)
     assert(first.getSeq[Any](0) == Seq(32L, null, -127L))
   }
+
+  // the declarative t11 signature chain graft_minhash16 fuses
+  private val lambdaMinhash =
+    """transform(sequence(0, 15), j -> array_min(zip_with(
+      |  transform(transform(sh, x -> md5(x)),
+      |            m -> cast(conv(substring(m, 1, 14), 16, 10) as bigint)),
+      |  transform(transform(sh, x -> md5(x)),
+      |            m -> cast(conv(substring(m, 15, 14), 16, 10) as bigint)),
+      |  (x, y) -> x + j * y)))""".stripMargin
+
+  test("graft_minhash16 agrees with the md5/conv/zip_with lambda chain") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val words = Vector("alpha", "beta", "gamma", "delta", "x", "committee",
+      "zh_word", "émoji", "0", "", "long token with spaces inside")
+    val rows = (1 to 300).map { _ =>
+      Seq.fill(1 + rnd.nextInt(40))(words(rnd.nextInt(words.length)))
+    }
+    val df = rows.toDF("sh")
+      .selectExpr("graft_minhash16(sh) AS fast", s"$lambdaMinhash AS slow")
+    assert(df.filter(!(col("fast") <=> col("slow"))).count() == 0)
+  }
+
+  test("graft_minhash16 null/empty semantics match array_min over nulls") {
+    import spark.implicits._
+    val df = Seq(
+        (1, Some(Seq[String]("a", "b"))),
+        (2, Some(Seq.empty[String])),
+        (3, None),
+        (4, Some(Seq[String](null, "a"))),
+        (5, Some(Seq[String](null))))
+      .toDF("id", "sh")
+      .selectExpr("id", "graft_minhash16(sh) AS fast", s"$lambdaMinhash AS slow")
+      .orderBy("id")
+    // non-null inputs agree element-wise with the lambda chain
+    assert(df.filter(col("sh").isNotNull && !(col("fast") <=> col("slow")))
+      .count() == 0)
+    val rows = df.collect()
+    assert(rows(1).getSeq[Any](1) == Seq.fill(16)(null)) // empty → 16 nulls
+    // a NULL shingle ARRAY returns null (standard null-safe expression
+    // semantics; the composed lambda chain would give 16 nulls instead —
+    // t11 never produces a null array, its filter guarantees ≥1 shingle)
+    assert(rows(2).isNullAt(1))
+    assert(rows(4).getSeq[Any](1) == Seq.fill(16)(null)) // all-null → 16 nulls
+  }
 }
