@@ -523,6 +523,54 @@ object PerfLab {
         .limit(200)
     }),
 
+    // fused kernel + eager cache fill: with the signature arithmetic
+    // fused, the sf100 profile shows three RACING 22.6 s cache-fill
+    // stages (AQE submits the bands/da/db map stages concurrently over
+    // the unpopulated cache) — one count() populates it once, and the
+    // remaining recompute cost is the interpreted shingling lambdas
+    "t11_fused_eager" -> ((s, dir) => {
+      import graft.queries.{CacheScope, TextOps}
+      val raw = t(s, dir, "documents")
+      val width = TextOps.lshWidth(
+        raw.queryExecution.optimizedPlan.stats.sizeInBytes,
+        s.sparkContext.defaultParallelism)
+      val toks = "split(lower(trim(text)), ' ')"
+      val d = raw
+        .repartition(width, col("doc_id"))
+        .filter(expr(s"size($toks) >= 3"))
+        .selectExpr("doc_id", s"$toks AS tk")
+        .selectExpr("doc_id",
+          """array_distinct(transform(sequence(1, size(tk) - 2),
+            |  i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1),
+            |              ' ', element_at(tk, i + 2)))) AS sh""".stripMargin)
+        .selectExpr("doc_id", "sh", "graft_minhash16(sh) AS sg")
+        .transform(CacheScope.track(_, uses = 2))
+      d.count()
+      val bands = d.selectExpr("doc_id",
+        """transform(sequence(0, 7), b ->
+          |  concat(cast(element_at(sg, 2 * b + 1) as string), ':',
+          |         cast(element_at(sg, 2 * b + 2) as string))) AS buckets""".stripMargin)
+        .selectExpr("doc_id", "posexplode(buckets) AS (band, bucket)")
+      val pairs = bands.groupBy("band", "bucket")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ms"))
+        .filter(size(col("ms")).between(2, 64))
+        .selectExpr(
+          """explode(flatten(transform(ms, (a, i) ->
+            |  transform(slice(ms, i + 2, size(ms)),
+            |            b2 -> struct(a AS doc_a, b2 AS doc_b))))) AS p""".stripMargin)
+        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+        .distinct()
+      val da = d.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+      val db = d.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
+      pairs.join(da, "doc_a").join(db, "doc_b")
+        .selectExpr("doc_a", "doc_b",
+          "cast(size(array_intersect(sha, shb)) as bigint) AS n_inter",
+          "cast(size(array_distinct(concat(sha, shb))) as bigint) AS n_union")
+        .selectExpr("doc_a", "doc_b", "n_inter / n_union AS jaccard")
+        .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+        .limit(200)
+    }),
+
     // t11 with the fused codegen'd minhash kernel (graft_minhash16)
     // replacing the five-transform lambda chain
     "t11_fused" -> ((s, dir) => {
@@ -540,6 +588,66 @@ object PerfLab {
           """array_distinct(transform(sequence(1, size(tk) - 2),
             |  i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1),
             |              ' ', element_at(tk, i + 2)))) AS sh""".stripMargin)
+        .selectExpr("doc_id", "sh", "graft_minhash16(sh) AS sg")
+        .transform(CacheScope.track(_))
+      val bands = d.selectExpr("doc_id",
+        """transform(sequence(0, 7), b ->
+          |  concat(cast(element_at(sg, 2 * b + 1) as string), ':',
+          |         cast(element_at(sg, 2 * b + 2) as string))) AS buckets""".stripMargin)
+        .selectExpr("doc_id", "posexplode(buckets) AS (band, bucket)")
+      val pairs = bands.groupBy("band", "bucket")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ms"))
+        .filter(size(col("ms")).between(2, 64))
+        .selectExpr(
+          """explode(flatten(transform(ms, (a, i) ->
+            |  transform(slice(ms, i + 2, size(ms)),
+            |            b2 -> struct(a AS doc_a, b2 AS doc_b))))) AS p""".stripMargin)
+        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+        .distinct()
+      val da = d.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+      val db = d.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
+      pairs.join(da, "doc_a").join(db, "doc_b")
+        .selectExpr("doc_a", "doc_b",
+          "cast(size(array_intersect(sha, shb)) as bigint) AS n_inter",
+          "cast(size(array_distinct(concat(sha, shb))) as bigint) AS n_union")
+        .selectExpr("doc_a", "doc_b", "n_inter / n_union AS jaccard")
+        .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+        .limit(200)
+    }),
+
+    // t17 with the fused n-gram kernel on both the benchmark and probe
+    // sides (the gram chain — 5 interpreted element_at + concat_ws per
+    // window, then array_distinct — is the whole per-row cost, and the
+    // un-cached `all` frame pays it twice)
+    "t17_ngrams" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def grams(df: org.apache.spark.sql.DataFrame) = df
+        .selectExpr("doc_id", "source", "split(lower(trim(text)), ' ') AS tk")
+        .filter(expr("size(tk) >= 5"))
+        .selectExpr("doc_id", "source",
+          "explode(graft_ngrams(tk, 5, true)) AS g")
+      val all = grams(docs)
+      val bench = all.filter(col("source") === "src0").select("g").distinct()
+      all.filter(col("source") =!= "src0")
+        .join(bench, "g")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_overlap"))
+        .orderBy(col("n_overlap").desc, col("doc_id"))
+        .limit(200)
+    }),
+
+    // t11 with BOTH fused kernels (shingling + minhash)
+    "t11_ngrams" -> ((s, dir) => {
+      import graft.queries.{CacheScope, TextOps}
+      val raw = t(s, dir, "documents")
+      val width = TextOps.lshWidth(
+        raw.queryExecution.optimizedPlan.stats.sizeInBytes,
+        s.sparkContext.defaultParallelism)
+      val d = raw
+        .repartition(width, col("doc_id"))
+        .filter(expr("size(split(lower(trim(text)), ' ')) >= 3"))
+        .selectExpr("doc_id",
+          "graft_ngrams(split(lower(trim(text)), ' '), 3, true) AS sh")
         .selectExpr("doc_id", "sh", "graft_minhash16(sh) AS sg")
         .transform(CacheScope.track(_))
       val bands = d.selectExpr("doc_id",

@@ -2,7 +2,7 @@ package graft.lake
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ClassicConversions._
 
@@ -75,6 +75,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 1, "graft_minhash16 takes 1 argument")
         graft.functions.MinHash16(children.head)
+      }))
+    ext.injectFunction((FunctionIdentifier("graft_ngrams"),
+      new ExpressionInfo("graft.functions.Ngrams", "graft_ngrams",
+        "graft_ngrams(tokens, n[, dedup]) - space-joined word n-grams"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2 || children.length == 3,
+          "graft_ngrams takes (tokens, n) or (tokens, n, dedup)")
+        def lit[T](e: Expression, what: String): T = e match {
+          case Literal(v, _) if v != null => v.asInstanceOf[T]
+          case other => throw new IllegalArgumentException(
+            s"graft_ngrams $what must be a literal, got ${other.sql}")
+        }
+        graft.functions.Ngrams(children.head,
+          lit[Int](children(1), "window n"),
+          if (children.length == 3) lit[Boolean](children(2), "dedup")
+          else false)
       }))
     ext.injectFunction((FunctionIdentifier("graft_lsh_bits"),
       new ExpressionInfo("graft.functions.LshBits", "graft_lsh_bits",

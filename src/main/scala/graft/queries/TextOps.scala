@@ -221,18 +221,19 @@ object TextOps {
       val d = raw
         .repartition(width, col("doc_id"))
         .filter(expr(s"size($TOKS) >= 3"))
-        .selectExpr("doc_id", s"$TOKS AS tk")
-        .selectExpr("doc_id",
-          """array_distinct(transform(sequence(1, size(tk) - 2),
-            |  i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1),
-            |              ' ', element_at(tk, i + 2)))) AS sh""".stripMargin)
-        // r9: the five-transform signature chain (md5 hex → two conv
-        // parses → 16 zip_with minima, all interpreted higher-order
-        // lambdas with three intermediate arrays per shingle set) is
-        // fused into the codegen'd graft_minhash16 kernel —
-        // value-identical by construction (functions/MinHash16.scala),
-        // sf10 A/B 25.7 → 3.7 s (PerfLab t11_cur/t11_fused). The DuckDB
-        // oracle keeps the string formulation.
+        // r9: the shingling transform (3 interpreted element_at + concat
+        // per window, then array_distinct) and the five-transform
+        // signature chain (md5 hex → two conv parses → 16 zip_with
+        // minima) are fused into the codegen'd graft_ngrams/
+        // graft_minhash16 kernels — value-identical by construction
+        // (functions/Ngrams.scala, functions/MinHash16.scala), sf10 A/B
+        // 25.7 → 3.7 → 3.2 s (PerfLab t11_cur/t11_fused/t11_ngrams). An
+        // eager cache fill before the three consumer branches was
+        // measured WORSE at sf100 (65.6 vs 51.9 s, t11_fused_eager):
+        // the racing fill stages share per-partition block computation,
+        // the extra pass doesn't. The DuckDB oracle keeps the string
+        // formulation.
+        .selectExpr("doc_id", s"graft_ngrams($TOKS, 3, true) AS sh")
         .selectExpr("doc_id", "sh", "graft_minhash16(sh) AS sg")
         .transform(CacheScope.track(_))
       val bands = d.selectExpr("doc_id",
@@ -412,14 +413,17 @@ object TextOps {
     // production.
     "t17_decontaminate" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // r9: the gram transform (5 interpreted element_at + concat_ws per
+      // window, then array_distinct) is the whole per-row cost and the
+      // un-cached `all` frame pays it on both branches — fused into the
+      // codegen'd graft_ngrams kernel (functions/Ngrams.scala), sf10 A/B
+      // 12.8 → 7.5 s (PerfLab t17_cur/t17_ngrams). The DuckDB oracle
+      // keeps the string formulation.
       def grams(df: DataFrame): DataFrame = df
         .selectExpr("doc_id", "source", s"$TOKS AS tk")
         .filter(expr("size(tk) >= 5"))
         .selectExpr("doc_id", "source",
-          """explode(array_distinct(transform(sequence(1, size(tk) - 4),
-            |  i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1),
-            |    element_at(tk, i + 2), element_at(tk, i + 3),
-            |    element_at(tk, i + 4))))) AS g""".stripMargin)
+          "explode(graft_ngrams(tk, 5, true)) AS g")
       val all = grams(docs)
       val bench = all.filter(col("source") === "src0").select("g").distinct()
       all.filter(col("source") =!= "src0")

@@ -131,6 +131,52 @@ class FunctionsSpec extends AnyFunSuite {
     assert(df.filter(!(col("fast") <=> col("slow"))).count() == 0)
   }
 
+  test("graft_ngrams agrees with the transform/concat lambda chains (t11 n=3, t17 n=5)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val words = Vector("alpha", "beta", "gamma", "delta", "x", "committee",
+      "zh_word", "émoji", "0", "", "tok")
+    // arrays of length >= 5 so both chains' element_at windows are valid
+    val rows = (1 to 300).map { _ =>
+      Seq.fill(5 + rnd.nextInt(40))(words(rnd.nextInt(words.length)))
+    }
+    val df = rows.toDF("tk").selectExpr(
+      "graft_ngrams(tk, 3, true) AS f3",
+      """array_distinct(transform(sequence(1, size(tk) - 2),
+        |  i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1),
+        |              ' ', element_at(tk, i + 2)))) AS s3""".stripMargin,
+      "graft_ngrams(tk, 5, true) AS f5",
+      """array_distinct(transform(sequence(1, size(tk) - 4),
+        |  i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1),
+        |    element_at(tk, i + 2), element_at(tk, i + 3),
+        |    element_at(tk, i + 4)))) AS s5""".stripMargin,
+      "graft_ngrams(tk, 2, false) AS f2",
+      """transform(sequence(1, size(tk) - 1),
+        |  i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1))) AS s2""".stripMargin)
+    assert(df.filter(!(col("f3") <=> col("s3"))).count() == 0)
+    assert(df.filter(!(col("f5") <=> col("s5"))).count() == 0)
+    assert(df.filter(!(col("f2") <=> col("s2"))).count() == 0)
+  }
+
+  test("graft_ngrams edge semantics: short input, null array, null tokens") {
+    import spark.implicits._
+    val df = Seq(
+        (1, Some(Seq("a", "b"))),          // shorter than the window
+        (2, Some(Seq.empty[String])),
+        (3, None),                          // null array → null (like transform)
+        (4, Some(Seq("a", null, "c", "d"))) // null token skipped (concat_ws)
+      ).toDF("id", "tk")
+      .selectExpr("id", "graft_ngrams(tk, 3, true) AS g").orderBy("id")
+    val rows = df.collect()
+    // lambda chain would error via element_at(0) on short input; the
+    // kernel returns [] (its callers filter size >= n first)
+    assert(rows(0).getSeq[Any](1) == Seq.empty)
+    assert(rows(1).getSeq[Any](1) == Seq.empty)
+    assert(rows(2).isNullAt(1))
+    // windows (a,null,c) → "a c" and (null,c,d) → "c d"
+    assert(rows(3).getSeq[Any](1) == Seq("a c", "c d"))
+  }
+
   test("graft_minhash16 null/empty semantics match array_min over nulls") {
     import spark.implicits._
     val df = Seq(
