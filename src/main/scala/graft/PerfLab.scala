@@ -870,6 +870,56 @@ object PerfLab {
             .limit(20)
         } else graft.queries.Relational.queries("q13_big_orders")(s, dir)
       res
+    }),
+
+    // ---- q20: per-supplier HAVING rollup (r9: parity at sf10, 1.45x
+    // at sf30 — where does the scale-up go?) ---------------------------
+    "q20_cur" -> ((s, dir) =>
+      graft.queries.Relational.queries("q20_having")(s, dir)),
+    // long-cents accumulator instead of the per-row Decimal(12,2) sum —
+    // the q13/q15 primitive-accumulator lesson applied to a plain SUM:
+    // total cents fit a long (180M rows x ~1e7 cents << 2^63) and the
+    // total is scale-shifted through an exact decimal for the oracle
+    // double, so the result is bit-identical to sum2().
+    "q20_cents" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum((col("l_extendedprice") * 100 + 0.5).cast("long")).as("cents"))
+        .filter(col("n_items") > 20)
+        .select(col("l_suppkey"), col("n_items"),
+          (col("cents").cast(org.apache.spark.sql.types.DecimalType(38, 2)) / lit(100))
+            .cast("string").cast("double").as("sum_price"))
+        .orderBy(col("l_suppkey"))
+    }),
+    // sort dropped: is the range-exchange + sort of the O(suppliers)
+    // result frame a visible slice of the wall time?
+    "q20_nosort" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum((col("l_extendedprice") * 100 + 0.5).cast("long")).as("cents"))
+        .filter(col("n_items") > 20)
+    }),
+    // bare scan+agg floor in the real grouped shape (NOT a global agg —
+    // see the memory-file pitfall): group keys kept, cheap long count.
+    "q20_floor" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_items"))
+        .filter(col("n_items") > 20)
+    }),
+
+    // ---- q27: sessionize (3.52x at sf30, 0.95 s abs) -----------------
+    "q27_cur" -> ((s, dir) =>
+      graft.queries.Relational.queries("q27_sessionize")(s, dir)),
+    // filtered-scan floor in the real shape: same pushed filter + the
+    // window exchange, no window functions.
+    "q27_scan" -> ((s, dir) => {
+      t(s, dir, "events")
+        .filter(col("user_id") < 50)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"))
     })
   )
 

@@ -37,6 +37,16 @@ object Relational {
   private def dbl(c: Column): Column = c.cast("string").cast("double")
   /** Exact decimal sum, surfaced as a double (bit-identical across engines). */
   private def sum2(c: Column): Column = dbl(sum(d2(c)))
+  /** [[sum2]] on a primitive long-cents accumulator: floor-cast cents
+    * (exact HALF_UP on the non-negative 2-decimal domain, see [[cents]])
+    * are summed as longs — 180M rows × ~1e7 cents stays far below 2^63 —
+    * and the total is scale-shifted through an EXACT decimal, so the
+    * surfaced double is bit-identical to sum2's. Skips the per-row
+    * Decimal(12,2) accumulation (measured 1.28× on q20, PerfLab
+    * q20_cur/q20_cents — the cents variant sits AT the grouped scan
+    * floor q20_floor). */
+  private def sumCents(c: Column): Column =
+    dbl(sum(cents(c)).cast(DecimalType(38, 2)) / lit(100))
   /** Exact sum of a decimal product expression, as a double. */
   private def sumd(c: Column): Column = dbl(sum(c))
   /** Exact revenue sum `Σ price·(1-disc)` on a PRIMITIVE accumulator (the
@@ -643,7 +653,7 @@ object Relational {
     "q20_having" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy(col("l_suppkey"))
-        .agg(count(lit(1)).as("n_items"), sum2(col("l_extendedprice")).as("sum_price"))
+        .agg(count(lit(1)).as("n_items"), sumCents(col("l_extendedprice")).as("sum_price"))
         .filter(col("n_items") > 20)
         .orderBy(col("l_suppkey"))
     }),
