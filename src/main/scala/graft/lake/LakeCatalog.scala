@@ -171,6 +171,16 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
     if (readOnly) throw new UnsupportedOperationException(
       s"catalog $catalogName is a read-only frozen mount")
 
+  /** DSv2 DDL gate (create/alter/drop/rename): superuser when the
+    * session declares a user — see [[LakeAcl]] */
+  private def aclSuper(op: String): Unit = {
+    val spark = SparkSession.active
+    if (LakeAcl.enforced(spark) && frozenState.isEmpty) {
+      val st = store.state()
+      LakeAcl.requireSuperuser(spark, st, op, st.currentSnapshotId)
+    }
+  }
+
   private def state(): CatalogState = frozenState.getOrElse(store.state())
   /** read-side state for view resolution (frozen or live) */
   private[graft] def catalogState(): CatalogState = state()
@@ -240,6 +250,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     requireWritable()
+    aclSuper("CREATE TABLE")
     val schemaName = ns(ident)
     val partKeys = partitions.toList.map(parseTransform)
     // PROP_COMMENT stays: `CREATE TABLE ... COMMENT '...'` and
@@ -297,6 +308,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     requireWritable()
+    aclSuper("ALTER TABLE")
     val schemaName = ns(ident)
     store.commitWithRetry() { (st, sid) =>
       val cur = st.currentSnapshotId
@@ -408,6 +420,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
 
   override def dropTable(ident: Identifier): Boolean = {
     requireWritable()
+    aclSuper("DROP TABLE")
     val schemaName = ns(ident)
     try {
       store.commitWithRetry() { (st, sid) =>
@@ -433,6 +446,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     requireWritable()
+    aclSuper("RENAME TABLE")
     store.commitWithRetry() { (st, sid) =>
       val cur = st.currentSnapshotId
       val entry = st.tableAt(ns(oldIdent), oldIdent.name(), cur)

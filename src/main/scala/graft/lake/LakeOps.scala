@@ -62,6 +62,20 @@ class Lake(val spark: SparkSession, val root: String,
     require(!store.isInstanceOf[StagingStore],
       s"$op deletes or exports physical files and cannot run inside a transaction")
 
+  /** role/user/grant DDL + ACL metadata (SURVEY §2.A A30, [[LakeAcl]]) */
+  def acl: AclOps = new AclOps(this)
+
+  /** DDL + maintenance gate: when the session declares a user
+    * (`graft.user`), these ops require the superuser role — the
+    * reference's intended-access matrix (docs/access_control.md), with
+    * the enforcement its pg_duckdb planner skips. Zero metadata reads
+    * when no user is declared. */
+  private def aclSuper(op: String): Unit =
+    if (LakeAcl.enforced(spark)) {
+      val st = store.state()
+      LakeAcl.requireSuperuser(spark, st, op, st.currentSnapshotId)
+    }
+
   def schemaOf(table: String): (String, String) = table.split('.') match {
     case Array(s, t) => (s, t)
     case Array(t) => ("main", t)
@@ -80,6 +94,7 @@ class Lake(val spark: SparkSession, val root: String,
       partitionKeys: List[PartitionKey] = Nil,
       sortKeys: List[SortKey] = Nil,
       props: Map[String, String] = Map.empty): Long = {
+    aclSuper("CREATE TABLE")
     val (sn, tn) = schemaOf(table)
     store.commitWithRetry() { (st, sid) =>
       require(st.tableAt(sn, tn, st.currentSnapshotId).isEmpty, s"table $table exists")
@@ -118,6 +133,7 @@ class Lake(val spark: SparkSession, val root: String,
 
   def insertRows(table: String, rows: Seq[Seq[Any]]): Long = {
     val (sn, tn) = schemaOf(table)
+    LakeAcl.check(spark, store, "INSERT", sn, tn)
     LakeWrite.insertRows(spark, store, sn, tn, rows)
   }
 
@@ -145,6 +161,7 @@ class Lake(val spark: SparkSession, val root: String,
     * `cleanup_old_files` may delete them once superseded. */
   def addDataFiles(table: String, paths: Seq[String],
       collectStats: Boolean = true): Long = {
+    aclSuper("add_data_files")
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     require(paths.nonEmpty, "addDataFiles: no paths given")
@@ -411,6 +428,8 @@ class Lake(val spark: SparkSession, val root: String,
   def tableChanges(table: String, startExclusive: Long, endInclusive: Long): DataFrame = {
     val st = store.state()
     val e = resolve(table, st)
+    LakeAcl.requirePriv(spark, st, "SELECT", e.schemaName, e.tableName,
+      st.currentSnapshotId)
     val tid = e.tableId
     val cols = st.columnsAt(tid, endInclusive)
     val metaSchema = Seq(StructField("_change_type", StringType),
@@ -668,6 +687,7 @@ class Lake(val spark: SparkSession, val root: String,
     * small-file tail, never the whole table. One snapshot swaps the file
     * entries; row ids are preserved (explicit `_graft_row_id`). */
   def mergeAdjacentFiles(table: String): Long = {
+    aclSuper("merge_adjacent_files")
     requireNotInTransaction("mergeAdjacentFiles")
     val (sn, tn) = schemaOf(table)
     val st = store.state()
@@ -729,6 +749,7 @@ class Lake(val spark: SparkSession, val root: String,
     * compaction uses. Change feed sees no logical change (compacted tag).
     */
   def rewriteSorted(table: String, beforeCommit: () => Unit = () => ()): Long = {
+    aclSuper("rewrite_sorted")
     requireNotInTransaction("rewriteSorted")
     val (sn, tn) = schemaOf(table)
     val st = store.state()
@@ -791,6 +812,7 @@ class Lake(val spark: SparkSession, val root: String,
     * snapshot). Columns must be numeric, date, or timestamp. */
   def rewriteZOrder(table: String, zcols: Seq[String], buckets: Int = 256,
       beforeCommit: () => Unit = () => ()): Long = {
+    aclSuper("rewrite_zorder")
     requireNotInTransaction("rewriteZOrder")
     require(zcols.size >= 2 && zcols.size <= 4,
       "rewriteZOrder takes 2-4 columns (one column wants rewriteSorted)")
@@ -870,6 +892,7 @@ class Lake(val spark: SparkSession, val root: String,
     * Returns the committed snapshot id, or the current one if the table
     * has fewer than two live delete files. */
   def consolidateDeleteFiles(table: String): Long = {
+    aclSuper("consolidate_delete_files")
     requireNotInTransaction("consolidateDeleteFiles")
     val st0 = store.state()
     val e = resolve(table, st0)
@@ -922,6 +945,7 @@ class Lake(val spark: SparkSession, val root: String,
     * src/pgducklake_vacuum.cpp:45-66; default threshold from GUC
     * ducklake.vacuum_delete_threshold = 0.1). */
   def rewriteDataFiles(table: String, threshold: Double): Long = {
+    aclSuper("rewrite_data_files")
     requireNotInTransaction("rewriteDataFiles")
     val (sn, tn) = schemaOf(table)
     val st = store.state()
@@ -965,6 +989,7 @@ class Lake(val spark: SparkSession, val root: String,
   /** flush_inlined_data (reference src/pgducklake_functions.cpp:213-266):
     * move inline-log rows into parquet, preserving row ids. */
   def flushInlinedData(table: String): Long = {
+    aclSuper("flush_inlined_data")
     val (sn, tn) = schemaOf(table)
     val st = store.state()
     val e = resolve(table, st)
@@ -987,6 +1012,7 @@ class Lake(val spark: SparkSession, val root: String,
     * physically delete files scheduled for deletion. The retention window
     * defaults to the `delete_older_than` option (docs/settings.md). */
   def cleanupOldFiles(olderThanMs: Option[Long] = None): Long = {
+    aclSuper("cleanup_old_files")
     requireNotInTransaction("cleanupOldFiles")
     val st = store.state()
     val now = System.currentTimeMillis()
@@ -1022,6 +1048,7 @@ class Lake(val spark: SparkSession, val root: String,
     * `olderThanMs` or option `orphan_older_than`) spares files another
     * writer has promoted but not yet committed. Returns the deleted paths. */
   def deleteOrphanedFiles(olderThanMs: Option[Long] = None): Vector[String] = {
+    aclSuper("delete_orphaned_files")
     requireNotInTransaction("deleteOrphanedFiles")
     val st = store.state()
     val io = StoreIO.forPath(store.root)
@@ -1059,6 +1086,7 @@ class Lake(val spark: SparkSession, val root: String,
     * at replacement time, so expiry + `cleanupOldFiles` together bound how
     * far back the physical data must be retained. */
   def expireSnapshots(olderThanMs: Option[Long] = None): Long = {
+    aclSuper("expire_snapshots")
     requireNotInTransaction("expireSnapshots")
     val st = store.state()
     val cur = st.currentSnapshotId
@@ -1090,6 +1118,7 @@ class Lake(val spark: SparkSession, val root: String,
     * (docs/ducklake_feature_coverage.md:112). */
   def setOption(key: String, value: String, table: Option[String] = None,
       schema: Option[String] = None): Long = {
+    aclSuper("set_option")
     require(table.isEmpty || schema.isEmpty, "setOption: give table OR schema, not both")
     val st0 = store.state()
     val scope = table.map(t => resolve(t, st0).tableId.toString)
@@ -1112,6 +1141,7 @@ class Lake(val spark: SparkSession, val root: String,
     * per-file stats, falling back to one column-pruned scan. DROP NOT
     * NULL also works through plain SQL. */
   def setNotNull(table: String, column: String, notNull: Boolean = true): Long = {
+    aclSuper("ALTER TABLE")
     requireNotInTransaction("setNotNull")
     val (sn, tn) = schemaOf(table)
     val cat = new LakeCatalog()
@@ -1130,6 +1160,7 @@ class Lake(val spark: SparkSession, val root: String,
     * ducklake_tag). SQL `COMMENT ON TABLE` lowers onto the same tag via
     * the DSv2 catalog's SetProperty("comment"). None clears. */
   def setComment(table: String, comment: Option[String]): Long = {
+    aclSuper("COMMENT ON TABLE")
     val st0 = store.state()
     val tid = resolve(table, st0).tableId
     store.commitWithRetry() { (st, sid) =>
@@ -1146,6 +1177,7 @@ class Lake(val spark: SparkSession, val root: String,
     * ducklake_column_tag (pgducklake_freeze.cpp:40). The column EPOCH is
     * untouched: comments never affect file readability or time travel. */
   def setColumnComment(table: String, column: String, comment: Option[String]): Long = {
+    aclSuper("COMMENT ON COLUMN")
     val st0 = store.state()
     val tid = resolve(table, st0).tableId
     val c = st0.columnsAt(tid, st0.currentSnapshotId).find(_.name == column)
@@ -1192,6 +1224,7 @@ class Lake(val spark: SparkSession, val root: String,
     * definition live at the requested snapshot. */
   def createView(name: String, viewSql: String, aliases: Seq[String] = Nil,
       orReplace: Boolean = true): Long = {
+    aclSuper("CREATE VIEW")
     val (sn, vn) = schemaOf(name)
     // parse now: a syntactically broken definition should fail CREATE,
     // not the first read
@@ -1213,6 +1246,7 @@ class Lake(val spark: SparkSession, val root: String,
   }
 
   def dropView(name: String): Long = {
+    aclSuper("DROP VIEW")
     val (sn, vn) = schemaOf(name)
     store.commitWithRetry() { (st, sid) =>
       require(LakeViewDefs.viewAt(st, sn, vn, st.currentSnapshotId).isDefined,
@@ -1276,6 +1310,7 @@ class Lake(val spark: SparkSession, val root: String,
     * (case-insensitive) name. */
   def createMacro(name: String, params: Seq[String], body: String,
       orReplace: Boolean = true, kind: String = "scalar"): Long = {
+    aclSuper("CREATE MACRO")
     require(kind == "scalar" || kind == "table", s"macro kind: $kind")
     val (sn, mn) = schemaOf(name)
     // a broken body fails the CREATE, not the first use: scalar bodies
@@ -1305,6 +1340,7 @@ class Lake(val spark: SparkSession, val root: String,
   /** DROP MACRO (kind `scalar`) / DROP MACRO TABLE (kind `table`) — like
     * DuckDB, the statement kind must match the stored macro's kind. */
   def dropMacro(name: String, kind: String = "scalar"): Long = {
+    aclSuper("DROP MACRO")
     val (sn, mn) = schemaOf(name)
     val sid = store.commitWithRetry() { (st, sid) =>
       val m = LakeViewDefs.macroAt(st, sn, mn, st.currentSnapshotId)

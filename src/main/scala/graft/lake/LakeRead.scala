@@ -73,6 +73,16 @@ object LakeRead {
       s: Long,
       filters: Seq[org.apache.spark.sql.sources.Filter] = Nil,
       withRowMeta: Boolean = false): DataFrame = {
+    // the universal read choke point: every read path (API, DSv2 SQL,
+    // change feed, stored views) lands here, so the SELECT check cannot
+    // be planned around — closing the reference's documented permInfos
+    // gap (docs/access_control.md "Known Gaps"; LakeAcl scaladoc)
+    // privileges evaluate at the CURRENT snapshot, not the scan snapshot
+    // `s` — PG semantics: time travel (and the change feed's historical
+    // scoped scans) reads old DATA under today's ACL
+    st.tableById(tableId, s).foreach(e =>
+      LakeAcl.requirePriv(spark, st, "SELECT", e.schemaName, e.tableName,
+        st.currentSnapshotId))
     LakeEncryption.ensureReadConfFor(spark, st, tableId, s)
     val cols = st.columnsAt(tableId, s)
     require(cols.nonEmpty, s"table $tableId has no columns at snapshot $s")

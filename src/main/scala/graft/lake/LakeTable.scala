@@ -320,6 +320,11 @@ private[lake] class LakeScanBuilder(table: LakeTable) extends ScanBuilder
 
   override def build(): Scan = {
     val session = SparkSession.active
+    // tier-independent SELECT gate: the native parquet tiers bypass
+    // LakeRead.scanDF, so the DSv2 check lives at scan build (current
+    // ACL, like the scanDF choke point — see LakeAcl)
+    LakeAcl.requirePriv(session, table.st, "SELECT", table.schemaName,
+      table.tableName, table.st.currentSnapshotId)
     LakeEncryption.ensureReadConfFor(session, table.st, table.entry.tableId,
       table.snapshot)
     // the _row_id metadata column only exists on the composed tier

@@ -220,6 +220,12 @@ object LakeWrite {
         (_, _) => (Nil, Nil)): Long = {
     val st0 = store.state()
     val s0 = st0.currentSnapshotId
+    // every insert path funnels here (API, DSv2, SQL DML, streaming
+    // sink); overwrite additionally removes rows → DELETE (PG's TRUNCATE
+    // analog). LakeAcl scaladoc has the full enforcement map.
+    LakeAcl.requirePriv(spark, st0, "INSERT", schemaName, tableName, s0)
+    if (overwrite)
+      LakeAcl.requirePriv(spark, st0, "DELETE", schemaName, tableName, s0)
     val tid = st0.tableAt(schemaName, tableName, s0)
       .getOrElse(throw new NoSuchElementException(s"no table $schemaName.$tableName")).tableId
     val cols = st0.columnsAt(tid, s0)
@@ -494,6 +500,7 @@ object LakeWrite {
       beforeCommit: () => Unit = () => ()): (Long, Long) = {
     val st0 = store.state()
     val s0 = st0.currentSnapshotId
+    LakeAcl.requirePriv(spark, st0, "DELETE", schemaName, tableName, s0)
     val tid = st0.tableAt(schemaName, tableName, s0)
       .getOrElse(throw new NoSuchElementException(s"no table $schemaName.$tableName")).tableId
 
@@ -577,6 +584,7 @@ object LakeWrite {
       set: Map[String, Column]): (Long, Long) = {
     val st0 = store.state()
     val s0 = st0.currentSnapshotId
+    LakeAcl.requirePriv(spark, st0, "UPDATE", schemaName, tableName, s0)
     val tid = st0.tableAt(schemaName, tableName, s0)
       .getOrElse(throw new NoSuchElementException(s"no table $schemaName.$tableName")).tableId
     val cols = st0.columnsAt(tid, s0)
@@ -731,6 +739,19 @@ object LakeWrite {
       notMatchedBySource: Seq[MergeMatched] = Nil): (Long, Long, Long, Long) = {
     val st0 = store.state()
     val s0 = st0.currentSnapshotId
+    // PG MERGE checks the privilege per action clause; the lake checks
+    // the union of privileges the statement's clauses can exercise
+    if (LakeAcl.enforced(spark)) {
+      if (matched.nonEmpty || notMatchedBySource.nonEmpty) {
+        // set=None is a WHEN ... THEN DELETE clause
+        val needsDelete = (matched ++ notMatchedBySource).exists(_.set.isEmpty)
+        LakeAcl.requirePriv(spark, st0, "UPDATE", schemaName, tableName, s0)
+        if (needsDelete)
+          LakeAcl.requirePriv(spark, st0, "DELETE", schemaName, tableName, s0)
+      }
+      if (notMatched.nonEmpty)
+        LakeAcl.requirePriv(spark, st0, "INSERT", schemaName, tableName, s0)
+    }
     val tid = st0.tableAt(schemaName, tableName, s0)
       .getOrElse(throw new NoSuchElementException(s"no table $schemaName.$tableName")).tableId
     val cols = st0.columnsAt(tid, s0)

@@ -282,11 +282,56 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?MACRO\s+([\w.`]+)\s*\(([^)]*)\)\s+AS\s+(TABLE\s+)?(.+?)\s*;?\s*""".r
   private val DropMacroRe =
     """(?is)\s*DROP\s+MACRO\s+(TABLE\s+)?(IF\s+EXISTS\s+)?([\w.`]+)\s*;?\s*""".r
+  // ---- access-control DDL (A30; reference access_control.md + PG role
+  // grammar). Spark has no ROLE/GRANT grammar at all, so these match at
+  // the parse boundary and run against the session's CURRENT catalog
+  // (must be a lake catalog — commands error otherwise).
+  private val CreateRoleRe =
+    """(?is)\s*CREATE\s+ROLE\s+(\w+)\s*;?\s*""".r
+  private val DropRoleRe =
+    """(?is)\s*DROP\s+ROLE\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*""".r
+  private val CreateUserRe =
+    """(?is)\s*CREATE\s+USER\s+(\w+)(?:\s+IN\s+ROLE\s+([\w,\s]+?))?\s*;?\s*""".r
+  private val DropUserRe =
+    """(?is)\s*DROP\s+USER\s+(IF\s+EXISTS\s+)?(\w+)\s*;?\s*""".r
+  private val GrantTableRe =
+    """(?is)\s*GRANT\s+([\w,\s]+?)\s+ON\s+(?:TABLE\s+)?([\w.]+)\s+TO\s+(\w+)\s*;?\s*""".r
+  private val GrantRoleRe =
+    """(?is)\s*GRANT\s+(\w+)\s+TO\s+(\w+)\s*;?\s*""".r
+  private val RevokeTableRe =
+    """(?is)\s*REVOKE\s+([\w,\s]+?)\s+ON\s+(?:TABLE\s+)?([\w.]+)\s+FROM\s+(\w+)\s*;?\s*""".r
+  private val RevokeRoleRe =
+    """(?is)\s*REVOKE\s+(\w+)\s+FROM\s+(\w+)\s*;?\s*""".r
+  private val ShowRolesRe = """(?is)\s*SHOW\s+ROLES\s*;?\s*""".r
+  private val ShowGrantsRe =
+    """(?is)\s*SHOW\s+GRANTS(?:\s+ON\s+(?:TABLE\s+)?([\w.]+))?\s*;?\s*""".r
+
+  private def curCat: String = CatalogAccess.currentCatalogName(session)
+  private def csv(s: String): Seq[String] =
+    s.split(',').map(_.trim).filter(_.nonEmpty).toSeq
 
   private def parts(qualified: String): Seq[String] =
     delegate.parseMultipartIdentifier(qualified)
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case CreateRoleRe(name) => CreateLakeRoleCommand(curCat, name)
+    case DropRoleRe(ifExists, name) =>
+      DropLakeRoleCommand(curCat, name, ifExists != null)
+    case CreateUserRe(name, roles) =>
+      CreateLakeUserCommand(curCat, name,
+        Option(roles).map(csv).getOrElse(Nil))
+    case DropUserRe(ifExists, name) =>
+      DropLakeUserCommand(curCat, name, ifExists != null)
+    case GrantTableRe(privs, table, role) =>
+      GrantLakeCommand(curCat, csv(privs), Some(table), role)
+    case GrantRoleRe(role, user) =>
+      GrantLakeCommand(curCat, Seq(role), None, user)
+    case RevokeTableRe(privs, table, role) =>
+      RevokeLakeCommand(curCat, csv(privs), Some(table), role)
+    case RevokeRoleRe(role, user) =>
+      RevokeLakeCommand(curCat, Seq(role), None, user)
+    case ShowRolesRe() => ShowLakeRolesCommand(curCat)
+    case ShowGrantsRe(table) => ShowLakeGrantsCommand(curCat, Option(table))
     case CreateMacroRe(orReplace, name, params, tableKw, body) =>
       // validate the body NOW — a broken macro should fail its CREATE
       // statement, not the first use. `AS TABLE <select>` is a TABLE

@@ -969,6 +969,37 @@ object LakeQueries {
         .orderBy("n_nationkey")
     }),
 
+    // ---- access-control roles (A30; docs/access_control.md — with the
+    // DML enforcement the reference documents as a known gap): custom
+    // role + SELECT grant, predefined writer role, a denied write, an
+    // allowed write, a read under the reader grant ----------------------
+    "l56_roles" -> ((s, dir) => {
+      val lake = newLake(s)
+      lake.createTableAs("main.nat", t(s, dir, "nation"))
+      lake.acl.createRole("analyst")
+      lake.acl.createUser("ana", Seq("analyst"))
+      lake.acl.grant("main.nat", "analyst", Seq("SELECT"))
+      lake.acl.createUser("wri", Seq("graft_writer"))
+      def as[T](u: String)(body: => T): T = {
+        s.conf.set(LakeAcl.UserConf, u)
+        try body finally s.conf.unset(LakeAcl.UserConf)
+      }
+      // SELECT-only analyst: the DELETE must bounce
+      val deniedTag = as("ana") {
+        try { lake.delete("main.nat", col("n_nationkey") === 0); "allowed" }
+        catch { case _: SecurityException => "denied" }
+      }
+      // writer-role member: the same DELETE shape is allowed
+      as("wri")(lake.delete("main.nat", col("n_regionkey") === 0))
+      as("ana") {
+        lake.table("main.nat")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          .crossJoin(lake.acl.grants().select(col("role_name"), col("privileges")))
+          .withColumn("write_denied", lit(deniedTag))
+          .orderBy("n_nationkey")
+      }
+    }),
+
     // ---- bucket[N] hidden-partition transform (Iceberg-style; superset —
     // the reference supports identity/year/month/day/hour only): point
     // lookups on a high-cardinality key prune to ONE bucket's files via
@@ -1446,6 +1477,15 @@ object LakeQueries {
     "l55_table_macro" ->
       """SELECT n_nationkey, n_name, 'table' AS macro_type
         |FROM nation WHERE n_regionkey = 1
+        |ORDER BY n_nationkey""".stripMargin,
+
+    // roles: reader-grant user reads what the writer-role user's DELETE
+    // left behind; the denied write surfaces as a constant column
+    "l56_roles" ->
+      """SELECT n_nationkey, n_name, n_regionkey,
+        |       'analyst' AS role_name, 'SELECT' AS privileges,
+        |       'denied' AS write_denied
+        |FROM nation WHERE n_regionkey <> 0
         |ORDER BY n_nationkey""".stripMargin,
 
     // after merge_adjacent_files: one file; set_option visible on the table
