@@ -48,6 +48,19 @@ class FuzzSpec extends AnyFunSuite {
     lake.setOption("target_file_size", "64KB", Some("main.f"))
     lake.setSort("main.f", List(Meta.SortKey("k", ascending = true, nullsFirst = false)))
 
+    // r9: ACL joins the schedule — a custom role + user whose per-table
+    // grant set and membership mutate randomly; after every op the
+    // enforcement matrix is probed under that user and must match the
+    // driver-side model (the main schedule itself runs owner-mode)
+    lake.acl.createRole("fz")
+    lake.acl.createUser("fu", Seq("fz"))
+    var aclPrivs = Set.empty[String]
+    var member = true
+    def asUser[T](u: String)(body: => T): T = {
+      spark.conf.set(LakeAcl.UserConf, u)
+      try body finally spark.conf.unset(LakeAcl.UserConf)
+    }
+
     var model = Map.empty[Long, Long]
     // live view definition: "SELECT k, v FROM f WHERE k % m = r"
     var viewDef: Option[(Int, Int)] = None
@@ -62,7 +75,7 @@ class FuzzSpec extends AnyFunSuite {
 
     var i = 0
     while (i < nOps) {
-      val op = rnd.nextInt(15)
+      val op = rnd.nextInt(18)
       op match {
         case 0 | 1 | 2 | 3 =>
           val n = 50 + rnd.nextInt(150)
@@ -107,6 +120,18 @@ class FuzzSpec extends AnyFunSuite {
         case 14 =>
           if (viewDef.isDefined) { lake.dropView("main.fv"); viewDef = None }
           else i -= 1 // no-op draw, keep the op budget honest
+        case 15 =>
+          val p = LakeAcl.AllPrivs(rnd.nextInt(LakeAcl.AllPrivs.size))
+          lake.acl.grant("main.f", "fz", Seq(p)); aclPrivs += p
+        case 16 =>
+          if (aclPrivs.nonEmpty) {
+            val p = aclPrivs.toSeq.sorted.apply(rnd.nextInt(aclPrivs.size))
+            lake.acl.revoke("main.f", "fz", Seq(p)); aclPrivs -= p
+          } else i -= 1
+        case 17 =>
+          if (member) lake.acl.revokeRole("fz", "fu")
+          else lake.acl.grantRole("fz", "fu")
+          member = !member
       }
       history += ((lake.currentSnapshot(), model, viewDef))
       viewDef.foreach { case (m, r) =>
@@ -120,6 +145,21 @@ class FuzzSpec extends AnyFunSuite {
       assert(got == model,
         s"seed=$seed op#$i kind=$op: lake has ${got.size} rows, model ${model.size}; " +
           s"diff sample: ${(got.toSet -- model.toSet).take(3)} / ${(model.toSet -- got.toSet).take(3)}")
+      // enforcement probes under the fuzz user. UPDATE's scan needs
+      // SELECT too (the WHERE scan goes through the SELECT choke point —
+      // PG posture), so the update expectation conjoins both privileges.
+      val canSel = member && aclPrivs("SELECT")
+      val gotSel = asUser("fu")(
+        try { lake.table("main.f").count(); true }
+        catch { case _: SecurityException => false })
+      assert(gotSel == canSel,
+        s"seed=$seed op#$i: SELECT as fu got $gotSel want $canSel ($aclPrivs member=$member)")
+      val canUpd = member && aclPrivs("UPDATE") && aclPrivs("SELECT")
+      val gotUpd = asUser("fu")(
+        try { lake.update("main.f", col("k") === -1L, Map("v" -> lit(0L))); true }
+        catch { case _: SecurityException => false })
+      assert(gotUpd == canUpd,
+        s"seed=$seed op#$i: UPDATE as fu got $gotUpd want $canUpd ($aclPrivs member=$member)")
       i += 1
     }
 
@@ -143,6 +183,12 @@ class FuzzSpec extends AnyFunSuite {
     val cold = mkLake()
     assert(cold.table("main.f").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap == model)
+    // the ACL state also survives the cold open (checkpoint + tail)
+    val coldPrivs = cold.acl.grants()
+      .filter(col("role_name") === "fz").collect()
+      .flatMap(_.getString(3).split(',')).toSet
+    assert(coldPrivs == aclPrivs,
+      s"seed=$seed cold ACL: $coldPrivs vs $aclPrivs")
   }
 
   test("fuzz seed 20260814, 24 ops")(runFuzz(20260814, 24))
