@@ -247,6 +247,29 @@ class RoleSpec extends AnyFunSuite {
     } finally spark.sql(s"USE $prev")
   }
 
+  test("ACL state rides freeze → thaw as plain ducklake_tag rows") {
+    val lake = seedLake()
+    lake.acl.createRole("r1")
+    lake.acl.createUser("u1", Seq("r1"))
+    lake.acl.grant("main.t", "r1", Seq("SELECT", "DELETE"))
+    val frozen = Files.createTempDirectory("graft_aclfreeze").toString
+    lake.freeze(frozen)
+    val thawed = new Lake(spark, Files.createTempDirectory("graft_aclthaw").toString)
+    thawed.importCatalog(s"$frozen/catalog_parquet")
+    assert(thawed.acl.roles().collect().map(_.getString(0)).contains("r1"))
+    assert(thawed.acl.users().filter(col("user_name") === "u1")
+      .head.getString(1) == "r1")
+    assert(thawed.acl.grants().filter(col("role_name") === "r1")
+      .head.getString(3) == "SELECT,DELETE")
+    // and the imported ACL ENFORCES on the thawed lake too
+    as("u1") {
+      assert(lakeReadCount(thawed) == 3)
+      assert(denied(thawed.table("main.other").count()).contains("SELECT"))
+    }
+  }
+
+  private def lakeReadCount(l: Lake): Long = l.table("main.t").count()
+
   test("ACL state is interval-versioned: grants() time-travels") {
     val lake = seedLake()
     lake.acl.createRole("r1")
