@@ -240,7 +240,23 @@ object Relational {
         .select(col("l_orderkey"), col("s_nationkey"),
           year(col("l_shipdate")).cast("long").as("l_year"),
           col("l_extendedprice"), col("l_discount"))
-      lred.join(o.select(col("o_orderkey"), col("o_custkey")).hint("merge"),
+      // r9: the SMJ's partition width scales with the fact bytes. The
+      // session's 32 shuffle partitions mean multi-GB per-partition sorts
+      // at sf100 (58.8 s, spill-bound); one sort partition per ~64 MB of
+      // fact parquet restores near-linear scaling (31.2 s measured at
+      // sf100 with 256) while leaving ≤sf10 at the session default — the
+      // explicit repartition on the join key REPLACES the join's
+      // ENSURE_REQUIREMENTS exchange (same key, finer width), it does not
+      // add one. This is the cluster-operator rule from the brief: size
+      // shuffle partitions so sorts fit in memory at the target SF.
+      val factBytes =
+        (t(s, dir, "lineitem").queryExecution.optimizedPlan.stats.sizeInBytes +
+          o.queryExecution.optimizedPlan.stats.sizeInBytes).toLong
+      val parts = math.max(s.sessionState.conf.numShufflePartitions,
+        (factBytes / (64L << 20)).toInt)
+      lred.repartition(parts, col("l_orderkey"))
+        .join(o.select(col("o_orderkey"), col("o_custkey"))
+            .repartition(parts, col("o_orderkey")).hint("merge"),
           col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cSlim), col("o_custkey") === col("c_custkey"))
         .groupBy(col("s_nationkey"), col("c_nationkey"), col("l_year"))
