@@ -910,6 +910,17 @@ object PerfLab {
         .filter(col("n_items") > 20)
     }),
 
+    // ---- v05: IVF superlinear 2.26 -> 15.1 s sf30 -> sf100 probe -----
+    "v05_cur" -> ((s, dir) =>
+      graft.queries.VectorOps.queries("v05_knn_ivf")(s, dir)),
+    // the fixture ships embeddings as 4 single-row-group files — scan
+    // parallelism 4 on 32 cores, and the cached assignment inherits it;
+    // spread BEFORE the heavy per-row kernel
+    "v05_repart" -> ((s, dir) =>
+      graft.queries.VectorOps.knnIvf(
+        graft.queries.Tables.load(s, dir, "embeddings")
+          .repartition(s.sparkContext.defaultParallelism))),
+
     // ---- q27: sessionize (3.52x at sf30, 0.95 s abs) -----------------
     "q27_cur" -> ((s, dir) =>
       graft.queries.Relational.queries("q27_sessionize")(s, dir)),

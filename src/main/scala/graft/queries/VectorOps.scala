@@ -28,6 +28,19 @@ object VectorOps {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** The bench fixtures ship embeddings as a handful of single-row-group
+    * parquet files; an unsplittable scan caps parallelism at the file
+    * count (4 tasks on 32 cores — measured 2.3× on v05 at sf100, PerfLab
+    * v05_cur/v05_repart). Spread to machine width before the per-row
+    * kernels when the scan is narrower than the default parallelism; at
+    * production scale file counts exceed cores and this is a no-op. */
+  private def spread(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    if (df.rdd.getNumPartitions < sc.defaultParallelism)
+      df.repartition(sc.defaultParallelism)
+    else df
+  }
+
   /** integer milli-quantization of the float vector */
   private val QVEC =
     "transform(embedding, x -> floor(cast(x as double) * 1000 + 0.5d))"
@@ -399,10 +412,10 @@ object VectorOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- brute-force cosine top-k (correctness baseline) -------------------
-    "v01_knn_brute" -> ((s, dir) => knnBrute(t(s, dir, "embeddings"))),
+    "v01_knn_brute" -> ((s, dir) => knnBrute(spread(t(s, dir, "embeddings")))),
 
     // ---- IVF ANN (centroid inverted lists, cluster-pruned probe) ----------
-    "v05_knn_ivf" -> ((s, dir) => knnIvf(t(s, dir, "embeddings"))),
+    "v05_knn_ivf" -> ((s, dir) => knnIvf(spread(t(s, dir, "embeddings")))),
 
     // ---- IVF over the PRODUCTION layout: a lake table hidden-partitioned
     // by cluster. Index build = assign centroids and store the quantized
@@ -415,7 +428,7 @@ object VectorOps {
     "v07_ivf_partitioned" -> ((s, dir) => {
       val lake = LakeQueries.freshLake(s)
       val cents = centroidsLit("array(", ")", "L")
-      val indexed = nonzeroQ(t(s, dir, "embeddings"))
+      val indexed = nonzeroQ(spread(t(s, dir, "embeddings")))
         .selectExpr("vec_id", s"$QVEC AS q")
         .selectExpr("vec_id", "q", s"$SQNORM AS nsq")
         .selectExpr("vec_id", "q", "nsq",
@@ -475,7 +488,7 @@ object VectorOps {
     "v03_knn_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val small = emb.queryExecution.optimizedPlan.stats.sizeInBytes < 16L * 1024 * 1024
-      knnLsh(emb, carryPayload = small)
+      knnLsh(spread(emb), carryPayload = small)
     }),
 
     // ---- embedding-cosine near-duplicate pairs (dedup modality) ------------
@@ -490,7 +503,7 @@ object VectorOps {
     "v04_embedding_neardup" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val small = emb.queryExecution.optimizedPlan.stats.sizeInBytes < 16L * 1024 * 1024
-      embeddingNearDup(emb, carryPayload = small)
+      embeddingNearDup(spread(emb), carryPayload = small)
     }),
 
     // ---- per-label corpus stats --------------------------------------------
@@ -529,7 +542,7 @@ object VectorOps {
     // max code 127, so code-norm positivity is implied — the oracle
     // filters the same way).
     "v08_quantized_rerank" -> ((s, dir) => {
-      val emb = nonzeroQ(t(s, dir, "embeddings"))
+      val emb = nonzeroQ(spread(t(s, dir, "embeddings")))
       // ONE corpus pass computes both representations — the int8 code
       // (stage 1 ranks on it) and the exact milli-quantized vector
       // (stage 2 needs it). Carrying the exact payload through stage 1
