@@ -33,7 +33,22 @@ object CommitProbe {
       Thread.sleep(5)
     }
 
+    // symmetric pacing: before commit i, at least i-1 PARENT commits must
+    // be in the log. Without this, a parent JVM stalled by suite load lets
+    // the child burst all n commits into one window and the spec's
+    // interleaving assertion flakes — the same pacing the parent applies
+    // on child progress, mirrored (observed once under a fully loaded
+    // 32-thread test run).
+    def parentCommits(): Int = store.state().snapshots
+      .count(_.commitMessage.exists(m => !m.startsWith(s"$tag-")))
     val claimed = (0 until n).map { i =>
+      val waitDeadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (parentCommits() < i - 1) {
+        if (System.nanoTime() > waitDeadline) {
+          System.err.println(s"parent stalled before child commit $i"); sys.exit(3)
+        }
+        Thread.sleep(2)
+      }
       store.commitWithRetry(maxRetries = 1000) { (st, sid) =>
         CommitDelta(Snapshot(sid, System.currentTimeMillis(), 0L,
           List(s"probe:$tag-$i"), commitMessage = Some(s"$tag-$i")))
