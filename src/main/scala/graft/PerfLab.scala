@@ -910,6 +910,30 @@ object PerfLab {
         .filter(col("n_items") > 20)
     }),
 
+    // ---- q03: byte-scaled SHJ width (the q07 treatment, targeted at
+    // the join inputs only — the session-wide initialPartitionNum=256
+    // experiment destabilized this query) ------------------------------
+    "q03_width" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      val factBytes =
+        (l.queryExecution.optimizedPlan.stats.sizeInBytes +
+          o.queryExecution.optimizedPlan.stats.sizeInBytes).toLong
+      val parts = math.max(s.sessionState.conf.numShufflePartitions,
+        (factBytes / (64L << 20)).toInt)
+      val oFiltered = o.join(c, col("o_custkey") === col("c_custkey"), "left_semi")
+        .repartition(parts, col("o_orderkey")).hint("shuffle_hash")
+      oFiltered.join(l.repartition(parts, col("l_orderkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(graft.queries.Relational.sumRevMicrosPub(
+          col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
     // ---- v05: IVF superlinear 2.26 -> 15.1 s sf30 -> sf100 probe -----
     "v05_cur" -> ((s, dir) =>
       graft.queries.VectorOps.queries("v05_knn_ivf")(s, dir)),
