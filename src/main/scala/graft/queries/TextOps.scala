@@ -606,6 +606,28 @@ object TextOps {
         .selectExpr("stage", "filter_name", "n_in", "n_kept",
           "n_in - n_kept AS n_dropped")
         .orderBy(col("stage"))
+    }),
+
+    // ---- overlapping token-window chunking (training-corpus prep) --------
+    // stride 48, window 64 (16-token overlap): every token lands in >=1
+    // chunk, boundaries are deterministic, and the shape is map-only --
+    // posexplode of per-row windows shuffles NOTHING, so at 100 TB it
+    // scales embarrassingly (the sort below is presentation-only; a real
+    // pipeline writes the exploded frame straight back out). `tk` is
+    // referenced twice (chunk count + window lambda), which keeps
+    // CollapseProject from substituting the split() into the generator
+    // (the PLANS.md re-expansion trap).
+    "t22_chunking" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .selectExpr("doc_id", "split(trim(text), ' ') AS tk")
+        .selectExpr("doc_id", "tk",
+          "cast(ceil(size(tk) / 48.0d) as int) AS nc")
+        .selectExpr("doc_id",
+          "posexplode(transform(sequence(0, nc - 1), i -> slice(tk, i * 48 + 1, 64))) AS (chunk_idx, ck)")
+        .selectExpr("doc_id", "cast(chunk_idx as bigint) AS chunk_idx",
+          "cast(size(ck) as bigint) AS n_chunk_tokens",
+          "md5(array_join(ck, ' ')) AS chunk_md5")
+        .orderBy(col("doc_id"), col("chunk_idx"))
     })
   )
 
@@ -893,6 +915,16 @@ object TextOps {
          |UNION ALL SELECT 2, 'chars_per_token', k1, k2, k1 - k2 FROM a
          |UNION ALL SELECT 3, 'stopword_ratio', k2, k3, k2 - k3 FROM a
          |UNION ALL SELECT 4, 'repetition', k3, k4, k3 - k4 FROM a
-         |ORDER BY stage""".stripMargin
+         |ORDER BY stage""".stripMargin,
+
+    "t22_chunking" ->
+      s"""WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS tk FROM documents),
+         |e AS (SELECT doc_id, tk,
+         |        unnest(generate_series(0, CAST(ceil(len(tk) / 48.0) AS BIGINT) - 1)) AS ci
+         |      FROM d)
+         |SELECT doc_id, ci AS chunk_idx,
+         |  CAST(len(tk[ci*48 + 1 : ci*48 + 64]) AS BIGINT) AS n_chunk_tokens,
+         |  md5(array_to_string(tk[ci*48 + 1 : ci*48 + 64], ' ')) AS chunk_md5
+         |FROM e ORDER BY doc_id, chunk_idx""".stripMargin
   )
 }
