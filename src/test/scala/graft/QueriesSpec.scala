@@ -47,6 +47,17 @@ class QueriesSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
   }
 
+  test("t22 chunking is map-only: the one exchange is the presentation sort") {
+    // the chunking itself (split → windows → posexplode → md5) must not
+    // shuffle — at 100 TB a pipeline writes the exploded frame straight
+    // out, and any exchange before the final ORDER BY would be data-sized.
+    val plan = SparkEntry.queries("t22_chunking")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected only the rangepartitioning sort exchange, got $exchanges:\n$plan")
+    assert(plan.contains("rangepartitioning"), s"the single exchange is not the sort:\n$plan")
+  }
+
   test("q24 binned range join never plans a nested-loop or cartesian join") {
     // the whole point of the bucket decomposition: a pure range predicate
     // alone would force BroadcastNestedLoopJoin (quadratic at scale).
