@@ -134,7 +134,7 @@ final class AclOps(lake: Lake) {
   private def spark = lake.spark
   private def store = lake.store
 
-  private def ddl(op: String, msg: String)(
+  private def ddl(op: String)(
       build: (CatalogState, Long) => CommitDelta): Long = {
     val st0 = store.state()
     requireSuperuser(spark, st0, op, st0.currentSnapshotId)
@@ -144,7 +144,7 @@ final class AclOps(lake: Lake) {
   private def snap(sid: Long, msg: String): Snapshot =
     Snapshot(sid, System.currentTimeMillis(), sid, List(msg))
 
-  def createRole(role: String): Long = ddl("CREATE ROLE", role) { (st, sid) =>
+  def createRole(role: String): Long = ddl("CREATE ROLE") { (st, sid) =>
     require(!roleExists(st, role, st.currentSnapshotId), s"role $role exists")
     CommitDelta(snapshot = snap(sid, s"acl:create_role:$role"),
       newTags = List(TagEntry(RoleScope, role, "role", sid, None)))
@@ -155,7 +155,7 @@ final class AclOps(lake: Lake) {
     * cascade safely). Predefined roles cannot be dropped — disable them
     * via the `*_role` setting instead, like the reference's empty GUC. */
   def dropRole(role: String, ifExists: Boolean = false): Long =
-    ddl("DROP ROLE", role) { (st, sid) =>
+    ddl("DROP ROLE") { (st, sid) =>
       val s = st.currentSnapshotId
       require(!predefinedRoles(st, s).contains(role),
         s"cannot drop predefined role $role (set its *_role option to '' to disable)")
@@ -181,7 +181,7 @@ final class AclOps(lake: Lake) {
     }
 
   def createUser(user: String, roles: Seq[String] = Nil): Long =
-    ddl("CREATE USER", user) { (st, sid) =>
+    ddl("CREATE USER") { (st, sid) =>
       val s = st.currentSnapshotId
       require(!userExists(st, user, s), s"user $user exists")
       roles.foreach(r => require(roleExists(st, r, s), s"no role $r"))
@@ -190,7 +190,7 @@ final class AclOps(lake: Lake) {
     }
 
   def dropUser(user: String, ifExists: Boolean = false): Long =
-    ddl("DROP USER", user) { (st, sid) =>
+    ddl("DROP USER") { (st, sid) =>
       val s = st.currentSnapshotId
       if (!userExists(st, user, s)) {
         require(ifExists, s"no user $user")
@@ -201,7 +201,7 @@ final class AclOps(lake: Lake) {
 
   /** `GRANT role TO user` — membership. */
   def grantRole(role: String, user: String): Long =
-    ddl("GRANT ROLE", s"$role->$user") { (st, sid) =>
+    ddl("GRANT ROLE") { (st, sid) =>
       val s = st.currentSnapshotId
       require(roleExists(st, role, s), s"no role $role")
       require(userExists(st, user, s), s"no user $user")
@@ -216,7 +216,7 @@ final class AclOps(lake: Lake) {
 
   /** `REVOKE role FROM user`. */
   def revokeRole(role: String, user: String): Long =
-    ddl("REVOKE ROLE", s"$role-x$user") { (st, sid) =>
+    ddl("REVOKE ROLE") { (st, sid) =>
       val s = st.currentSnapshotId
       require(userExists(st, user, s), s"no user $user")
       val cur = rolesOf(st, user, s)
@@ -231,7 +231,7 @@ final class AclOps(lake: Lake) {
   /** `GRANT privs ON TABLE t TO role` — merges with existing grants. */
   def grant(table: String, role: String, privs: Seq[String]): Long = {
     val ps = normPrivs(privs)
-    ddl("GRANT", s"$table->$role") { (st, sid) =>
+    ddl("GRANT") { (st, sid) =>
       val s = st.currentSnapshotId
       val (sn, tn) = lake.schemaOf(table)
       require(st.tableAt(sn, tn, s).isDefined, s"no table $table")
@@ -249,7 +249,7 @@ final class AclOps(lake: Lake) {
   /** `REVOKE privs ON TABLE t FROM role`. */
   def revoke(table: String, role: String, privs: Seq[String]): Long = {
     val ps = normPrivs(privs)
-    ddl("REVOKE", s"$table-x$role") { (st, sid) =>
+    ddl("REVOKE") { (st, sid) =>
       val s = st.currentSnapshotId
       val (sn, tn) = lake.schemaOf(table)
       val scope = grantScope(sn, tn)
