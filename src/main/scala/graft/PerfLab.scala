@@ -910,6 +910,44 @@ object PerfLab {
         .filter(col("n_items") > 20)
     }),
 
+    // ---- q04: superlinear at sf100 (2.6 -> 16.7 s on 3.3x data) ------
+    "q04_cur" -> ((s, dir) =>
+      graft.queries.Relational.queries("q04_priority_semi")(s, dir)),
+    "q04_width" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val big = t(s, dir, "lineitem").filter(col("l_quantity") > 48)
+        .select(col("l_orderkey"))
+      val factBytes =
+        (t(s, dir, "lineitem").queryExecution.optimizedPlan.stats.sizeInBytes +
+          o.queryExecution.optimizedPlan.stats.sizeInBytes).toLong
+      val parts = math.max(s.sessionState.conf.numShufflePartitions,
+        (factBytes / (64L << 20)).toInt)
+      o.select(col("o_orderkey"), col("o_orderpriority"))
+        .repartition(parts, col("o_orderkey"))
+        .join(big.repartition(parts, col("l_orderkey")),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+    "q04_smjw" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val big = t(s, dir, "lineitem").filter(col("l_quantity") > 48)
+        .select(col("l_orderkey"))
+      val factBytes =
+        (t(s, dir, "lineitem").queryExecution.optimizedPlan.stats.sizeInBytes +
+          o.queryExecution.optimizedPlan.stats.sizeInBytes).toLong
+      val parts = math.max(s.sessionState.conf.numShufflePartitions,
+        (factBytes / (64L << 20)).toInt)
+      o.select(col("o_orderkey"), col("o_orderpriority"))
+        .repartition(parts, col("o_orderkey"))
+        .join(big.repartition(parts, col("l_orderkey")).hint("merge"),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // ---- q03: byte-scaled SHJ width (the q07 treatment, targeted at
     // the join inputs only — the session-wide initialPartitionNum=256
     // experiment destabilized this query) ------------------------------

@@ -140,9 +140,26 @@ object Relational {
     }),
 
     "q04_priority_semi" -> ((s, dir) => {
+      // r9: byte-scaled semi-join width (the q07 partition-width rule on
+      // the hash side this time). The fixed-32-partition SHJ went
+      // unstable at sf100 (5.8/9.7/14.8 s across runs — build + probe
+      // memory pressure); width ~64 MB of fact parquet per partition
+      // measures 6.29 s STABLE at sf100, 0.92 s at sf10 (vs 1.55 —
+      // the bare-key repartition also strips the probe side to the two
+      // live columns), neutral at sf30 (PerfLab q04_cur/q04_width/
+      // q04_smjw; the SMJ form measured 0.5 s slower).
       val o = t(s, dir, "orders")
       val big = t(s, dir, "lineitem").filter(col("l_quantity") > 48)
-      o.join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select(col("l_orderkey"))
+      val factBytes =
+        (t(s, dir, "lineitem").queryExecution.optimizedPlan.stats.sizeInBytes +
+          o.queryExecution.optimizedPlan.stats.sizeInBytes).toLong
+      val parts = math.max(s.sessionState.conf.numShufflePartitions,
+        (factBytes / (64L << 20)).toInt)
+      o.select(col("o_orderkey"), col("o_orderpriority"))
+        .repartition(parts, col("o_orderkey"))
+        .join(big.repartition(parts, col("l_orderkey")),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("order_count"))
         .orderBy(col("o_orderpriority"))
@@ -467,31 +484,45 @@ object Relational {
       // (0.81× — first time q13 beats DuckDB); r7 aggregate-everything +
       // shuffle_hash + limit-commute 8.57 s. At 100 TB the probe stays a
       // partial top-K plus a 5000-key broadcast — nothing grows with SF.
-      val N = 5000
       val o = t(s, dir, "orders")
       val l = t(s, dir, "lineitem")
       val c = t(s, dir, "customer")
-      val cand = o.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(N)
-        .persist()
-      val sums = l
-        .join(broadcast(cand.select(col("o_orderkey").as("ck"))),
-          col("l_orderkey") === col("ck"), "left_semi")
-        .groupBy(col("l_orderkey"))
-        .agg(sum(cents(col("l_quantity"))).as("cents"))
-        .filter(col("cents") > 21000)
-        .select(col("l_orderkey"), (col("cents").cast("double") / 100).as("sum_qty"))
-      val top = sums.join(broadcast(cand), col("l_orderkey") === col("o_orderkey"))
-        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(20)
-      // one action materializes the ≤20-row probe result; the persisted
-      // candidate frame unpersists immediately after (cache hygiene —
-      // VERDICT r8 #5: a long-lived session running the registry N×
-      // must not accumulate cached probe plans)
-      val topRows = top.collect()
-      cand.unpersist()
+      // r9: the probe ESCALATES (5k → 500k candidates) before conceding
+      // the full aggregate. The sf100 sweep caught the hazard: when price
+      // and the quantity threshold decorrelate, <20 of the top-5000
+      // qualify and the old single-round probe fell back to the
+      // 150M-group aggregate-everything plan (61 s). A 500k-key round is
+      // still a map-side TakeOrdered + a ~4 MB broadcast — both probe
+      // rounds together cost seconds, and the unconditional fallback
+      // keeps correctness when even 500k candidates miss.
+      var topSchema: org.apache.spark.sql.types.StructType = null
+      def probeRound(n: Int): Array[org.apache.spark.sql.Row] = {
+        val cand = o.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(n)
+          .persist()
+        val sums = l
+          .join(broadcast(cand.select(col("o_orderkey").as("ck"))),
+            col("l_orderkey") === col("ck"), "left_semi")
+          .groupBy(col("l_orderkey"))
+          .agg(sum(cents(col("l_quantity"))).as("cents"))
+          .filter(col("cents") > 21000)
+          .select(col("l_orderkey"), (col("cents").cast("double") / 100).as("sum_qty"))
+        val top = sums.join(broadcast(cand), col("l_orderkey") === col("o_orderkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(20)
+        topSchema = top.schema
+        // one action materializes the ≤20-row probe result; the persisted
+        // candidate frame unpersists immediately after (cache hygiene —
+        // VERDICT r8 #5: a long-lived session running the registry N×
+        // must not accumulate cached probe plans)
+        val rows = top.collect()
+        cand.unpersist()
+        rows
+      }
+      val topRows = Seq(5000, 500000).iterator.map(probeRound)
+        .find(_.length >= 20).getOrElse(Array.empty)
       if (topRows.length >= 20) {
         val topDf = s.createDataFrame(
-          java.util.Arrays.asList(topRows: _*), top.schema)
+          java.util.Arrays.asList(topRows: _*), topSchema)
         c.join(broadcast(topDf), col("o_custkey") === col("c_custkey"))
           .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
             col("o_totalprice"), col("sum_qty"))
