@@ -79,14 +79,11 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""sentinel_start":$sentinelStart,"sentinel_end":$sentinelEnd,"sf":"$sfDir"}"""
-    println(line)
-    // First-class JSON artifact (VERDICT r7 #7): the driver's BENCH_r{N}.json
-    // keeps only a 2000-char stdout tail, which truncates the 119-entry map —
-    // write the complete per-entry medians AND the raw sorted run triples to
-    // a file in the repo root so round-over-round comparison covers every
-    // entry. Overwritten per run; committed with the round.
+    // First-class JSON artifact (VERDICT r7 #7): the complete per-entry
+    // medians AND the raw sorted run triples go to a file in the repo root
+    // so round-over-round comparison covers every entry. Written BEFORE the
+    // stdout tail (VERDICT r9 #8) so a truncated console never loses data.
+    // Overwritten per run; committed with the round.
     val runsJson = allRuns.map { case (k, ts) =>
       s"\"" + k + "\":[" + ts.mkString(",") + "]"
     }.mkString("{", ",", "}")
@@ -96,6 +93,26 @@ object Bench {
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json"))
     java.nio.file.Files.write(out, full.getBytes("UTF-8"))
+    // Stdout tail LAST, and bounded: the driver's BENCH_r{N}.json keeps only
+    // a ~2000-char stdout tail, so a 124-entry full-precision map gets its
+    // head cut off and the driver records "parsed": null (r9 artifact). Emit
+    // millisecond-rounded values, and if the line still can't fit the tail
+    // window, fall back to the headline q* subset plus a pointer at the full
+    // artifact — the driver's parse then always succeeds standalone.
+    def fmt(v: Double): String = f"$v%.3f"
+    def lineFor(m: Map[String, Double], extra: String): String = {
+      val body = m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$body,""" +
+        s""""sentinel_start":${fmt(sentinelStart)},"sentinel_end":${fmt(sentinelEnd)}""" +
+        extra + s""","sf":"$sfDir"}"""
+    }
+    val allLine = lineFor(results, "")
+    val line =
+      if (allLine.length <= 1900) allLine
+      else lineFor(results.filter(_._1.startsWith("q")),
+        s""","queries_full":"${out.getFileName}"""")
+    println(line)
     spark.stop()
   }
 }

@@ -215,7 +215,7 @@ class LakeTable(
       (vs.toVector, (f.path, f.fileSizeBytes))
     }
     val grouped = parsed.groupBy(_._1).toSeq
-      .sortBy(_._1.map(String.valueOf(_)).mkString(" "))
+      .sortBy(_._1.map(String.valueOf(_)).mkString(" "))
       .map { case (key, fs) =>
         (new GenericInternalRow(key.toArray): InternalRow, fs.map(_._2): Seq[(String, Long)])
       }

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.graft.StreamingBatch
@@ -23,32 +24,50 @@ import graft.lake.Lake
   * {{{
   *   spark.readStream.format("graft-changes")
   *     .option("root", "/lake/root").option("table", "main.t")
-  *     .option("startSnapshot", "3")        // optional, exclusive; default -1
+  *     .option("startSnapshot", "3")          // optional, exclusive; default -1
+  *     .option("maxSnapshotsPerTrigger", "5") // optional backlog rate cap
   *     .load()
   * }}}
   *
   * Checkpoint-restartable: offsets serialize as the snapshot id. The stream
   * pins the table's column set at start (schema evolution mid-stream
   * requires a restart — the same contract as Delta's CDF stream).
+  *
+  * `maxSnapshotsPerTrigger` bounds how many snapshots one micro-batch may
+  * cover. Without it a stream cold-starting against a table with a deep
+  * snapshot history replays the WHOLE backlog in a single trigger — at
+  * 100 TB that first batch is unbounded state. Delta (`maxFilesPerTrigger`)
+  * and Iceberg (`streaming-max-files-per-micro-batch`) cap triggers for the
+  * same reason. Implemented the way FileStreamSource does its cap: the
+  * source implements `SupportsTriggerAvailableNow` (so MicroBatchExecution
+  * uses it directly instead of wrapping it in `AvailableNowSourceWrapper`,
+  * whose one-shot end capture would TRUNCATE a capped drain) and applies
+  * the cap inside `latestOffset`, advancing an admission cursor at most N
+  * snapshots past the planned start each call. The engine then naturally
+  * schedules ceil(backlog/N) micro-batches; `Trigger.AvailableNow` drains
+  * to the end captured by `prepareForTriggerAvailableNow`, in capped steps.
   */
 class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-changes"
 
   private def lakeFor(sqlContext: SQLContext,
-      parameters: Map[String, String]): (Lake, String, Long) = {
+      parameters: Map[String, String]): (Lake, String, Long, Option[Long]) = {
     val p = parameters.map { case (k, v) => k.toLowerCase -> v }
     val root = p.getOrElse("root",
       throw new IllegalArgumentException("graft-changes: option 'root' required"))
     val table = p.getOrElse("table",
       throw new IllegalArgumentException("graft-changes: option 'table' required"))
     val start = p.get("startsnapshot").map(_.toLong).getOrElse(-1L)
-    (new Lake(sqlContext.sparkSession, root), table, start)
+    val cap = p.get("maxsnapshotspertrigger").map(_.toLong)
+    cap.foreach(c => require(c > 0,
+      s"graft-changes: maxSnapshotsPerTrigger must be positive, got $c"))
+    (new Lake(sqlContext.sparkSession, root), table, start, cap)
   }
 
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) = {
-    val (lake, table, _) = lakeFor(sqlContext, parameters)
+    val (lake, table, _, _) = lakeFor(sqlContext, parameters)
     val cur = lake.currentSnapshot()
     (shortName(), lake.tableChanges(table, cur, cur).schema)
   }
@@ -56,39 +75,87 @@ class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourceRegis
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
-    val (lake, table, start) = lakeFor(sqlContext, parameters)
-    new ChangeFeedSource(lake, table, start)
+    val (lake, table, start, cap) = lakeFor(sqlContext, parameters)
+    new ChangeFeedSource(lake, table, start, cap)
   }
 }
 
-class ChangeFeedSource(lake: Lake, table: String, startExclusive: Long)
-    extends Source {
+class ChangeFeedSource(lake: Lake, table: String, startExclusive: Long,
+    maxSnapshotsPerTrigger: Option[Long] = None)
+    extends Source with SupportsTriggerAvailableNow {
 
   override val schema: StructType = {
     val cur = lake.currentSnapshot()
     lake.tableChanges(table, cur, cur).schema
   }
 
-  /** latest committed snapshot; None until something newer than the start
-    * cursor exists (the metadata store re-lists the log on each call, so
-    * commits from OTHER writers/processes surface here too) */
+  /** Highest snapshot id already offered to the engine. Advanced by
+    * latestOffset as batches are planned; ALSO advanced by getBatch/commit
+    * so a checkpoint restart (where the engine replays or acknowledges the
+    * restored offset before polling) never re-plans the drained range. The
+    * restored offset also arrives as latestOffset's `startOffset`, which is
+    * folded in first — either path keeps the cursor monotone. */
+  @volatile private var cursor: Long = startExclusive
+
+  /** End snapshot captured at AvailableNow start: the drain stops here even
+    * if other writers keep committing, matching AvailableNow's contract. */
+  @volatile private var availableNowEnd: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowEnd = Some(lake.currentSnapshot())
+  }
+
+  /** The cap is applied here, not via a ReadLimit: the option is a source
+    * property (FileStreamSource does the same with maxFilesPerTrigger). */
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** Latest admissible snapshot, or null for "no new data". The metadata
+    * store re-lists the log on each call, so commits from OTHER
+    * writers/processes surface here too. With a rate cap, advances at most
+    * `maxSnapshotsPerTrigger` past the planned start per call — the engine
+    * then schedules one micro-batch per step until the backlog drains. */
+  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val from = Option(startOffset).map(snapV2).getOrElse(startExclusive)
+    if (from > cursor) cursor = from
+    val bound = availableNowEnd.getOrElse(lake.currentSnapshot())
+    if (bound > cursor) {
+      cursor = maxSnapshotsPerTrigger
+        .map(m => math.min(bound, cursor + m)).getOrElse(bound)
+    }
+    if (cursor <= startExclusive) null else LongOffset(cursor)
+  }
+
+  /** True head of the feed (uncapped) — surfaces backlog depth in progress
+    * reports while latestOffset admits it in capped steps. */
+  override def reportLatestOffset(): OffsetV2 = {
+    val cur = lake.currentSnapshot()
+    if (cur <= startExclusive) null else LongOffset(cur)
+  }
+
+  /** Unused: with SupportsAdmissionControl present the engine always plans
+    * via latestOffset. Kept functional (uncapped head) for direct callers. */
   override def getOffset: Option[V1Offset] = {
     val cur = lake.currentSnapshot()
     if (cur <= startExclusive) None else Some(LongOffset(cur))
   }
 
-  private def snap(o: V1Offset): Long = o match {
+  private def snapV2(o: OffsetV2): Long = o match {
     case l: LongOffset => l.offset
     case s: SerializedOffset => s.json.trim.toLong
     case other => other.json.trim.toLong
   }
 
+  private def snap(o: V1Offset): Long = snapV2(o)
+
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val s0 = start.map(snap).getOrElse(startExclusive)
-    StreamingBatch.asStreaming(lake.tableChanges(table, s0, snap(end)))
+    val e = snap(end)
+    cursor = math.max(cursor, e)
+    StreamingBatch.asStreaming(lake.tableChanges(table, s0, e))
   }
 
-  override def commit(end: V1Offset): Unit = ()
+  override def commit(end: V1Offset): Unit = { cursor = math.max(cursor, snap(end)) }
+  override def commit(end: OffsetV2): Unit = { cursor = math.max(cursor, snapV2(end)) }
   override def stop(): Unit = ()
   override def toString: String = s"GraftChangeFeedSource[$table @ ${lake.root}]"
 }
