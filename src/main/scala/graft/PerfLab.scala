@@ -44,6 +44,25 @@ object PerfLab {
         .agg(count(lit(1)).as("n_customers"))
         .orderBy(col("c_mktsegment"))
     }),
+    // the q07/q04 byte-scaled-width rule tried on the ANTI shape
+    // (VERDICT r9 #4): ~64 MB of fact parquet per partition on both
+    // sides of the anti exchange
+    "q14_width" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").select(col("o_custkey"))
+      val factBytes =
+        (t(s, dir, "orders").queryExecution.optimizedPlan.stats.sizeInBytes +
+          c.queryExecution.optimizedPlan.stats.sizeInBytes).toLong
+      val parts = math.max(s.sessionState.conf.numShufflePartitions,
+        (factBytes / (64L << 20)).toInt)
+      c.select(col("c_custkey"), col("c_mktsegment"))
+        .repartition(parts, col("c_custkey"))
+        .join(o.repartition(parts, col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_mktsegment"))
+    }),
 
     // ---- q17: INTERSECT / EXCEPT of status-F and status-O customer sets
     "q17_cur" -> ((s, dir) => {
@@ -705,6 +724,42 @@ object PerfLab {
         .orderBy(col("lang"), col("rn"))
     }),
 
+    // floor probe in t19's real shape: same 3-column scan + md5 sort key
+    // + the lang exchange, no window — what the data movement alone costs
+    "t19_floor" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("lang"), col("doc_id"), col("n_chars"),
+          md5(concat(lit("t19:"), col("doc_id").cast("string"))).as("k"))
+        .repartition(col("lang"))
+        .groupBy(col("lang")).agg(count(col("k")).as("n"))
+    }),
+
+    // ---- t03: per-language corpus profile (2.01x graded) --------------
+    "t03_cur" -> ((s, dir) =>
+      graft.queries.TextOps.queries("t03_lang_profile")(s, dir)),
+    // countDistinct(source) costs an Expand (2 rows/row through the
+    // exchange); pre-aggregating on (lang, source) first shuffles only
+    // the distinct pairs
+    "t03_pre" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .groupBy(col("lang"))
+        .agg(sum(col("n")).as("n_docs"),
+          count(lit(1)).as("n_sources"),
+          sum(col("chars")).cast("string").cast("double").as("total_chars"),
+          (sum(col("chars")).cast("string").cast("double") / sum(col("n")))
+            .as("avg_chars"))
+        .orderBy(col("lang"))
+    }),
+    // grouped-scan floor: same scan, same group key, no distinct
+    "t03_floor" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+        .orderBy(col("lang"))
+    }),
+
     // ---- t13: per-language token-budget selection --------------------
     "t13_cur" -> ((s, dir) =>
       graft.queries.TextOps.queries("t13_token_budget")(s, dir)),
@@ -982,6 +1037,30 @@ object PerfLab {
       graft.queries.VectorOps.knnIvf(
         graft.queries.Tables.load(s, dir, "embeddings")
           .repartition(s.sparkContext.defaultParallelism))),
+
+    // ---- bucketed SPJ twins (VERDICT r9 #1): the raw-parquet shape vs
+    // the co-bucketed lake shape, runnable side by side ----------------
+    "q03b_cur" -> ((s, dir) =>
+      graft.queries.Relational.queries("q03b_bucketed_spj")(s, dir)),
+    // diagnostic: the bare fact-fact join + aggregate, no customer semi —
+    // isolates whether the semi's BroadcastHashJoin forfeits the SPJ
+    "q03b_nosemi" -> ((s, dir) => {
+      val cat = graft.queries.BucketedFacts.catalog(s, dir)
+      val o = s.table(s"$cat.main.orders_bo")
+      val l = s.table(s"$cat.main.lineitem_bo")
+      o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"),
+          col("o_orderdate").cast("date").as("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(graft.queries.Relational.sumRevMicrosPub(
+          col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+    "q05b_cur" -> ((s, dir) =>
+      graft.queries.Relational.queries("q05b_bucketed_spj")(s, dir)),
+    "q11b_cur" -> ((s, dir) =>
+      graft.queries.Relational.queries("q11b_bucketed_spj")(s, dir)),
 
     // ---- q27: sessionize (3.52x at sf30, 0.95 s abs) -----------------
     "q27_cur" -> ((s, dir) =>

@@ -754,6 +754,99 @@ object Relational {
           min(col("event_id")).as("first_event"),
           max(col("event_id")).as("last_event"))
         .orderBy(col("m_id"))
+    }),
+
+    // ---- storage-partitioned twins (VERDICT r9 #1): q03/q05/q11's
+    // residual vs DuckDB is the bare fact exchange over raw parquet.
+    // These entries run the SAME logical queries through co-bucketed lake
+    // tables (BucketedFacts — the one-time ingest design a 100 TB
+    // deployment makes), where the engine's bucket[N] SPJ deletes that
+    // exchange. Oracles are identical to the raw-parquet twins: same
+    // data, same answer — so CORRECTNESS also gates the bucketed read
+    // path (key-grouped scan → join → agg) end to end. -----------------
+
+    "q03b_bucketed_spj" -> ((s, dir) => {
+      val cat = BucketedFacts.catalog(s, dir)
+      val o = s.table(s"$cat.main.orders_bo")
+      val l = s.table(s"$cat.main.lineitem_bo")
+      // the BUILDING restriction rides a broadcast semi (bare c_custkey
+      // longs) so the orders side KEEPS its KeyGroupedPartitioning —
+      // q03's shuffle_hash semi would re-partition orders on custkey and
+      // forfeit the SPJ. With the orderkey exchange gone, the grouped
+      // aggregate ALSO runs exchange-free: the group key contains the
+      // bucket key, so key-grouping satisfies the agg's distribution.
+      // Customer reads through the lake too: Spark's SPJ gate requires
+      // every leaf under a join child to be a DSv2 scan (see
+      // BucketedFacts.build) — a V1 FileScan on the broadcast side would
+      // silently forfeit the SPJ.
+      val cKeys = s.table(s"$cat.main.customer_bc")
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val oF = o.join(broadcast(cKeys),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      oF.join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"),
+          col("o_orderdate").cast("date").as("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(sumRevMicros(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    "q05b_bucketed_spj" -> ((s, dir) => {
+      val cat = BucketedFacts.catalog(s, dir)
+      // every input reads through the lake (DSv2) — one V1 leaf anywhere
+      // under the fact join, even broadcast, forfeits the SPJ (see
+      // BucketedFacts.build)
+      val r = s.table(s"$cat.main.region_d").filter(col("r_name") === "ASIA")
+      val n = s.table(s"$cat.main.nation_d")
+      val su = s.table(s"$cat.main.supplier_d")
+      val o = s.table(s"$cat.main.orders_bo")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val l = s.table(s"$cat.main.lineitem_bo")
+      // q05 pays two fact exchanges (c⋈o on custkey, co⋈l on orderkey).
+      // Here the o⋈l join is SPJ (both facts bucket(nO, orderkey); the
+      // date filter and the broadcast dim-chain reduction are row-level,
+      // so key-grouping survives), leaving ONE exchange: the ~3%
+      // surviving fact — pre-folded to (custkey, natkey, rev-micros
+      // long) — against the slim customer pair projection.
+      val asiaN = n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val asiaS = su.join(broadcast(asiaN), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val lred = l.join(broadcast(asiaS), col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_orderkey"), col("s_nationkey"),
+          col("l_extendedprice"), col("l_discount"))
+      val f = o.select(col("o_orderkey"), col("o_custkey"))
+        .join(lred, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey"), col("s_nationkey"),
+          revMicros(col("l_extendedprice"), col("l_discount")).as("rev"))
+      val c = s.table(s"$cat.main.customer_bc")
+        .select(col("c_custkey"), col("c_nationkey"))
+      f.join(c.hint("shuffle_hash"),
+          col("o_custkey") === col("c_custkey")
+            && col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("s_nationkey"))
+        .agg(sumOfRevMicros(col("rev")).as("revenue"))
+        .join(broadcast(asiaN), col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    "q11b_bucketed_spj" -> ((s, dir) => {
+      val cat = BucketedFacts.catalog(s, dir)
+      val c = s.table(s"$cat.main.customer_bc").select(col("c_custkey"))
+      val o = s.table(s"$cat.main.orders_bc").select(col("o_custkey"))
+      // zero fact exchange end to end: the per-customer order count
+      // aggregates IN PLACE (orders_bc is bucket(nC, o_custkey), and
+      // key-grouping satisfies the agg's clustered distribution), the
+      // left join to customer_bc is SPJ, and only the ~40-row
+      // (c_count, custdist) re-group touches an exchange.
+      val cnt = o.groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+      c.join(cnt, col("c_custkey") === col("o_custkey"), "left")
+        .select(coalesce(col("n"), lit(0L)).as("c_count"))
+        .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
     })
   )
 
@@ -997,6 +1090,35 @@ object Relational {
         |SELECT m_id, COUNT(*) AS n_events,
         |  min(e.event_id) AS first_event, max(e.event_id) AS last_event
         |FROM m JOIN events e ON e.ts >= m.m_start AND e.ts < m.m_end
-        |GROUP BY m_id ORDER BY m_id""".stripMargin
+        |GROUP BY m_id ORDER BY m_id""".stripMargin,
+
+    // the bucketed twins answer the SAME questions over the SAME data —
+    // the oracle is byte-identical to the raw-parquet entry's
+    "q03b_bucketed_spj" ->
+      s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
+         |  CAST(CAST(SUM($discPrice) AS VARCHAR) AS DOUBLE) AS revenue
+         |FROM customer JOIN orders ON c_custkey = o_custkey
+         |  JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q05b_bucketed_spj" ->
+      s"""SELECT n_name, CAST(CAST(SUM($discPrice) AS VARCHAR) AS DOUBLE) AS revenue
+         |FROM region JOIN nation ON r_regionkey = n_regionkey
+         |  JOIN customer ON n_nationkey = c_nationkey
+         |  JOIN orders ON c_custkey = o_custkey
+         |  JOIN lineitem ON o_orderkey = l_orderkey
+         |  JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q11b_bucketed_spj" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
   )
 }

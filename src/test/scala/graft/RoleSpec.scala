@@ -280,4 +280,52 @@ class RoleSpec extends AnyFunSuite {
     assert(lake.acl.roles(Some(before)).collect().map(_.getString(0))
       .contains("r1"))
   }
+
+  test("adversarial: reader escalation via SQL role DDL; writer via CALL maintenance") {
+    // the two probes a security review runs first (VERDICT r9 #6): a
+    // declared NON-superuser driving the SQL ACL surface directly, and a
+    // writer (full DML) reaching for the maintenance procedures
+    val lake = seedLake()
+    lake.acl.createUser("boss", Seq("graft_superuser"))
+    lake.acl.createUser("wry", Seq("graft_writer"))
+    lake.acl.createUser("rdr", Seq("graft_reader"))
+    val cat = s"aclneg${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", lake.root)
+    val prev = spark.sessionState.catalogManager.currentCatalog.name()
+    spark.sql(s"USE $cat")
+    try {
+      as("rdr") {
+        assert(denied(spark.sql("CREATE ROLE sneaky")).contains("superuser"))
+        assert(denied(spark.sql("GRANT DELETE ON TABLE main.t TO graft_reader"))
+          .contains("superuser"))
+        assert(denied(spark.sql("GRANT graft_superuser TO rdr"))
+          .contains("superuser"))
+        assert(denied(spark.sql("CREATE USER mole IN ROLE graft_superuser"))
+          .contains("superuser"))
+        assert(denied(spark.sql("DROP ROLE graft_writer")).contains("superuser"))
+      }
+      as("wry") {
+        // writer: DML flows, every maintenance procedure is denied
+        spark.sql(s"INSERT INTO $cat.main.t VALUES (7, 70)")
+        assert(denied(spark.sql(s"CALL $cat.system.vacuum('main.t')"))
+          .contains("superuser"))
+        assert(denied(spark.sql(s"CALL $cat.system.maintain()"))
+          .contains("superuser"))
+        assert(denied(spark.sql(s"CALL $cat.system.expire_snapshots(0)"))
+          .contains("superuser"))
+        assert(denied(spark.sql(
+          s"CALL $cat.system.set_option('parquet_compression', 'zstd')"))
+          .contains("superuser"))
+        assert(denied(spark.sql(s"CALL $cat.system.rewrite_zorder('main.t', array('a'))"))
+          .contains("superuser"))
+      }
+      // none of the denied attempts left state behind
+      assert(!lake.acl.roles().collect().map(_.getString(0)).contains("sneaky"))
+      assert(!lake.acl.users().collect().map(_.getString(0)).contains("mole"))
+      assert(lake.acl.grants().count() == 0)
+      // the writer's legitimate INSERT did land
+      assert(lake.table("main.t").count() == 4)
+    } finally spark.sql(s"USE $prev")
+  }
 }
