@@ -1075,6 +1075,71 @@ object PerfLab {
     })
   )
 
+  // ---- variant shredding probe (VERDICT r9 #10): the same events
+  // payload stored as a JSON STRING column vs a VARIANT column, both
+  // range-clustered by the hidden $.k so per-file pruning CAN work.
+  // The variant write records per-path stats (v.$.k min/max) that
+  // LakeVariantPruning turns into file pruning for variant_get
+  // predicates; the string side has only useless props min/max. Built
+  // once per sf dir (stamped); probes below measure extract-aggregate
+  // and selective-point shapes over each.
+  private def variantCat(s: SparkSession, dir: String): String = synchronized {
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(sys.props("java.io.tmpdir"),
+      "graft_varfix_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+    val marker = new java.io.File(root, "_GRAFT_VARFIX_OK")
+    if (!marker.exists) {
+      graft.lake.LakeWrite.deleteRecursively(root)
+      val lake = new graft.lake.Lake(s, root)
+      val ev = t(s, dir, "events")
+        .withColumn("kk", get_json_object(col("props"), "$.k").cast("long"))
+        .repartitionByRange(32, col("kk"))
+      lake.createTableAs("main.ev_json",
+        ev.select(col("event_id"), col("event_type"), col("value"), col("props")))
+      lake.createTableAs("main.ev_var",
+        ev.select(col("event_id"), col("event_type"), col("value"),
+          expr("parse_json(props)").as("pv")))
+      Files.write(marker.toPath, Array.emptyByteArray)
+    }
+    val cat = s"vfx${Integer.toHexString(root.hashCode)}x"
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.lake.LakeCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    cat
+  }
+
+  val variantProbes: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vshred_agg_json" -> ((s, dir) => {
+      val cat = variantCat(s, dir)
+      s.table(s"$cat.main.ev_json")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    }),
+    "vshred_agg_var" -> ((s, dir) => {
+      val cat = variantCat(s, dir)
+      s.table(s"$cat.main.ev_var")
+        .withColumn("k", expr("variant_get(pv, '$.k', 'bigint')"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    }),
+    "vshred_point_json" -> ((s, dir) => {
+      val cat = variantCat(s, dir)
+      s.table(s"$cat.main.ev_json")
+        .filter(get_json_object(col("props"), "$.k").cast("long") === 7L)
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+    }),
+    "vshred_point_var" -> ((s, dir) => {
+      val cat = variantCat(s, dir)
+      s.table(s"$cat.main.ev_var")
+        .filter(expr("variant_get(pv, '$.k', 'bigint') = 7"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+    })
+  )
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -1110,7 +1175,7 @@ object PerfLab {
       })
     }
     names.foreach { name =>
-      val fn = variants(name)
+      val fn = variants.getOrElse(name, variantProbes(name))
       def once(): Double = {
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()

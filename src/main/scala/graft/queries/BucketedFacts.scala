@@ -114,7 +114,34 @@ object BucketedFacts {
       val df = load(src)
       lake.createTable(table, df.schema,
         partitionKeys = List(PartitionKey(BucketTransform(n), key)))
-      lake.append(table, df)
+      // append in ~3 GB input chunks (grouping the source's part files):
+      // one monolithic append of a 15 GB fact shuffles its whole raw row
+      // volume at once — measured ~37 GB of transient shuffle+spill at
+      // sf100, an ENOSPC on this host and a per-ingest-job disk spike a
+      // real deployment would never accept. Chunked appends bound the
+      // transient footprint AND mirror how a 100 TB table actually
+      // arrives (incremental commits); each bucket simply holds one file
+      // per chunk, which the key-grouped scan folds into the same
+      // key-group.
+      val srcDir = new File(s"$dir/$src.parquet")
+      val parts =
+        if (srcDir.isDirectory)
+          srcDir.listFiles.filter(_.getName.endsWith(".parquet"))
+            .sortBy(_.getName)
+        else Array.empty[File]
+      val chunkBytes = 3L << 30
+      if (parts.length < 2 || dirBytes(srcDir.getPath) <= chunkBytes)
+        lake.append(table, df)
+      else {
+        val chunks = parts.foldLeft(Vector(Vector.empty[File])) { (acc, f) =>
+          if (acc.last.map(_.length).sum + f.length > chunkBytes && acc.last.nonEmpty)
+            acc :+ Vector(f)
+          else acc.init :+ (acc.last :+ f)
+        }
+        chunks.foreach { c =>
+          lake.append(table, s.read.schema(df.schema).parquet(c.map(_.getPath): _*))
+        }
+      }
     }
     mk("main.orders_bo", "orders", "o_orderkey", nO)
     mk("main.lineitem_bo", "lineitem", "l_orderkey", nO)

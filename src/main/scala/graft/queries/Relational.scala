@@ -821,6 +821,11 @@ object Relational {
         .join(lred, col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey"), col("s_nationkey"),
           revMicros(col("l_extendedprice"), col("l_discount")).as("rev"))
+      // (measured and rejected at sf100: pre-filtering customer to the
+      // ASIA fifth via the 5-row asiaN broadcast before this exchange —
+      // 7.80 vs 7.42 s. The custkey exchange is not the bottleneck; the
+      // 256-task SPJ scan-join stage is ~7.2 s of the 7.4 — the fact
+      // SCAN floor.)
       val c = s.table(s"$cat.main.customer_bc")
         .select(col("c_custkey"), col("c_nationkey"))
       f.join(c.hint("shuffle_hash"),

