@@ -1061,6 +1061,8 @@ object PerfLab {
       graft.queries.Relational.queries("q05b_bucketed_spj")(s, dir)),
     "q11b_cur" -> ((s, dir) =>
       graft.queries.Relational.queries("q11b_bucketed_spj")(s, dir)),
+    "q14b_cur" -> ((s, dir) =>
+      graft.queries.Relational.queries("q14b_bucketed_spj")(s, dir)),
 
     // ---- q27: sessionize (3.52x at sf30, 0.95 s abs) -----------------
     "q27_cur" -> ((s, dir) =>

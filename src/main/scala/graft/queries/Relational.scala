@@ -838,6 +838,20 @@ object Relational {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    "q14b_bucketed_spj" -> ((s, dir) => {
+      val cat = BucketedFacts.catalog(s, dir)
+      // q14's floor is the 150M-key anti exchange; over the co-bucketed
+      // pair the anti join is SPJ — zero fact exchange, only the 5-row
+      // segment regroup shuffles
+      val c = s.table(s"$cat.main.customer_bc")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val o = s.table(s"$cat.main.orders_bc").select(col("o_custkey"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     "q11b_bucketed_spj" -> ((s, dir) => {
       val cat = BucketedFacts.catalog(s, dir)
       val c = s.table(s"$cat.main.customer_bc").select(col("c_custkey"))
@@ -1124,6 +1138,12 @@ object Relational {
         |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
         |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |  GROUP BY c_custkey) t
-        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q14b_bucketed_spj" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
   )
 }
