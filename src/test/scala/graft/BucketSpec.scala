@@ -112,6 +112,50 @@ class BucketSpec extends AnyFunSuite {
     }
   }
 
+  test("chunked appends + mergeAdjacentFiles: bucket values survive, SPJ intact") {
+    // BucketedFacts-style ingest leaves several files per bucket (one per
+    // append chunk); compaction bin-packs WITHIN a hidden-partition value,
+    // so the merged table must still carry per-file bucket values and the
+    // co-bucketed join must still plan with zero exchanges
+    val lake = new Lake(spark, Files.createTempDirectory("graft_bspjc").toString)
+    def mk(name: String): Unit = {
+      lake.createTable(s"main.$name", spark.range(0, 1).selectExpr(
+        "id AS k", "id AS v").schema,
+        partitionKeys = List(PartitionKey(BucketTransform(4), "k")))
+      (0 until 3).foreach { i =>
+        lake.append(s"main.$name",
+          spark.range(i * 500L, (i + 1) * 500L).selectExpr("id % 200 AS k", "id AS v"))
+      }
+    }
+    mk("ca"); mk("cb")
+    val tid = { val st = lake.store.state()
+      st.tableAt("main", "ca", st.currentSnapshotId).get.tableId }
+    assert(lake.store.state().filesAt(tid,
+      lake.store.state().currentSnapshotId).size == 12, "3 chunks x 4 buckets")
+    lake.mergeAdjacentFiles("main.ca")
+    val st = lake.store.state()
+    val files = st.filesAt(tid, st.currentSnapshotId)
+    assert(files.size == 4, s"one file per bucket after merge, got ${files.size}")
+    assert(files.forall(_.partitionValues.contains("bucket[4](k)")))
+    val cat = s"bspjc${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", lake.root)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = spark.sql(
+        s"SELECT count(*) AS n FROM $cat.main.ca a JOIN $cat.main.cb b ON a.k = b.k")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"merged bucketed join shuffled:\n$plan")
+      // ids 0..1499, k = id % 200: k < 100 has 8 rows, k >= 100 has 7
+      assert(q.collect().head.getLong(0) == 100L * 64 + 100L * 49)
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("DPP: a runtime IN filter on the bucketed key re-prunes the file list") {
     val (lake, _) = bucketedLake(8)
     val st = lake.store.state()
