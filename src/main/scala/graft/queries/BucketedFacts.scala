@@ -46,12 +46,21 @@ object BucketedFacts {
     else f.listFiles.map(c => dirBytes(c.getPath)).sum
   }
 
-  /** next power of two in [32, 512] covering ~64 MB parquet per bucket */
-  private[queries] def bucketsFor(bytes: Long): Int = {
-    val raw = math.min(512L, math.max(32L, bytes / (64L << 20)))
-    var p = 32
+  /** Next power of two covering ~64 MB parquet per bucket, clamped to
+    * [cores, 16·cores]. One key group = one scan/join task, so the clamp
+    * is parameterized by the CLUSTER's parallelism, not hardcoded: on
+    * local[32] this is [32, 512] (nO=256 at the 23 GB sf100 fixture); on
+    * a 1000-executor/32k-core cluster the same rule floors at 32k buckets
+    * and growth beyond the cap lands as MORE FILES PER BUCKET (each
+    * append chunk adds one file per bucket; the key-grouped scan folds
+    * them into one key group), so task width stays bounded by files, not
+    * by an ever-fatter bucket. */
+  private[queries] def bucketsFor(bytes: Long, cores: Int): Int = {
+    val floor = math.max(32, cores).toLong
+    val raw = math.min(16L * floor, math.max(floor, bytes / (64L << 20)))
+    var p = floor
     while (p < raw) p <<= 1
-    p
+    math.min(p, Int.MaxValue.toLong).toInt
   }
 
   private def sanitize(dir: String): String =
@@ -74,8 +83,9 @@ object BucketedFacts {
     * They stay set for the session's lifetime because planning happens
     * lazily at action time, after this returns. */
   def catalog(s: SparkSession, dir: String): String = synchronized {
-    val nO = bucketsFor(dirBytes(s"$dir/lineitem.parquet"))
-    val nC = bucketsFor(dirBytes(s"$dir/orders.parquet"))
+    val cores = s.sparkContext.defaultParallelism
+    val nO = bucketsFor(dirBytes(s"$dir/lineitem.parquet"), cores)
+    val nC = bucketsFor(dirBytes(s"$dir/orders.parquet"), cores)
     val root = Paths.get(sys.props("java.io.tmpdir"),
       s"graft_bktfacts_${sanitize(dir)}").toString
     val marker = new File(root, "_GRAFT_BUCKETED_OK")
