@@ -724,6 +724,19 @@ object PerfLab {
         .orderBy(col("lang"), col("rn"))
     }),
 
+    // md5 key MATERIALIZED as a column before the window (computed once,
+    // dropped after) instead of inline in the window's orderBy
+    "t19_mat" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang")).orderBy(col("_k"), col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("_k", md5(concat(lit("t19:"), col("doc_id").cast("string"))))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 20)
+        .select(col("lang"), col("rn"), col("doc_id"), col("n_chars"))
+        .orderBy(col("lang"), col("rn"))
+    }),
+
     // floor probe in t19's real shape: same 3-column scan + md5 sort key
     // + the lang exchange, no window — what the data movement alone costs
     "t19_floor" -> ((s, dir) => {

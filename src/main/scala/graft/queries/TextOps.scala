@@ -521,10 +521,16 @@ object TextOps {
     // per-stratum window (strata counts are Zipfian in real corpora)
     // never reaches the wire.
     "t19_stratified_sample" -> ((s, dir) => {
-      val w = Window.partitionBy(col("lang"))
-        .orderBy(md5(concat(lit("t19:"), col("doc_id").cast("string"))),
-          col("doc_id"))
+      // r10: the md5 key is MATERIALIZED once (then dropped) instead of
+      // living inline in the window's orderBy — the inline form
+      // re-evaluates the hash in the map-side group-limit sort and again
+      // in the post-shuffle sort; the column form computes it once per
+      // row. Same values, same ordering, same rows; WindowGroupLimit
+      // still plans (partial+final, plan-pinned in QueriesSpec). sf100:
+      // 2.13 vs 2.42 s (PerfLab t19_cur/t19_mat).
+      val w = Window.partitionBy(col("lang")).orderBy(col("_k"), col("doc_id"))
       t(s, dir, "documents")
+        .withColumn("_k", md5(concat(lit("t19:"), col("doc_id").cast("string"))))
         .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 20)
         .select(col("lang"), col("rn"), col("doc_id"), col("n_chars"))
