@@ -34,7 +34,15 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          // LOUD failure marker: a -1.0 in the runs triple is the artifact
+          // signal (an sf100 ENOSPC once hid inside a median until the
+          // triple was read); the stderr line makes it greppable live.
+          System.err.println(s"[bench] RUN FAILED: ${e.getClass.getSimpleName}: " +
+            String.valueOf(e.getMessage).take(200))
+          return -1.0
+      }
       (System.nanoTime() - t0) / 1e9
     }
     // Fixed-cost machine sentinel (VERDICT r6 #7): a constant workload with
