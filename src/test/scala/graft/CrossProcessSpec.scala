@@ -111,6 +111,22 @@ class CrossProcessSpec extends AnyFunSuite {
     lake.createTable("main.t", StructType(Seq(
       StructField("a", IntegerType), StructField("b", IntegerType))))
 
+    // the third surface observes the race LIVE: a streaming CDF tail with
+    // a per-trigger cap, polling WHILE both processes commit — the source
+    // must see cross-process commits (cold store re-lists) and stay
+    // exactly-once as the log grows under it
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    val liveSink = s"xdmllive${System.nanoTime()}"
+    val liveQ = spark.readStream.format("graft-changes")
+      .option("root", root).option("table", "main.t")
+      .option("maxSnapshotsPerTrigger", "2")
+      .load().filter(col("_change_type") === "insert")
+      .select("a", "b")
+      .writeStream.format("memory").queryName(liveSink)
+      .option("checkpointLocation", s"$root/_tail_ckpt")
+      .trigger(Trigger.ProcessingTime(50)).start()
+
     val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
     val cp = Seq(
       "/root/repo/target/scala-2.13/test-classes",
@@ -158,6 +174,17 @@ class CrossProcessSpec extends AnyFunSuite {
       val out = new String(proc.getInputStream.readAllBytes())
       assert(proc.waitFor(180, TimeUnit.SECONDS), s"child timed out; output: $out")
       assert(proc.exitValue() == 0 && out.contains("PROBE_OK"), s"child failed: $out")
+
+      // drain the live tail to the final head, then assert exactly-once:
+      // every insert from BOTH processes, no duplicates, despite the
+      // capped triggers racing the growing log
+      liveQ.processAllAvailable()
+      liveQ.stop()
+      val live = spark.table(liveSink).collect().map(r => (r.getInt(0), r.getInt(1)))
+      assert(live.length == 2 * n, s"live tail saw ${live.length} rows, want ${2 * n}")
+      assert(live.toSet.size == 2 * n, "live tail delivered a duplicate")
+      assert(live.map(_._1).sorted.toVector ==
+        ((0 until n) ++ (0 until n).map(_ + 1000)).sorted.toVector)
 
       // third session: cold store, fresh caches — the change feed carries
       // the union of both writers' inserts, each exactly once, and the
