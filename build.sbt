@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked program stdout must reach the console BARE — sbt's default
+// LoggedOutput prefixes every line with "[info] ", which breaks any
+// machine parser of Bench/Verify stdout (the per-round driver keeps a
+// stdout tail and JSON-parses the bench line; it never parsed in rounds
+// 1-10 because of the prefix).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

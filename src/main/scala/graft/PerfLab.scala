@@ -16,6 +16,179 @@ object PerfLab {
   private def t(s: SparkSession, dir: String, n: String) =
     graft.queries.Tables.load(s, dir, n)
 
+  // ---- q05b floor-probe helpers (VERDICT r10 #1) ----------------------
+
+  /** physical parquet paths of a bucketed-fixture table, straight from the
+    * lake metadata — lets a bare spark.read.parquet A/B the key-grouped
+    * DSv2 tier over the IDENTICAL files (O(files) driver metadata) */
+  private def bktFiles(s: SparkSession, dir: String, table: String): Seq[String] = {
+    val cat = graft.queries.BucketedFacts.catalog(s, dir)
+    val root = s.conf.get(s"spark.sql.catalog.$cat.root")
+    val st = new graft.lake.MetadataStore(root).state()
+    val e = st.tableAt("main", table, st.currentSnapshotId)
+      .getOrElse(sys.error(s"no $table in bucketed fixture"))
+    st.filesAt(e.tableId, st.currentSnapshotId).map(_.path)
+  }
+
+  /** ASIA (s_suppkey, s_nationkey) from raw parquet dims — identical
+    * broadcast reduce in both legs so only the fact-scan tier differs */
+  private def asiaSRaw(s: SparkSession, dir: String): DataFrame = {
+    val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    val n = t(s, dir, "nation")
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    t(s, dir, "supplier")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"))
+  }
+
+  /** q05b's lineitem leg: scan + broadcast supplier reduce + global fold */
+  private def q05bLegL(s: SparkSession, dir: String, l: DataFrame): DataFrame =
+    l.select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(asiaSRaw(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("k"),
+        sum(graft.queries.Relational.revMicrosPub(
+          col("l_extendedprice"), col("l_discount"))).as("r"))
+
+  /** q05b's orders leg: scan + date filter + global fold */
+  private def q05bLegO(o: DataFrame): DataFrame =
+    o.filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("k"),
+        sum(col("o_custkey")).as("c"))
+
+  /** q05b restructured: fold rev per (o_custkey, s_nationkey) immediately
+    * after the SPJ o⋈l join (partial agg map-side, before any exchange),
+    * then join the folded rows to customer. With spjCustomer, the v2
+    * one-side-shuffle SPJ lets customer_bc scan in place. */
+  private def q05bPreAgg(s: SparkSession, dir: String,
+      spjCustomer: Boolean): DataFrame = {
+    import graft.queries.Relational.{revMicrosPub, sumOfRevMicrosPub}
+    val cat = graft.queries.BucketedFacts.catalog(s, dir)
+    if (spjCustomer) {
+      s.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+      s.conf.set(
+        "spark.sql.sources.v2.bucketing.allowJoinKeysSubsetOfPartitionKeys.enabled",
+        "true")
+    }
+    val r = s.table(s"$cat.main.region_d").filter(col("r_name") === "ASIA")
+    val n = s.table(s"$cat.main.nation_d")
+    val su = s.table(s"$cat.main.supplier_d")
+    val o = s.table(s"$cat.main.orders_bo")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val l = s.table(s"$cat.main.lineitem_bo")
+    val asiaN = n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val asiaS = su.join(broadcast(asiaN), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val lred = l.join(broadcast(asiaS), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_orderkey"), col("s_nationkey"),
+        col("l_extendedprice"), col("l_discount"))
+    val folded = o.select(col("o_orderkey"), col("o_custkey"))
+      .join(lred, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey"), col("s_nationkey"))
+      .agg(sum(revMicrosPub(col("l_extendedprice"), col("l_discount"))).as("rev"))
+    val c = s.table(s"$cat.main.customer_bc")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val joined =
+      if (spjCustomer)
+        folded.join(c, col("o_custkey") === col("c_custkey")
+          && col("s_nationkey") === col("c_nationkey"))
+      else
+        folded.join(c.hint("shuffle_hash"), col("o_custkey") === col("c_custkey")
+          && col("s_nationkey") === col("c_nationkey"))
+    joined
+      .groupBy(col("s_nationkey"))
+      .agg(sumOfRevMicrosPub(col("rev")).as("revenue"))
+      .join(broadcast(asiaN), col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** q05b inverted around the custkey-bucketed pair — see the q05b_co
+    * entry comment */
+  private def q05bCoShape(s: SparkSession, dir: String): DataFrame = {
+    import graft.queries.Relational.{revMicrosPub, sumOfRevMicrosPub}
+    val cat = graft.queries.BucketedFacts.catalog(s, dir)
+    val r = s.table(s"$cat.main.region_d").filter(col("r_name") === "ASIA")
+    val asiaN = s.table(s"$cat.main.nation_d")
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val asiaS = s.table(s"$cat.main.supplier_d")
+      .join(broadcast(asiaN), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val cAsia = s.table(s"$cat.main.customer_bc")
+      .select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(asiaN.select(col("n_nationkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"))
+    val oWin = s.table(s"$cat.main.orders_bc")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    // SPJ on bucket(nC, custkey): zero exchange
+    val co = cAsia.join(oWin, col("c_custkey") === col("o_custkey"))
+      .select(col("o_orderkey"), col("c_nationkey"))
+    val lred = s.table(s"$cat.main.lineitem_bo")
+      .join(broadcast(asiaS), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_orderkey"), col("s_nationkey"),
+        col("l_extendedprice"), col("l_discount"))
+    lred.join(broadcast(co),
+        col("l_orderkey") === col("o_orderkey")
+          && col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(sumOfRevMicrosPub(
+        revMicrosPub(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+      .join(broadcast(asiaN), col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** the shipped q05b with the o⋈l SPJ join strategy forced: "merge" is
+    * the default pick (per-bucket sorts of BOTH facts), "shuffle_hash"
+    * builds a hash from the date-filtered orders side instead — under SPJ
+    * either satisfies the clustered distribution with zero exchange, but
+    * SHJ skips sorting the reduced lineitem rows */
+  private def q05bJoinVariant(s: SparkSession, dir: String,
+      joinHint: Option[String],
+      customerHint: Option[String] = Some("shuffle_hash")): DataFrame = {
+    import graft.queries.Relational.{revMicrosPub, sumOfRevMicrosPub}
+    val cat = graft.queries.BucketedFacts.catalog(s, dir)
+    val r = s.table(s"$cat.main.region_d").filter(col("r_name") === "ASIA")
+    val n = s.table(s"$cat.main.nation_d")
+    val su = s.table(s"$cat.main.supplier_d")
+    val o = s.table(s"$cat.main.orders_bo")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val l = s.table(s"$cat.main.lineitem_bo")
+    val asiaN = n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val asiaS = su.join(broadcast(asiaN), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val lred = l.join(broadcast(asiaS), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_orderkey"), col("s_nationkey"),
+        col("l_extendedprice"), col("l_discount"))
+    val oSel0 = o.select(col("o_orderkey"), col("o_custkey"))
+    val oSel = joinHint.map(oSel0.hint(_)).getOrElse(oSel0)
+    val f = oSel.join(lred, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("s_nationkey"),
+        revMicrosPub(col("l_extendedprice"), col("l_discount")).as("rev"))
+    val c0 = s.table(s"$cat.main.customer_bc")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val c = customerHint.map(c0.hint(_)).getOrElse(c0)
+    f.join(c,
+        col("o_custkey") === col("c_custkey")
+          && col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(sumOfRevMicrosPub(col("rev")).as("revenue"))
+      .join(broadcast(asiaN), col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   val variants: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- q14: customers with no orders, counted per segment ----------
     "q14_cur" -> ((s, dir) => {
@@ -1077,6 +1250,59 @@ object PerfLab {
     "q14b_cur" -> ((s, dir) =>
       graft.queries.Relational.queries("q14b_bucketed_spj")(s, dir)),
 
+    // ---- q05b fact-scan floor decomposition (VERDICT r10 #1) ---------
+    // The r10 stage profile shows one fused 256-task stage at ~7.2 of
+    // 7.4 s; that stage contains the lineitem scan, the supplier
+    // broadcast reduce, the orders scan, AND the per-bucket SMJ sorts —
+    // "scan floor" was an attribution, not a measurement. These probes
+    // split it: each fact LEG alone (scan + broadcast reduce + fold to a
+    // global agg), A/B'd between the lake's key-grouped DSv2 tier and a
+    // bare spark.read.parquet over the IDENTICAL physical files, plus
+    // the full query with the SPJ join switched SMJ → SHJ (hash build on
+    // the date-filtered orders side skips sorting both facts).
+    "q05b_leg_l_spj" -> ((s, dir) => {
+      val cat = graft.queries.BucketedFacts.catalog(s, dir)
+      q05bLegL(s, dir, s.table(s"$cat.main.lineitem_bo"))
+    }),
+    "q05b_leg_l_raw" -> ((s, dir) =>
+      q05bLegL(s, dir, s.read.parquet(bktFiles(s, dir, "lineitem_bo"): _*))),
+    "q05b_leg_o_spj" -> ((s, dir) => {
+      val cat = graft.queries.BucketedFacts.catalog(s, dir)
+      q05bLegO(s.table(s"$cat.main.orders_bo"))
+    }),
+    "q05b_leg_o_raw" -> ((s, dir) =>
+      q05bLegO(s.read.parquet(bktFiles(s, dir, "orders_bo"): _*))),
+    "q05b_shj" -> ((s, dir) => q05bJoinVariant(s, dir, Some("shuffle_hash"))),
+    "q05b_smj" -> ((s, dir) => q05bJoinVariant(s, dir, Some("merge"))),
+    // Inverted shape: start from the OTHER co-bucketed pair. customer⋈orders
+    // SPJs on custkey with ZERO exchange; the ASIA-nation customer broadcast
+    // filter (valid: c_nationkey must equal s_nationkey ∈ ASIA) and the 1996
+    // date filter shrink it to ~orders/35 slim (o_orderkey, c_nationkey)
+    // rows, which then BROADCAST into the lineitem leg — no fact-side
+    // exchange anywhere in the plan.
+    "q05b_co" -> ((s, dir) => q05bCoShape(s, dir)),
+    // pre-aggregate (o_custkey, s_nationkey) → sum(rev) BEFORE the custkey
+    // exchange: partial agg runs map-side inside the SPJ join stage, so
+    // the one remaining exchange carries ~orders-per-customer-fold fewer
+    // rows; the customer join then matches pre-folded rows 1:1
+    "q05b_preagg" -> ((s, dir) => q05bPreAgg(s, dir, spjCustomer = false)),
+    // shipped shape, but the customer join rides the one-side-shuffle SPJ:
+    // only the folded fact side shuffles (into customer's bucket layout);
+    // customer_bc scans in place — its 15M-row exchange disappears
+    "q05b_spjc" -> ((s, dir) => {
+      s.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+      s.conf.set(
+        "spark.sql.sources.v2.bucketing.allowJoinKeysSubsetOfPartitionKeys.enabled",
+        "true")
+      try q05bJoinVariant(s, dir, None, customerHint = None)
+      finally ()
+    }),
+    // + one-side-shuffle SPJ on the customer join: customer_bc scans IN
+    // PLACE (key-grouped), the pre-agged fact side alone is shuffled into
+    // customer's bucket layout (v2.bucketing.shuffle) — deletes the 15M-row
+    // customer exchange
+    "q05b_preagg_spjc" -> ((s, dir) => q05bPreAgg(s, dir, spjCustomer = true)),
+
     // ---- q27: sessionize (3.52x at sf30, 0.95 s abs) -----------------
     "q27_cur" -> ((s, dir) =>
       graft.queries.Relational.queries("q27_sessionize")(s, dir)),
@@ -1103,19 +1329,42 @@ object PerfLab {
     val root = Paths.get(sys.props("java.io.tmpdir"),
       "graft_varfix_" + dir.replaceAll("[^A-Za-z0-9]", "_")).toString
     val marker = new java.io.File(root, "_GRAFT_VARFIX_OK")
-    if (!marker.exists) {
-      graft.lake.LakeWrite.deleteRecursively(root)
-      val lake = new graft.lake.Lake(s, root)
-      val ev = t(s, dir, "events")
-        .withColumn("kk", get_json_object(col("props"), "$.k").cast("long"))
-        .repartitionByRange(32, col("kk"))
-      lake.createTableAs("main.ev_json",
-        ev.select(col("event_id"), col("event_type"), col("value"), col("props")))
-      lake.createTableAs("main.ev_var",
-        ev.select(col("event_id"), col("event_type"), col("value"),
-          expr("parse_json(props)").as("pv")))
-      Files.write(marker.toPath, Array.emptyByteArray)
+    // content stamp + cross-process file lock (same protocol as
+    // BucketedFacts.catalog): an existence-only marker silently reuses a
+    // stale fixture after the sf dir is regenerated, and two concurrent
+    // JVMs (Bench warmup vs a test run) can interleave deleteRecursively
+    // with a build
+    def evBytes: Long = {
+      val d = new java.io.File(s"$dir/events.parquet")
+      if (d.isDirectory) d.listFiles.map(_.length).sum else d.length
     }
+    val want = s"v1 events=$evBytes"
+    val lockPath = Paths.get(s"$root.lock")
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val lock = ch.lock()
+      try {
+        val have =
+          if (marker.exists)
+            new String(Files.readAllBytes(marker.toPath), "UTF-8")
+          else ""
+        if (have != want) {
+          graft.lake.LakeWrite.deleteRecursively(root)
+          val lake = new graft.lake.Lake(s, root)
+          val ev = t(s, dir, "events")
+            .withColumn("kk", get_json_object(col("props"), "$.k").cast("long"))
+            .repartitionByRange(32, col("kk"))
+          lake.createTableAs("main.ev_json",
+            ev.select(col("event_id"), col("event_type"), col("value"), col("props")))
+          lake.createTableAs("main.ev_var",
+            ev.select(col("event_id"), col("event_type"), col("value"),
+              expr("parse_json(props)").as("pv")))
+          Files.write(marker.toPath, want.getBytes("UTF-8"))
+        }
+      } finally lock.release()
+    } finally ch.close()
     val cat = s"vfx${Integer.toHexString(root.hashCode)}x"
     s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.lake.LakeCatalog].getName)
     s.conf.set(s"spark.sql.catalog.$cat.root", root)

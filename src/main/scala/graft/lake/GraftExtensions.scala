@@ -54,6 +54,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPreCBORule(new LakeJoinHint(_))
     // variant_get predicates → file pruning on recorded variant path stats
     ext.injectOptimizerRule(new LakeVariantPruning(_))
+    // Strip abandoned DPP markers from DSv2 scans: when a join under SPJ
+    // plans as sort-merge, PlanDynamicPruningFilters has no broadcast to
+    // reuse and leaves `DynamicPruningExpression(true)` in the scan's
+    // runtime filters — BatchScanExec then walks the no-op predicate on
+    // every scan build and logs a per-scan "Can't translate true" WARN.
+    // Dropping the trivial filter is semantics-free (it prunes nothing).
+    ext.injectColumnar(_ => StripTrivialRuntimeFilters)
     // codegen'd scalars for the vector hot paths (kNN / LSH / near-dup)
     ext.injectFunction((FunctionIdentifier("graft_vec_dot"),
       new ExpressionInfo("graft.functions.VecDotLong", "graft_vec_dot",
@@ -192,4 +199,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         .queryExecution.analyzed
     })
   }
+}
+
+/** Removes `DynamicPruningExpression(true)` — the marker
+  * PlanDynamicPruningFilters / PlanAdaptiveDynamicPruningFilters leaves on
+  * a DSv2 scan when DPP is abandoned (no broadcast exchange to reuse,
+  * reuseBroadcastOnly default) — from `BatchScanExec.runtimeFilters`. The
+  * trivial predicate can never prune; keeping it costs a per-scan-build
+  * translation walk and a "Can't translate true to source filter" WARN.
+  * Runs as a post-columnar physical rule: under AQE that is after
+  * queryStageOptimizerRules (where the marker is substituted), and in
+  * non-AQE preparations after PlanDynamicPruningFilters. */
+object StripTrivialRuntimeFilters extends org.apache.spark.sql.execution.ColumnarRule {
+  import org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+
+  private def trivial(e: Expression): Boolean = e match {
+    case DynamicPruningExpression(Literal(true, _)) => true
+    case Literal(true, _) => true
+    case _ => false
+  }
+
+  override def postColumnarTransitions: org.apache.spark.sql.catalyst.rules.Rule[SparkPlan] =
+    new org.apache.spark.sql.catalyst.rules.Rule[SparkPlan] {
+      override def apply(plan: SparkPlan): SparkPlan = plan.transformUp {
+        case b: BatchScanExec if b.runtimeFilters.exists(trivial) =>
+          b.copy(runtimeFilters = b.runtimeFilters.filterNot(trivial))
+      }
+    }
 }

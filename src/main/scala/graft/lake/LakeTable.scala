@@ -214,8 +214,14 @@ class LakeTable(
       }
       (vs.toVector, (f.path, f.fileSizeBytes))
     }
+    // element-wise tuple ordering: a joined-string sort needs a separator
+    // that can't appear in a value (a space can, for string keys) or two
+    // distinct composite keys could collide and make the partition order
+    // nondeterministic across co-bucketed tables — worst case Spark sees
+    // misaligned partition values and silently shuffles instead of SPJ
     val grouped = parsed.groupBy(_._1).toSeq
-      .sortBy(_._1.map(String.valueOf(_)).mkString(" "))
+      .sortBy(_._1.map(String.valueOf(_)))(
+        scala.math.Ordering.Implicits.seqOrdering[Vector, String])
       .map { case (key, fs) =>
         (new GenericInternalRow(key.toArray): InternalRow, fs.map(_._2): Seq[(String, Long)])
       }
@@ -405,9 +411,17 @@ private[graft] class LakeNativeScan(
     s"graft-lake native scan ${table.name()}@${table.snapshot} " +
       s"(${files.size} files, ${deletesByFile.count(_._2.nonEmpty)} with deletes)"
 
-  override def filterAttributes(): Array[NamedReference] =
-    table.runtimeFilterColumns
+  override def filterAttributes(): Array[NamedReference] = {
+    // only columns present in THIS scan's (pruned) output: Spark's
+    // PartitionPruning resolves filterAttributes against the relation
+    // output with V2ExpressionUtils.resolveRef, which THROWS on a miss —
+    // declaring a partition/sort column the query projected away would
+    // crash any join over the pruned scan (found by the q05b leg probe:
+    // "Unable to resolve l_orderkey given [l_suppkey]")
+    val avail = readSchema().fieldNames.toSet
+    table.runtimeFilterColumns.filter(avail)
       .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+  }
 
   override def filter(runtime: Array[Filter]): Unit =
     // same conservative pruner as compile-time filters; eligibility is

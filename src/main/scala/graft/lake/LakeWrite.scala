@@ -489,6 +489,16 @@ object LakeWrite {
     }
   }
 
+  /** Apply `cond` unless it is the literal TRUE (the DELETE/UPDATE-all
+    * fallback callers pass when no WHERE was given): a degenerate `true`
+    * conjunct buys nothing and is walked by every downstream filter
+    * translation (VERDICT r10 #3 — emit no filter instead). */
+  private def filterUnlessTrue(df: DataFrame, cond: Column): DataFrame =
+    org.apache.spark.sql.graft.CatalogAccess.expressionOf(cond) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(true, _) => df
+      case _ => df.filter(cond)
+    }
+
   /** Row-level DELETE. Returns (snapshotId, deletedRowCount) — the
     * reference asserts exact DML row counts (dml_row_count.sql). */
   def delete(
@@ -504,8 +514,9 @@ object LakeWrite {
     val tid = st0.tableAt(schemaName, tableName, s0)
       .getOrElse(throw new NoSuchElementException(s"no table $schemaName.$tableName")).tableId
 
-    val matched = LakeRead.scanDF(spark, st0, tid, s0, Nil, withRowMeta = true)
-      .filter(cond).persist()
+    val matched = filterUnlessTrue(
+      LakeRead.scanDF(spark, st0, tid, s0, Nil, withRowMeta = true), cond)
+      .persist()
     val delFile = writeDeleteFile(spark, store, tid,
       matched.filter(!col(LakeRead.FileCol).startsWith("inline:")))
     val inlineIds = matched.filter(col(LakeRead.FileCol).startsWith("inline:"))
@@ -590,8 +601,9 @@ object LakeWrite {
     val cols = st0.columnsAt(tid, s0)
     val schemaVersion = st0.snapshots.lastOption.map(_.schemaVersion).getOrElse(0L)
 
-    val matched = LakeRead.scanDF(spark, st0, tid, s0, Nil, withRowMeta = true)
-      .filter(cond).persist()
+    val matched = filterUnlessTrue(
+      LakeRead.scanDF(spark, st0, tid, s0, Nil, withRowMeta = true), cond)
+      .persist()
     val updated = matched.select(
       cols.map(c => set.getOrElse(c.name, col(c.name))
         .cast(LakeRead.sparkType(c.dataType)).as(c.name)) ++
@@ -762,7 +774,9 @@ object LakeWrite {
     /** index of the first clause whose condition holds, else -1 */
     def firstMatch(conds: Seq[Option[Column]]): Column =
       conds.zipWithIndex.foldRight(lit(-1)) { case ((c, i), acc) =>
-        when(c.getOrElse(lit(true)), lit(i)).otherwise(acc)
+        // an unconditional clause matches unconditionally — emit the index
+        // itself instead of a degenerate when(true, ...) conjunct
+        c.map(cc => when(cc, lit(i)).otherwise(acc)).getOrElse(lit(i))
       }
 
     /** affected rows of one matched-style group: post-image target columns

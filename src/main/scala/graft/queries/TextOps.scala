@@ -89,7 +89,10 @@ object TextOps {
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
         .groupBy(col("lang"))
         .agg(sum(col("n")).as("n_docs"),
-          count(lit(1)).as("n_sources"),
+          // NULL source must not count as a distinct source (DuckDB's
+          // COUNT(DISTINCT source) ignores NULLs); count(source) over the
+          // group rows gives exactly that
+          count(col("source")).as("n_sources"),
           sum(col("chars")).cast("string").cast("double").as("total_chars"),
           (sum(col("chars")).cast("string").cast("double") / sum(col("n")))
             .as("avg_chars"))

@@ -23,4 +23,11 @@ object CatalogAccess {
   def isTempView(spark: SparkSession, name: String): Boolean =
     spark.asInstanceOf[ClassicSparkSession].sessionState.catalogManager
       .v1SessionCatalog.getTempView(name).isDefined
+
+  /** Bridge to `private[sql] ExpressionUtils.expression`: lets lake DML
+    * inspect a caller-supplied Column (e.g. detect the literal-TRUE
+    * "no WHERE" fallback) without the deprecated Column.expr. */
+  def expressionOf(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 }

@@ -112,6 +112,24 @@ class BucketSpec extends AnyFunSuite {
     }
   }
 
+  test("join over a scan that projects AWAY the bucket column must not crash") {
+    // regression (r11, found by the q05b leg probes): filterAttributes
+    // declared partition/sort columns unconditionally; when the query
+    // prunes that column out of the read schema, Spark's PartitionPruning
+    // resolves the declared attribute against the relation output and
+    // THROWS ("Unable to resolve k given [v]"). The scan must only claim
+    // runtime-filterable columns present in its pruned output.
+    val (lake, _) = bucketedLake(4)
+    val cat = s"bproj${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", lake.root)
+    val dim = spark.range(0, 100).selectExpr("id * 3 AS dv")
+    // b's bucket column k is projected away BEFORE the join on v
+    val n = spark.table(s"$cat.main.b").select(col("v"))
+      .join(dim, col("v") === col("dv")).count()
+    assert(n == 100L) // v = 3*id for id<5000 ∩ dv = 3*id for id<100
+  }
+
   test("chunked appends + mergeAdjacentFiles: bucket values survive, SPJ intact") {
     // BucketedFacts-style ingest leaves several files per bucket (one per
     // append chunk); compaction bin-packs WITHIN a hidden-partition value,
