@@ -859,6 +859,60 @@ object Relational {
         .orderBy(col("c_mktsegment"))
     }),
 
+    "q04b_bucketed_spj" -> ((s, dir) => {
+      val cat = BucketedFacts.catalog(s, dir)
+      // q04's raw floor is the orderkey semi exchange (byte-scaled widths
+      // notwithstanding); over the co-bucketed pair the LEFT SEMI is SPJ —
+      // zero fact exchange, only the 5-row priority regroup shuffles.
+      // No explicit repartition: it would REPLACE the key grouping and
+      // forfeit the SPJ.
+      val o = s.table(s"$cat.main.orders_bo")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val big = s.table(s"$cat.main.lineitem_bo")
+        .filter(col("l_quantity") > 48).select(col("l_orderkey"))
+      o.join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    "q07b_bucketed_spj" -> ((s, dir) => {
+      val cat = BucketedFacts.catalog(s, dir)
+      // q07's one irreducible fact exchange is l⋈o on orderkey; over the
+      // co-bucketed pair it SPJs — zero fact exchanges end to end (the
+      // supplier/customer reductions ride broadcasts of slim lake dims;
+      // the (s_nat, c_nat, year) regroup is ~1250 groups). Every leaf
+      // reads through the lake catalog: one V1 FileScan anywhere below
+      // the join forfeits the SPJ (BucketedFacts.build).
+      val l = s.table(s"$cat.main.lineitem_bo")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      val o = s.table(s"$cat.main.orders_bo")
+      val suSlim = s.table(s"$cat.main.supplier_d")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val cSlim = s.table(s"$cat.main.customer_bc")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val n1 = s.table(s"$cat.main.nation_d")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = s.table(s"$cat.main.nation_d")
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      val lred = l.join(broadcast(suSlim), col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_orderkey"), col("s_nationkey"),
+          year(col("l_shipdate")).cast("long").as("l_year"),
+          col("l_extendedprice"), col("l_discount"))
+      lred.join(o.select(col("o_orderkey"), col("o_custkey")).hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cSlim), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("s_nationkey"), col("c_nationkey"), col("l_year"))
+        .agg(sumRevMicros(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+          col("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .limit(200)
+    }),
+
     "q11b_bucketed_spj" -> ((s, dir) => {
       val cat = BucketedFacts.catalog(s, dir)
       val c = s.table(s"$cat.main.customer_bc").select(col("c_custkey"))
@@ -1139,6 +1193,26 @@ object Relational {
          |WHERE r_name = 'ASIA'
          |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
          |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q04b_bucketed_spj" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 48)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q07b_bucketed_spj" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         |  CAST(CAST(SUM($discPrice) AS VARCHAR) AS DOUBLE) AS revenue
+         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+         |GROUP BY n1.n_name, n2.n_name, CAST(year(l_shipdate) AS BIGINT)
+         |ORDER BY supp_nation, cust_nation, l_year LIMIT 200""".stripMargin,
 
     "q11b_bucketed_spj" ->
       """SELECT c_count, COUNT(*) AS custdist FROM (

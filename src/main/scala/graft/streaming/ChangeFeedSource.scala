@@ -52,7 +52,7 @@ class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourceRegis
   override def shortName(): String = "graft-changes"
 
   private def lakeFor(sqlContext: SQLContext,
-      parameters: Map[String, String]): (Lake, String, Long, Option[Long]) = {
+      parameters: Map[String, String]): (Lake, String, Long, Option[Long], Option[Long]) = {
     val p = parameters.map { case (k, v) => k.toLowerCase -> v }
     val root = p.getOrElse("root",
       throw new IllegalArgumentException("graft-changes: option 'root' required"))
@@ -62,12 +62,15 @@ class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourceRegis
     val cap = p.get("maxsnapshotspertrigger").map(_.toLong)
     cap.foreach(c => require(c > 0,
       s"graft-changes: maxSnapshotsPerTrigger must be positive, got $c"))
-    (new Lake(sqlContext.sparkSession, root), table, start, cap)
+    val byteCap = p.get("maxbytespertrigger").map(_.toLong)
+    byteCap.foreach(c => require(c > 0,
+      s"graft-changes: maxBytesPerTrigger must be positive, got $c"))
+    (new Lake(sqlContext.sparkSession, root), table, start, cap, byteCap)
   }
 
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) = {
-    val (lake, table, _, _) = lakeFor(sqlContext, parameters)
+    val (lake, table, _, _, _) = lakeFor(sqlContext, parameters)
     val cur = lake.currentSnapshot()
     (shortName(), lake.tableChanges(table, cur, cur).schema)
   }
@@ -75,13 +78,14 @@ class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourceRegis
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
-    val (lake, table, start, cap) = lakeFor(sqlContext, parameters)
-    new ChangeFeedSource(lake, table, start, cap)
+    val (lake, table, start, cap, byteCap) = lakeFor(sqlContext, parameters)
+    new ChangeFeedSource(lake, table, start, cap, byteCap)
   }
 }
 
 class ChangeFeedSource(lake: Lake, table: String, startExclusive: Long,
-    maxSnapshotsPerTrigger: Option[Long] = None)
+    maxSnapshotsPerTrigger: Option[Long] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends Source with SupportsTriggerAvailableNow {
 
   override val schema: StructType = {
@@ -119,11 +123,52 @@ class ChangeFeedSource(lake: Lake, table: String, startExclusive: Long,
     if (from > cursor) cursor = from
     val bound = availableNowEnd.getOrElse(lake.currentSnapshot())
     if (bound > lastSeenHead) lastSeenHead = bound
-    if (bound > cursor) {
-      cursor = maxSnapshotsPerTrigger
-        .map(m => math.min(bound, cursor + m)).getOrElse(bound)
-    }
+    if (bound > cursor) cursor = admitTo(cursor, bound)
     if (cursor <= startExclusive) null else LongOffset(cursor)
+  }
+
+  /** Admission: end snapshot of the next micro-batch, bounded by BOTH caps.
+    * `maxSnapshotsPerTrigger` bounds the count; `maxBytesPerTrigger` bounds
+    * the summed change volume — per admitted snapshot, the data-file bytes
+    * plus inlined-row JSON committed AT that snapshot (Delta/Iceberg pair
+    * their count caps with a byte cap for the same reason: a snapshot
+    * window of wildly uneven sizes — one 2 TB compaction vs a thousand
+    * small appends — still admits an unbounded batch under a count cap
+    * alone; the sizes are already in the `ducklake_data_file` metadata, so
+    * admission is O(files) driver-side with no filesystem calls). Always
+    * admits at least one snapshot: a single fat snapshot is admitted ALONE
+    * rather than stalling the stream. Snapshots of OTHER tables contribute
+    * zero bytes and flow through freely. */
+  private def admitTo(from: Long, bound: Long): Long = {
+    if (maxSnapshotsPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty) return bound
+    val nCap = maxSnapshotsPerTrigger.getOrElse(Long.MaxValue)
+    maxBytesPerTrigger match {
+      case None => math.min(bound, from + nCap)
+      case Some(bCap) =>
+        val st = lake.store.state()
+        val (sn, tn) = {
+          val i = table.lastIndexOf('.')
+          if (i < 0) ("main", table) else (table.substring(0, i), table.substring(i + 1))
+        }
+        val tid = st.tableAt(sn, tn, st.currentSnapshotId).map(_.tableId)
+          .getOrElse(return math.min(bound, from + nCap))
+        var end = from
+        var n = 0L
+        var bytes = 0L
+        while (end < bound && n < nCap) {
+          val sid = end + 1
+          val b =
+            st.files.iterator.filter(f => f.tableId == tid && f.begin == sid)
+              .map(_.fileSizeBytes).sum +
+            st.inlined.iterator.filter(ib => ib.tableId == tid && ib.begin == sid)
+              .map(_.rowsJson.iterator.map(_.length.toLong).sum).sum
+          if (n > 0 && bytes + b > bCap) return end
+          bytes += b
+          n += 1
+          end = sid
+        }
+        end
+    }
   }
 
   /** Head of the feed as of the last poll — surfaces backlog depth in
@@ -157,7 +202,27 @@ class ChangeFeedSource(lake: Lake, table: String, startExclusive: Long,
     val s0 = start.map(snap).getOrElse(startExclusive)
     val e = snap(end)
     cursor = math.max(cursor, e)
-    StreamingBatch.asStreaming(lake.tableChanges(table, s0, e))
+    StreamingBatch.asStreaming(conform(lake.tableChanges(table, s0, e)))
+  }
+
+  /** Serve every micro-batch under the source's DECLARED schema. A backlog
+    * range that ends before an ADD COLUMN returns the historical column set
+    * (tableChanges resolves columns at the range's end snapshot — the
+    * reference's per-snapshot historical schema, time_travel.sql:14-19);
+    * the stream's contract is the schema captured at start, so columns the
+    * batch lacks are NULL-filled (exactly what a time-travel read of a
+    * pre-ADD snapshot returns for the new column) and types are cast
+    * through ALTER TYPE widenings. Columns ADDED after stream start are
+    * not served — restart the stream to pick up new DDL (Delta CDF's
+    * contract). */
+  private def conform(df: DataFrame): DataFrame = {
+    if (df.schema == schema) return df
+    import org.apache.spark.sql.functions.{col, lit}
+    val have = df.columns.toSet
+    df.select(schema.fields.toSeq.map { f =>
+      if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
   }
 
   override def commit(end: V1Offset): Unit = { cursor = math.max(cursor, snap(end)) }

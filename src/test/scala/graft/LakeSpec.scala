@@ -180,6 +180,97 @@ class LakeSpec extends AnyFunSuite {
     assert(one.isStreaming)
   }
 
+  // ---- streaming: byte-cap admission (VERDICT r10 #6) --------------------
+  // A count cap alone still admits an unbounded batch when snapshot sizes
+  // are wildly uneven (one huge compaction vs a thousand small appends).
+  // maxBytesPerTrigger sums data-file bytes per admitted snapshot; a fat
+  // snapshot exceeding the cap is admitted ALONE (never stalls the stream).
+  test("streaming: maxBytesPerTrigger isolates a fat snapshot into its own trigger") {
+    val lake = newLake()
+    import spark.implicits._
+    lake.createTable("main.bc", abSchema) // snapshot 1
+    lake.append("main.bc", Seq((1, 10)).toDF("a", "b")) // snapshot 2, tiny
+    lake.append("main.bc",
+      spark.range(0, 20000).selectExpr("CAST(id + 100 AS INT) AS a",
+        "CAST(id AS INT) AS b")) // snapshot 3, FAT (far above the cap)
+    lake.append("main.bc", Seq((2, 20)).toDF("a", "b")) // snapshot 4, tiny
+    lake.append("main.bc", Seq((3, 30)).toDF("a", "b")) // snapshot 5, tiny
+    val ckpt = Files.createTempDirectory("graft_ckpt_bc").toString
+    // (snapshot-id set, row count) per non-empty micro-batch
+    val perBatch = collection.mutable.ArrayBuffer[(Set[Long], Int)]()
+    val q = spark.readStream.format("graft-changes")
+      .option("root", lake.root).option("table", "main.bc")
+      .option("maxBytesPerTrigger", (8L * 1024).toString) // between tiny and fat
+      .load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val snaps = df.select("_snapshot_id").collect().map(_.getLong(0))
+        perBatch.synchronized {
+          if (snaps.nonEmpty) perBatch += ((snaps.toSet, snaps.length))
+        }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(perBatch.map(_._2).sum == 1 + 20000 + 1 + 1,
+      s"exactly-once violated: $perBatch")
+    val (fatSnaps, _) = perBatch.find(_._2 == 20000)
+      .getOrElse(fail(s"fat snapshot never drained whole: $perBatch"))
+    assert(fatSnaps.size == 1,
+      s"fat snapshot shared a trigger with others: $fatSnaps (all: $perBatch)")
+    assert(perBatch.length >= 3,
+      s"byte cap did not chunk the backlog: $perBatch")
+  }
+
+  // ---- streaming under schema evolution (VERDICT r10 #7) -----------------
+  // A backlog spanning an ADD COLUMN must drain exactly-once with every
+  // micro-batch under the source's DECLARED schema: pre-ADD snapshots
+  // NULL-fill the new column (the reference's historical-schema contract —
+  // a time-travel read of a pre-ADD snapshot has no value for it either).
+  test("streaming: backlog spanning ADD COLUMN serves declared schema, NULL-filling old rows") {
+    val lake = newLake()
+    import spark.implicits._
+    lake.createTable("main.se", abSchema)
+    lake.append("main.se", Seq((1, 10), (2, 20)).toDF("a", "b")) // pre-ADD
+    locally { // ADD COLUMN via the DSv2 catalog, like the time-travel spec
+      val cat = s"lkse${System.nanoTime()}"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.root", lake.root)
+      spark.sql(s"ALTER TABLE $cat.main.se ADD COLUMN c STRING")
+    }
+    lake.append("main.se",
+      Seq((3, 30, "x"), (4, 40, "y")).toDF("a", "b", "c")) // post-ADD
+    val ckpt = Files.createTempDirectory("graft_ckpt_se").toString
+    val rows = collection.mutable.ArrayBuffer[(Int, Int, Option[String])]()
+    val schemas = collection.mutable.ArrayBuffer[Seq[String]]()
+    val q = spark.readStream.format("graft-changes")
+      .option("root", lake.root).option("table", "main.se")
+      .option("maxSnapshotsPerTrigger", "1") // force pure-old-schema batches
+      .load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rs = df.select("a", "b", "c").collect()
+          .map(r => (r.getInt(0), r.getInt(1), Option(r.getString(2))))
+        rows.synchronized {
+          if (rs.nonEmpty) { rows ++= rs; schemas += df.columns.toSeq }
+        }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // exactly-once, with NULL fill on the pre-ADD rows
+    assert(rows.sorted == Seq((1, 10, None), (2, 20, None),
+      (3, 30, Some("x")), (4, 40, Some("y"))), s"drain saw $rows")
+    // every batch — including the all-pre-ADD ones forced by the cap —
+    // carried the declared (post-ADD) column set
+    assert(schemas.forall(_.contains("c")),
+      s"a batch served the historical schema instead of the declared one: $schemas")
+  }
+
   // ---- variant.sql: semi-structured columns (Spark 4 VariantType) -------
   test("variant: column round-trips through parquet, DML works, inlining disabled") {
     val lake = newLake()
