@@ -191,6 +191,108 @@ class FuzzSpec extends AnyFunSuite {
       s"seed=$seed cold ACL: $coldPrivs vs $aclPrivs")
   }
 
+  /** Streaming-source fuzz (VERDICT r10 #9): a seeded random schedule of
+    * appends / deletes / updates / compactions / sorted rewrites / inline
+    * flushes, drained at random points by checkpointed AvailableNow runs
+    * under a random per-drain maxSnapshotsPerTrigger (and sometimes a byte
+    * cap), asserted EXACTLY-ONCE against the batch `tableChanges` oracle
+    * computed incrementally over each drained range. Snapshot expiry runs
+    * only right after a drain (the retention discipline a real deployment
+    * follows) — the stream's checkpoint cursor must keep working when the
+    * snapshot it points at no longer exists. */
+  private def runStreamFuzz(seed: Int, nOps: Int): Unit = {
+    val rnd = new Random(seed)
+    val root = Files.createTempDirectory(s"graft_sfuzz$seed").toString
+    val lake = new Lake(spark, root)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType)))
+    lake.createTable("main.sf", schema)
+    lake.setOption("target_file_size", "64KB", Some("main.sf"))
+    lake.setSort("main.sf", List(Meta.SortKey("k", ascending = true, nullsFirst = false)))
+    val ckpt = Files.createTempDirectory(s"graft_sfuzz_ckpt$seed").toString
+
+    type ChangeRow = (Long, Long, String, Long, Long) // k, v, type, snapshot, row_id
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[ChangeRow] =
+      df.select("k", "v", "_change_type", "_snapshot_id", "_row_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+        .toSeq
+
+    val streamed = mutable.ArrayBuffer[ChangeRow]()
+    val oracle = mutable.ArrayBuffer[ChangeRow]()
+    var oracleEnd = lake.currentSnapshot()
+
+    def drain(): Unit = {
+      val capped = spark.readStream.format("graft-changes")
+        .option("root", root).option("table", "main.sf")
+        .option("maxSnapshotsPerTrigger", (1 + rnd.nextInt(4)).toString)
+      val src = if (rnd.nextBoolean())
+        capped.option("maxBytesPerTrigger", (4096 + rnd.nextInt(64 * 1024)).toString)
+      else capped
+      val q = src.load().writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rs = rowsOf(df)
+          streamed.synchronized { streamed ++= rs }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val cur = lake.currentSnapshot()
+      if (cur > oracleEnd) {
+        oracle ++= rowsOf(lake.tableChanges("main.sf", oracleEnd, cur))
+        oracleEnd = cur
+      }
+      assert(streamed.sorted == oracle.sorted,
+        s"seed=$seed after drain to $cur: streamed ${streamed.size} rows, " +
+          s"oracle ${oracle.size}; diff sample: " +
+          s"${(streamed.toSet -- oracle.toSet).take(3)} / ${(oracle.toSet -- streamed.toSet).take(3)}")
+    }
+
+    var model = Map.empty[Long, Long]
+    var nextK = 0L
+    (0 until nOps).foreach { _ =>
+      rnd.nextInt(12) match {
+        case 0 | 1 | 2 | 3 =>
+          val n = 20 + rnd.nextInt(120)
+          val rows = (nextK until nextK + n).map(k => (k, k * 2 + seed))
+          nextK += n
+          import spark.implicits._
+          lake.append("main.sf", rows.toDF("k", "v"))
+          model ++= rows
+        case 4 =>
+          val m = 2 + rnd.nextInt(5); val r = rnd.nextInt(m)
+          lake.delete("main.sf", col("k") % m === r)
+          model = model.filter { case (k, _) => k % m != r }
+        case 5 =>
+          val m = 2 + rnd.nextInt(5); val r = rnd.nextInt(m); val c = rnd.nextInt(100)
+          lake.update("main.sf", col("k") % m === r, Map("v" -> (col("v") + c)))
+          model = model.map { case (k, v) => k -> (if (k % m == r) v + c else v) }
+        case 6 => lake.mergeAdjacentFiles("main.sf") // no logical change
+        case 7 => lake.vacuum("main.sf")             // no logical change
+        case 8 => if (model.nonEmpty) lake.rewriteSorted("main.sf")
+        case 9 => lake.flushInlinedData("main.sf")
+        case 10 =>
+          // retention: expire everything but the current snapshot, but only
+          // when the stream has already drained all history being dropped
+          // (currentSnapshot == oracleEnd ⇔ nothing undrained)
+          if (lake.currentSnapshot() == oracleEnd)
+            lake.expireSnapshots(Some(0L))
+        case 11 => drain()
+      }
+      if (rnd.nextInt(4) == 0) drain()
+    }
+    drain() // final full drain
+    // and the lake's live state agrees with the model (sanity on the ops)
+    val live = lake.table("main.sf").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(live == model, s"seed=$seed live state: ${live.size} vs ${model.size}")
+  }
+
+  test("stream fuzz seed 20260815, 28 ops")(runStreamFuzz(20260815, 28))
+  test("stream fuzz seed 11, 28 ops")(runStreamFuzz(11, 28))
+
   test("fuzz seed 20260814, 24 ops")(runFuzz(20260814, 24))
   test("fuzz seed 7, 24 ops")(runFuzz(7, 24))
   test("fuzz seed 31, 24 ops over the JDBC catalog (Derby unique-key CAS)")(
