@@ -26,12 +26,16 @@ import graft.lake.Lake
   *     .option("root", "/lake/root").option("table", "main.t")
   *     .option("startSnapshot", "3")          // optional, exclusive; default -1
   *     .option("maxSnapshotsPerTrigger", "5") // optional backlog rate cap
+  *     .option("maxBytesPerTrigger", "1g-ish-bytes") // optional volume cap
   *     .load()
   * }}}
   *
   * Checkpoint-restartable: offsets serialize as the snapshot id. The stream
-  * pins the table's column set at start (schema evolution mid-stream
-  * requires a restart — the same contract as Delta's CDF stream).
+  * pins the table's column set at start; a backlog spanning an ADD COLUMN
+  * still drains — every micro-batch is conformed to the declared schema
+  * (pre-ADD rows NULL-fill the new column, the reference's historical-
+  * schema semantics). Columns added after start need a restart to be
+  * served (the same contract as Delta's CDF stream).
   *
   * `maxSnapshotsPerTrigger` bounds how many snapshots one micro-batch may
   * cover. Without it a stream cold-starting against a table with a deep
