@@ -69,7 +69,15 @@ class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourceRegis
     val byteCap = p.get("maxbytespertrigger").map(_.toLong)
     byteCap.foreach(c => require(c > 0,
       s"graft-changes: maxBytesPerTrigger must be positive, got $c"))
-    (new Lake(sqlContext.sparkSession, root), table, start, cap, byteCap)
+    // option jdbc=<url>: the lake's catalog lives in a shared database
+    // (same option as the DSv2 catalog) — without it a stream against a
+    // JDBC-cataloged lake would silently read an empty file log
+    val lake = p.get("jdbc") match {
+      case Some(url) => new Lake(sqlContext.sparkSession, root,
+        Some(new graft.lake.JdbcMetadataStore(root, url)))
+      case None => new Lake(sqlContext.sparkSession, root)
+    }
+    (lake, table, start, cap, byteCap)
   }
 
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],

@@ -55,6 +55,14 @@ class LakeSinkProvider extends StreamSinkProvider with DataSourceRegister
 
   override def shortName(): String = "graft-lake"
 
+  /** option jdbc=<url> (same as the DSv2 catalog): the metadata catalog
+    * lives in a shared live database instead of the file log */
+  private def storeFor(root: String, jdbc: Option[String]): MetadataStore =
+    jdbc match {
+      case Some(url) => new graft.lake.JdbcMetadataStore(root, url)
+      case None => new MetadataStore(root)
+    }
+
   /** batch `df.write.format("graft-lake")` — Spark routes V1_BATCH_WRITE
     * tables through the V1 save path, which needs this provider. The
     * target table is auto-created from the frame's schema when absent
@@ -65,7 +73,8 @@ class LakeSinkProvider extends StreamSinkProvider with DataSourceRegister
       throw new IllegalArgumentException("graft-lake requires option 'root'"))
     val name = parameters.getOrElse("table",
       throw new IllegalArgumentException("graft-lake requires option 'table'"))
-    val lake = new Lake(data.sparkSession, root)
+    val lake = new Lake(data.sparkSession, root,
+      Some(storeFor(root, parameters.get("jdbc"))))
     val (sn, tn) = lake.schemaOf(name)
     val exists = lake.store.state()
       .tableAt(sn, tn, lake.store.state().currentSnapshotId).isDefined
@@ -94,7 +103,7 @@ class LakeSinkProvider extends StreamSinkProvider with DataSourceRegister
       case Array(t) => ("main", t)
       case _ => throw new IllegalArgumentException(s"bad table name: $name")
     }
-    val store = new MetadataStore(root)
+    val store = storeFor(root, Option(o.get("jdbc")))
     val st = store.state()
     // time-travel resolution errors must PROPAGATE with their message (no
     // snapshot at/before the timestamp, version beyond current) — only the
@@ -151,19 +160,26 @@ class LakeSinkProvider extends StreamSinkProvider with DataSourceRegister
         "graft-lake sink: 'txnId' or a checkpointLocation required for exactly-once tracking"))
     require(outputMode == OutputMode.Append() || outputMode == OutputMode.Complete(),
       s"graft-lake sink supports Append and Complete output modes, got $outputMode")
-    new LakeSink(root, table, txnId, overwrite = outputMode == OutputMode.Complete())
+    new LakeSink(root, table, txnId, overwrite = outputMode == OutputMode.Complete(),
+      jdbc = p.get("jdbc"))
   }
 }
 
-class LakeSink(root: String, table: String, txnId: String, overwrite: Boolean)
+class LakeSink(root: String, table: String, txnId: String, overwrite: Boolean,
+    jdbc: Option[String] = None)
   extends Sink {
 
   private def txnKey = s"stream_txn:$txnId"
 
+  private def mkStore(): MetadataStore = jdbc match {
+    case Some(url) => new graft.lake.JdbcMetadataStore(root, url)
+    case None => new MetadataStore(root)
+  }
+
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val spark = data.sparkSession
-    val store = new MetadataStore(root)
-    val lake = new Lake(spark, root)
+    val store = mkStore()
+    val lake = new Lake(spark, root, Some(mkStore()))
     val st0 = store.state()
     val (schemaName, tableName) = {
       val parts = table.split('.')

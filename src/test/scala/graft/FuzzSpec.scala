@@ -200,10 +200,17 @@ class FuzzSpec extends AnyFunSuite {
     * only right after a drain (the retention discipline a real deployment
     * follows) — the stream's checkpoint cursor must keep working when the
     * snapshot it points at no longer exists. */
-  private def runStreamFuzz(seed: Int, nOps: Int): Unit = {
+  private def runStreamFuzz(seed: Int, nOps: Int, jdbc: Boolean = false): Unit = {
     val rnd = new Random(seed)
     val root = Files.createTempDirectory(s"graft_sfuzz$seed").toString
-    val lake = new Lake(spark, root)
+    // jdbc=true puts the catalog in a shared Derby database and reaches it
+    // through the source's `jdbc` option — the deployment shape where N
+    // engines share one live catalog (the reference's PG posture)
+    val jdbcUrl =
+      if (jdbc) Some(s"jdbc:derby:${Files.createTempDirectory(s"graft_sfuzzdb$seed")}/cat;create=true")
+      else None
+    def mkStore() = jdbcUrl.map(u => new JdbcMetadataStore(root, u))
+    val lake = new Lake(spark, root, mkStore())
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType)))
@@ -223,8 +230,9 @@ class FuzzSpec extends AnyFunSuite {
     var oracleEnd = lake.currentSnapshot()
 
     def drain(): Unit = {
-      val capped = spark.readStream.format("graft-changes")
+      val base = spark.readStream.format("graft-changes")
         .option("root", root).option("table", "main.sf")
+      val capped = jdbcUrl.fold(base)(u => base.option("jdbc", u))
         .option("maxSnapshotsPerTrigger", (1 + rnd.nextInt(4)).toString)
       val src = if (rnd.nextBoolean())
         capped.option("maxBytesPerTrigger", (4096 + rnd.nextInt(64 * 1024)).toString)
@@ -292,6 +300,8 @@ class FuzzSpec extends AnyFunSuite {
 
   test("stream fuzz seed 20260815, 28 ops")(runStreamFuzz(20260815, 28))
   test("stream fuzz seed 11, 28 ops")(runStreamFuzz(11, 28))
+  test("stream fuzz seed 42, 20 ops over the JDBC catalog (source 'jdbc' option)")(
+    runStreamFuzz(42, 20, jdbc = true))
 
   test("fuzz seed 20260814, 24 ops")(runFuzz(20260814, 24))
   test("fuzz seed 7, 24 ops")(runFuzz(7, 24))

@@ -59,6 +59,25 @@ class SinkReplaySpec extends AnyFunSuite {
     assert(lake.table("main.ev", Some(atEpoch1)).count() == 15)
   }
 
+  test("sink with the jdbc option writes through a shared live catalog, replay-safe") {
+    // r11: the sink's `jdbc` option routes the exactly-once tag + commit
+    // through a JdbcMetadataStore — the shared-PG deployment shape. The
+    // file log at root stays EMPTY; a second engine reading via its own
+    // JDBC store sees the rows.
+    val root = Files.createTempDirectory("graft_sink_jdbc").toString
+    val url = s"jdbc:derby:${Files.createTempDirectory("graft_sinkdb")}/cat;create=true"
+    val sink = new LakeSink(root, "main.ev", txnId = "qj", overwrite = false,
+      jdbc = Some(url))
+    sink.addBatch(0, rows("b0", 7))
+    sink.addBatch(0, rows("b0", 7)) // replay: must no-op
+    sink.addBatch(1, rows("b1", 5))
+    val other = new Lake(spark, root, Some(new JdbcMetadataStore(root, url)))
+    assert(other.table("main.ev").count() == 12)
+    // and the catalog really lives in the database, not the file log
+    assert(new Lake(spark, root).store.state().tables.isEmpty,
+      "file log unexpectedly has catalog state")
+  }
+
   test("two sinks racing one epoch commit exactly once") {
     val root = Files.createTempDirectory("graft_sink_race").toString
     val a = new LakeSink(root, "main.r", txnId = "qr", overwrite = false)
