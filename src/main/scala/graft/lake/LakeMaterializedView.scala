@@ -1,0 +1,131 @@
+package graft.lake
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.lake.Meta.TagEntry
+
+/** Incrementally-maintained materialized views over the change feed.
+  *
+  * The reference stores only LOGICAL views (`ducklake_view`,
+  * sql/pg_ducklake--0.1.0.sql); at 100 TB the missing piece is a grouped
+  * aggregate a consumer can read without rescanning the fact table. This
+  * module materializes `SELECT groups..., COUNT(*), SUM(cols)... FROM src
+  * GROUP BY groups` as a lake table and maintains it from the SAME
+  * snapshot-range change feed the reference exposes (A16): a refresh reads
+  * ONLY `tableChanges(src, lastApplied, current)` — never the source table
+  * — folds it into a per-group delta with ±1 weights (insert /
+  * update_postimage = +1, delete / update_preimage = −1; exactly the
+  * pre/post-image contract of `table_changes`,
+  * sql/pg_ducklake--0.1.0.sql:344-449), and full-outer-merges the delta
+  * into the (small, aggregated) MV state.
+  *
+  * Exactly-once refresh: the applied-watermark tag (`mv_last`) commits IN
+  * THE SAME snapshot as the MV data overwrite — the streaming sink's
+  * txn-tag idiom — with an in-commit re-check, so a crashed or concurrent
+  * refresh can never double-apply a delta.
+  *
+  * Scale shape: refresh cost is O(changed bytes) + O(|MV|), with the MV
+  * by construction the size of the group domain, not the fact. The merge
+  * is a full-outer join of two SMALL inputs; nothing rescans the source.
+  *
+  * v1 limits (documented, enforced): additive aggregates only — COUNT(*)
+  * plus SUM over INTEGRAL columns (exact longs; double sums are
+  * order-dependent and min/max are not maintainable under deletes without
+  * per-group recompute). A group whose summed column is entirely NULL
+  * reports 0, not NULL (the additive identity).
+  */
+object LakeMaterializedView {
+
+  private val KSource = "mv_source"
+  private val KGroups = "mv_groups"
+  private val KSums = "mv_sums"
+  private val KLast = "mv_last"
+
+  private def aggCols(groupCols: Seq[String], sumCols: Seq[String]): Seq[Column] =
+    (count(lit(1)).as("n_rows") +:
+      sumCols.map(c => coalesce(sum(col(c)), lit(0L)).as(s"sum_$c")))
+
+  /** Create `name` as a materialized grouped aggregate of `source` at the
+    * CURRENT snapshot; the definition and the applied watermark land in
+    * the same commit as the initial full compute. */
+  def create(lake: Lake, name: String, source: String,
+      groupCols: Seq[String], sumCols: Seq[String]): Long = {
+    require(groupCols.nonEmpty, "materialized view needs at least one group column")
+    val st = lake.store.state()
+    val srcEntry = lake.schemaOf(source)
+    val se = st.tableAt(srcEntry._1, srcEntry._2, st.currentSnapshotId)
+      .getOrElse(throw new NoSuchElementException(s"no table $source"))
+    val types = st.columnsAt(se.tableId, st.currentSnapshotId)
+      .map(c => c.name -> c.dataType.toLowerCase).toMap
+    sumCols.foreach { c =>
+      val t = types.getOrElse(c, sys.error(s"no column $c in $source"))
+      require(Set("tinyint", "smallint", "int", "bigint")(t),
+        s"mv SUM column $c must be integral (exact additive), got $t")
+    }
+    val snap = st.currentSnapshotId
+    val full = lake.table(source, Some(snap))
+      .groupBy(groupCols.map(col): _*)
+      .agg(aggCols(groupCols, sumCols).head, aggCols(groupCols, sumCols).tail: _*)
+      .select(groupCols.map(col) ++
+        ("n_rows" +: sumCols.map("sum_" + _)).map(c => col(c).cast("long").as(c)): _*)
+    lake.createTable(name, full.schema)
+    val (sn, tn) = lake.schemaOf(name)
+    LakeWrite.append(lake.spark, lake.store, sn, tn, full,
+      changeTag = "inserted",
+      extraTags = (stc, sid) => {
+        val tid = stc.tableAt(sn, tn, stc.currentSnapshotId).get.tableId.toString
+        (List(
+          TagEntry(tid, KSource, source, sid, None),
+          TagEntry(tid, KGroups, groupCols.mkString(","), sid, None),
+          TagEntry(tid, KSums, sumCols.mkString(","), sid, None),
+          TagEntry(tid, KLast, snap.toString, sid, None)), Nil)
+      })
+  }
+
+  /** Fold the change feed since the last refresh into the MV. Returns the
+    * newly-applied source snapshot id (== previous watermark when there
+    * was nothing to apply). */
+  def refresh(lake: Lake, name: String): Long = {
+    val st = lake.store.state()
+    val (sn, tn) = lake.schemaOf(name)
+    val e = st.tableAt(sn, tn, st.currentSnapshotId)
+      .getOrElse(throw new NoSuchElementException(s"no materialized view $name"))
+    val scope = e.tableId.toString
+    def tag(k: String): String = st.tagAt(scope, k, st.currentSnapshotId)
+      .getOrElse(throw new IllegalStateException(s"$name is not a materialized view (missing $k)"))
+    val source = tag(KSource)
+    val groupCols = tag(KGroups).split(',').toSeq
+    val sumCols = tag(KSums).split(',').toSeq.filter(_.nonEmpty)
+    val last = tag(KLast).toLong
+    val cur = st.currentSnapshotId
+    if (cur <= last) return last
+
+    val changes = lake.tableChanges(source, last, cur)
+    val w = when(col("_change_type").isin("insert", "update_postimage"), 1L)
+      .otherwise(-1L)
+    val delta = changes.groupBy(groupCols.map(col): _*)
+      .agg(sum(w).as("d_n"),
+        sumCols.map(c => coalesce(sum(w * col(c)), lit(0L)).as(s"d_$c")): _*)
+    val old = lake.table(name)
+    val merged = old.join(delta, groupCols, "full_outer")
+      .select(groupCols.map(col) ++
+        Seq((coalesce(col("n_rows"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
+          .as("n_rows")) ++
+        sumCols.map(c => (coalesce(col(s"sum_$c"), lit(0L)) +
+          coalesce(col(s"d_$c"), lit(0L))).as(s"sum_$c")): _*)
+      .filter(col("n_rows") > 0)
+    LakeWrite.append(lake.spark, lake.store, sn, tn, merged, overwrite = true,
+      changeTag = "updated",
+      extraTags = (stc, sid) => {
+        // in-commit re-check (the sink's idiom): a concurrent refresh that
+        // already advanced the watermark aborts this one at the CAS
+        val nowLast = stc.tagAt(scope, KLast, stc.currentSnapshotId)
+          .map(_.toLong).getOrElse(-1L)
+        if (nowLast != last) throw new IllegalStateException(
+          s"concurrent refresh of $name already applied snapshot $nowLast")
+        (List(TagEntry(scope, KLast, cur.toString, sid, None)),
+          List(s"$scope:$KLast"))
+      })
+    cur
+  }
+}

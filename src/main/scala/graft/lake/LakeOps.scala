@@ -1222,6 +1222,21 @@ class Lake(val spark: SparkSession, val root: String,
     * interval-versioned tag machinery (scope `view:<schema>`), so OR
     * REPLACE ends the old generation and time travel resolves the
     * definition live at the requested snapshot. */
+  /** Materialized grouped aggregate of `source`, incrementally refreshed
+    * from the change feed — see [[LakeMaterializedView]]. */
+  def createMaterializedView(name: String, source: String,
+      groupCols: Seq[String], sumCols: Seq[String] = Nil): Long = {
+    aclSuper("CREATE MATERIALIZED VIEW")
+    LakeMaterializedView.create(this, name, source, groupCols, sumCols)
+  }
+
+  /** Fold the source change feed since the last refresh into the MV;
+    * returns the applied source snapshot (exactly-once, CAS-guarded). */
+  def refreshMaterializedView(name: String): Long = {
+    aclSuper("REFRESH MATERIALIZED VIEW")
+    LakeMaterializedView.refresh(this, name)
+  }
+
   def createView(name: String, viewSql: String, aliases: Seq[String] = Nil,
       orReplace: Boolean = true): Long = {
     aclSuper("CREATE VIEW")

@@ -81,6 +81,10 @@ object LakeProcedures {
       StructType(Seq(StructField("snapshot_id", Lng))),
       (lake, in) => Seq(lake.rewriteSorted(str(in, 0))),
       "globally re-cluster by the declared sort order"),
+    Spec("refresh_materialized_view", Seq(("view", Str, false)),
+      StructType(Seq(StructField("applied_snapshot", Lng))),
+      (lake, in) => Seq(lake.refreshMaterializedView(str(in, 0))),
+      "fold the source change feed since the last refresh into the MV"),
     Spec("rewrite_zorder",
       Seq(("table", Str, false), ("columns", ArrayType(Str), false)),
       StructType(Seq(StructField("snapshot_id", Lng))),

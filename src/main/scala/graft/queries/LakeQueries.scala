@@ -973,6 +973,33 @@ object LakeQueries {
     // DML enforcement the reference documents as a known gap): custom
     // role + SELECT grant, predefined writer role, a denied write, an
     // allowed write, a read under the reader grant ----------------------
+    // ---- incremental materialized view (superset; the reference stores
+    // only LOGICAL views): a grouped aggregate maintained from the change
+    // feed — refresh scans ONLY tableChanges since the watermark, through
+    // appends, a delete, AND a group-moving update (pre/post images), and
+    // must equal the full GROUP BY of the final state --------------------
+    "l57_materialized_view" -> ((s, dir) => {
+      val lake = newLake(s)
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_orderpriority"))
+      // seed with the even orderkeys, MV at that state
+      lake.createTableAs("main.mvo", orders.filter(col("o_orderkey") % 2 === 0))
+      lake.createMaterializedView("main.mv", "main.mvo",
+        groupCols = Seq("o_orderpriority"), sumCols = Seq("o_custkey"))
+      // incremental history: append the odd half, delete a slice, move a
+      // slice across groups (update pre/post images must transfer counts)
+      lake.append("main.mvo", orders.filter(col("o_orderkey") % 2 === 1))
+      lake.delete("main.mvo",
+        col("o_orderstatus") === "F" && col("o_orderkey") % 10 === 3)
+      lake.update("main.mvo", col("o_orderkey") % 7 === 0,
+        Map("o_orderpriority" -> lit("9-MOVED")))
+      lake.refreshMaterializedView("main.mv")
+      // a second refresh with no source changes is a no-op on the values
+      lake.refreshMaterializedView("main.mv")
+      lake.table("main.mv").orderBy(col("o_orderpriority"))
+    }),
+
     "l56_roles" -> ((s, dir) => {
       val lake = newLake(s)
       lake.createTableAs("main.nat", t(s, dir, "nation"))
@@ -1478,6 +1505,19 @@ object LakeQueries {
       """SELECT n_nationkey, n_name, 'table' AS macro_type
         |FROM nation WHERE n_regionkey = 1
         |ORDER BY n_nationkey""".stripMargin,
+
+    // materialized view content == full GROUP BY over the final state the
+    // DML sequence leaves behind (delete slice removed, %7 slice moved)
+    "l57_materialized_view" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_rows,
+        |  SUM(o_custkey) AS sum_o_custkey
+        |FROM (
+        |  SELECT CASE WHEN o_orderkey % 7 = 0 THEN '9-MOVED'
+        |              ELSE o_orderpriority END AS o_orderpriority,
+        |         o_custkey
+        |  FROM orders
+        |  WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 10 = 3))
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // roles: reader-grant user reads what the writer-role user's DELETE
     // left behind; the denied write surfaces as a constant column
