@@ -108,6 +108,31 @@ object PerfLab {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  // ---- mv probe fixture: lake source = orders, MV created over it ------
+  private val mvLakes = scala.collection.mutable.Map[String, graft.lake.Lake]()
+  private var mvSliceN = 0
+  private def mvFixture(s: SparkSession, dir: String): graft.lake.Lake =
+    synchronized {
+      mvLakes.getOrElseUpdate(dir, {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_mvlab").toString
+        val lake = new graft.lake.Lake(s, root)
+        lake.createTableAs("main.mvsrc", t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority")))
+        lake.createMaterializedView("main.mvagg", "main.mvsrc",
+          Seq("o_orderpriority"), Seq("o_custkey"))
+        lake
+      })
+    }
+  /** a fresh deterministic ~1% slice per call (distinct per run so every
+    * timed run appends the same volume of NEW change-feed work) */
+  private def mvSlice(s: SparkSession, dir: String): DataFrame = synchronized {
+    mvSliceN += 1
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      .filter(col("o_orderkey") % 100 === (mvSliceN % 100))
+  }
+
   /** q05b inverted around the custkey-bucketed pair — see the q05b_co
     * entry comment */
   private def q05bCoShape(s: SparkSession, dir: String): DataFrame = {
@@ -1302,6 +1327,33 @@ object PerfLab {
     // customer's bucket layout (v2.bucketing.shuffle) — deletes the 15M-row
     // customer exchange
     "q05b_preagg_spjc" -> ((s, dir) => q05bPreAgg(s, dir, spjCustomer = true)),
+
+    // ---- materialized view: incremental refresh vs full recompute -----
+    // Each timed run appends the same-size 1% slice to the lake source
+    // and then either (inc) folds the change feed into the MV or (full)
+    // recomputes the aggregate over the whole source — identical append
+    // cost in both, so the difference isolates refresh vs recompute.
+    "mv_inc" -> ((s, dir) => {
+      val lake = mvFixture(s, dir)
+      lake.append("main.mvsrc", mvSlice(s, dir))
+      lake.refreshMaterializedView("main.mvagg")
+      lake.table("main.mvagg")
+    }),
+    "mv_full" -> ((s, dir) => {
+      val lake = mvFixture(s, dir)
+      lake.append("main.mvsrc", mvSlice(s, dir))
+      lake.table("main.mvsrc")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_custkey")).as("sum_o_custkey"))
+    }),
+    // the shared cost alone (append the slice, no aggregate work): inc −
+    // append isolates the refresh, full − append the recompute scan
+    "mv_append" -> ((s, dir) => {
+      val lake = mvFixture(s, dir)
+      lake.append("main.mvsrc", mvSlice(s, dir))
+      lake.table("main.mvagg")
+    }),
 
     // ---- q27: sessionize (3.52x at sf30, 0.95 s abs) -----------------
     "q27_cur" -> ((s, dir) =>
