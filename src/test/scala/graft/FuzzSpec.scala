@@ -47,6 +47,11 @@ class FuzzSpec extends AnyFunSuite {
     lake.createTable("main.f", schema)
     lake.setOption("target_file_size", "64KB", Some("main.f"))
     lake.setSort("main.f", List(Meta.SortKey("k", ascending = true, nullsFirst = false)))
+    // r11: an identity-keyed materialized view rides the whole schedule —
+    // its refresh consumes the change feed independently of the reads the
+    // fuzz already checks, so MV == model cross-checks pre/post images,
+    // transaction snapshots, and maintenance no-ops a second way
+    lake.createMaterializedView("main.fmv", "main.f", Seq("k"), Seq("v"))
 
     // r9: ACL joins the schedule — a custom role + user whose per-table
     // grant set and membership mutate randomly; after every op the
@@ -73,9 +78,19 @@ class FuzzSpec extends AnyFunSuite {
       lake.table("main.f", version).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
 
+    def checkMv(tag: String): Unit = {
+      lake.refreshMaterializedView("main.fmv")
+      val got = lake.table("main.fmv").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val want = model.map { case (k, v) => k -> (1L, v) }
+      assert(got == want, s"seed=$seed $tag MV: ${got.size} rows vs model " +
+        s"${want.size}; diff ${(got.toSet -- want.toSet).take(3)} / " +
+        s"${(want.toSet -- got.toSet).take(3)}")
+    }
+
     var i = 0
     while (i < nOps) {
-      val op = rnd.nextInt(18)
+      val op = rnd.nextInt(19)
       op match {
         case 0 | 1 | 2 | 3 =>
           val n = 50 + rnd.nextInt(150)
@@ -132,6 +147,7 @@ class FuzzSpec extends AnyFunSuite {
           if (member) lake.acl.revokeRole("fz", "fu")
           else lake.acl.grantRole("fz", "fu")
           member = !member
+        case 18 => checkMv(s"op#$i")
       }
       history += ((lake.currentSnapshot(), model, viewDef))
       viewDef.foreach { case (m, r) =>
@@ -162,6 +178,8 @@ class FuzzSpec extends AnyFunSuite {
         s"seed=$seed op#$i: UPDATE as fu got $gotUpd want $canUpd ($aclPrivs member=$member)")
       i += 1
     }
+
+    checkMv("final")
 
     // historical reads: every 5th recorded snapshot must reproduce exactly
     history.zipWithIndex.filter(_._2 % 5 == 0).foreach { case ((sid, want, vdef), _) =>

@@ -76,6 +76,25 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(mvState(lake) == Map("a" -> (2L, 3L)))
   }
 
+  test("MV definition survives freeze -> thaw and keeps refreshing") {
+    // the mv_* definition tags ride the generic interval-versioned tag
+    // machinery (ducklake_tag), so the freeze/import path must carry them
+    // and a thawed engine must keep maintaining the MV incrementally
+    val lake = mkLake()
+    import spark.implicits._
+    lake.createTableAs("main.src", Seq(("a", 1L), ("b", 2L)).toDF("g", "x"))
+    lake.createMaterializedView("main.mv", "main.src", Seq("g"), Seq("x"))
+    val frozen = Files.createTempDirectory("graft_mvfreeze").toString
+    lake.freeze(frozen)
+    val thawed = new Lake(spark, Files.createTempDirectory("graft_mvthaw").toString)
+    thawed.importCatalog(s"$frozen/catalog_parquet")
+    thawed.append("main.src", Seq(("a", 10L)).toDF("g", "x"))
+    thawed.refreshMaterializedView("main.mv")
+    val got = thawed.table("main.mv").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map("a" -> (2L, 11L), "b" -> (1L, 2L)))
+  }
+
   test("non-integral SUM columns are rejected at create") {
     val lake = mkLake()
     import spark.implicits._
