@@ -48,6 +48,13 @@ object NativeParquet {
   def expressionOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 
+  /** whether the session opted into partially-clustered SPJ (the skew
+    * answer) — key-grouped scans then report per-file partitions */
+  private[graft] def partiallyClustered(spark: ClassicSparkSession): Boolean =
+    spark.conf.getOption(
+      "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled")
+      .exists(_.toBoolean)
+
   /** V2 transform expression of a lake partition key (SPJ reporting):
     * identity and bucket[N] are the SPJ-groupable transforms; bucket
     * resolves against [[graft.lake.LakeBucketFunction]] through the
@@ -154,6 +161,24 @@ private[graft] class LakeDeleteAwareScan(
   }
 
   override def planInputPartitions(): Array[InputPartition] = keyed match {
+    case Some((_, groups)) if NativeParquet.partiallyClustered(spark) =>
+      // one partition PER FILE with its key (same shape as the clean
+      // key-grouped scan): Spark groups them back for plain SPJ and keeps
+      // a skewed key's files split under partially-clustered distribution
+      val hc = spark.sessionState.newHadoopConf()
+      groups.flatMap { case (key, fs) =>
+        fs.map { case (p, size) =>
+          val raw = new Path(p)
+          val q = raw.getFileSystem(hc).makeQualified(raw)
+          val pf = PartitionedFile(InternalRow.empty, SparkPath.fromPath(q),
+            0, size, Array.empty[String], 0L, size, Map.empty[String, Any])
+          val name = q.getName
+          KeyedFilePartition(
+            DeleteAwareFilePartition(FilePartition(0, Array(pf)),
+              Map(name -> deletesByFile.getOrElse(name, Nil))),
+            key): InputPartition
+        }
+      }.toArray
     case Some((_, groups)) =>
       val hc = spark.sessionState.newHadoopConf()
       groups.map { case (key, fs) =>
@@ -356,15 +381,37 @@ private[graft] class KeyGroupedParquetScan(
 
   override def planInputPartitions(): Array[InputPartition] = {
     val hc = spark.sessionState.newHadoopConf()
-    groups.map { case (key, fs) =>
-      val splits = fs.map { case (p, size) =>
-        val raw = new Path(p)
-        val q = raw.getFileSystem(hc).makeQualified(raw)
-        PartitionedFile(InternalRow.empty, SparkPath.fromPath(q), 0, size,
-          Array.empty[String], 0L, size, Map.empty[String, Any])
-      }
-      KeyedFilePartition(FilePartition(0, splits.toArray), key): InputPartition
-    }.toArray
+    if (NativeParquet.partiallyClustered(spark)) {
+      // ONE InputPartition PER FILE, each carrying its key (Iceberg's SPJ
+      // reporting shape): Spark groups same-key partitions back together
+      // where it must, and partiallyClusteredDistribution KEEPS a skewed
+      // key's files as separate tasks while replicating the other side —
+      // the SPJ-native skew answer (a fused per-key partition leaves Spark
+      // nothing to split; SkewProbe measured the hot bucket staying one
+      // task). File granularity = chunked-ingest commits, so a hot bucket
+      // splits along its append history. Only under the skew conf: the
+      // per-file shape costs a few percent of fixed overhead on small
+      // scans (A/B'd at sf10), so the default keeps fused key groups.
+      groups.flatMap { case (key, fs) =>
+        fs.map { case (p, size) =>
+          val raw = new Path(p)
+          val q = raw.getFileSystem(hc).makeQualified(raw)
+          val pf = PartitionedFile(InternalRow.empty, SparkPath.fromPath(q), 0,
+            size, Array.empty[String], 0L, size, Map.empty[String, Any])
+          KeyedFilePartition(FilePartition(0, Array(pf)), key): InputPartition
+        }
+      }.toArray
+    } else {
+      groups.map { case (key, fs) =>
+        val splits = fs.map { case (p, size) =>
+          val raw = new Path(p)
+          val q = raw.getFileSystem(hc).makeQualified(raw)
+          PartitionedFile(InternalRow.empty, SparkPath.fromPath(q), 0, size,
+            Array.empty[String], 0L, size, Map.empty[String, Any])
+        }
+        KeyedFilePartition(FilePartition(0, splits.toArray), key): InputPartition
+      }.toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

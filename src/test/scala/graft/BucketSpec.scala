@@ -112,6 +112,65 @@ class BucketSpec extends AnyFunSuite {
     }
   }
 
+  test("skewed bucket splits under partially-clustered SPJ, still zero exchanges") {
+    // r11: key-grouped scans report ONE InputPartition PER FILE (Spark
+    // groups them back for plain SPJ), so with
+    // partiallyClusteredDistribution a hot bucket's files stay separate
+    // tasks while the other side replicates — the SPJ-native skew answer
+    // (AQE skew-split only works on shuffle joins; SPJ has no shuffle).
+    val lake = new Lake(spark, Files.createTempDirectory("graft_bskew").toString)
+    // key 7 holds ~90% of the left side; left ingested in 4 chunks so the
+    // hot bucket has 4 files to split along
+    val left = spark.range(0, 100000).selectExpr(
+      "CASE WHEN id % 10 < 9 THEN 7L ELSE id % 64 END AS k", "id AS v")
+    lake.createTable("main.skl", left.schema,
+      partitionKeys = List(PartitionKey(BucketTransform(8), "k")))
+    (0 until 4).foreach(c =>
+      lake.append("main.skl", left.filter(expr(s"v % 4 = $c"))))
+    val right = spark.range(0, 1000).selectExpr("id % 64 AS k", "id AS w")
+    lake.createTable("main.skr", right.schema,
+      partitionKeys = List(PartitionKey(BucketTransform(8), "k")))
+    lake.append("main.skr", right)
+    val cat = s"bskw${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", lake.root)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    @volatile var tasks = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        tasks += sc.stageInfo.numTasks
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def run(partial: Boolean): (Int, Long, Long) = {
+      spark.conf.set(
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled",
+        partial.toString)
+      val q = spark.sql(s"SELECT count(*) AS n, sum(a.v) AS sv " +
+        s"FROM $cat.main.skl a JOIN $cat.main.skr b ON a.k = b.k")
+      assert(!q.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"), "SPJ lost")
+      tasks = 0
+      val r = q.collect().head
+      Thread.sleep(500) // listener bus drain (private API in Spark 4)
+      (tasks, r.getLong(0), r.getLong(1))
+    }
+    try {
+      val (tGrouped, n1, s1) = run(partial = false)
+      val (tSplit, n2, s2) = run(partial = true)
+      assert((n1, s1) == (n2, s2), "results diverged between modes")
+      assert(tSplit > tGrouped,
+        s"hot bucket did not split: $tGrouped grouped vs $tSplit split tasks")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.unset("spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled")
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("join over a scan that projects AWAY the bucket column must not crash") {
     // regression (r11, found by the q05b leg probes): filterAttributes
     // declared partition/sort columns unconditionally; when the query
