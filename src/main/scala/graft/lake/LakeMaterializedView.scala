@@ -39,17 +39,32 @@ object LakeMaterializedView {
   private val KSource = "mv_source"
   private val KGroups = "mv_groups"
   private val KSums = "mv_sums"
+  private val KMinMax = "mv_minmax"
   private val KLast = "mv_last"
 
-  private def aggCols(groupCols: Seq[String], sumCols: Seq[String]): Seq[Column] =
-    (count(lit(1)).as("n_rows") +:
-      sumCols.map(c => coalesce(sum(col(c)), lit(0L)).as(s"sum_$c")))
+  private def fullAgg(groupCols: Seq[String], sumCols: Seq[String],
+      minMaxCols: Seq[String])(df: DataFrame): DataFrame = {
+    val aggs = (count(lit(1)).cast("long").as("n_rows") +:
+      (sumCols.map(c => coalesce(sum(col(c)), lit(0L)).cast("long").as(s"sum_$c")) ++
+        minMaxCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
+          max(col(c)).as(s"max_$c")))))
+    df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 
   /** Create `name` as a materialized grouped aggregate of `source` at the
     * CURRENT snapshot; the definition and the applied watermark land in
-    * the same commit as the initial full compute. */
+    * the same commit as the initial full compute.
+    *
+    * `minMaxCols` adds `min_<c>`/`max_<c>` columns. MIN/MAX are not
+    * additive — inserts fold monotonically, but a delete can retire the
+    * current extremum — so refresh recomputes DIRTY groups (those with a
+    * delete or update_preimage in the window) from the source restricted
+    * to exactly those groups: when the group column is the source's
+    * partition or sort key, that rescan file-prunes through the runtime
+    * filter machinery instead of scanning the fact. */
   def create(lake: Lake, name: String, source: String,
-      groupCols: Seq[String], sumCols: Seq[String]): Long = {
+      groupCols: Seq[String], sumCols: Seq[String],
+      minMaxCols: Seq[String] = Nil): Long = {
     require(groupCols.nonEmpty, "materialized view needs at least one group column")
     val st = lake.store.state()
     val srcEntry = lake.schemaOf(source)
@@ -62,12 +77,11 @@ object LakeMaterializedView {
       require(Set("tinyint", "smallint", "int", "bigint")(t),
         s"mv SUM column $c must be integral (exact additive), got $t")
     }
+    minMaxCols.foreach(c =>
+      require(types.contains(c), s"no column $c in $source"))
     val snap = st.currentSnapshotId
-    val full = lake.table(source, Some(snap))
-      .groupBy(groupCols.map(col): _*)
-      .agg(aggCols(groupCols, sumCols).head, aggCols(groupCols, sumCols).tail: _*)
-      .select(groupCols.map(col) ++
-        ("n_rows" +: sumCols.map("sum_" + _)).map(c => col(c).cast("long").as(c)): _*)
+    val full = fullAgg(groupCols, sumCols, minMaxCols)(
+      lake.table(source, Some(snap)))
     lake.createTable(name, full.schema)
     val (sn, tn) = lake.schemaOf(name)
     LakeWrite.append(lake.spark, lake.store, sn, tn, full,
@@ -78,6 +92,7 @@ object LakeMaterializedView {
           TagEntry(tid, KSource, source, sid, None),
           TagEntry(tid, KGroups, groupCols.mkString(","), sid, None),
           TagEntry(tid, KSums, sumCols.mkString(","), sid, None),
+          TagEntry(tid, KMinMax, minMaxCols.mkString(","), sid, None),
           TagEntry(tid, KLast, snap.toString, sid, None)), Nil)
       })
   }
@@ -96,6 +111,8 @@ object LakeMaterializedView {
     val source = tag(KSource)
     val groupCols = tag(KGroups).split(',').toSeq
     val sumCols = tag(KSums).split(',').toSeq.filter(_.nonEmpty)
+    val minMaxCols = st.tagAt(scope, KMinMax, st.currentSnapshotId)
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
     val last = tag(KLast).toLong
     val cur = st.currentSnapshotId
     if (cur <= last) return last
@@ -103,17 +120,42 @@ object LakeMaterializedView {
     val changes = lake.tableChanges(source, last, cur)
     val w = when(col("_change_type").isin("insert", "update_postimage"), 1L)
       .otherwise(-1L)
+    // counts/sums are additive over the signed change rows; min/max fold
+    // over INSERTED rows only (monotone) — deleted extrema are handled by
+    // the dirty-group recompute below
+    val ins = col("_change_type").isin("insert", "update_postimage")
     val delta = changes.groupBy(groupCols.map(col): _*)
       .agg(sum(w).as("d_n"),
-        sumCols.map(c => coalesce(sum(w * col(c)), lit(0L)).as(s"d_$c")): _*)
+        sumCols.map(c => coalesce(sum(w * col(c)), lit(0L)).as(s"d_$c")) ++
+          minMaxCols.flatMap(c => Seq(
+            min(when(ins, col(c))).as(s"d_min_$c"),
+            max(when(ins, col(c))).as(s"d_max_$c"))): _*)
     val old = lake.table(name)
-    val merged = old.join(delta, groupCols, "full_outer")
+    val folded = old.join(delta, groupCols, "full_outer")
       .select(groupCols.map(col) ++
         Seq((coalesce(col("n_rows"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
           .as("n_rows")) ++
         sumCols.map(c => (coalesce(col(s"sum_$c"), lit(0L)) +
-          coalesce(col(s"d_$c"), lit(0L))).as(s"sum_$c")): _*)
+          coalesce(col(s"d_$c"), lit(0L))).as(s"sum_$c")) ++
+        minMaxCols.flatMap(c => Seq(
+          least(col(s"min_$c"), col(s"d_min_$c")).as(s"min_$c"),
+          greatest(col(s"max_$c"), col(s"d_max_$c")).as(s"max_$c"))): _*)
       .filter(col("n_rows") > 0)
+    val merged =
+      if (minMaxCols.isEmpty) folded
+      else {
+        // groups whose extrema may have RETIRED: recompute them whole from
+        // the source restricted to those groups (group-col runtime filter
+        // → file pruning when the group is a partition/sort key); all
+        // other groups keep the folded monotone min/max
+        val dirty = changes
+          .filter(col("_change_type").isin("delete", "update_preimage"))
+          .select(groupCols.map(col): _*).distinct()
+        val clean = folded.join(dirty, groupCols, "left_anti")
+        val recomputed = fullAgg(groupCols, sumCols, minMaxCols)(
+          lake.table(source).join(dirty, groupCols, "left_semi"))
+        clean.unionByName(recomputed)
+      }
     LakeWrite.append(lake.spark, lake.store, sn, tn, merged, overwrite = true,
       changeTag = "updated",
       extraTags = (stc, sid) => {

@@ -1225,9 +1225,11 @@ class Lake(val spark: SparkSession, val root: String,
   /** Materialized grouped aggregate of `source`, incrementally refreshed
     * from the change feed — see [[LakeMaterializedView]]. */
   def createMaterializedView(name: String, source: String,
-      groupCols: Seq[String], sumCols: Seq[String] = Nil): Long = {
+      groupCols: Seq[String], sumCols: Seq[String] = Nil,
+      minMaxCols: Seq[String] = Nil): Long = {
     aclSuper("CREATE MATERIALIZED VIEW")
-    LakeMaterializedView.create(this, name, source, groupCols, sumCols)
+    LakeMaterializedView.create(this, name, source, groupCols, sumCols,
+      minMaxCols)
   }
 
   /** Fold the source change feed since the last refresh into the MV;

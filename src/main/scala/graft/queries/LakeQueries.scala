@@ -986,7 +986,8 @@ object LakeQueries {
       // seed with the even orderkeys, MV at that state
       lake.createTableAs("main.mvo", orders.filter(col("o_orderkey") % 2 === 0))
       lake.createMaterializedView("main.mv", "main.mvo",
-        groupCols = Seq("o_orderpriority"), sumCols = Seq("o_custkey"))
+        groupCols = Seq("o_orderpriority"), sumCols = Seq("o_custkey"),
+        minMaxCols = Seq("o_orderkey")) // delete retires maxima → dirty path
       // incremental history: append the odd half, delete a slice, move a
       // slice across groups (update pre/post images must transfer counts)
       lake.append("main.mvo", orders.filter(col("o_orderkey") % 2 === 1))
@@ -1510,11 +1511,12 @@ object LakeQueries {
     // DML sequence leaves behind (delete slice removed, %7 slice moved)
     "l57_materialized_view" ->
       """SELECT o_orderpriority, COUNT(*) AS n_rows,
-        |  SUM(o_custkey) AS sum_o_custkey
+        |  SUM(o_custkey) AS sum_o_custkey,
+        |  MIN(o_orderkey) AS min_o_orderkey, MAX(o_orderkey) AS max_o_orderkey
         |FROM (
         |  SELECT CASE WHEN o_orderkey % 7 = 0 THEN '9-MOVED'
         |              ELSE o_orderpriority END AS o_orderpriority,
-        |         o_custkey
+        |         o_custkey, o_orderkey
         |  FROM orders
         |  WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 10 = 3))
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,

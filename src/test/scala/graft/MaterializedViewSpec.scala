@@ -76,6 +76,36 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(mvState(lake) == Map("a" -> (2L, 3L)))
   }
 
+  test("MIN/MAX: inserts fold monotonically, deletes recompute only dirty groups") {
+    val lake = mkLake()
+    import spark.implicits._
+    lake.createTableAs("main.src",
+      Seq(("a", 1L), ("a", 9L), ("b", 5L)).toDF("g", "x"))
+    lake.createMaterializedView("main.mv2", "main.src", Seq("g"), Nil, Seq("x"))
+    def mm(): Map[String, (Long, Long, Long)] =
+      lake.table("main.mv2").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(mm() == Map("a" -> (2L, 1L, 9L), "b" -> (1L, 5L, 5L)))
+
+    // insert-only: new max folds without touching the source (monotone)
+    lake.append("main.src", Seq(("a", 20L), ("b", 2L)).toDF("g", "x"))
+    lake.refreshMaterializedView("main.mv2")
+    assert(mm() == Map("a" -> (3L, 1L, 20L), "b" -> (2L, 2L, 5L)))
+
+    // delete the current max of a — the dirty recompute must retire it;
+    // b is untouched (clean fold path)
+    lake.delete("main.src", col("g") === "a" && col("x") === 20L)
+    lake.refreshMaterializedView("main.mv2")
+    assert(mm() == Map("a" -> (2L, 1L, 9L), "b" -> (2L, 2L, 5L)))
+
+    // update moves a row out of b into a: b goes dirty (preimage), a's new
+    // value folds as an insert
+    lake.update("main.src", col("g") === "b" && col("x") === 5L,
+      Map("g" -> lit("a")))
+    lake.refreshMaterializedView("main.mv2")
+    assert(mm() == Map("a" -> (3L, 1L, 9L), "b" -> (1L, 2L, 2L)))
+  }
+
   test("MV definition survives freeze -> thaw and keeps refreshing") {
     // the mv_* definition tags ride the generic interval-versioned tag
     // machinery (ducklake_tag), so the freeze/import path must carry them
