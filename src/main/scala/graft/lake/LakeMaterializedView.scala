@@ -152,8 +152,12 @@ object LakeMaterializedView {
           .filter(col("_change_type").isin("delete", "update_preimage"))
           .select(groupCols.map(col): _*).distinct()
         val clean = folded.join(dirty, groupCols, "left_anti")
+        // PIN the recompute at `cur`: a concurrent source commit between
+        // the change-feed read and this scan would otherwise mix two
+        // source states inside one refresh (folded groups at cur,
+        // recomputed groups at a later snapshot) under a watermark of cur
         val recomputed = fullAgg(groupCols, sumCols, minMaxCols)(
-          lake.table(source).join(dirty, groupCols, "left_semi"))
+          lake.table(source, Some(cur)).join(dirty, groupCols, "left_semi"))
         clean.unionByName(recomputed)
       }
     LakeWrite.append(lake.spark, lake.store, sn, tn, merged, overwrite = true,

@@ -164,16 +164,24 @@ class ChangeFeedSource(lake: Lake, table: String, startExclusive: Long,
         }
         val tid = st.tableAt(sn, tn, st.currentSnapshotId).map(_.tableId)
           .getOrElse(return math.min(bound, from + nCap))
+        // one pass over the catalog builds sid → bytes for the admission
+        // window; walking the file list per candidate snapshot would be
+        // O(backlog × files) on a deep cold-start backlog
+        val bySid = new scala.collection.mutable.HashMap[Long, Long]()
+        st.files.iterator
+          .filter(f => f.tableId == tid && f.begin > from && f.begin <= bound)
+          .foreach(f => bySid.update(f.begin,
+            bySid.getOrElse(f.begin, 0L) + f.fileSizeBytes))
+        st.inlined.iterator
+          .filter(ib => ib.tableId == tid && ib.begin > from && ib.begin <= bound)
+          .foreach(ib => bySid.update(ib.begin, bySid.getOrElse(ib.begin, 0L) +
+            ib.rowsJson.iterator.map(_.length.toLong).sum))
         var end = from
         var n = 0L
         var bytes = 0L
         while (end < bound && n < nCap) {
           val sid = end + 1
-          val b =
-            st.files.iterator.filter(f => f.tableId == tid && f.begin == sid)
-              .map(_.fileSizeBytes).sum +
-            st.inlined.iterator.filter(ib => ib.tableId == tid && ib.begin == sid)
-              .map(_.rowsJson.iterator.map(_.length.toLong).sum).sum
+          val b = bySid.getOrElse(sid, 0L)
           if (n > 0 && bytes + b > bCap) return end
           bytes += b
           n += 1
