@@ -18,6 +18,20 @@ object PerfLab {
 
   // ---- q05b floor-probe helpers (VERDICT r10 #1) ----------------------
 
+  /** Pin the optional SPJ confs the *_spjc variants turn on back to their
+    * defaults: PerfLab runs every variant in ONE session in sorted name
+    * order, and a leaked `bucketing.shuffle` / subset-keys conf would run
+    * later variants (q05b_shj/smj, q11b/q14b) under a different planning
+    * regime than a fresh session — the A/B would compare regimes, not
+    * shapes. Builders run inside each timed run, so this is active at
+    * action time. */
+  private def resetSpjExtras(s: SparkSession): Unit = {
+    s.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "false")
+    s.conf.set(
+      "spark.sql.sources.v2.bucketing.allowJoinKeysSubsetOfPartitionKeys.enabled",
+      "false")
+  }
+
   /** physical parquet paths of a bucketed-fixture table, straight from the
     * lake metadata — lets a bare spark.read.parquet A/B the key-grouped
     * DSv2 tier over the IDENTICAL files (O(files) driver metadata) */
@@ -43,13 +57,15 @@ object PerfLab {
   }
 
   /** q05b's lineitem leg: scan + broadcast supplier reduce + global fold */
-  private def q05bLegL(s: SparkSession, dir: String, l: DataFrame): DataFrame =
+  private def q05bLegL(s: SparkSession, dir: String, l: DataFrame): DataFrame = {
+    resetSpjExtras(s)
     l.select(col("l_orderkey"), col("l_suppkey"),
         col("l_extendedprice"), col("l_discount"))
       .join(broadcast(asiaSRaw(s, dir)), col("l_suppkey") === col("s_suppkey"))
       .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("k"),
         sum(graft.queries.Relational.revMicrosPub(
           col("l_extendedprice"), col("l_discount"))).as("r"))
+  }
 
   /** q05b's orders leg: scan + date filter + global fold */
   private def q05bLegO(o: DataFrame): DataFrame =
@@ -67,6 +83,7 @@ object PerfLab {
       spjCustomer: Boolean): DataFrame = {
     import graft.queries.Relational.{revMicrosPub, sumOfRevMicrosPub}
     val cat = graft.queries.BucketedFacts.catalog(s, dir)
+    resetSpjExtras(s)
     if (spjCustomer) {
       s.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
       s.conf.set(
@@ -136,6 +153,7 @@ object PerfLab {
   /** q05b inverted around the custkey-bucketed pair — see the q05b_co
     * entry comment */
   private def q05bCoShape(s: SparkSession, dir: String): DataFrame = {
+    resetSpjExtras(s)
     import graft.queries.Relational.{revMicrosPub, sumOfRevMicrosPub}
     val cat = graft.queries.BucketedFacts.catalog(s, dir)
     val r = s.table(s"$cat.main.region_d").filter(col("r_name") === "ASIA")
@@ -180,6 +198,7 @@ object PerfLab {
   private def q05bJoinVariant(s: SparkSession, dir: String,
       joinHint: Option[String],
       customerHint: Option[String] = Some("shuffle_hash")): DataFrame = {
+    resetSpjExtras(s)
     import graft.queries.Relational.{revMicrosPub, sumOfRevMicrosPub}
     val cat = graft.queries.BucketedFacts.catalog(s, dir)
     val r = s.table(s"$cat.main.region_d").filter(col("r_name") === "ASIA")
@@ -1251,8 +1270,8 @@ object PerfLab {
 
     // ---- bucketed SPJ twins (VERDICT r9 #1): the raw-parquet shape vs
     // the co-bucketed lake shape, runnable side by side ----------------
-    "q03b_cur" -> ((s, dir) =>
-      graft.queries.Relational.queries("q03b_bucketed_spj")(s, dir)),
+    "q03b_cur" -> ((s, dir) => { resetSpjExtras(s)
+      graft.queries.Relational.queries("q03b_bucketed_spj")(s, dir) }),
     // diagnostic: the bare fact-fact join + aggregate, no customer semi —
     // isolates whether the semi's BroadcastHashJoin forfeits the SPJ
     "q03b_nosemi" -> ((s, dir) => {
@@ -1268,12 +1287,12 @@ object PerfLab {
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     }),
-    "q05b_cur" -> ((s, dir) =>
-      graft.queries.Relational.queries("q05b_bucketed_spj")(s, dir)),
-    "q11b_cur" -> ((s, dir) =>
-      graft.queries.Relational.queries("q11b_bucketed_spj")(s, dir)),
-    "q14b_cur" -> ((s, dir) =>
-      graft.queries.Relational.queries("q14b_bucketed_spj")(s, dir)),
+    "q05b_cur" -> ((s, dir) => { resetSpjExtras(s)
+      graft.queries.Relational.queries("q05b_bucketed_spj")(s, dir) }),
+    "q11b_cur" -> ((s, dir) => { resetSpjExtras(s)
+      graft.queries.Relational.queries("q11b_bucketed_spj")(s, dir) }),
+    "q14b_cur" -> ((s, dir) => { resetSpjExtras(s)
+      graft.queries.Relational.queries("q14b_bucketed_spj")(s, dir) }),
 
     // ---- q05b fact-scan floor decomposition (VERDICT r10 #1) ---------
     // The r10 stage profile shows one fused 256-task stage at ~7.2 of
@@ -1315,12 +1334,15 @@ object PerfLab {
     // only the folded fact side shuffles (into customer's bucket layout);
     // customer_bc scans in place — its 15M-row exchange disappears
     "q05b_spjc" -> ((s, dir) => {
+      // NOTE: set AFTER q05bJoinVariant's resetSpjExtras — these stay on
+      // for THIS variant's action; every other q05b/q11b/q14b variant
+      // resets them at build (PerfLab shares one session across variants)
+      val df = q05bJoinVariant(s, dir, None, customerHint = None)
       s.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
       s.conf.set(
         "spark.sql.sources.v2.bucketing.allowJoinKeysSubsetOfPartitionKeys.enabled",
         "true")
-      try q05bJoinVariant(s, dir, None, customerHint = None)
-      finally ()
+      df
     }),
     // + one-side-shuffle SPJ on the customer join: customer_bc scans IN
     // PLACE (key-grouped), the pre-agged fact side alone is shuffled into

@@ -117,61 +117,94 @@ object LakeMaterializedView {
     val cur = st.currentSnapshotId
     if (cur <= last) return last
 
-    val changes = lake.tableChanges(source, last, cur)
-    val w = when(col("_change_type").isin("insert", "update_postimage"), 1L)
-      .otherwise(-1L)
-    // counts/sums are additive over the signed change rows; min/max fold
-    // over INSERTED rows only (monotone) — deleted extrema are handled by
-    // the dirty-group recompute below
-    val ins = col("_change_type").isin("insert", "update_postimage")
-    val delta = changes.groupBy(groupCols.map(col): _*)
-      .agg(sum(w).as("d_n"),
-        sumCols.map(c => coalesce(sum(w * col(c)), lit(0L)).as(s"d_$c")) ++
+    // no-op early-out WITHOUT a commit: snapshot ids are lake-global (the
+    // MV's own refreshes advance them), so `cur > last` alone does not
+    // mean the SOURCE changed — without this check a periodic refresh on
+    // an idle source rewrites the whole MV every call (O(|MV|) write
+    // amplification + snapshot churn). Catalog vectors are in memory;
+    // logical source changes = data files / inline batches beginning in
+    // the window, delete files beginning in it, or inline batches ENDED
+    // in it (inline-row deletes).
+    val (ssn, stn) = lake.schemaOf(source)
+    val srcTid = st.tableAt(ssn, stn, cur)
+      .getOrElse(throw new NoSuchElementException(s"no table $source")).tableId
+    def in(b: Long) = b > last && b <= cur
+    val sourceChanged =
+      st.files.exists(f => f.tableId == srcTid && in(f.begin)) ||
+        st.deleteFiles.exists(d => d.tableId == srcTid && in(d.begin)) ||
+        st.inlined.exists(ib => ib.tableId == srcTid &&
+          (in(ib.begin) || ib.end.exists(in)))
+    if (!sourceChanged) return last
+
+    // persist: the change-feed scan is embedded up to three times in the
+    // merged plan (delta agg, dirty anti, dirty semi) — same idiom as
+    // LakeWrite.delete/update's `matched`
+    val changes = lake.tableChanges(source, last, cur).persist()
+    try {
+      val w = when(col("_change_type").isin("insert", "update_postimage"), 1L)
+        .otherwise(-1L)
+      // counts/sums are additive over the signed change rows; min/max fold
+      // over INSERTED rows only (monotone) — deleted extrema are handled by
+      // the dirty-group recompute below
+      val ins = col("_change_type").isin("insert", "update_postimage")
+      val delta = changes.groupBy(groupCols.map(col): _*)
+        .agg(sum(w).as("d_n"),
+          sumCols.map(c => coalesce(sum(w * col(c)), lit(0L)).as(s"d_$c")) ++
+            minMaxCols.flatMap(c => Seq(
+              min(when(ins, col(c))).as(s"d_min_$c"),
+              max(when(ins, col(c))).as(s"d_max_$c"))): _*)
+        // group columns renamed so the joins below can use NULL-SAFE
+        // equality: a using-join's EqualTo never matches a NULL group key
+        // with itself, which would split a NULL group into stale+delta rows
+        .select(groupCols.map(c => col(c).as(s"_g_$c")) ++
+          (Seq(col("d_n")) ++ sumCols.map(c => col(s"d_$c")) ++
+            minMaxCols.flatMap(c => Seq(col(s"d_min_$c"), col(s"d_max_$c")))): _*)
+      def nullSafeCond(right: DataFrame): Column =
+        groupCols.map(c => col(c) <=> right(s"_g_$c")).reduce(_ && _)
+      val old = lake.table(name)
+      val folded = old.join(delta, nullSafeCond(delta), "full_outer")
+        .select(groupCols.map(c => coalesce(col(c), col(s"_g_$c")).as(c)) ++
+          Seq((coalesce(col("n_rows"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
+            .as("n_rows")) ++
+          sumCols.map(c => (coalesce(col(s"sum_$c"), lit(0L)) +
+            coalesce(col(s"d_$c"), lit(0L))).as(s"sum_$c")) ++
           minMaxCols.flatMap(c => Seq(
-            min(when(ins, col(c))).as(s"d_min_$c"),
-            max(when(ins, col(c))).as(s"d_max_$c"))): _*)
-    val old = lake.table(name)
-    val folded = old.join(delta, groupCols, "full_outer")
-      .select(groupCols.map(col) ++
-        Seq((coalesce(col("n_rows"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
-          .as("n_rows")) ++
-        sumCols.map(c => (coalesce(col(s"sum_$c"), lit(0L)) +
-          coalesce(col(s"d_$c"), lit(0L))).as(s"sum_$c")) ++
-        minMaxCols.flatMap(c => Seq(
-          least(col(s"min_$c"), col(s"d_min_$c")).as(s"min_$c"),
-          greatest(col(s"max_$c"), col(s"d_max_$c")).as(s"max_$c"))): _*)
-      .filter(col("n_rows") > 0)
-    val merged =
-      if (minMaxCols.isEmpty) folded
-      else {
-        // groups whose extrema may have RETIRED: recompute them whole from
-        // the source restricted to those groups (group-col runtime filter
-        // → file pruning when the group is a partition/sort key); all
-        // other groups keep the folded monotone min/max
-        val dirty = changes
-          .filter(col("_change_type").isin("delete", "update_preimage"))
-          .select(groupCols.map(col): _*).distinct()
-        val clean = folded.join(dirty, groupCols, "left_anti")
-        // PIN the recompute at `cur`: a concurrent source commit between
-        // the change-feed read and this scan would otherwise mix two
-        // source states inside one refresh (folded groups at cur,
-        // recomputed groups at a later snapshot) under a watermark of cur
-        val recomputed = fullAgg(groupCols, sumCols, minMaxCols)(
-          lake.table(source, Some(cur)).join(dirty, groupCols, "left_semi"))
-        clean.unionByName(recomputed)
-      }
-    LakeWrite.append(lake.spark, lake.store, sn, tn, merged, overwrite = true,
-      changeTag = "updated",
-      extraTags = (stc, sid) => {
-        // in-commit re-check (the sink's idiom): a concurrent refresh that
-        // already advanced the watermark aborts this one at the CAS
-        val nowLast = stc.tagAt(scope, KLast, stc.currentSnapshotId)
-          .map(_.toLong).getOrElse(-1L)
-        if (nowLast != last) throw new IllegalStateException(
-          s"concurrent refresh of $name already applied snapshot $nowLast")
-        (List(TagEntry(scope, KLast, cur.toString, sid, None)),
-          List(s"$scope:$KLast"))
-      })
+            least(col(s"min_$c"), col(s"d_min_$c")).as(s"min_$c"),
+            greatest(col(s"max_$c"), col(s"d_max_$c")).as(s"max_$c"))): _*)
+        .filter(col("n_rows") > 0)
+      val merged =
+        if (minMaxCols.isEmpty) folded
+        else {
+          // groups whose extrema may have RETIRED: recompute them whole
+          // from the source restricted to those groups (group-col runtime
+          // filter → file pruning when the group is a partition/sort key);
+          // all other groups keep the folded monotone min/max
+          val dirty = changes
+            .filter(col("_change_type").isin("delete", "update_preimage"))
+            .select(groupCols.map(c => col(c).as(s"_g_$c")): _*).distinct()
+          val clean = folded.join(dirty, nullSafeCond(dirty), "left_anti")
+          // PIN the recompute at `cur`: a concurrent source commit between
+          // the change-feed read and this scan would otherwise mix two
+          // source states inside one refresh (folded groups at cur,
+          // recomputed groups at a later snapshot) under a watermark of cur
+          val recomputed = fullAgg(groupCols, sumCols, minMaxCols)(
+            lake.table(source, Some(cur))
+              .join(dirty, nullSafeCond(dirty), "left_semi"))
+          clean.unionByName(recomputed)
+        }
+      LakeWrite.append(lake.spark, lake.store, sn, tn, merged, overwrite = true,
+        changeTag = "updated",
+        extraTags = (stc, sid) => {
+          // in-commit re-check (the sink's idiom): a concurrent refresh
+          // that already advanced the watermark aborts this one at the CAS
+          val nowLast = stc.tagAt(scope, KLast, stc.currentSnapshotId)
+            .map(_.toLong).getOrElse(-1L)
+          if (nowLast != last) throw new IllegalStateException(
+            s"concurrent refresh of $name already applied snapshot $nowLast")
+          (List(TagEntry(scope, KLast, cur.toString, sid, None)),
+            List(s"$scope:$KLast"))
+        })
+    } finally changes.unpersist()
     cur
   }
 }

@@ -1212,16 +1212,6 @@ class Lake(val spark: SparkSession, val root: String,
 
   // ---------------------------------------------------------- views / macros
 
-  /** CREATE [OR REPLACE] VIEW (catalog table `ducklake_view`,
-    * pgducklake_freeze.cpp:38; the reference lists CREATE VIEW as
-    * unsupported for itself, docs/ducklake_feature_coverage.md:30, and only
-    * round-trips foreign rows — graft stores the definition AND executes
-    * it, see [[view]]). `viewSql` is Spark SQL over lake table/view names
-    * (`t` or `schema.t`); `aliases` rename the output columns
-    * (ducklake_view.column_aliases). The definition rides the
-    * interval-versioned tag machinery (scope `view:<schema>`), so OR
-    * REPLACE ends the old generation and time travel resolves the
-    * definition live at the requested snapshot. */
   /** Materialized grouped aggregate of `source`, incrementally refreshed
     * from the change feed — see [[LakeMaterializedView]]. */
   def createMaterializedView(name: String, source: String,
@@ -1239,6 +1229,16 @@ class Lake(val spark: SparkSession, val root: String,
     LakeMaterializedView.refresh(this, name)
   }
 
+  /** CREATE [OR REPLACE] VIEW (catalog table `ducklake_view`,
+    * pgducklake_freeze.cpp:38; the reference lists CREATE VIEW as
+    * unsupported for itself, docs/ducklake_feature_coverage.md:30, and only
+    * round-trips foreign rows — graft stores the definition AND executes
+    * it, see [[view]]). `viewSql` is Spark SQL over lake table/view names
+    * (`t` or `schema.t`); `aliases` rename the output columns
+    * (ducklake_view.column_aliases). The definition rides the
+    * interval-versioned tag machinery (scope `view:<schema>`), so OR
+    * REPLACE ends the old generation and time travel resolves the
+    * definition live at the requested snapshot. */
   def createView(name: String, viewSql: String, aliases: Seq[String] = Nil,
       orReplace: Boolean = true): Long = {
     aclSuper("CREATE VIEW")

@@ -73,18 +73,23 @@ class LakeSinkProvider extends StreamSinkProvider with DataSourceRegister
       throw new IllegalArgumentException("graft-lake requires option 'root'"))
     val name = parameters.getOrElse("table",
       throw new IllegalArgumentException("graft-lake requires option 'table'"))
-    val lake = new Lake(data.sparkSession, root,
-      Some(storeFor(root, parameters.get("jdbc"))))
-    val (sn, tn) = lake.schemaOf(name)
-    val exists = lake.store.state()
-      .tableAt(sn, tn, lake.store.state().currentSnapshotId).isDefined
-    mode match {
-      case SaveMode.ErrorIfExists if exists =>
-        throw new IllegalStateException(s"table $name already exists")
-      case SaveMode.Ignore if exists => ()
-      case _ =>
-        if (!exists) lake.createTable(name, data.schema)
-        lake.append(name, data, overwrite = mode == SaveMode.Overwrite)
+    val store = storeFor(root, parameters.get("jdbc"))
+    try {
+      val lake = new Lake(data.sparkSession, root, Some(store))
+      val (sn, tn) = lake.schemaOf(name)
+      val exists = lake.store.state()
+        .tableAt(sn, tn, lake.store.state().currentSnapshotId).isDefined
+      mode match {
+        case SaveMode.ErrorIfExists if exists =>
+          throw new IllegalStateException(s"table $name already exists")
+        case SaveMode.Ignore if exists => ()
+        case _ =>
+          if (!exists) lake.createTable(name, data.schema)
+          lake.append(name, data, overwrite = mode == SaveMode.Overwrite)
+      }
+    } finally store match {
+      case j: graft.lake.JdbcMetadataStore => j.close()
+      case _ => ()
     }
     new BaseRelation {
       override def sqlContext: SQLContext = data.sparkSession.sqlContext
@@ -171,15 +176,24 @@ class LakeSink(root: String, table: String, txnId: String, overwrite: Boolean,
 
   private def txnKey = s"stream_txn:$txnId"
 
-  private def mkStore(): MetadataStore = jdbc match {
+  // ONE store per sink, shared by every addBatch and the Lake facade, and
+  // closed with the query: a JdbcMetadataStore holds a live DB connection,
+  // so a per-batch store would leak one connection per micro-batch until
+  // the database's limit kills the stream
+  private lazy val store: MetadataStore = jdbc match {
     case Some(url) => new graft.lake.JdbcMetadataStore(root, url)
     case None => new MetadataStore(root)
   }
 
+  /** called by the provider when the streaming query stops */
+  private[streaming] def close(): Unit = store match {
+    case j: graft.lake.JdbcMetadataStore => j.close()
+    case _ => ()
+  }
+
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val spark = data.sparkSession
-    val store = mkStore()
-    val lake = new Lake(spark, root, Some(mkStore()))
+    val lake = new Lake(spark, root, Some(store))
     val st0 = store.state()
     val (schemaName, tableName) = {
       val parts = table.split('.')

@@ -125,6 +125,34 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(got == Map("a" -> (2L, 11L), "b" -> (1L, 2L)))
   }
 
+  test("NULL group keys fold and recompute correctly (null-safe joins)") {
+    // regression (r11 review): a using-join's EqualTo never matches NULL
+    // with NULL, which split a NULL group into stale+delta rows on every
+    // refresh; the merge joins are null-safe (<=>) now
+    val lake = mkLake()
+    import spark.implicits._
+    lake.createTableAs("main.src",
+      Seq((Some("a"), 1L), (None, 5L), (None, 7L)).toDF("g", "x"))
+    lake.createMaterializedView("main.mv", "main.src", Seq("g"), Seq("x"),
+      Seq("x"))
+    def state(): Map[Option[String], (Long, Long, Long, Long)] =
+      lake.table("main.mv").collect().map(r =>
+        Option(r.getString(0)) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(state() == Map(Some("a") -> (1L, 1L, 1L, 1L),
+      None -> (2L, 12L, 5L, 7L)))
+    // fold path: NULL-group insert must merge into the ONE existing row
+    lake.append("main.src", Seq((Option.empty[String], 9L)).toDF("g", "x"))
+    lake.refreshMaterializedView("main.mv")
+    assert(state() == Map(Some("a") -> (1L, 1L, 1L, 1L),
+      None -> (3L, 21L, 5L, 9L)))
+    // dirty path: delete the NULL group's max — recompute must target it
+    lake.delete("main.src", col("x") === 9L)
+    lake.refreshMaterializedView("main.mv")
+    assert(state() == Map(Some("a") -> (1L, 1L, 1L, 1L),
+      None -> (2L, 12L, 5L, 7L)))
+  }
+
   test("non-integral SUM columns are rejected at create") {
     val lake = mkLake()
     import spark.implicits._
