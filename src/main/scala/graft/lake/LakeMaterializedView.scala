@@ -9,51 +9,89 @@ import graft.lake.Meta.TagEntry
   * The reference stores only LOGICAL views (`ducklake_view`,
   * sql/pg_ducklake--0.1.0.sql); at 100 TB the missing piece is a grouped
   * aggregate a consumer can read without rescanning the fact table. This
-  * module materializes `SELECT groups..., COUNT(*), SUM(cols)... FROM src
-  * GROUP BY groups` as a lake table and maintains it from the SAME
-  * snapshot-range change feed the reference exposes (A16): a refresh reads
-  * ONLY `tableChanges(src, lastApplied, current)` — never the source table
-  * — folds it into a per-group delta with ±1 weights (insert /
-  * update_postimage = +1, delete / update_preimage = −1; exactly the
-  * pre/post-image contract of `table_changes`,
-  * sql/pg_ducklake--0.1.0.sql:344-449), and full-outer-merges the delta
-  * into the (small, aggregated) MV state.
+  * module materializes `SELECT groups..., COUNT(*), SUM/COUNT/AVG(cols)...,
+  * MIN/MAX(cols)... FROM src [WHERE pred] GROUP BY groups` as a lake table
+  * and maintains it from the SAME snapshot-range change feed the reference
+  * exposes (A16): a refresh reads ONLY `tableChanges(src, lastApplied,
+  * current)` — never the source table — folds it into a per-group delta
+  * with ±1 weights (insert / update_postimage = +1, delete /
+  * update_preimage = −1; exactly the pre/post-image contract of
+  * `table_changes`, sql/pg_ducklake--0.1.0.sql:344-449), and
+  * full-outer-merges the delta into the (small, aggregated) MV state.
   *
   * Exactly-once refresh: the applied-watermark tag (`mv_last`) commits IN
   * THE SAME snapshot as the MV data overwrite — the streaming sink's
   * txn-tag idiom — with an in-commit re-check, so a crashed or concurrent
   * refresh can never double-apply a delta.
   *
+  * Logical replaces: an `append(overwrite = true)` (SaveMode.Overwrite,
+  * the Complete-mode streaming sink, TRUNCATE-like empty overwrites) and a
+  * DROP + re-CREATE of the source retire rows WITHOUT delete records, so
+  * the change feed cannot express them as a delta. Refresh detects them —
+  * source data files / inline batches ENDED in the window by a snapshot
+  * that is not compaction/rewrite/flush, or a changed source table id —
+  * and falls back to a FULL recompute at the current snapshot under the
+  * same watermark CAS. Correct always; incremental whenever the history is
+  * append/DML-only.
+  *
   * Scale shape: refresh cost is O(changed bytes) + O(|MV|), with the MV
   * by construction the size of the group domain, not the fact. The merge
-  * is a full-outer join of two SMALL inputs; nothing rescans the source.
+  * is a full-outer join of two SMALL inputs; nothing rescans the source
+  * (except the replace fallback above and the MIN/MAX dirty-group rescan,
+  * both restricted/prunable).
   *
-  * v1 limits (documented, enforced): additive aggregates only — COUNT(*)
-  * plus SUM over INTEGRAL columns (exact longs; double sums are
-  * order-dependent and min/max are not maintainable under deletes without
-  * per-group recompute). A group whose summed column is entirely NULL
-  * reports 0, not NULL (the additive identity).
+  * v1 limits (documented, enforced): SUM/AVG over INTEGRAL columns only
+  * (exact longs; double sums are order-dependent). A group whose summed
+  * column is entirely NULL reports sum 0, not NULL (the additive
+  * identity); `cnt_<c>` = COUNT(<c>) counts non-NULLs, and `avg_<c>` =
+  * sum/cnt is NULL when cnt is 0 (matching SQL AVG). MIN/MAX maintain via
+  * monotone fold on inserts + dirty-group recompute on deletes. `filterSql`
+  * is a Spark SQL boolean expression over source columns, applied
+  * uniformly to the initial compute, the change rows (pre AND post images,
+  * so updates moving rows across the predicate fold correctly), and every
+  * recompute path.
   */
 object LakeMaterializedView {
 
   private val KSource = "mv_source"
+  private val KSourceTid = "mv_source_tid"
   private val KGroups = "mv_groups"
   private val KSums = "mv_sums"
+  private val KCnts = "mv_cnts"
+  private val KAvgs = "mv_avgs"
   private val KMinMax = "mv_minmax"
+  private val KFilter = "mv_filter"
   private val KLast = "mv_last"
 
-  private def fullAgg(groupCols: Seq[String], sumCols: Seq[String],
-      minMaxCols: Seq[String])(df: DataFrame): DataFrame = {
+  /** resolved definition; sumAll/cntAll fold the implicit state AVG needs */
+  private case class MvDef(
+      groupCols: Seq[String], sumCols: Seq[String], cntCols: Seq[String],
+      avgCols: Seq[String], minMaxCols: Seq[String],
+      filterSql: Option[String]) {
+    val sumAll: Seq[String] = (sumCols ++ avgCols).distinct
+    val cntAll: Seq[String] = (cntCols ++ avgCols).distinct
+  }
+
+  private def withAvg(d: MvDef, df: DataFrame): DataFrame =
+    d.avgCols.foldLeft(df)((acc, c) => acc.withColumn(s"avg_$c",
+      when(col(s"cnt_$c") > 0,
+        col(s"sum_$c").cast("double") / col(s"cnt_$c"))))
+
+  private def fullAgg(d: MvDef)(src: DataFrame): DataFrame = {
+    val df = d.filterSql.map(f => src.filter(expr(f))).getOrElse(src)
     val aggs = (count(lit(1)).cast("long").as("n_rows") +:
-      (sumCols.map(c => coalesce(sum(col(c)), lit(0L)).cast("long").as(s"sum_$c")) ++
-        minMaxCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
+      (d.sumAll.map(c => coalesce(sum(col(c)), lit(0L)).cast("long").as(s"sum_$c")) ++
+        d.cntAll.map(c => count(col(c)).cast("long").as(s"cnt_$c")) ++
+        d.minMaxCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
           max(col(c)).as(s"max_$c")))))
-    df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    withAvg(d, df.groupBy(d.groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*))
   }
 
   /** Create `name` as a materialized grouped aggregate of `source` at the
     * CURRENT snapshot; the definition and the applied watermark land in
-    * the same commit as the initial full compute.
+    * the same commit as the initial full compute. The table create and
+    * the data+definition append are two commits; a failed append drops
+    * the half-created table so no plain empty table is left behind.
     *
     * `minMaxCols` adds `min_<c>`/`max_<c>` columns. MIN/MAX are not
     * additive — inserts fold monotonically, but a delete can retire the
@@ -61,40 +99,61 @@ object LakeMaterializedView {
     * delete or update_preimage in the window) from the source restricted
     * to exactly those groups: when the group column is the source's
     * partition or sort key, that rescan file-prunes through the runtime
-    * filter machinery instead of scanning the fact. */
+    * filter machinery instead of scanning the fact.
+    *
+    * `cntCols` adds `cnt_<c>` (= COUNT(c), non-NULLs); `avgCols` adds
+    * `avg_<c>` (= AVG(c), double, NULL on empty) and implicitly maintains
+    * the `sum_<c>`/`cnt_<c>` state it derives from; `filterSql` restricts
+    * the view to source rows satisfying a SQL predicate. */
   def create(lake: Lake, name: String, source: String,
       groupCols: Seq[String], sumCols: Seq[String],
-      minMaxCols: Seq[String] = Nil): Long = {
+      minMaxCols: Seq[String] = Nil, cntCols: Seq[String] = Nil,
+      avgCols: Seq[String] = Nil, filterSql: Option[String] = None): Long = {
     require(groupCols.nonEmpty, "materialized view needs at least one group column")
+    val d = MvDef(groupCols, sumCols, cntCols, avgCols, minMaxCols, filterSql)
+    // the definition persists as comma-joined tag values
+    (groupCols ++ sumCols ++ cntCols ++ avgCols ++ minMaxCols).foreach(c =>
+      require(!c.contains(","), s"mv column name must not contain ',': $c"))
     val st = lake.store.state()
     val srcEntry = lake.schemaOf(source)
     val se = st.tableAt(srcEntry._1, srcEntry._2, st.currentSnapshotId)
       .getOrElse(throw new NoSuchElementException(s"no table $source"))
     val types = st.columnsAt(se.tableId, st.currentSnapshotId)
       .map(c => c.name -> c.dataType.toLowerCase).toMap
-    sumCols.foreach { c =>
+    d.sumAll.foreach { c =>
       val t = types.getOrElse(c, sys.error(s"no column $c in $source"))
       require(Set("tinyint", "smallint", "int", "bigint")(t),
-        s"mv SUM column $c must be integral (exact additive), got $t")
+        s"mv SUM/AVG column $c must be integral (exact additive), got $t")
     }
-    minMaxCols.foreach(c =>
+    (cntCols ++ minMaxCols).foreach(c =>
       require(types.contains(c), s"no column $c in $source"))
     val snap = st.currentSnapshotId
-    val full = fullAgg(groupCols, sumCols, minMaxCols)(
-      lake.table(source, Some(snap)))
+    val full = fullAgg(d)(lake.table(source, Some(snap)))
     lake.createTable(name, full.schema)
     val (sn, tn) = lake.schemaOf(name)
-    LakeWrite.append(lake.spark, lake.store, sn, tn, full,
-      changeTag = "inserted",
-      extraTags = (stc, sid) => {
-        val tid = stc.tableAt(sn, tn, stc.currentSnapshotId).get.tableId.toString
-        (List(
-          TagEntry(tid, KSource, source, sid, None),
-          TagEntry(tid, KGroups, groupCols.mkString(","), sid, None),
-          TagEntry(tid, KSums, sumCols.mkString(","), sid, None),
-          TagEntry(tid, KMinMax, minMaxCols.mkString(","), sid, None),
-          TagEntry(tid, KLast, snap.toString, sid, None)), Nil)
-      })
+    try {
+      LakeWrite.append(lake.spark, lake.store, sn, tn, full,
+        changeTag = "inserted",
+        extraTags = (stc, sid) => {
+          val tid = stc.tableAt(sn, tn, stc.currentSnapshotId).get.tableId.toString
+          (List(
+            TagEntry(tid, KSource, source, sid, None),
+            TagEntry(tid, KSourceTid, se.tableId.toString, sid, None),
+            TagEntry(tid, KGroups, groupCols.mkString(","), sid, None),
+            TagEntry(tid, KSums, sumCols.mkString(","), sid, None),
+            TagEntry(tid, KCnts, cntCols.mkString(","), sid, None),
+            TagEntry(tid, KAvgs, avgCols.mkString(","), sid, None),
+            TagEntry(tid, KMinMax, minMaxCols.mkString(","), sid, None)) ++
+            filterSql.map(f => TagEntry(tid, KFilter, f, sid, None)) ++
+            List(TagEntry(tid, KLast, snap.toString, sid, None)), Nil)
+        })
+    } catch {
+      case e: Throwable =>
+        // non-atomic create (table commit then data commit): don't leave a
+        // half-created plain table a reader could observe or refresh trip on
+        try lake.dropTable(name) catch { case _: Throwable => () }
+        throw e
+    }
   }
 
   /** Fold the change feed since the last refresh into the MV. Returns the
@@ -108,90 +167,25 @@ object LakeMaterializedView {
     val scope = e.tableId.toString
     def tag(k: String): String = st.tagAt(scope, k, st.currentSnapshotId)
       .getOrElse(throw new IllegalStateException(s"$name is not a materialized view (missing $k)"))
-    val source = tag(KSource)
-    val groupCols = tag(KGroups).split(',').toSeq
-    val sumCols = tag(KSums).split(',').toSeq.filter(_.nonEmpty)
-    val minMaxCols = st.tagAt(scope, KMinMax, st.currentSnapshotId)
+    def optList(k: String): Seq[String] = st.tagAt(scope, k, st.currentSnapshotId)
       .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    val source = tag(KSource)
+    val d = MvDef(
+      groupCols = tag(KGroups).split(',').toSeq,
+      sumCols = optList(KSums), cntCols = optList(KCnts),
+      avgCols = optList(KAvgs), minMaxCols = optList(KMinMax),
+      filterSql = st.tagAt(scope, KFilter, st.currentSnapshotId))
     val last = tag(KLast).toLong
     val cur = st.currentSnapshotId
     if (cur <= last) return last
 
-    // no-op early-out WITHOUT a commit: snapshot ids are lake-global (the
-    // MV's own refreshes advance them), so `cur > last` alone does not
-    // mean the SOURCE changed — without this check a periodic refresh on
-    // an idle source rewrites the whole MV every call (O(|MV|) write
-    // amplification + snapshot churn). Catalog vectors are in memory;
-    // logical source changes = data files / inline batches beginning in
-    // the window, delete files beginning in it, or inline batches ENDED
-    // in it (inline-row deletes).
     val (ssn, stn) = lake.schemaOf(source)
     val srcTid = st.tableAt(ssn, stn, cur)
       .getOrElse(throw new NoSuchElementException(s"no table $source")).tableId
     def in(b: Long) = b > last && b <= cur
-    val sourceChanged =
-      st.files.exists(f => f.tableId == srcTid && in(f.begin)) ||
-        st.deleteFiles.exists(d => d.tableId == srcTid && in(d.begin)) ||
-        st.inlined.exists(ib => ib.tableId == srcTid &&
-          (in(ib.begin) || ib.end.exists(in)))
-    if (!sourceChanged) return last
 
-    // persist: the change-feed scan is embedded up to three times in the
-    // merged plan (delta agg, dirty anti, dirty semi) — same idiom as
-    // LakeWrite.delete/update's `matched`
-    val changes = lake.tableChanges(source, last, cur).persist()
-    try {
-      val w = when(col("_change_type").isin("insert", "update_postimage"), 1L)
-        .otherwise(-1L)
-      // counts/sums are additive over the signed change rows; min/max fold
-      // over INSERTED rows only (monotone) — deleted extrema are handled by
-      // the dirty-group recompute below
-      val ins = col("_change_type").isin("insert", "update_postimage")
-      val delta = changes.groupBy(groupCols.map(col): _*)
-        .agg(sum(w).as("d_n"),
-          sumCols.map(c => coalesce(sum(w * col(c)), lit(0L)).as(s"d_$c")) ++
-            minMaxCols.flatMap(c => Seq(
-              min(when(ins, col(c))).as(s"d_min_$c"),
-              max(when(ins, col(c))).as(s"d_max_$c"))): _*)
-        // group columns renamed so the joins below can use NULL-SAFE
-        // equality: a using-join's EqualTo never matches a NULL group key
-        // with itself, which would split a NULL group into stale+delta rows
-        .select(groupCols.map(c => col(c).as(s"_g_$c")) ++
-          (Seq(col("d_n")) ++ sumCols.map(c => col(s"d_$c")) ++
-            minMaxCols.flatMap(c => Seq(col(s"d_min_$c"), col(s"d_max_$c")))): _*)
-      def nullSafeCond(right: DataFrame): Column =
-        groupCols.map(c => col(c) <=> right(s"_g_$c")).reduce(_ && _)
-      val old = lake.table(name)
-      val folded = old.join(delta, nullSafeCond(delta), "full_outer")
-        .select(groupCols.map(c => coalesce(col(c), col(s"_g_$c")).as(c)) ++
-          Seq((coalesce(col("n_rows"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
-            .as("n_rows")) ++
-          sumCols.map(c => (coalesce(col(s"sum_$c"), lit(0L)) +
-            coalesce(col(s"d_$c"), lit(0L))).as(s"sum_$c")) ++
-          minMaxCols.flatMap(c => Seq(
-            least(col(s"min_$c"), col(s"d_min_$c")).as(s"min_$c"),
-            greatest(col(s"max_$c"), col(s"d_max_$c")).as(s"max_$c"))): _*)
-        .filter(col("n_rows") > 0)
-      val merged =
-        if (minMaxCols.isEmpty) folded
-        else {
-          // groups whose extrema may have RETIRED: recompute them whole
-          // from the source restricted to those groups (group-col runtime
-          // filter → file pruning when the group is a partition/sort key);
-          // all other groups keep the folded monotone min/max
-          val dirty = changes
-            .filter(col("_change_type").isin("delete", "update_preimage"))
-            .select(groupCols.map(c => col(c).as(s"_g_$c")): _*).distinct()
-          val clean = folded.join(dirty, nullSafeCond(dirty), "left_anti")
-          // PIN the recompute at `cur`: a concurrent source commit between
-          // the change-feed read and this scan would otherwise mix two
-          // source states inside one refresh (folded groups at cur,
-          // recomputed groups at a later snapshot) under a watermark of cur
-          val recomputed = fullAgg(groupCols, sumCols, minMaxCols)(
-            lake.table(source, Some(cur))
-              .join(dirty, nullSafeCond(dirty), "left_semi"))
-          clean.unionByName(recomputed)
-        }
+    // the watermark-CAS'd MV overwrite, shared by both refresh paths
+    def commitMv(merged: DataFrame): Unit =
       LakeWrite.append(lake.spark, lake.store, sn, tn, merged, overwrite = true,
         changeTag = "updated",
         extraTags = (stc, sid) => {
@@ -201,9 +195,129 @@ object LakeMaterializedView {
             .map(_.toLong).getOrElse(-1L)
           if (nowLast != last) throw new IllegalStateException(
             s"concurrent refresh of $name already applied snapshot $nowLast")
-          (List(TagEntry(scope, KLast, cur.toString, sid, None)),
-            List(s"$scope:$KLast"))
+          (List(TagEntry(scope, KLast, cur.toString, sid, None),
+            TagEntry(scope, KSourceTid, srcTid.toString, sid, None)),
+            List(s"$scope:$KLast", s"$scope:$KSourceTid"))
         })
+
+    // LOGICAL REPLACE detection: the change feed reports inserts from new
+    // files and deletes from delete files / inline-batch shrinkage — but an
+    // overwrite (SaveMode.Overwrite, Complete-mode sink, truncate) retires
+    // the old files via endedFiles with NO delete records, and a DROP +
+    // re-CREATE changes the table id entirely. Folding such a window as a
+    // delta double-counts (or, for an empty overwrite, misses the truncate
+    // altogether). Detect: source data files ended in the window by a
+    // non-maintenance snapshot (compaction/rewrite/flush end files without
+    // changing data; row-level DML never ends data files), or inline
+    // batches ended by an insert-tagged snapshot (DML inline rewrites carry
+    // deleted/updated/merged tags and proper pre-images), or a source tid
+    // that differs from the one recorded at create / last refresh.
+    // False positives (e.g. a transaction combining DML with compaction)
+    // only cost a recompute, never correctness.
+    val tagHead: Map[Long, String] = st.snapshots.iterator
+      .map(s => s.snapshotId -> s.changes.headOption.getOrElse("").takeWhile(_ != ':'))
+      .toMap
+    val maintenance = Set("compacted", "rewrote", "flushed")
+    val insertish = Set("inserted", "inlined")
+    val replaced =
+      st.tagAt(scope, KSourceTid, cur).exists(_.toLong != srcTid) ||
+        st.files.exists(f => f.tableId == srcTid &&
+          f.end.exists(s => in(s) && !maintenance(tagHead.getOrElse(s, "")))) ||
+        st.inlined.exists(b => b.tableId == srcTid &&
+          b.end.exists(s => in(s) && insertish(tagHead.getOrElse(s, ""))))
+    if (replaced) {
+      commitMv(fullAgg(d)(lake.table(source, Some(cur))))
+      return cur
+    }
+
+    // no-op early-out WITHOUT a commit: snapshot ids are lake-global (the
+    // MV's own refreshes advance them), so `cur > last` alone does not
+    // mean the SOURCE changed — without this check a periodic refresh on
+    // an idle source rewrites the whole MV every call (O(|MV|) write
+    // amplification + snapshot churn). Catalog vectors are in memory;
+    // logical source changes = data files / delete files / inline batches
+    // created by a LOGICAL snapshot in the window, or inline batches ended
+    // by one (inline-row deletes). Compaction/rewrite/flush create and end
+    // files too but move bytes without changing rows — the change feed
+    // skips them, and so does this check (they used to defeat the
+    // early-out and force an empty-delta MV rewrite). Replaces were
+    // handled above.
+    val logical = Set("inserted", "inlined", "deleted", "updated", "merged")
+    def logicalIn(s: Long) = in(s) && logical(tagHead.getOrElse(s, ""))
+    val sourceChanged =
+      st.files.exists(f => f.tableId == srcTid && logicalIn(f.begin)) ||
+        st.deleteFiles.exists(df => df.tableId == srcTid && logicalIn(df.begin)) ||
+        st.inlined.exists(ib => ib.tableId == srcTid &&
+          (logicalIn(ib.begin) || ib.end.exists(logicalIn)))
+    if (!sourceChanged) return last
+
+    // persist: the change-feed scan is embedded up to three times in the
+    // merged plan (delta agg, dirty anti, dirty semi) — same idiom as
+    // LakeWrite.delete/update's `matched`. A filtered MV filters the
+    // change ROWS (pre and post images independently), so a row updated
+    // across the predicate boundary nets out to the right ±1.
+    val changes0 = lake.tableChanges(source, last, cur)
+    val changes = d.filterSql.map(f => changes0.filter(expr(f)))
+      .getOrElse(changes0).persist()
+    try {
+      val w = when(col("_change_type").isin("insert", "update_postimage"), 1L)
+        .otherwise(-1L)
+      // counts/sums are additive over the signed change rows; min/max fold
+      // over INSERTED rows only (monotone) — deleted extrema are handled by
+      // the dirty-group recompute below
+      val ins = col("_change_type").isin("insert", "update_postimage")
+      val delta = changes.groupBy(d.groupCols.map(col): _*)
+        .agg(sum(w).as("d_n"),
+          d.sumAll.map(c => coalesce(sum(w * col(c)), lit(0L)).as(s"d_$c")) ++
+            d.cntAll.map(c =>
+              coalesce(sum(when(col(c).isNotNull, w)), lit(0L)).as(s"d_cnt_$c")) ++
+            d.minMaxCols.flatMap(c => Seq(
+              min(when(ins, col(c))).as(s"d_min_$c"),
+              max(when(ins, col(c))).as(s"d_max_$c"))): _*)
+        // group columns renamed so the joins below can use NULL-SAFE
+        // equality: a using-join's EqualTo never matches a NULL group key
+        // with itself, which would split a NULL group into stale+delta rows
+        .select(d.groupCols.map(c => col(c).as(s"_g_$c")) ++
+          (Seq(col("d_n")) ++ d.sumAll.map(c => col(s"d_$c")) ++
+            d.cntAll.map(c => col(s"d_cnt_$c")) ++
+            d.minMaxCols.flatMap(c => Seq(col(s"d_min_$c"), col(s"d_max_$c")))): _*)
+      def nullSafeCond(right: DataFrame): Column =
+        d.groupCols.map(c => col(c) <=> right(s"_g_$c")).reduce(_ && _)
+      val old = lake.table(name)
+      val folded0 = old.join(delta, nullSafeCond(delta), "full_outer")
+        .select(d.groupCols.map(c => coalesce(col(c), col(s"_g_$c")).as(c)) ++
+          Seq((coalesce(col("n_rows"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
+            .as("n_rows")) ++
+          d.sumAll.map(c => (coalesce(col(s"sum_$c"), lit(0L)) +
+            coalesce(col(s"d_$c"), lit(0L))).as(s"sum_$c")) ++
+          d.cntAll.map(c => (coalesce(col(s"cnt_$c"), lit(0L)) +
+            coalesce(col(s"d_cnt_$c"), lit(0L))).as(s"cnt_$c")) ++
+          d.minMaxCols.flatMap(c => Seq(
+            least(col(s"min_$c"), col(s"d_min_$c")).as(s"min_$c"),
+            greatest(col(s"max_$c"), col(s"d_max_$c")).as(s"max_$c"))): _*)
+        .filter(col("n_rows") > 0)
+      val folded = withAvg(d, folded0)
+      val merged =
+        if (d.minMaxCols.isEmpty) folded
+        else {
+          // groups whose extrema may have RETIRED: recompute them whole
+          // from the source restricted to those groups (group-col runtime
+          // filter → file pruning when the group is a partition/sort key);
+          // all other groups keep the folded monotone min/max
+          val dirty = changes
+            .filter(col("_change_type").isin("delete", "update_preimage"))
+            .select(d.groupCols.map(c => col(c).as(s"_g_$c")): _*).distinct()
+          val clean = folded.join(dirty, nullSafeCond(dirty), "left_anti")
+          // PIN the recompute at `cur`: a concurrent source commit between
+          // the change-feed read and this scan would otherwise mix two
+          // source states inside one refresh (folded groups at cur,
+          // recomputed groups at a later snapshot) under a watermark of cur
+          val recomputed = fullAgg(d)(
+            lake.table(source, Some(cur))
+              .join(dirty, nullSafeCond(dirty), "left_semi"))
+          clean.unionByName(recomputed)
+        }
+      commitMv(merged)
     } finally changes.unpersist()
     cur
   }

@@ -124,6 +124,30 @@ class Lake(val spark: SparkSession, val root: String,
     LakeWrite.append(spark, store, sn, tn, df, overwrite = overwrite)
   }
 
+  /** DROP TABLE (API twin of the DSv2 path, LakeCatalog.dropTable): ends
+    * the table's interval and schedules its files for deletion. */
+  def dropTable(table: String): Long = {
+    aclSuper("DROP TABLE")
+    val (sn, tn) = schemaOf(table)
+    store.commitWithRetry() { (st, sid) =>
+      val cur = st.currentSnapshotId
+      val entry = st.tableAt(sn, tn, cur)
+        .getOrElse(throw new NoSuchElementException(s"no table $table"))
+      val tid = entry.tableId
+      val paths = st.filesAt(tid, cur).map(_.path) ++ st.deleteFilesAt(tid, cur).map(_.path)
+      CommitDelta(
+        snapshot = Snapshot(sid, System.currentTimeMillis(),
+          st.snapshots.lastOption.map(_.schemaVersion).getOrElse(0L),
+          List(s"dropped_table:$sn.$tn")),
+        endedTables = List(tid),
+        endedFiles = st.filesAt(tid, cur).map(_.fileId).toList,
+        endedDeleteFiles = st.deleteFilesAt(tid, cur).map(_.deleteFileId).toList,
+        endedInlined = st.inlinedAt(tid, cur).map(_.batchId).toList,
+        newScheduledDeletions = paths.map(p =>
+          ScheduledDeletion(p, System.currentTimeMillis(), sid)).toList)
+    }
+  }
+
   /** CTAS (reference src/pgducklake_table.cpp:679-699) */
   def createTableAs(table: String, df: DataFrame,
       partitionKeys: List[PartitionKey] = Nil): Long = {
@@ -1213,13 +1237,17 @@ class Lake(val spark: SparkSession, val root: String,
   // ---------------------------------------------------------- views / macros
 
   /** Materialized grouped aggregate of `source`, incrementally refreshed
-    * from the change feed — see [[LakeMaterializedView]]. */
+    * from the change feed — see [[LakeMaterializedView]]. `cntCols` adds
+    * COUNT(col) columns, `avgCols` adds AVG(col) (derived from maintained
+    * sum+count state), `filterSql` restricts the view to matching source
+    * rows (folded into the change-feed scan on refresh). */
   def createMaterializedView(name: String, source: String,
       groupCols: Seq[String], sumCols: Seq[String] = Nil,
-      minMaxCols: Seq[String] = Nil): Long = {
+      minMaxCols: Seq[String] = Nil, cntCols: Seq[String] = Nil,
+      avgCols: Seq[String] = Nil, filterSql: Option[String] = None): Long = {
     aclSuper("CREATE MATERIALIZED VIEW")
     LakeMaterializedView.create(this, name, source, groupCols, sumCols,
-      minMaxCols)
+      minMaxCols, cntCols, avgCols, filterSql)
   }
 
   /** Fold the source change feed since the last refresh into the MV;

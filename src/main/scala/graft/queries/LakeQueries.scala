@@ -1001,6 +1001,34 @@ object LakeQueries {
       lake.table("main.mv").orderBy(col("o_orderpriority"))
     }),
 
+    // ---- MV depth (r12): COUNT(col) with NULLs, AVG derived from
+    // maintained sum+count state, and a FILTERED source (the predicate
+    // folds into the change-feed scan; update pre/post images crossing
+    // the group boundary still net out) — all maintained incrementally
+    // through append / delete / group-moving update ----------------------
+    "l58_materialized_view_avg" -> ((s, dir) => {
+      val lake = newLake(s)
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 11 === 0, lit(null))
+            .otherwise(col("o_custkey")).cast("long").as("o_custkey"),
+          col("o_orderstatus"), col("o_orderpriority"))
+      lake.createTableAs("main.mvo", orders.filter(col("o_orderkey") % 2 === 0))
+      lake.createMaterializedView("main.mv", "main.mvo",
+        groupCols = Seq("o_orderpriority"),
+        sumCols = Nil, minMaxCols = Nil,
+        cntCols = Seq("o_custkey"), avgCols = Seq("o_custkey"),
+        filterSql = Some("o_orderstatus <> 'F'"))
+      lake.append("main.mvo", orders.filter(col("o_orderkey") % 2 === 1))
+      lake.refreshMaterializedView("main.mv")
+      lake.delete("main.mvo", col("o_orderkey") % 10 === 3)
+      lake.refreshMaterializedView("main.mv")
+      lake.update("main.mvo", col("o_orderkey") % 7 === 0,
+        Map("o_orderpriority" -> lit("9-MOVED")))
+      lake.refreshMaterializedView("main.mv")
+      lake.table("main.mv").orderBy(col("o_orderpriority"))
+    }),
+
     "l56_roles" -> ((s, dir) => {
       val lake = newLake(s)
       lake.createTableAs("main.nat", t(s, dir, "nation"))
@@ -1511,7 +1539,7 @@ object LakeQueries {
     // DML sequence leaves behind (delete slice removed, %7 slice moved)
     "l57_materialized_view" ->
       """SELECT o_orderpriority, COUNT(*) AS n_rows,
-        |  SUM(o_custkey) AS sum_o_custkey,
+        |  CAST(SUM(o_custkey) AS BIGINT) AS sum_o_custkey,
         |  MIN(o_orderkey) AS min_o_orderkey, MAX(o_orderkey) AS max_o_orderkey
         |FROM (
         |  SELECT CASE WHEN o_orderkey % 7 = 0 THEN '9-MOVED'
@@ -1519,6 +1547,27 @@ object LakeQueries {
         |         o_custkey, o_orderkey
         |  FROM orders
         |  WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 10 = 3))
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // filtered MV with COUNT(col) + AVG(col): the final state equals the
+    // filtered GROUP BY over what the DML sequence leaves behind; AVG is
+    // written as sum/count (exactly the engine's derivation) and guarded
+    // for empty counts
+    "l58_materialized_view_avg" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_rows,
+        |  COALESCE(CAST(SUM(ck) AS BIGINT), 0) AS sum_o_custkey,
+        |  CAST(COUNT(ck) AS BIGINT) AS cnt_o_custkey,
+        |  CASE WHEN COUNT(ck) > 0
+        |       THEN CAST(SUM(ck) AS DOUBLE) / COUNT(ck) END AS avg_o_custkey
+        |FROM (
+        |  SELECT CASE WHEN o_orderkey % 7 = 0 THEN '9-MOVED'
+        |              ELSE o_orderpriority END AS o_orderpriority,
+        |         CASE WHEN o_orderkey % 11 = 0 THEN NULL
+        |              ELSE o_custkey END AS ck,
+        |         o_orderstatus
+        |  FROM orders
+        |  WHERE NOT (o_orderkey % 10 = 3))
+        |WHERE o_orderstatus <> 'F'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // roles: reader-grant user reads what the writer-role user's DELETE

@@ -83,8 +83,16 @@ class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourceRegis
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) = {
     val (lake, table, _, _, _) = lakeFor(sqlContext, parameters)
-    val cur = lake.currentSnapshot()
-    (shortName(), lake.tableChanges(table, cur, cur).schema)
+    // schema inference opens its own store — close it here (a
+    // jdbc-cataloged store holds a live DB connection; Source.stop only
+    // closes the store createSource built)
+    try {
+      val cur = lake.currentSnapshot()
+      (shortName(), lake.tableChanges(table, cur, cur).schema)
+    } finally lake.store match {
+      case j: graft.lake.JdbcMetadataStore => j.close()
+      case _ => ()
+    }
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,

@@ -185,14 +185,40 @@ class LakeSink(root: String, table: String, txnId: String, overwrite: Boolean,
     case None => new MetadataStore(root)
   }
 
-  /** called by the provider when the streaming query stops */
   private[streaming] def close(): Unit = store match {
     case j: graft.lake.JdbcMetadataStore => j.close()
     case _ => ()
   }
 
+  // V1 Sink has no stop hook, so the first addBatch locates the owning
+  // query (by sink identity) and registers a self-removing listener that
+  // closes the JDBC connection when that query terminates; a query that
+  // never runs a batch never opened the lazy store either
+  @volatile private var closeHooked = false
+  private def hookCloseOnTermination(spark: org.apache.spark.sql.SparkSession): Unit = {
+    if (closeHooked || jdbc.isEmpty) return
+    synchronized {
+      if (closeHooked) return
+      StreamingBatch.queryIdOfSink(spark, this).foreach { qid =>
+        val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+          import org.apache.spark.sql.streaming.StreamingQueryListener._
+          override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+          override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+          override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+            if (e.id == qid) {
+              close()
+              spark.streams.removeListener(this)
+            }
+        }
+        spark.streams.addListener(listener)
+        closeHooked = true
+      }
+    }
+  }
+
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val spark = data.sparkSession
+    hookCloseOnTermination(spark)
     val lake = new Lake(spark, root, Some(store))
     val st0 = store.state()
     val (schemaName, tableName) = {

@@ -26,6 +26,18 @@ object StreamingBatch {
     spark.internalCreateDataFrame(df.queryExecution.toRdd, df.schema, isStreaming = false)
   }
 
+  /** Bridge to the `private[sql]` StreamingQueryWrapper: find the active
+    * streaming query whose sink is `sink` (by identity). V1 `Sink` has no
+    * stop hook, so a sink holding a resource (the JDBC-cataloged lake's DB
+    * connection) needs its owning query's id to close on termination via a
+    * StreamingQueryListener. */
+  def queryIdOfSink(spark: org.apache.spark.sql.SparkSession,
+      sink: AnyRef): Option[java.util.UUID] =
+    spark.streams.active.collectFirst {
+      case w: org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper
+          if w.streamingQuery.sink eq sink => w.id
+    }
+
   /** Bridge to `private[sql] Dataset.ofRows`: rehydrate an already-resolved
     * logical plan (e.g. a MERGE source captured at analysis time) as a
     * DataFrame. */

@@ -52,6 +52,12 @@ class FuzzSpec extends AnyFunSuite {
     // fuzz already checks, so MV == model cross-checks pre/post images,
     // transaction snapshots, and maintenance no-ops a second way
     lake.createMaterializedView("main.fmv", "main.f", Seq("k"), Seq("v"))
+    // r12: a FILTERED MV with COUNT(col)+AVG(col) rides the same schedule
+    // (predicate folds into the change-feed scan; overwrite ops below force
+    // the logical-replace full-recompute path)
+    lake.createMaterializedView("main.fmv2", "main.f", Seq("k"),
+      sumCols = Nil, minMaxCols = Nil, cntCols = Seq("v"),
+      avgCols = Seq("v"), filterSql = Some("v % 2 = 0"))
 
     // r9: ACL joins the schedule — a custom role + user whose per-table
     // grant set and membership mutate randomly; after every op the
@@ -86,11 +92,20 @@ class FuzzSpec extends AnyFunSuite {
       assert(got == want, s"seed=$seed $tag MV: ${got.size} rows vs model " +
         s"${want.size}; diff ${(got.toSet -- want.toSet).take(3)} / " +
         s"${(want.toSet -- got.toSet).take(3)}")
+      lake.refreshMaterializedView("main.fmv2")
+      val got2 = lake.table("main.fmv2").collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+      val want2 = model.filter(_._2 % 2 == 0)
+        .map { case (k, v) => k -> (1L, v, 1L, v.toDouble) }
+      assert(got2 == want2, s"seed=$seed $tag MV2(filtered cnt/avg): " +
+        s"${got2.size} rows vs model ${want2.size}; diff " +
+        s"${(got2.toSet -- want2.toSet).take(3)} / ${(want2.toSet -- got2.toSet).take(3)}")
     }
 
     var i = 0
     while (i < nOps) {
-      val op = rnd.nextInt(19)
+      val op = rnd.nextInt(20)
       op match {
         case 0 | 1 | 2 | 3 =>
           val n = 50 + rnd.nextInt(150)
@@ -148,6 +163,17 @@ class FuzzSpec extends AnyFunSuite {
           else lake.acl.grantRole("fz", "fu")
           member = !member
         case 18 => checkMv(s"op#$i")
+        case 19 =>
+          // logical REPLACE: overwrite (sometimes empty = truncate) retires
+          // every live row without delete records — the change feed cannot
+          // express it, so the next MV refresh must take the full-recompute
+          // fallback (r12; the r11 fold would double-count here)
+          val n = if (rnd.nextBoolean()) 30 + rnd.nextInt(50) else 0
+          val rows = (nextK until nextK + n).map(k => (k, k * 2 + seed))
+          nextK += n
+          import spark.implicits._
+          lake.append("main.f", rows.toDF("k", "v"), overwrite = true)
+          model = rows.toMap
       }
       history += ((lake.currentSnapshot(), model, viewDef))
       viewDef.foreach { case (m, r) =>

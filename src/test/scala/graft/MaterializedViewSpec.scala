@@ -153,6 +153,173 @@ class MaterializedViewSpec extends AnyFunSuite {
       None -> (2L, 12L, 5L, 7L)))
   }
 
+  test("source overwrite (logical replace) triggers a full recompute, not a double-count") {
+    // regression (r11 advice): append(overwrite=true) retires old files via
+    // endedFiles with NO delete records, so the change feed reports the
+    // window as pure inserts — a naive fold would double-count every group
+    val lake = mkLake()
+    import spark.implicits._
+    lake.createTableAs("main.src", Seq(("a", 1L), ("b", 2L)).toDF("g", "x"))
+    lake.createMaterializedView("main.mv", "main.src", Seq("g"), Seq("x"))
+    lake.append("main.src", Seq(("a", 5L), ("c", 3L)).toDF("g", "x"),
+      overwrite = true)
+    lake.refreshMaterializedView("main.mv")
+    assert(mvState(lake) == Map("a" -> (1L, 5L), "c" -> (1L, 3L)))
+    // and the MV keeps refreshing incrementally afterwards
+    lake.append("main.src", Seq(("c", 4L)).toDF("g", "x"))
+    lake.refreshMaterializedView("main.mv")
+    assert(mvState(lake) == oracle(lake))
+  }
+
+  test("source truncate (empty overwrite) empties the MV instead of going stale") {
+    val lake = mkLake()
+    import spark.implicits._
+    lake.createTableAs("main.src", Seq(("a", 1L), ("b", 2L)).toDF("g", "x"))
+    lake.createMaterializedView("main.mv", "main.src", Seq("g"), Seq("x"))
+    lake.append("main.src",
+      Seq.empty[(String, Long)].toDF("g", "x"), overwrite = true)
+    lake.refreshMaterializedView("main.mv")
+    assert(mvState(lake).isEmpty)
+  }
+
+  test("source DROP + re-CREATE triggers a full recompute (table id changed)") {
+    val lake = mkLake()
+    import spark.implicits._
+    lake.createTableAs("main.src", Seq(("a", 1L)).toDF("g", "x"))
+    lake.createMaterializedView("main.mv", "main.src", Seq("g"), Seq("x"))
+    lake.dropTable("main.src")
+    lake.createTableAs("main.src", Seq(("z", 9L), ("z", 1L)).toDF("g", "x"))
+    lake.refreshMaterializedView("main.mv")
+    assert(mvState(lake) == Map("z" -> (2L, 10L)))
+  }
+
+  test("source compaction does NOT trigger a refresh or a recompute") {
+    val lake = mkLake()
+    import spark.implicits._
+    lake.createTableAs("main.src", Seq(("a", 1L)).toDF("g", "x"))
+    lake.append("main.src", Seq(("a", 2L)).toDF("g", "x"))
+    lake.createMaterializedView("main.mv", "main.src", Seq("g"), Seq("x"))
+    lake.mergeAdjacentFiles("main.src") // creates AND ends files, non-logically
+    val snapAfterCompact = lake.currentSnapshot()
+    lake.refreshMaterializedView("main.mv")
+    // early-out: no MV commit — compaction moved bytes, not rows
+    assert(lake.currentSnapshot() == snapAfterCompact)
+    assert(mvState(lake) == Map("a" -> (2L, 3L)))
+  }
+
+  test("COUNT(col), AVG(col), and a filtered source maintain incrementally") {
+    val lake = mkLake()
+    import spark.implicits._
+    val rows: Seq[(String, Option[Long])] =
+      Seq(("a", Some(4L)), ("a", None), ("b", Some(10L)), ("b", Some(-1L)))
+    lake.createTableAs("main.src", rows.toDF("g", "x"))
+    // view restricted to x >= 0 (NULLs excluded by the predicate)
+    lake.createMaterializedView("main.mvf", "main.src", Seq("g"),
+      sumCols = Nil, minMaxCols = Nil, cntCols = Seq("x"),
+      avgCols = Seq("x"), filterSql = Some("x >= 0"))
+    def state(): Map[String, (Long, Long, Long, Option[Double])] =
+      lake.table("main.mvf").collect().map { r =>
+        r.getString(0) -> (r.getLong(r.fieldIndex("n_rows")),
+          r.getLong(r.fieldIndex("sum_x")), r.getLong(r.fieldIndex("cnt_x")),
+          if (r.isNullAt(r.fieldIndex("avg_x"))) None
+          else Some(r.getDouble(r.fieldIndex("avg_x"))))
+      }.toMap
+    assert(state() == Map("a" -> (1L, 4L, 1L, Some(4.0)),
+      "b" -> (1L, 10L, 1L, Some(10.0))))
+
+    // append: one passing, one failing the predicate, one NULL (NULL fails
+    // `x >= 0` so the whole row is out of the filtered view)
+    lake.append("main.src",
+      Seq(("a", Some(8L)), ("a", Some(-5L)), ("b", Option.empty[Long]))
+        .toDF("g", "x"))
+    lake.refreshMaterializedView("main.mvf")
+    assert(state() == Map("a" -> (2L, 12L, 2L, Some(6.0)),
+      "b" -> (1L, 10L, 1L, Some(10.0))))
+
+    // update moves a row ACROSS the predicate boundary: preimage passed
+    // (x=10 >= 0), postimage fails (x=-10) → the group must shed the row
+    lake.update("main.src", col("g") === "b" && col("x") === 10L,
+      Map("x" -> lit(-10L)))
+    lake.refreshMaterializedView("main.mvf")
+    assert(state() == Map("a" -> (2L, 12L, 2L, Some(6.0))))
+  }
+
+  test("AVG equals the SQL oracle through deletes (sum/count state)") {
+    val lake = mkLake()
+    import spark.implicits._
+    lake.createTableAs("main.src",
+      Seq(("a", 1L), ("a", 2L), ("a", 6L), ("b", 7L)).toDF("g", "x"))
+    lake.createMaterializedView("main.mva", "main.src", Seq("g"),
+      avgCols = Seq("x"))
+    def avgs(): Map[String, Double] =
+      lake.table("main.mva").select(col("g"), col("avg_x")).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(avgs() == Map("a" -> 3.0, "b" -> 7.0))
+    lake.delete("main.src", col("x") === 6L)
+    lake.refreshMaterializedView("main.mva")
+    assert(avgs() == Map("a" -> 1.5, "b" -> 7.0))
+  }
+
+  test("column names containing ',' are rejected at create (tag codec)") {
+    val lake = mkLake()
+    import spark.implicits._
+    lake.createTableAs("main.src",
+      Seq(("a", 1L)).toDF("g,h", "x"))
+    val e = intercept[IllegalArgumentException] {
+      lake.createMaterializedView("main.mv", "main.src", Seq("g,h"), Seq("x"))
+    }
+    assert(e.getMessage.contains(","))
+  }
+
+  test("a failed create leaves no half-created table behind") {
+    val lake = mkLake()
+    import spark.implicits._
+    lake.createTableAs("main.src", Seq(("a", 1L)).toDF("g", "x"))
+    intercept[Exception] {
+      lake.createMaterializedView("main.mvbad", "main.src", Seq("g"), Seq("x"),
+        filterSql = Some("no_such_column > 1"))
+    }
+    val st = lake.store.state()
+    assert(st.tableAt("main", "mvbad", st.currentSnapshotId).isEmpty)
+  }
+
+  test("refresh is a WRITE: a reader-role user is denied, reads still serve") {
+    val lake = mkLake()
+    import spark.implicits._
+    lake.createTableAs("main.src", Seq(("a", 1L)).toDF("g", "x"))
+    lake.createMaterializedView("main.mv", "main.src", Seq("g"), Seq("x"))
+    lake.acl.createRole("rdr")
+    lake.acl.createUser("ru", Seq("rdr"))
+    lake.acl.grant("main.mv", "rdr", Seq("SELECT"))
+    lake.append("main.src", Seq(("a", 2L)).toDF("g", "x"))
+    spark.conf.set(graft.lake.LakeAcl.UserConf, "ru")
+    try {
+      intercept[SecurityException] { lake.refreshMaterializedView("main.mv") }
+      // the stale-but-granted read still serves
+      assert(lake.table("main.mv").count() == 1)
+    } finally spark.conf.unset(graft.lake.LakeAcl.UserConf)
+    // owner mode refreshes fine afterwards
+    lake.refreshMaterializedView("main.mv")
+    assert(mvState(lake) == Map("a" -> (2L, 3L)))
+  }
+
+  test("a frozen mount serves MV reads but refuses the refresh procedure") {
+    val lake = mkLake()
+    import spark.implicits._
+    lake.createTableAs("main.src", Seq(("a", 1L), ("b", 2L)).toDF("g", "x"))
+    lake.createMaterializedView("main.mv", "main.src", Seq("g"), Seq("x"))
+    val frozenDir = Files.createTempDirectory("graft_mvfrozen").toString
+    lake.freeze(frozenDir)
+    val cat = s"mvfz${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.frozen", frozenDir)
+    assert(spark.sql(s"SELECT * FROM $cat.main.mv").count() == 2)
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.refresh_materialized_view('main.mv')").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("read-only"))
+  }
+
   test("non-integral SUM columns are rejected at create") {
     val lake = mkLake()
     import spark.implicits._
