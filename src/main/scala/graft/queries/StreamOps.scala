@@ -237,10 +237,47 @@ object StreamOps {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       s.table(sink).orderBy("event_id")
+    }),
+
+    // ---- MV auto-refresh via the streaming sink (r12): the CDF stream of
+    // the source drives refreshMaterializedView per micro-batch under the
+    // existing watermark CAS — the continuous version of l57's manual
+    // refresh; no foreachBatch, no manual refresh calls -------------------
+    "s08_mv_autorefresh" -> ((s, dir) => {
+      val lake = LakeQueries.freshLake(s)
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      lake.createTable("main.src", orders.schema)
+      lake.append("main.src", orders.filter(col("o_orderkey") % 2 === 0))
+      lake.createMaterializedView("main.mv", "main.src",
+        groupCols = Seq("o_orderpriority"), sumCols = Seq("o_custkey"))
+      // history past the MV's creation watermark, drained by the stream
+      lake.append("main.src", orders.filter(col("o_orderkey") % 2 === 1))
+      lake.delete("main.src", col("o_orderkey") % 10 === 3)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_s08_ckpt").toString
+      val q = s.readStream.format("graft-changes")
+        .option("root", lake.root).option("table", "main.src")
+        .option("maxSnapshotsPerTrigger", "1") // several refresh batches
+        .load()
+        .writeStream.format("graft-mv-refresh")
+        .option("root", lake.root).option("view", "main.mv")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      lake.table("main.mv").orderBy(col("o_orderpriority"))
     })
   )
 
   def oracleSql: Map[String, String] = Map(
+    // MV content after the stream drains == full GROUP BY of the final
+    // source state (evens + odds, minus the deleted slice)
+    "s08_mv_autorefresh" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_rows,
+        |  COALESCE(CAST(SUM(o_custkey) AS BIGINT), 0) AS sum_o_custkey
+        |FROM orders
+        |WHERE NOT (o_orderkey % 10 = 3)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
     "s01_stream_changes" ->
       """SELECT * FROM (
         |  SELECT 'insert' AS _change_type, n_nationkey, n_name FROM nation

@@ -254,3 +254,90 @@ class LakeSink(root: String, table: String, txnId: String, overwrite: Boolean,
 
   override def toString: String = s"LakeSink[$table @ $root, txn=$txnId]"
 }
+
+/** Streaming MV auto-refresh — the foreachBatch-free continuous version
+  * of `refreshMaterializedView`:
+  *
+  * {{{
+  *   spark.readStream.format("graft-changes")
+  *     .option("root", root).option("table", "main.src").load()
+  *     .writeStream.format("graft-mv-refresh")
+  *     .option("root", root).option("view", "main.mv")
+  *     .option("checkpointLocation", ...).start()
+  * }}}
+  *
+  * Each micro-batch triggers ONE refresh. The incoming rows are IGNORED:
+  * refresh reads the change feed from its own CAS'd `mv_last` watermark,
+  * which is already exactly-once — a replayed or racing batch either
+  * early-outs (nothing new past the watermark) or aborts at the in-commit
+  * watermark re-check, and the swallow below treats that abort as
+  * "already applied". The upstream change-feed stream supplies trigger
+  * cadence and admission control (maxSnapshots/BytesPerTrigger bound how
+  * much source history each refresh folds); under AvailableNow the loop
+  * converges because a refresh whose window holds no SOURCE change
+  * commits nothing. */
+class LakeMvRefreshSinkProvider extends StreamSinkProvider with DataSourceRegister {
+  override def shortName(): String = "graft-mv-refresh"
+
+  override def createSink(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    val p = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val root = p.getOrElse("root",
+      throw new IllegalArgumentException("graft-mv-refresh: option 'root' required"))
+    val view = p.getOrElse("view",
+      throw new IllegalArgumentException("graft-mv-refresh: option 'view' required"))
+    new LakeMvRefreshSink(root, view, p.get("jdbc"))
+  }
+}
+
+class LakeMvRefreshSink(root: String, view: String, jdbc: Option[String])
+  extends Sink {
+
+  private lazy val store: MetadataStore = jdbc match {
+    case Some(url) => new graft.lake.JdbcMetadataStore(root, url)
+    case None => new MetadataStore(root)
+  }
+
+  private[streaming] def close(): Unit = store match {
+    case j: graft.lake.JdbcMetadataStore => j.close()
+    case _ => ()
+  }
+
+  @volatile private var closeHooked = false
+  private def hookCloseOnTermination(spark: org.apache.spark.sql.SparkSession): Unit = {
+    if (closeHooked || jdbc.isEmpty) return
+    synchronized {
+      if (closeHooked) return
+      StreamingBatch.queryIdOfSink(spark, this).foreach { qid =>
+        val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+          import org.apache.spark.sql.streaming.StreamingQueryListener._
+          override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+          override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+          override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+            if (e.id == qid) {
+              close()
+              spark.streams.removeListener(this)
+            }
+        }
+        spark.streams.addListener(listener)
+        closeHooked = true
+      }
+    }
+  }
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    hookCloseOnTermination(data.sparkSession)
+    val lake = new Lake(data.sparkSession, root, Some(store))
+    try lake.refreshMaterializedView(view)
+    catch {
+      // a concurrent refresher (or a replay racing this one) advanced the
+      // watermark first — the delta is applied, nothing to redo
+      case e: IllegalStateException if e.getMessage.contains("concurrent refresh") => ()
+    }
+  }
+
+  override def toString: String = s"LakeMvRefreshSink[$view @ $root]"
+}

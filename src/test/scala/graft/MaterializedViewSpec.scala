@@ -320,6 +320,40 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(e.getMessage.toLowerCase.contains("read-only"))
   }
 
+  test("streaming auto-refresh drains the change feed into the MV exactly once") {
+    // graft-mv-refresh sink: the CDF stream supplies cadence; the refresh's
+    // own watermark CAS supplies exactly-once — a checkpointed RESTART
+    // replays nothing into the MV
+    val lake = mkLake()
+    import spark.implicits._
+    lake.createTableAs("main.src", Seq(("a", 1L)).toDF("g", "x"))
+    lake.createMaterializedView("main.mv", "main.src", Seq("g"), Seq("x"))
+    val ckpt = Files.createTempDirectory("graft_mvstream_ckpt").toString
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-changes")
+        .option("root", lake.root).option("table", "main.src")
+        .option("maxSnapshotsPerTrigger", "1").load()
+        .writeStream.format("graft-mv-refresh")
+        .option("root", lake.root).option("view", "main.mv")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    lake.append("main.src", Seq(("a", 2L), ("b", 5L)).toDF("g", "x"))
+    lake.delete("main.src", col("x") === 1L)
+    drain()
+    assert(mvState(lake) == Map("a" -> (1L, 2L), "b" -> (1L, 5L)))
+    // restart from the same checkpoint with more history: only the new
+    // delta lands; the replayed range is past the watermark and no-ops
+    lake.append("main.src", Seq(("b", 7L)).toDF("g", "x"))
+    drain()
+    assert(mvState(lake) == Map("a" -> (1L, 2L), "b" -> (2L, 12L)))
+    // idle restart: no source change → no MV commit at all
+    val snap = lake.currentSnapshot()
+    drain()
+    assert(lake.currentSnapshot() == snap)
+  }
+
   test("non-integral SUM columns are rejected at create") {
     val lake = mkLake()
     import spark.implicits._
