@@ -31,6 +31,9 @@ object StreamOps {
       val q = s.readStream.format("graft-changes")
         .option("root", lake.root).option("table", "main.n").load()
         .writeStream.format("memory").queryName(sink)
+        // explicit checkpoint: a temp one makes Spark WARN unconditionally
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       s.table(sink).select("_change_type", "n_nationkey", "n_name")
@@ -90,6 +93,9 @@ object StreamOps {
         .select(col("window.start").cast("date").as("w_start"),
           col("n_orders"), col("min_key"), col("max_key"))
         .writeStream.format("memory").queryName(sink)
+        // explicit checkpoint: a temp one makes Spark WARN unconditionally
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
         .outputMode("complete")
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
@@ -121,6 +127,9 @@ object StreamOps {
         .select(col("window.start").cast("date").as("w_start"),
           col("n_orders"), col("min_key"), col("max_key"))
         .writeStream.format("memory").queryName(sink)
+        // explicit checkpoint: a temp one makes Spark WARN unconditionally
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
         .outputMode("complete")
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
@@ -150,6 +159,9 @@ object StreamOps {
         .select(col("user_id"), col("session_window.start").as("s_start"),
           col("n_events"), col("min_event"), col("max_event"))
         .writeStream.format("memory").queryName(sink)
+        // explicit checkpoint: a temp one makes Spark WARN unconditionally
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
         .outputMode("complete")
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
@@ -199,6 +211,9 @@ object StreamOps {
       s.conf.set("spark.sql.shuffle.partitions", "4")
       val q = try {
         joined.writeStream.format("memory").queryName(sink)
+        // explicit checkpoint: a temp one makes Spark WARN unconditionally
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
           .outputMode("append")
           .trigger(Trigger.AvailableNow()).start()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
@@ -233,6 +248,9 @@ object StreamOps {
         .withWatermark("ts", "1 hour")
         .dropDuplicates("event_id")
         .writeStream.format("memory").queryName(sink)
+        // explicit checkpoint: a temp one makes Spark WARN unconditionally
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
         .outputMode("append")
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()

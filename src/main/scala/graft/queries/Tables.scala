@@ -25,6 +25,10 @@ object Tables {
   val sessionConf: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.extensions" -> "graft.lake.GraftExtensions",
+    // memory-sink stream entries use engine-made temp checkpoints; force
+    // their deletion on stop so the bench/verify tail carries no
+    // "temp checkpoint will not be deleted" WARN lines (r11 verdict #4)
+    "spark.sql.streaming.forceDeleteTempCheckpointLocation" -> "true",
     // Shuffled-hash over sort-merge: equi-joins on parquet-backed frames
     // build a per-partition hash table instead of fully sorting both sides
     // — the sf10 bench showed the two 60M-row sorts in q03/q05 were the
