@@ -370,16 +370,19 @@ object Thaw {
         }
       })
 
-    import scala.jdk.CollectionConverters._
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
-    try pending.result().map { case (name, schema, rows) =>
-      pool.submit(new Runnable {
-        override def run(): Unit =
-          spark.createDataFrame(rows.asJava, schema).coalesce(1)
-            .write.mode("overwrite").parquet(s"$dir/$name.parquet")
-      })
-    }.foreach(_.get())
-    finally pool.shutdown()
+    // driver-side writes (zero Spark jobs): every dataset's rows are
+    // already driver-resident; a per-dataset job submission was the
+    // dominant cost of freeze (and thus of l36/l38's freeze→import loops)
+    val hconf = spark.sessionState.newHadoopConf()
+    pending.result().foreach { case (name, schema, rows) =>
+      // empty datasets are skipped: load() treats an absent dataset as
+      // empty, and each file saved is a writer init here plus a read job
+      // on every future import. ducklake_snapshot (the mandatory marker)
+      // is never empty — a catalog always has its initial snapshot.
+      if (rows.nonEmpty)
+        org.apache.spark.sql.graft.DriverParquet.write(
+          s"$dir/$name.parquet", schema, rows, hconf)
+    }
   }
 
   // ------------------------------------------------------------------- load
@@ -421,10 +424,28 @@ object Thaw {
     if (!exists(s"$dir/ducklake_snapshot.parquet"))
       throw new IllegalArgumentException(
         s"$dir has no ducklake_snapshot.parquet — not a DuckLake catalog dump")
-    def rd(name: String): Seq[Row] = {
+    // memoized + prefetched: several datasets are consulted more than once
+    // below, and each spark.read costs a footer-inference pass + a collect
+    // job — ~18 sequential tiny jobs dominate import wall-clock, so fetch
+    // them concurrently up front (Spark schedules concurrent jobs fine)
+    val rdCache = new java.util.concurrent.ConcurrentHashMap[String, Seq[Row]]()
+    def rd(name: String): Seq[Row] = rdCache.computeIfAbsent(name, _ => {
       val p = s"$dir/$name.parquet"
       if (exists(p)) spark.read.parquet(p).collect().toSeq
       else Seq.empty
+    })
+    locally {
+      val known = Seq("ducklake_snapshot", "ducklake_snapshot_changes",
+        "ducklake_schema", "ducklake_table", "ducklake_column",
+        "ducklake_data_file", "ducklake_file_column_stats",
+        "ducklake_delete_file", "ducklake_partition_info",
+        "ducklake_partition_column", "ducklake_file_partition_value",
+        "ducklake_sort_info", "ducklake_sort_expression", "ducklake_tag",
+        "ducklake_column_tag", "ducklake_view", "ducklake_macro",
+        "ducklake_macro_impl", "ducklake_macro_parameters")
+      val threads = known.map(n => new Thread(() => { rd(n); () }))
+      threads.foreach(_.start())
+      threads.foreach(_.join())
     }
     def opt(r: Row, field: String): Option[Long] = {
       val i = r.schema.fieldNames.indexOf(field)
