@@ -32,6 +32,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     String.valueOf(e.eval())
   }
 
+  /** TVF root argument: `<root>` (file-log catalog) or `<root>;jdbc=<url>`
+    * (shared-database catalog — the same `jdbc` option the DSv2 catalog
+    * and stream source/sink take, in-band because TVF args are
+    * positional strings). JDBC stores are cached per (root, url) so
+    * repeated TVF calls share ONE live connection per catalog instead of
+    * leaking one per invocation. */
+  private def lakeArg(rootArg: String): Lake = {
+    val sep = rootArg.indexOf(";jdbc=")
+    if (sep < 0) new Lake(SparkSession.active, rootArg)
+    else {
+      val root = rootArg.substring(0, sep)
+      val url = rootArg.substring(sep + ";jdbc=".length)
+      new Lake(SparkSession.active, root,
+        Some(GraftExtensions.tvfStores.computeIfAbsent((root, url),
+          _ => new JdbcMetadataStore(root, url))))
+    }
+  }
+
   private def tvf(name: String, usage: String)(build: Seq[Expression] => LogicalPlan)
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) =
     (FunctionIdentifier(name), new ExpressionInfo("graft.lake.GraftExtensions", name, usage),
@@ -122,37 +140,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.BucketCapGate(children.head, cap, c, d)
       }))
     ext.injectTableFunction(tvf("graft_snapshots", "graft_snapshots(root)") { args =>
-      new Lake(SparkSession.active, lit(args.head, "root")).snapshots()
+      lakeArg(lit(args.head, "root")).snapshots()
         .queryExecution.analyzed
     })
     ext.injectTableFunction(tvf("graft_table_info", "graft_table_info(root)") { args =>
-      new Lake(SparkSession.active, lit(args.head, "root")).tableInfo()
+      lakeArg(lit(args.head, "root")).tableInfo()
         .queryExecution.analyzed
     })
     ext.injectTableFunction(tvf("graft_list_files", "graft_list_files(root, table)") { args =>
-      new Lake(SparkSession.active, lit(args.head, "root"))
+      lakeArg(lit(args.head, "root"))
         .listFiles(lit(args(1), "table")).queryExecution.analyzed
     })
     ext.injectTableFunction(tvf("graft_last_committed_snapshot",
       "graft_last_committed_snapshot(root)") { args =>
-      new Lake(SparkSession.active, lit(args.head, "root")).lastCommittedSnapshot()
+      lakeArg(lit(args.head, "root")).lastCommittedSnapshot()
         .queryExecution.analyzed
     })
     ext.injectTableFunction(tvf("graft_get_partition", "graft_get_partition(root, table)") { args =>
-      new Lake(SparkSession.active, lit(args.head, "root"))
+      lakeArg(lit(args.head, "root"))
         .getPartition(lit(args(1), "table")).queryExecution.analyzed
     })
     ext.injectTableFunction(tvf("graft_get_sort", "graft_get_sort(root, table)") { args =>
-      new Lake(SparkSession.active, lit(args.head, "root"))
+      lakeArg(lit(args.head, "root"))
         .getSort(lit(args(1), "table")).queryExecution.analyzed
     })
     ext.injectTableFunction(tvf("graft_options", "graft_options(root)") { args =>
-      new Lake(SparkSession.active, lit(args.head, "root")).options()
+      lakeArg(lit(args.head, "root")).options()
         .queryExecution.analyzed
     })
     ext.injectTableFunction(tvf("graft_table_changes",
       "graft_table_changes(root, table, startExclusive, endInclusive)") { args =>
-      new Lake(SparkSession.active, lit(args.head, "root"))
+      lakeArg(lit(args.head, "root"))
         .tableChanges(lit(args(1), "table"), lit(args(2), "s0").toLong,
           lit(args(3), "s1").toLong)
         .queryExecution.analyzed
@@ -164,7 +182,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(tvf("graft_view", "graft_view(root, name[, version | ts])") { args =>
       require(args.length == 2 || args.length == 3,
         "graft_view takes (root, name) or (root, name, version|timestamp)")
-      val lake = new Lake(SparkSession.active, lit(args.head, "root"))
+      val lake = lakeArg(lit(args.head, "root"))
       val asOf: Option[Long] =
         if (args.length < 3) None
         else {
@@ -186,19 +204,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       lake.view(lit(args(1), "view name"), asOf).queryExecution.analyzed
     })
     ext.injectTableFunction(tvf("graft_views", "graft_views(root)") { args =>
-      new Lake(SparkSession.active, lit(args.head, "root")).views()
+      lakeArg(lit(args.head, "root")).views()
         .queryExecution.analyzed
     })
     ext.injectTableFunction(tvf("graft_macros", "graft_macros(root)") { args =>
-      new Lake(SparkSession.active, lit(args.head, "root")).macros()
+      lakeArg(lit(args.head, "root")).macros()
         .queryExecution.analyzed
     })
     // instance metadata (upstream ducklake_settings())
     ext.injectTableFunction(tvf("graft_settings", "graft_settings(root)") { args =>
-      new Lake(SparkSession.active, lit(args.head, "root")).settings()
+      lakeArg(lit(args.head, "root")).settings()
         .queryExecution.analyzed
     })
   }
+}
+
+object GraftExtensions {
+  /** one live JDBC store per (root, url) for the TVF surface — bounded by
+    * distinct catalogs, lives for the JVM (TVFs have no close hook) */
+  private[lake] val tvfStores =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), JdbcMetadataStore]()
 }
 
 /** Removes `DynamicPruningExpression(true)` — the marker

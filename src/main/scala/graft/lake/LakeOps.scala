@@ -16,6 +16,14 @@ class Lake(val spark: SparkSession, val root: String,
     txStore: Option[MetadataStore] = None) {
   val store: MetadataStore = txStore.getOrElse(new MetadataStore(root))
 
+  /** the shared-database catalog URL when this lake's metadata lives in
+    * one (pass it as the `jdbc` option to DSv2 catalogs / stream
+    * sources/sinks targeting the same lake) */
+  def jdbcUrl: Option[String] = store match {
+    case j: JdbcMetadataStore => Some(j.url)
+    case _ => None
+  }
+
   /** Run `body` as ONE transaction: every DDL/DML op inside commits into a
     * staging log (reads see the transaction's own writes, and nothing
     * outside sees any of them), and the whole group lands as a SINGLE
@@ -1171,6 +1179,7 @@ class Lake(val spark: SparkSession, val root: String,
     val cat = new LakeCatalog()
     val m = new java.util.HashMap[String, String]()
     m.put("root", root)
+    jdbcUrl.foreach(m.put("jdbc", _)) // route through THIS lake's catalog
     cat.initialize("lake", new org.apache.spark.sql.util.CaseInsensitiveStringMap(m))
     cat.alterTable(
       org.apache.spark.sql.connector.catalog.Identifier.of(Array(sn), tn),

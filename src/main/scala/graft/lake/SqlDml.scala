@@ -49,7 +49,7 @@ class ResolveLakeUpdate(session: SparkSession) extends Rule[LogicalPlan] {
             }
             name -> unqualifiedSql(a.value)
           }.toMap
-          UpdateLakeTableCommand(lt.store.root, lt.schemaName, lt.tableName,
+          UpdateLakeTableCommand(lt.store, lt.schemaName, lt.tableName,
             set, u.condition.map(unqualifiedSql))
         case _ => u
       }
@@ -60,7 +60,7 @@ class ResolveLakeUpdate(session: SparkSession) extends Rule[LogicalPlan] {
 /** Executes the lowered UPDATE; returns the affected-row count (the
   * reference's `UPDATE n` command tag). */
 case class UpdateLakeTableCommand(
-    root: String,
+    store: MetadataStore, // the resolved table's OWN store (file or JDBC)
     schemaName: String,
     tableName: String,
     setSql: Map[String, String],
@@ -70,7 +70,7 @@ case class UpdateLakeTableCommand(
     Seq(AttributeReference("num_affected_rows", LongType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val (_, n) = LakeWrite.update(spark, new MetadataStore(root),
+    val (_, n) = LakeWrite.update(spark, store,
       schemaName, tableName,
       condSql.map(expr).getOrElse(lit(true)),
       setSql.map { case (k, v) => k -> expr(v) })
@@ -122,7 +122,7 @@ class ResolveLakeMerge(session: SparkSession) extends Rule[LogicalPlan] {
             case other => throw new UnsupportedOperationException(
               s"MERGE not-matched action: $other")
           }
-          MergeLakeTableCommand(lt.store.root, lt.schemaName, lt.tableName,
+          MergeLakeTableCommand(lt.store, lt.schemaName, lt.tableName,
             m.sourceTable, sqlOf(m.mergeCondition),
             matchedOf(m.matchedActions), notMatched,
             matchedOf(m.notMatchedBySourceActions))
@@ -135,7 +135,7 @@ class ResolveLakeMerge(session: SparkSession) extends Rule[LogicalPlan] {
 /** Executes the lowered MERGE; returns (updated, deleted, inserted) row
   * counts (the reference's MERGE command tag is the affected total). */
 case class MergeLakeTableCommand(
-    root: String,
+    store: MetadataStore, // the resolved table's OWN store (file or JDBC)
     schemaName: String,
     tableName: String,
     sourcePlan: LogicalPlan,
@@ -154,7 +154,7 @@ case class MergeLakeTableCommand(
     val src0 = org.apache.spark.sql.graft.StreamingBatch.ofRows(spark, sourcePlan)
     val src = src0.toDF(src0.columns.map("_src_" + _).toIndexedSeq: _*)
     def cols(m: Map[String, String]) = m.map { case (k, v) => k -> expr(v) }
-    val (_, u, d, i) = LakeWrite.merge(spark, new MetadataStore(root),
+    val (_, u, d, i) = LakeWrite.merge(spark, store,
       schemaName, tableName, src, expr(onSql),
       matched.map { case (c, s) =>
         LakeWrite.MergeMatched(c.map(expr), s.map(cols)) },

@@ -29,7 +29,7 @@ object StreamOps {
       lake.delete("main.n", col("n_regionkey") === 1)
       val sink = s"graft_s01_${UUID.randomUUID().toString.replace("-", "")}"
       val q = s.readStream.format("graft-changes")
-        .option("root", lake.root).option("table", "main.n").load()
+        .options(LakeQueries.lakeOpts(lake)).option("table", "main.n").load()
         .writeStream.format("memory").queryName(sink)
         // explicit checkpoint: a temp one makes Spark WARN unconditionally
         .option("checkpointLocation",
@@ -56,11 +56,11 @@ object StreamOps {
       lake.createTable("main.dst", nation.schema)
       val ckpt = java.nio.file.Files.createTempDirectory("graft_s02_ckpt").toString
       val q = s.readStream.format("graft-changes")
-        .option("root", lake.root).option("table", "main.src").load()
+        .options(LakeQueries.lakeOpts(lake)).option("table", "main.src").load()
         .filter(col("_change_type").isin("insert", "update_postimage"))
         .select(nation.columns.map(col).toIndexedSeq: _*)
         .writeStream.format("graft-lake")
-        .option("root", lake.root).option("table", "main.dst")
+        .options(LakeQueries.lakeOpts(lake)).option("table", "main.dst")
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
@@ -83,7 +83,7 @@ object StreamOps {
       lake.append("main.ev", orders)
       val sink = s"graft_s03_${UUID.randomUUID().toString.replace("-", "")}"
       val q = s.readStream.format("graft-changes")
-        .option("root", lake.root).option("table", "main.ev").load()
+        .options(LakeQueries.lakeOpts(lake)).option("table", "main.ev").load()
         .filter(col("_change_type") === "insert")
         .withColumn("ts", col("o_orderdate").cast("timestamp"))
         .withWatermark("ts", "1 day")
@@ -117,7 +117,7 @@ object StreamOps {
       lake.append("main.sw", orders)
       val sink = s"graft_s05_${UUID.randomUUID().toString.replace("-", "")}"
       val q = s.readStream.format("graft-changes")
-        .option("root", lake.root).option("table", "main.sw").load()
+        .options(LakeQueries.lakeOpts(lake)).option("table", "main.sw").load()
         .filter(col("_change_type") === "insert")
         .withColumn("ts", col("o_orderdate").cast("timestamp"))
         .withWatermark("ts", "1 day")
@@ -151,7 +151,7 @@ object StreamOps {
       lake.append("main.sev", ev)
       val sink = s"graft_s04_${UUID.randomUUID().toString.replace("-", "")}"
       val q = s.readStream.format("graft-changes")
-        .option("root", lake.root).option("table", "main.sev").load()
+        .options(LakeQueries.lakeOpts(lake)).option("table", "main.sev").load()
         .filter(col("_change_type") === "insert")
         .groupBy(col("user_id"), session_window(col("ts"), "12 hours"))
         .agg(count(lit(1)).as("n_events"),
@@ -189,12 +189,12 @@ object StreamOps {
       lake.createTable("main.sjl", li.schema)
       lake.append("main.sjl", li)
       val left = s.readStream.format("graft-changes")
-        .option("root", lake.root).option("table", "main.sjo").load()
+        .options(LakeQueries.lakeOpts(lake)).option("table", "main.sjo").load()
         .filter(col("_change_type") === "insert")
         .select("o_orderkey", "o_ts")
         .withWatermark("o_ts", "1 day")
       val right = s.readStream.format("graft-changes")
-        .option("root", lake.root).option("table", "main.sjl").load()
+        .options(LakeQueries.lakeOpts(lake)).option("table", "main.sjl").load()
         .filter(col("_change_type") === "insert")
         .select("l_orderkey", "l_linenumber", "l_ts")
         .withWatermark("l_ts", "1 day")
@@ -242,7 +242,7 @@ object StreamOps {
       lake.append("main.dd", ev) // exact duplicates, second snapshot
       val sink = s"graft_s07_${UUID.randomUUID().toString.replace("-", "")}"
       val q = s.readStream.format("graft-changes")
-        .option("root", lake.root).option("table", "main.dd").load()
+        .options(LakeQueries.lakeOpts(lake)).option("table", "main.dd").load()
         .filter(col("_change_type") === "insert")
         .select("event_id", "user_id", "ts")
         .withWatermark("ts", "1 hour")
@@ -274,11 +274,11 @@ object StreamOps {
       lake.delete("main.src", col("o_orderkey") % 10 === 3)
       val ckpt = java.nio.file.Files.createTempDirectory("graft_s08_ckpt").toString
       val q = s.readStream.format("graft-changes")
-        .option("root", lake.root).option("table", "main.src")
+        .options(LakeQueries.lakeOpts(lake)).option("table", "main.src")
         .option("maxSnapshotsPerTrigger", "1") // several refresh batches
         .load()
         .writeStream.format("graft-mv-refresh")
-        .option("root", lake.root).option("view", "main.mv")
+        .options(LakeQueries.lakeOpts(lake)).option("view", "main.mv")
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()

@@ -130,8 +130,12 @@ class ViewMacroSpec extends AnyFunSuite {
     assert(vw.last.getAs[String]("sql").contains("a >= 2")
       && vw.last.isNullAt(vw.last.fieldIndex("end_snapshot")))
     assert(vw.forall(_.getAs[String]("column_aliases") == "x,y"))
-    val tags = spark.read.parquet(s"$cat/ducklake_tag.parquet")
-      .select("object_id").collect().map(_.getString(0))
+    // absent dataset = empty since r12 (empty dumps are skipped entirely)
+    val tagPath = java.nio.file.Paths.get(cat, "ducklake_tag.parquet")
+    val tags =
+      if (!java.nio.file.Files.exists(tagPath)) Array.empty[String]
+      else spark.read.parquet(tagPath.toString)
+        .select("object_id").collect().map(_.getString(0))
     assert(!tags.exists(s => s.startsWith("view:") || s.startsWith("macro:")))
     val mc = spark.read.parquet(s"$cat/ducklake_macro.parquet").collect()
     assert(mc.length == 1 && mc.head.getAs[String]("macro_name") == "twice")
