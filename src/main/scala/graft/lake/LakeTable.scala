@@ -183,6 +183,33 @@ class LakeTable(
     } catch { case _: Exception => None }
   }
 
+  /** Sort keys the key-grouped scan may REPORT as its per-partition output
+    * ordering (DSv2 SupportsReportOrdering → SMJ sort elision): the
+    * longest prefix of the table's sort spec whose columns all survive
+    * into the scan output (V2ExpressionUtils.resolveRef throws on a miss
+    * — same lesson as filterAttributes), provided EVERY scanned file is
+    * stamped internally sorted by at least that prefix and every key
+    * group is a SINGLE file (multi-file groups concatenate overlapping
+    * key ranges, which is not an ordering). */
+  private[lake] def reportableOrdering(
+      files: Vector[DataFileEntry],
+      groups: Seq[(InternalRow, Seq[(String, Long)])],
+      read: StructType): Array[Meta.SortKey] = {
+    val sks = st.sortKeysAt(entry.tableId, snapshot)
+    if (sks.isEmpty || files.isEmpty) return Array.empty
+    // safety valve / A-B gate
+    if (!SparkSession.active.conf
+        .getOption("spark.graft.lake.reportOrdering").forall(_.toBoolean))
+      return Array.empty
+    val avail = read.fieldNames.toSet
+    val prefix = sks.takeWhile(k => avail(k.expr) && cols.exists(_.name == k.expr))
+    if (prefix.isEmpty) return Array.empty
+    val labels = prefix.map(_.expr)
+    val allStamped = files.forall(_.sortedBy.exists(_.startsWith(labels)))
+    if (allStamped && groups.forall(_._2.lengthCompare(1) <= 0)) prefix.toArray
+    else Array.empty
+  }
+
   /** Storage-partitioned-join grouping: Some((keyColumns, partitionKey →
     * files)) when the table's live partition spec is identity-only over
     * SPJ-safe column types and EVERY given file carries a parseable
@@ -368,7 +395,8 @@ private[graft] class LakeNativeScan(
     required: Option[StructType],
     initial: (Vector[DataFileEntry], Map[String, Seq[String]]))
   extends Scan with SupportsRuntimeFiltering with SupportsReportStatistics
-  with SupportsReportPartitioning {
+  with SupportsReportPartitioning
+  with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
   private var files: Vector[DataFileEntry] = initial._1
   private var deletesByFile: Map[String, Seq[String]] = initial._2
@@ -387,7 +415,8 @@ private[graft] class LakeNativeScan(
     if (deletesByFile.isEmpty) grouped match {
       case Some((keyCols, groups)) =>
         org.apache.spark.sql.graft.NativeParquet.keyGroupedScan(
-          session, groups, keyCols, table.schema(), readSchema(), pushed)
+          session, groups, keyCols, table.schema(), readSchema(), pushed,
+          table.reportableOrdering(files, groups, readSchema()))
       case None =>
         org.apache.spark.sql.graft.NativeParquet.parquetScan(
           session, sizes, table.schema(), readSchema(), pushed)
@@ -402,6 +431,14 @@ private[graft] class LakeNativeScan(
     case s: SupportsReportPartitioning => s.outputPartitioning()
     case _ => new UnknownPartitioning(0)
   }
+
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    inner match {
+      case o: org.apache.spark.sql.connector.read.SupportsReportOrdering =>
+        o.outputOrdering()
+      case _ => Array.empty
+    }
 
   override def readSchema(): StructType = required.getOrElse(table.schema())
 

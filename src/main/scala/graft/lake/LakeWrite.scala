@@ -266,8 +266,15 @@ object LakeWrite {
       val withP = if (repartitionForWrite)
         withP0.repartition(partKeys.indices.map(i => col(s"_gp$i")): _*)
       else withP0
+      // lead the within-task sort with the partition columns: the dynamic
+      // partition writer requires its input ordered by them and would
+      // otherwise insert its OWN sort on _gp alone — non-stable under
+      // spill merges, which would silently unsort the rows inside each
+      // file and falsify the sortedBy stamp below
       val sortedP = if (sortKeys.nonEmpty && sorted)
-        withP.sortWithinPartitions(sortKeys.map(sortCol): _*) else withP
+        withP.sortWithinPartitions(
+          partKeys.indices.map(i => col(s"_gp$i")) ++ sortKeys.map(sortCol): _*)
+      else withP
       sortedP.write.options(wopts).partitionBy(partKeys.indices.map(i => s"_gp$i"): _*)
         .mode(SaveMode.Overwrite).parquet(staging)
     } else aligned.write.options(wopts).mode(SaveMode.Overwrite).parquet(staging)
@@ -335,7 +342,11 @@ object LakeWrite {
         val fe = DataFileEntry(fileId, tid, f.path, f.fileName, cnt,
           sizes(f.fileName), firstRowId = if (explicitRowIds) 0L else rowId,
           schemaVersion = schemaVersion, explicitRowIds = explicitRowIds,
-          partitionValues = f.partitionValues, begin = sid, end = None)
+          partitionValues = f.partitionValues, begin = sid, end = None,
+          // sortWithinPartitions ran and every file receives its task's
+          // rows in order → each file is internally sorted by the keys
+          sortedBy = if (sorted && sortKeys.nonEmpty)
+            Some(sortKeys.map(_.expr)) else None)
         fileId += 1; rowId += cnt
         fe
       }.toList

@@ -70,7 +70,13 @@ object Meta {
       explicitRowIds: Boolean,
       partitionValues: Map[String, String], // "year(ts)" -> "2024"
       begin: Long,
-      end: Option[Long])
+      end: Option[Long],
+      // column labels this file is INTERNALLY ordered by (a sorted write's
+      // sortWithinPartitions stamp, in sort-spec order). Optional so old
+      // checkpoints/logs and thawed foreign catalogs read as None; enables
+      // the key-grouped scan's ordering report (SMJ sort elision) only on
+      // files proven sorted at write time.
+      sortedBy: Option[List[String]] = None)
 
   /** ducklake_file_column_stats: per-file min/max/nullCount, stringified;
     * `dataType` tells the pruner how to parse for typed comparison. */

@@ -37,7 +37,7 @@ import graft.lake.Meta.PartitionKey
 object BucketedFacts {
 
   /** bump when the fixture layout changes — stale roots rebuild */
-  private val Version = "v2"
+  private val Version = "v3" // v3: buckets sorted on their key (ordering report)
 
   private def dirBytes(path: String): Long = {
     val f = new File(path)
@@ -122,8 +122,18 @@ object BucketedFacts {
     def load(name: String) = Tables.load(s, dir, name)
     def mk(table: String, src: String, key: String, n: Int): Unit = {
       val df = load(src)
+      // v3: each bucket is additionally SORTED on its key. Appends sort
+      // within the bucket task (sortedBy-stamped files) and the post-ingest
+      // compaction folds a bucket's chunk files into ONE sorted file, so
+      // the key-grouped scan reports per-partition ordering
+      // (SupportsReportOrdering) and the SPJ sort-merge join plans with
+      // NO sorts — the physical design a 100 TB ingest would choose once.
       lake.createTable(table, df.schema,
-        partitionKeys = List(PartitionKey(BucketTransform(n), key)))
+        partitionKeys = List(PartitionKey(BucketTransform(n), key)),
+        sortKeys = List(graft.lake.Meta.SortKey(key,
+          ascending = true, nullsFirst = true)))
+      // one file per bucket after compaction (buckets are sized ~64 MB)
+      lake.setOption("target_file_size", "1GB", Some(table))
       // append in ~3 GB input chunks (grouping the source's part files):
       // one monolithic append of a 15 GB fact shuffles its whole raw row
       // volume at once — measured ~37 GB of transient shuffle+spill at
@@ -139,9 +149,12 @@ object BucketedFacts {
           srcDir.listFiles.filter(_.getName.endsWith(".parquet"))
             .sortBy(_.getName)
         else Array.empty[File]
+      val (sn, tn) = lake.schemaOf(table)
+      def appendSorted(chunk: org.apache.spark.sql.DataFrame): Unit =
+        graft.lake.LakeWrite.append(s, lake.store, sn, tn, chunk, sorted = true)
       val chunkBytes = 3L << 30
       if (parts.length < 2 || dirBytes(srcDir.getPath) <= chunkBytes)
-        lake.append(table, df)
+        appendSorted(df)
       else {
         val chunks = parts.foldLeft(Vector(Vector.empty[File])) { (acc, f) =>
           if (acc.last.map(_.length).sum + f.length > chunkBytes && acc.last.nonEmpty)
@@ -149,9 +162,14 @@ object BucketedFacts {
           else acc.init :+ (acc.last :+ f)
         }
         chunks.foreach { c =>
-          lake.append(table, s.read.schema(df.schema).parquet(c.map(_.getPath): _*))
+          appendSorted(s.read.schema(df.schema).parquet(c.map(_.getPath): _*))
         }
       }
+      // fold each bucket's chunk files into ONE sorted file; reclaim the
+      // superseded chunk files immediately (the transient double-footprint
+      // would otherwise accumulate across the four tables on a tight disk)
+      lake.mergeAdjacentFiles(table)
+      lake.cleanupOldFiles(olderThanMs = Some(0L))
     }
     mk("main.orders_bo", "orders", "o_orderkey", nO)
     mk("main.lineitem_bo", "lineitem", "l_orderkey", nO)

