@@ -403,37 +403,43 @@ private[graft] class KeyGroupedParquetScan(
 
   override def planInputPartitions(): Array[InputPartition] = {
     val hc = spark.sessionState.newHadoopConf()
-    if (NativeParquet.partiallyClustered(spark)) {
-      // ONE InputPartition PER FILE, each carrying its key (Iceberg's SPJ
-      // reporting shape): Spark groups same-key partitions back together
-      // where it must, and partiallyClusteredDistribution KEEPS a skewed
-      // key's files as separate tasks while replicating the other side —
-      // the SPJ-native skew answer (a fused per-key partition leaves Spark
-      // nothing to split; SkewProbe measured the hot bucket staying one
-      // task). File granularity = chunked-ingest commits, so a hot bucket
-      // splits along its append history. Only under the skew conf: the
-      // per-file shape costs a few percent of fixed overhead on small
-      // scans (A/B'd at sf10), so the default keeps fused key groups.
-      groups.flatMap { case (key, fs) =>
-        fs.map { case (p, size) =>
-          val raw = new Path(p)
-          val q = raw.getFileSystem(hc).makeQualified(raw)
-          val pf = PartitionedFile(InternalRow.empty, SparkPath.fromPath(q), 0,
-            size, Array.empty[String], 0L, size, Map.empty[String, Any])
-          KeyedFilePartition(FilePartition(0, Array(pf)), key): InputPartition
-        }
-      }.toArray
-    } else {
-      groups.map { case (key, fs) =>
-        val splits = fs.map { case (p, size) =>
-          val raw = new Path(p)
-          val q = raw.getFileSystem(hc).makeQualified(raw)
-          PartitionedFile(InternalRow.empty, SparkPath.fromPath(q), 0, size,
-            Array.empty[String], 0L, size, Map.empty[String, Any])
-        }
-        KeyedFilePartition(FilePartition(0, splits.toArray), key): InputPartition
-      }.toArray
+    def pf(p: String, size: Long): PartitionedFile = {
+      val raw = new Path(p)
+      val q = raw.getFileSystem(hc).makeQualified(raw)
+      PartitionedFile(InternalRow.empty, SparkPath.fromPath(q), 0, size,
+        Array.empty[String], 0L, size, Map.empty[String, Any])
     }
+    def fused(key: InternalRow, fs: Seq[(String, Long)]): InputPartition =
+      KeyedFilePartition(FilePartition(0, fs.map((pf _).tupled).toArray), key)
+    if (NativeParquet.partiallyClustered(spark)) {
+      // SKEWED groups report ONE InputPartition PER FILE, each carrying its
+      // key (Iceberg's SPJ reporting shape): under
+      // partiallyClusteredDistribution Spark KEEPS a hot key's files as
+      // separate tasks while replicating the other side — the SPJ-native
+      // skew answer (a fused per-key partition leaves Spark nothing to
+      // split; AQE skew-split only works on shuffle joins). File
+      // granularity = chunked-ingest commits, so a hot bucket splits along
+      // its append history.
+      //
+      // r12: the split is DERIVED PER GROUP from the catalog's file-size
+      // histogram (hot = bytes > skewFactor × median group bytes) instead
+      // of splitting every group — r11's all-per-file shape cost a few
+      // percent of fixed overhead on every small scan (A/B'd at sf10), so
+      // uniform tables now keep fused key groups even under the conf.
+      // (Spark's other-side replication is keyed to ITS session conf at
+      // planning, so the conf remains the opt-in master switch; the
+      // histogram narrows its blast radius to the groups that need it.)
+      val bytes = groups.map(_._2.map(_._2).sum)
+      val median = { val s = bytes.sorted; math.max(1L, s(s.size / 2)) }
+      val factor = spark.conf.getOption("spark.graft.lake.skewFactor")
+        .map(_.toDouble).getOrElse(4.0)
+      groups.zip(bytes).flatMap { case ((key, fs), b) =>
+        if (fs.lengthCompare(1) > 0 && b > factor * median)
+          fs.map(f => KeyedFilePartition(FilePartition(0, Array(pf(f._1, f._2))),
+            key): InputPartition)
+        else Seq(fused(key, fs))
+      }.toArray
+    } else groups.map { case (key, fs) => fused(key, fs) }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

@@ -210,6 +210,34 @@ class BucketSpec extends AnyFunSuite {
       assert((n1, s1) == (n2, s2), "results diverged between modes")
       assert(tSplit > tGrouped,
         s"hot bucket did not split: $tGrouped grouped vs $tSplit split tasks")
+
+      // r12: the split is histogram-DERIVED per group — a UNIFORM pair of
+      // tables under the SAME conf must keep fused key groups (r11 split
+      // every group per-file, a few % of fixed overhead on every scan)
+      def mkUniform(name: String): Unit = {
+        val u = spark.range(0, 20000).selectExpr("id % 64 AS k", "id AS v")
+        lake.createTable(s"main.$name", u.schema,
+          partitionKeys = List(PartitionKey(BucketTransform(8), "k")))
+        (0 until 4).foreach(c =>
+          lake.append(s"main.$name", u.filter(expr(s"v % 4 = $c"))))
+      }
+      mkUniform("ul"); mkUniform("ur")
+      def runUniform(): Int = {
+        val q = spark.sql(s"SELECT count(*) AS n " +
+          s"FROM $cat.main.ul a JOIN $cat.main.ur b ON a.k = b.k")
+        tasks = 0
+        q.collect()
+        Thread.sleep(500)
+        tasks
+      }
+      spark.conf.set(
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled", "false")
+      val uGrouped = runUniform()
+      spark.conf.set(
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled", "true")
+      val uSplit = runUniform()
+      assert(uSplit == uGrouped,
+        s"uniform table split under the conf: $uGrouped fused vs $uSplit tasks")
     } finally {
       spark.sparkContext.removeSparkListener(listener)
       spark.conf.unset("spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled")
