@@ -150,8 +150,15 @@ object BucketedFacts {
             .sortBy(_.getName)
         else Array.empty[File]
       val (sn, tn) = lake.schemaOf(table)
-      def appendSorted(chunk: org.apache.spark.sql.DataFrame): Unit =
+      def appendSorted(chunk: org.apache.spark.sql.DataFrame): Unit = {
         graft.lake.LakeWrite.append(s, lake.store, sn, tn, chunk, sorted = true)
+        // each chunk append shuffles ~3 GB; ContextCleaner only deletes a
+        // finished shuffle's files after its dependency is GC'd, so without
+        // this nudge the build retains EVERY chunk's shuffle (23 GB
+        // observed at sf100) and ENOSPCs a disk that comfortably fits the
+        // fixture itself
+        System.gc()
+      }
       val chunkBytes = 3L << 30
       if (parts.length < 2 || dirBytes(srcDir.getPath) <= chunkBytes)
         appendSorted(df)
@@ -170,6 +177,7 @@ object BucketedFacts {
       // would otherwise accumulate across the four tables on a tight disk)
       lake.mergeAdjacentFiles(table)
       lake.cleanupOldFiles(olderThanMs = Some(0L))
+      System.gc() // release the compaction job's lineage promptly too
     }
     mk("main.orders_bo", "orders", "o_orderkey", nO)
     mk("main.lineitem_bo", "lineitem", "l_orderkey", nO)
