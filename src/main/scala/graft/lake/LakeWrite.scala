@@ -251,7 +251,14 @@ object LakeWrite {
     // file per write instead of the default one-per-task
     if (tag("per_thread_output").exists(v => v == "false" || v == "0"))
       aligned = aligned.coalesce(1)
-    if (sortKeys.nonEmpty && sorted) aligned = aligned.sortWithinPartitions(sortKeys.map(sortCol): _*)
+    // UNPARTITIONED tables only: the partitioned branch sorts AFTER its
+    // repartition (this pre-sort would be discarded by the shuffle — and
+    // worse, sorted map output shuffle-compresses so well that AQE's
+    // coalescing, which reads COMPRESSED sizes, merges the reduce side
+    // into a few giant partitions whose re-sort then spills the whole
+    // input per task: 4 × 6 GB spills ENOSPC'd the sf100 fixture build)
+    if (sortKeys.nonEmpty && sorted && partKeys.isEmpty)
+      aligned = aligned.sortWithinPartitions(sortKeys.map(sortCol): _*)
 
     val staging = s"${store.root}/_staging/${uuid()}"
     val wopts = writeOptions(st0, tid, s0)
