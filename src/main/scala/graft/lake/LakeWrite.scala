@@ -270,8 +270,23 @@ object LakeWrite {
       // bin-packed group), so the shuffle would only break that grouping —
       // the dynamic-partition writer splits by _gp value either way
       val withP0 = aligned.select(aligned.columns.map(col) ++ pcols: _*)
+      // EXPLICIT partition count: a bare repartition(cols) is
+      // REPARTITION_BY_COL, which AQE's coalescing may merge by COMPRESSED
+      // map-output size — naturally-ordered input (TPC-H facts arrive
+      // orderkey-sorted) compresses so well that a multi-GB chunk
+      // collapsed into a handful of reduce partitions whose per-task sort
+      // then spilled ~6 GB apiece (ENOSPC'd the sf100 fixture build).
+      // All-bucket specs get one task per bucket (the physical design: a
+      // task writes its bucket's one file); other specs pin the session
+      // shuffle width.
+      val writeParts: Int = {
+        val bucketNs = partKeys.map(pk => BucketTransform.unapply(pk.transform))
+        if (bucketNs.nonEmpty && bucketNs.forall(_.isDefined))
+          math.max(1, bucketNs.flatten.product)
+        else spark.sessionState.conf.numShufflePartitions
+      }
       val withP = if (repartitionForWrite)
-        withP0.repartition(partKeys.indices.map(i => col(s"_gp$i")): _*)
+        withP0.repartition(writeParts, partKeys.indices.map(i => col(s"_gp$i")): _*)
       else withP0
       // lead the within-task sort with the partition columns: the dynamic
       // partition writer requires its input ordered by them and would
