@@ -744,7 +744,16 @@ class Lake(val spark: SparkSession, val root: String,
           .coalesce(1)
       }.reduce(_ unionByName _)
     val groupedIds = groups.flatten.map(_.fileId).toSet
-    LakeWrite.append(spark, store, sn, tn, df, explicitRowIds = true,
+    // Spark 4.1's spark.sql.unionOutputPartitioning ZIPS a union whose
+    // children share a partitioning — N coalesce(1) branches is exactly
+    // that shape, so the whole rewrite would execute as ONE task whose
+    // sort spills the entire table (observed: 6 GB spills per task at
+    // sf100, ENOSPC). Pin it off for this job: the point of the branch
+    // shape is one TASK per bin-packed group.
+    val unionConfKey = "spark.sql.unionOutputPartitioning"
+    val prevUnionConf = spark.conf.getOption(unionConfKey)
+    spark.conf.set(unionConfKey, "false")
+    try LakeWrite.append(spark, store, sn, tn, df, explicitRowIds = true,
       changeTag = "compacted", sorted = true, repartitionForWrite = false,
       extraEnded = stNow => {
         val curN = stNow.currentSnapshotId
@@ -762,6 +771,10 @@ class Lake(val spark: SparkSession, val root: String,
             groupedIds.contains(k.toLong) || !liveIds.contains(k.toLong)))
         (groupedIds.toList.sorted, endDel.map(_.deleteFileId).toList, Nil)
       })
+    finally prevUnionConf match {
+      case Some(v) => spark.conf.set(unionConfKey, v)
+      case None => spark.conf.unset(unionConfKey)
+    }
   }
 
   /** Cluster-rewrite: globally range-partition the table's live rows by the
