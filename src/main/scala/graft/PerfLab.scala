@@ -30,6 +30,9 @@ object PerfLab {
     s.conf.set(
       "spark.sql.sources.v2.bucketing.allowJoinKeysSubsetOfPartitionKeys.enabled",
       "false")
+    // the *_noord variants flip this off and plans are lazy — pin the
+    // default back per variant so it can't leak into a later one
+    s.conf.set("spark.graft.lake.reportOrdering", "true")
   }
 
   /** physical parquet paths of a bucketed-fixture table, straight from the
@@ -1289,6 +1292,20 @@ object PerfLab {
     }),
     "q05b_cur" -> ((s, dir) => { resetSpjExtras(s)
       graft.queries.Relational.queries("q05b_bucketed_spj")(s, dir) }),
+    // r12: ordering-report contribution isolated — same v3 sorted fixture,
+    // same plan, but the scan does NOT report ordering, so both SPJ SMJ
+    // sorts come back. The delta vs q05b_cur is the pure sort-elision win
+    // (the 1-file-per-bucket layout is shared by both variants). The conf
+    // stays set for the lazy plan's execution; resetSpjExtras pins it back
+    // to true for every other variant (the r11 conf-leak pattern).
+    "q05b_noord" -> ((s, dir) => { resetSpjExtras(s)
+      s.conf.set("spark.graft.lake.reportOrdering", "false")
+      graft.queries.Relational.queries("q05b_bucketed_spj")(s, dir) }),
+    "q07b_noord" -> ((s, dir) => { resetSpjExtras(s)
+      s.conf.set("spark.graft.lake.reportOrdering", "false")
+      graft.queries.Relational.queries("q07b_bucketed_spj")(s, dir) }),
+    "q07b_cur" -> ((s, dir) => { resetSpjExtras(s)
+      graft.queries.Relational.queries("q07b_bucketed_spj")(s, dir) }),
     "q11b_cur" -> ((s, dir) => { resetSpjExtras(s)
       graft.queries.Relational.queries("q11b_bucketed_spj")(s, dir) }),
     "q14b_cur" -> ((s, dir) => { resetSpjExtras(s)
