@@ -1645,6 +1645,20 @@ class Lake(val spark: SparkSession, val root: String,
       flushInlinedData(name)
       vacuum(name) // merge small files + rewrite past delete threshold
     }
+    // materialized views ride the maintenance pass too (r12): a stale MV
+    // after a cron maintain() is a silent correctness hazard for its
+    // readers; refresh is exactly-once (watermark CAS) and an idle
+    // source's refresh early-outs without a commit, so this is O(changed
+    // bytes) across the lake, not O(MVs)
+    val mvRefreshed = live.count { t =>
+      st.tagAt(t.tableId.toString, "mv_source", cur).isDefined &&
+        (try { refreshMaterializedView(s"${t.schemaName}.${t.tableName}"); true }
+         catch {
+           // an MV whose source was dropped is orphaned, not fatal to the
+           // rest of the maintenance pass
+           case _: NoSuchElementException => false
+         })
+    }
     expireSnapshots(expireOlderThanMs)
     val stE = store.state()
     val expired =
@@ -1657,6 +1671,7 @@ class Lake(val spark: SparkSession, val root: String,
     val ckpt = checkpoint()
     Map(
       "tables_maintained" -> live.size.toLong,
+      "mvs_refreshed" -> mvRefreshed.toLong,
       "snapshots_expired" -> expired.toLong,
       "scheduled_deletions_cleaned" -> cleaned.toLong,
       "orphans_deleted" -> orphans.toLong,

@@ -54,13 +54,14 @@ object LakeProcedures {
       Seq(("expire_older_than_ms", Lng, true), ("delete_older_than_ms", Lng, true),
         ("orphan_older_than_ms", Lng, true)),
       StructType(Seq(StructField("tables_maintained", Lng),
+        StructField("mvs_refreshed", Lng),
         StructField("snapshots_expired", Lng),
         StructField("scheduled_deletions_cleaned", Lng),
         StructField("orphans_deleted", Lng),
         StructField("checkpoint_snapshot", Lng))),
       (lake, in) => {
         val m = lake.maintain(optLong(in, 0), optLong(in, 1), optLong(in, 2))
-        Seq(m("tables_maintained"), m("snapshots_expired"),
+        Seq(m("tables_maintained"), m("mvs_refreshed"), m("snapshots_expired"),
           m("scheduled_deletions_cleaned"), m("orphans_deleted"),
           m("checkpoint_snapshot"))
       },

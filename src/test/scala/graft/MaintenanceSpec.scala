@@ -46,6 +46,34 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(cold.table("main.m").count() == 360)
   }
 
+  test("maintain refreshes stale MVs; a second idle pass commits nothing to them") {
+    // r12: the all-in-one maintenance keeps MVs fresh — a cron maintain()
+    // leaving a stale MV is a silent correctness hazard for its readers
+    val lake = freshLake()
+    import spark.implicits._
+    lake.createTableAs("main.src", Seq(("a", 1L), ("b", 2L)).toDF("g", "x"))
+    lake.createMaterializedView("main.mv", "main.src", Seq("g"), Seq("x"))
+    lake.append("main.src", Seq(("a", 10L)).toDF("g", "x"))
+    val s1 = lake.maintain(deleteOlderThanMs = Some(Long.MaxValue))
+    assert(s1("mvs_refreshed") == 1L)
+    val got = lake.table("main.mv").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map("a" -> (2L, 11L), "b" -> (1L, 2L)))
+    // idle source: the next pass's refresh early-outs (no MV commit); the
+    // summary still counts the MV as visited-and-fresh
+    val before = lake.store.state().filesAt(
+      lake.store.state().tableAt("main", "mv",
+        lake.store.state().currentSnapshotId).get.tableId,
+      lake.store.state().currentSnapshotId).map(_.fileId).toSet
+    val s2 = lake.maintain(deleteOlderThanMs = Some(Long.MaxValue))
+    assert(s2("mvs_refreshed") == 1L)
+    val after = lake.store.state().filesAt(
+      lake.store.state().tableAt("main", "mv",
+        lake.store.state().currentSnapshotId).get.tableId,
+      lake.store.state().currentSnapshotId).map(_.fileId).toSet
+    assert(after == before, "idle maintain rewrote the MV")
+  }
+
   test("migrate imports every parquet table under a directory, schema inferred") {
     val lake = freshLake()
     val migrated = lake.migrate("/root/testdata/sf0.001", "db",
