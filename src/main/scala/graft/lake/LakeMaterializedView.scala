@@ -4,6 +4,13 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.lake.Meta.TagEntry
 
+/** Benign CAS-loser signal: another refresher already applied this MV's
+  * pending window. Extends IllegalStateException so pre-existing broad
+  * handlers keep working; catch the TYPE (never the message text) —
+  * maintain() counts it as refreshed-elsewhere, the streaming sink
+  * swallows it. */
+class ConcurrentMvRefreshException(msg: String) extends IllegalStateException(msg)
+
 /** Incrementally-maintained materialized views over the change feed.
   *
   * The reference stores only LOGICAL views (`ducklake_view`,
@@ -193,7 +200,7 @@ object LakeMaterializedView {
           // that already advanced the watermark aborts this one at the CAS
           val nowLast = stc.tagAt(scope, KLast, stc.currentSnapshotId)
             .map(_.toLong).getOrElse(-1L)
-          if (nowLast != last) throw new IllegalStateException(
+          if (nowLast != last) throw new ConcurrentMvRefreshException(
             s"concurrent refresh of $name already applied snapshot $nowLast")
           (List(TagEntry(scope, KLast, cur.toString, sid, None),
             TagEntry(scope, KSourceTid, srcTid.toString, sid, None)),
@@ -214,17 +221,32 @@ object LakeMaterializedView {
     // that differs from the one recorded at create / last refresh.
     // False positives (e.g. a transaction combining DML with compaction)
     // only cost a recompute, never correctness.
-    val tagHead: Map[Long, String] = st.snapshots.iterator
-      .map(s => s.snapshotId -> s.changes.headOption.getOrElse("").takeWhile(_ != ':'))
-      .toMap
+    //
+    // Classification is per CHANGE ENTRY and per TABLE, never by the head
+    // entry: a transaction snapshot concatenates one entry per staged op
+    // (LakeTransaction.merge), so the head may belong to a different op —
+    // a tx led by setSort would tag its source append 'sort' (the
+    // early-out below would leave the MV stale after an explicit refresh),
+    // and a maintenance-led tx that also overwrites the source would
+    // classify the replace 'compacted' (the delta fold would
+    // double-count). Entries are "tag:tid[:detail]".
+    val snapChanges: Map[Long, List[String]] = st.snapshots.iterator
+      .map(s => s.snapshotId -> s.changes).toMap
+    def hasTag(sid: Long, tags: Set[String]): Boolean =
+      snapChanges.getOrElse(sid, Nil).exists(c =>
+        tags.exists(t => c == s"$t:$srcTid" || c.startsWith(s"$t:$srcTid:")))
     val maintenance = Set("compacted", "rewrote", "flushed")
     val insertish = Set("inserted", "inlined")
     val replaced =
       st.tagAt(scope, KSourceTid, cur).exists(_.toLong != srcTid) ||
         st.files.exists(f => f.tableId == srcTid &&
-          f.end.exists(s => in(s) && !maintenance(tagHead.getOrElse(s, "")))) ||
+          // a source data-file end is benign only when maintenance moved
+          // the bytes AND no insert op on the SAME snapshot could have been
+          // the overwrite that actually ended it
+          f.end.exists(s => in(s) &&
+            (!hasTag(s, maintenance) || hasTag(s, insertish)))) ||
         st.inlined.exists(b => b.tableId == srcTid &&
-          b.end.exists(s => in(s) && insertish(tagHead.getOrElse(s, ""))))
+          b.end.exists(s => in(s) && hasTag(s, insertish)))
     if (replaced) {
       commitMv(fullAgg(d)(lake.table(source, Some(cur))))
       return cur
@@ -243,7 +265,7 @@ object LakeMaterializedView {
     // early-out and force an empty-delta MV rewrite). Replaces were
     // handled above.
     val logical = Set("inserted", "inlined", "deleted", "updated", "merged")
-    def logicalIn(s: Long) = in(s) && logical(tagHead.getOrElse(s, ""))
+    def logicalIn(s: Long) = in(s) && hasTag(s, logical)
     val sourceChanged =
       st.files.exists(f => f.tableId == srcTid && logicalIn(f.begin)) ||
         st.deleteFiles.exists(df => df.tableId == srcTid && logicalIn(df.begin)) ||

@@ -479,25 +479,33 @@ class Lake(val spark: SparkSession, val root: String,
       .filter(s => s.snapshotId > startExclusive && s.snapshotId <= endInclusive)
       .foreach { snap =>
         val sid = snap.snapshotId
-        val tag = snap.changes.headOption.getOrElse("")
+        // per-ENTRY, per-TABLE tag scan: a transaction snapshot carries one
+        // change entry PER staged op (LakeTransaction.merge concatenates
+        // them), so keying on the HEAD entry misattributes everything after
+        // the first op — a tx led by a DDL op (setSort; append) used to
+        // drop its DML from the feed entirely. Entries are
+        // "tag:tid[:detail]"; match tag AND this table's id.
+        def has(tags: String*): Boolean = snap.changes.exists(c =>
+          tags.exists(t => c == s"$t:$tid" || c.startsWith(s"$t:$tid:")))
         // a transaction snapshot can carry inserts AND deletes in one delta
-        // (changes head is whatever op came first) — only a PURE insert
-        // snapshot joins an insert run; mixed ones take the DML branch,
-        // which nets out rows inserted and deleted in the same snapshot
+        // — only a PURE insert snapshot joins an insert run; mixed ones
+        // take the DML branch, which nets out rows inserted and deleted in
+        // the same snapshot
         lazy val hasDeletes = store.delta(sid).newDeleteFiles.exists(_.tableId == tid)
-        val insertish = tag.startsWith("inserted:") || tag.startsWith("inlined:")
-        if (insertish && !hasDeletes) run :+= sid
-        else if (tag.startsWith("deleted:") || tag.startsWith("updated:") || insertish) {
+        val insertish = has("inserted", "inlined")
+        val dml = has("deleted", "updated")
+        if (insertish && !dml && !has("merged") && !hasDeletes) run :+= sid
+        else if (dml || insertish) {
           flushRun()
           val delta = store.delta(sid)
-          val isUpdate = tag.startsWith("updated:")
+          val isUpdate = has("updated")
           // inserted rows: new files / new inline batches of this snapshot
           parts ++= insertedRows(st, delta, tid, sid,
             if (isUpdate) "update_postimage" else "insert")
           // deleted rows: new delete files + inline batch shrinkage
           parts ++= deletedRows(st, delta, tid, sid,
             if (isUpdate) "update_preimage" else "delete")
-        } else if (tag.startsWith("merged:")) {
+        } else if (has("merged")) {
           flushRun()
           parts ++= mergedRows(st, store.delta(sid), tid, sid)
         }
@@ -1657,6 +1665,10 @@ class Lake(val spark: SparkSession, val root: String,
            // an MV whose source was dropped is orphaned, not fatal to the
            // rest of the maintenance pass
            case _: NoSuchElementException => false
+           // a concurrent refresher (e.g. the auto-refresh streaming sink
+           // running beside a cron maintain) won the watermark CAS — the
+           // window is applied, count it and keep maintaining
+           case _: ConcurrentMvRefreshException => true
          })
     }
     expireSnapshots(expireOlderThanMs)

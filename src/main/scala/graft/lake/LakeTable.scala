@@ -204,7 +204,10 @@ class LakeTable(
     val avail = read.fieldNames.toSet
     val prefix = sks.takeWhile(k => avail(k.expr) && cols.exists(_.name == k.expr))
     if (prefix.isEmpty) return Array.empty
-    val labels = prefix.map(_.expr)
+    // match the FULL stamped key (expr + direction + null order): files
+    // sorted under a superseded setSort spec (flipped direction / null
+    // order on the same column) must NOT satisfy the current spec
+    val labels = prefix.map(Meta.SortKey.stamp)
     val allStamped = files.forall(_.sortedBy.exists(_.startsWith(labels)))
     if (allStamped && groups.forall(_._2.lengthCompare(1) <= 0)) prefix.toArray
     else Array.empty

@@ -366,9 +366,10 @@ object LakeWrite {
           schemaVersion = schemaVersion, explicitRowIds = explicitRowIds,
           partitionValues = f.partitionValues, begin = sid, end = None,
           // sortWithinPartitions ran and every file receives its task's
-          // rows in order → each file is internally sorted by the keys
+          // rows in order → each file is internally sorted by the keys.
+          // Stamp the FULL key (direction + null order): see SortKey.stamp
           sortedBy = if (sorted && sortKeys.nonEmpty)
-            Some(sortKeys.map(_.expr)) else None)
+            Some(sortKeys.map(SortKey.stamp)) else None)
         fileId += 1; rowId += cnt
         fe
       }.toList

@@ -118,6 +118,19 @@ object Meta {
 
   /** ducklake_sort_info + ducklake_sort_expression. */
   case class SortKey(expr: String, ascending: Boolean, nullsFirst: Boolean)
+  object SortKey {
+    /** [[DataFileEntry.sortedBy]] stamp: the FULL key — expression,
+      * direction, null order — not the expression alone. Matching on the
+      * bare expression would let a `setSort` that flips direction (or null
+      * order) on the same column keep matching files sorted under the OLD
+      * spec, and the scan would report the new ordering over
+      * oppositely-ordered files (wrong SMJ results once the sort is
+      * elided). Old logs carry bare-expression stamps, which simply stop
+      * matching → ordering unreported → safe.  cannot appear in a
+      * column identifier, so stamps never collide across keys. */
+    def stamp(k: SortKey): String =
+      s"${k.expr}${if (k.ascending) "a" else "d"}${if (k.nullsFirst) "f" else "l"}"
+  }
   case class SortInfoEntry(
       tableId: Long,
       keys: List[SortKey],

@@ -334,8 +334,9 @@ class LakeMvRefreshSink(root: String, view: String, jdbc: Option[String])
     try lake.refreshMaterializedView(view)
     catch {
       // a concurrent refresher (or a replay racing this one) advanced the
-      // watermark first — the delta is applied, nothing to redo
-      case e: IllegalStateException if e.getMessage.contains("concurrent refresh") => ()
+      // watermark first — the delta is applied, nothing to redo. Matched by
+      // TYPE: message-substring matching broke the moment the text changed
+      case _: graft.lake.ConcurrentMvRefreshException => ()
     }
   }
 

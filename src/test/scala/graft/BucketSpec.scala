@@ -159,6 +159,48 @@ class BucketSpec extends AnyFunSuite {
     }
   }
 
+  test("setSort flipping direction invalidates old sort stamps (no false ordering)") {
+    // regression (r13 ADVICE): stamps stored only the sort EXPRESSION, so
+    // files sorted ASC under the old spec still matched after setSort
+    // flipped to DESC — the scan reported DESC over ASC files and an
+    // elided-sort SMJ would join garbage
+    val lake = new Lake(spark, Files.createTempDirectory("graft_bsd").toString)
+    def mk(name: String): Unit = {
+      lake.createTable(s"main.$name", spark.range(0, 1).selectExpr(
+        "id AS k", "id AS v").schema,
+        partitionKeys = List(PartitionKey(BucketTransform(4), "k")),
+        sortKeys = List(Meta.SortKey("k", ascending = true, nullsFirst = true)))
+      lake.append(s"main.$name",
+        spark.range(0, 1000).selectExpr("id % 100 AS k", "id AS v"))
+      lake.rewriteSorted(s"main.$name")
+    }
+    mk("da"); mk("db")
+    val cat = s"bsd${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", lake.root)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def plan(): String = spark.sql(
+        s"SELECT a.k FROM $cat.main.da a JOIN $cat.main.db b ON a.k = b.k")
+        .queryExecution.executedPlan.toString
+      assert(!plan().contains("Sort ["), s"baseline should elide sorts:\n${plan()}")
+      // flip the direction on the SAME column: old ASC stamps must stop
+      // matching and the SMJ sorts must come back
+      lake.setSort("main.da", List(Meta.SortKey("k", ascending = false, nullsFirst = true)))
+      val p2 = plan()
+      assert(p2.contains("Sort ["),
+        s"direction flip left a stale ordering report active:\n$p2")
+      // results stay correct either way
+      assert(spark.sql(
+        s"SELECT count(*) AS n FROM $cat.main.da a JOIN $cat.main.db b ON a.k = b.k")
+        .head.getLong(0) == 100L * 10 * 10)
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("skewed bucket splits under partially-clustered SPJ, still zero exchanges") {
     // r11: key-grouped scans report ONE InputPartition PER FILE (Spark
     // groups them back for plain SPJ), so with

@@ -811,6 +811,31 @@ class LakeSpec extends AnyFunSuite {
     assert(lake.table("main.tg", Some(before)).count() == 0)
   }
 
+  test("change feed: a transaction led by a DDL op still reports its DML") {
+    // regression (r13): classification used the snapshot's HEAD change
+    // entry, so a tx whose first op was setSort tagged the whole snapshot
+    // 'sort' and its append vanished from the change feed
+    val lake = newLake()
+    import spark.implicits._
+    lake.createTable("main.tdl", abSchema)
+    val before = lake.currentSnapshot()
+    val (_, sid) = lake.transaction { tx =>
+      tx.setSort("main.tdl", List(Meta.SortKey("a", ascending = true, nullsFirst = true)))
+      tx.append("main.tdl", Seq((1, 10), (2, 20)).toDF("a", "b"))
+    }
+    val feed = lake.tableChanges("main.tdl", before, sid)
+    assert(feed.filter(col("_change_type") === "insert").count() == 2,
+      "DDL-led transaction dropped its insert from the change feed")
+    // and a DDL-led DELETE reports its pre-images too
+    val (_, sid2) = lake.transaction { tx =>
+      tx.setComment("main.tdl", Some("x"))
+      tx.delete("main.tdl", col("a") === 2)
+    }
+    val feed2 = lake.tableChanges("main.tdl", sid, sid2)
+    assert(feed2.filter(col("_change_type") === "delete").count() == 1,
+      "DDL-led transaction dropped its delete from the change feed")
+  }
+
   test("transaction: rollback removes staged files and metadata is untouched") {
     val lake = newLake()
     import spark.implicits._

@@ -193,6 +193,70 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(mvState(lake) == Map("z" -> (2L, 10L)))
   }
 
+  test("a transaction led by a non-DML op still refreshes the MV") {
+    // regression (r13 ADVICE): snapshot classification keyed on the HEAD
+    // change entry, so a tx led by setSort tagged its source append 'sort'
+    // → the early-out saw no logical change and refresh left the MV stale
+    val lake = mkLake()
+    import spark.implicits._
+    lake.createTableAs("main.src", Seq(("a", 1L)).toDF("g", "x"))
+    lake.createMaterializedView("main.mv", "main.src", Seq("g"), Seq("x"))
+    lake.transaction { tx =>
+      tx.setSort("main.src", List(Meta.SortKey("x", ascending = true, nullsFirst = true)))
+      tx.append("main.src", Seq(("a", 2L), ("b", 5L)).toDF("g", "x"))
+    }
+    lake.refreshMaterializedView("main.mv")
+    assert(mvState(lake) == Map("a" -> (2L, 3L), "b" -> (1L, 5L)),
+      "DDL-led transaction left the MV stale")
+  }
+
+  test("a DDL-led transaction that overwrites the source still recomputes") {
+    // per-entry replace detection: the overwrite's ended files sit in a
+    // snapshot whose HEAD entry is 'sort' — classification must find the
+    // insert entry for the SOURCE table and take the full-recompute path.
+    // (Maintenance ops are rejected inside transactions, so the
+    // maintenance-led variant of this hazard is unreachable via the API.)
+    val lake = mkLake()
+    import spark.implicits._
+    lake.createTableAs("main.src", Seq(("a", 1L), ("a", 2L)).toDF("g", "x"))
+    lake.createMaterializedView("main.mv", "main.src", Seq("g"), Seq("x"))
+    lake.transaction { tx =>
+      tx.setSort("main.src", List(Meta.SortKey("x", ascending = true, nullsFirst = true)))
+      tx.append("main.src", Seq(("a", 7L)).toDF("g", "x"), overwrite = true)
+    }
+    lake.refreshMaterializedView("main.mv")
+    assert(mvState(lake) == Map("a" -> (1L, 7L)),
+      "DDL-led overwrite was folded as a delta instead of recomputed")
+  }
+
+  test("CAS losers raise the TYPED signal and maintain() finishes its pass") {
+    val lake = mkLake()
+    import spark.implicits._
+    lake.createTableAs("main.src", Seq(("a", 1L)).toDF("g", "x"))
+    lake.createMaterializedView("main.mv", "main.src", Seq("g"), Seq("x"))
+    // race two refreshers per window a few times; EVERY loser must surface
+    // ConcurrentMvRefreshException (a bare ISE here would kill a streaming
+    // auto-refresh query and abort a maintenance pass)
+    val thrown = scala.collection.mutable.ArrayBuffer.empty[Throwable]
+    (1 to 6).foreach { i =>
+      lake.append("main.src", Seq(("c", i.toLong)).toDF("g", "x"))
+      val ts = Seq(
+        new Thread(() => try lake.refreshMaterializedView("main.mv")
+          catch { case e: Throwable => thrown.synchronized(thrown += e) }),
+        new Thread(() => try new Lake(spark, lake.root).refreshMaterializedView("main.mv")
+          catch { case e: Throwable => thrown.synchronized(thrown += e) }))
+      ts.foreach(_.start()); ts.foreach(_.join())
+    }
+    assert(thrown.forall(_.isInstanceOf[ConcurrentMvRefreshException]),
+      s"CAS losers raised untyped exceptions: ${thrown.map(_.getClass).distinct}")
+    // no double-application regardless of who won each race
+    lake.refreshMaterializedView("main.mv")
+    assert(mvState(lake) == oracle(lake))
+    // and maintain() completes its full pass over the same lake
+    val summary = lake.maintain()
+    assert(summary("checkpoint_snapshot") >= 0L)
+  }
+
   test("source compaction does NOT trigger a refresh or a recompute") {
     val lake = mkLake()
     import spark.implicits._
