@@ -184,33 +184,92 @@ class LakeTable(
   }
 
   /** Sort keys the key-grouped scan may REPORT as its per-partition output
-    * ordering (DSv2 SupportsReportOrdering → SMJ sort elision): the
-    * longest prefix of the table's sort spec whose columns all survive
-    * into the scan output (V2ExpressionUtils.resolveRef throws on a miss
-    * — same lesson as filterAttributes), provided EVERY scanned file is
-    * stamped internally sorted by at least that prefix and every key
-    * group is a SINGLE file (multi-file groups concatenate overlapping
-    * key ranges, which is not an ordering). */
+    * ordering (DSv2 SupportsReportOrdering → SMJ sort elision), plus the
+    * groups with each group's files REORDERED so the report is physically
+    * true: the longest prefix of the table's sort spec whose columns all
+    * survive into the scan output (V2ExpressionUtils.resolveRef throws on
+    * a miss — same lesson as filterAttributes), provided EVERY scanned
+    * file is stamped internally sorted by at least that prefix (full key:
+    * expr + direction + null order — files sorted under a superseded
+    * setSort spec must not satisfy a flipped one) and every key group is
+    * either a SINGLE file or a set of files whose ranges on the LEADING
+    * sort key are pairwise DISJOINT (per-file min/max stats, already in
+    * the catalog). A fused partition concatenates its files in array
+    * order, so emitting a disjoint group range-ordered makes the
+    * concatenation ordered — eligibility survives chunked appends and
+    * bounded file sizes at 100 TB instead of demanding one unbounded file
+    * per bucket, and it composes with the per-file skew split (each split
+    * partition is one stamped sorted file, ordered by construction).
+    *
+    * Boundary ties (max(fileᵢ) == min(fileᵢ₊₁) on the leading key) keep a
+    * single-key report valid but break deeper keys (rows tied on k1 that
+    * straddle files need not be ordered by k2) → the report truncates to
+    * the leading key. Files with NULLs in the leading key sort to one end
+    * of their OWN file, not of the concatenation → any NULL in a
+    * multi-file group forfeits the report (single-file groups unaffected;
+    * min/max stats exclude NULLs so disjointness can't see them). */
   private[lake] def reportableOrdering(
       files: Vector[DataFileEntry],
       groups: Seq[(InternalRow, Seq[(String, Long)])],
-      read: StructType): Array[Meta.SortKey] = {
+      read: StructType)
+      : (Array[Meta.SortKey], Seq[(InternalRow, Seq[(String, Long)])]) = {
     val sks = st.sortKeysAt(entry.tableId, snapshot)
-    if (sks.isEmpty || files.isEmpty) return Array.empty
+    if (sks.isEmpty || files.isEmpty) return (Array.empty, groups)
     // safety valve / A-B gate
     if (!SparkSession.active.conf
         .getOption("spark.graft.lake.reportOrdering").forall(_.toBoolean))
-      return Array.empty
+      return (Array.empty, groups)
     val avail = read.fieldNames.toSet
     val prefix = sks.takeWhile(k => avail(k.expr) && cols.exists(_.name == k.expr))
-    if (prefix.isEmpty) return Array.empty
-    // match the FULL stamped key (expr + direction + null order): files
-    // sorted under a superseded setSort spec (flipped direction / null
-    // order on the same column) must NOT satisfy the current spec
+    if (prefix.isEmpty) return (Array.empty, groups)
     val labels = prefix.map(Meta.SortKey.stamp)
-    val allStamped = files.forall(_.sortedBy.exists(_.startsWith(labels)))
-    if (allStamped && groups.forall(_._2.lengthCompare(1) <= 0)) prefix.toArray
-    else Array.empty
+    if (!files.forall(_.sortedBy.exists(_.startsWith(labels))))
+      return (Array.empty, groups)
+    if (groups.forall(_._2.lengthCompare(1) <= 0))
+      return (prefix.toArray, groups)
+
+    val k1 = prefix.head
+    val dt = cols.find(_.name == k1.expr).map(_.dataType)
+      .getOrElse(return (Array.empty, groups))
+    val byPath = files.map(f => f.path -> f).toMap
+    // (min, max, nullCount) of the leading key, None = no usable stats
+    def rangeOf(path: String): Option[(String, String, Long)] =
+      byPath.get(path).flatMap(f =>
+        st.statsFor(f.fileId).find(_.columnName == k1.expr)).flatMap(s =>
+        for { mn <- s.minValue; mx <- s.maxValue } yield (mn, mx, s.nullCount))
+    def cmp(a: String, b: String): Option[Int] = Pruning.cmpTyped(dt, a, b)
+
+    var tied = false // a boundary tie truncates the report to the leading key
+    val ordered = groups.map { case (key, fs) =>
+      if (fs.lengthCompare(1) <= 0) Some((key, fs))
+      else {
+        val ranged = fs.map(f => rangeOf(f._1).map(r => (f, r)))
+        if (ranged.exists(r => r.isEmpty || r.get._2._3 > 0 ||
+            cmp(r.get._2._1, r.get._2._1).isEmpty)) None
+        else {
+          val rs = ranged.flatten
+          // range order follows the sort DIRECTION: ascending concatenates
+          // low→high by min; descending high→low by max
+          val sorted =
+            if (k1.ascending) rs.sortWith((a, b) => cmp(a._2._1, b._2._1).get < 0)
+            else rs.sortWith((a, b) => cmp(a._2._2, b._2._2).get > 0)
+          val disjoint = sorted.sliding(2).forall {
+            case Seq(a, b) =>
+              val c = if (k1.ascending) cmp(a._2._2, b._2._1).get
+                      else -cmp(a._2._1, b._2._2).get
+              if (c == 0) tied = true
+              c <= 0
+            case _ => true
+          }
+          if (disjoint) Some((key, sorted.map(_._1))) else None
+        }
+      }
+    }
+    if (ordered.exists(_.isEmpty)) (Array.empty, groups)
+    else {
+      val out = if (tied) prefix.take(1) else prefix
+      (out.toArray, ordered.map(_.get))
+    }
   }
 
   /** Storage-partitioned-join grouping: Some((keyColumns, partitionKey →
@@ -417,9 +476,13 @@ private[graft] class LakeNativeScan(
     val grouped = if (spj) table.keyGroups(files) else None
     if (deletesByFile.isEmpty) grouped match {
       case Some((keyCols, groups)) =>
+        // ordering eligibility may also RANGE-REORDER files inside each
+        // group (multi-file disjoint-range groups) — scan the ordered view
+        val (ordering, orderedGroups) =
+          table.reportableOrdering(files, groups, readSchema())
         org.apache.spark.sql.graft.NativeParquet.keyGroupedScan(
-          session, groups, keyCols, table.schema(), readSchema(), pushed,
-          table.reportableOrdering(files, groups, readSchema()))
+          session, orderedGroups, keyCols, table.schema(), readSchema(), pushed,
+          ordering)
       case None =>
         org.apache.spark.sql.graft.NativeParquet.parquetScan(
           session, sizes, table.schema(), readSchema(), pushed)

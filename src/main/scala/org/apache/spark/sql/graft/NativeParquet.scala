@@ -393,10 +393,17 @@ private[graft] class KeyGroupedParquetScan(
   override def outputPartitioning(): Partitioning =
     new KeyGroupedPartitioning(keys.map(NativeParquet.v2Transform), groups.size)
 
-  /** per-partition ordering (each partition is ONE file stamped sorted —
-    * LakeTable.reportableOrdering guards eligibility); under SMJ this
-    * deletes the per-bucket sorts that were pure overhead on sorted
-    * bucket files */
+  /** per-partition ordering (each partition is ONE stamped-sorted file, or
+    * a range-ordered concatenation of stamped files with pairwise-disjoint
+    * leading-key ranges — LakeTable.reportableOrdering guards eligibility
+    * and reorders the group's files); under SMJ this deletes the
+    * per-bucket sorts that were pure overhead on sorted bucket files.
+    * The per-file skew split below keeps every split partition internally
+    * sorted (one stamped file each), but Spark's exec gate
+    * (DataSourceV2ScanExecBase.outputOrdering requires ≤1 input partition
+    * per key group) drops a reported ordering whenever any group splits —
+    * under partiallyClusteredDistribution the SMJ sorts return. Per-table
+    * choice at 100 TB: skew-split hot tables, sort-elide uniform ones. */
   override def outputOrdering()
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
     ordering.map(NativeParquet.v2SortOrder)

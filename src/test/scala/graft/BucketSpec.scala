@@ -159,6 +159,64 @@ class BucketSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-file buckets with DISJOINT sorted ranges report ordering; overlap stops it") {
+    // r13 (VERDICT r12 #1): ordering eligibility no longer demands ONE file
+    // per bucket — a bucket of 3+ stamped files with pairwise-disjoint
+    // leading-key ranges is emitted range-ordered, so SPJ sort elision
+    // survives BOUNDED file sizes (rewriteSorted splits each bucket at
+    // target_file_size) instead of requiring one unbounded file per bucket
+    val lake = new Lake(spark, Files.createTempDirectory("graft_bmf").toString)
+    def mk(name: String, rows: Long): Unit = {
+      lake.createTable(s"main.$name", spark.range(0, 1).selectExpr(
+        "id AS k", "id AS v").schema,
+        partitionKeys = List(PartitionKey(BucketTransform(4), "k")),
+        sortKeys = List(Meta.SortKey("k", ascending = true, nullsFirst = true)))
+      lake.append(s"main.$name",
+        spark.range(0, rows).selectExpr("id % 400 AS k", "id AS v"))
+      // target far below bucket bytes: the cluster-rewrite range-splits
+      // each bucket into several DISJOINT sorted files
+      lake.setOption("target_file_size", "16KB", Some(s"main.$name"))
+      lake.rewriteSorted(s"main.$name")
+    }
+    mk("ma", 60000); mk("mb", 30000)
+    val st = lake.store.state()
+    val e = st.tableAt("main", "ma", st.currentSnapshotId).get
+    val perBucket = st.filesAt(e.tableId, st.currentSnapshotId)
+      .groupBy(_.partitionValues).map(_._2.size)
+    assert(perBucket.forall(_ >= 3),
+      s"fixture must produce 3+ files per bucket, got $perBucket")
+    val cat = s"bmf${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", lake.root)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def q() = spark.sql(
+        s"SELECT count(*) AS n FROM $cat.main.ma a JOIN $cat.main.mb b ON a.k = b.k")
+      val plan = q().queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"co-bucketed join shuffled:\n$plan")
+      assert(!plan.contains("Sort ["),
+        s"disjoint multi-file buckets still sort:\n$plan")
+      assert(q().head.getLong(0) == 400L * 150 * 75)
+      // a sorted chunk append spanning the FULL key range OVERLAPS every
+      // existing file in its bucket: stamps alone must not keep the report
+      // alive — the sorts must come back, results stay right
+      val (sn, tn) = lake.schemaOf("main.ma")
+      graft.lake.LakeWrite.append(spark, lake.store, sn, tn,
+        spark.range(0, 4000).selectExpr("id % 400 AS k", "id AS v"),
+        sorted = true)
+      val plan2 = q().queryExecution.executedPlan.toString
+      assert(plan2.contains("Sort ["),
+        s"overlapping stamped append left a false ordering report:\n$plan2")
+      assert(q().head.getLong(0) == 400L * 160 * 75)
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("setSort flipping direction invalidates old sort stamps (no false ordering)") {
     // regression (r13 ADVICE): stamps stored only the sort EXPRESSION, so
     // files sorted ASC under the old spec still matched after setSort
@@ -283,6 +341,93 @@ class BucketSpec extends AnyFunSuite {
     } finally {
       spark.sparkContext.removeSparkListener(listener)
       spark.conf.unset("spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled")
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("skew split and ordering report COMPOSE on a multi-file sorted hot bucket") {
+    // r13 (VERDICT r12 #9): the r12 features were mutually exclusive — the
+    // report needed ONE file per bucket, the skew splitter needed MANY.
+    // With multi-file eligibility the hot key's bounded sorted files (all
+    // ranges [hot,hot], ties allowed) report ordering in the DEFAULT fused
+    // mode. Under partiallyClusteredDistribution the split itself works,
+    // but Spark's exec gate (DataSourceV2ScanExecBase.outputOrdering keeps
+    // a reported ordering only when EVERY key group has ≤1 input
+    // partition) re-inserts the SMJ sorts — a per-table trade the operator
+    // picks: skew-split for hot tables, sort-elision for uniform ones.
+    val lake = new Lake(spark, Files.createTempDirectory("graft_bso2").toString)
+    val left = spark.range(0, 100000).selectExpr(
+      "CASE WHEN id % 10 < 9 THEN 7L ELSE id % 64 END AS k", "id AS v")
+    lake.createTable("main.skl", left.schema,
+      partitionKeys = List(PartitionKey(BucketTransform(8), "k")),
+      sortKeys = List(Meta.SortKey("k", ascending = true, nullsFirst = true)))
+    lake.append("main.skl", left)
+    lake.setOption("target_file_size", "64KB", Some("main.skl"))
+    lake.rewriteSorted("main.skl") // bounded files; hot key spans several
+    val right = spark.range(0, 1000).selectExpr("id % 64 AS k", "id AS w")
+    lake.createTable("main.skr", right.schema,
+      partitionKeys = List(PartitionKey(BucketTransform(8), "k")),
+      sortKeys = List(Meta.SortKey("k", ascending = true, nullsFirst = true)))
+    lake.append("main.skr", right)
+    lake.rewriteSorted("main.skr")
+    // precondition: the hot bucket really is multi-file
+    val st = lake.store.state()
+    val e = st.tableAt("main", "skl", st.currentSnapshotId).get
+    val hot = st.filesAt(e.tableId, st.currentSnapshotId)
+      .groupBy(_.partitionValues).values.map(_.size).max
+    assert(hot >= 3, s"hot bucket should hold 3+ bounded files, got $hot")
+    val cat = s"bso2${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", lake.root)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    @volatile var tasks = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        tasks += sc.stageInfo.numTasks
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def run(partial: Boolean): (Int, Long, Long, String) = {
+      spark.conf.set(
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled",
+        partial.toString)
+      val q = spark.sql(s"SELECT count(*) AS n, sum(a.v) AS sv " +
+        s"FROM $cat.main.skl a JOIN $cat.main.skr b ON a.k = b.k")
+      val plan = q.queryExecution.executedPlan.toString
+      tasks = 0
+      val r = q.collect().head
+      Thread.sleep(500)
+      (tasks, r.getLong(0), r.getLong(1), plan)
+    }
+    try {
+      val (tGrouped, n1, s1, p1) = run(partial = false)
+      val (tSplit, n2, s2, p2) = run(partial = true)
+      assert((n1, s1) == (n2, s2), "results diverged between modes")
+      Seq(p1, p2).foreach(p =>
+        assert(!p.contains("Exchange hashpartitioning"), s"SPJ lost:\n$p"))
+      // fused mode: bounded multi-file buckets keep the sort elision
+      assert(!p1.contains("Sort ["),
+        s"multi-file sorted buckets lost the ordering report:\n$p1")
+      // split mode: the hot bucket splits per file; Spark's exec gate
+      // drops the (per-partition-true) ordering report, so the sorts
+      // return — assert the CURRENT Spark semantics so an upstream change
+      // (per-partition ordering surviving multi-partition groups) shows up
+      assert(p2.contains("Sort ["),
+        s"Spark kept a reported ordering over a split key group — " +
+          s"re-check semantics and drop this guard if 4.x relaxed the gate:\n$p2")
+      assert(tSplit > tGrouped,
+        s"hot bucket did not split: $tGrouped grouped vs $tSplit split tasks")
+      // oracle computed outside the lake
+      val oracle = left.join(right, "k")
+        .agg(count(lit(1)), sum(col("v"))).head
+      assert((n1, s1) == (oracle.getLong(0), oracle.getLong(1)))
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.unset("spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled")
+      spark.conf.unset("spark.sql.sources.v2.bucketing.pushPartValues.enabled")
       spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
