@@ -72,6 +72,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPreCBORule(new LakeJoinHint(_))
     // variant_get predicates → file pruning on recorded variant path stats
     ext.injectOptimizerRule(new LakeVariantPruning(_))
+    // driver-local evaluation of bounded constant subplans (Range /
+    // Sort / Generate / Aggregate over LocalRelation) — constant-shaped
+    // queries collapse to LocalTableScan and skip job submission entirely
+    ext.injectOptimizerRule(new org.apache.spark.sql.graft.LocalFold(_))
     // Strip abandoned DPP markers from DSv2 scans: when a join under SPJ
     // plans as sort-merge, PlanDynamicPruningFilters has no broadcast to
     // reuse and leaves `DynamicPruningExpression(true)` in the scan's
