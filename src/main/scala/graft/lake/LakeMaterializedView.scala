@@ -69,14 +69,47 @@ object LakeMaterializedView {
   private val KMinMax = "mv_minmax"
   private val KFilter = "mv_filter"
   private val KLast = "mv_last"
+  private val KDim = "mv_dim"
+  private val KDimTid = "mv_dim_tid"
+  private val KDimKeys = "mv_dim_keys"
+
+  /** fact ⋈ dim enrichment: `keys` are (factCol, dimCol) equi-join pairs */
+  private case class DimSpec(table: String, keys: Seq[(String, String)])
 
   /** resolved definition; sumAll/cntAll fold the implicit state AVG needs */
   private case class MvDef(
       groupCols: Seq[String], sumCols: Seq[String], cntCols: Seq[String],
       avgCols: Seq[String], minMaxCols: Seq[String],
-      filterSql: Option[String]) {
+      filterSql: Option[String], dim: Option[DimSpec] = None) {
     val sumAll: Seq[String] = (sumCols ++ avgCols).distinct
     val cntAll: Seq[String] = (cntCols ++ avgCols).distinct
+  }
+
+  /** Enrich `fact` rows (the fact table, or its CHANGE rows — any extra
+    * columns like `_change_type` pass through) with the dim's non-key
+    * columns via an INNER broadcast equi-join. The dim is the refresh-time
+    * CURRENT dim: at 100 TB the dim is the small side by definition, so
+    * every refresh broadcasts it once and the fold stays O(changed bytes).
+    * Fact rows with no dim match are OUTSIDE the view (inner semantics),
+    * symmetrically for pre- and post-images, so key-moving fact updates
+    * net out. */
+  private def joinDim(fact: DataFrame, dim: DataFrame, ds: DimSpec): DataFrame = {
+    val f = fact.alias("_mvf")
+    val dm = broadcast(dim.alias("_mvd"))
+    val cond = ds.keys.map { case (fk, dk) =>
+      col(s"_mvf.$fk") === col(s"_mvd.$dk") }.reduce(_ && _)
+    val dimKeep = dim.columns.filterNot(ds.keys.map(_._2).toSet)
+    f.join(dm, cond, "inner")
+      .select(fact.columns.map(c => col(s"_mvf.$c")).toSeq ++
+        dimKeep.map(c => col(s"_mvd.$c")): _*)
+  }
+
+  /** The view's input frame at `snap`: the fact table, dim-enriched when
+    * the definition has one (both sides pinned at the SAME snapshot). */
+  private def sourceFrame(lake: Lake, d: MvDef, source: String,
+      snap: Option[Long]): DataFrame = {
+    val fact = lake.table(source, snap)
+    d.dim.fold(fact)(ds => joinDim(fact, lake.table(ds.table, snap), ds))
   }
 
   private def withAvg(d: MvDef, df: DataFrame): DataFrame =
@@ -115,18 +148,44 @@ object LakeMaterializedView {
   def create(lake: Lake, name: String, source: String,
       groupCols: Seq[String], sumCols: Seq[String],
       minMaxCols: Seq[String] = Nil, cntCols: Seq[String] = Nil,
-      avgCols: Seq[String] = Nil, filterSql: Option[String] = None): Long = {
+      avgCols: Seq[String] = Nil, filterSql: Option[String] = None,
+      dimTable: Option[String] = None,
+      dimKeys: Seq[(String, String)] = Nil): Long = {
     require(groupCols.nonEmpty, "materialized view needs at least one group column")
-    val d = MvDef(groupCols, sumCols, cntCols, avgCols, minMaxCols, filterSql)
+    require(dimTable.isEmpty == dimKeys.isEmpty,
+      "dimTable and dimKeys must be given together")
+    val d = MvDef(groupCols, sumCols, cntCols, avgCols, minMaxCols, filterSql,
+      dimTable.map(dt => DimSpec(dt, dimKeys)))
     // the definition persists as comma-joined tag values
-    (groupCols ++ sumCols ++ cntCols ++ avgCols ++ minMaxCols).foreach(c =>
-      require(!c.contains(","), s"mv column name must not contain ',': $c"))
+    (groupCols ++ sumCols ++ cntCols ++ avgCols ++ minMaxCols ++
+      dimKeys.flatMap(k => Seq(k._1, k._2))).foreach(c =>
+      require(!c.contains(",") && !c.contains("="),
+        s"mv column name must not contain ',' or '=': $c"))
     val st = lake.store.state()
     val srcEntry = lake.schemaOf(source)
     val se = st.tableAt(srcEntry._1, srcEntry._2, st.currentSnapshotId)
       .getOrElse(throw new NoSuchElementException(s"no table $source"))
-    val types = st.columnsAt(se.tableId, st.currentSnapshotId)
+    val factTypes = st.columnsAt(se.tableId, st.currentSnapshotId)
       .map(c => c.name -> c.dataType.toLowerCase).toMap
+    // with a dim, aggregate/group columns may come from either side; the
+    // dim's JOIN-KEY columns are dropped from the joined frame (the fact's
+    // key column carries the value), so they are not referenceable
+    val de = dimTable.map { dt =>
+      val (dsn, dtn) = lake.schemaOf(dt)
+      st.tableAt(dsn, dtn, st.currentSnapshotId)
+        .getOrElse(throw new NoSuchElementException(s"no table $dt"))
+    }
+    val dimTypes = de.map(e => st.columnsAt(e.tableId, st.currentSnapshotId)
+      .map(c => c.name -> c.dataType.toLowerCase).toMap).getOrElse(Map.empty)
+    dimKeys.foreach { case (fk, dk) =>
+      require(factTypes.contains(fk), s"no join column $fk in fact $source")
+      require(dimTypes.contains(dk), s"no join column $dk in dim ${dimTable.get}")
+    }
+    val dimKeep = dimTypes -- dimKeys.map(_._2)
+    val overlap = factTypes.keySet & dimKeep.keySet
+    require(overlap.isEmpty,
+      s"fact and dim share non-key column names (alias one side): $overlap")
+    val types = factTypes ++ dimKeep
     d.sumAll.foreach { c =>
       val t = types.getOrElse(c, sys.error(s"no column $c in $source"))
       require(Set("tinyint", "smallint", "int", "bigint")(t),
@@ -135,7 +194,7 @@ object LakeMaterializedView {
     (cntCols ++ minMaxCols).foreach(c =>
       require(types.contains(c), s"no column $c in $source"))
     val snap = st.currentSnapshotId
-    val full = fullAgg(d)(lake.table(source, Some(snap)))
+    val full = fullAgg(d)(sourceFrame(lake, d, source, Some(snap)))
     lake.createTable(name, full.schema)
     val (sn, tn) = lake.schemaOf(name)
     try {
@@ -152,6 +211,11 @@ object LakeMaterializedView {
             TagEntry(tid, KAvgs, avgCols.mkString(","), sid, None),
             TagEntry(tid, KMinMax, minMaxCols.mkString(","), sid, None)) ++
             filterSql.map(f => TagEntry(tid, KFilter, f, sid, None)) ++
+            dimTable.toList.flatMap(dt => List(
+              TagEntry(tid, KDim, dt, sid, None),
+              TagEntry(tid, KDimTid, de.get.tableId.toString, sid, None),
+              TagEntry(tid, KDimKeys,
+                dimKeys.map(k => s"${k._1}=${k._2}").mkString(","), sid, None))) ++
             List(TagEntry(tid, KLast, snap.toString, sid, None)), Nil)
         })
     } catch {
@@ -177,11 +241,17 @@ object LakeMaterializedView {
     def optList(k: String): Seq[String] = st.tagAt(scope, k, st.currentSnapshotId)
       .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
     val source = tag(KSource)
+    val dimSpec = st.tagAt(scope, KDim, st.currentSnapshotId).map { dt =>
+      DimSpec(dt, tag(KDimKeys).split(',').toSeq.map { kv =>
+        val Array(fk, dk) = kv.split("=", 2); (fk, dk)
+      })
+    }
     val d = MvDef(
       groupCols = tag(KGroups).split(',').toSeq,
       sumCols = optList(KSums), cntCols = optList(KCnts),
       avgCols = optList(KAvgs), minMaxCols = optList(KMinMax),
-      filterSql = st.tagAt(scope, KFilter, st.currentSnapshotId))
+      filterSql = st.tagAt(scope, KFilter, st.currentSnapshotId),
+      dim = dimSpec)
     val last = tag(KLast).toLong
     val cur = st.currentSnapshotId
     if (cur <= last) return last
@@ -189,6 +259,11 @@ object LakeMaterializedView {
     val (ssn, stn) = lake.schemaOf(source)
     val srcTid = st.tableAt(ssn, stn, cur)
       .getOrElse(throw new NoSuchElementException(s"no table $source")).tableId
+    val dimTid = dimSpec.map { ds =>
+      val (dsn, dtn) = lake.schemaOf(ds.table)
+      st.tableAt(dsn, dtn, cur)
+        .getOrElse(throw new NoSuchElementException(s"no table ${ds.table}")).tableId
+    }
     def in(b: Long) = b > last && b <= cur
 
     // the watermark-CAS'd MV overwrite, shared by both refresh paths
@@ -203,8 +278,11 @@ object LakeMaterializedView {
           if (nowLast != last) throw new ConcurrentMvRefreshException(
             s"concurrent refresh of $name already applied snapshot $nowLast")
           (List(TagEntry(scope, KLast, cur.toString, sid, None),
-            TagEntry(scope, KSourceTid, srcTid.toString, sid, None)),
-            List(s"$scope:$KLast", s"$scope:$KSourceTid"))
+            TagEntry(scope, KSourceTid, srcTid.toString, sid, None)) ++
+            dimTid.toList.map(t =>
+              TagEntry(scope, KDimTid, t.toString, sid, None)),
+            List(s"$scope:$KLast", s"$scope:$KSourceTid") ++
+              dimTid.toList.map(_ => s"$scope:$KDimTid"))
         })
 
     // LOGICAL REPLACE detection: the change feed reports inserts from new
@@ -232,9 +310,10 @@ object LakeMaterializedView {
     // double-count). Entries are "tag:tid[:detail]".
     val snapChanges: Map[Long, List[String]] = st.snapshots.iterator
       .map(s => s.snapshotId -> s.changes).toMap
-    def hasTag(sid: Long, tags: Set[String]): Boolean =
+    def hasTagFor(tid: Long)(sid: Long, tags: Set[String]): Boolean =
       snapChanges.getOrElse(sid, Nil).exists(c =>
-        tags.exists(t => c == s"$t:$srcTid" || c.startsWith(s"$t:$srcTid:")))
+        tags.exists(t => c == s"$t:$tid" || c.startsWith(s"$t:$tid:")))
+    def hasTag(sid: Long, tags: Set[String]): Boolean = hasTagFor(srcTid)(sid, tags)
     val maintenance = Set("compacted", "rewrote", "flushed")
     val insertish = Set("inserted", "inlined")
     val replaced =
@@ -247,8 +326,33 @@ object LakeMaterializedView {
             (!hasTag(s, maintenance) || hasTag(s, insertish)))) ||
         st.inlined.exists(b => b.tableId == srcTid &&
           b.end.exists(s => in(s) && hasTag(s, insertish)))
-    if (replaced) {
-      commitMv(fullAgg(d)(lake.table(source, Some(cur))))
+
+    // DIM STALENESS (join-source MVs): the MV state folded fact rows
+    // against the dim AS OF the last refresh. Any logical dim change in
+    // the window — DML, a replace-style overwrite, or a DROP+re-CREATE
+    // (tid moved) — invalidates every already-folded group, which no fact
+    // delta can repair; recompute at cur against the current dim. This IS
+    // the documented staleness contract: dim reads are refresh-time
+    // snapshots, dim changes cost a recompute (the MV stays small, the
+    // recompute is one fact scan), and pure dim MAINTENANCE (compaction /
+    // rewrite / flush) moves bytes without changing rows so it triggers
+    // nothing.
+    val logicalTags = Set("inserted", "inlined", "deleted", "updated", "merged")
+    val dimChanged = dimTid.exists { dt =>
+      val hasDimTag = hasTagFor(dt) _
+      st.tagAt(scope, KDimTid, cur).exists(_.toLong != dt) ||
+        st.files.exists(f => f.tableId == dt &&
+          ((f.end.exists(s => in(s) &&
+              (!hasDimTag(s, maintenance) || hasDimTag(s, insertish)))) ||
+            (in(f.begin) && hasDimTag(f.begin, logicalTags)))) ||
+        st.deleteFiles.exists(df => df.tableId == dt &&
+          in(df.begin) && hasDimTag(df.begin, logicalTags)) ||
+        st.inlined.exists(b => b.tableId == dt &&
+          ((in(b.begin) && hasDimTag(b.begin, logicalTags)) ||
+            b.end.exists(s => in(s) && hasDimTag(s, logicalTags))))
+    }
+    if (replaced || dimChanged) {
+      commitMv(fullAgg(d)(sourceFrame(lake, d, source, Some(cur))))
       return cur
     }
 
@@ -278,9 +382,15 @@ object LakeMaterializedView {
     // LakeWrite.delete/update's `matched`. A filtered MV filters the
     // change ROWS (pre and post images independently), so a row updated
     // across the predicate boundary nets out to the right ±1.
+    // join-source MVs enrich the change rows with the (unchanged-in-window,
+    // checked above) dim before the filter: `_change_type` passes through
+    // the join, and pre/post images of a JOIN-KEY-moving fact update land
+    // in their respective dim groups with the right ±1 signs
     val changes0 = lake.tableChanges(source, last, cur)
-    val changes = d.filterSql.map(f => changes0.filter(expr(f)))
-      .getOrElse(changes0).persist()
+    val changes1 = d.dim.fold(changes0)(ds =>
+      joinDim(changes0, lake.table(ds.table, Some(cur)), ds))
+    val changes = d.filterSql.map(f => changes1.filter(expr(f)))
+      .getOrElse(changes1).persist()
     try {
       val w = when(col("_change_type").isin("insert", "update_postimage"), 1L)
         .otherwise(-1L)
@@ -335,7 +445,7 @@ object LakeMaterializedView {
           // source states inside one refresh (folded groups at cur,
           // recomputed groups at a later snapshot) under a watermark of cur
           val recomputed = fullAgg(d)(
-            lake.table(source, Some(cur))
+            sourceFrame(lake, d, source, Some(cur))
               .join(dirty, nullSafeCond(dirty), "left_semi"))
           clean.unionByName(recomputed)
         }

@@ -1274,10 +1274,12 @@ class Lake(val spark: SparkSession, val root: String,
   def createMaterializedView(name: String, source: String,
       groupCols: Seq[String], sumCols: Seq[String] = Nil,
       minMaxCols: Seq[String] = Nil, cntCols: Seq[String] = Nil,
-      avgCols: Seq[String] = Nil, filterSql: Option[String] = None): Long = {
+      avgCols: Seq[String] = Nil, filterSql: Option[String] = None,
+      dimTable: Option[String] = None,
+      dimKeys: Seq[(String, String)] = Nil): Long = {
     aclSuper("CREATE MATERIALIZED VIEW")
     LakeMaterializedView.create(this, name, source, groupCols, sumCols,
-      minMaxCols, cntCols, avgCols, filterSql)
+      minMaxCols, cntCols, avgCols, filterSql, dimTable, dimKeys)
   }
 
   /** Fold the source change feed since the last refresh into the MV;

@@ -1055,6 +1055,44 @@ object LakeQueries {
       lake.table("main.mv").orderBy(col("o_orderpriority"))
     }),
 
+    // ---- join-source MV (r13): the dashboard shape that earns an MV at
+    // 100 TB is a fact⋈dim rollup grouped by DIM attributes. Maintained
+    // from the FACT change feed with the dim broadcast at refresh time:
+    // appends fold incrementally, a JOIN-KEY-moving fact update lands its
+    // pre/post images in their respective dim groups, a delete retires
+    // extrema through the dirty-group recompute — and a DIM change is
+    // detected as staleness and forces a full recompute against the
+    // current dim (the documented semantics; no fact delta can repair
+    // already-folded groups) ---------------------------------------------
+    "l59_materialized_view_join" -> ((s, dir) => {
+      val lake = newLake(s)
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+      lake.createTableAs("main.fact", orders.filter(col("o_orderkey") % 2 === 0))
+      lake.createTableAs("main.dim", cust)
+      lake.createMaterializedView("main.mv", "main.fact",
+        groupCols = Seq("c_mktsegment"), sumCols = Seq("o_custkey"),
+        minMaxCols = Seq("o_orderkey"),
+        dimTable = Some("main.dim"),
+        dimKeys = Seq(("o_custkey", "c_custkey")))
+      // incremental: fact append folds via change feed ⋈ broadcast dim
+      lake.append("main.fact", orders.filter(col("o_orderkey") % 2 === 1))
+      lake.refreshMaterializedView("main.mv")
+      // key-moving update (±1 in two dim groups) + extrema-retiring delete
+      lake.update("main.fact", col("o_orderkey") % 13 === 0,
+        Map("o_custkey" -> lit(1L)))
+      lake.delete("main.fact",
+        col("o_orderstatus") === "F" && col("o_orderkey") % 10 === 3)
+      lake.refreshMaterializedView("main.mv")
+      // dim change: staleness detection → full recompute vs the new dim
+      lake.update("main.dim", col("c_custkey") % 5 === 0,
+        Map("c_mktsegment" -> lit("9-DIMMOVED")))
+      lake.refreshMaterializedView("main.mv")
+      lake.table("main.mv").orderBy(col("c_mktsegment"))
+    }),
+
     "l56_roles" -> ((s, dir) => {
       val lake = newLake(s)
       lake.createTableAs("main.nat", t(s, dir, "nation"))
@@ -1594,6 +1632,24 @@ object LakeQueries {
         |  WHERE NOT (o_orderkey % 10 = 3))
         |WHERE o_orderstatus <> 'F'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // join-source MV: final content == fact⋈dim GROUP BY over what the
+    // DML sequence leaves behind, joined against the UPDATED dim
+    "l59_materialized_view_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_rows,
+        |  CAST(SUM(o_custkey) AS BIGINT) AS sum_o_custkey,
+        |  MIN(o_orderkey) AS min_o_orderkey, MAX(o_orderkey) AS max_o_orderkey
+        |FROM (
+        |  SELECT CASE WHEN o_orderkey % 13 = 0 THEN 1
+        |              ELSE o_custkey END AS o_custkey, o_orderkey
+        |  FROM orders
+        |  WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 10 = 3)) f
+        |JOIN (
+        |  SELECT c_custkey, CASE WHEN c_custkey % 5 = 0 THEN '9-DIMMOVED'
+        |                         ELSE c_mktsegment END AS c_mktsegment
+        |  FROM customer) d
+        |  ON f.o_custkey = d.c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     // roles: reader-grant user reads what the writer-role user's DELETE
     // left behind; the denied write surfaces as a constant column

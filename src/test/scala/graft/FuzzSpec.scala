@@ -58,6 +58,18 @@ class FuzzSpec extends AnyFunSuite {
     lake.createMaterializedView("main.fmv2", "main.f", Seq("k"),
       sumCols = Nil, minMaxCols = Nil, cntCols = Seq("v"),
       avgCols = Seq("v"), filterSql = Some("v % 2 = 0"))
+    // r13: a JOIN-SOURCE MV (fact ⋈ dim grouped by the dim attribute)
+    // rides the same schedule; the dim itself mutates every few ops, so
+    // refreshes alternate between the incremental fact-delta fold
+    // (dim unchanged) and the dim-staleness full recompute
+    var dimModel = (0L until 40L).map(dk => dk -> s"s${dk % 3}").toMap
+    var nextDim = 40L
+    locally {
+      import spark.implicits._
+      lake.createTableAs("main.fdim", dimModel.toSeq.toDF("dk", "seg"))
+    }
+    lake.createMaterializedView("main.fmv3", "main.f", Seq("seg"), Seq("v"),
+      dimTable = Some("main.fdim"), dimKeys = Seq(("k", "dk")))
 
     // r9: ACL joins the schedule — a custom role + user whose per-table
     // grant set and membership mutate randomly; after every op the
@@ -101,6 +113,16 @@ class FuzzSpec extends AnyFunSuite {
       assert(got2 == want2, s"seed=$seed $tag MV2(filtered cnt/avg): " +
         s"${got2.size} rows vs model ${want2.size}; diff " +
         s"${(got2.toSet -- want2.toSet).take(3)} / ${(want2.toSet -- got2.toSet).take(3)}")
+      lake.refreshMaterializedView("main.fmv3")
+      val got3 = lake.table("main.fmv3").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val want3 = model.toSeq
+        .flatMap { case (k, v) => dimModel.get(k).map(seg => (seg, v)) }
+        .groupBy(_._1)
+        .map { case (seg, xs) => seg -> (xs.size.toLong, xs.map(_._2).sum) }
+      assert(got3 == want3, s"seed=$seed $tag MV3(join): ${got3.size} rows vs " +
+        s"model ${want3.size}; diff ${(got3.toSet -- want3.toSet).take(3)} / " +
+        s"${(want3.toSet -- got3.toSet).take(3)}")
     }
 
     var i = 0
@@ -202,6 +224,27 @@ class FuzzSpec extends AnyFunSuite {
         catch { case _: SecurityException => false })
       assert(gotUpd == canUpd,
         s"seed=$seed op#$i: UPDATE as fu got $gotUpd want $canUpd ($aclPrivs member=$member)")
+      // dim churn on a fixed cadence (not an op draw, so the fact-op
+      // distribution is untouched): extend the dim over the newest fact
+      // keys or regroup a slice — the NEXT fmv3 refresh must detect the
+      // staleness and recompute against the new dim
+      if (i % 7 == 5) {
+        import spark.implicits._
+        if (rnd.nextBoolean()) {
+          val grow = (nextDim until math.min(nextDim + 60L, nextK + 20L))
+            .map(dk => dk -> s"s${dk % 3}")
+          if (grow.nonEmpty) {
+            lake.append("main.fdim", grow.toDF("dk", "seg"))
+            dimModel ++= grow; nextDim = grow.last._1 + 1
+          }
+        } else {
+          val m = 2 + rnd.nextInt(4); val r = rnd.nextInt(m)
+          lake.update("main.fdim", col("dk") % m === r,
+            Map("seg" -> concat(col("seg"), lit("x"))))
+          dimModel = dimModel.map { case (dk, s) =>
+            dk -> (if (dk % m == r) s + "x" else s) }
+        }
+      }
       i += 1
     }
 
@@ -342,11 +385,92 @@ class FuzzSpec extends AnyFunSuite {
     assert(live == model, s"seed=$seed live state: ${live.size} vs ${model.size}")
   }
 
+  /** r13: the s08 auto-refresh SINK under fuzz — a seeded random DML
+    * schedule (appends, deletes, group-moving updates, logical REPLACEs,
+    * compactions) drains through graft-changes → graft-mv-refresh,
+    * including a MID-STREAM kill + restart-from-checkpoint; after every
+    * drain the MV must equal the batch oracle (the full GROUP BY of the
+    * live source). Exactly-once is the refresh watermark CAS: the killed
+    * run's already-applied prefix must not re-apply on resume, and the
+    * replayed checkpoint range must no-op. */
+  private def runMvStreamFuzz(seed: Int, nOps: Int): Unit = {
+    val rnd = new Random(seed)
+    val root = Files.createTempDirectory(s"graft_mvsfuzz$seed").toString
+    val lake = new Lake(spark, root)
+    import spark.implicits._
+    lake.createTableAs("main.src", Seq(("a", 1L)).toDF("g", "x"))
+    lake.createMaterializedView("main.mv", "main.src", Seq("g"), Seq("x"))
+    val ckpt = Files.createTempDirectory(s"graft_mvsfuzz_ckpt$seed").toString
+    val segs = Vector("a", "b", "c", "d", "e")
+    def randRows(n: Int): Seq[(String, Long)] =
+      Seq.fill(n)((segs(rnd.nextInt(segs.size)), rnd.nextInt(100).toLong))
+    def mvNow(): Map[String, (Long, Long)] =
+      lake.table("main.mv").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def oracleNow(): Map[String, (Long, Long)] =
+      lake.table("main.src").groupBy(col("g"))
+        .agg(count(lit(1)).as("n"), coalesce(sum(col("x")), lit(0L)).as("s"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def stream(trigger: org.apache.spark.sql.streaming.Trigger) =
+      spark.readStream.format("graft-changes")
+        .option("root", root).option("table", "main.src")
+        .option("maxSnapshotsPerTrigger", "1").load()
+        .writeStream.format("graft-mv-refresh")
+        .option("root", root).option("view", "main.mv")
+        .option("checkpointLocation", ckpt)
+        .trigger(trigger).start()
+    def drain(tag: String): Unit = {
+      val q = stream(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination()
+      val (got, want) = (mvNow(), oracleNow())
+      assert(got == want, s"seed=$seed $tag: MV ${got.size} rows vs oracle " +
+        s"${want.size}; diff ${(got.toSet -- want.toSet).take(3)} / " +
+        s"${(want.toSet -- got.toSet).take(3)}")
+    }
+    (0 until nOps).foreach { i =>
+      rnd.nextInt(8) match {
+        case 0 | 1 | 2 | 3 =>
+          lake.append("main.src", randRows(5 + rnd.nextInt(20)).toDF("g", "x"))
+        case 4 =>
+          val m = 2 + rnd.nextInt(4)
+          lake.delete("main.src", col("x") % m === rnd.nextInt(m))
+        case 5 =>
+          val m = 2 + rnd.nextInt(4)
+          lake.update("main.src", col("x") % m === rnd.nextInt(m),
+            Map("g" -> lit(segs(rnd.nextInt(segs.size)))))
+        case 6 =>
+          // logical REPLACE: the next refresh must take the recompute
+          // fallback (no delete records exist for the retired rows)
+          lake.append("main.src", randRows(3 + rnd.nextInt(8)).toDF("g", "x"),
+            overwrite = true)
+        case 7 => lake.mergeAdjacentFiles("main.src")
+      }
+      if (i == nOps / 2) {
+        // MID-STREAM KILL: guarantee a backlog, run with a continuous
+        // trigger and a 1-snapshot cap, stop as soon as the first
+        // micro-batch lands (backlog still undrained), then resume from
+        // the checkpoint — only the watermark-missed suffix may apply
+        lake.append("main.src", randRows(10).toDF("g", "x"))
+        lake.append("main.src", randRows(10).toDF("g", "x"))
+        val q = stream(org.apache.spark.sql.streaming.Trigger.ProcessingTime(25))
+        val deadline = System.currentTimeMillis + 30000
+        while (!q.recentProgress.exists(_.numInputRows > 0) &&
+            System.currentTimeMillis < deadline)
+          Thread.sleep(20)
+        q.stop(); q.awaitTermination()
+        drain(s"post-kill resume at op#$i")
+      } else if (rnd.nextInt(3) == 0) drain(s"op#$i")
+    }
+    drain("final")
+  }
+
   test("stream fuzz seed 20260815, 28 ops")(runStreamFuzz(20260815, 28))
   test("stream fuzz seed 11, 28 ops")(runStreamFuzz(11, 28))
   test("stream fuzz seed 42, 20 ops over the JDBC catalog (source 'jdbc' option)")(
     runStreamFuzz(42, 20, jdbc = true))
 
+  test("mv-refresh stream fuzz seed 20260816, 20 ops with mid-stream kill")(
+    runMvStreamFuzz(20260816, 20))
   test("fuzz seed 20260814, 24 ops")(runFuzz(20260814, 24))
   test("fuzz seed 7, 24 ops")(runFuzz(7, 24))
   test("fuzz seed 31, 24 ops over the JDBC catalog (Derby unique-key CAS)")(

@@ -427,4 +427,122 @@ class MaterializedViewSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("integral"))
   }
+
+  // ----------------------------------------------------- join-source MVs
+
+  /** fact(k fk, x) ⋈ dim(k, seg) grouped by the DIM attribute */
+  private def mkJoinMv(): Lake = {
+    val lake = mkLake()
+    import spark.implicits._
+    lake.createTableAs("main.fact",
+      Seq((1L, 10L), (1L, 20L), (2L, 5L), (3L, 7L)).toDF("fk", "x"))
+    lake.createTableAs("main.dim",
+      Seq((1L, "red"), (2L, "blue")).toDF("k", "seg"))
+    lake.createMaterializedView("main.mv", "main.fact",
+      groupCols = Seq("seg"), sumCols = Seq("x"),
+      dimTable = Some("main.dim"), dimKeys = Seq(("fk", "k")))
+    lake
+  }
+
+  private def joinOracle(lake: Lake): Map[String, (Long, Long)] =
+    lake.table("main.fact").alias("f")
+      .join(lake.table("main.dim").alias("d"), col("f.fk") === col("d.k"))
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("x")), lit(0L)).as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("join-source MV: fact DML folds through the dim broadcast") {
+    val lake = mkJoinMv()
+    import spark.implicits._
+    // initial: fk=3 has no dim match → outside the view (inner semantics)
+    assert(mvState(lake) == Map("red" -> (2L, 30L), "blue" -> (1L, 5L)))
+
+    // append: folds incrementally; an unmatched fk stays invisible
+    lake.append("main.fact", Seq((2L, 6L), (9L, 99L)).toDF("fk", "x"))
+    lake.refreshMaterializedView("main.mv")
+    assert(mvState(lake) == joinOracle(lake))
+
+    // JOIN-KEY-moving update: pre-image −1 in red, post-image +1 in blue
+    lake.update("main.fact", col("x") === 20L, Map("fk" -> lit(2L)))
+    lake.refreshMaterializedView("main.mv")
+    assert(mvState(lake) == joinOracle(lake))
+    assert(mvState(lake) == Map("red" -> (1L, 10L), "blue" -> (3L, 31L)))
+
+    // delete emptying a dim group: its MV row vanishes
+    lake.delete("main.fact", col("fk") === 1L)
+    lake.refreshMaterializedView("main.mv")
+    assert(mvState(lake) == joinOracle(lake))
+    assert(!mvState(lake).contains("red"))
+  }
+
+  test("join-source MV: a dim change is staleness → full recompute vs the new dim") {
+    val lake = mkJoinMv()
+    import spark.implicits._
+    // dim UPDATE regroups already-folded fact rows: no fact delta exists,
+    // only the staleness detector can repair the view
+    lake.update("main.dim", col("k") === 1L, Map("seg" -> lit("green")))
+    lake.refreshMaterializedView("main.mv")
+    assert(mvState(lake) == joinOracle(lake))
+    assert(mvState(lake) == Map("green" -> (2L, 30L), "blue" -> (1L, 5L)))
+
+    // dim INSERT pulls previously-unmatched fact rows INTO the view
+    lake.append("main.dim", Seq((3L, "blue")).toDF("k", "seg"))
+    lake.refreshMaterializedView("main.mv")
+    assert(mvState(lake) == joinOracle(lake))
+    assert(mvState(lake)("blue") == (2L, 12L))
+
+    // dim DROP + re-CREATE (tid moved) with different content: recompute
+    lake.dropTable("main.dim")
+    lake.createTableAs("main.dim", Seq((1L, "solo")).toDF("k", "seg"))
+    lake.refreshMaterializedView("main.mv")
+    assert(mvState(lake) == joinOracle(lake))
+    assert(mvState(lake) == Map("solo" -> (2L, 30L)))
+  }
+
+  test("join-source MV: dim compaction is NOT staleness; idle refresh early-outs") {
+    val lake = mkJoinMv()
+    import spark.implicits._
+    lake.append("main.dim", Seq((4L, "red")).toDF("k", "seg"))
+    lake.refreshMaterializedView("main.mv") // absorb the dim append
+    val settled = mvState(lake)
+    lake.mergeAdjacentFiles("main.dim") // moves bytes, not rows
+    val snapAfterCompact = lake.currentSnapshot()
+    lake.refreshMaterializedView("main.mv")
+    // early-out: no commit happened — dim compaction and an idle fact
+    // must not force O(|MV|) rewrites on a periodic refresh schedule
+    assert(lake.currentSnapshot() == snapAfterCompact)
+    assert(mvState(lake) == settled)
+  }
+
+  test("join-source MV: dirty-group MIN/MAX recompute goes through the join") {
+    val lake = mkLake()
+    import spark.implicits._
+    lake.createTableAs("main.fact",
+      Seq((1L, 10L), (1L, 20L), (2L, 5L)).toDF("fk", "x"))
+    lake.createTableAs("main.dim",
+      Seq((1L, "red"), (2L, "blue")).toDF("k", "seg"))
+    lake.createMaterializedView("main.mv", "main.fact",
+      groupCols = Seq("seg"), sumCols = Nil, minMaxCols = Seq("x"),
+      dimTable = Some("main.dim"), dimKeys = Seq(("fk", "k")))
+    // delete the red maximum: the dirty recompute must rebuild red's
+    // extrema from fact⋈dim, not from the fact alone
+    lake.delete("main.fact", col("x") === 20L)
+    lake.refreshMaterializedView("main.mv")
+    val rows = lake.table("main.mv").collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(rows == Map("red" -> (10L, 10L), "blue" -> (5L, 5L)))
+  }
+
+  test("join-source MV: fact/dim non-key name collisions are rejected at create") {
+    val lake = mkLake()
+    import spark.implicits._
+    lake.createTableAs("main.fact", Seq((1L, 10L)).toDF("fk", "x"))
+    lake.createTableAs("main.dim", Seq((1L, 99L)).toDF("k", "x"))
+    val e = intercept[IllegalArgumentException] {
+      lake.createMaterializedView("main.mv", "main.fact",
+        groupCols = Seq("x"), sumCols = Nil,
+        dimTable = Some("main.dim"), dimKeys = Seq(("fk", "k")))
+    }
+    assert(e.getMessage.contains("share non-key column"))
+  }
 }
