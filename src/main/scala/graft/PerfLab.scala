@@ -932,6 +932,10 @@ object PerfLab {
     // idiom; the oracle-side twin is ('0x'||substr(md5,1,14))::BIGINT)
     "t19_cur" -> ((s, dir) =>
       graft.queries.TextOps.queries("t19_stratified_sample")(s, dir)),
+    // r13 race: heap aggregate vs exact thinning vs the r10 window shape
+    "t19_heap" -> ((s, dir) => graft.queries.TextOps.t19Heap(s, dir)),
+    "t19_thin" -> ((s, dir) => graft.queries.TextOps.t19Thin(s, dir)),
+    "t19_win" -> ((s, dir) => graft.queries.TextOps.t19Window(s, dir)),
     "t19_longkey" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("lang"))
@@ -1290,6 +1294,8 @@ object PerfLab {
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     }),
+    "q04b_cur" -> ((s, dir) => { resetSpjExtras(s)
+      graft.queries.Relational.queries("q04b_bucketed_spj")(s, dir) }),
     "q05b_cur" -> ((s, dir) => { resetSpjExtras(s)
       graft.queries.Relational.queries("q05b_bucketed_spj")(s, dir) }),
     // r12: ordering-report contribution isolated — same v3 sorted fixture,

@@ -98,6 +98,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "graft_int8_code takes 1 argument")
         graft.functions.Int8Code(children.head)
       }))
+    // bounded top-k AGGREGATE (k smallest by the struct's natural order,
+    // ascending): quota/stratified sampling without a per-partition sort —
+    // each map task keeps a k-heap per group, the exchange carries
+    // O(tasks × groups × k) rows, and no WindowGroupLimit sort touches the
+    // full table. Catalyst ships the heap aggregate (CollectTopK) for its
+    // own ORDER BY ... LIMIT rewrites; this exposes it as a function.
+    ext.injectFunction((FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(
+        "org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK",
+        "graft_topk",
+        "graft_topk(e, k) - the k smallest values of e, ascending"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_topk takes 2 arguments")
+        org.apache.spark.sql.catalyst.expressions.aggregate.GraftTopK
+          .smallestK(children.head, children(1))
+      }))
     ext.injectFunction((FunctionIdentifier("graft_minhash16"),
       new ExpressionInfo("graft.functions.MinHash16", "graft_minhash16",
         "graft_minhash16(shingles) - 16-permutation md5 MinHash signature"),

@@ -48,6 +48,74 @@ object TextOps {
   /** name of the t11 observation carrying LSH bucket-cap metrics */
   val LshCapMetrics = "t11_lsh_caps"
 
+  // ---- t19 stratified sample: three competing shapes (PerfLab-raced at
+  // sf100, BASELINE.md r13; the registry points at the winner) -----------
+
+  /** Bounded top-k AGGREGATE (graft_topk → CollectTopK heap): no window,
+    * no per-task sort of the full table — each map task keeps a 20-heap
+    * per lang and the exchange carries O(tasks × langs × 20) rows. The
+    * heap update is an interpreted object-aggregate path (no codegen),
+    * which is the shape's risk at scale; raced against [[t19Thin]]. The
+    * struct's natural order (_k, doc_id, n_chars) reproduces the
+    * ROW_NUMBER order exactly (doc_id breaks all ties); rn = explode pos. */
+  private[graft] def t19Heap(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("_k", md5(concat(lit("t19:"), col("doc_id").cast("string"))))
+      .groupBy(col("lang"))
+      .agg(expr("graft_topk(struct(_k, doc_id, n_chars), 20)").as("top"))
+      .selectExpr("lang", "posexplode(top) AS (pos, r)")
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rn"),
+        col("r.doc_id").as("doc_id"), col("r.n_chars").as("n_chars"))
+      .orderBy(col("lang"), col("rn"))
+
+  /** Two-phase EXACT thinning (VERDICT r12 #5): per-lang counts (a cheap
+    * lang-only columnar scan, |langs| driver rows — bounded), then a
+    * map-only codegen'd hash filter keeping P ≈ 80/count per lang (4× the
+    * 20-quota oversample), and the exact window only over the tiny kept
+    * set. Exactness: kept rows have a strictly smaller 8-hex-char prefix
+    * than every dropped row of their lang, so whenever ≥ min(20, count)
+    * rows survive — verified per lang below, with a restricted exact
+    * fallback otherwise (probability ~e−38 per lang at the 4× margin) —
+    * the true top-20 is inside the kept set. The full-table window
+    * exchange and its per-task sort disappear. */
+  private[graft] def t19Thin(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val counts = docs.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val thrMap = map(counts.flatMap { case (l, c) =>
+      Seq(lit(l), lit((math.min(1.0, 80.0 / c) * (1L << 32)).toLong))
+    }.toIndexedSeq: _*)
+    val keyed = docs.withColumn("_k",
+      md5(concat(lit("t19:"), col("doc_id").cast("string"))))
+    val thinned = keyed.filter(
+      conv(substring(col("_k"), 1, 8), 16, 10).cast("long") <
+        element_at(thrMap, col("lang"))).persist()
+    val got = thinned.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val short = counts.collect { case (l, c)
+      if got.getOrElse(l, 0L) < math.min(20L, c) => l }
+    val base = if (short.isEmpty) thinned
+      else thinned.filter(!col("lang").isin(short: _*))
+        .unionByName(keyed.filter(col("lang").isin(short: _*)))
+    val w = Window.partitionBy(col("lang")).orderBy(col("_k"), col("doc_id"))
+    base.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 20)
+      .select(col("lang"), col("rn"), col("doc_id"), col("n_chars"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
+  /** The r10-r12 shape: WindowGroupLimit with a materialized key — kept as
+    * the race baseline. */
+  private[graft] def t19Window(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("_k"), col("doc_id"))
+    t(s, dir, "documents")
+      .withColumn("_k", md5(concat(lit("t19:"), col("doc_id").cast("string"))))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 20)
+      .select(col("lang"), col("rn"), col("doc_id"), col("n_chars"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- token counting --------------------------------------------------
@@ -523,22 +591,7 @@ object TextOps {
     // documents a hot language has — the skew that kills a naive
     // per-stratum window (strata counts are Zipfian in real corpora)
     // never reaches the wire.
-    "t19_stratified_sample" -> ((s, dir) => {
-      // r10: the md5 key is MATERIALIZED once (then dropped) instead of
-      // living inline in the window's orderBy — the inline form
-      // re-evaluates the hash in the map-side group-limit sort and again
-      // in the post-shuffle sort; the column form computes it once per
-      // row. Same values, same ordering, same rows; WindowGroupLimit
-      // still plans (partial+final, plan-pinned in QueriesSpec). sf100:
-      // 2.13 vs 2.42 s (PerfLab t19_cur/t19_mat).
-      val w = Window.partitionBy(col("lang")).orderBy(col("_k"), col("doc_id"))
-      t(s, dir, "documents")
-        .withColumn("_k", md5(concat(lit("t19:"), col("doc_id").cast("string"))))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .filter(col("rn") <= 20)
-        .select(col("lang"), col("rn"), col("doc_id"), col("n_chars"))
-        .orderBy(col("lang"), col("rn"))
-    }),
+    "t19_stratified_sample" -> ((s, dir) => t19Heap(s, dir)),
 
     // ---- edit-distance near-dup --------------------------------------------
     // Fuzzy dedup for the cases shingle/minhash families miss (small

@@ -199,4 +199,31 @@ class FunctionsSpec extends AnyFunSuite {
     assert(rows(2).isNullAt(1))
     assert(rows(4).getSeq[Any](1) == Seq.fill(16)(null)) // all-null → 16 nulls
   }
+
+  test("graft_topk: k smallest by struct order, ascending, partition-merge-safe") {
+    // heap aggregate vs the window oracle, across a skewed repartition so
+    // the partial heaps genuinely merge (every task holds every group)
+    val df = spark.range(0, 2000).repartition(7)
+      .selectExpr("id % 5 AS g", "md5(cast(id AS string)) AS h", "id")
+    val got = df
+      .groupBy(col("g"))
+      .agg(expr("graft_topk(struct(h, id), 4)").as("t"))
+      .selectExpr("g", "posexplode(t) AS (p, r)")
+      .selectExpr("g", "p", "r.h AS h", "r.id AS id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    val want = df
+      .selectExpr("g", "h", "id",
+        "row_number() OVER (PARTITION BY g ORDER BY h, id) AS rn")
+      .filter(col("rn") <= 4)
+      .collect().map(r => (r.getLong(0), r.getInt(3) - 1, r.getString(1), r.getLong(2)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(got == want)
+    // k larger than the group: every row comes back, still ascending
+    val small = spark.range(0, 3)
+      .selectExpr("0 AS g", "struct(cast(id AS string) AS h, id) AS s")
+      .groupBy(col("g")).agg(expr("graft_topk(s, 10)").as("t"))
+      .selectExpr("size(t) AS n").collect().head.getInt(0)
+    assert(small == 3)
+  }
 }

@@ -39,12 +39,18 @@ class QueriesSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
-  test("t19 stratified sample plans a map-side WindowGroupLimit") {
-    // the rn <= k filter must reach the window operator as a group limit:
-    // without it every document of a hot stratum crosses the exchange.
+  test("t19 stratified sample is a bounded top-k aggregate (no window, no table sort)") {
+    // r13: the heap aggregate (graft_topk → CollectTopK) must plan as an
+    // ObjectHashAggregate with a map-side partial — no Window operator and
+    // no per-task sort of the full table; the only exchanges are the tiny
+    // post-heap lang aggregation and the presentation ORDER BY.
     val plan = SparkEntry.queries("t19_stratified_sample")(spark, sf)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"), s"no ObjectHashAggregate in:\n$plan")
+    assert(plan.contains("partial_"), s"no map-side partial aggregate in:\n$plan")
+    assert(!plan.contains("Window"), s"window survived in:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"expected <=2 exchanges (agg + order), got $exchanges:\n$plan")
   }
 
   test("t22 chunking is map-only: the one exchange is the presentation sort") {
