@@ -50,15 +50,21 @@ object ScaleGen {
 
     def replicate(table: String, shiftCols: Seq[String], extra: DataFrame => DataFrame = identity): Unit = {
       if (!wanted(table)) return
-      val base = spark.read.parquet(s"$src/$table.parquet")
+      val base0 = spark.read.parquet(s"$src/$table.parquet")
+      // 16 output files per fact table: big enough row groups for honest
+      // scan timing, parallel enough for local[32]. Repartition the SOURCE
+      // (megabytes) before the ×n explosion, never the replica (the r13
+      // build caught the original post-explosion repartition spilling a
+      // 49 GB shuffle for an 11 MB lineitem source — the map-only
+      // explosion preserves partitioning, so shuffling first yields the
+      // identical output layout for 4000× less shuffle I/O).
+      val parts = if (base0.count() > 100000) 16 else 4
+      val base = base0.repartition(parts)
       val reps = spark.range(n).select(col("id").as("__rep"))
       var df = base.crossJoin(broadcast(reps))
       for (c <- shiftCols) df = df.withColumn(c, col(c) + col("__rep") * OFFSET)
       df = extra(df).drop("__rep")
-      // 16 output files per fact table: big enough row groups for honest
-      // scan timing, parallel enough for local[32].
-      val parts = if (base.count() > 100000) 16 else 4
-      df.repartition(parts).write.mode("overwrite").parquet(s"$out/$table.parquet")
+      df.write.mode("overwrite").parquet(s"$out/$table.parquet")
       println(s"wrote $table x$n")
     }
 
