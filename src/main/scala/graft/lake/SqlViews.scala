@@ -302,6 +302,13 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)\s*REVOKE\s+([\w,\s]+?)\s+ON\s+(?:TABLE\s+)?([\w.]+)\s+FROM\s+(\w+)\s*;?\s*""".r
   private val RevokeRoleRe =
     """(?is)\s*REVOKE\s+(\w+)\s+FROM\s+(\w+)\s*;?\s*""".r
+  // incremental materialized views (superset DDL; [[SqlMaterializedView]])
+  private val CreateMvRe =
+    ("""(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s+AS\s+SELECT\s+(.+?)""" +
+      """\s+FROM\s+([\w.]+)(?:\s+JOIN\s+([\w.]+)\s+ON\s+(.+?))?""" +
+      """(?:\s+WHERE\s+(.+?))?\s+GROUP\s+BY\s+(.+?)\s*;?\s*""").r
+  private val RefreshMvRe =
+    """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s*;?\s*""".r
   private val ShowRolesRe = """(?is)\s*SHOW\s+ROLES\s*;?\s*""".r
   private val ShowGrantsRe =
     """(?is)\s*SHOW\s+GRANTS(?:\s+ON\s+(?:TABLE\s+)?([\w.]+))?\s*;?\s*""".r
@@ -330,6 +337,19 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       RevokeLakeCommand(curCat, csv(privs), Some(table), role)
     case RevokeRoleRe(role, user) =>
       RevokeLakeCommand(curCat, Seq(role), None, user)
+    case CreateMvRe(name, select, source, dim, on, where, groupBy) =>
+      val groupCols = csv(groupBy)
+      val (sums, cnts, avgs, mms) =
+        SqlMaterializedView.parseSelectList(select, groupCols)
+      // validate the predicate NOW — a broken filter should fail the
+      // CREATE, not the initial compute (same discipline as macros)
+      Option(where).foreach(delegate.parseExpression)
+      val keys = Option(dim).map(d =>
+        SqlMaterializedView.parseJoinKeys(on, source, d)).getOrElse(Nil)
+      CreateLakeMaterializedViewCommand(curCat, name, source, groupCols,
+        sums, cnts, avgs, mms, Option(where), Option(dim), keys)
+    case RefreshMvRe(name) =>
+      RefreshLakeMaterializedViewCommand(curCat, name)
     case ShowRolesRe() => ShowLakeRolesCommand(curCat)
     case ShowGrantsRe(table) => ShowLakeGrantsCommand(curCat, Option(table))
     case CreateMacroRe(orReplace, name, params, tableKw, body) =>

@@ -533,6 +533,49 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(rows == Map("red" -> (10L, 10L), "blue" -> (5L, 5L)))
   }
 
+  test("SQL DDL: CREATE/REFRESH MATERIALIZED VIEW via the parser, incl. a join + filter") {
+    val lake = mkLake()
+    import spark.implicits._
+    lake.createTableAs("main.fact",
+      Seq((1L, 10L, "x"), (1L, 20L, "y"), (2L, 5L, "x"), (3L, 7L, "x"))
+        .toDF("fk", "v", "tag"))
+    lake.createTableAs("main.dim", Seq((1L, "red"), (2L, "blue")).toDF("k", "seg"))
+    val cat = s"mvsql${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", lake.root)
+    val prev = spark.sessionState.catalogManager.currentCatalog.name()
+    spark.sql(s"USE $cat")
+    try {
+      spark.sql("""CREATE MATERIALIZED VIEW main.mv AS
+        SELECT seg, COUNT(*), SUM(v) AS total, MIN(v), MAX(v)
+        FROM main.fact JOIN main.dim ON fk = k
+        WHERE tag = 'x'
+        GROUP BY seg""")
+      val rows0 = lake.table("main.mv").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toMap
+      assert(rows0 == Map("red" -> (1L, 10L, 10L, 10L), "blue" -> (1L, 5L, 5L, 5L)))
+      lake.append("main.fact", Seq((2L, 6L, "x"), (1L, 9L, "y")).toDF("fk", "v", "tag"))
+      val beforeRefresh = lake.currentSnapshot()
+      val applied = spark.sql("REFRESH MATERIALIZED VIEW main.mv")
+        .collect().head.getLong(0)
+      // the returned watermark is the SOURCE snapshot that was folded;
+      // the refresh's own MV commit advances the lake past it
+      assert(applied == beforeRefresh)
+      val rows1 = lake.table("main.mv").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(rows1 == Map("red" -> (1L, 10L), "blue" -> (2L, 11L)))
+      // the maintainable algebra is a hard boundary: anything else fails
+      // the CREATE with the grammar in the message
+      val e = intercept[Exception] {
+        spark.sql("""CREATE MATERIALIZED VIEW main.bad AS
+          SELECT seg, approx_count_distinct(v) FROM main.fact
+          JOIN main.dim ON fk = k GROUP BY seg""")
+      }
+      assert(e.getMessage.contains("SUM/COUNT/AVG/MIN/MAX"))
+    } finally spark.sql(s"USE $prev")
+  }
+
   test("join-source MV: fact/dim non-key name collisions are rejected at create") {
     val lake = mkLake()
     import spark.implicits._
