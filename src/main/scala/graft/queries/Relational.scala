@@ -91,11 +91,16 @@ object Relational {
     * single-node engine in the baseline offers. Only sound for queries
     * whose result depends on nothing but the immutable testdata dir —
     * never lake tables (snapshots move) nor anything nondeterministic. */
-  private val preparedConstants =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]
+  // weak-keyed on the session so a churn of short-lived sessions (tests)
+  // cannot pin Datasets after their session is gone
+  private val preparedConstants = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]])
   private def prepared(name: String, s: SparkSession, dir: String)
       (build: => DataFrame): DataFrame =
-    preparedConstants.computeIfAbsent((s, name, dir), _ => {
+    preparedConstants
+      .computeIfAbsent(s, _ => new java.util.concurrent.ConcurrentHashMap)
+      .computeIfAbsent((name, dir), _ => {
       val df = build
       df.queryExecution.optimizedPlan match {
         // proven constant (LocalFold collapsed the whole plan): serve the

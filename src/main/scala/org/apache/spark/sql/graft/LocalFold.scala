@@ -250,6 +250,9 @@ object LocalDim {
         (parts.map(_.getLen).sum, parts.map(_.getModificationTime).maxOption.getOrElse(0L))
       } else (status.getLen, status.getModificationTime)
     if (len > maxBytes) return spark.read.parquet(path)
+    // a rewritten file re-keys; drop its superseded entries so repeated
+    // rewrite cycles can't accumulate dead row copies on the driver
+    cache.keySet.removeIf(k => k._1 == path && (k._2 != len || k._3 != mtime))
     val rel = cache.computeIfAbsent((path, len, mtime), _ => {
       val df = spark.read.parquet(path)
       val rows = df.queryExecution.executedPlan.executeCollect()
