@@ -87,30 +87,41 @@ object Relational {
   /** Prepared-plan cache for CONSTANT queries (q21/q22). With LocalFold
     * the job floor is gone and what remains is per-statement Catalyst work
     * (~18 ms analysis at Dataset construction, BASELINE.md r13 dossier);
-    * reusing the analyzed Dataset is the prepared-statement semantics every
+    * reusing the folded rows is the prepared-statement semantics every
     * single-node engine in the baseline offers. Only sound for queries
     * whose result depends on nothing but the immutable testdata dir —
-    * never lake tables (snapshots move) nor anything nondeterministic. */
-  // weak-keyed on the session so a churn of short-lived sessions (tests)
-  // cannot pin Datasets after their session is gone
-  private val preparedConstants = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]])
+    * never lake tables (snapshots move) nor anything nondeterministic.
+    *
+    * The cache holds only the session-free [[LocalRelation]] (attributes +
+    * rows), never a Dataset: a Dataset pins its SparkSession through
+    * QueryExecution, so caching one keyed on the session would make the
+    * entries immortal (the WeakHashMap value-refers-to-key caveat). A
+    * fresh 1-node Dataset is rebuilt per call — sub-ms Catalyst work.
+    * Bypassed entirely when the fold is disabled, so the disabled path is
+    * always the genuinely distributed plan (and tests can use it as the
+    * ground truth). */
+  private val preparedConstants = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), org.apache.spark.sql.catalyst.plans.logical.LocalRelation]
+  /** test hook: drop all prepared constants */
+  private[graft] def clearPrepared(): Unit = preparedConstants.clear()
   private def prepared(name: String, s: SparkSession, dir: String)
-      (build: => DataFrame): DataFrame =
-    preparedConstants
-      .computeIfAbsent(s, _ => new java.util.concurrent.ConcurrentHashMap)
-      .computeIfAbsent((name, dir), _ => {
-      val df = build
-      df.queryExecution.optimizedPlan match {
-        // proven constant (LocalFold collapsed the whole plan): serve the
-        // materialized rows as the logical plan, so downstream actions
-        // (count/collect/write) re-optimize a 1-node plan, not the chain
-        case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
-          org.apache.spark.sql.graft.StreamingBatch.ofRows(s, l)
-        case _ => df
-      }
-    })
+      (build: => DataFrame): DataFrame = {
+    val foldOn = s.conf.get("spark.graft.localFold.enabled", "true").toBoolean
+    if (!foldOn) return build
+    val key = (name, dir)
+    val hit = preparedConstants.get(key)
+    if (hit != null) return org.apache.spark.sql.graft.StreamingBatch.ofRows(s, hit)
+    val df = build
+    df.queryExecution.optimizedPlan match {
+      // proven constant (LocalFold collapsed the whole plan): keep the
+      // materialized rows; downstream actions (count/collect/write)
+      // re-optimize a 1-node plan, not the chain
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        preparedConstants.put(key, l)
+        org.apache.spark.sql.graft.StreamingBatch.ofRows(s, l)
+      case _ => df
+    }
+  }
 
   // ---------------------------------------------------------------- queries
 

@@ -90,8 +90,14 @@ object TextOps {
     val thinned = keyed.filter(
       conv(substring(col("_k"), 1, 8), 16, 10).cast("long") <
         element_at(thrMap, col("lang"))).persist()
-    val got = thinned.groupBy(col("lang")).count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got =
+      try thinned.groupBy(col("lang")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // release the cached blocks once the driver-side count is done: the
+      // final window re-reads the kept set exactly once (a map-only
+      // re-filter), and a leaked persist per race invocation would pin
+      // blocks in the shared session for the rest of the run
+      finally thinned.unpersist(blocking = false)
     val short = counts.collect { case (l, c)
       if got.getOrElse(l, 0L) < math.min(20L, c) => l }
     val base = if (short.isEmpty) thinned

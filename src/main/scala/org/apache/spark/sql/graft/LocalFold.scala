@@ -236,28 +236,45 @@ class LocalFold(session: SparkSession) extends Rule[LogicalPlan] {
   * explicit bound and get a distributed read back if the file outgrows it.
   */
 object LocalDim {
+  // each entry can hold up to maxBytes of driver rows, so the cache is a
+  // small access-ordered LRU — distinct paths cannot accumulate unboundedly,
+  // and superseded fingerprints of a rewritten path simply age out
+  private val MaxEntries = 64
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), LocalRelation]()
+    new java.util.LinkedHashMap[(String, String), LocalRelation](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String), LocalRelation]): Boolean =
+        size > MaxEntries
+    }
 
   def parquet(spark: SparkSession, path: String,
       maxBytes: Long = 8L << 20): org.apache.spark.sql.DataFrame = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val status = fs.getFileStatus(hPath)
-    val (len, mtime) =
-      if (status.isDirectory) {
-        val parts = fs.listStatus(hPath).filter(_.getPath.getName.endsWith(".parquet"))
-        (parts.map(_.getLen).sum, parts.map(_.getModificationTime).maxOption.getOrElse(0L))
-      } else (status.getLen, status.getModificationTime)
+    // fingerprint every part's (name, length, mtime) — a rewrite that lands
+    // inside one coarse mtime tick still re-keys as long as any part name
+    // or length moved (Spark writers emit fresh UUID part names, so a
+    // directory rewrite always re-keys even at identical total length)
+    val parts: Seq[(String, Long, Long)] =
+      if (status.isDirectory)
+        fs.listStatus(hPath).filter(_.getPath.getName.endsWith(".parquet"))
+          .map(p => (p.getPath.getName, p.getLen, p.getModificationTime))
+          .sortBy(_._1).toIndexedSeq
+      else Seq((hPath.getName, status.getLen, status.getModificationTime))
+    val len = parts.map(_._2).sum
     if (len > maxBytes) return spark.read.parquet(path)
-    // a rewritten file re-keys; drop its superseded entries so repeated
-    // rewrite cycles can't accumulate dead row copies on the driver
-    cache.keySet.removeIf(k => k._1 == path && (k._2 != len || k._3 != mtime))
-    val rel = cache.computeIfAbsent((path, len, mtime), _ => {
-      val df = spark.read.parquet(path)
-      val rows = df.queryExecution.executedPlan.executeCollect()
-      LocalRelation(df.queryExecution.analyzed.output, rows.toIndexedSeq)
-    })
+    val fp = parts.map { case (n, l, m) => s"$n:$l:$m" }.mkString(",")
+    val key = (path, fp)
+    val rel = cache.synchronized(cache.get(key)) match {
+      case hit if hit != null => hit
+      case _ =>
+        val df = spark.read.parquet(path)
+        val rows = df.queryExecution.executedPlan.executeCollect()
+        val built = LocalRelation(df.queryExecution.analyzed.output, rows.toIndexedSeq)
+        cache.synchronized(cache.put(key, built))
+        built
+    }
     StreamingBatch.ofRows(spark, rel)
   }
 }

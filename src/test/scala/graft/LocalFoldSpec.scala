@@ -109,6 +109,16 @@ class LocalFoldSpec extends AnyFunSuite {
     def q22 = SparkEntry.queries("q22_generate_series")(spark, sf)
     assert(isFullyLocal(q21), optimized(q21).toString)
     assert(isFullyLocal(q22), optimized(q22).toString)
+    // the disabled-fold ground truth must actually plan distributed: the
+    // prepared cache is bypassed when the fold conf is off, so unfolded()
+    // cannot be served the folded LocalRelation it is meant to check
+    spark.conf.set("spark.graft.localFold.enabled", "false")
+    try {
+      assert(!isFullyLocal(q21), "fold-disabled q21 must plan distributed: " +
+        optimized(q21).toString)
+      assert(!isFullyLocal(q22), "fold-disabled q22 must plan distributed: " +
+        optimized(q22).toString)
+    } finally spark.conf.unset("spark.graft.localFold.enabled")
     assert(q21.collect().map(_.toString).toSeq == unfolded(q21))
     assert(q22.collect().map(_.toString).toSeq == unfolded(q22))
     assert(countJobs { q21.collect(); q22.collect() } == 0)
