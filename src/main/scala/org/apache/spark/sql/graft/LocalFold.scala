@@ -34,6 +34,12 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *     maxRows; over-cap aborts the fold)
   *   - `Aggregate` over `LocalRelation` whose aggregate functions are all
   *     declarative, non-distinct → aggregated `LocalRelation`
+  *   - `Union` of `LocalRelation`s (≤ maxRows combined) → concatenated
+  *     `LocalRelation`
+  *   - inner/cross `Join` of two `LocalRelation`s whose row-count product
+  *     is ≤ maxRows → nested-loop-evaluated `LocalRelation` (a constant
+  *     dim⋈dim probe, e.g. region⋈nation via LocalDim, otherwise still
+  *     launches a broadcast-exchange job)
   *
   * A plan whose every stage folds collapses to a `LocalTableScanExec`,
   * whose `executeCollect` short-circuits job submission entirely — a
@@ -84,7 +90,39 @@ class LocalFold(session: SparkSession) extends Rule[LogicalPlan] {
         attempt(lim)(Some(LocalRelation(lim.output, local(lim.child).data.take(n))))
       case lim @ LocalLimit(IntegerLiteral(n), _) if isLocal(lim.child) =>
         attempt(lim)(Some(LocalRelation(lim.output, local(lim.child).data.take(n))))
+      // the analyzer has already resolved byName/allowMissingCol unions
+      // into positional shape with coercion Projects; a byName=true node
+      // reaching the optimizer is left alone
+      case u: Union if !u.byName && u.children.forall(isLocal) &&
+          u.children.map(c => local(c).data.length.toLong).sum <= maxRows =>
+        attempt(u)(foldUnion(u))
+      case j @ Join(jl, jr,
+          org.apache.spark.sql.catalyst.plans.Inner |
+          org.apache.spark.sql.catalyst.plans.Cross, cond, _)
+          if isLocal(jl) && isLocal(jr) &&
+            local(jl).data.length.toLong * local(jr).data.length.toLong <= maxRows &&
+            cond.forall(c => safe(c)) =>
+        attempt(j)(foldJoin(j))
     }
+  }
+
+  private def foldUnion(u: Union): Option[LogicalPlan] =
+    Some(LocalRelation(u.output, u.children.flatMap(c => local(c).data)))
+
+  /** Inner/cross nested loop over two bounded local relations. The product
+    * bound (not output bound) caps the WORK, so a selective condition over
+    * two large relations never folds — that shape belongs on executors. */
+  private def foldJoin(j: Join): Option[LogicalPlan] = {
+    val l = local(j.left)
+    val r = local(j.right)
+    val pred = j.condition.map(Predicate.create(_, j.left.output ++ j.right.output))
+    val joined = new JoinedRow
+    val out = new mutable.ArrayBuffer[InternalRow]
+    for (lr <- l.data; rr <- r.data) {
+      joined(lr, rr)
+      if (pred.forall(_.eval(joined))) out += joined.copy()
+    }
+    Some(LocalRelation(j.output, out.toSeq))
   }
 
   private def foldProject(p: Project, l: LocalRelation): Option[LogicalPlan] = {

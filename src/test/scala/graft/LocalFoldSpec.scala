@@ -104,6 +104,51 @@ class LocalFoldSpec extends AnyFunSuite {
     assert(!optimized(lineitem).isInstanceOf[LocalRelation])
   }
 
+  test("union of local relations folds; join folds inner/cross only") {
+    // r14 (VERDICT r13 #8): finish the constant-plan story — a constant
+    // probe unioning or joining driver-local relations must not launch a
+    // broadcast job
+    def u = spark.range(0, 10).select(col("id"))
+      .union(spark.range(100, 110).select(col("id")))
+      .orderBy(col("id"))
+    assert(isFullyLocal(u), optimized(u).toString)
+    assert(u.collect().map(_.toString).toSeq == unfolded(u))
+
+    def j = spark.range(0, 20).select(col("id").as("a"))
+      .join(spark.range(0, 30).select((col("id") * 2).as("b")),
+        col("a") === col("b"))
+      .orderBy(col("a"))
+    assert(isFullyLocal(j), optimized(j).toString)
+    assert(j.collect().map(_.toString).toSeq == unfolded(j))
+    assert(countJobs(j.collect()) == 0)
+
+    // outer joins are NOT folded (null-extension semantics stay distributed)
+    val lo = spark.range(0, 5).select(col("id").as("a"))
+      .join(spark.range(0, 3).select(col("id").as("b")), col("a") === col("b"), "left")
+    assert(!isFullyLocal(lo), optimized(lo).toString)
+    assert(lo.count() == 5)
+
+    // over-budget product must not fold (the work bound, not output bound)
+    val big = spark.range(0, 1000).select(col("id").as("a"))
+      .join(spark.range(0, 1000).select(col("id").as("b")), col("a") === col("b"))
+    assert(!isFullyLocal(big), "1M-pair nested loop must stay on executors")
+  }
+
+  test("dim⋈dim constant probe folds end-to-end: zero jobs") {
+    import org.apache.spark.sql.graft.LocalDim
+    def q = {
+      val r = LocalDim.parquet(spark, s"$sf/region.parquet")
+      val n = LocalDim.parquet(spark, s"$sf/nation.parquet")
+      r.join(n, r("r_regionkey") === n("n_regionkey"))
+        .groupBy(col("r_name")).agg(count(lit(1)).as("n"))
+        .orderBy(col("r_name"))
+    }
+    assert(isFullyLocal(q), optimized(q).toString)
+    assert(q.collect().map(_.toString).toSeq == unfolded(q))
+    assert(countJobs(q.collect()) == 0,
+      "a folded dim⋈dim probe must not submit jobs (broadcast included)")
+  }
+
   test("q21/q22 registry entries fold fully and match their unfolded rows") {
     def q21 = SparkEntry.queries("q21_unnest_zip")(spark, sf)
     def q22 = SparkEntry.queries("q22_generate_series")(spark, sf)
