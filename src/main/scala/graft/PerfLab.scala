@@ -153,6 +153,39 @@ object PerfLab {
       .filter(col("o_orderkey") % 100 === (mvSliceN % 100))
   }
 
+  // ---- join-MV dim-delta fixture (r14): fact = orders sorted by the join
+  // key (the layout a real deployment keeps for SPJ), dim = customer;
+  // each timed run moves ONE dim key's group attribute so the refresh
+  // isolates the dim-side path: delta (key-IN-restricted fact probe,
+  // zone-map-pruned on the sorted key) vs forced full recompute
+  private val mvjLakes = scala.collection.mutable.Map[String, graft.lake.Lake]()
+  private var mvjN = 0
+  private def mvjFixture(s: SparkSession, dir: String): graft.lake.Lake =
+    synchronized {
+      mvjLakes.getOrElseUpdate(dir, {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_mvjlab").toString
+        val lake = new graft.lake.Lake(s, root)
+        lake.createTableAs("main.mvjfact",
+          t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")))
+        lake.setSort("main.mvjfact",
+          List(graft.lake.Meta.SortKey("o_custkey", ascending = true, nullsFirst = true)))
+        lake.rewriteSorted("main.mvjfact")
+        lake.createTableAs("main.mvjdim",
+          t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")))
+        lake.createMaterializedView("main.mvj", "main.mvjfact",
+          groupCols = Seq("c_mktsegment"), sumCols = Seq("o_orderkey"),
+          dimTable = Some("main.mvjdim"),
+          dimKeys = Seq(("o_custkey", "c_custkey")))
+        lake
+      })
+    }
+  private def mvjMoveOneKey(lake: graft.lake.Lake): Unit = synchronized {
+    mvjN += 1
+    lake.update("main.mvjdim", col("c_custkey") === lit(mvjN.toLong * 7 + 1),
+      Map("c_mktsegment" -> lit(s"MOVED$mvjN")))
+  }
+
   /** q05b inverted around the custkey-bucketed pair — see the q05b_co
     * entry comment */
   private def q05bCoShape(s: SparkSession, dir: String): DataFrame = {
@@ -1400,9 +1433,90 @@ object PerfLab {
       lake.table("main.mvagg")
     }),
 
+    // ---- join-MV: dim-delta refresh vs forced full recompute (r14) ----
+    // Each timed run moves ONE dim key's group attribute; the fact is
+    // untouched, so the pair isolates the dim-side refresh machinery.
+    "mvj_dimdelta" -> ((s, dir) => {
+      val lake = mvjFixture(s, dir)
+      mvjMoveOneKey(lake)
+      lake.refreshMaterializedView("main.mvj")
+      lake.table("main.mvj")
+    }),
+    "mvj_dimfull" -> ((s, dir) => {
+      val lake = mvjFixture(s, dir)
+      mvjMoveOneKey(lake)
+      s.conf.set("spark.graft.mv.dimDeltaMaxKeys", "0") // force recompute
+      try lake.refreshMaterializedView("main.mvj")
+      finally s.conf.unset("spark.graft.mv.dimDeltaMaxKeys")
+      lake.table("main.mvj")
+    }),
+    // shared per-run cost alone (the dim UPDATE + MV read, no refresh):
+    // dimdelta − dimmove isolates the delta machinery, dimfull − dimmove
+    // the recompute
+    "mvj_dimmove" -> ((s, dir) => {
+      val lake = mvjFixture(s, dir)
+      mvjMoveOneKey(lake)
+      lake.table("main.mvj")
+    }),
+
     // ---- q27: sessionize (3.52x at sf30, 0.95 s abs) -----------------
     "q27_cur" -> ((s, dir) =>
       graft.queries.Relational.queries("q27_sessionize")(s, dir)),
+    // the r10-r13 shape: lag (offset frame) + conditional running sum →
+    // TWO Window operators over one sort; kept as the race baseline
+    "q27_twowin" -> ((s, dir) => {
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val marks = t(s, dir, "events")
+        .filter(col("user_id") < 50)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("long") - col("prev_ts").cast("long") > 1800L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_session")).over(byUser
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+      marks.groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("event_id")).as("first_event"),
+          max(col("event_id")).as("last_event"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+    // r14 (VERDICT r13 #5): gap test + session numbering fused into ONE
+    // running-frame window aggregate (graft_session) — the lag pass over
+    // every sorted partition disappears; SHIPPED as the registry body
+    "q27_onepass" -> ((s, dir) => {
+      val byUser = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .filter(col("user_id") < 50)
+        .withColumn("session_id",
+          expr("graft_session(cast(ts as long), 1800)")
+            .over(byUser))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("event_id")).as("first_event"),
+          max(col("event_id")).as("last_event"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+    // A/B: Spark's built-in session_window (different boundary semantics —
+    // >= gap closes vs our strict >; lab probe only, plus a row_number
+    // over the per-session aggregate to reproduce the ordinal)
+    "q27_sessionwin" -> ((s, dir) => {
+      val agg = t(s, dir, "events")
+        .filter(col("user_id") < 50)
+        .groupBy(col("user_id"), session_window(col("ts"), "1800 seconds"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("event_id")).as("first_event"),
+          max(col("event_id")).as("last_event"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+        .orderBy(col("session_window.start"))
+      agg.withColumn("session_id", row_number().over(w).cast("long"))
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          col("first_event"), col("last_event"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
     // filtered-scan floor in the real shape: same pushed filter + the
     // window exchange, no window functions.
     "q27_scan" -> ((s, dir) => {

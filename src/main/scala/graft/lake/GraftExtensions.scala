@@ -114,6 +114,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         org.apache.spark.sql.catalyst.expressions.aggregate.GraftTopK
           .smallestK(children.head, children(1))
       }))
+    // fused sessionization WINDOW function: session ordinal in ONE running
+    // frame (lag + conditional running sum collapse into a single Window
+    // operator — the second pass over every sorted partition disappears)
+    ext.injectFunction((FunctionIdentifier("graft_session"),
+      new ExpressionInfo(
+        "org.apache.spark.sql.catalyst.expressions.GraftSessionId",
+        "graft_session",
+        "graft_session(tsSeconds, gapSeconds) - 1-based session ordinal " +
+          "within the window partition; a gap strictly greater than " +
+          "gapSeconds opens a new session"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_session takes 2 arguments")
+        org.apache.spark.sql.catalyst.expressions.GraftSessionId(
+          children.head, children(1))
+      }))
     ext.injectFunction((FunctionIdentifier("graft_minhash16"),
       new ExpressionInfo("graft.functions.MinHash16", "graft_minhash16",
         "graft_minhash16(shingles) - 16-permutation md5 MinHash signature"),

@@ -86,13 +86,15 @@ object LakeMaterializedView {
   }
 
   /** Enrich `fact` rows (the fact table, or its CHANGE rows — any extra
-    * columns like `_change_type` pass through) with the dim's non-key
-    * columns via an INNER broadcast equi-join. The dim is the refresh-time
-    * CURRENT dim: at 100 TB the dim is the small side by definition, so
-    * every refresh broadcasts it once and the fold stays O(changed bytes).
-    * Fact rows with no dim match are OUTSIDE the view (inner semantics),
-    * symmetrically for pre- and post-images, so key-moving fact updates
-    * net out. */
+    * columns like `_change_type` pass through) with the `dim` frame's
+    * non-key columns via an INNER broadcast equi-join. Either side may be
+    * a snapshot-pinned table or a change feed (refresh passes the dim AS
+    * OF the matching state, and the dim-delta path passes the dim's
+    * change rows as the dim). At 100 TB the dim is the small side by
+    * definition, so every refresh broadcasts it once and the fold stays
+    * O(changed bytes). Fact rows with no dim match are OUTSIDE the view
+    * (inner semantics), symmetrically for pre- and post-images, so
+    * key-moving fact updates net out. */
   private def joinDim(fact: DataFrame, dim: DataFrame, ds: DimSpec): DataFrame = {
     val f = fact.alias("_mvf")
     val dm = broadcast(dim.alias("_mvd"))
@@ -327,31 +329,83 @@ object LakeMaterializedView {
         st.inlined.exists(b => b.tableId == srcTid &&
           b.end.exists(s => in(s) && hasTag(s, insertish)))
 
-    // DIM STALENESS (join-source MVs): the MV state folded fact rows
-    // against the dim AS OF the last refresh. Any logical dim change in
-    // the window — DML, a replace-style overwrite, or a DROP+re-CREATE
-    // (tid moved) — invalidates every already-folded group, which no fact
-    // delta can repair; recompute at cur against the current dim. This IS
-    // the documented staleness contract: dim reads are refresh-time
-    // snapshots, dim changes cost a recompute (the MV stays small, the
-    // recompute is one fact scan), and pure dim MAINTENANCE (compaction /
-    // rewrite / flush) moves bytes without changing rows so it triggers
-    // nothing.
+    // DIM changes (join-source MVs, r14 — VERDICT r13 #4): the MV state
+    // folded fact rows against the dim AS OF the last refresh, so a dim
+    // change regroups already-folded rows that no fact delta can repair.
+    // Classified like the fact side:
+    //   - REPLACE (tid moved, overwrite-style file ends, insert-ended
+    //     inline batches): the change feed can't express it → FULL
+    //     recompute at cur, as before.
+    //   - DELTA (row-level DML the dim change feed expresses): fold the
+    //     DIM feed too, via the exact incremental-join identity
+    //       Δ(F⋈D) = ΔF⋈D_last + F_cur⋈ΔD
+    //     — fact change rows join the dim AS OF `last` (the state their
+    //     folds were made under), and every dim change row joins the
+    //     key-restricted CURRENT fact, signed by the DIM image (+1 post /
+    //     −1 pre). Both streams union into one signed change-row frame,
+    //     so sums/counts/avg fold with NO recompute at all, and MIN/MAX
+    //     retirement falls out of the existing dirty-group filter (every
+    //     −1 row marks its group dirty, dim-driven ones included).
+    //     Cost: O(dim changed bytes) + one key-IN-restricted fact probe
+    //     (file-pruned when the fact key is a partition/sort key).
+    // Past `spark.graft.mv.dimDeltaMaxKeys` changed keys the key probe
+    // loses to the scan it avoids → full recompute. Pure dim MAINTENANCE
+    // (compaction / rewrite / flush) moves bytes, not rows → nothing.
     val logicalTags = Set("inserted", "inlined", "deleted", "updated", "merged")
-    val dimChanged = dimTid.exists { dt =>
+    val dimReplaced = dimTid.exists { dt =>
       val hasDimTag = hasTagFor(dt) _
       st.tagAt(scope, KDimTid, cur).exists(_.toLong != dt) ||
         st.files.exists(f => f.tableId == dt &&
-          ((f.end.exists(s => in(s) &&
-              (!hasDimTag(s, maintenance) || hasDimTag(s, insertish)))) ||
-            (in(f.begin) && hasDimTag(f.begin, logicalTags)))) ||
+          f.end.exists(s => in(s) &&
+            (!hasDimTag(s, maintenance) || hasDimTag(s, insertish)))) ||
+        st.inlined.exists(b => b.tableId == dt &&
+          b.end.exists(s => in(s) && hasDimTag(s, insertish)))
+    }
+    val dimDelta = !dimReplaced && dimTid.exists { dt =>
+      val hasDimTag = hasTagFor(dt) _
+      st.files.exists(f => f.tableId == dt &&
+          in(f.begin) && hasDimTag(f.begin, logicalTags)) ||
         st.deleteFiles.exists(df => df.tableId == dt &&
           in(df.begin) && hasDimTag(df.begin, logicalTags)) ||
         st.inlined.exists(b => b.tableId == dt &&
           ((in(b.begin) && hasDimTag(b.begin, logicalTags)) ||
             b.end.exists(s => in(s) && hasDimTag(s, logicalTags))))
     }
-    if (replaced || dimChanged) {
+    // changed-key collection is a BOUNDED driver probe over the (small)
+    // dim change feed; overflow falls back to the full recompute
+    var dimOverflow = false
+    val dimDeltaRows: Option[DataFrame] = if (!dimDelta) None else {
+      val ds = d.dim.get
+      val maxKeys = lake.spark.conf
+        .getOption("spark.graft.mv.dimDeltaMaxKeys").map(_.toInt).getOrElse(1000)
+      val dimCh = lake.tableChanges(ds.table, last, cur)
+      val keyRows = dimCh.select(ds.keys.map(k => col(k._2)): _*)
+        .distinct().limit(maxKeys + 1).collect()
+      if (keyRows.length > maxKeys) { dimOverflow = true; None }
+      else if (keyRows.isEmpty) None // NULL-only keys never join
+      else {
+        // per-column IN prefilter: exact for single-column keys, a
+        // conservative superset for composite keys (the equi-join below is
+        // exact either way — the IN only exists to push into the fact scan
+        // and prune files via zone maps / hidden partitions)
+        val keyVals: Seq[Seq[Any]] = ds.keys.indices.map(i =>
+          keyRows.map(_.get(i)).filter(_ != null).distinct.toSeq)
+        if (keyVals.exists(_.isEmpty)) None
+        else {
+          val factCur = ds.keys.map(_._1).zip(keyVals).foldLeft(
+            lake.table(source, Some(cur))) { case (df, (fk, vs)) =>
+              df.filter(col(fk).isin(vs: _*)) }
+          // F_cur ⋈ ΔD: the dim change rows play the dim role, their
+          // `_change_type` rides through joinDim's dim-side keep list and
+          // is re-signed to the fact vocabulary the delta fold speaks
+          Some(joinDim(factCur, dimCh, ds)
+            .withColumn("_change_type",
+              when(col("_change_type").isin("insert", "update_postimage"),
+                lit("insert")).otherwise(lit("delete"))))
+        }
+      }
+    }
+    if (replaced || dimReplaced || dimOverflow) {
       commitMv(fullAgg(d)(sourceFrame(lake, d, source, Some(cur))))
       return cur
     }
@@ -375,20 +429,34 @@ object LakeMaterializedView {
         st.deleteFiles.exists(df => df.tableId == srcTid && logicalIn(df.begin)) ||
         st.inlined.exists(ib => ib.tableId == srcTid &&
           (logicalIn(ib.begin) || ib.end.exists(logicalIn)))
-    if (!sourceChanged) return last
+    if (!sourceChanged && dimDeltaRows.isEmpty) return last
 
     // persist: the change-feed scan is embedded up to three times in the
     // merged plan (delta agg, dirty anti, dirty semi) — same idiom as
     // LakeWrite.delete/update's `matched`. A filtered MV filters the
     // change ROWS (pre and post images independently), so a row updated
     // across the predicate boundary nets out to the right ±1.
-    // join-source MVs enrich the change rows with the (unchanged-in-window,
-    // checked above) dim before the filter: `_change_type` passes through
-    // the join, and pre/post images of a JOIN-KEY-moving fact update land
-    // in their respective dim groups with the right ±1 signs
+    // join-source MVs enrich the change rows with the dim before the
+    // filter: `_change_type` passes through the join, and pre/post images
+    // of a JOIN-KEY-moving fact update land in their respective dim groups
+    // with the right ±1 signs. When the DIM itself changed in the window
+    // the identity Δ(F⋈D) = ΔF⋈D_last + F_cur⋈ΔD applies: fact changes
+    // join the dim AS OF `last` (both images — that is the state their
+    // folds were made under; F_cur⋈ΔD repairs the key's regrouping), and
+    // the signed dim-delta rows union in. With an unchanged dim,
+    // D_last ≡ D_cur and the plain @cur join stands.
     val changes0 = lake.tableChanges(source, last, cur)
-    val changes1 = d.dim.fold(changes0)(ds =>
-      joinDim(changes0, lake.table(ds.table, Some(cur)), ds))
+    val changes1 = d.dim.fold(changes0) { ds =>
+      // a dim-only refresh (ΔF provably empty by the sourceChanged probe)
+      // skips the ΔF⋈D join entirely — planning it would still build and
+      // broadcast the whole dim for zero fact rows
+      if (!sourceChanged) dimDeltaRows.get
+      else {
+        val factSide = joinDim(changes0,
+          lake.table(ds.table, Some(if (dimDeltaRows.isEmpty) cur else last)), ds)
+        dimDeltaRows.fold(factSide)(factSide.unionByName(_))
+      }
+    }
     val changes = d.filterSql.map(f => changes1.filter(expr(f)))
       .getOrElse(changes1).persist()
     try {
@@ -435,7 +503,9 @@ object LakeMaterializedView {
           // groups whose extrema may have RETIRED: recompute them whole
           // from the source restricted to those groups (group-col runtime
           // filter → file pruning when the group is a partition/sort key);
-          // all other groups keep the folded monotone min/max
+          // all other groups keep the folded monotone min/max. The signed
+          // change-row union means dim-driven retirements (a changed key
+          // leaving a group) mark their group dirty here too.
           val dirty = changes
             .filter(col("_change_type").isin("delete", "update_preimage"))
             .select(d.groupCols.map(c => col(c).as(s"_g_$c")): _*).distinct()

@@ -1057,13 +1057,13 @@ object LakeQueries {
 
     // ---- join-source MV (r13): the dashboard shape that earns an MV at
     // 100 TB is a fact⋈dim rollup grouped by DIM attributes. Maintained
-    // from the FACT change feed with the dim broadcast at refresh time:
-    // appends fold incrementally, a JOIN-KEY-moving fact update lands its
-    // pre/post images in their respective dim groups, a delete retires
-    // extrema through the dirty-group recompute — and a DIM change is
-    // detected as staleness and forces a full recompute against the
-    // current dim (the documented semantics; no fact delta can repair
-    // already-folded groups) ---------------------------------------------
+    // from BOTH change feeds: fact appends fold via change feed ⋈ dim, a
+    // JOIN-KEY-moving fact update lands its pre/post images in their
+    // respective dim groups, a delete retires extrema through the
+    // dirty-group recompute — and dim DML (r14) folds through the exact
+    // identity Δ(F⋈D) = ΔF⋈D_last + F_cur⋈ΔD, where F_cur is
+    // IN-restricted to the changed dim keys; only a dim REPLACE (overwrite
+    // or DROP+re-CREATE) still forces a full recompute ---------------------
     "l59_materialized_view_join" -> ((s, dir) => {
       val lake = newLake(s)
       val orders = t(s, dir, "orders")
@@ -1086,7 +1086,8 @@ object LakeQueries {
       lake.delete("main.fact",
         col("o_orderstatus") === "F" && col("o_orderkey") % 10 === 3)
       lake.refreshMaterializedView("main.mv")
-      // dim change: staleness detection → full recompute vs the new dim
+      // dim change: folds via the r14 dim-delta path (exceeds the default
+      // key bound at larger SFs → recompute fallback; identical result)
       lake.update("main.dim", col("c_custkey") % 5 === 0,
         Map("c_mktsegment" -> lit("9-DIMMOVED")))
       lake.refreshMaterializedView("main.mv")

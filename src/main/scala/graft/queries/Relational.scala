@@ -397,19 +397,24 @@ object Relational {
     // a running sum of the marks numbers them, then one aggregation per
     // (user, session). The batch complement of s04's streaming session
     // windows — same semantics, no state store.
+    // r14 (VERDICT r13 #5): gap detection + session numbering fused into
+    // ONE running-frame window aggregate (graft_session, an
+    // AggregateWindowFunction carrying (sid, prev_ts) in its buffer) — the
+    // classic lag + conditional-running-sum shape planned TWO Window
+    // operators over one sort because Spark groups window expressions by
+    // frame; the second in-memory pass over every sorted partition is
+    // gone. 0.80 → 0.62 s at sf100 (BASELINE.md r14; byte-identical rows,
+    // QueriesSpec plan-checks exactly one Window). session_window was also
+    // A/B'd (0.48 s) but its >= gap boundary differs from the oracle's
+    // strict > — kept as a lab probe only.
     "q27_sessionize" -> ((s, dir) => {
       val byUser = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
-      val marks = t(s, dir, "events")
+      t(s, dir, "events")
         .filter(col("user_id") < 50)
-        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
-        .withColumn("new_session",
-          when(col("prev_ts").isNull ||
-            col("ts").cast("long") - col("prev_ts").cast("long") > 1800L, 1L)
-            .otherwise(0L))
         .withColumn("session_id",
-          sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      marks.groupBy(col("user_id"), col("session_id"))
+          expr("graft_session(cast(ts as long), 1800)").over(byUser))
+        .groupBy(col("user_id"), col("session_id"))
         .agg(count(lit(1)).as("n_events"),
           min(col("event_id")).as("first_event"),
           max(col("event_id")).as("last_event"))

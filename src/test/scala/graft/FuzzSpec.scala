@@ -226,23 +226,30 @@ class FuzzSpec extends AnyFunSuite {
         s"seed=$seed op#$i: UPDATE as fu got $gotUpd want $canUpd ($aclPrivs member=$member)")
       // dim churn on a fixed cadence (not an op draw, so the fact-op
       // distribution is untouched): extend the dim over the newest fact
-      // keys or regroup a slice — the NEXT fmv3 refresh must detect the
-      // staleness and recompute against the new dim
+      // keys, regroup a slice, or DELETE a slice (orphaning its fact rows
+      // under inner semantics) — the NEXT fmv3 refresh folds these through
+      // the r14 dim-delta path (Δ(F⋈D) = ΔF⋈D_last + F_cur⋈ΔD), with
+      // fact DML from the same window interleaved in the same refresh
       if (i % 7 == 5) {
         import spark.implicits._
-        if (rnd.nextBoolean()) {
-          val grow = (nextDim until math.min(nextDim + 60L, nextK + 20L))
-            .map(dk => dk -> s"s${dk % 3}")
-          if (grow.nonEmpty) {
-            lake.append("main.fdim", grow.toDF("dk", "seg"))
-            dimModel ++= grow; nextDim = grow.last._1 + 1
-          }
-        } else {
-          val m = 2 + rnd.nextInt(4); val r = rnd.nextInt(m)
-          lake.update("main.fdim", col("dk") % m === r,
-            Map("seg" -> concat(col("seg"), lit("x"))))
-          dimModel = dimModel.map { case (dk, s) =>
-            dk -> (if (dk % m == r) s + "x" else s) }
+        rnd.nextInt(3) match {
+          case 0 =>
+            val grow = (nextDim until math.min(nextDim + 60L, nextK + 20L))
+              .map(dk => dk -> s"s${dk % 3}")
+            if (grow.nonEmpty) {
+              lake.append("main.fdim", grow.toDF("dk", "seg"))
+              dimModel ++= grow; nextDim = grow.last._1 + 1
+            }
+          case 1 =>
+            val m = 2 + rnd.nextInt(4); val r = rnd.nextInt(m)
+            lake.update("main.fdim", col("dk") % m === r,
+              Map("seg" -> concat(col("seg"), lit("x"))))
+            dimModel = dimModel.map { case (dk, s) =>
+              dk -> (if (dk % m == r) s + "x" else s) }
+          case _ =>
+            val m = 5 + rnd.nextInt(6); val r = rnd.nextInt(m)
+            lake.delete("main.fdim", col("dk") % m === r)
+            dimModel = dimModel.filter { case (dk, _) => dk % m != r }
         }
       }
       i += 1
@@ -473,6 +480,9 @@ class FuzzSpec extends AnyFunSuite {
     runMvStreamFuzz(20260816, 20))
   test("fuzz seed 20260814, 24 ops")(runFuzz(20260814, 24))
   test("fuzz seed 7, 24 ops")(runFuzz(7, 24))
+  // r14: a seed chosen to interleave dim deletes/updates with fact DML in
+  // shared refresh windows (dim churn fires every 7 ops incl. deletes now)
+  test("fuzz seed 1404, 30 ops (dim-delta windows)")(runFuzz(1404, 30))
   test("fuzz seed 31, 24 ops over the JDBC catalog (Derby unique-key CAS)")(
     runFuzz(31, 24, jdbc = true))
 }

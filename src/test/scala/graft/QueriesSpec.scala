@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 object TestSession {
@@ -37,6 +38,33 @@ class QueriesSpec extends AnyFunSuite {
       catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(200)}") }
     }
     assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("graft_session one-pass sessionize matches the lag+sum shape exactly") {
+    // r14 (VERDICT r13 #5): the fused running-frame window aggregate must
+    // reproduce q27's two-window rows byte-for-byte, and its plan must
+    // carry exactly ONE Window operator (the lag pass is gone)
+    val cur = SparkEntry.queries("q27_sessionize")(spark, sf)
+    val one = PerfLab.variants("q27_onepass")(spark, sf)
+    assert(one.collect().map(_.toString).toSeq ==
+      cur.collect().map(_.toString).toSeq)
+    // AQE echoes the initial plan below the final one — count Windows in
+    // the FINAL section only
+    val plan = one.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("Window \\[".r.findAllIn(plan).size == 1,
+      s"one-pass sessionize must plan exactly one Window:\n$plan")
+    assert(plan.contains("graft_session"),
+      s"fused session function missing from plan:\n$plan")
+    // boundary semantics: a gap of EXACTLY the threshold stays in-session
+    import spark.implicits._
+    val probe = Seq((1L, 0L), (1L, 1800L), (1L, 3601L))
+      .toDF("u", "tss")
+    val got = probe.withColumn("sid",
+      org.apache.spark.sql.functions.expr("graft_session(tss, 1800)").over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("u")).orderBy(col("tss"))))
+      .orderBy(col("tss")).collect().map(_.getLong(2)).toSeq
+    assert(got == Seq(1L, 1L, 2L), s"boundary semantics off: $got")
   }
 
   test("t19 stratified sample is a bounded top-k aggregate (no window, no table sort)") {
