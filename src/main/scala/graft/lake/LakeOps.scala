@@ -718,14 +718,23 @@ class Lake(val spark: SparkSession, val root: String,
 
   /** Merge adjacent small files (VACUUM step 2, src/pgducklake_vacuum.cpp:
     * 73-86; DuckLake `ducklake_merge_adjacent_files`): live files SMALLER
-    * than `target_file_size` are bin-packed — in file order, within one
-    * hidden-partition value — into groups whose sum stays under the target,
-    * and each group is rewritten by its own task (the plan is a union of
-    * single-partition branches, so one distributed job re-writes all groups
-    * in parallel, one output file per group). Files already at target size
-    * are NOT read or rewritten — on a 100 TB table the job touches only the
+    * than `target_file_size` are bin-packed — within one hidden-partition
+    * value — into groups whose sum stays under the target, and each group
+    * is rewritten by its own task (the plan is a union of single-partition
+    * branches, so one distributed job re-writes all groups in parallel,
+    * one output file per group). Files already at target size are NOT
+    * read or rewritten — on a 100 TB table the job touches only the
     * small-file tail, never the whole table. One snapshot swaps the file
-    * entries; row ids are preserved (explicit `_graft_row_id`). */
+    * entries; row ids are preserved (explicit `_graft_row_id`).
+    *
+    * Pack order (r14, VERDICT r13 #3): when the table has sort keys and
+    * every small file carries usable leading-key stats, files pack in
+    * LEADING-KEY RANGE order (min for ascending, max descending) instead
+    * of fileId order — same I/O, but merging range-adjacent files keeps
+    * (or creates) pairwise-DISJOINT output ranges, so routine maintenance
+    * preserves the multi-file SPJ sort-elision report instead of silently
+    * interleaving ranges until a full rewriteSorted. Tables without sort
+    * keys or stats keep the fileId order. */
   def mergeAdjacentFiles(table: String): Long = {
     aclSuper("merge_adjacent_files")
     requireNotInTransaction("mergeAdjacentFiles")
@@ -737,10 +746,38 @@ class Lake(val spark: SparkSession, val root: String,
     val target = optionTag(st, tid, "target_file_size")
       .map(LakeOptions.parseBytes).getOrElse(LakeOptions.DefaultTargetFileSize)
     val live = st.filesAt(tid, cur)
+    val packOrder: Vector[DataFileEntry] => Vector[DataFileEntry] = {
+      // safety valve / A-B gate (metadata-only: the job reads and writes
+      // the same bytes either way, only the grouping changes)
+      val rangeAware = spark.conf
+        .getOption("spark.graft.lake.rangeAwareCompaction").forall(_.toBoolean)
+      val k1 = if (rangeAware) st.sortKeysAt(tid, cur).headOption else None
+      val dt = k1.flatMap(k => st.columnsAt(tid, cur).find(_.name == k.expr))
+        .map(_.dataType)
+      (k1, dt) match {
+        case (Some(k), Some(t)) => fs => {
+          // range key per file: min (asc) / max (desc); any file without a
+          // comparable bound keeps the whole partition on fileId order
+          val keyed = fs.map { f =>
+            val s = st.statsFor(f.fileId).find(_.columnName == k.expr)
+            val bound = s.flatMap(x => if (k.ascending) x.minValue else x.maxValue)
+              .filter(b => Pruning.cmpTyped(t, b, b).isDefined)
+            (f, bound)
+          }
+          if (keyed.exists(_._2.isEmpty)) fs.sortBy(_.fileId)
+          else keyed.sortWith { case ((fa, Some(a)), (fb, Some(b))) =>
+            val c = Pruning.cmpTyped(t, a, b).get
+            if (c != 0) (c < 0) == k.ascending else fa.fileId < fb.fileId
+          case _ => false
+          }.map(_._1)
+        }
+        case _ => _.sortBy(_.fileId)
+      }
+    }
     val groups: Seq[Vector[DataFileEntry]] = live
       .filter(_.fileSizeBytes < target)
       .groupBy(_.partitionValues).toSeq.sortBy(_._1.toString)
-      .flatMap { case (_, fs) => LakeOptions.binPack(fs.sortBy(_.fileId), target) }
+      .flatMap { case (_, fs) => LakeOptions.binPack(packOrder(fs), target) }
       .filter(_.length >= 2)
     if (groups.isEmpty) return cur
     // one single-partition branch per group: each task reads exactly its
