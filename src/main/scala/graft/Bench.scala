@@ -69,6 +69,35 @@ object Bench {
     def diskFreeGb(): Double =
       new java.io.File(sys.props("java.io.tmpdir")).getUsableSpace / 1e9
     val sentinelStart = sentinel()
+    // Sentinel-band gate (r14, VERDICT r13 #6): compare against the
+    // PREVIOUS committed artifact at the same path, so a round-over-round
+    // total that moved on ambient machine state (r13: +8% suite-wide with
+    // sentinels 35-55% high) carries its own explanation. Drift > 25%
+    // re-measures the sentinel once (transient spikes settle) and keeps
+    // the better reading; the band (prev, drift%) is recorded either way.
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json"))
+    val prevSentinel: Option[Double] =
+      if (!java.nio.file.Files.exists(outPath)) None
+      else "\"sentinel_start\":([0-9.Ee+-]+)".r
+        .findFirstMatchIn(new String(
+          java.nio.file.Files.readAllBytes(outPath), "UTF-8"))
+        .map(_.group(1).toDouble).filter(_ > 0)
+    val (sentinelStart2, sentinelDriftPct) = prevSentinel match {
+      case Some(prev) =>
+        val drift = (sentinelStart - prev) / prev * 100
+        if (math.abs(drift) > 25) {
+          val again = sentinel()
+          val best = math.min(sentinelStart, again)
+          (best, (best - prev) / prev * 100)
+        } else (sentinelStart, drift)
+      case None => (sentinelStart, 0.0)
+    }
+    val sentinelBand = prevSentinel.map(prev =>
+      s""""sentinel_prev":$prev,"sentinel_drift_pct":${String.format(java.util.Locale.ROOT, "%.1f", Double.box(sentinelDriftPct))}""" +
+        (if (math.abs(sentinelDriftPct) > 25)
+          ""","sentinel_note":"ambient drift >25% vs previous artifact; absolute timings this sweep are not comparable round-over-round" """.trim
+        else "")).getOrElse("")
     // SPARK_GRAFT_ONLY=q01_pricing_summary,q03_... restricts the suite —
     // used for the large-sf job-floor bench where the lakehouse op
     // sequences (create/DML per invocation) are not the object of study
@@ -110,12 +139,12 @@ object Bench {
     val runsJson = allRuns.map { case (k, ts) =>
       s"\"" + k + "\":[" + ts.mkString(",") + "]"
     }.mkString("{", ",", "}")
+    val bandField = if (sentinelBand.isEmpty) "" else s",$sentinelBand"
     val full = s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,""" +
-      s""""queries":$qs,"runs":$runsJson,"sentinel_start":$sentinelStart,""" +
-      s""""sentinel_end":$sentinelEnd,"disk_free_gb_start":$diskStart,""" +
+      s""""queries":$qs,"runs":$runsJson,"sentinel_start":$sentinelStart2,""" +
+      s""""sentinel_end":$sentinelEnd$bandField,"disk_free_gb_start":$diskStart,""" +
       s""""disk_free_gb_end":$diskEnd,"sf":"$sfDir","epoch_ms":${System.currentTimeMillis}}"""
-    val out = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json"))
+    val out = outPath
     java.nio.file.Files.write(out, full.getBytes("UTF-8"))
     // Stdout tail LAST, and bounded: the driver's BENCH_r{N}.json keeps only
     // a ~2000-char stdout tail, so a 124-entry full-precision map gets its
@@ -129,7 +158,7 @@ object Bench {
       val body = m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$body,""" +
-        s""""sentinel_start":${fmt(sentinelStart)},"sentinel_end":${fmt(sentinelEnd)},""" +
+        s""""sentinel_start":${fmt(sentinelStart2)},"sentinel_end":${fmt(sentinelEnd)}$bandField,""" +
         s""""disk_free_gb_start":${fmt(diskStart)},"disk_free_gb_end":${fmt(diskEnd)}""" +
         extra + s""","sf":"$sfDir"}"""
     }
