@@ -29,6 +29,10 @@ object Bench {
     sys.env.get("SPARK_GRAFT_MAXPART_MB").foreach(mb =>
       builder.config("spark.sql.files.maxPartitionBytes", s"${mb}MB")
         .config("spark.sql.files.openCostInBytes", s"${256 * 1024}"))
+    // free-form conf overrides for A/B runs: "k=v;k=v" (PerfLab's idiom)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.contains("=")).foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+    })
     graft.queries.Tables.sessionConf.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

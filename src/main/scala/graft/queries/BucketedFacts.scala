@@ -40,16 +40,21 @@ object BucketedFacts {
   /** bump when the fixture layout changes — stale roots rebuild */
   private val Version = "v3" // v3: buckets sorted on their key (ordering report)
 
-  /** Layout knob (r13, VERDICT r12 #8): `compact` (default) compacts each
-    * bucket to ONE sorted file — the best-case ordering-report layout but
-    * an unbounded file size at 100 TB; `bounded` rewriteSorted-splits each
+  /** Layout knob (r13, VERDICT r12 #8): `compact` compacts each bucket to
+    * ONE sorted file — the best-case ordering-report layout but an
+    * unbounded file size at 100 TB; `bounded` rewriteSorted-splits each
     * bucket at a 16 MB target into SEVERAL sorted files with pairwise
     * DISJOINT key ranges — the layout a real deployment keeps (bounded
     * files, compaction never rewrites a whole bucket), eligible for the
     * ordering report via the r13 multi-file disjoint-range rule. The two
-    * layouts build into different roots so an A/B regrade can hold both. */
+    * layouts build into different roots so an A/B regrade can hold both.
+    *
+    * r14 (VERDICT r13 #1): `bounded` is the DEFAULT — it is the only
+    * layout a 100 TB table can actually have, so the graded b-twin cells
+    * measure it; `compact` stays available as the recorded best-case
+    * bound. */
   private def layoutOf(s: SparkSession): String =
-    s.conf.get("spark.graft.bucketFixture.layout", "compact")
+    s.conf.get("spark.graft.bucketFixture.layout", "bounded")
 
   private def dirBytes(path: String): Long = {
     val f = new File(path)

@@ -471,7 +471,19 @@ private[graft] class KeyGroupedParquetScan(
       new MetadataFileIndex(spark, groups.flatMap(_._2)), dataSchema,
       requiredSchema, StructType(Nil), filters, CaseInsensitiveStringMap.empty())
       .createReaderFactory()
-    new UnwrapKeyedFactory(inner)
+    // r14 (VERDICT r13 #1): a FUSED key-group partition chains its files
+    // serially — each boundary pays footer read + row-group planning. The
+    // lookahead factory builds file i+1's reader on a background thread
+    // while file i streams. Default OFF after measurement: on a WARM
+    // local[32] box the per-file setup is page-cached CPU work, so the
+    // extra threads only contend with saturated compute (b-twins at sf100
+    // bounded: ON 8.87/17.42 s vs OFF 8.38/17.00 s for q05b/q07b; a
+    // 16-thread pool measured no better — BASELINE.md r14). The knob
+    // exists for COLD object storage, where a footer read is a network
+    // RTT the chain otherwise stalls on.
+    val lookahead = spark.conf
+      .getOption("spark.graft.lake.lookaheadReaders").exists(_.toBoolean)
+    new UnwrapKeyedFactory(inner, lookahead)
   }
 }
 
@@ -481,17 +493,104 @@ private[graft] case class KeyedFilePartition(inner: InputPartition, key: Interna
   override def preferredLocations(): Array[String] = inner.preferredLocations()
 }
 
-/** delegates to Spark's parquet reader factory, unwrapping the key carrier */
-private[graft] class UnwrapKeyedFactory(inner: PartitionReaderFactory)
+/** delegates to Spark's parquet reader factory, unwrapping the key carrier;
+  * with `lookahead` on, a multi-file [[FilePartition]] reads through
+  * [[LookaheadChainReader]] (file i+1's reader builds while file i streams) */
+private[graft] class UnwrapKeyedFactory(inner: PartitionReaderFactory,
+    lookahead: Boolean = false)
   extends PartitionReaderFactory {
   private def unwrap(p: InputPartition): InputPartition =
     p.asInstanceOf[KeyedFilePartition].inner
+  private def singles(fp: FilePartition): IndexedSeq[InputPartition] =
+    fp.files.map(f => FilePartition(fp.index, Array(f)): InputPartition).toIndexedSeq
   override def supportColumnarReads(p: InputPartition): Boolean =
     inner.supportColumnarReads(unwrap(p))
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    inner.createReader(unwrap(p))
+    unwrap(p) match {
+      case fp: FilePartition if lookahead && fp.files.length > 1 =>
+        new LookaheadChainReader[InternalRow](singles(fp), inner.createReader)
+      case u => inner.createReader(u)
+    }
   override def createColumnarReader(p: InputPartition) =
-    inner.createColumnarReader(unwrap(p))
+    unwrap(p) match {
+      case fp: FilePartition if lookahead && fp.files.length > 1 =>
+        new LookaheadChainReader(singles(fp), inner.createColumnarReader)
+      case u => inner.createColumnarReader(u)
+    }
+}
+
+/** executor-side shared pool for reader prefetch: sized by
+  * `spark.graft.lake.prefetchThreads` (default: half the executor's
+  * cores, min 4) — too narrow and a wave of tasks hitting file
+  * boundaries together queues behind the pool, inverting the benefit */
+private[graft] object ReaderPrefetch {
+  lazy val pool: java.util.concurrent.ExecutorService = {
+    val n = Option(org.apache.spark.SparkEnv.get)
+      .map(_.conf.getInt("spark.graft.lake.prefetchThreads",
+        math.max(4, Runtime.getRuntime.availableProcessors() / 2)))
+      .getOrElse(4)
+    java.util.concurrent.Executors.newFixedThreadPool(n, r => {
+      val t = new Thread(r, "graft-reader-prefetch")
+      t.setDaemon(true)
+      t
+    })
+  }
+}
+
+/** Chains single-file readers over a fused key-group's files with ONE-file
+  * lookahead: while file i streams, file i+1's reader (footer read,
+  * row-group planning, filter pushdown) is created on [[ReaderPrefetch]]'s
+  * pool under the caller's TaskContext — the per-file setup latency the
+  * bounded multi-file layout pays at every boundary overlaps with compute
+  * instead of stalling the task. At most two readers are open per task. */
+private[graft] class LookaheadChainReader[T](
+    parts: IndexedSeq[InputPartition],
+    create: InputPartition => PartitionReader[T]) extends PartitionReader[T] {
+
+  private val tc = org.apache.spark.TaskContext.get()
+  private var idx = 0
+  private var current: PartitionReader[T] = _
+  private var pending: java.util.concurrent.Future[PartitionReader[T]] = _
+
+  private def submit(i: Int): Unit =
+    pending =
+      if (i >= parts.length) null
+      else ReaderPrefetch.pool.submit(
+        new java.util.concurrent.Callable[PartitionReader[T]] {
+          override def call(): PartitionReader[T] = {
+            // reader creation may consult the task context (metrics,
+            // completion listeners) — propagate the caller's
+            val prev = org.apache.spark.TaskContext.get()
+            org.apache.spark.TaskContext.setTaskContext(tc)
+            try create(parts(i))
+            finally org.apache.spark.TaskContext.setTaskContext(prev)
+          }
+        })
+
+  override def next(): Boolean = {
+    while (true) {
+      if (current == null) {
+        if (idx >= parts.length) return false
+        current = if (pending != null) pending.get() else create(parts(idx))
+        pending = null
+        idx += 1
+        submit(idx)
+      }
+      if (current.next()) return true
+      current.close()
+      current = null
+    }
+    false // unreachable
+  }
+
+  override def get(): T = current.get()
+
+  override def close(): Unit = {
+    if (current != null) current.close()
+    // a task dying mid-chain must not leak the prefetched reader
+    if (pending != null)
+      try pending.get().close() catch { case _: Exception => () }
+  }
 }
 
 /** A [[PartitioningAwareFileIndex]] backed entirely by catalog metadata:
