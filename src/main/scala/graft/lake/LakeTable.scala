@@ -529,10 +529,21 @@ private[graft] class LakeNativeScan(
         org.apache.spark.sql.graft.NativeParquet.parquetScan(
           session, sizes, table.schema(), readSchema(), pushed)
     }
-    else
+    else {
+      // the delete-aware tier keeps the ordering report too (r14, VERDICT
+      // r13 stretch #9): position skipping preserves file order, so a
+      // sorted bucket's SMJ stays sort-free while a merge-on-read overlay
+      // is live — vacuum is a cost optimization, not a planning gate
+      val (ordering, orderedKeyed) = grouped match {
+        case Some((keyCols, groups)) =>
+          val (o, og) = table.reportableOrdering(files, groups, readSchema())
+          (o, Some((keyCols, og)))
+        case None => (Array.empty[Meta.SortKey], None)
+      }
       org.apache.spark.sql.graft.NativeParquet.deleteAwareScan(
         session, sizes, deletesByFile, table.schema(), readSchema(), pushed,
-        keyed = grouped, spjMode = spjMode)
+        keyed = orderedKeyed, spjMode = spjMode, ordering = ordering)
+    }
   }
 
   override def outputPartitioning(): Partitioning = inner match {

@@ -143,10 +143,11 @@ object NativeParquet {
       readSchema: StructType,
       filters: Array[Filter],
       keyed: Option[(Array[graft.lake.Meta.PartitionKey], Seq[(InternalRow, Seq[(String, Long)])])] = None,
-      spjMode: Option[String] = None): Scan = {
+      spjMode: Option[String] = None,
+      ordering: Array[graft.lake.Meta.SortKey] = Array.empty): Scan = {
     val classic = spark.asInstanceOf[ClassicSparkSession]
     new LakeDeleteAwareScan(classic, files, deletesByFile, dataSchema, readSchema,
-      filters, keyed, spjMode)
+      filters, keyed, spjMode, ordering)
   }
 }
 
@@ -160,8 +161,10 @@ private[graft] class LakeDeleteAwareScan(
     requiredSchema: StructType,
     filters: Array[Filter],
     keyed: Option[(Array[graft.lake.Meta.PartitionKey], Seq[(InternalRow, Seq[(String, Long)])])] = None,
-    spjMode: Option[String] = None)
-  extends Scan with Batch with SupportsReportPartitioning {
+    spjMode: Option[String] = None,
+    ordering: Array[graft.lake.Meta.SortKey] = Array.empty)
+  extends Scan with Batch with SupportsReportPartitioning
+  with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
   override def readSchema(): StructType = requiredSchema
 
@@ -171,6 +174,14 @@ private[graft] class LakeDeleteAwareScan(
     s"graft-lake delete-aware scan (${files.size} files, " +
       s"${deletesByFile.count(_._2.nonEmpty)} with deletes" +
       keyed.map(k => s", key-grouped on ${k._1.map(_.label).mkString(",")}").getOrElse("") + ")"
+
+  /** position skipping preserves each file's row order, so a sorted
+    * group's concatenation stays ordered under a live delete overlay —
+    * the same eligibility LakeTable.reportableOrdering proved for the
+    * clean tier applies verbatim (the groups arrive range-reordered) */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    ordering.map(NativeParquet.v2SortOrder)
 
   // with key groups a co-partitioned join stays shuffle-free even while a
   // merge-on-read overlay is live (vacuum is not a prerequisite for SPJ)

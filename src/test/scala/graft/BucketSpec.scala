@@ -717,6 +717,74 @@ class BucketSpec extends AnyFunSuite {
     }
   }
 
+  test("SPJ survives live positional deletes (delete-aware key-grouped tier)") {
+    // r14 (VERDICT r13 stretch #9): a DELETE on a bucketed table must not
+    // silently forfeit the storage-partitioned join until rewrite — the
+    // delete-aware scan reports the same KeyGroupedPartitioning, applying
+    // positions executor-locally inside each key group's readers
+    val lake = new Lake(spark, Files.createTempDirectory("graft_bdel").toString)
+    def mk(name: String, rows: Long): Unit = {
+      lake.createTable(s"main.$name", spark.range(0, 1).selectExpr(
+        "id AS k", "id AS v").schema,
+        partitionKeys = List(PartitionKey(BucketTransform(8), "k")))
+      lake.append(s"main.$name",
+        spark.range(0, rows).selectExpr("id % 500 AS k", "id AS v"))
+    }
+    mk("da2", 2000); mk("db2", 1500)
+    // live positional deletes on BOTH sides, not vacuumed
+    lake.delete("main.da2", col("v") % 4 === 0)
+    lake.delete("main.db2", col("v") % 5 === 0)
+    val st = lake.store.state()
+    val e = st.tableAt("main", "da2", st.currentSnapshotId).get
+    assert(st.deleteFilesAt(e.tableId, st.currentSnapshotId).nonEmpty,
+      "fixture must carry live delete files")
+    val cat = s"bdel${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", lake.root)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = spark.sql(s"SELECT count(*) AS n " +
+        s"FROM $cat.main.da2 a JOIN $cat.main.db2 b ON a.k = b.k")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"live deletes forfeited SPJ:\n$plan")
+      // oracle outside the lake: same data, same deletes
+      val left = spark.range(0, 2000).selectExpr("id % 500 AS k", "id AS v")
+        .filter(col("v") % 4 =!= 0)
+      val right = spark.range(0, 1500).selectExpr("id % 500 AS k", "id AS v")
+        .filter(col("v") % 5 =!= 0)
+      assert(q.head.getLong(0) == left.join(right, "k").count())
+
+      // SORTED buckets keep the ordering report through a live delete
+      // too: position skipping preserves file order, so the SMJ plans
+      // sort-free while the merge-on-read overlay is live
+      def mkSorted(name: String, rows: Long): Unit = {
+        lake.createTable(s"main.$name", spark.range(0, 1).selectExpr(
+          "id AS k", "id AS v").schema,
+          partitionKeys = List(PartitionKey(BucketTransform(8), "k")),
+          sortKeys = List(Meta.SortKey("k", ascending = true, nullsFirst = true)))
+        lake.append(s"main.$name",
+          spark.range(0, rows).selectExpr("id % 500 AS k", "id AS v"))
+        lake.rewriteSorted(s"main.$name")
+      }
+      mkSorted("sda", 2000); mkSorted("sdb", 1500)
+      lake.delete("main.sda", col("v") % 4 === 0)
+      val q2 = spark.sql(s"SELECT count(*) AS n " +
+        s"FROM $cat.main.sda a JOIN $cat.main.sdb b ON a.k = b.k")
+      val plan2 = q2.queryExecution.executedPlan.toString
+      assert(!plan2.contains("Exchange hashpartitioning"),
+        s"live delete on sorted buckets forfeited SPJ:\n$plan2")
+      assert(!plan2.contains("Sort ["),
+        s"live delete on sorted buckets forfeited the ordering report:\n$plan2")
+      assert(q2.head.getLong(0) ==
+        left.join(spark.range(0, 1500).selectExpr("id % 500 AS k"), "k").count())
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("DPP: a runtime IN filter on the bucketed key re-prunes the file list") {
     val (lake, _) = bucketedLake(8)
     val st = lake.store.state()
