@@ -51,10 +51,14 @@ class PlanNetSpec extends AnyFunSuite {
     "q26_pivot" -> 3,
     "q27_sessionize" -> 2)
 
-  // q15's BroadcastNestedLoopJoin is the scalar-subquery idiom: the build
-  // side is ONE aggregated row (crossJoin(broadcast(avg))) — linear, not
-  // quadratic. Everything else must stay equi-join shaped.
-  private val nljAllowed = Set("q15_above_avg")
+  // Allowed nested-loop joins — each has a BOUNDED broadcast side, so the
+  // shape is linear in the big side, not quadratic:
+  //   q15: ONE aggregated row (the scalar-subquery idiom)
+  //   v01/v05/v07/v08: the tiny fixed QUERY set (|queries| rows) crossed
+  //   against the (IVF/quantization-restricted) corpus — the documented
+  //   kNN scoring shape; candidate restriction happened before the cross
+  private val nljAllowed = Set("q15_above_avg", "v01_knn_brute",
+    "v05_knn_ivf", "v07_ivf_partitioned", "v08_quantized_rerank")
 
   private def observe(): Map[String, Int] =
     SparkEntry.queries.keys.filter(_.startsWith("q")).toSeq.sorted.map { name =>
@@ -63,8 +67,13 @@ class PlanNetSpec extends AnyFunSuite {
       name -> "Exchange".r.findAllIn(plan).size
     }.toMap
 
-  test("no q-entry plans a cartesian or nested-loop join") {
-    val bad = SparkEntry.queries.keys.filter(_.startsWith("q"))
+  test("no q/t/v/m entry plans a cartesian or nested-loop join") {
+    // t/v/m (dedup, ANN, multimodal) are exactly where an accidental
+    // all-pairs shape would be a 100 TB catastrophe — the candidate
+    // generation must stay equi-join/bucketed
+    val bad = SparkEntry.queries.keys
+      .filter(n => n.startsWith("q") || n.startsWith("t") ||
+        n.startsWith("v") || n.startsWith("m"))
       .filterNot(nljAllowed).toSeq.sorted.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
