@@ -149,6 +149,19 @@ class LocalFoldSpec extends AnyFunSuite {
       "a folded dim⋈dim probe must not submit jobs (broadcast included)")
   }
 
+  test("prepared constants serve across sessions (session-free LocalRelation)") {
+    // r14 (ADVICE): the cache holds only attributes + rows — a SECOND
+    // session must be served the same folded result without pinning or
+    // leaking the first session, and still at zero jobs
+    val first = SparkEntry.queries("q21_unnest_zip")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val s2 = spark.newSession()
+    val viaS2 = SparkEntry.queries("q21_unnest_zip")(s2, sf)
+    assert(optimized(viaS2).isInstanceOf[LocalRelation], optimized(viaS2).toString)
+    assert(viaS2.collect().map(_.toString).toSeq == first)
+    assert(countJobs(viaS2.collect()) == 0)
+  }
+
   test("q21/q22 registry entries fold fully and match their unfolded rows") {
     def q21 = SparkEntry.queries("q21_unnest_zip")(spark, sf)
     def q22 = SparkEntry.queries("q22_generate_series")(spark, sf)

@@ -585,6 +585,48 @@ class MaterializedViewSpec extends AnyFunSuite {
     }
   }
 
+  test("join-source MV: COMPOSITE dim keys fold dim deltas (isin-superset probe)") {
+    // the per-column IN prefilter is a conservative SUPERSET for composite
+    // keys — the equi-join keeps exactness; this exercises that path
+    val lake = mkLake()
+    import spark.implicits._
+    lake.createTableAs("main.fact",
+      Seq((1L, 10L, 100L), (1L, 20L, 200L), (2L, 10L, 5L), (2L, 20L, 7L))
+        .toDF("fk1", "fk2", "x"))
+    lake.createTableAs("main.dim",
+      Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 10L, "a"), (2L, 20L, "b"))
+        .toDF("k1", "k2", "seg"))
+    lake.createMaterializedView("main.mv", "main.fact",
+      groupCols = Seq("seg"), sumCols = Seq("x"),
+      dimTable = Some("main.dim"),
+      dimKeys = Seq(("fk1", "k1"), ("fk2", "k2")))
+    def oracle(): Map[String, (Long, Long)] =
+      lake.table("main.fact").alias("f")
+        .join(lake.table("main.dim").alias("d"),
+          col("f.fk1") === col("d.k1") && col("f.fk2") === col("d.k2"))
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"), coalesce(sum(col("x")), lit(0L)).as("s"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(mvState(lake) == oracle())
+    // composite-key dim update: (1,20) moves b→c. The column-wise IN
+    // prefilter keeps a SUPERSET — fk1∈{1} × fk2∈{20} here, exact — but
+    // a second change makes it a true superset: (2,10) moves a→c too,
+    // so the prefilter admits (1,10) and (2,20) rows that no change
+    // touched; the equi-join must drop them from the delta
+    lake.update("main.dim", col("k1") === 1L && col("k2") === 20L,
+      Map("seg" -> lit("c")))
+    lake.update("main.dim", col("k1") === 2L && col("k2") === 10L,
+      Map("seg" -> lit("c")))
+    lake.refreshMaterializedView("main.mv")
+    assert(mvState(lake) == oracle())
+    assert(mvState(lake) == Map("a" -> (1L, 100L), "b" -> (1L, 7L), "c" -> (2L, 205L)))
+    // composite-key dim DELETE orphans exactly its fact row
+    lake.delete("main.dim", col("k1") === 2L && col("k2") === 20L)
+    lake.refreshMaterializedView("main.mv")
+    assert(mvState(lake) == oracle())
+    assert(!mvState(lake).contains("b"))
+  }
+
   test("join-source MV: dim compaction is NOT staleness; idle refresh early-outs") {
     val lake = mkJoinMv()
     import spark.implicits._
