@@ -483,6 +483,14 @@ class FuzzSpec extends AnyFunSuite {
   // r14: a seed chosen to interleave dim deletes/updates with fact DML in
   // shared refresh windows (dim churn fires every 7 ops incl. deletes now)
   test("fuzz seed 1404, 30 ops (dim-delta windows)")(runFuzz(1404, 30))
+  // opt-in LONG fuzz: GRAFT_FUZZ_SEED=<seed>[:<ops>] runs an arbitrary
+  // schedule without bloating CI time — used for one-off deep shakes
+  sys.env.get("GRAFT_FUZZ_SEED").foreach { spec =>
+    val parts = spec.split(':')
+    val (seed, ops) = (parts(0).toInt,
+      if (parts.length > 1) parts(1).toInt else 60)
+    test(s"fuzz seed $seed, $ops ops (env-driven)")(runFuzz(seed, ops))
+  }
   test("fuzz seed 31, 24 ops over the JDBC catalog (Derby unique-key CAS)")(
     runFuzz(31, 24, jdbc = true))
 }
