@@ -361,7 +361,9 @@ object LakeMaterializedView {
         st.inlined.exists(b => b.tableId == dt &&
           b.end.exists(s => in(s) && hasDimTag(s, insertish)))
     }
-    val dimDelta = !dimReplaced && dimTid.exists { dt =>
+    // !replaced: a fact replace full-recomputes below regardless — don't
+    // pay the dim change-feed job + driver probe just to discard it
+    val dimDelta = !replaced && !dimReplaced && dimTid.exists { dt =>
       val hasDimTag = hasTagFor(dt) _
       st.files.exists(f => f.tableId == dt &&
           in(f.begin) && hasDimTag(f.begin, logicalTags)) ||

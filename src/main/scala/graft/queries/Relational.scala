@@ -119,6 +119,11 @@ object Relational {
       case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
         preparedConstants.put(key, l)
         org.apache.spark.sql.graft.StreamingBatch.ofRows(s, l)
+      // NOT folded (e.g. maxRows lowered below the query's cardinality):
+      // nothing session-free to cache — a Dataset would pin its session
+      // (the r13 leak) — so the caller re-plans per call; acceptable
+      // because an unfolded "constant" is already paying job costs that
+      // dwarf the ~18 ms Catalyst work
       case _ => df
     }
   }

@@ -494,7 +494,11 @@ private[graft] class KeyGroupedParquetScan(
     // RTT the chain otherwise stalls on.
     val lookahead = spark.conf
       .getOption("spark.graft.lake.lookaheadReaders").exists(_.toBoolean)
-    new UnwrapKeyedFactory(inner, lookahead)
+    // resolve the pool-size knob DRIVER-side from the session conf (the
+    // executor singleton would only see the static SparkConf) and ship it
+    val threads = spark.conf
+      .getOption("spark.graft.lake.prefetchThreads").map(_.toInt)
+    new UnwrapKeyedFactory(inner, lookahead, threads)
   }
 }
 
@@ -508,7 +512,8 @@ private[graft] case class KeyedFilePartition(inner: InputPartition, key: Interna
   * with `lookahead` on, a multi-file [[FilePartition]] reads through
   * [[LookaheadChainReader]] (file i+1's reader builds while file i streams) */
 private[graft] class UnwrapKeyedFactory(inner: PartitionReaderFactory,
-    lookahead: Boolean = false)
+    lookahead: Boolean = false,
+    prefetchThreads: Option[Int] = None)
   extends PartitionReaderFactory {
   private def unwrap(p: InputPartition): InputPartition =
     p.asInstanceOf[KeyedFilePartition].inner
@@ -519,32 +524,42 @@ private[graft] class UnwrapKeyedFactory(inner: PartitionReaderFactory,
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     unwrap(p) match {
       case fp: FilePartition if lookahead && fp.files.length > 1 =>
-        new LookaheadChainReader[InternalRow](singles(fp), inner.createReader)
+        new LookaheadChainReader[InternalRow](singles(fp), inner.createReader,
+          prefetchThreads)
       case u => inner.createReader(u)
     }
   override def createColumnarReader(p: InputPartition) =
     unwrap(p) match {
       case fp: FilePartition if lookahead && fp.files.length > 1 =>
-        new LookaheadChainReader(singles(fp), inner.createColumnarReader)
+        new LookaheadChainReader(singles(fp), inner.createColumnarReader,
+          prefetchThreads)
       case u => inner.createColumnarReader(u)
     }
 }
 
-/** executor-side shared pool for reader prefetch: sized by
-  * `spark.graft.lake.prefetchThreads` (default: half the executor's
-  * cores, min 4) — too narrow and a wave of tasks hitting file
-  * boundaries together queues behind the pool, inverting the benefit */
+/** executor-side shared pool for reader prefetch: sized by the
+  * `spark.graft.lake.prefetchThreads` SESSION conf (resolved driver-side
+  * and shipped with the factory; default: half the executor's cores,
+  * min 4) — too narrow and a wave of tasks hitting file boundaries
+  * together queues behind the pool, inverting the benefit. The size is
+  * pinned at first use for the executor's lifetime. */
 private[graft] object ReaderPrefetch {
-  lazy val pool: java.util.concurrent.ExecutorService = {
-    val n = Option(org.apache.spark.SparkEnv.get)
-      .map(_.conf.getInt("spark.graft.lake.prefetchThreads",
-        math.max(4, Runtime.getRuntime.availableProcessors() / 2)))
-      .getOrElse(4)
-    java.util.concurrent.Executors.newFixedThreadPool(n, r => {
-      val t = new Thread(r, "graft-reader-prefetch")
-      t.setDaemon(true)
-      t
-    })
+  @volatile private var shared: java.util.concurrent.ExecutorService = _
+  def pool(sizeHint: Option[Int]): java.util.concurrent.ExecutorService = {
+    val p = shared
+    if (p != null) p
+    else synchronized {
+      if (shared == null) {
+        val n = sizeHint.getOrElse(
+          math.max(4, Runtime.getRuntime.availableProcessors() / 2))
+        shared = java.util.concurrent.Executors.newFixedThreadPool(n, r => {
+          val t = new Thread(r, "graft-reader-prefetch")
+          t.setDaemon(true)
+          t
+        })
+      }
+      shared
+    }
   }
 }
 
@@ -556,7 +571,8 @@ private[graft] object ReaderPrefetch {
   * instead of stalling the task. At most two readers are open per task. */
 private[graft] class LookaheadChainReader[T](
     parts: IndexedSeq[InputPartition],
-    create: InputPartition => PartitionReader[T]) extends PartitionReader[T] {
+    create: InputPartition => PartitionReader[T],
+    prefetchThreads: Option[Int] = None) extends PartitionReader[T] {
 
   private val tc = org.apache.spark.TaskContext.get()
   private var idx = 0
@@ -566,7 +582,7 @@ private[graft] class LookaheadChainReader[T](
   private def submit(i: Int): Unit =
     pending =
       if (i >= parts.length) null
-      else ReaderPrefetch.pool.submit(
+      else ReaderPrefetch.pool(prefetchThreads).submit(
         new java.util.concurrent.Callable[PartitionReader[T]] {
           override def call(): PartitionReader[T] = {
             // reader creation may consult the task context (metrics,
@@ -597,9 +613,10 @@ private[graft] class LookaheadChainReader[T](
   override def get(): T = current.get()
 
   override def close(): Unit = {
-    if (current != null) current.close()
-    // a task dying mid-chain must not leak the prefetched reader
-    if (pending != null)
+    // a task dying mid-chain must not leak the prefetched reader — even
+    // when closing the current one throws
+    try { if (current != null) current.close() }
+    finally if (pending != null)
       try pending.get().close() catch { case _: Exception => () }
   }
 }

@@ -484,12 +484,20 @@ class FuzzSpec extends AnyFunSuite {
   // shared refresh windows (dim churn fires every 7 ops incl. deletes now)
   test("fuzz seed 1404, 30 ops (dim-delta windows)")(runFuzz(1404, 30))
   // opt-in LONG fuzz: GRAFT_FUZZ_SEED=<seed>[:<ops>] runs an arbitrary
-  // schedule without bloating CI time — used for one-off deep shakes
-  sys.env.get("GRAFT_FUZZ_SEED").foreach { spec =>
-    val parts = spec.split(':')
-    val (seed, ops) = (parts(0).toInt,
-      if (parts.length > 1) parts(1).toInt else 60)
-    test(s"fuzz seed $seed, $ops ops (env-driven)")(runFuzz(seed, ops))
+  // schedule without bloating CI time — used for one-off deep shakes.
+  // A malformed value must not abort the SUITE (the seeded CI tests
+  // above), so the parse is total and bad input becomes a failing test.
+  sys.env.get("GRAFT_FUZZ_SEED").filter(_.nonEmpty).foreach { spec =>
+    scala.util.Try {
+      val parts = spec.split(':')
+      (parts(0).trim.toInt, if (parts.length > 1) parts(1).trim.toInt else 60)
+    } match {
+      case scala.util.Success((seed, ops)) =>
+        test(s"fuzz seed $seed, $ops ops (env-driven)")(runFuzz(seed, ops))
+      case scala.util.Failure(_) =>
+        test(s"env-driven fuzz (malformed GRAFT_FUZZ_SEED)")(
+          fail(s"GRAFT_FUZZ_SEED must be <seed>[:<ops>], got: $spec"))
+    }
   }
   test("fuzz seed 31, 24 ops over the JDBC catalog (Derby unique-key CAS)")(
     runFuzz(31, 24, jdbc = true))
