@@ -627,6 +627,46 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(!mvState(lake).contains("b"))
   }
 
+  test("join-source MV: filterSql over DIM attributes tracks dim deltas across the predicate") {
+    // a dim UPDATE moving a key across the filter boundary must fold as
+    // (−1 under the OLD attributes if they passed) + (+1 under the NEW
+    // attributes if they pass) — the filter runs on the enriched pre/post
+    // images independently
+    val lake = mkLake()
+    import spark.implicits._
+    lake.createTableAs("main.fact",
+      Seq((1L, 10L), (1L, 20L), (2L, 5L), (3L, 70L)).toDF("fk", "x"))
+    lake.createTableAs("main.dim",
+      Seq((1L, "red", 1L), (2L, "blue", 0L), (3L, "red", 0L))
+        .toDF("k", "seg", "active"))
+    lake.createMaterializedView("main.mv", "main.fact",
+      groupCols = Seq("seg"), sumCols = Seq("x"),
+      filterSql = Some("active = 1"),
+      dimTable = Some("main.dim"), dimKeys = Seq(("fk", "k")))
+    def oracle(): Map[String, (Long, Long)] =
+      lake.table("main.fact").alias("f")
+        .join(lake.table("main.dim").alias("d"), col("f.fk") === col("d.k"))
+        .filter(col("active") === 1L)
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"), coalesce(sum(col("x")), lit(0L)).as("s"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(mvState(lake) == oracle())
+    assert(mvState(lake) == Map("red" -> (2L, 30L)))
+    // dim delta INTO the filter: key 3 becomes active (its fact row enters)
+    lake.update("main.dim", col("k") === 3L, Map("active" -> lit(1L)))
+    lake.refreshMaterializedView("main.mv")
+    assert(mvState(lake) == oracle())
+    assert(mvState(lake) == Map("red" -> (3L, 100L)))
+    // dim delta OUT of the filter AND across groups in one window:
+    // key 1 deactivates, key 2 activates and regroups to red
+    lake.update("main.dim", col("k") === 1L, Map("active" -> lit(0L)))
+    lake.update("main.dim", col("k") === 2L,
+      Map("active" -> lit(1L), "seg" -> lit("red")))
+    lake.refreshMaterializedView("main.mv")
+    assert(mvState(lake) == oracle())
+    assert(mvState(lake) == Map("red" -> (2L, 75L)))
+  }
+
   test("join-source MV: dim compaction is NOT staleness; idle refresh early-outs") {
     val lake = mkJoinMv()
     import spark.implicits._
