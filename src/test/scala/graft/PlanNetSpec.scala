@@ -71,16 +71,21 @@ class PlanNetSpec extends AnyFunSuite {
     // t/v/m (dedup, ANN, multimodal) are exactly where an accidental
     // all-pairs shape would be a 100 TB catastrophe — the candidate
     // generation must stay equi-join/bucketed
-    val bad = SparkEntry.queries.keys
-      .filter(n => n.startsWith("q") || n.startsWith("t") ||
-        n.startsWith("v") || n.startsWith("m"))
-      .filterNot(nljAllowed).toSeq.sorted.flatMap { name =>
-      val plan = SparkEntry.queries(name)(spark, sf)
-        .queryExecution.executedPlan.toString
-      if (plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoop"))
-        Some(name)
-      else None
-    }
+    val bad =
+      try SparkEntry.queries.keys
+        .filter(n => n.startsWith("q") || n.startsWith("t") ||
+          n.startsWith("v") || n.startsWith("m"))
+        .filterNot(nljAllowed).toSeq.sorted.flatMap { name =>
+          val plan = SparkEntry.queries(name)(spark, sf)
+            .queryExecution.executedPlan.toString
+          if (plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoop"))
+            Some(name)
+          else None
+        }
+      // building t/v plans WITHOUT running them leaves CacheScope-tracked
+      // persists waiting for an action that never comes — release them so
+      // this plan-only spec doesn't poison cache-hygiene checks downstream
+      finally graft.queries.CacheScope.release(spark)
     assert(bad.isEmpty, s"quadratic joins in: $bad")
   }
 
