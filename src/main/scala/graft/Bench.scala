@@ -87,21 +87,38 @@ object Bench {
         .findFirstMatchIn(new String(
           java.nio.file.Files.readAllBytes(outPath), "UTF-8"))
         .map(_.group(1).toDouble).filter(_ > 0)
-    val (sentinelStart2, sentinelDriftPct) = prevSentinel match {
+    // ADVICE r14: keep BOTH readings and keep the note whenever the FIRST
+    // reading breached the band — the old min(first, again) could stamp a
+    // clean artifact when +30% settled to +22%, and for negative drift the
+    // min amplified rather than settled the reading.
+    val (sentinelReadings, sentinelDriftPct, sentinelBreached) = prevSentinel match {
       case Some(prev) =>
-        val drift = (sentinelStart - prev) / prev * 100
-        if (math.abs(drift) > 25) {
+        val drift1 = (sentinelStart - prev) / prev * 100
+        if (math.abs(drift1) > 25) {
           val again = sentinel()
-          val best = math.min(sentinelStart, again)
-          (best, (best - prev) / prev * 100)
-        } else (sentinelStart, drift)
-      case None => (sentinelStart, 0.0)
+          (Seq(sentinelStart, again), (again - prev) / prev * 100, true)
+        } else (Seq(sentinelStart), drift1, false)
+      case None => (Seq(sentinelStart), 0.0, false)
     }
+    val sentinelStart2 = sentinelReadings.head
     val sentinelBand = prevSentinel.map(prev =>
-      s""""sentinel_prev":$prev,"sentinel_drift_pct":${String.format(java.util.Locale.ROOT, "%.1f", Double.box(sentinelDriftPct))}""" +
-        (if (math.abs(sentinelDriftPct) > 25)
+      s""""sentinel_prev":$prev,"sentinel_readings":[${sentinelReadings.mkString(",")}],""" +
+      s""""sentinel_drift_pct":${String.format(java.util.Locale.ROOT, "%.1f", Double.box(sentinelDriftPct))}""" +
+        (if (sentinelBreached || math.abs(sentinelDriftPct) > 25)
           ""","sentinel_note":"ambient drift >25% vs previous artifact; absolute timings this sweep are not comparable round-over-round" """.trim
         else "")).getOrElse("")
+    // Per-entry medians from the previous committed artifact (VERDICT r14
+    // #1b): the CPU sentinel is blind to I/O/shuffle ambient state, so the
+    // gate also compares this sweep's medians against last sweep's.
+    val prevQueries: Map[String, Double] =
+      if (!java.nio.file.Files.exists(outPath)) Map.empty
+      else {
+        val t = new String(java.nio.file.Files.readAllBytes(outPath), "UTF-8")
+        "\"queries\":\\{([^}]*)\\}".r.findFirstMatchIn(t).map(_.group(1))
+          .map(body => "\"([A-Za-z0-9_]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap)
+          .getOrElse(Map.empty)
+      }
     // SPARK_GRAFT_ONLY=q01_pricing_summary,q03_... restricts the suite —
     // used for the large-sf job-floor bench where the lakehouse op
     // sequences (create/DML per invocation) are not the object of study
@@ -132,6 +149,29 @@ object Bench {
     val results = allRuns.map { case (name, timed) => name -> timed(timed.length / 2) }
     val sentinelEnd = sentinel()
     val diskEnd = diskFreeGb()
+    // Entry-drift gate (VERDICT r14 #1b): median-of-3 vs the previous
+    // artifact's median-of-3, per entry. Fires when >20% of comparable
+    // entries moved >40% in one direction — the r14 ambient pattern the
+    // compute sentinel could not see.
+    val (dN, dUp, dDown, dMedPct, driftNote) =
+      BenchGate.entryDrift(prevQueries, results.toMap)
+    val driftField = if (dN == 0) "" else {
+      val med = String.format(java.util.Locale.ROOT, "%.1f", Double.box(dMedPct))
+      s""","entry_drift":{"n":$dN,"up40":$dUp,"down40":$dDown,"median_drift_pct":$med}""" +
+        driftNote.map(n => s""","drift_note":"$n"""").getOrElse("")
+    }
+    // Self-describing artifact (VERDICT r14 #1c): the effective env knobs
+    // and fixture layout ride in the JSON so a leaked override is visible
+    // forensically rather than invisible in a bare timings map.
+    val envField = {
+      def j(o: Option[String]) = o.map(v =>
+        "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\"").getOrElse("null")
+      s""","env":{"graft_conf":${j(sys.env.get("SPARK_GRAFT_CONF"))},""" +
+        s""""maxpart_mb":${j(sys.env.get("SPARK_GRAFT_MAXPART_MB"))},""" +
+        s""""runs":${j(sys.env.get("SPARK_GRAFT_RUNS"))},""" +
+        s""""only":${j(sys.env.get("SPARK_GRAFT_ONLY"))},""" +
+        s""""fixture_layout":"${spark.conf.get("spark.graft.bucketFixture.layout", "bounded")}"}"""
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
@@ -143,10 +183,10 @@ object Bench {
     val runsJson = allRuns.map { case (k, ts) =>
       s"\"" + k + "\":[" + ts.mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val bandField = if (sentinelBand.isEmpty) "" else s",$sentinelBand"
+    val bandField = (if (sentinelBand.isEmpty) "" else s",$sentinelBand") + driftField
     val full = s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,""" +
       s""""queries":$qs,"runs":$runsJson,"sentinel_start":$sentinelStart2,""" +
-      s""""sentinel_end":$sentinelEnd$bandField,"disk_free_gb_start":$diskStart,""" +
+      s""""sentinel_end":$sentinelEnd$bandField$envField,"disk_free_gb_start":$diskStart,""" +
       s""""disk_free_gb_end":$diskEnd,"sf":"$sfDir","epoch_ms":${System.currentTimeMillis}}"""
     val out = outPath
     java.nio.file.Files.write(out, full.getBytes("UTF-8"))
@@ -173,5 +213,42 @@ object Bench {
         s""","queries_full":"${out.getFileName}"""")
     println(line)
     spark.stop()
+  }
+}
+
+/** Entry-drift gate (VERDICT r14 #1b), factored out so the firing
+  * condition is unit-testable against a synthetic slowdown without a
+  * Spark session.
+  */
+object BenchGate {
+  /** Compare per-entry medians against the previous artifact's.
+    *
+    * Entries whose PREVIOUS median is under `minSec` are skipped — sub-50 ms
+    * entries are planning-floor noise where a 40% band means ±20 ms.
+    * Fires (returns a note) when more than `frac` of the comparable entries
+    * moved more than `band` in ONE direction: the r14 pattern was a
+    * suite-wide +20–170% smear with a flat CPU sentinel, i.e. ambient
+    * I/O/page-cache state no compute sentinel can observe.
+    *
+    * @return (comparable entries, n moved > +band, n moved < -band,
+    *          median drift %, note if fired)
+    */
+  def entryDrift(prev: Map[String, Double], cur: Map[String, Double],
+                 band: Double = 0.40, frac: Double = 0.20,
+                 minSec: Double = 0.05, minEntries: Int = 10)
+      : (Int, Int, Int, Double, Option[String]) = {
+    val common = cur.keys.toSeq.filter(k => prev.get(k).exists(_ >= minSec))
+    val drifts = common.map(k => (cur(k) - prev(k)) / prev(k))
+    val nUp = drifts.count(_ > band)
+    val nDown = drifts.count(_ < -band)
+    val med =
+      if (drifts.isEmpty) 0.0 else drifts.sorted.apply(drifts.size / 2) * 100
+    val note =
+      if (common.size >= minEntries && math.max(nUp, nDown) > common.size * frac)
+        Some(s"entry drift: ${math.max(nUp, nDown)}/${common.size} entries moved >" +
+          s"${(band * 100).toInt}% ${if (nUp >= nDown) "slower" else "faster"} vs previous " +
+          "artifact; ambient I/O state likely shifted - totals not comparable round-over-round")
+      else None
+    (common.size, nUp, nDown, med, note)
   }
 }

@@ -378,8 +378,11 @@ object LakeMaterializedView {
     var dimOverflow = false
     val dimDeltaRows: Option[DataFrame] = if (!dimDelta) None else {
       val ds = d.dim.get
+      // a malformed knob value must degrade to the default, never abort
+      // the refresh (the recompute fallback is the safety net, not NFE)
       val maxKeys = lake.spark.conf
-        .getOption("spark.graft.mv.dimDeltaMaxKeys").map(_.toInt).getOrElse(1000)
+        .getOption("spark.graft.mv.dimDeltaMaxKeys")
+        .flatMap(_.toIntOption).getOrElse(1000)
       val dimCh = lake.tableChanges(ds.table, last, cur)
       val keyRows = dimCh.select(ds.keys.map(k => col(k._2)): _*)
         .distinct().limit(maxKeys + 1).collect()

@@ -310,7 +310,14 @@ object LocalDim {
         val df = spark.read.parquet(path)
         val rows = df.queryExecution.executedPlan.executeCollect()
         val built = LocalRelation(df.queryExecution.analyzed.output, rows.toIndexedSeq)
-        cache.synchronized(cache.put(key, built))
+        cache.synchronized {
+          // evict superseded fingerprints of the same path eagerly so the
+          // LRU bounds DISTINCT paths — otherwise repeated rewrite cycles
+          // can pin up to MaxEntries x maxBytes of dead driver row copies
+          // until the stale keys age out
+          cache.keySet.removeIf(k => k._1 == path && k._2 != fp)
+          cache.put(key, built)
+        }
         built
     }
     StreamingBatch.ofRows(spark, rel)

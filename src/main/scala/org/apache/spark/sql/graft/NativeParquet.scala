@@ -578,6 +578,14 @@ private[graft] class LookaheadChainReader[T](
   private var idx = 0
   private var current: PartitionReader[T] = _
   private var pending: java.util.concurrent.Future[PartitionReader[T]] = _
+  // close-vs-construction handoff: the pool thread publishes the reader it
+  // built here BEFORE re-checking `closed`, so a close() racing with an
+  // in-flight construction either claims the reader via getAndSet (and
+  // closes it) or the pool thread sees `closed` and closes its own work —
+  // exactly one side wins, and close() never BLOCKS on the construction
+  @volatile private var closed = false
+  private val pendingMade =
+    new java.util.concurrent.atomic.AtomicReference[PartitionReader[T]]()
 
   private def submit(i: Int): Unit =
     pending =
@@ -589,8 +597,14 @@ private[graft] class LookaheadChainReader[T](
             // completion listeners) — propagate the caller's
             val prev = org.apache.spark.TaskContext.get()
             org.apache.spark.TaskContext.setTaskContext(tc)
-            try create(parts(i))
-            finally org.apache.spark.TaskContext.setTaskContext(prev)
+            val r = try create(parts(i))
+              finally org.apache.spark.TaskContext.setTaskContext(prev)
+            pendingMade.set(r)
+            if (closed) {
+              val mine = pendingMade.getAndSet(null.asInstanceOf[PartitionReader[T]])
+              if (mine != null) try mine.close() catch { case _: Exception => () }
+            }
+            r
           }
         })
 
@@ -598,7 +612,12 @@ private[graft] class LookaheadChainReader[T](
     while (true) {
       if (current == null) {
         if (idx >= parts.length) return false
-        current = if (pending != null) pending.get() else create(parts(idx))
+        current =
+          if (pending != null) {
+            val r = pending.get()
+            pendingMade.set(null.asInstanceOf[PartitionReader[T]])
+            r
+          } else create(parts(idx))
         pending = null
         idx += 1
         submit(idx)
@@ -614,10 +633,16 @@ private[graft] class LookaheadChainReader[T](
 
   override def close(): Unit = {
     // a task dying mid-chain must not leak the prefetched reader — even
-    // when closing the current one throws
+    // when closing the current one throws. Never BLOCK on a construction
+    // still in flight (on cold object storage that's a network RTT per
+    // killed task): cancel if unstarted, claim via the handoff otherwise.
+    closed = true
     try { if (current != null) current.close() }
-    finally if (pending != null)
-      try pending.get().close() catch { case _: Exception => () }
+    finally if (pending != null) {
+      pending.cancel(false)
+      val made = pendingMade.getAndSet(null.asInstanceOf[PartitionReader[T]])
+      if (made != null) try made.close() catch { case _: Exception => () }
+    }
   }
 }
 
