@@ -246,8 +246,12 @@ object FreezeSql {
       Seq("partition_id BIGINT", "table_id BIGINT",
         "partition_key_index BIGINT", "column_id BIGINT", "transform VARCHAR"),
       st.partitionInfo.flatMap(p => p.keys.zipWithIndex.map { case (k, i) =>
+        // key names were recorded under p.begin's epoch: resolve the
+        // columnId against the columns live THEN (a reused name from a
+        // different epoch must not capture the reference)
         val colId = st.columns.find(c =>
-          c.tableId == p.tableId && c.name == k.column).map(_.columnId)
+          c.tableId == p.tableId && c.name == k.column &&
+            liveAt(c.begin, c.end, p.begin)).map(_.columnId)
         Seq(p.tableId, p.tableId, i.toLong, colId, k.transform)
       }))
 

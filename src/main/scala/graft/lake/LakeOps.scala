@@ -757,9 +757,11 @@ class Lake(val spark: SparkSession, val root: String,
       (k1, dt) match {
         case (Some(k), Some(t)) => fs => {
           // range key per file: min (asc) / max (desc); any file without a
-          // comparable bound keeps the whole partition on fileId order
+          // comparable bound keeps the whole partition on fileId order.
+          // Stats names normalized across renames (k.expr is current-name).
+          val statsAt = st.statsForAt(tid, cur, fs)
           val keyed = fs.map { f =>
-            val s = st.statsFor(f.fileId).find(_.columnName == k.expr)
+            val s = statsAt(f.fileId).find(_.columnName == k.expr)
             val bound = s.flatMap(x => if (k.ascending) x.minValue else x.maxValue)
               .filter(b => Pruning.cmpTyped(t, b, b).isDefined)
             (f, bound)

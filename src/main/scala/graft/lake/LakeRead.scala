@@ -89,8 +89,13 @@ object LakeRead {
     val colTypes = cols.map(c => c.name -> c.dataType).toMap
     val partKeys = st.partitionKeysAt(tableId, s)
     val deletes = st.deleteFilesAt(tableId, s)
-    val files0 = st.filesAt(tableId, s)
-    val files = Pruning.prune(files0, st.statsFor, colTypes, partKeys, filters)
+    // layout metadata (partition-value labels, stats names) is recorded
+    // under each file's write-epoch names — normalize to the scan
+    // snapshot's names so pruning survives RENAME COLUMN (no-op, same
+    // objects, when nothing was renamed)
+    val files0 = st.filesAt(tableId, s).map(st.fileNamesAt(tableId, s))
+    val files = Pruning.prune(files0, st.statsForAt(tableId, s, files0),
+      colTypes, partKeys, filters)
     val inlined = st.inlinedAt(tableId, s)
     val needMeta = withRowMeta || deletes.nonEmpty
 

@@ -137,6 +137,40 @@ object Meta {
       begin: Long,
       end: Option[Long])
 
+  /** Rename translation of a recorded partition-value label: bare names
+    * (identity transform) map directly; "transform(col)" — including
+    * "bucket[N](col)" — translates the inner column. Unknown shapes pass
+    * through (conservative: an untranslated label just never matches). */
+  private[lake] def translateLabel(label: String, m: Map[String, String]): String = {
+    val i = label.indexOf('(')
+    if (i < 0) m.getOrElse(label, label)
+    else if (!label.endsWith(")")) label
+    else {
+      val inner = label.substring(i + 1, label.length - 1)
+      m.get(inner).map(n => label.substring(0, i + 1) + n + ")").getOrElse(label)
+    }
+  }
+
+  /** Rename translation of a file's [[DataFileEntry.sortedBy]] stamp:
+    * current stamps are "expr<dir><nulls>" ([[SortKey.stamp]]);
+    * legacy logs carry the bare expression. Either way the expression part
+    * is a column name — translate it, keep the suffix. */
+  private[lake] def translateStamp(stamp: String, m: Map[String, String]): String = {
+    val i = stamp.indexOf('\u0001')
+    if (i < 0) m.getOrElse(stamp, stamp)
+    else m.get(stamp.substring(0, i))
+      .map(_ + stamp.substring(i)).getOrElse(stamp)
+  }
+
+  /** Rename translation of a stats row's columnName: plain names map
+    * directly; variant-path stats ("v.$.price") translate the base column
+    * before the first dot. */
+  private[lake] def translateStatName(name: String, m: Map[String, String]): String = {
+    val i = name.indexOf('.')
+    if (i < 0) m.getOrElse(name, name)
+    else m.get(name.substring(0, i)).map(_ + name.substring(i)).getOrElse(name)
+  }
+
   /** Inlined small-insert data (the reference's per-table
     * ducklake_inlined_data_<tid> tables): rows kept in the catalog as JSON,
     * avoiding tiny parquet files. Row ids default to the contiguous range
@@ -247,13 +281,82 @@ object Meta {
       inlined.filter(b => b.tableId == tableId && liveAt(b.begin, b.end, s))
         .sortBy(_.batchId)
 
+    /** columnId → name of the table's columns live at snapshot s */
+    def namesById(tableId: Long, s: Long): Map[Long, String] =
+      columns.filter(c => c.tableId == tableId && liveAt(c.begin, c.end, s))
+        .map(c => c.columnId -> c.name).toMap
+
+    /** RENAME-COLUMN translation (VERDICT r14 #2): map from the names a
+      * column had at snapshot `from` to its name at `to`, for every
+      * columnId live at both — columnId is rename-stable, so this is the
+      * exact name history (the reference's ducklake_name_mapping role,
+      * src/pgducklake_freeze.cpp:52-53). None = no name moved (the fast
+      * path every rename-free table takes, at zero allocation). */
+    def nameShift(tableId: Long, from: Long, to: Long): Option[Map[String, String]] = {
+      if (from == to) return None
+      val a = namesById(tableId, from)
+      if (a.isEmpty) return None
+      val b = namesById(tableId, to)
+      val moved = a.flatMap { case (cid, n1) =>
+        b.get(cid).filter(_ != n1).map(n1 -> _) }
+      if (moved.isEmpty) None else Some(moved)
+    }
+
+    /** View of a file with its name-keyed LAYOUT metadata — recorded
+      * partition-value labels and sort stamps, both written under the
+      * file's own schema epoch — translated to the names live at snapshot
+      * s. Without this, renaming a partitioned/sorted column silently
+      * kills pruning, SPJ grouping and the ordering report (the file's
+      * "year(ts)" label never matches a filter on the new name) while
+      * staying correctness-safe — the 100 TB full-scan trap VERDICT r14
+      * #2 names. Identity (same object) when nothing was renamed. */
+    def fileNamesAt(tableId: Long, s: Long)(f: DataFileEntry): DataFileEntry =
+      nameShift(tableId, f.schemaVersion, s) match {
+        case None => f
+        case Some(m) => f.copy(
+          partitionValues = f.partitionValues.map { case (lbl, v) =>
+            Meta.translateLabel(lbl, m) -> v },
+          sortedBy = f.sortedBy.map(_.map(Meta.translateStamp(_, m))))
+      }
+
+    /** statsFor with each row's columnName translated from the owning
+      * file's schema epoch to snapshot s (stats are recorded under
+      * write-time names). The file list scopes the fileId → epoch lookup;
+      * unknown fileIds pass through untranslated. */
+    def statsForAt(tableId: Long, s: Long, files: Seq[DataFileEntry])
+        : Long => Vector[FileColumnStats] = {
+      val shifts: Map[Long, Map[String, String]] = files
+        .map(_.schemaVersion).distinct
+        .flatMap(sv => nameShift(tableId, sv, s).map(sv -> _)).toMap
+      if (shifts.isEmpty) statsFor
+      else {
+        val epochById = files.map(f => f.fileId -> f.schemaVersion).toMap
+        (fid: Long) => {
+          val raw = statsFor(fid)
+          epochById.get(fid).flatMap(shifts.get) match {
+            case None => raw
+            case Some(m) =>
+              raw.map(st => st.copy(columnName = Meta.translateStatName(st.columnName, m)))
+          }
+        }
+      }
+    }
+
     def partitionKeysAt(tableId: Long, s: Long): List[PartitionKey] =
       partitionInfo.find(p => p.tableId == tableId && liveAt(p.begin, p.end, s))
-        .map(_.keys).getOrElse(Nil)
+        .map(p => nameShift(tableId, p.begin, s) match {
+          case None => p.keys
+          case Some(m) =>
+            p.keys.map(k => k.copy(column = m.getOrElse(k.column, k.column)))
+        }).getOrElse(Nil)
 
     def sortKeysAt(tableId: Long, s: Long): List[SortKey] =
       sortInfo.find(p => p.tableId == tableId && liveAt(p.begin, p.end, s))
-        .map(_.keys).getOrElse(Nil)
+        .map(p => nameShift(tableId, p.begin, s) match {
+          case None => p.keys
+          case Some(m) =>
+            p.keys.map(k => k.copy(expr = m.getOrElse(k.expr, k.expr)))
+        }).getOrElse(Nil)
 
     def tagAt(scope: String, key: String, s: Long): Option[String] =
       tags.find(t => t.scope == scope && t.key == key && liveAt(t.begin, t.end, s))

@@ -66,26 +66,108 @@ object NativeParquet {
       case other => Expressions.apply(other, Expressions.column(pk.column))
     }
 
+  /** Per-epoch read translation for tables with RENAME COLUMN history
+    * (VERDICT r14 #2): files written before a rename carry the OLD
+    * physical column names, so each schema epoch's files are read with the
+    * read schema (and pushed filters) rewritten current→old for that
+    * epoch. Rows are positional, so downstream operators are name-blind —
+    * the translation is invisible above the reader. `renames(0)` is always
+    * the identity epoch; `epochOfPath` maps a file's UNQUALIFIED path to
+    * its rename-epoch index (absent = identity). Driver-side only: the
+    * epoch index rides in each InputPartition, never as a fleet-wide map
+    * shipped per task. */
+  case class EpochReads(
+      renames: IndexedSeq[Map[String, String]],
+      epochOfPath: Map[String, Int]) {
+    def trivial: Boolean = renames.lengthCompare(1) <= 0
+    def epochOf(path: String): Int =
+      if (trivial) 0 else epochOfPath.getOrElse(path, 0)
+  }
+  object EpochReads {
+    val none: EpochReads = EpochReads(IndexedSeq(Map.empty), Map.empty)
+  }
+
+  private[graft] def renameStruct(s: StructType, m: Map[String, String]): StructType =
+    if (m.isEmpty) s
+    else StructType(s.fields.map(f =>
+      m.get(f.name).map(n => f.copy(name = n)).getOrElse(f)))
+
+  /** rewrite a pushed source Filter's attribute names; unknown node types
+    * are DROPPED (parquet-level filters are row-group skipping hints only
+    * — Spark re-applies every predicate on rows above the scan) */
+  private[graft] def renameFilter(f: Filter, m: Map[String, String]): Option[Filter] = {
+    import org.apache.spark.sql.sources._
+    def t(a: String) = m.getOrElse(a, a)
+    f match {
+      case EqualTo(a, v) => Some(EqualTo(t(a), v))
+      case EqualNullSafe(a, v) => Some(EqualNullSafe(t(a), v))
+      case GreaterThan(a, v) => Some(GreaterThan(t(a), v))
+      case GreaterThanOrEqual(a, v) => Some(GreaterThanOrEqual(t(a), v))
+      case LessThan(a, v) => Some(LessThan(t(a), v))
+      case LessThanOrEqual(a, v) => Some(LessThanOrEqual(t(a), v))
+      case In(a, vs) => Some(In(t(a), vs))
+      case IsNull(a) => Some(IsNull(t(a)))
+      case IsNotNull(a) => Some(IsNotNull(t(a)))
+      case StringStartsWith(a, v) => Some(StringStartsWith(t(a), v))
+      case StringEndsWith(a, v) => Some(StringEndsWith(t(a), v))
+      case StringContains(a, v) => Some(StringContains(t(a), v))
+      case And(l, r) => (renameFilter(l, m), renameFilter(r, m)) match {
+        case (Some(a), Some(b)) => Some(And(a, b))
+        case (one, other) => one.orElse(other) // AND may keep either side
+      }
+      case Or(l, r) => for { a <- renameFilter(l, m); b <- renameFilter(r, m) }
+        yield Or(a, b) // OR needs both sides or neither
+      case Not(c) => renameFilter(c, m).map(Not) // only exact translations negate
+      case _ => None
+    }
+  }
+
+  private[graft] def renameFilters(fs: Array[Filter], m: Map[String, String]): Array[Filter] =
+    if (m.isEmpty) fs else fs.flatMap(renameFilter(_, m))
+
+  /** one Spark parquet reader factory per rename epoch (index-aligned with
+    * `epochs.renames`); epoch 0 reads under current names */
+  private[graft] def epochFactories(
+      spark: ClassicSparkSession,
+      files: Seq[(String, Long)],
+      dataSchema: StructType,
+      readSchema: StructType,
+      filters: Array[Filter],
+      epochs: EpochReads): IndexedSeq[PartitionReaderFactory] =
+    epochs.renames.map { m =>
+      ParquetScan(spark, spark.sessionState.newHadoopConf(),
+        new MetadataFileIndex(spark, files),
+        renameStruct(dataSchema, m), renameStruct(readSchema, m),
+        StructType(Nil), renameFilters(filters, m),
+        CaseInsensitiveStringMap.empty()).createReaderFactory()
+    }
+
   /** columnar DSv2 Scan over an explicit (path, sizeBytes) parquet file
     * list. `dataSchema` = full table schema, `readSchema` = pruned columns
     * Spark asked for, `filters` = pushed predicates (forwarded to parquet
-    * row-group/page skipping; Spark re-applies them on rows above). */
+    * row-group/page skipping; Spark re-applies them on rows above).
+    * With a non-trivial `epochs`, renamed epochs read through per-epoch
+    * translated factories ([[EpochReads]]). */
   def parquetScan(
       spark: SparkSession,
       files: Seq[(String, Long)],
       dataSchema: StructType,
       readSchema: StructType,
-      filters: Array[Filter]): Scan = {
+      filters: Array[Filter],
+      epochs: EpochReads = EpochReads.none): Scan = {
     val classic = spark.asInstanceOf[ClassicSparkSession]
-    ParquetScan(
-      classic,
-      classic.sessionState.newHadoopConf(),
-      new MetadataFileIndex(classic, files),
-      dataSchema,
-      readSchema,
-      StructType(Nil), // no hive-style partition columns: values live in-file
-      filters,
-      CaseInsensitiveStringMap.empty())
+    if (epochs.trivial)
+      ParquetScan(
+        classic,
+        classic.sessionState.newHadoopConf(),
+        new MetadataFileIndex(classic, files),
+        dataSchema,
+        readSchema,
+        StructType(Nil), // no hive-style partition columns: values live in-file
+        filters,
+        CaseInsensitiveStringMap.empty())
+    else new MultiEpochParquetScan(classic, files, dataSchema, readSchema,
+      filters, epochs)
   }
 
   /** key-grouped scan over pre-grouped (partitionKey → files) lists, for
@@ -105,9 +187,11 @@ object NativeParquet {
       readSchema: StructType,
       filters: Array[Filter],
       ordering: Array[graft.lake.Meta.SortKey] = Array.empty,
-      spjMode: Option[String] = None): Scan =
+      spjMode: Option[String] = None,
+      epochs: EpochReads = EpochReads.none): Scan =
     new KeyGroupedParquetScan(spark.asInstanceOf[ClassicSparkSession],
-      groups, keys, dataSchema, readSchema, filters, ordering, spjMode)
+      groups, keys, dataSchema, readSchema, filters, ordering, spjMode,
+      epochs)
 
   /** lake SortKey → connector SortOrder (the ordering-report vocabulary) */
   private[graft] def v2SortOrder(k: graft.lake.Meta.SortKey)
@@ -144,10 +228,11 @@ object NativeParquet {
       filters: Array[Filter],
       keyed: Option[(Array[graft.lake.Meta.PartitionKey], Seq[(InternalRow, Seq[(String, Long)])])] = None,
       spjMode: Option[String] = None,
-      ordering: Array[graft.lake.Meta.SortKey] = Array.empty): Scan = {
+      ordering: Array[graft.lake.Meta.SortKey] = Array.empty,
+      epochs: EpochReads = EpochReads.none): Scan = {
     val classic = spark.asInstanceOf[ClassicSparkSession]
     new LakeDeleteAwareScan(classic, files, deletesByFile, dataSchema, readSchema,
-      filters, keyed, spjMode, ordering)
+      filters, keyed, spjMode, ordering, epochs)
   }
 }
 
@@ -162,7 +247,8 @@ private[graft] class LakeDeleteAwareScan(
     filters: Array[Filter],
     keyed: Option[(Array[graft.lake.Meta.PartitionKey], Seq[(InternalRow, Seq[(String, Long)])])] = None,
     spjMode: Option[String] = None,
-    ordering: Array[graft.lake.Meta.SortKey] = Array.empty)
+    ordering: Array[graft.lake.Meta.SortKey] = Array.empty,
+    epochs: NativeParquet.EpochReads = NativeParquet.EpochReads.none)
   extends Scan with Batch with SupportsReportPartitioning
   with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
@@ -207,7 +293,8 @@ private[graft] class LakeDeleteAwareScan(
           val name = q.getName
           KeyedFilePartition(
             DeleteAwareFilePartition(FilePartition(0, Array(pf)),
-              Map(name -> deletesByFile.getOrElse(name, Nil))),
+              Map(name -> deletesByFile.getOrElse(name, Nil)),
+              Array(epochs.epochOf(p))),
             key): InputPartition
         }
       }.toArray
@@ -225,7 +312,8 @@ private[graft] class LakeDeleteAwareScan(
           DeleteAwareFilePartition(fp, fp.files.toSeq.map { pf =>
             val name = pf.toPath.getName
             name -> deletesByFile.getOrElse(name, Nil)
-          }.toMap),
+          }.toMap,
+          fs.map(f => epochs.epochOf(f._1)).toArray),
           key): InputPartition
       }.toArray
     case None => planUngrouped()
@@ -243,20 +331,26 @@ private[graft] class LakeDeleteAwareScan(
       math.max(openCost, totalBytes / math.max(1, minPartitionNum)))
 
     val hc = spark.sessionState.newHadoopConf()
-    val splits: Seq[PartitionedFile] = files.flatMap { case (p, size) =>
-      val raw = new Path(p)
-      val q = raw.getFileSystem(hc).makeQualified(raw)
-      (0L until size by maxSplit).map { start =>
-        PartitionedFile(InternalRow.empty, SparkPath.fromPath(q), start,
-          math.min(maxSplit, size - start), Array.empty[String], 0L, size,
-          Map.empty[String, Any])
-      }
-    }
-    FilePartition.getFilePartitions(spark, splits, maxSplit)
-      .map(fp => DeleteAwareFilePartition(fp, fp.files.toSeq.map { pf =>
-        val name = pf.toPath.getName
-        name -> deletesByFile.getOrElse(name, Nil)
-      }.toMap): InputPartition).toArray
+    // pack splits PER rename epoch so a partition never mixes epochs (the
+    // per-file reader dispatch then picks one translated factory each) —
+    // identical packing to the single-epoch path when no renames exist
+    files.groupBy(f => epochs.epochOf(f._1)).toSeq.sortBy(_._1)
+      .flatMap { case (e, fse) =>
+        val splits: Seq[PartitionedFile] = fse.flatMap { case (p, size) =>
+          val raw = new Path(p)
+          val q = raw.getFileSystem(hc).makeQualified(raw)
+          (0L until size by maxSplit).map { start =>
+            PartitionedFile(InternalRow.empty, SparkPath.fromPath(q), start,
+              math.min(maxSplit, size - start), Array.empty[String], 0L, size,
+              Map.empty[String, Any])
+          }
+        }
+        FilePartition.getFilePartitions(spark, splits, maxSplit)
+          .map(fp => DeleteAwareFilePartition(fp, fp.files.toSeq.map { pf =>
+            val name = pf.toPath.getName
+            name -> deletesByFile.getOrElse(name, Nil)
+          }.toMap, Array.fill(fp.files.length)(e)): InputPartition)
+      }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -268,27 +362,35 @@ private[graft] class LakeDeleteAwareScan(
     // conf would chase internals across versions.
     val readWithIdx = StructType(requiredSchema.fields :+
       StructField(ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME, LongType))
-    val inner = ParquetScan(spark, spark.sessionState.newHadoopConf(),
-      new MetadataFileIndex(spark, files), dataSchema, readWithIdx,
-      StructType(Nil), filters, CaseInsensitiveStringMap.empty())
-      .createReaderFactory().asInstanceOf[ParquetPartitionReaderFactory]
+    // one factory per rename epoch (index 0 = current names); the
+    // row-index column is synthetic and never renamed
+    val inners = epochs.renames.map { m =>
+      ParquetScan(spark, spark.sessionState.newHadoopConf(),
+        new MetadataFileIndex(spark, files),
+        NativeParquet.renameStruct(dataSchema, m),
+        NativeParquet.renameStruct(readWithIdx, m),
+        StructType(Nil), NativeParquet.renameFilters(filters, m),
+        CaseInsensitiveStringMap.empty())
+        .createReaderFactory().asInstanceOf[ParquetPartitionReaderFactory]
+    }
     val bc = SerializableConfiguration.broadcast(spark.sparkContext,
       spark.sessionState.newHadoopConf())
-    val base = new DeleteAwareReaderFactory(inner, requiredSchema.length, bc)
+    val base = new DeleteAwareReaderFactory(inners, requiredSchema.length, bc)
     if (keyed.isDefined) new UnwrapKeyedFactory(base) else base
   }
 }
 
 private[graft] case class DeleteAwareFilePartition(
     inner: FilePartition,
-    deletesByFile: Map[String, Seq[String]]) extends InputPartition
+    deletesByFile: Map[String, Seq[String]],
+    fileEpochs: Array[Int] = Array.empty) extends InputPartition
 
 /** Wraps Spark's parquet row readers: per file, skip rows whose row index
   * appears in that file's sorted delete-position list (single forward
   * pointer — both streams are ascending). Rows physically carry a trailing
   * row-index field the consumer never reads (ordinal-based access). */
 private[graft] class DeleteAwareReaderFactory(
-    inner: ParquetPartitionReaderFactory,
+    inners: IndexedSeq[ParquetPartitionReaderFactory],
     rowIdxOrdinal: Int,
     conf: Broadcast[SerializableConfiguration]) extends PartitionReaderFactory {
 
@@ -297,18 +399,20 @@ private[graft] class DeleteAwareReaderFactory(
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val dp = partition.asInstanceOf[DeleteAwareFilePartition]
     new PartitionReader[InternalRow] {
-      private val fileIter = dp.inner.files.iterator
+      private var fi = 0
       private var current: PartitionReader[InternalRow] = _
       private var positions: Array[Long] = Array.emptyLongArray
       private var pi = 0
 
       private def openNext(): Boolean = {
-        if (!fileIter.hasNext) return false
-        val pf = fileIter.next()
+        if (fi >= dp.inner.files.length) return false
+        val pf = dp.inner.files(fi)
+        val epoch = if (dp.fileEpochs.isEmpty) 0 else dp.fileEpochs(fi)
+        fi += 1
         positions = DeletePositions.forFile(pf.toPath.getName,
           dp.deletesByFile.getOrElse(pf.toPath.getName, Nil), conf.value.value)
         pi = 0
-        current = inner.createReader(FilePartition(dp.inner.index, Array(pf)))
+        current = inners(epoch).createReader(FilePartition(dp.inner.index, Array(pf)))
         true
       }
 
@@ -400,7 +504,8 @@ private[graft] class KeyGroupedParquetScan(
     requiredSchema: StructType,
     filters: Array[Filter],
     ordering: Array[graft.lake.Meta.SortKey] = Array.empty,
-    spjMode: Option[String] = None)
+    spjMode: Option[String] = None,
+    epochs: NativeParquet.EpochReads = NativeParquet.EpochReads.none)
   extends Scan with Batch with SupportsReportPartitioning
   with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
@@ -440,7 +545,9 @@ private[graft] class KeyGroupedParquetScan(
         Array.empty[String], 0L, size, Map.empty[String, Any])
     }
     def fused(key: InternalRow, fs: Seq[(String, Long)]): InputPartition =
-      KeyedFilePartition(FilePartition(0, fs.map((pf _).tupled).toArray), key)
+      KeyedFilePartition(EpochedFilePartition(
+        FilePartition(0, fs.map((pf _).tupled).toArray),
+        fs.map(f => epochs.epochOf(f._1)).toArray), key)
     // per-table mode (r14, VERDICT r13 #2): "ordering" pins fused groups so
     // a uniform sorted table keeps its sort-elision report in the SAME
     // session where a skewed fact opts into the per-file split; the mixed
@@ -470,18 +577,19 @@ private[graft] class KeyGroupedParquetScan(
         .map(_.toDouble).getOrElse(4.0)
       groups.zip(bytes).flatMap { case ((key, fs), b) =>
         if (fs.lengthCompare(1) > 0 && b > factor * median)
-          fs.map(f => KeyedFilePartition(FilePartition(0, Array(pf(f._1, f._2))),
-            key): InputPartition)
+          fs.map(f => KeyedFilePartition(EpochedFilePartition(
+            FilePartition(0, Array(pf(f._1, f._2))),
+            Array(epochs.epochOf(f._1))), key): InputPartition)
         else Seq(fused(key, fs))
       }.toArray
     } else groups.map { case (key, fs) => fused(key, fs) }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    val inner = ParquetScan(spark, spark.sessionState.newHadoopConf(),
-      new MetadataFileIndex(spark, groups.flatMap(_._2)), dataSchema,
-      requiredSchema, StructType(Nil), filters, CaseInsensitiveStringMap.empty())
-      .createReaderFactory()
+    val inner = new EpochDispatchFactory(
+      NativeParquet.epochFactories(spark, groups.flatMap(_._2), dataSchema,
+        requiredSchema, filters, epochs),
+      lookahead0, threads0)
     // r14 (VERDICT r13 #1): a FUSED key-group partition chains its files
     // serially — each boundary pays footer read + row-group planning. The
     // lookahead factory builds file i+1's reader on a background thread
@@ -492,14 +600,15 @@ private[graft] class KeyGroupedParquetScan(
     // 16-thread pool measured no better — BASELINE.md r14). The knob
     // exists for COLD object storage, where a footer read is a network
     // RTT the chain otherwise stalls on.
-    val lookahead = spark.conf
-      .getOption("spark.graft.lake.lookaheadReaders").exists(_.toBoolean)
-    // resolve the pool-size knob DRIVER-side from the session conf (the
-    // executor singleton would only see the static SparkConf) and ship it
-    val threads = spark.conf
-      .getOption("spark.graft.lake.prefetchThreads").map(_.toInt)
-    new UnwrapKeyedFactory(inner, lookahead, threads)
+    new UnwrapKeyedFactory(inner)
   }
+
+  private def lookahead0: Boolean = spark.conf
+    .getOption("spark.graft.lake.lookaheadReaders").exists(_.toBoolean)
+  // resolve the pool-size knob DRIVER-side from the session conf (the
+  // executor singleton would only see the static SparkConf) and ship it
+  private def threads0: Option[Int] = spark.conf
+    .getOption("spark.graft.lake.prefetchThreads").map(_.toInt)
 }
 
 private[graft] case class KeyedFilePartition(inner: InputPartition, key: InternalRow)
@@ -508,33 +617,101 @@ private[graft] case class KeyedFilePartition(inner: InputPartition, key: Interna
   override def preferredLocations(): Array[String] = inner.preferredLocations()
 }
 
-/** delegates to Spark's parquet reader factory, unwrapping the key carrier;
-  * with `lookahead` on, a multi-file [[FilePartition]] reads through
-  * [[LookaheadChainReader]] (file i+1's reader builds while file i streams) */
-private[graft] class UnwrapKeyedFactory(inner: PartitionReaderFactory,
-    lookahead: Boolean = false,
-    prefetchThreads: Option[Int] = None)
+/** a [[FilePartition]] whose files each carry a rename-epoch index
+  * (aligned with `inner.files`; see [[NativeParquet.EpochReads]]) */
+private[graft] case class EpochedFilePartition(inner: FilePartition,
+    fileEpochs: Array[Int]) extends InputPartition {
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
+}
+
+/** delegates to Spark's parquet reader factory, unwrapping the key carrier */
+private[graft] class UnwrapKeyedFactory(inner: PartitionReaderFactory)
   extends PartitionReaderFactory {
   private def unwrap(p: InputPartition): InputPartition =
     p.asInstanceOf[KeyedFilePartition].inner
-  private def singles(fp: FilePartition): IndexedSeq[InputPartition] =
-    fp.files.map(f => FilePartition(fp.index, Array(f)): InputPartition).toIndexedSeq
   override def supportColumnarReads(p: InputPartition): Boolean =
     inner.supportColumnarReads(unwrap(p))
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    unwrap(p) match {
-      case fp: FilePartition if lookahead && fp.files.length > 1 =>
-        new LookaheadChainReader[InternalRow](singles(fp), inner.createReader,
-          prefetchThreads)
-      case u => inner.createReader(u)
-    }
+    inner.createReader(unwrap(p))
   override def createColumnarReader(p: InputPartition) =
-    unwrap(p) match {
-      case fp: FilePartition if lookahead && fp.files.length > 1 =>
-        new LookaheadChainReader(singles(fp), inner.createColumnarReader,
-          prefetchThreads)
-      case u => inner.createColumnarReader(u)
+    inner.createColumnarReader(unwrap(p))
+}
+
+/** Routes each InputPartition (or each FILE of a mixed one) to its rename
+  * epoch's translated parquet factory. Epoch-uniform partitions delegate
+  * wholesale — Spark's own multi-file iteration and columnar batching,
+  * zero overhead on the rename-free path — while a fused group mixing
+  * pre- and post-rename files chains per-file readers. With `lookahead`
+  * on, a multi-file partition reads through [[LookaheadChainReader]]
+  * (file i+1's reader builds while file i streams). */
+private[graft] class EpochDispatchFactory(
+    factories: IndexedSeq[PartitionReaderFactory],
+    lookahead: Boolean = false,
+    prefetchThreads: Option[Int] = None)
+  extends PartitionReaderFactory {
+
+  private def asEpoched(p: InputPartition): (FilePartition, Array[Int]) = p match {
+    case e: EpochedFilePartition => (e.inner, e.fileEpochs)
+    case fp: FilePartition => (fp, Array.empty[Int])
+  }
+  private def singles(fp: FilePartition): IndexedSeq[InputPartition] =
+    fp.files.map(f => FilePartition(fp.index, Array(f)): InputPartition).toIndexedSeq
+
+  override def supportColumnarReads(p: InputPartition): Boolean = {
+    val (fp, es) = asEpoched(p)
+    (if (es.isEmpty) Array(0) else es.distinct)
+      .forall(e => factories(e).supportColumnarReads(fp))
+  }
+
+  private def make[T](fp: FilePartition, es: Array[Int],
+      one: (Int, InputPartition) => PartitionReader[T],
+      whole: Int => PartitionReader[T]): PartitionReader[T] = {
+    val uniform = es.isEmpty || es.forall(_ == es(0))
+    if (uniform && !(lookahead && fp.files.length > 1))
+      whole(if (es.isEmpty) 0 else es(0))
+    else {
+      val parts = singles(fp)
+      def epochAt(i: Int) = if (es.isEmpty) 0 else es(i)
+      val create = (i: Int) => one(epochAt(i), parts(i))
+      if (lookahead && parts.length > 1)
+        new LookaheadChainReader[T](parts, create, prefetchThreads)
+      else new ChainReader[T](parts.length, create)
     }
+  }
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val (fp, es) = asEpoched(p)
+    make(fp, es, (e, part) => factories(e).createReader(part),
+      e => factories(e).createReader(fp))
+  }
+  override def createColumnarReader(p: InputPartition) = {
+    val (fp, es) = asEpoched(p)
+    make(fp, es, (e, part) => factories(e).createColumnarReader(part),
+      e => factories(e).createColumnarReader(fp))
+  }
+}
+
+/** serial per-file reader chain (no prefetch): files of one partition read
+  * back-to-back, each reader built on demand by index */
+private[graft] class ChainReader[T](n: Int, create: Int => PartitionReader[T])
+  extends PartitionReader[T] {
+  private var idx = 0
+  private var current: PartitionReader[T] = _
+  override def next(): Boolean = {
+    while (true) {
+      if (current == null) {
+        if (idx >= n) return false
+        current = create(idx)
+        idx += 1
+      }
+      if (current.next()) return true
+      current.close()
+      current = null
+    }
+    false // unreachable
+  }
+  override def get(): T = current.get()
+  override def close(): Unit = if (current != null) current.close()
 }
 
 /** executor-side shared pool for reader prefetch: sized by the
@@ -571,7 +748,7 @@ private[graft] object ReaderPrefetch {
   * instead of stalling the task. At most two readers are open per task. */
 private[graft] class LookaheadChainReader[T](
     parts: IndexedSeq[InputPartition],
-    create: InputPartition => PartitionReader[T],
+    create: Int => PartitionReader[T],
     prefetchThreads: Option[Int] = None) extends PartitionReader[T] {
 
   private val tc = org.apache.spark.TaskContext.get()
@@ -597,7 +774,7 @@ private[graft] class LookaheadChainReader[T](
             // completion listeners) — propagate the caller's
             val prev = org.apache.spark.TaskContext.get()
             org.apache.spark.TaskContext.setTaskContext(tc)
-            val r = try create(parts(i))
+            val r = try create(i)
               finally org.apache.spark.TaskContext.setTaskContext(prev)
             pendingMade.set(r)
             if (closed) {
@@ -617,7 +794,7 @@ private[graft] class LookaheadChainReader[T](
             val r = pending.get()
             pendingMade.set(null.asInstanceOf[PartitionReader[T]])
             r
-          } else create(parts(idx))
+          } else create(idx)
         pending = null
         idx += 1
         submit(idx)
@@ -644,6 +821,57 @@ private[graft] class LookaheadChainReader[T](
       if (made != null) try made.close() catch { case _: Exception => () }
     }
   }
+}
+
+/** Clean ungrouped scan over a table with RENAME COLUMN epochs: files are
+  * split and packed PER EPOCH (a partition never mixes epochs), each epoch
+  * reading through its translated parquet factory — columnar and
+  * codegen'd exactly like the stock single-epoch path, which remains
+  * untouched ([[NativeParquet.parquetScan]] only builds this when a
+  * non-trivial [[NativeParquet.EpochReads]] exists). */
+private[graft] class MultiEpochParquetScan(
+    spark: ClassicSparkSession,
+    files: Seq[(String, Long)],
+    dataSchema: StructType,
+    requiredSchema: StructType,
+    filters: Array[Filter],
+    epochs: NativeParquet.EpochReads)
+  extends Scan with Batch {
+
+  override def readSchema(): StructType = requiredSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-lake multi-epoch scan (${files.size} files, " +
+      s"${epochs.renames.size} schema epochs)"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = spark.sessionState.conf
+    val openCost = conf.filesOpenCostInBytes
+    val minPartitionNum = conf.filesMinPartitionNum
+      .getOrElse(spark.sparkContext.defaultParallelism)
+    val totalBytes = files.map(_._2 + openCost).sum
+    val maxSplit = math.min(conf.filesMaxPartitionBytes,
+      math.max(openCost, totalBytes / math.max(1, minPartitionNum)))
+    val hc = spark.sessionState.newHadoopConf()
+    files.groupBy(f => epochs.epochOf(f._1)).toSeq.sortBy(_._1)
+      .flatMap { case (e, fse) =>
+        val splits: Seq[PartitionedFile] = fse.flatMap { case (pth, size) =>
+          val raw = new Path(pth)
+          val q = raw.getFileSystem(hc).makeQualified(raw)
+          (0L until size by maxSplit).map { start =>
+            PartitionedFile(InternalRow.empty, SparkPath.fromPath(q), start,
+              math.min(maxSplit, size - start), Array.empty[String], 0L, size,
+              Map.empty[String, Any])
+          }
+        }
+        FilePartition.getFilePartitions(spark, splits, maxSplit).map(fp =>
+          EpochedFilePartition(fp, Array.fill(fp.files.length)(e)): InputPartition)
+      }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new EpochDispatchFactory(NativeParquet.epochFactories(
+      spark, files, dataSchema, requiredSchema, filters, epochs))
 }
 
 /** A [[PartitioningAwareFileIndex]] backed entirely by catalog metadata:

@@ -41,6 +41,12 @@ class FuzzSpec extends AnyFunSuite {
       case None => new Lake(spark, root)
     }
     val lake = mkLake()
+    // SQL catalog over the SAME store (file log, or the shared Derby via
+    // the jdbc option) for the DDL ops the Lake API has no verb for
+    val cat = s"fz$seed${if (jdbc) "j" else ""}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    jdbcUrl.foreach(u => spark.conf.set(s"spark.sql.catalog.$cat.jdbc", u))
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType)))
@@ -251,6 +257,27 @@ class FuzzSpec extends AnyFunSuite {
             lake.delete("main.fdim", col("dk") % m === r)
             dimModel = dimModel.filter { case (dk, _) => dk % m != r }
         }
+      }
+      // RENAME COLUMN round-trip on its own cadence (VERDICT r14 #2, also
+      // not an op draw): the SORTED fact briefly lives under a renamed key
+      // — exact reads and a pruned point lookup must hold mid-window (the
+      // per-epoch translated native readers; sort stamps and stats names
+      // normalize) — then the name returns so the name-keyed view/MV
+      // definitions stay valid. Each round-trip leaves two DDL epochs in
+      // the column history that every LATER scan, change-feed consumption
+      // and MV refresh in the schedule translates across.
+      if (i % 11 == 9) {
+        spark.sql(s"ALTER TABLE $cat.main.f RENAME COLUMN k TO kq")
+        val mid = lake.table("main.f").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(mid == model, s"seed=$seed op#$i renamed-state read: " +
+          s"${mid.size} rows vs model ${model.size}")
+        model.keys.headOption.foreach { probe =>
+          val one = lake.table("main.f").filter(col("kq") === probe).collect()
+          assert(one.length == 1 && one(0).getLong(1) == model(probe),
+            s"seed=$seed op#$i renamed-key point read failed for k=$probe")
+        }
+        spark.sql(s"ALTER TABLE $cat.main.f RENAME COLUMN kq TO k")
       }
       i += 1
     }
