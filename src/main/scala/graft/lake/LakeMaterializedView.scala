@@ -73,14 +73,17 @@ object LakeMaterializedView {
   private val KDimTid = "mv_dim_tid"
   private val KDimKeys = "mv_dim_keys"
 
-  /** fact ⋈ dim enrichment: `keys` are (factCol, dimCol) equi-join pairs */
+  /** left ⋈ dim enrichment: `keys` are (leftCol, dimCol) equi-join pairs.
+    * `leftCol` is a column of the ACCUMULATED joined frame — the fact for
+    * a star schema, or an earlier dim's carried column for a snowflake
+    * chain (dims join in definition order). */
   private case class DimSpec(table: String, keys: Seq[(String, String)])
 
   /** resolved definition; sumAll/cntAll fold the implicit state AVG needs */
   private case class MvDef(
       groupCols: Seq[String], sumCols: Seq[String], cntCols: Seq[String],
       avgCols: Seq[String], minMaxCols: Seq[String],
-      filterSql: Option[String], dim: Option[DimSpec] = None) {
+      filterSql: Option[String], dims: Seq[DimSpec] = Nil) {
     val sumAll: Seq[String] = (sumCols ++ avgCols).distinct
     val cntAll: Seq[String] = (cntCols ++ avgCols).distinct
   }
@@ -106,13 +109,13 @@ object LakeMaterializedView {
         dimKeep.map(c => col(s"_mvd.$c")): _*)
   }
 
-  /** The view's input frame at `snap`: the fact table, dim-enriched when
-    * the definition has one (both sides pinned at the SAME snapshot). */
+  /** The view's input frame at `snap`: the fact table, dim-enriched in
+    * definition order when the definition has dims (all sides pinned at
+    * the SAME snapshot). */
   private def sourceFrame(lake: Lake, d: MvDef, source: String,
-      snap: Option[Long]): DataFrame = {
-    val fact = lake.table(source, snap)
-    d.dim.fold(fact)(ds => joinDim(fact, lake.table(ds.table, snap), ds))
-  }
+      snap: Option[Long]): DataFrame =
+    d.dims.foldLeft(lake.table(source, snap))((acc, ds) =>
+      joinDim(acc, lake.table(ds.table, snap), ds))
 
   private def withAvg(d: MvDef, df: DataFrame): DataFrame =
     d.avgCols.foldLeft(df)((acc, c) => acc.withColumn(s"avg_$c",
@@ -152,42 +155,57 @@ object LakeMaterializedView {
       minMaxCols: Seq[String] = Nil, cntCols: Seq[String] = Nil,
       avgCols: Seq[String] = Nil, filterSql: Option[String] = None,
       dimTable: Option[String] = None,
-      dimKeys: Seq[(String, String)] = Nil): Long = {
+      dimKeys: Seq[(String, String)] = Nil,
+      dims: Seq[(String, Seq[(String, String)])] = Nil): Long = {
     require(groupCols.nonEmpty, "materialized view needs at least one group column")
     require(dimTable.isEmpty == dimKeys.isEmpty,
       "dimTable and dimKeys must be given together")
+    require(dimTable.isEmpty || dims.isEmpty,
+      "give either dimTable/dimKeys (single dim) or dims (N dims), not both")
+    // N dims join in DEFINITION order; a snowflake chain keys a later dim
+    // off an earlier dim's carried column (joinDim resolves left keys
+    // against the accumulated frame)
+    val dimSpecs: Seq[DimSpec] = dimTable.map(dt => DimSpec(dt, dimKeys)).toSeq ++
+      dims.map { case (t, ks) => DimSpec(t, ks) }
+    dimSpecs.foreach(s => require(s.keys.nonEmpty,
+      s"dim ${s.table} needs at least one join key"))
     val d = MvDef(groupCols, sumCols, cntCols, avgCols, minMaxCols, filterSql,
-      dimTable.map(dt => DimSpec(dt, dimKeys)))
-    // the definition persists as comma-joined tag values
+      dimSpecs)
+    // the definition persists as comma-joined (';'-separated per dim) tags
     (groupCols ++ sumCols ++ cntCols ++ avgCols ++ minMaxCols ++
-      dimKeys.flatMap(k => Seq(k._1, k._2))).foreach(c =>
-      require(!c.contains(",") && !c.contains("="),
-        s"mv column name must not contain ',' or '=': $c"))
+      dimSpecs.flatMap(_.keys.flatMap(k => Seq(k._1, k._2)))).foreach(c =>
+      require(!c.contains(",") && !c.contains("=") && !c.contains(";"),
+        s"mv column name must not contain ',', '=' or ';': $c"))
+    dimSpecs.foreach(s => require(!s.table.contains(";") && !s.table.contains(","),
+      s"mv dim table name must not contain ';' or ',': ${s.table}"))
     val st = lake.store.state()
     val srcEntry = lake.schemaOf(source)
     val se = st.tableAt(srcEntry._1, srcEntry._2, st.currentSnapshotId)
       .getOrElse(throw new NoSuchElementException(s"no table $source"))
     val factTypes = st.columnsAt(se.tableId, st.currentSnapshotId)
       .map(c => c.name -> c.dataType.toLowerCase).toMap
-    // with a dim, aggregate/group columns may come from either side; the
-    // dim's JOIN-KEY columns are dropped from the joined frame (the fact's
-    // key column carries the value), so they are not referenceable
-    val de = dimTable.map { dt =>
-      val (dsn, dtn) = lake.schemaOf(dt)
-      st.tableAt(dsn, dtn, st.currentSnapshotId)
-        .getOrElse(throw new NoSuchElementException(s"no table $dt"))
+    // with dims, aggregate/group columns may come from any side; each dim's
+    // JOIN-KEY columns are dropped from the joined frame (the left key
+    // column carries the value), so they are not referenceable
+    var types = factTypes
+    val dimEntries = dimSpecs.map { ds =>
+      val (dsn, dtn) = lake.schemaOf(ds.table)
+      val de = st.tableAt(dsn, dtn, st.currentSnapshotId)
+        .getOrElse(throw new NoSuchElementException(s"no table ${ds.table}"))
+      val dimTypes = st.columnsAt(de.tableId, st.currentSnapshotId)
+        .map(c => c.name -> c.dataType.toLowerCase).toMap
+      ds.keys.foreach { case (lk, dk) =>
+        require(types.contains(lk),
+          s"no join column $lk in the accumulated frame (fact + earlier dims) for dim ${ds.table}")
+        require(dimTypes.contains(dk), s"no join column $dk in dim ${ds.table}")
+      }
+      val dimKeep = dimTypes -- ds.keys.map(_._2)
+      val overlap = types.keySet & dimKeep.keySet
+      require(overlap.isEmpty,
+        s"dim ${ds.table} and the accumulated frame share non-key column names (alias one side): $overlap")
+      types ++= dimKeep
+      de
     }
-    val dimTypes = de.map(e => st.columnsAt(e.tableId, st.currentSnapshotId)
-      .map(c => c.name -> c.dataType.toLowerCase).toMap).getOrElse(Map.empty)
-    dimKeys.foreach { case (fk, dk) =>
-      require(factTypes.contains(fk), s"no join column $fk in fact $source")
-      require(dimTypes.contains(dk), s"no join column $dk in dim ${dimTable.get}")
-    }
-    val dimKeep = dimTypes -- dimKeys.map(_._2)
-    val overlap = factTypes.keySet & dimKeep.keySet
-    require(overlap.isEmpty,
-      s"fact and dim share non-key column names (alias one side): $overlap")
-    val types = factTypes ++ dimKeep
     d.sumAll.foreach { c =>
       val t = types.getOrElse(c, sys.error(s"no column $c in $source"))
       require(Set("tinyint", "smallint", "int", "bigint")(t),
@@ -213,11 +231,15 @@ object LakeMaterializedView {
             TagEntry(tid, KAvgs, avgCols.mkString(","), sid, None),
             TagEntry(tid, KMinMax, minMaxCols.mkString(","), sid, None)) ++
             filterSql.map(f => TagEntry(tid, KFilter, f, sid, None)) ++
-            dimTable.toList.flatMap(dt => List(
-              TagEntry(tid, KDim, dt, sid, None),
-              TagEntry(tid, KDimTid, de.get.tableId.toString, sid, None),
-              TagEntry(tid, KDimKeys,
-                dimKeys.map(k => s"${k._1}=${k._2}").mkString(","), sid, None))) ++
+            // N dims: ';'-separated per dim (a single dim reads identically
+            // to the r14 format, so old catalogs parse unchanged)
+            (if (dimSpecs.isEmpty) Nil else List(
+              TagEntry(tid, KDim, dimSpecs.map(_.table).mkString(";"), sid, None),
+              TagEntry(tid, KDimTid,
+                dimEntries.map(_.tableId).mkString(";"), sid, None),
+              TagEntry(tid, KDimKeys, dimSpecs.map(
+                _.keys.map(k => s"${k._1}=${k._2}").mkString(","))
+                .mkString(";"), sid, None))) ++
             List(TagEntry(tid, KLast, snap.toString, sid, None)), Nil)
         })
     } catch {
@@ -243,17 +265,22 @@ object LakeMaterializedView {
     def optList(k: String): Seq[String] = st.tagAt(scope, k, st.currentSnapshotId)
       .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
     val source = tag(KSource)
-    val dimSpec = st.tagAt(scope, KDim, st.currentSnapshotId).map { dt =>
-      DimSpec(dt, tag(KDimKeys).split(',').toSeq.map { kv =>
-        val Array(fk, dk) = kv.split("=", 2); (fk, dk)
-      })
-    }
+    // ';' separates dims (absent in r14 single-dim catalogs, which parse
+    // identically as one-element lists)
+    val dimSpecs: Seq[DimSpec] = st.tagAt(scope, KDim, st.currentSnapshotId)
+      .map { dts =>
+        dts.split(';').toSeq.zip(tag(KDimKeys).split(';').toSeq).map {
+          case (dt, ks) => DimSpec(dt, ks.split(',').toSeq.map { kv =>
+            val Array(fk, dk) = kv.split("=", 2); (fk, dk)
+          })
+        }
+      }.getOrElse(Nil)
     val d = MvDef(
       groupCols = tag(KGroups).split(',').toSeq,
       sumCols = optList(KSums), cntCols = optList(KCnts),
       avgCols = optList(KAvgs), minMaxCols = optList(KMinMax),
       filterSql = st.tagAt(scope, KFilter, st.currentSnapshotId),
-      dim = dimSpec)
+      dims = dimSpecs)
     val last = tag(KLast).toLong
     val cur = st.currentSnapshotId
     if (cur <= last) return last
@@ -261,7 +288,7 @@ object LakeMaterializedView {
     val (ssn, stn) = lake.schemaOf(source)
     val srcTid = st.tableAt(ssn, stn, cur)
       .getOrElse(throw new NoSuchElementException(s"no table $source")).tableId
-    val dimTid = dimSpec.map { ds =>
+    val dimTids: Seq[Long] = dimSpecs.map { ds =>
       val (dsn, dtn) = lake.schemaOf(ds.table)
       st.tableAt(dsn, dtn, cur)
         .getOrElse(throw new NoSuchElementException(s"no table ${ds.table}")).tableId
@@ -281,10 +308,10 @@ object LakeMaterializedView {
             s"concurrent refresh of $name already applied snapshot $nowLast")
           (List(TagEntry(scope, KLast, cur.toString, sid, None),
             TagEntry(scope, KSourceTid, srcTid.toString, sid, None)) ++
-            dimTid.toList.map(t =>
-              TagEntry(scope, KDimTid, t.toString, sid, None)),
+            (if (dimTids.isEmpty) Nil else List(
+              TagEntry(scope, KDimTid, dimTids.mkString(";"), sid, None))),
             List(s"$scope:$KLast", s"$scope:$KSourceTid") ++
-              dimTid.toList.map(_ => s"$scope:$KDimTid"))
+              (if (dimTids.isEmpty) Nil else List(s"$scope:$KDimTid")))
         })
 
     // LOGICAL REPLACE detection: the change feed reports inserts from new
@@ -352,9 +379,11 @@ object LakeMaterializedView {
     // loses to the scan it avoids → full recompute. Pure dim MAINTENANCE
     // (compaction / rewrite / flush) moves bytes, not rows → nothing.
     val logicalTags = Set("inserted", "inlined", "deleted", "updated", "merged")
-    val dimReplaced = dimTid.exists { dt =>
+    val recordedDimTids: Seq[Long] = st.tagAt(scope, KDimTid, cur)
+      .map(_.split(';').toSeq.map(_.toLong)).getOrElse(Nil)
+    val dimReplaced = dimTids.zipWithIndex.exists { case (dt, i) =>
       val hasDimTag = hasTagFor(dt) _
-      st.tagAt(scope, KDimTid, cur).exists(_.toLong != dt) ||
+      recordedDimTids.lift(i).exists(_ != dt) ||
         st.files.exists(f => f.tableId == dt &&
           f.end.exists(s => in(s) &&
             (!hasDimTag(s, maintenance) || hasDimTag(s, insertish)))) ||
@@ -362,8 +391,8 @@ object LakeMaterializedView {
           b.end.exists(s => in(s) && hasDimTag(s, insertish)))
     }
     // !replaced: a fact replace full-recomputes below regardless — don't
-    // pay the dim change-feed job + driver probe just to discard it
-    val dimDelta = !replaced && !dimReplaced && dimTid.exists { dt =>
+    // pay the dim change-feed jobs + driver probes just to discard them
+    def dimChangedIn(dt: Long): Boolean = {
       val hasDimTag = hasTagFor(dt) _
       st.files.exists(f => f.tableId == dt &&
           in(f.begin) && hasDimTag(f.begin, logicalTags)) ||
@@ -373,40 +402,56 @@ object LakeMaterializedView {
           ((in(b.begin) && hasDimTag(b.begin, logicalTags)) ||
             b.end.exists(s => in(s) && hasDimTag(s, logicalTags))))
     }
-    // changed-key collection is a BOUNDED driver probe over the (small)
-    // dim change feed; overflow falls back to the full recompute
+    val changedDims: Seq[Int] =
+      if (replaced || dimReplaced) Nil
+      else dimTids.zipWithIndex.collect { case (dt, i) if dimChangedIn(dt) => i }
+    // N-dim telescoping of the exact identity (one term per changed dim):
+    //   Δ(F⋈D₁⋈…⋈Dₙ) = ΔF⋈D₁ₗ⋈…⋈Dₙₗ + Σᵢ F꜀⋈D₁꜀⋈…⋈Dᵢ₋₁꜀⋈ΔDᵢ⋈Dᵢ₊₁ₗ⋈…⋈Dₙₗ
+    // — dim i's term joins EARLIER dims at CUR and LATER dims at LAST
+    // (join is multilinear over signed row multisets, so the terms sum
+    // exactly even when several dims changed in one window). Each changed
+    // dim gets its own BOUNDED key probe; any overflow falls back to the
+    // full recompute (per-dim dimDeltaMaxKeys fallback).
     var dimOverflow = false
-    val dimDeltaRows: Option[DataFrame] = if (!dimDelta) None else {
-      val ds = d.dim.get
+    val dimDeltaTerms: Seq[DataFrame] = if (changedDims.isEmpty) Nil else {
       // a malformed knob value must degrade to the default, never abort
       // the refresh (the recompute fallback is the safety net, not NFE)
       val maxKeys = lake.spark.conf
         .getOption("spark.graft.mv.dimDeltaMaxKeys")
         .flatMap(_.toIntOption).getOrElse(1000)
-      val dimCh = lake.tableChanges(ds.table, last, cur)
-      val keyRows = dimCh.select(ds.keys.map(k => col(k._2)): _*)
-        .distinct().limit(maxKeys + 1).collect()
-      if (keyRows.length > maxKeys) { dimOverflow = true; None }
-      else if (keyRows.isEmpty) None // NULL-only keys never join
-      else {
-        // per-column IN prefilter: exact for single-column keys, a
-        // conservative superset for composite keys (the equi-join below is
-        // exact either way — the IN only exists to push into the fact scan
-        // and prune files via zone maps / hidden partitions)
-        val keyVals: Seq[Seq[Any]] = ds.keys.indices.map(i =>
-          keyRows.map(_.get(i)).filter(_ != null).distinct.toSeq)
-        if (keyVals.exists(_.isEmpty)) None
-        else {
-          val factCur = ds.keys.map(_._1).zip(keyVals).foldLeft(
-            lake.table(source, Some(cur))) { case (df, (fk, vs)) =>
-              df.filter(col(fk).isin(vs: _*)) }
-          // F_cur ⋈ ΔD: the dim change rows play the dim role, their
-          // `_change_type` rides through joinDim's dim-side keep list and
-          // is re-signed to the fact vocabulary the delta fold speaks
-          Some(joinDim(factCur, dimCh, ds)
-            .withColumn("_change_type",
-              when(col("_change_type").isin("insert", "update_postimage"),
-                lit("insert")).otherwise(lit("delete"))))
+      changedDims.flatMap { i =>
+        if (dimOverflow) None else {
+          val ds = d.dims(i)
+          val dimCh = lake.tableChanges(ds.table, last, cur)
+          val keyRows = dimCh.select(ds.keys.map(k => col(k._2)): _*)
+            .distinct().limit(maxKeys + 1).collect()
+          if (keyRows.length > maxKeys) { dimOverflow = true; None }
+          else if (keyRows.isEmpty) None // NULL-only keys never join
+          else {
+            // per-column IN prefilter: exact for single-column keys, a
+            // conservative superset for composite keys (the equi-join below
+            // is exact either way — the IN only exists to push through the
+            // earlier joins into the owning scan and prune files via zone
+            // maps / hidden partitions)
+            val keyVals: Seq[Seq[Any]] = ds.keys.indices.map(j =>
+              keyRows.map(_.get(j)).filter(_ != null).distinct.toSeq)
+            if (keyVals.exists(_.isEmpty)) None
+            else {
+              val accum = d.dims.take(i).foldLeft(lake.table(source, Some(cur)))(
+                (acc, dsj) => joinDim(acc, lake.table(dsj.table, Some(cur)), dsj))
+              val restricted = ds.keys.map(_._1).zip(keyVals).foldLeft(accum) {
+                case (df, (lk, vs)) => df.filter(col(lk).isin(vs: _*)) }
+              // …⋈ΔDᵢ: the dim change rows play the dim role, their
+              // `_change_type` rides through joinDim's dim-side keep list
+              // and is re-signed to the fact vocabulary the delta fold speaks
+              val term0 = joinDim(restricted, dimCh, ds)
+                .withColumn("_change_type",
+                  when(col("_change_type").isin("insert", "update_postimage"),
+                    lit("insert")).otherwise(lit("delete")))
+              Some(d.dims.drop(i + 1).foldLeft(term0)((acc, dsj) =>
+                joinDim(acc, lake.table(dsj.table, Some(last)), dsj)))
+            }
+          }
         }
       }
     }
@@ -434,7 +479,7 @@ object LakeMaterializedView {
         st.deleteFiles.exists(df => df.tableId == srcTid && logicalIn(df.begin)) ||
         st.inlined.exists(ib => ib.tableId == srcTid &&
           (logicalIn(ib.begin) || ib.end.exists(logicalIn)))
-    if (!sourceChanged && dimDeltaRows.isEmpty) return last
+    if (!sourceChanged && dimDeltaTerms.isEmpty) return last
 
     // persist: the change-feed scan is embedded up to three times in the
     // merged plan (delta agg, dirty anti, dirty semi) — same idiom as
@@ -451,17 +496,21 @@ object LakeMaterializedView {
     // the signed dim-delta rows union in. With an unchanged dim,
     // D_last ≡ D_cur and the plain @cur join stands.
     val changes0 = lake.tableChanges(source, last, cur)
-    val changes1 = d.dim.fold(changes0) { ds =>
+    val changes1 =
+      if (d.dims.isEmpty) changes0
       // a dim-only refresh (ΔF provably empty by the sourceChanged probe)
-      // skips the ΔF⋈D join entirely — planning it would still build and
-      // broadcast the whole dim for zero fact rows
-      if (!sourceChanged) dimDeltaRows.get
+      // skips the ΔF⋈D joins entirely — planning them would still build
+      // and broadcast every dim for zero fact rows
+      else if (!sourceChanged) dimDeltaTerms.reduce(_ unionByName _)
       else {
-        val factSide = joinDim(changes0,
-          lake.table(ds.table, Some(if (dimDeltaRows.isEmpty) cur else last)), ds)
-        dimDeltaRows.fold(factSide)(factSide.unionByName(_))
+        // ΔF joins every dim at LAST per the identity; dims unchanged in
+        // the window have D_last ≡ D_cur, so the no-dim-change refresh
+        // keeps reading them at cur exactly as before
+        val dimAt = Some(if (dimDeltaTerms.isEmpty) cur else last)
+        val factSide = d.dims.foldLeft(changes0)((acc, dsj) =>
+          joinDim(acc, lake.table(dsj.table, dimAt), dsj))
+        dimDeltaTerms.foldLeft(factSide)(_ unionByName _)
       }
-    }
     val changes = d.filterSql.map(f => changes1.filter(expr(f)))
       .getOrElse(changes1).persist()
     try {

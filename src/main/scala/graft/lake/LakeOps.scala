@@ -1315,10 +1315,11 @@ class Lake(val spark: SparkSession, val root: String,
       minMaxCols: Seq[String] = Nil, cntCols: Seq[String] = Nil,
       avgCols: Seq[String] = Nil, filterSql: Option[String] = None,
       dimTable: Option[String] = None,
-      dimKeys: Seq[(String, String)] = Nil): Long = {
+      dimKeys: Seq[(String, String)] = Nil,
+      dims: Seq[(String, Seq[(String, String)])] = Nil): Long = {
     aclSuper("CREATE MATERIALIZED VIEW")
     LakeMaterializedView.create(this, name, source, groupCols, sumCols,
-      minMaxCols, cntCols, avgCols, filterSql, dimTable, dimKeys)
+      minMaxCols, cntCols, avgCols, filterSql, dimTable, dimKeys, dims)
   }
 
   /** Fold the source change feed since the last refresh into the MV;

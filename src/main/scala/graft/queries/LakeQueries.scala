@@ -1094,6 +1094,44 @@ object LakeQueries {
       lake.table("main.mv").orderBy(col("c_mktsegment"))
     }),
 
+    // ---- snowflake join-source MV (r15): N dims via the telescoped exact
+    // identity Δ(F⋈D₁⋈D₂) = ΔF⋈D₁ₗ⋈D₂ₗ + F꜀⋈ΔD₁⋈D₂ₗ + F꜀⋈D₁꜀⋈ΔD₂ —
+    // orders ⋈ customer ⋈ nation grouped by the OUTER dim's attribute.
+    // One window changes BOTH dims plus the fact (all three terms sum);
+    // a final nation-only window takes the dim-only path (no fact-side
+    // join planned). Each changed dim has its own bounded key probe; a
+    // probe past dimDeltaMaxKeys falls back to the recompute (identical
+    // result — at larger SFs the customer slice exceeds the default bound)
+    "l60_materialized_view_snowflake" -> ((s, dir) => {
+      val lake = newLake(s)
+      val orders = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      lake.createTableAs("main.fact", orders.filter(col("o_orderkey") % 2 === 0))
+      lake.createTableAs("main.d1", t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")))
+      lake.createTableAs("main.d2", t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name")))
+      lake.createMaterializedView("main.mv", "main.fact",
+        groupCols = Seq("n_name"), sumCols = Seq("o_orderkey"),
+        dims = Seq(("main.d1", Seq(("o_custkey", "c_custkey"))),
+          ("main.d2", Seq(("c_nationkey", "n_nationkey")))))
+      // fact-only window: ΔF ⋈ d1 ⋈ d2
+      lake.append("main.fact", orders.filter(col("o_orderkey") % 2 === 1))
+      lake.refreshMaterializedView("main.mv")
+      // BOTH dims + the fact change in ONE window
+      lake.update("main.fact", col("o_orderkey") % 11 === 0,
+        Map("o_custkey" -> lit(1L)))
+      lake.update("main.d1", col("c_custkey") % 7 === 0,
+        Map("c_nationkey" -> ((col("c_nationkey") + 1) % 25)))
+      lake.update("main.d2", col("n_nationkey") % 5 === 0,
+        Map("n_name" -> concat(lit("X-"), col("n_name"))))
+      lake.refreshMaterializedView("main.mv")
+      // OUTER-dim-only window: F꜀⋈D₁꜀⋈ΔD₂, fact feed provably empty
+      lake.update("main.d2", col("n_nationkey") % 3 === 1,
+        Map("n_name" -> concat(lit("Y-"), col("n_name"))))
+      lake.refreshMaterializedView("main.mv")
+      lake.table("main.mv").orderBy(col("n_name"))
+    }),
+
     "l56_roles" -> ((s, dir) => {
       val lake = newLake(s)
       lake.createTableAs("main.nat", t(s, dir, "nation"))
@@ -1651,6 +1689,29 @@ object LakeQueries {
         |  FROM customer) d
         |  ON f.o_custkey = d.c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // snowflake join-source MV: final content == fact⋈d1⋈d2 GROUP BY over
+    // the DML-transformed tables (both dim updates applied in order)
+    "l60_materialized_view_snowflake" ->
+      """SELECT n_name, COUNT(*) AS n_rows,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_o_orderkey
+        |FROM (
+        |  SELECT CASE WHEN o_orderkey % 11 = 0 THEN 1
+        |              ELSE o_custkey END AS o_custkey, o_orderkey
+        |  FROM orders) f
+        |JOIN (
+        |  SELECT c_custkey, CASE WHEN c_custkey % 7 = 0
+        |    THEN (c_nationkey + 1) % 25 ELSE c_nationkey END AS c_nationkey
+        |  FROM customer) d1
+        |  ON f.o_custkey = d1.c_custkey
+        |JOIN (
+        |  SELECT n_nationkey, CASE WHEN n_nationkey % 3 = 1
+        |    THEN 'Y-' || base ELSE base END AS n_name
+        |  FROM (SELECT n_nationkey, CASE WHEN n_nationkey % 5 = 0
+        |          THEN 'X-' || n_name ELSE n_name END AS base
+        |        FROM nation)) d2
+        |  ON d1.c_nationkey = d2.n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     // roles: reader-grant user reads what the writer-role user's DELETE
     // left behind; the denied write surfaces as a constant column

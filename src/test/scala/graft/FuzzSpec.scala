@@ -76,6 +76,19 @@ class FuzzSpec extends AnyFunSuite {
     }
     lake.createMaterializedView("main.fmv3", "main.f", Seq("seg"), Seq("v"),
       dimTable = Some("main.fdim"), dimKeys = Seq(("k", "dk")))
+    // r15: a SNOWFLAKE 2-dim MV (fact ⋈ fdim ⋈ fdim2, fdim2 keyed off
+    // fdim's carried `seg`) rides the same schedule — fdim churns every 7
+    // ops, fdim2 every 13, the fact constantly, so refreshes hit every
+    // telescoped-term combination incl. both-dims-changed windows. A
+    // mutated seg ("s0x") has no fdim2 match and drops out (inner).
+    var dim2Model = Map("s0" -> "b0", "s1" -> "b1", "s2" -> "b0")
+    locally {
+      import spark.implicits._
+      lake.createTableAs("main.fdim2", dim2Model.toSeq.toDF("s2", "band"))
+    }
+    lake.createMaterializedView("main.fmv5", "main.f", Seq("band"), Seq("v"),
+      dims = Seq(("main.fdim", Seq(("k", "dk"))),
+        ("main.fdim2", Seq(("seg", "s2")))))
 
     // r9: ACL joins the schedule — a custom role + user whose per-table
     // grant set and membership mutate randomly; after every op the
@@ -129,6 +142,17 @@ class FuzzSpec extends AnyFunSuite {
       assert(got3 == want3, s"seed=$seed $tag MV3(join): ${got3.size} rows vs " +
         s"model ${want3.size}; diff ${(got3.toSet -- want3.toSet).take(3)} / " +
         s"${(want3.toSet -- got3.toSet).take(3)}")
+      lake.refreshMaterializedView("main.fmv5")
+      val got5 = lake.table("main.fmv5").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val want5 = model.toSeq
+        .flatMap { case (k, v) =>
+          dimModel.get(k).flatMap(dim2Model.get).map(b => (b, v)) }
+        .groupBy(_._1)
+        .map { case (b, xs) => b -> (xs.size.toLong, xs.map(_._2).sum) }
+      assert(got5 == want5, s"seed=$seed $tag MV5(snowflake): ${got5.size} rows " +
+        s"vs model ${want5.size}; diff ${(got5.toSet -- want5.toSet).take(3)} / " +
+        s"${(want5.toSet -- got5.toSet).take(3)}")
     }
 
     var i = 0
@@ -257,6 +281,17 @@ class FuzzSpec extends AnyFunSuite {
             lake.delete("main.fdim", col("dk") % m === r)
             dimModel = dimModel.filter { case (dk, _) => dk % m != r }
         }
+      }
+      // fdim2 (the OUTER snowflake dim) churns on ITS OWN cadence
+      // (deterministic from i — no rnd draws, so existing seed schedules
+      // are untouched): regrouping a band regroups every fact row whose
+      // seg chains through it — the F꜀⋈D₁꜀⋈ΔD₂ term
+      if (i % 13 == 11) {
+        val target = s"s${i % 3}"
+        val nb = s"b${(i + seed) % 3}"
+        lake.update("main.fdim2", col("s2") === target, Map("band" -> lit(nb)))
+        dim2Model = dim2Model.map { case (s2, b) =>
+          s2 -> (if (s2 == target) nb else b) }
       }
       // RENAME COLUMN round-trip on its own cadence (VERDICT r14 #2, also
       // not an op draw): the SORTED fact briefly lives under a renamed key
@@ -498,6 +533,112 @@ class FuzzSpec extends AnyFunSuite {
     drain("final")
   }
 
+  /** r15 (VERDICT r14 #5): the s08 auto-refresh SINK over a JOIN-SOURCE
+    * MV — dim DML lands MID-STREAM, so sink-triggered refreshes exercise
+    * the dim-delta fold Δ(F⋈D)=ΔF⋈D_last+F_cur⋈ΔD (and its replace
+    * recompute fallback) under the same mid-stream-kill/restart protocol.
+    * Every dim op is chased by a small fact append in the SAME window (the
+    * sink triggers off the FACT feed — a pure dim change has no fact
+    * snapshot to drain, exactly like production where facts keep arriving),
+    * which also makes every dim window a SHARED fact+dim window, the hard
+    * case of the identity. Exactly-once vs the batch fact⋈dim oracle. */
+  private def runMvJoinStreamFuzz(seed: Int, nOps: Int): Unit = {
+    val rnd = new Random(seed)
+    val root = Files.createTempDirectory(s"graft_mvjfuzz$seed").toString
+    val lake = new Lake(spark, root)
+    import spark.implicits._
+    lake.createTableAs("main.src", Seq((1L, 1L)).toDF("dk", "x"))
+    lake.createTableAs("main.dim",
+      (0L until 12L).map(k => (k, s"g${k % 4}")).toDF("k", "g"))
+    var nextDim = 12L
+    lake.createMaterializedView("main.mv", "main.src", Seq("g"), Seq("x"),
+      dimTable = Some("main.dim"), dimKeys = Seq(("dk", "k")))
+    val ckpt = Files.createTempDirectory(s"graft_mvjfuzz_ckpt$seed").toString
+    // dk up to 15: keys ≥ nextDim are UNMATCHED (outside the view) until a
+    // dim grow pulls them in — inner-join semantics under churn
+    def randRows(n: Int): Seq[(Long, Long)] =
+      Seq.fill(n)((rnd.nextInt(16).toLong, rnd.nextInt(100).toLong))
+    def factAppend(n: Int): Unit =
+      lake.append("main.src", randRows(n).toDF("dk", "x"))
+    def mvNow(): Map[String, (Long, Long)] =
+      lake.table("main.mv").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def oracleNow(): Map[String, (Long, Long)] =
+      lake.table("main.src").alias("f")
+        .join(lake.table("main.dim").alias("d"), col("f.dk") === col("d.k"))
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("n"), coalesce(sum(col("x")), lit(0L)).as("s"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def stream(trigger: org.apache.spark.sql.streaming.Trigger) =
+      spark.readStream.format("graft-changes")
+        .option("root", root).option("table", "main.src")
+        .option("maxSnapshotsPerTrigger", "1").load()
+        .writeStream.format("graft-mv-refresh")
+        .option("root", root).option("view", "main.mv")
+        .option("checkpointLocation", ckpt)
+        .trigger(trigger).start()
+    def drain(tag: String): Unit = {
+      val q = stream(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination()
+      val (got, want) = (mvNow(), oracleNow())
+      assert(got == want, s"seed=$seed $tag: MV ${got.size} rows vs oracle " +
+        s"${want.size}; diff ${(got.toSet -- want.toSet).take(3)} / " +
+        s"${(want.toSet -- got.toSet).take(3)}")
+    }
+    (0 until nOps).foreach { i =>
+      rnd.nextInt(10) match {
+        case 0 | 1 | 2 => factAppend(5 + rnd.nextInt(15))
+        case 3 =>
+          val m = 2 + rnd.nextInt(3)
+          lake.delete("main.src", col("x") % m === rnd.nextInt(m))
+        case 4 =>
+          val m = 2 + rnd.nextInt(3)
+          lake.update("main.src", col("x") % m === rnd.nextInt(m),
+            Map("dk" -> lit(rnd.nextInt(16).toLong)))
+        case 5 | 6 =>
+          // DIM regroup: the next sink-triggered refresh folds F_cur⋈ΔD
+          val m = 2 + rnd.nextInt(3)
+          lake.update("main.dim", col("k") % m === rnd.nextInt(m),
+            Map("g" -> lit(s"g${rnd.nextInt(4)}")))
+          factAppend(1 + rnd.nextInt(4))
+        case 7 =>
+          // DIM delete (orphans fact rows) or grow (pulls orphans in)
+          if (rnd.nextBoolean())
+            lake.delete("main.dim", col("k") === rnd.nextInt(16).toLong)
+          else if (nextDim < 16L) {
+            lake.append("main.dim",
+              Seq((nextDim, s"g${rnd.nextInt(4)}")).toDF("k", "g"))
+            nextDim += 1
+          }
+          factAppend(1 + rnd.nextInt(4))
+        case 8 =>
+          // DIM REPLACE (overwrite): the feed can't express it — the next
+          // sink refresh must take the full-recompute fallback
+          lake.append("main.dim",
+            (0L until nextDim).map(k => (k, s"h${rnd.nextInt(3)}")).toDF("k", "g"),
+            overwrite = true)
+          factAppend(1 + rnd.nextInt(4))
+        case 9 => lake.mergeAdjacentFiles("main.src")
+      }
+      if (i == nOps / 2) {
+        // MID-STREAM KILL with a dim change pending: the killed run's
+        // applied prefix must not re-fold the dim delta on resume
+        val m = 2 + rnd.nextInt(3)
+        lake.update("main.dim", col("k") % m === rnd.nextInt(m),
+          Map("g" -> lit(s"g${rnd.nextInt(4)}")))
+        factAppend(10); factAppend(10)
+        val q = stream(org.apache.spark.sql.streaming.Trigger.ProcessingTime(25))
+        val deadline = System.currentTimeMillis + 30000
+        while (!q.recentProgress.exists(_.numInputRows > 0) &&
+            System.currentTimeMillis < deadline)
+          Thread.sleep(20)
+        q.stop(); q.awaitTermination()
+        drain(s"post-kill resume at op#$i")
+      } else if (rnd.nextInt(3) == 0) drain(s"op#$i")
+    }
+    drain("final")
+  }
+
   test("stream fuzz seed 20260815, 28 ops")(runStreamFuzz(20260815, 28))
   test("stream fuzz seed 11, 28 ops")(runStreamFuzz(11, 28))
   test("stream fuzz seed 42, 20 ops over the JDBC catalog (source 'jdbc' option)")(
@@ -505,6 +646,8 @@ class FuzzSpec extends AnyFunSuite {
 
   test("mv-refresh stream fuzz seed 20260816, 20 ops with mid-stream kill")(
     runMvStreamFuzz(20260816, 20))
+  test("join-MV sink fuzz seed 20260817, 20 ops: dim churn mid-stream + kill/restart")(
+    runMvJoinStreamFuzz(20260817, 20))
   test("fuzz seed 20260814, 24 ops")(runFuzz(20260814, 24))
   test("fuzz seed 7, 24 ops")(runFuzz(7, 24))
   // r14: a seed chosen to interleave dim deletes/updates with fact DML in

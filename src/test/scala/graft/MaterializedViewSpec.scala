@@ -756,4 +756,137 @@ class MaterializedViewSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("share non-key column"))
   }
+
+  // -------------------------------------- N-dim (snowflake / star) MVs
+
+  /** SNOWFLAKE: fact(fk, x) ⋈ d1(k, seg) ⋈ d2(seg2, region) — d2 keys off
+    * d1's CARRIED column, grouped by the outermost dim's attribute */
+  private def mkSnowMv(): Lake = {
+    val lake = mkLake()
+    import spark.implicits._
+    lake.createTableAs("main.fact",
+      Seq((1L, 10L), (1L, 20L), (2L, 5L), (3L, 7L)).toDF("fk", "x"))
+    lake.createTableAs("main.d1",
+      Seq((1L, "red"), (2L, "blue"), (3L, "red")).toDF("k", "seg"))
+    lake.createTableAs("main.d2",
+      Seq(("red", "emea"), ("blue", "apac")).toDF("seg2", "region"))
+    lake.createMaterializedView("main.mv", "main.fact",
+      groupCols = Seq("region"), sumCols = Seq("x"),
+      dims = Seq(("main.d1", Seq(("fk", "k"))),
+        ("main.d2", Seq(("seg", "seg2")))))
+    lake
+  }
+
+  private def snowOracle(lake: Lake): Map[String, (Long, Long)] =
+    lake.table("main.fact").alias("f")
+      .join(lake.table("main.d1").alias("a"), col("f.fk") === col("a.k"))
+      .join(lake.table("main.d2").alias("b"), col("a.seg") === col("b.seg2"))
+      .groupBy(col("region"))
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("x")), lit(0L)).as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("snowflake MV (two dims): fact DML and a D2-ONLY window fold as deltas") {
+    val lake = mkSnowMv()
+    import spark.implicits._
+    assert(mvState(lake) == Map("emea" -> (3L, 37L), "apac" -> (1L, 5L)))
+
+    // fact-only window: ΔF ⋈ D1 ⋈ D2
+    lake.append("main.fact", Seq((2L, 6L), (3L, 100L)).toDF("fk", "x"))
+    lake.refreshMaterializedView("main.mv")
+    assert(mvState(lake) == snowOracle(lake))
+
+    // D2-ONLY window (regroup at the OUTER dim): folds via F_cur⋈D1_cur⋈ΔD2
+    // — a dim-only refresh, the fact change feed is provably empty
+    lake.update("main.d2", col("seg2") === "red", Map("region" -> lit("amer")))
+    lake.refreshMaterializedView("main.mv")
+    assert(mvState(lake) == snowOracle(lake))
+    assert(mvState(lake).contains("amer") && !mvState(lake).contains("emea"))
+
+    // D1-ONLY window (the MIDDLE link regroups): F_cur⋈ΔD1⋈D2_last
+    lake.update("main.d1", col("k") === 1L, Map("seg" -> lit("blue")))
+    lake.refreshMaterializedView("main.mv")
+    assert(mvState(lake) == snowOracle(lake))
+  }
+
+  test("snowflake MV: BOTH dims changed in one window net out exactly") {
+    // the N-dim telescoping Δ(F⋈D₁⋈D₂) = ΔF⋈D₁ₗ⋈D₂ₗ + F꜀⋈ΔD₁⋈D₂ₗ +
+    // F꜀⋈D₁꜀⋈ΔD₂ — D1's term reads D2 at LAST while D2's term reads D1 at
+    // CUR; mixing the states is exactly what double-counts
+    val lake = mkSnowMv()
+    import spark.implicits._
+    lake.update("main.d1", col("k") === 1L, Map("seg" -> lit("blue")))
+    lake.update("main.d2", col("seg2") === "blue", Map("region" -> lit("apac2")))
+    lake.append("main.fact", Seq((1L, 1000L)).toDF("fk", "x"))
+    lake.delete("main.fact", col("x") === 5L)
+    lake.refreshMaterializedView("main.mv")
+    assert(mvState(lake) == snowOracle(lake))
+
+    // second combined window incl. a d1 DELETE orphaning fact rows and a
+    // d2 INSERT pulling a previously-unmatched segment in
+    lake.delete("main.d1", col("k") === 2L)
+    lake.append("main.d1", Seq((9L, "green")).toDF("k", "seg"))
+    lake.append("main.d2", Seq(("green", "apna")).toDF("seg2", "region"))
+    lake.append("main.fact", Seq((9L, 3L)).toDF("fk", "x"))
+    lake.refreshMaterializedView("main.mv")
+    assert(mvState(lake) == snowOracle(lake))
+  }
+
+  test("star MV (two dims keyed off the fact) with MIN/MAX dirty groups") {
+    val lake = mkLake()
+    import spark.implicits._
+    lake.createTableAs("main.fact",
+      Seq((1L, 10L, 100L), (2L, 20L, 200L), (1L, 20L, 300L)).toDF("fk1", "fk2", "x"))
+    lake.createTableAs("main.d1", Seq((1L, "red"), (2L, "blue")).toDF("k", "seg"))
+    lake.createTableAs("main.d2", Seq((10L, "n"), (20L, "s")).toDF("q", "zone"))
+    lake.createMaterializedView("main.mv", "main.fact",
+      groupCols = Seq("seg", "zone"), sumCols = Nil, minMaxCols = Seq("x"),
+      dims = Seq(("main.d1", Seq(("fk1", "k"))), ("main.d2", Seq(("fk2", "q")))))
+    def state() = lake.table("main.mv").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    def oracle() = lake.table("main.fact").alias("f")
+      .join(lake.table("main.d1").alias("a"), col("f.fk1") === col("a.k"))
+      .join(lake.table("main.d2").alias("b"), col("f.fk2") === col("b.q"))
+      .groupBy(col("seg"), col("zone"))
+      .agg(count(lit(1)).as("n"), min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(state() == oracle())
+    // a dim regroup RETIRES the max of (red,s) — the signed dim-delta rows
+    // must mark the group dirty and the recompute must go through the join
+    lake.update("main.d2", col("q") === 20L, Map("zone" -> lit("w")))
+    lake.delete("main.fact", col("x") === 300L)
+    lake.refreshMaterializedView("main.mv")
+    assert(state() == oracle())
+  }
+
+  test("per-dim dimDeltaMaxKeys: an overflowing dim falls back to the full recompute") {
+    val lake = mkSnowMv()
+    import spark.implicits._
+    spark.conf.set("spark.graft.mv.dimDeltaMaxKeys", "1")
+    try {
+      // two changed d1 keys > bound → recompute fallback, same answer
+      lake.update("main.d1", col("k").isin(1L, 2L), Map("seg" -> lit("red")))
+      lake.refreshMaterializedView("main.mv")
+      assert(mvState(lake) == snowOracle(lake))
+      // ONE changed d2 key stays within the bound → the delta path serves
+      lake.update("main.d2", col("seg2") === "red", Map("region" -> lit("emea2")))
+      lake.refreshMaterializedView("main.mv")
+      assert(mvState(lake) == snowOracle(lake))
+    } finally spark.conf.unset("spark.graft.mv.dimDeltaMaxKeys")
+  }
+
+  test("snowflake MV: chaining off an unknown carried column is rejected at create") {
+    val lake = mkLake()
+    import spark.implicits._
+    lake.createTableAs("main.fact", Seq((1L, 10L)).toDF("fk", "x"))
+    lake.createTableAs("main.d1", Seq((1L, "red")).toDF("k", "seg"))
+    lake.createTableAs("main.d2", Seq(("red", "emea")).toDF("seg2", "region"))
+    val e = intercept[IllegalArgumentException] {
+      lake.createMaterializedView("main.mv", "main.fact",
+        groupCols = Seq("region"), sumCols = Nil,
+        dims = Seq(("main.d2", Seq(("seg", "seg2"))), // d2 BEFORE d1: seg unknown yet
+          ("main.d1", Seq(("fk", "k")))))
+    }
+    assert(e.getMessage.contains("accumulated frame"))
+  }
 }
