@@ -425,6 +425,43 @@ class Lake(val spark: SparkSession, val root: String,
   private def mapAsString(m: Map[String, String]): String =
     m.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(",")
 
+  /** Per-table SPJ operating recommendation from the SAME file-size
+    * histogram the key-grouped scan's skew split derives its per-group
+    * decision from (VERDICT r14 #6, settled): the session conf
+    * `partiallyClusteredDistribution.enabled` is Spark's MASTER switch —
+    * it keys the join's OTHER-side replication at planning, so a catalog
+    * option can only NARROW it (`spj.mode=ordering`), never widen it
+    * per-table. What the engine CAN do is tell the operator which tables
+    * would benefit from the session flip:
+    *   - "skew-split": some key group holds >1 file and more than
+    *     skewFactor × the median group's bytes — the per-file split would
+    *     relieve a straggler;
+    *   - "ordering": SPJ-groupable and balanced — fused groups keep the
+    *     sort-elision report;
+    *   - None: not SPJ-groupable (no identity/bucket partition spec, or
+    *     files without recorded values).
+    */
+  private def spjRecommendation(st: CatalogState, tableId: Long, cur: Long): Option[String] = {
+    val pks = st.partitionKeysAt(tableId, cur)
+    def groupable(pk: PartitionKey): Boolean =
+      pk.transform == "identity" || BucketTransform.unapply(pk.transform).isDefined
+    if (pks.isEmpty || !pks.forall(groupable)) return None
+    val files = st.filesAt(tableId, cur).map(st.fileNamesAt(tableId, cur))
+    if (files.isEmpty) return None
+    val keyed = files.map { f =>
+      pks.map(pk => f.partitionValues.getOrElse(pk.label, return None)) ->
+        f.fileSizeBytes
+    }
+    val groups = keyed.groupBy(_._1).values
+      .map(fs => (fs.map(_._2).sum, fs.size)).toSeq
+    val bytes = groups.map(_._1).sorted
+    val median = math.max(1L, bytes(bytes.size / 2))
+    val factor = spark.conf.getOption("spark.graft.lake.skewFactor")
+      .map(_.toDouble).getOrElse(4.0)
+    val hot = groups.exists { case (b, n) => n > 1 && b > factor * median }
+    Some(if (hot) "skew-split" else "ordering")
+  }
+
   /** table_info TVF */
   def tableInfo(): DataFrame = {
     val st = store.state()
@@ -436,13 +473,15 @@ class Lake(val spark: SparkSession, val root: String,
       Row(t.tableId, t.schemaName, t.tableName, files.length.toLong,
         files.map(_.rowCount).sum + inl.map(_.rowsJson.length.toLong).sum,
         files.map(_.fileSizeBytes).sum, dels.length.toLong,
-        inl.map(_.rowsJson.length.toLong).sum)
+        inl.map(_.rowsJson.length.toLong).sum,
+        spjRecommendation(st, t.tableId, cur).orNull)
     }
     spark.createDataFrame(rows.toList.asJava, StructType(Seq(
       StructField("table_id", LongType), StructField("schema_name", StringType),
       StructField("table_name", StringType), StructField("file_count", LongType),
       StructField("row_count", LongType), StructField("file_size_bytes", LongType),
-      StructField("delete_file_count", LongType), StructField("inlined_row_count", LongType))))
+      StructField("delete_file_count", LongType), StructField("inlined_row_count", LongType),
+      StructField("spj_recommendation", StringType))))
   }
 
   // ------------------------------------------------------------ change feed
@@ -1723,12 +1762,20 @@ class Lake(val spark: SparkSession, val root: String,
     val cleaned = beforeClean - store.state().scheduledDeletions.size
     val orphans = deleteOrphanedFiles(orphanOlderThanMs).size
     val ckpt = checkpoint()
+    // operator signal (VERDICT r14 #6): how many tables' file-size
+    // histograms currently want the partially-clustered session flip —
+    // per-table detail in tableInfo().spj_recommendation
+    val stR = store.state()
+    val wantSplit = live.count(t =>
+      spjRecommendation(stR, t.tableId, stR.currentSnapshotId)
+        .contains("skew-split"))
     Map(
       "tables_maintained" -> live.size.toLong,
       "mvs_refreshed" -> mvRefreshed.toLong,
       "snapshots_expired" -> expired.toLong,
       "scheduled_deletions_cleaned" -> cleaned.toLong,
       "orphans_deleted" -> orphans.toLong,
+      "spj_skew_split_recommended" -> wantSplit.toLong,
       "checkpoint_snapshot" -> ckpt)
   }
 

@@ -584,6 +584,42 @@ class BucketSpec extends AnyFunSuite {
     }
   }
 
+  test("tableInfo surfaces the per-table SPJ recommendation from the file-size histogram") {
+    // VERDICT r14 #6 (settled): the partially-clustered session conf is
+    // Spark's master switch (it keys the OTHER side's replication at
+    // planning), so a catalog option can only narrow it — what the engine
+    // CAN do is tell the operator which tables want the session flip,
+    // from the same histogram the scan's per-group split derives from
+    val lake = new Lake(spark, Files.createTempDirectory("graft_spjrec").toString)
+    val schema = spark.range(0, 1).selectExpr("id AS k", "id AS v").schema
+    // uniform bucketed table → fused groups keep sort elision: "ordering"
+    lake.createTable("main.u", schema,
+      partitionKeys = List(PartitionKey(BucketTransform(4), "k")))
+    lake.append("main.u", spark.range(0, 4000).selectExpr("id % 400 AS k", "id AS v"))
+    // one key's bucket grows across chunked appends → "skew-split"; the
+    // tiny target_file_size keeps the hot bucket MULTI-FILE through the
+    // maintenance compaction below (the 100 TB shape: a hot key's bytes
+    // exceed any one file) — a bucket vacuum can fuse back to one file
+    // legitimately flips to "ordering", since a single file cannot split
+    lake.createTable("main.h", schema,
+      partitionKeys = List(PartitionKey(BucketTransform(4), "k")))
+    lake.setOption("target_file_size", "64KB", Some("main.h"))
+    lake.append("main.h", spark.range(0, 4000).selectExpr("id % 400 AS k", "id AS v"))
+    (0 until 3).foreach(_ => lake.append("main.h",
+      spark.range(0, 30000).selectExpr("CAST(7 AS BIGINT) AS k", "id AS v")))
+    // unpartitioned → not SPJ-groupable → no recommendation
+    lake.createTableAs("main.p", spark.range(0, 10).toDF("a"))
+    val rec = lake.tableInfo().collect()
+      .map(r => r.getString(2) -> Option(r.getString(8))).toMap
+    assert(rec("u").contains("ordering"), s"uniform: ${rec("u")}")
+    assert(rec("h").contains("skew-split"), s"skewed: ${rec("h")}")
+    assert(rec("p").isEmpty, s"unpartitioned: ${rec("p")}")
+    // the maintenance summary carries the operator count
+    val summary = lake.maintain(expireOlderThanMs = Some(Long.MaxValue),
+      deleteOlderThanMs = Some(0L), orphanOlderThanMs = Some(0L))
+    assert(summary("spj_skew_split_recommended") >= 1L)
+  }
+
   test("one null-bearing sorted file per bucket keeps the ordering report; two forfeit it") {
     // r14 (VERDICT r13 #7): a NULL run sorts to a deterministic end per the
     // stamped null order. ONE null-bearing file placed at that end keeps
