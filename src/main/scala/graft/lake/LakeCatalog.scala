@@ -50,14 +50,29 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
   private var store: MetadataStore = _
   private var frozenState: Option[CatalogState] = None
 
+  /** SQL BEGIN…COMMIT/ROLLBACK blocks (r15): while a block executes, the
+    * catalog's EFFECTIVE store is the transaction's StagingStore, so every
+    * statement in the block stages instead of committing and reads its own
+    * staged writes — the reference's explicit-transaction semantics
+    * (test/regression/sql/transaction.sql) at the SQL surface. One
+    * transaction at a time per catalog (PG session semantics); maintenance
+    * ops keep rejecting staged stores as before. */
+  @volatile private[lake] var txOverride: Option[MetadataStore] = None
+  private def effectiveStore: MetadataStore = txOverride.getOrElse(store)
+
   /** live store behind this catalog; null for frozen mounts (used by the
-    * SQL view/macro DDL commands to share the catalog's store instance) */
-  private[graft] def metaStore: MetadataStore = store
+    * SQL view/macro DDL commands to share the catalog's store instance).
+    * Inside a BEGIN block this IS the staging store, so view/macro/MV DDL
+    * and DML commands that resolve their Lake through the catalog stage
+    * with the rest of the block. */
+  private[graft] def metaStore: MetadataStore =
+    if (store == null) null else effectiveStore
 
   // ---- CALL <cat>.system.<proc>(...) — see [[LakeProcedures]] ----------
   private def lakeForProcs(): Lake = {
     requireWritable() // every procedure mutates; frozen mounts refuse
-    new Lake(org.apache.spark.sql.SparkSession.active, store.root, Some(store))
+    new Lake(org.apache.spark.sql.SparkSession.active, effectiveStore.root,
+      Some(effectiveStore))
   }
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
@@ -78,7 +93,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
 
   private def lakeForViews(): Lake = {
     requireWritable()
-    new Lake(SparkSession.active, store.root, Some(store))
+    new Lake(SparkSession.active, effectiveStore.root, Some(effectiveStore))
   }
 
   override def listViews(namespace: String*): Array[Identifier] = {
@@ -181,7 +196,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
-  private def state(): CatalogState = frozenState.getOrElse(store.state())
+  private def state(): CatalogState = frozenState.getOrElse(effectiveStore.state())
   /** read-side state for view resolution (frozen or live) */
   private[graft] def catalogState(): CatalogState = state()
 
@@ -239,7 +254,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
         LakeRead.scanDF(spark, this.st, entry.tableId, s, filters,
           withRowMeta = withRowMeta)
     }
-    else new LakeTable(store, ns(ident), ident.name(), s, st)
+    else new LakeTable(effectiveStore, ns(ident), ident.name(), s, st)
   }
 
   override def tableExists(ident: Identifier): Boolean = {
@@ -260,7 +275,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
     val props = properties.asScala.toMap -
       (TableCatalog.PROP_PROVIDER, TableCatalog.PROP_OWNER, TableCatalog.PROP_LOCATION,
         TableCatalog.PROP_EXTERNAL)
-    store.commitWithRetry() { (st, sid) =>
+    effectiveStore.commitWithRetry() { (st, sid) =>
       if (st.tableAt(schemaName, ident.name(), st.currentSnapshotId).isDefined)
         throw new TableAlreadyExistsException(ident)
       val tid = st.nextTableId
@@ -310,7 +325,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
     requireWritable()
     aclSuper("ALTER TABLE")
     val schemaName = ns(ident)
-    store.commitWithRetry() { (st, sid) =>
+    effectiveStore.commitWithRetry() { (st, sid) =>
       val cur = st.currentSnapshotId
       val entry = st.tableAt(schemaName, ident.name(), cur)
         .getOrElse(throw new NoSuchTableException(ident))
@@ -423,7 +438,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
     aclSuper("DROP TABLE")
     val schemaName = ns(ident)
     try {
-      store.commitWithRetry() { (st, sid) =>
+      effectiveStore.commitWithRetry() { (st, sid) =>
         val cur = st.currentSnapshotId
         val entry = st.tableAt(schemaName, ident.name(), cur)
           .getOrElse(throw new NoSuchTableException(ident))
@@ -447,7 +462,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     requireWritable()
     aclSuper("RENAME TABLE")
-    store.commitWithRetry() { (st, sid) =>
+    effectiveStore.commitWithRetry() { (st, sid) =>
       val cur = st.currentSnapshotId
       val entry = st.tableAt(ns(oldIdent), oldIdent.name(), cur)
         .getOrElse(throw new NoSuchTableException(oldIdent))
@@ -492,7 +507,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
       metadata: util.Map[String, String]): Unit = {
     requireWritable()
     val nsName = namespace.mkString(".")
-    store.commitWithRetry() { (st, sid) =>
+    effectiveStore.commitWithRetry() { (st, sid) =>
       CommitDelta(
         snapshot = Snapshot(sid, System.currentTimeMillis(),
           st.snapshots.lastOption.map(_.schemaVersion).getOrElse(0L),
@@ -511,7 +526,7 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
     if (!cascade && listTables(namespace).nonEmpty)
       throw new IllegalStateException(s"namespace $nsName not empty")
     listTables(namespace).foreach(dropTable)
-    store.commitWithRetry() { (st, sid) =>
+    effectiveStore.commitWithRetry() { (st, sid) =>
       CommitDelta(
         snapshot = Snapshot(sid, System.currentTimeMillis(),
           st.snapshots.lastOption.map(_.schemaVersion).getOrElse(0L),

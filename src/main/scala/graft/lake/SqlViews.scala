@@ -174,6 +174,21 @@ private[lake] object SqlViews {
     matched.count() > 0
   }
 
+  /** split a BEGIN-block body into statements on ';' outside single-quoted
+    * strings ('' escapes toggle twice, which nets out) */
+  private[lake] def splitStatements(body: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    var inStr = false
+    body.foreach {
+      case '\'' => inStr = !inStr; sb.append('\'')
+      case ';' if !inStr => out += sb.toString; sb.clear()
+      case c => sb.append(c)
+    }
+    out += sb.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
   /** the Lake behind a registered LakeCatalog (shares its live store) */
   def lakeOf(spark: SparkSession, catalogName: String): Lake = {
     CatalogAccess.catalog(spark, catalogName) match {
@@ -184,6 +199,48 @@ private[lake] object SqlViews {
       case other => throw new IllegalArgumentException(
         s"catalog $catalogName is not a lake catalog (${other.getClass.getName})")
     }
+  }
+}
+
+/** Executes a SQL BEGIN…COMMIT/ROLLBACK block: every statement runs with
+  * the catalog's effective store swapped to the transaction's staging
+  * store (reads-your-own-writes, nothing visible outside), then the staged
+  * deltas merge into ONE snapshot via [[graft.lake.Lake.transaction]] — or
+  * are discarded wholesale for ROLLBACK (staged data files deleted).
+  * Returns the committed snapshot id (-1 for rollback / empty blocks).
+  * Statements addressing OTHER catalogs run immediately and
+  * non-transactionally (PG semantics cover one database at a time);
+  * maintenance ops inside the block are rejected by their existing
+  * staging-store guard. One block at a time per catalog. */
+case class LakeTransactionBlockCommand(catalogName: String,
+    statements: Seq[String], commit: Boolean) extends LeafRunnableCommand {
+  override def output: Seq[Attribute] =
+    Seq(AttributeReference("snapshot_id", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    // the block's lake catalog: the session's current catalog when it IS
+    // one (USE <cat> flows), else the first catalog-qualified identifier
+    // in the statements that resolves to a registered lake catalog
+    def isLake(n: String): Boolean =
+      scala.util.Try(CatalogAccess.catalog(spark, n)).toOption
+        .exists(_.isInstanceOf[LakeCatalog])
+    val lcName = (Seq(catalogName) ++ statements.flatMap(st =>
+        """\b([A-Za-z_]\w*)\s*\.""".r.findAllMatchIn(st).map(_.group(1))))
+      .distinct.find(isLake).getOrElse(throw new IllegalArgumentException(
+        "BEGIN block: no lake catalog in scope (USE <catalog> or qualify table names)"))
+    val lc = CatalogAccess.catalog(spark, lcName).asInstanceOf[LakeCatalog]
+    val lake = SqlViews.lakeOf(spark, lcName)
+    require(lc.txOverride.isEmpty, "transactions cannot nest")
+    object Rollback extends RuntimeException
+    try {
+      val (_, sid) = lake.transaction { tx =>
+        lc.txOverride = Some(tx.store)
+        try {
+          statements.foreach(stmt => spark.sql(stmt).collect())
+          if (!commit) throw Rollback
+        } finally lc.txOverride = None
+      }
+      Seq(Row(sid))
+    } catch { case Rollback => Seq(Row(-1L)) }
   }
 }
 
@@ -309,6 +366,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       """(?:\s+WHERE\s+(.+?))?\s+GROUP\s+BY\s+(.+?)\s*;?\s*""").r
   private val RefreshMvRe =
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s*;?\s*""".r
+  // explicit-transaction block (r15): the whole BEGIN…COMMIT/ROLLBACK
+  // arrives as ONE sql() string; statements stage against the current lake
+  // catalog and land as a single snapshot (reference transaction.sql)
+  private val TxBlockRe =
+    """(?is)\s*BEGIN(?:\s+TRANSACTION)?\s*;(.*?)(COMMIT|ROLLBACK)(?:\s+TRANSACTION)?\s*;?\s*""".r
   private val ShowRolesRe = """(?is)\s*SHOW\s+ROLES\s*;?\s*""".r
   private val ShowGrantsRe =
     """(?is)\s*SHOW\s+GRANTS(?:\s+ON\s+(?:TABLE\s+)?([\w.]+))?\s*;?\s*""".r
@@ -321,6 +383,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     delegate.parseMultipartIdentifier(qualified)
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case TxBlockRe(body, endKw) =>
+      LakeTransactionBlockCommand(curCat, SqlViews.splitStatements(body),
+        endKw.equalsIgnoreCase("COMMIT"))
     case CreateRoleRe(name) => CreateLakeRoleCommand(curCat, name)
     case DropRoleRe(ifExists, name) =>
       DropLakeRoleCommand(curCat, name, ifExists != null)

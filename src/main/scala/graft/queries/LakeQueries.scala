@@ -1248,6 +1248,34 @@ object LakeQueries {
     // ---- §2.B DML: SQL MERGE INTO lowered onto the native positional-
     // delete machinery (one snapshot; update/delete/insert clauses + exact
     // per-kind row counts, the reference's command-tag contract) -----------
+    // ---- SQL BEGIN…COMMIT block (r15): explicit transactions at the SQL
+    // surface (reference test/regression/sql/transaction.sql) — the block
+    // stages reads-your-own-writes and lands as ONE snapshot; a ROLLBACK
+    // block leaves no trace ------------------------------------------------
+    "l61_sql_transaction" -> ((s, dir) => {
+      val lake = newLake(s)
+      lake.createTableAs("main.tx",
+        t(s, dir, "nation").select(col("n_nationkey"), col("n_regionkey")))
+      val cat = s"lqtx${System.nanoTime()}"
+      wireCatalog(s, cat, lake)
+      val before = lake.currentSnapshot()
+      s.sql(
+        s"""BEGIN;
+           |INSERT INTO $cat.main.tx SELECT n_nationkey + 100, n_regionkey
+           |  FROM $cat.main.tx WHERE n_regionkey = 2;
+           |DELETE FROM $cat.main.tx WHERE n_regionkey = 0;
+           |COMMIT;""".stripMargin).collect()
+      s.sql(
+        s"""BEGIN;
+           |DELETE FROM $cat.main.tx WHERE n_nationkey >= 0;
+           |ROLLBACK;""".stripMargin).collect()
+      val after = lake.currentSnapshot()
+      // one snapshot for the committed block, none for the rollback
+      lake.table("main.tx")
+        .withColumn("snapshots_advanced", lit(after - before))
+        .orderBy(col("n_nationkey"))
+    }),
+
     "l28_sql_merge" -> ((s, dir) => {
       import s.implicits._
       val lake = newLake(s)
@@ -1671,6 +1699,17 @@ object LakeQueries {
         |  WHERE NOT (o_orderkey % 10 = 3))
         |WHERE o_orderstatus <> 'F'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // SQL transaction block: the committed block's insert+delete applied,
+    // the rolled-back delete invisible, exactly one snapshot advanced
+    "l61_sql_transaction" ->
+      """SELECT n_nationkey, n_regionkey, CAST(1 AS BIGINT) AS snapshots_advanced
+        |FROM (
+        |  SELECT n_nationkey, n_regionkey FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey + 100, n_regionkey FROM nation WHERE n_regionkey = 2)
+        |WHERE n_regionkey <> 0
+        |ORDER BY n_nationkey""".stripMargin,
 
     // join-source MV: final content == fact⋈dim GROUP BY over what the
     // DML sequence leaves behind, joined against the UPDATED dim
