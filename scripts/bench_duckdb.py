@@ -37,11 +37,14 @@ def main():
             t0 = time.time()
             con.sql(sql).fetchall()
             return time.time() - t0
-        once()  # warmup
-        times = sorted(once() for _ in range(3))
-        out[name] = round(times[1], 4)
+        cold = os.environ.get("BENCH_DUCK_COLD") == "1"
+        if not cold:
+            once()  # warmup
+        times = sorted(once() for _ in range(1 if cold else 3))
+        out[name] = round(times[len(times) // 2], 4)
         print(f"-- {name}: {out[name]}s", file=sys.stderr)
-    print(json.dumps({"engine": "duckdb", "sf_dir": data_dir, "queries": out}))
+    print(json.dumps({"engine": "duckdb", "sf_dir": data_dir,
+        "cold": os.environ.get("BENCH_DUCK_COLD") == "1", "queries": out}))
 
 
 if __name__ == "__main__":

@@ -137,9 +137,13 @@ object Bench {
     if (selected.keys.exists(_.contains("b_bucketed")))
       graft.queries.BucketedFacts.catalog(spark, sfDir)
     val diskStart = diskFreeGb()
+    // cold protocol (r15): SPARK_GRAFT_COLD=1 skips the warmup and times a
+    // SINGLE run — the caller dropped the OS page cache and wants first-read
+    // I/O included, which a warmup would destroy
+    val cold = sys.env.get("SPARK_GRAFT_COLD").contains("1")
     val allRuns = selected.map { case (name, fn) =>
-      once(fn) // warmup (also materializes any persisted stages)
-      val timed = Seq.fill(3) {
+      if (!cold) once(fn) // warmup (also materializes any persisted stages)
+      val timed = Seq.fill(if (cold) 1 else 3) {
         spark.sharedState.cacheManager.clearCache()
         once(fn)
       }.sorted
@@ -169,6 +173,7 @@ object Bench {
       s""","env":{"graft_conf":${j(sys.env.get("SPARK_GRAFT_CONF"))},""" +
         s""""maxpart_mb":${j(sys.env.get("SPARK_GRAFT_MAXPART_MB"))},""" +
         s""""runs":${j(sys.env.get("SPARK_GRAFT_RUNS"))},""" +
+        s""""cold":$cold,""" +
         s""""only":${j(sys.env.get("SPARK_GRAFT_ONLY"))},""" +
         s""""fixture_layout":"${spark.conf.get("spark.graft.bucketFixture.layout", "bounded")}"}"""
     }

@@ -113,9 +113,10 @@ object LakeMaterializedView {
     * definition order when the definition has dims (all sides pinned at
     * the SAME snapshot). */
   private def sourceFrame(lake: Lake, d: MvDef, source: String,
-      snap: Option[Long]): DataFrame =
-    d.dims.foldLeft(lake.table(source, snap))((acc, ds) =>
-      joinDim(acc, lake.table(ds.table, snap), ds))
+      snap: Option[Long],
+      rename: (String, DataFrame) => DataFrame = (_, df) => df): DataFrame =
+    d.dims.foldLeft(rename(source, lake.table(source, snap)))((acc, ds) =>
+      joinDim(acc, rename(ds.table, lake.table(ds.table, snap)), ds))
 
   private def withAvg(d: MvDef, df: DataFrame): DataFrame =
     d.avgCols.foldLeft(df)((acc, c) => acc.withColumn(s"avg_$c",
@@ -295,6 +296,23 @@ object LakeMaterializedView {
     }
     def in(b: Long) = b > last && b <= cur
 
+    // RENAME translation (r15): the def tags hold column names as of the
+    // snapshot the definition began; a SOURCE/DIM rename since then leaves
+    // the def referencing ghosts. Rather than rewriting the stored def (or
+    // the MV's own output columns — PG keeps MV column names from create),
+    // every frame the refresh reads is aligned BACK to the definition
+    // epoch's names by columnId (rename-only: current physical types
+    // kept). Zero-cost no-op for rename-free histories.
+    val defBegin: Long = st.tags
+      .find(t => t.scope == scope && t.key == KGroups &&
+        Meta.liveAt(t.begin, t.end, st.currentSnapshotId))
+      .map(_.begin).getOrElse(cur)
+    def defAligned(tbl: String, snap: Long)(df: DataFrame): DataFrame = {
+      val (tsn, ttn) = lake.schemaOf(tbl)
+      st.tableAt(tsn, ttn, snap).map(e => LakeRead.alignColumns(
+        st, e.tableId, snap, defBegin, df, castTo = false)).getOrElse(df)
+    }
+
     // the watermark-CAS'd MV overwrite, shared by both refresh paths
     def commitMv(merged: DataFrame): Unit =
       LakeWrite.append(lake.spark, lake.store, sn, tn, merged, overwrite = true,
@@ -422,7 +440,8 @@ object LakeMaterializedView {
       changedDims.flatMap { i =>
         if (dimOverflow) None else {
           val ds = d.dims(i)
-          val dimCh = lake.tableChanges(ds.table, last, cur)
+          val dimCh = defAligned(ds.table, cur)(
+            lake.tableChanges(ds.table, last, cur))
           val keyRows = dimCh.select(ds.keys.map(k => col(k._2)): _*)
             .distinct().limit(maxKeys + 1).collect()
           if (keyRows.length > maxKeys) { dimOverflow = true; None }
@@ -437,8 +456,10 @@ object LakeMaterializedView {
               keyRows.map(_.get(j)).filter(_ != null).distinct.toSeq)
             if (keyVals.exists(_.isEmpty)) None
             else {
-              val accum = d.dims.take(i).foldLeft(lake.table(source, Some(cur)))(
-                (acc, dsj) => joinDim(acc, lake.table(dsj.table, Some(cur)), dsj))
+              val accum = d.dims.take(i).foldLeft(
+                defAligned(source, cur)(lake.table(source, Some(cur))))(
+                (acc, dsj) => joinDim(acc,
+                  defAligned(dsj.table, cur)(lake.table(dsj.table, Some(cur))), dsj))
               val restricted = ds.keys.map(_._1).zip(keyVals).foldLeft(accum) {
                 case (df, (lk, vs)) => df.filter(col(lk).isin(vs: _*)) }
               // …⋈ΔDᵢ: the dim change rows play the dim role, their
@@ -449,14 +470,17 @@ object LakeMaterializedView {
                   when(col("_change_type").isin("insert", "update_postimage"),
                     lit("insert")).otherwise(lit("delete")))
               Some(d.dims.drop(i + 1).foldLeft(term0)((acc, dsj) =>
-                joinDim(acc, lake.table(dsj.table, Some(last)), dsj)))
+                joinDim(acc,
+                  defAligned(dsj.table, last)(lake.table(dsj.table, Some(last))),
+                  dsj)))
             }
           }
         }
       }
     }
     if (replaced || dimReplaced || dimOverflow) {
-      commitMv(fullAgg(d)(sourceFrame(lake, d, source, Some(cur))))
+      commitMv(fullAgg(d)(sourceFrame(lake, d, source, Some(cur),
+        (t, df) => defAligned(t, cur)(df))))
       return cur
     }
 
@@ -495,7 +519,7 @@ object LakeMaterializedView {
     // folds were made under; F_cur⋈ΔD repairs the key's regrouping), and
     // the signed dim-delta rows union in. With an unchanged dim,
     // D_last ≡ D_cur and the plain @cur join stands.
-    val changes0 = lake.tableChanges(source, last, cur)
+    val changes0 = defAligned(source, cur)(lake.tableChanges(source, last, cur))
     val changes1 =
       if (d.dims.isEmpty) changes0
       // a dim-only refresh (ΔF provably empty by the sourceChanged probe)
@@ -506,9 +530,11 @@ object LakeMaterializedView {
         // ΔF joins every dim at LAST per the identity; dims unchanged in
         // the window have D_last ≡ D_cur, so the no-dim-change refresh
         // keeps reading them at cur exactly as before
-        val dimAt = Some(if (dimDeltaTerms.isEmpty) cur else last)
+        val dimAtSnap = if (dimDeltaTerms.isEmpty) cur else last
         val factSide = d.dims.foldLeft(changes0)((acc, dsj) =>
-          joinDim(acc, lake.table(dsj.table, dimAt), dsj))
+          joinDim(acc,
+            defAligned(dsj.table, dimAtSnap)(lake.table(dsj.table, Some(dimAtSnap))),
+            dsj))
         dimDeltaTerms.foldLeft(factSide)(_ unionByName _)
       }
     val changes = d.filterSql.map(f => changes1.filter(expr(f)))
@@ -569,7 +595,8 @@ object LakeMaterializedView {
           // source states inside one refresh (folded groups at cur,
           // recomputed groups at a later snapshot) under a watermark of cur
           val recomputed = fullAgg(d)(
-            sourceFrame(lake, d, source, Some(cur))
+            sourceFrame(lake, d, source, Some(cur),
+              (t, df) => defAligned(t, cur)(df))
               .join(dirty, nullSafeCond(dirty), "left_semi"))
           clean.unionByName(recomputed)
         }

@@ -509,9 +509,17 @@ class Lake(val spark: SparkSession, val root: String,
     val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
 
     val parts = Vector.newBuilder[DataFrame]
+    // mid-window DDL alignment: every part is scanned under ITS snapshot's
+    // column names; align each to the WINDOW-END schema by columnId so a
+    // RENAME (or ADD/DROP) inside the window keeps the feed consumable —
+    // unaligned parts crash the unionByName below, which would brick every
+    // MV refresh and streaming read whose window spans the DDL
+    def aligned(snap: Long)(df: DataFrame): DataFrame =
+      LakeRead.alignColumns(st, tid, snap, endInclusive, df)
     var run = Vector.empty[Long] // pending insert-only snapshot ids
     def flushRun(): Unit = {
-      if (run.nonEmpty) insertRunRows(st, run, tid).foreach(parts += _)
+      if (run.nonEmpty)
+        insertRunRows(st, run, tid).map(aligned(run.last)).foreach(parts += _)
       run = Vector.empty
     }
     st.snapshots
@@ -540,13 +548,13 @@ class Lake(val spark: SparkSession, val root: String,
           val isUpdate = has("updated")
           // inserted rows: new files / new inline batches of this snapshot
           parts ++= insertedRows(st, delta, tid, sid,
-            if (isUpdate) "update_postimage" else "insert")
+            if (isUpdate) "update_postimage" else "insert").map(aligned(sid))
           // deleted rows: new delete files + inline batch shrinkage
           parts ++= deletedRows(st, delta, tid, sid,
-            if (isUpdate) "update_preimage" else "delete")
+            if (isUpdate) "update_preimage" else "delete").map(aligned(sid))
         } else if (has("merged")) {
           flushRun()
-          parts ++= mergedRows(st, store.delta(sid), tid, sid)
+          parts ++= mergedRows(st, store.delta(sid), tid, sid).map(aligned(sid))
         }
         // non-logical writes (DDL, compaction, flush) are not changes and
         // don't break an insert run — scanDF handles mixed schema epochs

@@ -48,6 +48,42 @@ object LakeRead {
     case other => other
   }
 
+  /** Align a frame produced by a snapshot-`from` scan of table `tid` to
+    * the column set live at snapshot `to`, mapping by columnId — renames
+    * re-alias, columns added after `from` fill their existence default
+    * (or null), columns dropped by `to` are projected away. Extra frame
+    * columns outside `from`'s data set (change-feed meta columns) pass
+    * through untouched. No-op when the (id, name, type) signature is
+    * unchanged — every DDL-free window. Used by the change feed so parts
+    * scanned at different schema epochs union cleanly under the
+    * window-end names (a mid-window RENAME otherwise crashes the feed —
+    * and with it every MV refresh and streaming read over that window,
+    * permanently). */
+  private[graft] def alignColumns(st: CatalogState, tid: Long, from: Long,
+      to: Long, df: DataFrame, castTo: Boolean = true): DataFrame = {
+    val a = st.columnsAt(tid, from)
+    val b = st.columnsAt(tid, to)
+    if (a.isEmpty || b.isEmpty) return df // tid unknown at one end: no-op
+    if (a.map(c => (c.columnId, c.name, c.dataType)) ==
+        b.map(c => (c.columnId, c.name, c.dataType))) return df
+    val byId = a.map(c => c.columnId -> c).toMap
+    val dataNames = a.map(_.name).toSet
+    val meta = df.columns.filterNot(dataNames)
+    df.select(b.map { c =>
+      byId.get(c.columnId) match {
+        case Some(o) =>
+          // castTo=false = rename-only (MV def-alignment keeps the CURRENT
+          // physical type — casting back to an older epoch's type could
+          // NARROW a widened column)
+          if (castTo) col(o.name).cast(sparkType(c.dataType)).as(c.name)
+          else col(o.name).as(c.name)
+        case None => c.existsDefault
+          .map(dv => org.apache.spark.sql.functions.expr(dv))
+          .getOrElse(lit(null)).cast(sparkType(c.dataType)).as(c.name)
+      }
+    } ++ meta.map(col): _*)
+  }
+
   def structFor(cols: Seq[ColumnEntry]): StructType =
     StructType(cols.map { c =>
       val f = StructField(c.name, sparkType(c.dataType), c.nullable)

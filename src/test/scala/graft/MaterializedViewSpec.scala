@@ -875,6 +875,75 @@ class MaterializedViewSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.mv.dimDeltaMaxKeys")
   }
 
+  // ------------------------------------- RENAME COLUMN under live MVs
+
+  private def catFor(lake: Lake, tag: String): String = {
+    val c = s"mvr$tag${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$c", classOf[LakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$c.root", lake.root)
+    c
+  }
+
+  test("MV refresh survives renaming its group and summed source columns") {
+    // the stored definition keeps CREATE-time names (PG MV semantics: the
+    // MV's own columns never change); every frame the refresh reads is
+    // aligned back to the definition epoch by columnId
+    val lake = mkLake()
+    import spark.implicits._
+    lake.createTableAs("main.src",
+      Seq(("a", 1L), ("b", 10L), ("a", 2L)).toDF("g", "x"))
+    lake.createMaterializedView("main.mv", "main.src", Seq("g"), Seq("x"))
+    val cat = catFor(lake, "gs")
+    spark.sql(s"ALTER TABLE $cat.main.src RENAME COLUMN g TO grp")
+    spark.sql(s"ALTER TABLE $cat.main.src RENAME COLUMN x TO amt")
+    lake.append("main.src", Seq(("b", 100L), ("c", 7L)).toDF("grp", "amt"))
+    lake.update("main.src", col("amt") === 2L, Map("grp" -> lit("b")))
+    lake.refreshMaterializedView("main.mv")
+    // content tracks the RENAMED source; the MV's own columns keep their
+    // create-time names
+    assert(lake.table("main.mv").columns.toSeq == Seq("g", "n_rows", "sum_x"))
+    val want = lake.table("main.src").groupBy(col("grp"))
+      .agg(count(lit(1)), coalesce(sum(col("amt")), lit(0L)))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(mvState(lake) == want)
+  }
+
+  test("join MV refresh survives renaming the dim attribute, the join key, and a dim-DML window") {
+    val lake = mkJoinMv()
+    import spark.implicits._
+    val cat = catFor(lake, "jn")
+    spark.sql(s"ALTER TABLE $cat.main.dim RENAME COLUMN seg TO label")
+    spark.sql(s"ALTER TABLE $cat.main.fact RENAME COLUMN fk TO fid")
+    // post-rename window mixes fact DML and dim DML (the delta-identity
+    // path) — all under the new names
+    lake.append("main.fact", Seq((2L, 6L)).toDF("fid", "x"))
+    lake.update("main.dim", col("k") === 1L, Map("label" -> lit("green")))
+    lake.refreshMaterializedView("main.mv")
+    val want = lake.table("main.fact").alias("f")
+      .join(lake.table("main.dim").alias("d"), col("f.fid") === col("d.k"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)), coalesce(sum(col("x")), lit(0L)))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(mvState(lake) == want)
+    assert(mvState(lake) == Map("green" -> (2L, 30L), "blue" -> (2L, 11L)))
+  }
+
+  test("filtered MV keeps filtering after the predicate's column is renamed") {
+    // filterSql is stored in the definition epoch's vocabulary; because
+    // refresh aligns every frame BACK to that epoch, the predicate applies
+    // without any SQL rewriting
+    val lake = mkLake()
+    import spark.implicits._
+    lake.createTableAs("main.src", Seq(("a", 1L), ("a", 2L)).toDF("g", "x"))
+    lake.createMaterializedView("main.mv", "main.src", Seq("g"), Seq("x"),
+      filterSql = Some("x % 2 = 0"))
+    val cat = catFor(lake, "fl")
+    spark.sql(s"ALTER TABLE $cat.main.src RENAME COLUMN x TO amt")
+    lake.append("main.src", Seq(("a", 4L), ("b", 3L)).toDF("g", "amt"))
+    lake.refreshMaterializedView("main.mv")
+    assert(mvState(lake) == Map("a" -> (2L, 6L))) // only even amts
+  }
+
   test("snowflake MV: chaining off an unknown carried column is rejected at create") {
     val lake = mkLake()
     import spark.implicits._

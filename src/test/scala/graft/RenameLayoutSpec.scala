@@ -172,6 +172,27 @@ class RenameLayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("change feed survives a mid-window RENAME (parts align to window-end names)") {
+    // every part of tableChanges is scanned under ITS snapshot's names; a
+    // rename inside the window used to crash the final unionByName — which
+    // bricked every MV refresh and streaming read spanning the DDL
+    val lake = new Lake(spark, Files.createTempDirectory("graft_rcf").toString)
+    import spark.implicits._
+    lake.createTableAs("main.t", Seq((1L, 10L), (2L, 20L)).toDF("a", "b"))
+    val s0 = lake.currentSnapshot()
+    lake.append("main.t", Seq((3L, 30L)).toDF("a", "b"))
+    val cat = catalogFor(lake, "cf")
+    spark.sql(s"ALTER TABLE $cat.main.t RENAME COLUMN a TO x")
+    lake.append("main.t", Seq((4L, 40L)).toDF("x", "b"))
+    lake.delete("main.t", col("x") === 1L)
+    val ch = lake.tableChanges("main.t", s0, lake.currentSnapshot())
+    assert(ch.columns.take(2).toSeq == Seq("x", "b"),
+      s"feed must carry window-end names, got ${ch.columns.mkString(",")}")
+    val got = ch.select(col("_change_type"), col("x"), col("b")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("insert", 3L, 30L), ("insert", 4L, 40L), ("delete", 1L, 10L)))
+  }
+
   test("rename on the delete-aware tier: merge-on-read overlay plus translation") {
     val lake = new Lake(spark, Files.createTempDirectory("graft_rdel").toString)
     lake.createTable("main.d", spark.range(0, 1).selectExpr("id AS k", "id AS v").schema)
