@@ -108,10 +108,12 @@ class ChangeFeedSource(lake: Lake, table: String, startExclusive: Long,
     maxBytesPerTrigger: Option[Long] = None)
     extends Source with SupportsTriggerAvailableNow {
 
-  override val schema: StructType = {
-    val cur = lake.currentSnapshot()
-    lake.tableChanges(table, cur, cur).schema
-  }
+  /** snapshot the declared schema was captured at — batches ending after
+    * a RENAME translate their columns back to these names by columnId */
+  private val declaredSnap: Long = lake.currentSnapshot()
+
+  override val schema: StructType =
+    lake.tableChanges(table, declaredSnap, declaredSnap).schema
 
   /** Highest snapshot id already offered to the engine. Advanced by
     * latestOffset as batches are planned; ALSO advanced by getBatch/commit
@@ -246,7 +248,7 @@ class ChangeFeedSource(lake: Lake, table: String, startExclusive: Long,
     val s0 = start.map(snap).getOrElse(startExclusive)
     val e = snap(end)
     cursor = math.max(cursor, e)
-    StreamingBatch.asStreaming(conform(lake.tableChanges(table, s0, e)))
+    StreamingBatch.asStreaming(conform(lake.tableChanges(table, s0, e), e))
   }
 
   /** Serve every micro-batch under the source's DECLARED schema. A backlog
@@ -259,9 +261,28 @@ class ChangeFeedSource(lake: Lake, table: String, startExclusive: Long,
     * through ALTER TYPE widenings. Columns ADDED after stream start are
     * not served — restart the stream to pick up new DDL (Delta CDF's
     * contract). */
-  private def conform(df: DataFrame): DataFrame = {
-    if (df.schema == schema) return df
+  private def conform(df0: DataFrame, endSnap: Long): DataFrame = {
+    if (df0.schema == schema) return df0
     import org.apache.spark.sql.functions.{col, lit}
+    // RENAME translation (r15): the batch carries the range-end snapshot's
+    // names; translate them back to the DECLARED names by columnId before
+    // the by-name conform — without this a renamed column silently
+    // NULL-fills in every post-rename micro-batch (the by-name miss looked
+    // exactly like a column added after stream start)
+    val st = lake.store.state()
+    val df = {
+      val (sn, tn) = lake.schemaOf(table)
+      st.tableAt(sn, tn, endSnap)
+        .flatMap(t => st.nameShift(t.tableId, endSnap, declaredSnap)) match {
+        case Some(shift) if shift.nonEmpty =>
+          shift.foldLeft(df0) { case (acc, (endName, declName)) =>
+            if (acc.columns.contains(endName))
+              acc.withColumnRenamed(endName, declName)
+            else acc
+          }
+        case _ => df0
+      }
+    }
     val have = df.columns.toSet
     df.select(schema.fields.toSeq.map { f =>
       if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)

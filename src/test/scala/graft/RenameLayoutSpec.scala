@@ -193,6 +193,44 @@ class RenameLayoutSpec extends AnyFunSuite {
     assert(got == Set(("insert", 3L, 30L), ("insert", 4L, 40L), ("delete", 1L, 10L)))
   }
 
+  test("streaming CDF serves renamed columns under the DECLARED schema, values intact") {
+    // the source's contract is the schema captured at start; a rename used
+    // to make post-rename batches NULL-fill the declared column silently
+    // (the by-name conform mistook the renamed column for one added after
+    // start) — the batch now translates back to declared names by columnId
+    // the rename lands while ONE continuous stream runs (a restarted
+    // stream legitimately re-declares the new name — Delta CDF's restart
+    // contract); the running stream must keep serving the column's VALUES
+    // under the name it declared at start
+    val lake = new Lake(spark, Files.createTempDirectory("graft_rstr").toString)
+    import spark.implicits._
+    lake.createTableAs("main.t", Seq((1L, 10L)).toDF("a", "b"))
+    val ckpt = Files.createTempDirectory("graft_rstr_ckpt").toString
+    val outDir = Files.createTempDirectory("graft_rstr_out").toString
+    val q = spark.readStream.format("graft-changes")
+      .option("root", lake.root).option("table", "main.t").load()
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50)).start()
+    try {
+      val cat = catalogFor(lake, "str")
+      spark.sql(s"ALTER TABLE $cat.main.t RENAME COLUMN a TO x")
+      lake.append("main.t", Seq((2L, 20L), (3L, 30L)).toDF("x", "b"))
+      val deadline = System.currentTimeMillis + 30000
+      def drained(): Boolean =
+        try spark.read.parquet(outDir)
+          .filter(col("_change_type") === "insert").count() == 3L
+        catch { case _: Exception => false }
+      while (!drained() && System.currentTimeMillis < deadline) Thread.sleep(100)
+    } finally { q.stop(); q.awaitTermination() }
+    val got = spark.read.parquet(outDir)
+      .filter(col("_change_type") === "insert")
+      .select(col("a"), col("b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 10L, 2L -> 20L, 3L -> 30L),
+      s"post-rename batches must carry the renamed column's VALUES under the declared name, got $got")
+  }
+
   test("rename on the delete-aware tier: merge-on-read overlay plus translation") {
     val lake = new Lake(spark, Files.createTempDirectory("graft_rdel").toString)
     lake.createTable("main.d", spark.range(0, 1).selectExpr("id AS k", "id AS v").schema)
