@@ -83,6 +83,30 @@ object SqlMaterializedView {
     }
   }
 
+  /** Parse `src [JOIN d1 ON c1 [JOIN d2 ON c2 …]] [WHERE pred]` into
+    * (source, dims, where). Chained JOINs build a snowflake in statement
+    * order (a later ON may reference an earlier dim's carried column);
+    * each ON supports equi-conditions only ([[parseJoinKeys]]). */
+  def parseFromClause(fromClause: String)
+      : (String, Seq[(String, Seq[(String, String)])], Option[String]) = {
+    val (joins, where) = fromClause.split("(?is)\\s+WHERE\\s+", 2) match {
+      case Array(j, w) => (j.trim, Some(w.trim))
+      case Array(j) => (j.trim, None)
+    }
+    val segs = joins.split("(?is)\\s+JOIN\\s+").map(_.trim).filter(_.nonEmpty)
+    val source = strip(segs.head)
+    val dims = segs.tail.toSeq.map { seg =>
+      seg.split("(?is)\\s+ON\\s+", 2) match {
+        case Array(tbl, cond) =>
+          val t = strip(tbl)
+          (t, parseJoinKeys(cond.trim, source, t))
+        case _ => throw new IllegalArgumentException(
+          s"materialized view JOIN needs an ON clause; got: $seg")
+      }
+    }
+    (source, dims, where)
+  }
+
   private def strip(c: String): String = c.replace("`", "").trim
 }
 
@@ -90,14 +114,14 @@ case class CreateLakeMaterializedViewCommand(
     catalogName: String, name: String, source: String,
     groupCols: Seq[String], sumCols: Seq[String], cntCols: Seq[String],
     avgCols: Seq[String], minMaxCols: Seq[String], filterSql: Option[String],
-    dimTable: Option[String], dimKeys: Seq[(String, String)])
+    dims: Seq[(String, Seq[(String, String)])])
     extends LeafRunnableCommand {
   override def output: Seq[Attribute] =
     Seq(AttributeReference("snapshot_id", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(SqlViews.lakeOf(spark, catalogName).createMaterializedView(
       name, source, groupCols, sumCols, minMaxCols, cntCols, avgCols,
-      filterSql, dimTable, dimKeys)))
+      filterSql, dims = dims)))
 }
 
 case class RefreshLakeMaterializedViewCommand(catalogName: String, name: String)

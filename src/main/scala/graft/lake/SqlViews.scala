@@ -359,11 +359,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)\s*REVOKE\s+([\w,\s]+?)\s+ON\s+(?:TABLE\s+)?([\w.]+)\s+FROM\s+(\w+)\s*;?\s*""".r
   private val RevokeRoleRe =
     """(?is)\s*REVOKE\s+(\w+)\s+FROM\s+(\w+)\s*;?\s*""".r
-  // incremental materialized views (superset DDL; [[SqlMaterializedView]])
+  // incremental materialized views (superset DDL; [[SqlMaterializedView]]);
+  // the FROM clause supports CHAINED JOINs (snowflake: a later dim may key
+  // off an earlier dim's carried column) — parsed by parseFromClause
   private val CreateMvRe =
     ("""(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s+AS\s+SELECT\s+(.+?)""" +
-      """\s+FROM\s+([\w.]+)(?:\s+JOIN\s+([\w.]+)\s+ON\s+(.+?))?""" +
-      """(?:\s+WHERE\s+(.+?))?\s+GROUP\s+BY\s+(.+?)\s*;?\s*""").r
+      """\s+FROM\s+(.+?)\s+GROUP\s+BY\s+(.+?)\s*;?\s*""").r
   private val RefreshMvRe =
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s*;?\s*""".r
   // explicit-transaction block (r15): the whole BEGIN…COMMIT/ROLLBACK
@@ -402,17 +403,17 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       RevokeLakeCommand(curCat, csv(privs), Some(table), role)
     case RevokeRoleRe(role, user) =>
       RevokeLakeCommand(curCat, Seq(role), None, user)
-    case CreateMvRe(name, select, source, dim, on, where, groupBy) =>
+    case CreateMvRe(name, select, fromClause, groupBy) =>
       val groupCols = csv(groupBy)
       val (sums, cnts, avgs, mms) =
         SqlMaterializedView.parseSelectList(select, groupCols)
+      val (source, dims, where) =
+        SqlMaterializedView.parseFromClause(fromClause)
       // validate the predicate NOW — a broken filter should fail the
       // CREATE, not the initial compute (same discipline as macros)
-      Option(where).foreach(delegate.parseExpression)
-      val keys = Option(dim).map(d =>
-        SqlMaterializedView.parseJoinKeys(on, source, d)).getOrElse(Nil)
+      where.foreach(delegate.parseExpression)
       CreateLakeMaterializedViewCommand(curCat, name, source, groupCols,
-        sums, cnts, avgs, mms, Option(where), Option(dim), keys)
+        sums, cnts, avgs, mms, where, dims)
     case RefreshMvRe(name) =>
       RefreshLakeMaterializedViewCommand(curCat, name)
     case ShowRolesRe() => ShowLakeRolesCommand(curCat)

@@ -875,6 +875,35 @@ class MaterializedViewSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.mv.dimDeltaMaxKeys")
   }
 
+  test("SQL DDL: chained JOINs build a snowflake MV") {
+    val lake = mkLake()
+    import spark.implicits._
+    lake.createTableAs("main.fact",
+      Seq((1L, 10L), (1L, 20L), (2L, 5L), (3L, 7L)).toDF("fk", "x"))
+    lake.createTableAs("main.d1",
+      Seq((1L, "red"), (2L, "blue"), (3L, "red")).toDF("k", "seg"))
+    lake.createTableAs("main.d2",
+      Seq(("red", "emea"), ("blue", "apac")).toDF("seg2", "region"))
+    val cat = catFor(lake, "sq")
+    val prev = spark.sessionState.catalogManager.currentCatalog.name()
+    spark.sql(s"USE $cat")
+    try {
+      // the second JOIN keys off the FIRST dim's carried column — the
+      // statement-order snowflake chain the API's `dims` expresses
+      spark.sql("""CREATE MATERIALIZED VIEW main.mv AS
+        SELECT region, COUNT(*), SUM(x)
+        FROM main.fact JOIN main.d1 ON fk = k JOIN main.d2 ON seg = seg2
+        GROUP BY region""")
+      assert(mvState(lake) == snowOracle(lake))
+      assert(mvState(lake) == Map("emea" -> (3L, 37L), "apac" -> (1L, 5L)))
+      // a dim-delta window + fact append refresh through the SQL surface
+      lake.update("main.d2", col("seg2") === "red", Map("region" -> lit("amer")))
+      lake.append("main.fact", Seq((2L, 100L)).toDF("fk", "x"))
+      spark.sql("REFRESH MATERIALIZED VIEW main.mv")
+      assert(mvState(lake) == snowOracle(lake))
+    } finally spark.sql(s"USE $prev")
+  }
+
   // ------------------------------------- RENAME COLUMN under live MVs
 
   private def catFor(lake: Lake, tag: String): String = {
