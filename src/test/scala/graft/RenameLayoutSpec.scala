@@ -193,6 +193,37 @@ class RenameLayoutSpec extends AnyFunSuite {
     assert(got == Set(("insert", 3L, 30L), ("insert", 4L, 40L), ("delete", 1L, 10L)))
   }
 
+  test("change feed survives mid-window ADD and DROP COLUMN (same alignment class)") {
+    // same unionByName crash class as the rename: a part scanned before an
+    // ADD lacks the new column (fills its existence default at the window
+    // end), a part scanned before a DROP carries a ghost (projected away)
+    val lake = new Lake(spark, Files.createTempDirectory("graft_acf").toString)
+    import spark.implicits._
+    lake.createTableAs("main.t", Seq((1L, 10L)).toDF("a", "b"))
+    val s0 = lake.currentSnapshot()
+    lake.append("main.t", Seq((2L, 20L)).toDF("a", "b"))
+    val cat = catalogFor(lake, "acf")
+    spark.sql(s"ALTER TABLE $cat.main.t ADD COLUMN c BIGINT")
+    lake.append("main.t", Seq((3L, 30L, 300L)).toDF("a", "b", "c"))
+    val ch1 = lake.tableChanges("main.t", s0, lake.currentSnapshot())
+    assert(ch1.columns.take(3).toSeq == Seq("a", "b", "c"))
+    val got1 = ch1.select(col("a"), col("c")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got1 == Map(2L -> -1L, 3L -> 300L),
+      s"pre-ADD parts must null-fill the added column, got $got1")
+
+    val s1 = lake.currentSnapshot()
+    lake.append("main.t", Seq((4L, 40L, 400L)).toDF("a", "b", "c"))
+    spark.sql(s"ALTER TABLE $cat.main.t DROP COLUMN b")
+    lake.append("main.t", Seq((5L, 500L)).toDF("a", "c"))
+    val ch2 = lake.tableChanges("main.t", s1, lake.currentSnapshot())
+    assert(ch2.columns.take(2).toSeq == Seq("a", "c"),
+      s"dropped column must leave the feed, got ${ch2.columns.mkString(",")}")
+    val got2 = ch2.select(col("a"), col("c")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == Map(4L -> 400L, 5L -> 500L))
+  }
+
   test("streaming CDF serves renamed columns under the DECLARED schema, values intact") {
     // the source's contract is the schema captured at start; a rename used
     // to make post-rename batches NULL-fill the declared column silently
