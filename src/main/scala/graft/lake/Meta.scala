@@ -310,14 +310,20 @@ object Meta {
       * "year(ts)" label never matches a filter on the new name) while
       * staying correctness-safe — the 100 TB full-scan trap VERDICT r14
       * #2 names. Identity (same object) when nothing was renamed. */
-    def fileNamesAt(tableId: Long, s: Long)(f: DataFileEntry): DataFileEntry =
-      nameShift(tableId, f.schemaVersion, s) match {
+    def fileNamesAt(tableId: Long, s: Long): DataFileEntry => DataFileEntry = {
+      // memoize the shift per schema epoch: nameShift is two O(columns)
+      // passes — per FILE that is O(files x columns) driver allocation on
+      // a million-file table; per EPOCH it is O(DDLs x columns)
+      val byEpoch = scala.collection.mutable.Map.empty[Long, Option[Map[String, String]]]
+      f => byEpoch.getOrElseUpdate(f.schemaVersion,
+          nameShift(tableId, f.schemaVersion, s)) match {
         case None => f
         case Some(m) => f.copy(
           partitionValues = f.partitionValues.map { case (lbl, v) =>
             Meta.translateLabel(lbl, m) -> v },
           sortedBy = f.sortedBy.map(_.map(Meta.translateStamp(_, m))))
       }
+    }
 
     /** statsFor with each row's columnName translated from the owning
       * file's schema epoch to snapshot s (stats are recorded under
