@@ -54,10 +54,20 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
     * catalog's EFFECTIVE store is the transaction's StagingStore, so every
     * statement in the block stages instead of committing and reads its own
     * staged writes — the reference's explicit-transaction semantics
-    * (test/regression/sql/transaction.sql) at the SQL surface. One
-    * transaction at a time per catalog (PG session semantics); maintenance
-    * ops keep rejecting staged stores as before. */
-  @volatile private[lake] var txOverride: Option[MetadataStore] = None
+    * (test/regression/sql/transaction.sql) at the SQL surface. The
+    * override is THREAD-scoped (r16): a concurrent writer on another
+    * thread (a streaming sink, another session's DML) keeps committing to
+    * the real store and is never swept into — or discarded with — someone
+    * else's block; this is PG's one-transaction-per-session model, where a
+    * thread stands in for a session. Nesting on one thread is rejected;
+    * maintenance ops keep rejecting staged stores as before. */
+  private val txOverrideTL = new ThreadLocal[MetadataStore]()
+  private[lake] def txOverride: Option[MetadataStore] = Option(txOverrideTL.get())
+  private[lake] def beginTxOverride(s: MetadataStore): Unit = {
+    require(txOverrideTL.get() == null, "transactions cannot nest")
+    txOverrideTL.set(s)
+  }
+  private[lake] def endTxOverride(): Unit = txOverrideTL.remove()
   private def effectiveStore: MetadataStore = txOverride.getOrElse(store)
 
   /** live store behind this catalog; null for frozen mounts (used by the

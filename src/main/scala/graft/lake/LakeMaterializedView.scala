@@ -313,6 +313,31 @@ object LakeMaterializedView {
         st, e.tableId, snap, defBegin, df, castTo = false)).getOrElse(df)
     }
 
+    // DDL guard (r16): a def-referenced column DROPPED since the MV was
+    // created must fail the refresh loudly — alignColumns would otherwise
+    // null-fill it and the SUM/MIN/MAX deltas would silently poison the
+    // stored group state (ALTER TABLE carries no MV-dependency check).
+    // Resolution is by columnId, so RENAMEs pass (translated back to the
+    // def epoch's names) while DROP — and drop+re-add, which mints a new
+    // columnId — fails with a recreate instruction. Filter columns are
+    // matched by identifier token (conservative: a literal word that
+    // happens to equal a dropped column name also trips — loud > silent).
+    val refNames: Set[String] = (d.groupCols ++ d.sumCols ++ d.cntCols ++
+      d.avgCols ++ d.minMaxCols ++
+      d.dims.flatMap(_.keys.flatMap { case (fk, dk) => Seq(fk, dk) }) ++
+      d.filterSql.toSeq.flatMap(f => """[A-Za-z_]\w*""".r.findAllIn(f))).toSet
+    ((source, srcTid) +: dimSpecs.map(_.table).zip(dimTids)).foreach {
+      case (t, tid) =>
+        val atCur = st.columnsAt(tid, cur).map(_.columnId).toSet
+        st.columnsAt(tid, defBegin)
+          .filter(c => refNames(c.name) && !atCur(c.columnId)).foreach { c =>
+            throw new IllegalStateException(
+              s"materialized view $name: column ${c.name} of $t is " +
+              "referenced by the view definition but was dropped after the " +
+              "view was created; drop and recreate the materialized view")
+          }
+    }
+
     // the watermark-CAS'd MV overwrite, shared by both refresh paths
     def commitMv(merged: DataFrame): Unit =
       LakeWrite.append(lake.spark, lake.store, sn, tn, merged, overwrite = true,

@@ -72,7 +72,7 @@ object SqlMaterializedView {
     }
     def isDim(o: Option[String]): Boolean = o.exists(q =>
       dim == q || dim.endsWith(s".$q") || q.endsWith(s".$dim"))
-    on.split("(?is)\\s+AND\\s+").map(_.trim).filter(_.nonEmpty).toSeq.map { c =>
+    splitKw(on, "AND").map(_.trim).filter(_.nonEmpty).map { c =>
       c.split("=").map(_.trim) match {
         case Array(l, r) =>
           if (isDim(owner(l)) && !isDim(owner(r))) (bare(r), bare(l))
@@ -89,15 +89,15 @@ object SqlMaterializedView {
     * each ON supports equi-conditions only ([[parseJoinKeys]]). */
   def parseFromClause(fromClause: String)
       : (String, Seq[(String, Seq[(String, String)])], Option[String]) = {
-    val (joins, where) = fromClause.split("(?is)\\s+WHERE\\s+", 2) match {
-      case Array(j, w) => (j.trim, Some(w.trim))
-      case Array(j) => (j.trim, None)
+    val (joins, where) = splitKw(fromClause, "WHERE", 2) match {
+      case Seq(j, w) => (j.trim, Some(w.trim))
+      case Seq(j) => (j.trim, None)
     }
-    val segs = joins.split("(?is)\\s+JOIN\\s+").map(_.trim).filter(_.nonEmpty)
+    val segs = splitKw(joins, "JOIN").map(_.trim).filter(_.nonEmpty)
     val source = strip(segs.head)
-    val dims = segs.tail.toSeq.map { seg =>
-      seg.split("(?is)\\s+ON\\s+", 2) match {
-        case Array(tbl, cond) =>
+    val dims = segs.tail.map { seg =>
+      splitKw(seg, "ON", 2) match {
+        case Seq(tbl, cond) =>
           val t = strip(tbl)
           (t, parseJoinKeys(cond.trim, source, t))
         case _ => throw new IllegalArgumentException(
@@ -105,6 +105,31 @@ object SqlMaterializedView {
       }
     }
     (source, dims, where)
+  }
+
+  /** keyword-token split that ignores matches inside single-quoted string
+    * literals and backtick identifiers (r16 — a WHERE predicate containing
+    * the token ` JOIN ` in a literal used to misparse the FROM clause).
+    * limit semantics follow String.split(_, n). */
+  private def splitKw(s: String, kw: String, limit: Int = 0): Seq[String] = {
+    def outsideQuotes(pos: Int): Boolean = {
+      var inS = false; var inB = false; var i = 0
+      while (i < pos) {
+        val c = s.charAt(i)
+        if (c == '\'' && !inB) inS = !inS
+        else if (c == '`' && !inS) inB = !inB
+        i += 1
+      }
+      !inS && !inB
+    }
+    val cuts = ("(?is)\\s+" + kw + "\\s+").r.findAllMatchIn(s)
+      .filter(m => outsideQuotes(m.start)).toList
+    val take = if (limit > 0) cuts.take(limit - 1) else cuts
+    val parts = Seq.newBuilder[String]
+    var prev = 0
+    take.foreach { m => parts += s.substring(prev, m.start); prev = m.end }
+    parts += s.substring(prev)
+    parts.result()
   }
 
   private def strip(c: String): String = c.replace("`", "").trim

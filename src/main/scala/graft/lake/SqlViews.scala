@@ -174,19 +174,48 @@ private[lake] object SqlViews {
     matched.count() > 0
   }
 
-  /** split a BEGIN-block body into statements on ';' outside single-quoted
-    * strings ('' escapes toggle twice, which nets out) */
+  /** split a BEGIN-block body into statements on ';' outside quoted
+    * regions and comments (r16, ADVICE): single-quoted strings ('' escapes
+    * toggle twice, which nets out), backtick / double-quoted identifiers,
+    * `--` line comments and nesting-free `/* */` block comments are all
+    * skipped — a ';' inside any of them no longer splits a statement.
+    * Comment text is preserved in the statement (Spark's parser accepts
+    * it); only the split points change. */
   private[lake] def splitStatements(body: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val sb = new StringBuilder
-    var inStr = false
-    body.foreach {
-      case '\'' => inStr = !inStr; sb.append('\'')
-      case ';' if !inStr => out += sb.toString; sb.clear()
-      case c => sb.append(c)
+    var i = 0
+    var mode: Char = ' ' // ' '=code, '\''=str, '`'=ident, '"'=ident, '-'=line, '*'=block
+    var blockEnteredAt = -1
+    while (i < body.length) {
+      val c = body.charAt(i)
+      mode match {
+        case ' ' =>
+          if (c == ';') { out += sb.toString; sb.clear() }
+          else {
+            sb.append(c)
+            if (c == '\'' || c == '`' || c == '"') mode = c
+            else if (c == '-' && i + 1 < body.length && body.charAt(i + 1) == '-') mode = '-'
+            else if (c == '/' && i + 1 < body.length && body.charAt(i + 1) == '*') {
+              mode = '*'; blockEnteredAt = i
+            }
+          }
+        case q @ ('\'' | '`' | '"') => sb.append(c); if (c == q) mode = ' '
+        case '-' => sb.append(c); if (c == '\n') mode = ' '
+        case '*' =>
+          sb.append(c)
+          // the closing '/' must sit past the opener's "/*" (reject "/*/")
+          if (c == '/' && i >= blockEnteredAt + 3 &&
+              body.charAt(i - 1) == '*') mode = ' '
+      }
+      i += 1
     }
     out += sb.toString
-    out.result().map(_.trim).filter(_.nonEmpty)
+    // a fragment that is nothing but comments/whitespace is not a statement
+    def hasCode(s: String): Boolean =
+      s.replaceAll("(?s)/\\*.*?\\*/", " ").split('\n')
+        .exists(l => l.trim.nonEmpty && !l.trim.startsWith("--"))
+    out.result().map(_.trim).filter(hasCode)
   }
 
   /** the Lake behind a registered LakeCatalog (shares its live store) */
@@ -229,15 +258,14 @@ case class LakeTransactionBlockCommand(catalogName: String,
         "BEGIN block: no lake catalog in scope (USE <catalog> or qualify table names)"))
     val lc = CatalogAccess.catalog(spark, lcName).asInstanceOf[LakeCatalog]
     val lake = SqlViews.lakeOf(spark, lcName)
-    require(lc.txOverride.isEmpty, "transactions cannot nest")
     object Rollback extends RuntimeException
     try {
       val (_, sid) = lake.transaction { tx =>
-        lc.txOverride = Some(tx.store)
+        lc.beginTxOverride(tx.store) // thread-scoped; rejects nesting
         try {
           statements.foreach(stmt => spark.sql(stmt).collect())
           if (!commit) throw Rollback
-        } finally lc.txOverride = None
+        } finally lc.endTxOverride()
       }
       Seq(Row(sid))
     } catch { case Rollback => Seq(Row(-1L)) }
@@ -370,8 +398,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   // explicit-transaction block (r15): the whole BEGIN…COMMIT/ROLLBACK
   // arrives as ONE sql() string; statements stage against the current lake
   // catalog and land as a single snapshot (reference transaction.sql)
+  // the terminator tolerates trailing -- / /* */ comments (r16, ADVICE —
+  // a comment after COMMIT used to fall through to the delegate parser
+  // and the block silently lost its transactional semantics)
   private val TxBlockRe =
-    """(?is)\s*BEGIN(?:\s+TRANSACTION)?\s*;(.*?)(COMMIT|ROLLBACK)(?:\s+TRANSACTION)?\s*;?\s*""".r
+    ("""(?is)\s*BEGIN(?:\s+TRANSACTION)?\s*;(.*?)(COMMIT|ROLLBACK)""" +
+      """(?:\s+TRANSACTION)?\s*;?(?:\s|--[^\n]*\n?|/\*.*?\*/)*""").r
   private val ShowRolesRe = """(?is)\s*SHOW\s+ROLES\s*;?\s*""".r
   private val ShowGrantsRe =
     """(?is)\s*SHOW\s+GRANTS(?:\s+ON\s+(?:TABLE\s+)?([\w.]+))?\s*;?\s*""".r

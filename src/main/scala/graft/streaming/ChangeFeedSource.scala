@@ -275,11 +275,18 @@ class ChangeFeedSource(lake: Lake, table: String, startExclusive: Long,
       st.tableAt(sn, tn, endSnap)
         .flatMap(t => st.nameShift(t.tableId, endSnap, declaredSnap)) match {
         case Some(shift) if shift.nonEmpty =>
-          shift.foldLeft(df0) { case (acc, (endName, declName)) =>
-            if (acc.columns.contains(endName))
-              acc.withColumnRenamed(endName, declName)
-            else acc
-          }
+          // ONE atomic projection (r16, ADVICE) — a chained
+          // withColumnRenamed fold breaks on swap renames (a→b, b→a) or a
+          // new column reusing a renamed column's old declared name:
+          // mid-fold duplicates make the following select ambiguous. The
+          // alignColumns pattern (single select with aliases) is immune;
+          // on a name collision the columnId-matched shift entry wins and
+          // the post-start ADD is dropped (it is not served anyway).
+          val targets = df0.columns.toSeq.map(c => c -> shift.getOrElse(c, c))
+          val shiftedTo = shift.values.toSet
+          df0.select(targets.collect {
+            case (c, n) if shift.contains(c) || !shiftedTo(n) => col(c).as(n)
+          }: _*)
         case _ => df0
       }
     }

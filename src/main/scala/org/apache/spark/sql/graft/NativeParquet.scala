@@ -95,29 +95,42 @@ object NativeParquet {
   /** rewrite a pushed source Filter's attribute names; unknown node types
     * are DROPPED (parquet-level filters are row-group skipping hints only
     * — Spark re-applies every predicate on rows above the scan) */
-  private[graft] def renameFilter(f: Filter, m: Map[String, String]): Option[Filter] = {
+  private[graft] def renameFilter(f: Filter, m: Map[String, String]): Option[Filter] =
+    renameFilterX(f, m).map(_._1)
+
+  /** translation + exactness. A dropped AND side WEAKENS the predicate —
+    * sound as a skipping hint (keeps more row groups) at the top level,
+    * but UNSOUND one level under Not: ¬(weakened) is STRONGER than the
+    * original and would wrongly skip row groups. So exactness is tracked
+    * through the fold and Not only negates exact translations (r16,
+    * ADVICE): Not over anything weakened drops the whole filter instead. */
+  private def renameFilterX(f: Filter, m: Map[String, String])
+      : Option[(Filter, Boolean)] = {
     import org.apache.spark.sql.sources._
     def t(a: String) = m.getOrElse(a, a)
+    def exact(g: Filter) = Some((g, true))
     f match {
-      case EqualTo(a, v) => Some(EqualTo(t(a), v))
-      case EqualNullSafe(a, v) => Some(EqualNullSafe(t(a), v))
-      case GreaterThan(a, v) => Some(GreaterThan(t(a), v))
-      case GreaterThanOrEqual(a, v) => Some(GreaterThanOrEqual(t(a), v))
-      case LessThan(a, v) => Some(LessThan(t(a), v))
-      case LessThanOrEqual(a, v) => Some(LessThanOrEqual(t(a), v))
-      case In(a, vs) => Some(In(t(a), vs))
-      case IsNull(a) => Some(IsNull(t(a)))
-      case IsNotNull(a) => Some(IsNotNull(t(a)))
-      case StringStartsWith(a, v) => Some(StringStartsWith(t(a), v))
-      case StringEndsWith(a, v) => Some(StringEndsWith(t(a), v))
-      case StringContains(a, v) => Some(StringContains(t(a), v))
-      case And(l, r) => (renameFilter(l, m), renameFilter(r, m)) match {
-        case (Some(a), Some(b)) => Some(And(a, b))
-        case (one, other) => one.orElse(other) // AND may keep either side
+      case EqualTo(a, v) => exact(EqualTo(t(a), v))
+      case EqualNullSafe(a, v) => exact(EqualNullSafe(t(a), v))
+      case GreaterThan(a, v) => exact(GreaterThan(t(a), v))
+      case GreaterThanOrEqual(a, v) => exact(GreaterThanOrEqual(t(a), v))
+      case LessThan(a, v) => exact(LessThan(t(a), v))
+      case LessThanOrEqual(a, v) => exact(LessThanOrEqual(t(a), v))
+      case In(a, vs) => exact(In(t(a), vs))
+      case IsNull(a) => exact(IsNull(t(a)))
+      case IsNotNull(a) => exact(IsNotNull(t(a)))
+      case StringStartsWith(a, v) => exact(StringStartsWith(t(a), v))
+      case StringEndsWith(a, v) => exact(StringEndsWith(t(a), v))
+      case StringContains(a, v) => exact(StringContains(t(a), v))
+      case And(l, r) => (renameFilterX(l, m), renameFilterX(r, m)) match {
+        case (Some((a, ea)), Some((b, eb))) => Some((And(a, b), ea && eb))
+        // AND may keep either side alone — a deliberate weakening
+        case (one, other) => one.orElse(other).map { case (g, _) => (g, false) }
       }
-      case Or(l, r) => for { a <- renameFilter(l, m); b <- renameFilter(r, m) }
-        yield Or(a, b) // OR needs both sides or neither
-      case Not(c) => renameFilter(c, m).map(Not) // only exact translations negate
+      case Or(l, r) => for { (a, ea) <- renameFilterX(l, m)
+                             (b, eb) <- renameFilterX(r, m) }
+        yield (Or(a, b), ea && eb) // OR needs both sides or neither
+      case Not(c) => renameFilterX(c, m).collect { case (g, true) => (Not(g), true) }
       case _ => None
     }
   }

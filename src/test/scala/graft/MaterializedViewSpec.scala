@@ -973,6 +973,47 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(mvState(lake) == Map("a" -> (2L, 6L))) // only even amts
   }
 
+  test("FROM-clause parser ignores JOIN/ON/AND/WHERE tokens inside literals (r16)") {
+    val (src, dims, where) = SqlMaterializedView.parseFromClause(
+      "main.fact JOIN main.dim ON fk = k " +
+        "WHERE tag = 'a JOIN b WHERE x ON c AND d' AND `w JOIN z` = 1")
+    assert(src == "main.fact")
+    assert(dims == Seq(("main.dim", Seq(("fk", "k")))))
+    assert(where.contains("tag = 'a JOIN b WHERE x ON c AND d' AND `w JOIN z` = 1"))
+    // and a WHERE-only clause with a literal JOIN still parses join-free
+    val (s2, d2, w2) = SqlMaterializedView.parseFromClause(
+      "main.fact WHERE note = ' JOIN '")
+    assert(s2 == "main.fact" && d2.isEmpty && w2.contains("note = ' JOIN '"))
+  }
+
+  test("dropping a def-referenced column fails the refresh loudly, never null-fills") {
+    // r16 (ADVICE): alignColumns' null-fill exists for the change feed's
+    // ADD/DROP window case — a refresh whose DEFINITION references the
+    // dropped column must not ride it into silently aggregating nulls
+    val lake = mkLake()
+    import spark.implicits._
+    lake.createTableAs("main.src",
+      Seq(("a", 1L, 5L), ("b", 2L, 6L)).toDF("g", "x", "y"))
+    lake.createMaterializedView("main.mv", "main.src", Seq("g"), Seq("x"))
+    val cat = catFor(lake, "dropguard")
+    // dropping an UNREFERENCED column is fine — refresh keeps folding
+    spark.sql(s"ALTER TABLE $cat.main.src DROP COLUMN y")
+    lake.append("main.src", Seq(("a", 3L)).toDF("g", "x"))
+    lake.refreshMaterializedView("main.mv")
+    assert(mvState(lake) == Map("a" -> (2L, 4L), "b" -> (1L, 2L)))
+    // dropping the SUM column fails the next refresh with a recreate hint
+    spark.sql(s"ALTER TABLE $cat.main.src DROP COLUMN x")
+    val e = intercept[IllegalStateException](lake.refreshMaterializedView("main.mv"))
+    assert(e.getMessage.contains("dropped") && e.getMessage.contains("x"),
+      e.getMessage)
+    // stored MV state is untouched by the failed refresh
+    assert(mvState(lake) == Map("a" -> (2L, 4L), "b" -> (1L, 2L)))
+    // drop + re-ADD under the same name is a NEW columnId: still rejected
+    spark.sql(s"ALTER TABLE $cat.main.src ADD COLUMN x BIGINT")
+    val e2 = intercept[IllegalStateException](lake.refreshMaterializedView("main.mv"))
+    assert(e2.getMessage.contains("dropped"), e2.getMessage)
+  }
+
   test("snowflake MV: chaining off an unknown carried column is rejected at create") {
     val lake = mkLake()
     import spark.implicits._

@@ -262,6 +262,43 @@ class RenameLayoutSpec extends AnyFunSuite {
       s"post-rename batches must carry the renamed column's VALUES under the declared name, got $got")
   }
 
+  test("streaming CDF survives a SWAP rename mid-stream (atomic shift projection)") {
+    // r16 (ADVICE): the end→declared shift used to apply as a chained
+    // withColumnRenamed fold — a swap (a→b, b→a) produced duplicate names
+    // mid-fold and an ambiguous-reference failure in the conform select.
+    // The shift is now ONE projection (the alignColumns pattern).
+    val lake = new Lake(spark, Files.createTempDirectory("graft_rswap").toString)
+    import spark.implicits._
+    lake.createTableAs("main.t", Seq((1L, 10L)).toDF("a", "b"))
+    val ckpt = Files.createTempDirectory("graft_rswap_ckpt").toString
+    val outDir = Files.createTempDirectory("graft_rswap_out").toString
+    val q = spark.readStream.format("graft-changes")
+      .option("root", lake.root).option("table", "main.t").load()
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(50)).start()
+    try {
+      val cat = catalogFor(lake, "swap")
+      spark.sql(s"ALTER TABLE $cat.main.t RENAME COLUMN a TO tmp_swap")
+      spark.sql(s"ALTER TABLE $cat.main.t RENAME COLUMN b TO a")
+      spark.sql(s"ALTER TABLE $cat.main.t RENAME COLUMN tmp_swap TO b")
+      // post-swap the ORIGINAL a-column is named b (and vice versa)
+      lake.append("main.t", Seq((2L, 20L)).toDF("b", "a"))
+      val deadline = System.currentTimeMillis + 30000
+      def drained(): Boolean =
+        try spark.read.parquet(outDir)
+          .filter(col("_change_type") === "insert").count() == 2L
+        catch { case _: Exception => false }
+      while (!drained() && System.currentTimeMillis < deadline) Thread.sleep(100)
+    } finally { q.stop(); q.awaitTermination() }
+    val got = spark.read.parquet(outDir)
+      .filter(col("_change_type") === "insert")
+      .select(col("a"), col("b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 10L, 2L -> 20L),
+      s"swap-renamed columns must keep serving by columnId under declared names, got $got")
+  }
+
   test("rename on the delete-aware tier: merge-on-read overlay plus translation") {
     val lake = new Lake(spark, Files.createTempDirectory("graft_rdel").toString)
     lake.createTable("main.d", spark.range(0, 1).selectExpr("id AS k", "id AS v").schema)

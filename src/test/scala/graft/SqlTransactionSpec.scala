@@ -96,6 +96,24 @@ class SqlTransactionSpec extends AnyFunSuite {
       .head.getString(1) == "a;b;c")
   }
 
+  test("comments inside and after the block parse transactionally (r16)") {
+    val (lake, cat) = freshCat()
+    import spark.implicits._
+    lake.createTableAs("main.t", Seq((1L, 10L)).toDF("k", "v"))
+    val before = lake.currentSnapshot()
+    // a trailing comment after COMMIT used to miss TxBlockRe entirely and
+    // fall through to the delegate parser (losing atomicity); a ';' in a
+    // comment used to split the statement
+    spark.sql(
+      s"""BEGIN;
+         |-- stage two rows; both land atomically
+         |INSERT INTO $cat.main.t VALUES (2, 20);
+         |/* second; insert */ INSERT INTO $cat.main.t VALUES (3, 30);
+         |COMMIT; -- done; one snapshot""".stripMargin).collect()
+    assert(lake.currentSnapshot() == before + 1, "block must land as ONE snapshot")
+    assert(lake.table("main.t").count() == 3)
+  }
+
   test("single-statement blocks and string-literal COMMIT text work; DDL stages too") {
     val (lake, cat) = freshCat()
     import spark.implicits._
