@@ -68,6 +68,28 @@ object BucketBench {
 
     time("plain", plainCat)
     time("bucketed", bktCat)
+
+    // r16 (VERDICT r15 #2): IN-PLACE migration of an EXISTING raw lake —
+    // setPartition is future-files-only by design (partition.sql:43-57),
+    // so the operator recipe is setPartition(bucket[32]) + setSort +
+    // rewriteSorted: ONE range shuffle per table absorbs every pre-spec
+    // file into the new layout, and the SAME tables' join then plans the
+    // storage-partitioned shape. migrate_sec is the one-off cost that buys
+    // the plain→bucketed delta on every subsequent join.
+    val (mLake, mCat) = mkLake("mig", Nil)
+    val t0 = System.nanoTime()
+    Seq("main.a", "main.b").foreach { t =>
+      mLake.setPartition(t, List(PartitionKey(BucketTransform(32), "l_orderkey")))
+      mLake.setSort(t,
+        List(Meta.SortKey("l_orderkey", ascending = true, nullsFirst = true)))
+      mLake.rewriteSorted(t)
+    }
+    val migSec = (System.nanoTime() - t0) / 1e9
+    println(f"[bucket-bench] migrate_sec=$migSec%.2f " +
+      "(setPartition+setSort+rewriteSorted over both sides)")
+    val m = joinQ(mCat).collect()(0)
+    require(a == m, s"migrated result mismatch: $a vs $m")
+    time("migrated", mCat)
     spark.stop()
   }
 }

@@ -34,6 +34,31 @@ object FreezeDemo {
         Array("tag"), org.apache.spark.sql.types.StringType))
     lake.append("main.nat", nation.limit(2)
       .withColumn("tag", lit("late")))
+    // r16 (VERDICT r15 #3): RENAME COLUMN joins the demo — the early files
+    // hold n_comment under its old physical name, so the frozen view's
+    // epoch branches must alias by columnId ("n_comment" AS "remark");
+    // stock DuckDB executes this via scripts/freeze_check.py
+    cat.alterTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("main"), "nat"),
+      org.apache.spark.sql.connector.catalog.TableChange.renameColumn(
+        Array("n_comment"), "remark"))
+    lake.append("main.nat", nation.limit(1)
+      .withColumnRenamed("n_comment", "remark")
+      .withColumn("tag", lit("post-rename")))
+    // and a BUCKETED + SORTED table whose partition/sort KEY is renamed
+    // mid-history with DML on both sides plus a cross-epoch delete — the
+    // layout-bearing shape RenameLayoutSpec's freeze test pins in-engine
+    val part = spark.range(0, 5000).selectExpr("id AS k", "id * 3 AS v")
+    lake.createTable("main.pk", part.schema,
+      partitionKeys = List(graft.lake.Meta.PartitionKey("bucket[4]", "k")),
+      sortKeys = List(graft.lake.Meta.SortKey("k", ascending = true, nullsFirst = true)))
+    lake.append("main.pk", part)
+    cat.alterTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("main"), "pk"),
+      org.apache.spark.sql.connector.catalog.TableChange.renameColumn(
+        Array("k"), "kk"))
+    lake.append("main.pk", spark.range(5000, 6000).selectExpr("id AS kk", "id * 3 AS v"))
+    lake.delete("main.pk", col("kk") % 10 === 1)
     // native view + macro: freeze must emit reference-shaped ducklake_view /
     // ducklake_macro* rows (dialect 'spark') that real DuckDB can load —
     // scripts/thaw_check.py executes the catalog SQL verbatim
@@ -48,6 +73,7 @@ object FreezeDemo {
     lake.freeze(outDir)
     val expect = lake.table("main.nat").count()
     println(s"[freeze-demo] frozen at $outDir, engine row count = $expect")
+    println(s"[freeze-demo] main_pk engine row count = ${lake.table("main.pk").count()}")
     spark.stop()
   }
 }

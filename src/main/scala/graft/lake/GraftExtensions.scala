@@ -72,6 +72,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPreCBORule(new LakeJoinHint(_))
     // variant_get predicates → file pruning on recorded variant path stats
     ext.injectOptimizerRule(new LakeVariantPruning(_))
+    // opt-in MV query rewrite: matching grouped aggregates served from the
+    // maintained MV table instead of the fact scan (spark.graft.mv.rewrite)
+    ext.injectOptimizerRule(new LakeMvRewrite(_))
     // driver-local evaluation of bounded constant subplans (Range /
     // Sort / Generate / Aggregate over LocalRelation) — constant-shaped
     // queries collapse to LocalTableScan and skip job submission entirely

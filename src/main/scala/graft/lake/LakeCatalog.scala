@@ -372,8 +372,16 @@ class LakeCatalog extends TableCatalog with SupportsNamespaces
           ddl = true
           val name = u.fieldNames().mkString(".")
           cols.find(_.name == name).foreach { c =>
+            val to = u.newDataType().sql
+            // promotion-or-reject (r16): a narrowing change would silently
+            // truncate existing file values at read time (Meta.typePromotes)
+            if (!Meta.typePromotes(c.dataType, to))
+              throw new IllegalArgumentException(
+                s"ALTER COLUMN $name TYPE: ${c.dataType} -> $to is not a " +
+                "lossless promotion (allowed: tinyint->smallint->int->bigint, " +
+                "float->double, tinyint/smallint/int->double)")
             endedCols += s"$tid:${c.columnId}"
-            newCols += c.copy(dataType = u.newDataType().sql, begin = sid, end = None)
+            newCols += c.copy(dataType = to, begin = sid, end = None)
           }
         // ALTER COLUMN SET DEFAULT (reference ddl.sql; the merge-on-read
         // scan fills the default for files written before the column —

@@ -60,18 +60,39 @@ class ConcurrentMvRefreshException(msg: String) extends IllegalStateException(ms
   */
 object LakeMaterializedView {
 
-  private val KSource = "mv_source"
-  private val KSourceTid = "mv_source_tid"
-  private val KGroups = "mv_groups"
-  private val KSums = "mv_sums"
-  private val KCnts = "mv_cnts"
-  private val KAvgs = "mv_avgs"
-  private val KMinMax = "mv_minmax"
-  private val KFilter = "mv_filter"
-  private val KLast = "mv_last"
-  private val KDim = "mv_dim"
-  private val KDimTid = "mv_dim_tid"
-  private val KDimKeys = "mv_dim_keys"
+  private[lake] val KSource = "mv_source"
+  private[lake] val KSourceTid = "mv_source_tid"
+  private[lake] val KGroups = "mv_groups"
+  private[lake] val KSums = "mv_sums"
+  private[lake] val KCnts = "mv_cnts"
+  private[lake] val KAvgs = "mv_avgs"
+  private[lake] val KMinMax = "mv_minmax"
+  private[lake] val KFilter = "mv_filter"
+  private[lake] val KLast = "mv_last"
+  private[lake] val KDim = "mv_dim"
+  private[lake] val KDimTid = "mv_dim_tid"
+  private[lake] val KDimKeys = "mv_dim_keys"
+
+  /** The resolved definition + applied watermark of table `tid` at `snap`
+    * when it IS a materialized view — the read-side contract
+    * [[LakeMvRewrite]] matches queries against (r16). */
+  private[lake] case class MvInfo(
+      groups: Seq[String], sums: Seq[String], cnts: Seq[String],
+      avgs: Seq[String], minMax: Seq[String], filterSql: Option[String],
+      hasDims: Boolean, last: Long, sourceTid: Long) {
+    val sumAll: Set[String] = (sums ++ avgs).toSet
+    val cntAll: Set[String] = (cnts ++ avgs).toSet
+  }
+  private[lake] def infoAt(st: Meta.CatalogState, tid: Long, snap: Long)
+      : Option[MvInfo] = {
+    val scope = tid.toString
+    def tag(k: String) = st.tagAt(scope, k, snap)
+    def list(k: String) = tag(k).map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    for { groups <- tag(KGroups); last <- tag(KLast); srcTid <- tag(KSourceTid) }
+      yield MvInfo(groups.split(',').toSeq.filter(_.nonEmpty), list(KSums),
+        list(KCnts), list(KAvgs), list(KMinMax), tag(KFilter),
+        hasDims = tag(KDim).isDefined, last.toLong, srcTid.toLong)
+  }
 
   /** left ⋈ dim enrichment: `keys` are (leftCol, dimCol) equi-join pairs.
     * `leftCol` is a column of the ACCUMULATED joined frame — the fact for

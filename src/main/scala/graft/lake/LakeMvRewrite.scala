@@ -1,0 +1,278 @@
+package graft.lake
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{EliminateSubqueryAliases, UnresolvedAttribute}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types.LongType
+import graft.lake.Meta.CatalogState
+
+/** Opt-in MV query rewrite (VERDICT r15 #5): a grouped aggregate over a
+  * lake table that STRUCTURALLY matches a maintained materialized view's
+  * definition is answered from the (group-domain-sized) MV table instead
+  * of rescanning the fact — the read-side payoff of the incremental-MV
+  * subsystem at 100 TB, where the fact scan is the whole query cost.
+  *
+  * `spark.graft.mv.rewrite`:
+  *   - `off` (default) — rule inert.
+  *   - `fresh` — rewrite only when the MV's applied watermark provably
+  *     covers the scan's snapshot (no source data/schema change entries
+  *     between watermark and scan snapshot); stale or unmatched queries
+  *     run verbatim.
+  *   - `refresh` — a matched-but-stale MV is refreshed at plan time
+  *     (refresh-on-read; one watermark-CAS'd incremental fold), then
+  *     served; falls back verbatim if the refresh fails or the snapshot
+  *     still isn't covered (e.g. the query is AS-OF an older snapshot).
+  *
+  * Match contract (conservative — anything else falls through verbatim):
+  *   - the aggregate's child is (attribute-Projects over) an optional
+  *     single Filter over a raw [[LakeTable]] relation of the MV's source;
+  *   - query grouping columns == MV group columns as a set;
+  *   - the MV's own filter (if any) appears among the query filter's
+  *     conjuncts, and every residual conjunct references ONLY group
+  *     columns — those re-apply on the MV rows (a group-key predicate
+  *     commutes with the grouping), covering Catalyst's inferred
+  *     `isnotnull` conjuncts too;
+  *   - every aggregate is a DISTINCT-free, FILTER-free COUNT(*) /
+  *     COUNT(col) / SUM(col) / AVG(col) / MIN(col) / MAX(col) whose state
+  *     the MV maintains. SUM maps to the stored additive state guarded by
+  *     COUNT (`sum_c` is 0, not NULL, on all-NULL groups — the SQL NULL
+  *     comes back via `IF(cnt_c > 0, sum_c, NULL)`); a nullable summed
+  *     column without maintained COUNT state does not match.
+  *
+  * Join-source MVs never match (the query would have to BE the join —
+  * matching multi-relation shapes is future work); a rename of source
+  * columns since MV creation makes names differ and falls through.
+  *
+  * The served subplan is the MV's own snapshot-scoped scan
+  * ([[LakeRead.scanDF]] at the SAME snapshot/state as the replaced
+  * relation — snapshot-consistent by construction), spliced in with the
+  * original output names, types and exprIds, so parents are untouched.
+  */
+class LakeMvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
+    with PredicateHelper {
+  import LakeMaterializedView.MvInfo
+
+  private def mode: String = spark.conf
+    .getOption("spark.graft.mv.rewrite").map(_.toLowerCase).getOrElse("off")
+
+  private val inRefresh = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue: java.lang.Boolean = false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = mode match {
+    case m @ ("fresh" | "refresh") =>
+      plan.transformUp {
+        case agg: Aggregate =>
+          try tryRewrite(agg, refreshOnRead = m == "refresh").getOrElse(agg)
+          catch { case _: Exception => agg } // never fail the query over a rewrite
+      }
+    case _ => plan
+  }
+
+  /** (optional single filter, relation output, lake table) under
+    * attribute-only Projects */
+  private def unwrap(p: LogicalPlan)
+      : Option[(Option[Expression], Seq[Attribute], LakeTable)] = p match {
+    case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      unwrap(child)
+    case Filter(cond, child) => unwrap(child) match {
+      case Some((None, out, lt)) => Some((Some(cond), out, lt))
+      case _ => None
+    }
+    case r: DataSourceV2Relation => r.table match {
+      case lt: LakeTable => Some((None, r.output, lt))
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** any data or schema change entry for `tid` in (lo, hi]? Used in both
+    * directions: watermark behind the scan snapshot OR ahead of it (the MV
+    * refreshed past an AS-OF pinned read) both disqualify. */
+  private def sourceChangedIn(st: CatalogState, tid: Long, a: Long, b: Long)
+      : Boolean = {
+    val (lo, hi) = (math.min(a, b), math.max(a, b))
+    if (lo >= hi) return false
+    def in(x: Long) = x > lo && x <= hi
+    st.files.exists(f => f.tableId == tid && (in(f.begin) || f.end.exists(in))) ||
+    st.deleteFiles.exists(d => d.tableId == tid && (in(d.begin) || d.end.exists(in))) ||
+    st.inlined.exists(i => i.tableId == tid && (in(i.begin) || i.end.exists(in))) ||
+    st.columns.exists(c => c.tableId == tid && (in(c.begin) || c.end.exists(in))) ||
+    !st.tableById(tid, hi).exists(e => Meta.liveAt(e.begin, e.end, lo))
+  }
+
+  private def tryRewrite(agg: Aggregate, refreshOnRead: Boolean)
+      : Option[LogicalPlan] = {
+    val (condOpt, relOut, lt) = unwrap(agg.child) match {
+      case Some(x) => x
+      case None => return None
+    }
+    // grouping must be plain columns
+    val gAttrs = agg.groupingExpressions.map {
+      case a: AttributeReference => a
+      case _ => return None
+    }
+    val gNames = gAttrs.map(_.name.toLowerCase).toSet
+    if (gNames.size != gAttrs.size) return None // duplicate group refs: bail
+    val srcTid = lt.entry.tableId
+    val st0 = lt.st
+    val snap = lt.snapshot
+
+    // candidate MVs over this source at the scan snapshot, matching groups
+    val candidates = st0.tables
+      .filter(t => Meta.liveAt(t.begin, t.end, snap))
+      .flatMap(t => LakeMaterializedView.infoAt(st0, t.tableId, snap).map(t -> _))
+      .filter { case (_, i) =>
+        i.sourceTid == srcTid && !i.hasDims &&
+          i.groups.map(_.toLowerCase).toSet == gNames
+      }
+
+    candidates.iterator.flatMap { case (mvEntry, info0) =>
+      // ---- filter match: MV conjuncts ⊆ query conjuncts; residual on groups
+      val residual: Option[Seq[Expression]] = {
+        val qConj = condOpt.map(splitConjunctivePredicates).getOrElse(Nil)
+        val mvConj = info0.filterSql match {
+          case None => Some(Nil)
+          case Some(f) => resolveFilter(f, relOut).map(splitConjunctivePredicates)
+        }
+        mvConj.flatMap { mc =>
+          val mcCanon = mc.map(_.canonicalized).toSet
+          val rest = qConj.filterNot(c => mcCanon.contains(c.canonicalized))
+          // every MV conjunct must be present in the query
+          val covered = mcCanon.subsetOf(qConj.map(_.canonicalized).toSet)
+          val restOnGroups = rest.forall(_.references.forall(a =>
+            gNames.contains(a.name.toLowerCase)))
+          if (covered && restOnGroups) Some(rest) else None
+        }
+      }
+      if (residual.isEmpty) Iterator.empty
+      else {
+        // ---- freshness (and optional refresh-on-read)
+        val nullable = st0.columnsAt(srcTid, snap)
+          .map(c => c.name.toLowerCase -> c.nullable).toMap
+        def serve(st: CatalogState, servSnap: Long): Option[LogicalPlan] =
+          buildServing(agg, gAttrs, residual.get, mvEntry.tableId, info0,
+            nullable, st, servSnap)
+        if (!sourceChangedIn(st0, srcTid, info0.last, snap)) {
+          serve(st0, snap).iterator
+        } else if (refreshOnRead && lt.store != null && !inRefresh.get()) {
+          // plan-time refresh runs whole queries, which re-enter the
+          // optimizer — the reentrancy latch stops a nested rewrite from
+          // kicking off another refresh (the refresh's own internal reads
+          // are composed scans that never match `unwrap` anyway)
+          inRefresh.set(true)
+          try {
+            val lake = new Lake(spark, lt.store.root, Some(lt.store))
+            lake.refreshMaterializedView(
+              s"${mvEntry.schemaName}.${mvEntry.tableName}")
+            val st1 = lt.store.state()
+            val cur = st1.currentSnapshotId
+            val fresh = LakeMaterializedView.infoAt(st1, mvEntry.tableId, cur)
+              .exists(i1 => !sourceChangedIn(st1, srcTid, i1.last, snap))
+            if (fresh) serve(st1, cur).iterator else Iterator.empty
+          } catch { case _: Exception => Iterator.empty }
+          finally inRefresh.set(false)
+        } else Iterator.empty
+      }
+    }.nextOption()
+  }
+
+  /** MV filterSql resolved against the QUERY relation's own attributes
+    * (same exprIds), so `canonicalized` comparison against the query's
+    * filter conjuncts is exact. Analysis supplies the same implicit casts
+    * the query side got (flag = 1 over BIGINT flag → cast the literal) and
+    * ConstantFolding collapses them to the literal the optimizer left on
+    * the query side. */
+  private def resolveFilter(sql: String, relOut: Seq[Attribute])
+      : Option[Expression] =
+    try {
+      val parsed = spark.sessionState.sqlParser.parseExpression(sql)
+      val resolver = spark.sessionState.conf.resolver
+      var ok = true
+      val bound = parsed.transformUp {
+        case u: UnresolvedAttribute =>
+          relOut.find(a => resolver(a.name, u.name)) match {
+            case Some(a) => a
+            case None => ok = false; u
+          }
+      }
+      if (!ok) return None
+      val leaf = org.apache.spark.sql.catalyst.plans.logical.LocalRelation(relOut)
+      val analyzed = spark.sessionState.analyzer.execute(Filter(bound, leaf))
+      val folded = org.apache.spark.sql.catalyst.optimizer.ConstantFolding(analyzed)
+      folded.collectFirst { case Filter(c, _) if c.resolved => c }
+    } catch { case _: Exception => None }
+
+  /** the Project (and optional group-residual Filter) over the MV's own
+    * snapshot-scoped scan that reproduces `agg`'s output exactly */
+  private def buildServing(agg: Aggregate, gAttrs: Seq[AttributeReference],
+      residual: Seq[Expression], mvTid: Long, info: MvInfo,
+      srcNullable: Map[String, Boolean], st: CatalogState, servSnap: Long)
+      : Option[LogicalPlan] = {
+    val mvPlan = EliminateSubqueryAliases(
+      LakeRead.scanDF(spark, st, mvTid, servSnap).queryExecution.analyzed)
+    val mvAttr: Map[String, Attribute] =
+      mvPlan.output.map(a => a.name.toLowerCase -> a).toMap
+    def m(n: String): Option[Attribute] = mvAttr.get(n.toLowerCase)
+
+    def aggExpr(ae: AggregateExpression): Option[Expression] = {
+      if (ae.isDistinct || ae.filter.isDefined) return None
+      ae.aggregateFunction match {
+        case Count(Seq(_: Literal)) | Count(Nil) => m("n_rows")
+        case Count(Seq(a: AttributeReference)) if info.cntAll(a.name) =>
+          m(s"cnt_${a.name}")
+        case s: Sum => s.child match {
+          case a: AttributeReference if info.sumAll.contains(a.name) &&
+              s.dataType == LongType =>
+            if (info.cntAll(a.name))
+              for { su <- m(s"sum_${a.name}"); c <- m(s"cnt_${a.name}") }
+                yield If(GreaterThan(c, Literal(0L)), su, Literal(null, LongType))
+            else if (!srcNullable.getOrElse(a.name.toLowerCase, true))
+              m(s"sum_${a.name}") // non-nullable: a group always has values
+            else None
+          case _ => None
+        }
+        case av: Average => av.child match {
+          case a: AttributeReference if info.avgs.contains(a.name) =>
+            m(s"avg_${a.name}")
+          case _ => None
+        }
+        case Min(a: AttributeReference) if info.minMax.contains(a.name) =>
+          m(s"min_${a.name}")
+        case Max(a: AttributeReference) if info.minMax.contains(a.name) =>
+          m(s"max_${a.name}")
+        case _ => None
+      }
+    }
+    def rewriteExpr(e: Expression): Option[Expression] = e match {
+      case a: AttributeReference => m(a.name) // group column (validated)
+      case ae: AggregateExpression => aggExpr(ae)
+      case l: Literal => Some(l)
+      case _ if e.children.nonEmpty =>
+        val kids = e.children.map(rewriteExpr)
+        if (kids.forall(_.isDefined)) Some(e.withNewChildren(kids.map(_.get)))
+        else None
+      case _ => None
+    }
+
+    val outputs: Seq[Option[NamedExpression]] = agg.aggregateExpressions.map {
+      case al @ Alias(child, name) => rewriteExpr(child)
+        .filter(_.dataType == al.dataType)
+        .map(r => Alias(r, name)(exprId = al.exprId, qualifier = al.qualifier))
+      case a: AttributeReference => rewriteExpr(a)
+        .filter(_.dataType == a.dataType)
+        .map(r => Alias(r, a.name)(exprId = a.exprId, qualifier = a.qualifier))
+      case _ => None
+    }
+    if (outputs.exists(_.isEmpty)) return None
+    val resRewritten: Seq[Option[Expression]] = residual.map(rewriteExpr)
+    if (resRewritten.exists(_.isEmpty)) return None
+    val filtered = resRewritten.flatten
+      .foldLeft(mvPlan)((p, c) => Filter(c, p))
+    Some(Project(outputs.flatten, filtered))
+  }
+}

@@ -237,6 +237,29 @@ object Meta {
   def liveAt(begin: Long, end: Option[Long], s: Long): Boolean =
     begin <= s && end.forall(_ > s)
 
+  /** ALTER COLUMN TYPE is a lossless PROMOTION or it is rejected (r16 —
+    * DuckLake's type-promotion rule, the semantics behind
+    * docs/ducklake_feature_coverage.md:27 / test/regression/sql/ddl.sql:22):
+    * a narrowing change would make existing file values silently truncate
+    * at read time. Allowed: up the signed-int chain
+    * tinyint→smallint→int→bigint, float→double, and the exactly-
+    * representable int→double cases (≤32-bit ints fit double's mantissa;
+    * bigint does not, and int→float loses low bits — both rejected). */
+  def typePromotes(from: String, to: String): Boolean = {
+    val intRank = Map("tinyint" -> 1, "smallint" -> 2, "int" -> 3,
+      "integer" -> 3, "bigint" -> 4)
+    val (f, t) = (from.trim.toLowerCase, to.trim.toLowerCase)
+    if (f == t) true
+    else (intRank.get(f), intRank.get(t)) match {
+      case (Some(a), Some(b)) => a < b
+      case _ => (f, t) match {
+        case ("float", "double") => true
+        case ("tinyint" | "smallint" | "int", "double") => true
+        case _ => false
+      }
+    }
+  }
+
   /** Materialized catalog: every entity row ever written, with its final
     * (possibly closed) interval. Queries filter with [[liveAt]]. */
   case class CatalogState(

@@ -1276,6 +1276,42 @@ object LakeQueries {
         .orderBy(col("n_nationkey"))
     }),
 
+    // ---- MV query rewrite (r16, VERDICT r15 #5): with
+    // spark.graft.mv.rewrite=fresh, a grouped aggregate that structurally
+    // matches a FRESH materialized view is answered from the MV table —
+    // the entry REQUIRES the rewrite to fire (no Aggregate survives in the
+    // optimized plan, i.e. no fact scan) and the values must equal the
+    // oracle's direct GROUP BY over the same final state --------------------
+    "l62_mv_query_rewrite" -> ((s, dir) => {
+      val lake = newLake(s)
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_orderpriority"))
+      lake.createTableAs("main.mvo", orders.filter(col("o_orderkey") % 2 === 0))
+      lake.createMaterializedView("main.mv62", "main.mvo",
+        groupCols = Seq("o_orderpriority"), sumCols = Seq("o_custkey"),
+        cntCols = Seq("o_custkey"), minMaxCols = Seq("o_orderkey"))
+      lake.append("main.mvo", orders.filter(col("o_orderkey") % 2 === 1))
+      lake.delete("main.mvo", col("o_orderkey") % 10 === 3)
+      lake.refreshMaterializedView("main.mv62")
+      val cat = s"lqmvr${System.nanoTime()}"
+      wireCatalog(s, cat, lake)
+      s.conf.set("spark.graft.mv.rewrite", "fresh")
+      try {
+        val q = s.sql(
+          s"""SELECT o_orderpriority, count(*) AS n_rows,
+             |  sum(o_custkey) AS sum_ck, count(o_custkey) AS cnt_ck,
+             |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+             |FROM $cat.main.mvo GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)
+        val opt = q.queryExecution.optimizedPlan
+        require(opt.collect {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+        }.isEmpty, s"l62: MV rewrite did not fire — fact aggregate survives:\n$opt")
+        q
+      } finally s.conf.unset("spark.graft.mv.rewrite")
+    }),
+
     "l28_sql_merge" -> ((s, dir) => {
       import s.implicits._
       val lake = newLake(s)
@@ -1710,6 +1746,18 @@ object LakeQueries {
         |  SELECT n_nationkey + 100, n_regionkey FROM nation WHERE n_regionkey = 2)
         |WHERE n_regionkey <> 0
         |ORDER BY n_nationkey""".stripMargin,
+
+    // MV query rewrite: the engine answers from the MV table (the entry
+    // require()s the plan shape); the oracle is the direct GROUP BY over
+    // the same final state the DML sequence leaves behind
+    "l62_mv_query_rewrite" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_rows,
+        |  CAST(SUM(o_custkey) AS BIGINT) AS sum_ck,
+        |  CAST(COUNT(o_custkey) AS BIGINT) AS cnt_ck,
+        |  MIN(o_orderkey) AS min_ok, MAX(o_orderkey) AS max_ok
+        |FROM orders
+        |WHERE NOT (o_orderkey % 10 = 3)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // join-source MV: final content == fact⋈dim GROUP BY over what the
     // DML sequence leaves behind, joined against the UPDATED dim

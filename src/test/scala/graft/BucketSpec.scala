@@ -834,4 +834,71 @@ class BucketSpec extends AnyFunSuite {
     assert(kept.size <= 2 && kept.nonEmpty,
       s"IN(2 keys) must keep at most their 2 buckets, kept ${kept.size}")
   }
+
+  test("in-place raw→bucketed migration: setPartition + rewriteSorted flips the plan") {
+    // VERDICT r15 #2: setPartition applies to FUTURE files only
+    // (partition.sql:43-57), so an existing raw fact migrates in place via
+    // setPartition(bucket[N]) + setSort + rewriteSorted — the rewrite's
+    // writer groups by the LIVE spec (LakeWrite partitioned branch), so one
+    // range shuffle absorbs every pre-spec file into the bucketed layout
+    // and the SAME tables' join flips from both-sides-shuffle to the
+    // storage-partitioned shape. BucketBench measures the one-off cost.
+    val lake = new Lake(spark, Files.createTempDirectory("graft_bmig").toString)
+    def mkRaw(name: String, rows: Long): Unit = {
+      lake.createTable(s"main.$name",
+        spark.range(0, 1).selectExpr("id AS k", "id AS v").schema)
+      lake.append(s"main.$name",
+        spark.range(0, rows).selectExpr("id % 500 AS k", "id AS v"))
+    }
+    mkRaw("ma", 60000); mkRaw("mb", 30000)
+    val cat = s"bmig${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", lake.root)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def q() = spark.sql(
+        s"SELECT count(*) AS n FROM $cat.main.ma a JOIN $cat.main.mb b ON a.k = b.k")
+      val expected = 500L * 120 * 60
+      val before = q().queryExecution.executedPlan.toString
+      assert(before.contains("Exchange hashpartitioning"),
+        s"raw join should shuffle before migration:\n$before")
+      assert(q().head.getLong(0) == expected)
+
+      Seq("main.ma", "main.mb").foreach { t =>
+        lake.setPartition(t, List(PartitionKey(BucketTransform(8), "k")))
+        lake.setSort(t,
+          List(Meta.SortKey("k", ascending = true, nullsFirst = true)))
+        lake.rewriteSorted(t)
+      }
+
+      // every live file now carries the bucket value (none left behind on
+      // the old layout), so the scan reports KeyGroupedPartitioning
+      val st = lake.store.state()
+      Seq("ma", "mb").foreach { n =>
+        val e = st.tableAt("main", n, st.currentSnapshotId).get
+        val fs = st.filesAt(e.tableId, st.currentSnapshotId)
+        assert(fs.nonEmpty && fs.forall(_.partitionValues.contains("bucket[8](k)")),
+          s"$n: ${fs.count(!_.partitionValues.contains("bucket[8](k)"))} of " +
+            s"${fs.size} files missed the new layout")
+      }
+      val after = q().queryExecution.executedPlan.toString
+      assert(!after.contains("Exchange hashpartitioning"),
+        s"join must plan ZERO exchanges after the in-place migration:\n$after")
+      assert(q().head.getLong(0) == expected)
+      // and a point lookup now prunes to the literal's one bucket
+      val e = st.tableAt("main", "ma", st.currentSnapshotId).get
+      val ct = st.columnsAt(e.tableId, st.currentSnapshotId)
+        .map(c => c.name -> c.dataType).toMap
+      val kept = Pruning.prune(st.filesAt(e.tableId, st.currentSnapshotId),
+        st.statsFor, ct, st.partitionKeysAt(e.tableId, st.currentSnapshotId),
+        Seq(EqualTo("k", 123L)))
+      val total = st.filesAt(e.tableId, st.currentSnapshotId).size
+      assert(kept.size < total,
+        s"post-migration point filter must prune buckets, kept ${kept.size}/$total")
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }

@@ -47,10 +47,16 @@ class FuzzSpec extends AnyFunSuite {
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.root", root)
     jdbcUrl.foreach(u => spark.conf.set(s"spark.sql.catalog.$cat.jdbc", u))
+    // r16: the fact is BUCKETED + SORTED and `v` starts INT — a mid-
+    // schedule widening ALTER TYPE (below) makes every later scan, change-
+    // feed window, MV refresh and AS-OF replay cross a type epoch on a
+    // layout-bearing table (the columnId-eligibility branch the r15 rename
+    // bug lived beside, LakeTable.widensTo, only had directed coverage)
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType)))
-    lake.createTable("main.f", schema)
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.IntegerType)))
+    lake.createTable("main.f", schema,
+      partitionKeys = List(Meta.PartitionKey("bucket[4]", "k")))
     lake.setOption("target_file_size", "64KB", Some("main.f"))
     lake.setSort("main.f", List(Meta.SortKey("k", ascending = true, nullsFirst = false)))
     // r11: an identity-keyed materialized view rides the whole schedule —
@@ -111,9 +117,11 @@ class FuzzSpec extends AnyFunSuite {
     val history = mutable.ArrayBuffer[(Long, Map[Long, Long], Option[(Int, Int)])]()
     history += ((lake.currentSnapshot(), model, viewDef))
 
+    // v reads as Int before the widening epoch (and in AS-OF replays into
+    // it) and Long after — normalize through Number
     def readLake(version: Option[Long] = None): Map[Long, Long] =
       lake.table("main.f", version).collect()
-        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        .map(r => r.getLong(0) -> r.get(1).asInstanceOf[Number].longValue).toMap
 
     def checkMv(tag: String): Unit = {
       lake.refreshMaterializedView("main.fmv")
@@ -230,7 +238,7 @@ class FuzzSpec extends AnyFunSuite {
       history += ((lake.currentSnapshot(), model, viewDef))
       viewDef.foreach { case (m, r) =>
         val vGot = lake.view("main.fv").collect()
-          .map(x => x.getLong(0) -> x.getLong(1)).toMap
+          .map(x => x.getLong(0) -> x.get(1).asInstanceOf[Number].longValue).toMap
         val vWant = model.filter { case (k, _) => k % m == r }
         assert(vGot == vWant,
           s"seed=$seed op#$i kind=$op view(k%$m==$r): ${vGot.size} vs ${vWant.size}")
@@ -304,15 +312,40 @@ class FuzzSpec extends AnyFunSuite {
       if (i % 11 == 9) {
         spark.sql(s"ALTER TABLE $cat.main.f RENAME COLUMN k TO kq")
         val mid = lake.table("main.f").collect()
-          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+          .map(r => r.getLong(0) -> r.get(1).asInstanceOf[Number].longValue).toMap
         assert(mid == model, s"seed=$seed op#$i renamed-state read: " +
           s"${mid.size} rows vs model ${model.size}")
         model.keys.headOption.foreach { probe =>
           val one = lake.table("main.f").filter(col("kq") === probe).collect()
-          assert(one.length == 1 && one(0).getLong(1) == model(probe),
+          assert(one.length == 1 &&
+            one(0).get(1).asInstanceOf[Number].longValue == model(probe),
             s"seed=$seed op#$i renamed-key point read failed for k=$probe")
         }
         spark.sql(s"ALTER TABLE $cat.main.f RENAME COLUMN kq TO k")
+      }
+      // ALTER TYPE joins the DDL mix (VERDICT r15 #4; FIXED op indices, no
+      // rnd draws — existing seed schedules untouched). The widening
+      // v INT→BIGINT lands mid-schedule on the bucketed+sorted fact;
+      // non-promotions REJECT: narrowing the sort/bucket key and narrowing
+      // v back would silently truncate file values (Meta.typePromotes).
+      if (i == nOps / 3) {
+        // narrowing the sort/bucket key: Spark's own upcast check fires at
+        // the SQL boundary (NOT_SUPPORTED_CHANGE_COLUMN) before our guard
+        val e = intercept[Exception](
+          spark.sql(s"ALTER TABLE $cat.main.f ALTER COLUMN k TYPE INT"))
+        assert(e.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN") ||
+          e.getMessage.contains("promotion"), e.getMessage)
+        spark.sql(s"ALTER TABLE $cat.main.f ALTER COLUMN v TYPE BIGINT")
+        val wid = readLake()
+        assert(wid == model,
+          s"seed=$seed op#$i post-widen read: ${wid.size} vs ${model.size}")
+      }
+      if (i == (2 * nOps) / 3) {
+        // int->string upcasts per Spark but is NOT a DuckLake promotion:
+        // this one must be rejected by OUR catalog guard (Meta.typePromotes)
+        val e = intercept[Exception](
+          spark.sql(s"ALTER TABLE $cat.main.f ALTER COLUMN v TYPE STRING"))
+        assert(e.getMessage.contains("promotion"), e.getMessage)
       }
       i += 1
     }
@@ -327,7 +360,7 @@ class FuzzSpec extends AnyFunSuite {
       // AS-OF view read: the definition live AT sid over the data AT sid
       vdef.foreach { case (m, r) =>
         val vGot = lake.view("main.fv", Some(sid)).collect()
-          .map(x => x.getLong(0) -> x.getLong(1)).toMap
+          .map(x => x.getLong(0) -> x.get(1).asInstanceOf[Number].longValue).toMap
         val vWant = want.filter { case (k, _) => k % m == r }
         assert(vGot == vWant, s"seed=$seed AS-OF view at $sid (k%$m==$r): " +
           s"${vGot.size} vs ${vWant.size}")
@@ -338,7 +371,8 @@ class FuzzSpec extends AnyFunSuite {
     // agrees
     val cold = mkLake()
     assert(cold.table("main.f").collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap == model)
+      .map(r => r.getLong(0) -> r.get(1).asInstanceOf[Number].longValue)
+      .toMap == model)
     // the ACL state also survives the cold open (checkpoint + tail)
     val coldPrivs = cold.acl.grants()
       .filter(col("role_name") === "fz").collect()

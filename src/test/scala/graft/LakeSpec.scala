@@ -1559,6 +1559,21 @@ class LakeSpec extends AnyFunSuite {
     // pushed filter over the widened column stays correct across epochs
     assert(spark.sql(s"SELECT a FROM $cat.main.nw WHERE b > 15")
       .collect().map(_.getInt(0)).sorted.toSeq == Seq(2, 3))
+    // r16: NON-promotions reject. Narrowing (bigint->int) trips Spark's
+    // own upcast check at the SQL boundary; bigint->string UPCASTS per
+    // Spark but is not a DuckLake promotion — OUR catalog guard
+    // (Meta.typePromotes) must reject it rather than let existing file
+    // values re-type silently
+    val e1 = intercept[Exception](
+      spark.sql(s"ALTER TABLE $cat.main.nw ALTER COLUMN b TYPE INT"))
+    assert(e1.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN") ||
+      e1.getMessage.contains("promotion"), e1.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql(s"ALTER TABLE $cat.main.nw ALTER COLUMN b TYPE STRING"))
+    assert(e2.getMessage.contains("promotion"), e2.getMessage)
+    // the rejected ALTERs left no epoch behind: reads and schema unchanged
+    assert(lake.table("main.nw").schema("b").dataType ==
+      org.apache.spark.sql.types.LongType)
   }
 
   test("ADD COLUMN WITH DEFAULT keeps the composed tier (default must be filled)") {

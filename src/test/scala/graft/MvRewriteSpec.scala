@@ -1,0 +1,202 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.lake._
+
+/** Opt-in MV query rewrite (VERDICT r15 #5, [[LakeMvRewrite]]): a grouped
+  * aggregate over a lake table that structurally matches a FRESH
+  * materialized view is answered from the MV table — no fact scan in the
+  * plan — and falls back verbatim whenever stale, unmatched, or disabled. */
+class MvRewriteSpec extends AnyFunSuite {
+  import TestSession.spark
+
+  private def mkLake(tag: String): (Lake, String) = {
+    val lake = new Lake(spark, Files.createTempDirectory(s"graft_mvrw$tag").toString)
+    val cat = s"mvrw$tag${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[LakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", lake.root)
+    (lake, cat)
+  }
+
+  private def aggCount(df: DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect { case a: Aggregate => a }.size
+
+  private def withMode[T](m: String)(body: => T): T = {
+    spark.conf.set("spark.graft.mv.rewrite", m)
+    try body finally spark.conf.unset("spark.graft.mv.rewrite")
+  }
+
+  test("fresh MV answers the matching aggregate with NO fact scan; off stays verbatim") {
+    val (lake, cat) = mkLake("a")
+    import spark.implicits._
+    lake.createTableAs("main.src",
+      Seq(("a", 1L, 10L), ("a", 2L, 20L), ("b", 3L, 30L)).toDF("g", "x", "y"))
+    lake.createMaterializedView("main.mv", "main.src",
+      groupCols = Seq("g"), sumCols = Seq("x"), minMaxCols = Seq("y"))
+    lake.append("main.src", Seq(("b", 4L, 5L)).toDF("g", "x", "y"))
+    lake.refreshMaterializedView("main.mv")
+
+    def q() = spark.sql(
+      s"""SELECT g, count(*) AS n, sum(x) AS s, min(y) AS mn, max(y) AS mx
+         |FROM $cat.main.src GROUP BY g""".stripMargin)
+    val want = Set(("a", 2L, 3L, 10L, 20L), ("b", 2L, 7L, 5L, 30L))
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+
+    // default off: the aggregate plans as an aggregate over the fact
+    assert(aggCount(q()) == 1)
+    assert(rows(q()) == want)
+    withMode("fresh") {
+      val df = q()
+      assert(aggCount(df) == 0,
+        s"matching fresh MV must replace the aggregate:\n${df.queryExecution.optimizedPlan}")
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(!plan.toLowerCase.contains("src"),
+        s"rewritten plan must not touch the fact table:\n$plan")
+      assert(rows(df) == want)
+      // HAVING folds naturally: the filter sits above the served Project
+      val h = spark.sql(s"SELECT g, sum(x) AS s FROM $cat.main.src " +
+        "GROUP BY g HAVING count(*) > 1")
+      assert(rows2(h) == Set(("a", 3L), ("b", 7L)))
+    }
+  }
+
+  private def rows2(df: DataFrame) =
+    df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+
+  test("stale MV: fresh mode falls back verbatim; refresh mode refreshes and serves") {
+    val (lake, cat) = mkLake("b")
+    import spark.implicits._
+    lake.createTableAs("main.src", Seq(("a", 1L), ("b", 2L)).toDF("g", "x"))
+    lake.createMaterializedView("main.mv", "main.src",
+      groupCols = Seq("g"), sumCols = Seq("x"))
+    lake.append("main.src", Seq(("a", 10L)).toDF("g", "x")) // MV now stale
+
+    def q() = spark.sql(s"SELECT g, sum(x) AS s FROM $cat.main.src GROUP BY g")
+    val want = Set(("a", 11L), ("b", 2L))
+    withMode("fresh") {
+      val df = q()
+      assert(aggCount(df) == 1, "stale MV must not serve in fresh mode")
+      assert(rows2(df) == want)
+    }
+    withMode("refresh") {
+      val df = q()
+      assert(rows2(df) == want)
+      assert(aggCount(df) == 0,
+        s"refresh mode must refresh-on-read then serve:\n${df.queryExecution.optimizedPlan}")
+      // and the refresh really landed: fresh mode now serves too
+      spark.conf.set("spark.graft.mv.rewrite", "fresh")
+      assert(aggCount(q()) == 0)
+    }
+  }
+
+  test("filtered MV matches its filter; residual group-key conjuncts re-apply on the MV") {
+    val (lake, cat) = mkLake("c")
+    import spark.implicits._
+    lake.createTableAs("main.src",
+      Seq(("a", 1L, 1L), ("a", 2L, 2L), ("b", 3L, 1L), ("c", 4L, 2L))
+        .toDF("g", "x", "flag"))
+    lake.createMaterializedView("main.mv", "main.src",
+      groupCols = Seq("g"), sumCols = Seq("x"), filterSql = Some("flag = 1"))
+
+    withMode("fresh") {
+      val df = spark.sql(s"SELECT g, sum(x) AS s FROM $cat.main.src " +
+        "WHERE flag = 1 GROUP BY g")
+      assert(aggCount(df) == 0,
+        s"filter-matching MV must serve:\n${df.queryExecution.optimizedPlan}")
+      assert(rows2(df) == Set(("a", 1L), ("b", 3L)))
+      // residual conjunct on the GROUP column re-applies over the MV rows
+      val dfr = spark.sql(s"SELECT g, sum(x) AS s FROM $cat.main.src " +
+        "WHERE flag = 1 AND g <> 'b' GROUP BY g")
+      assert(aggCount(dfr) == 0,
+        s"group-key residual must re-apply on MV:\n${dfr.queryExecution.optimizedPlan}")
+      assert(rows2(dfr) == Set(("a", 1L)))
+      // a residual on a NON-group column cannot serve: falls back
+      val dfn = spark.sql(s"SELECT g, sum(x) AS s FROM $cat.main.src " +
+        "WHERE flag = 1 AND x < 4 GROUP BY g")
+      assert(aggCount(dfn) == 1, "non-group residual must fall back")
+      assert(rows2(dfn) == Set(("a", 1L), ("b", 3L)))
+      // filter mismatch (missing MV conjunct) falls back
+      val dfm = spark.sql(s"SELECT g, sum(x) AS s FROM $cat.main.src GROUP BY g")
+      assert(aggCount(dfm) == 1, "filterless query over filtered MV must fall back")
+      assert(rows2(dfm) == Set(("a", 3L), ("b", 3L), ("c", 4L)))
+    }
+  }
+
+  test("nullable SUM serves only with maintained COUNT state; unmatched aggs fall back") {
+    val (lake, cat) = mkLake("d")
+    import spark.implicits._
+    val src = Seq(("a", Some(1L)), ("a", None), ("b", None))
+      .toDF("g", "x") // x nullable; group b is all-NULL
+    lake.createTableAs("main.src", src)
+    // mv1 maintains sum+cnt: SUM rewrites through the NULL-on-empty guard
+    lake.createMaterializedView("main.mv1", "main.src",
+      groupCols = Seq("g"), sumCols = Seq("x"), cntCols = Seq("x"))
+    withMode("fresh") {
+      val df = spark.sql(s"SELECT g, sum(x) AS s FROM $cat.main.src GROUP BY g")
+      assert(aggCount(df) == 0,
+        s"sum+cnt MV must serve:\n${df.queryExecution.optimizedPlan}")
+      val got = df.collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+      assert(got == Map("a" -> 1L, "b" -> null),
+        s"all-NULL group must report SQL NULL, not the additive 0: $got")
+      // an aggregate the MV does not maintain falls back verbatim
+      val dfa = spark.sql(s"SELECT g, avg(x) AS a FROM $cat.main.src GROUP BY g")
+      assert(aggCount(dfa) == 1)
+      // DISTINCT never serves from additive state
+      val dfd = spark.sql(
+        s"SELECT g, count(DISTINCT x) AS d FROM $cat.main.src GROUP BY g")
+      assert(aggCount(dfd) >= 1)
+    }
+    // mv2 maintains sum WITHOUT cnt over the nullable column: must NOT serve
+    val (lake2, cat2) = mkLake("d2")
+    lake2.createTableAs("main.src", src)
+    lake2.createMaterializedView("main.mv2", "main.src",
+      groupCols = Seq("g"), sumCols = Seq("x"))
+    withMode("fresh") {
+      val df = spark.sql(s"SELECT g, sum(x) AS s FROM $cat2.main.src GROUP BY g")
+      assert(aggCount(df) == 1,
+        "nullable SUM without COUNT state must fall back (0-vs-NULL)")
+    }
+  }
+
+  test("AS-OF reads are snapshot-consistent: historical MV state serves, gaps fall back") {
+    val (lake, cat) = mkLake("e")
+    import spark.implicits._
+    lake.createTableAs("main.src", Seq(("a", 1L), ("b", 2L)).toDF("g", "x"))
+    lake.createMaterializedView("main.mv", "main.src",
+      groupCols = Seq("g"), sumCols = Seq("x"))
+    val preSnap = lake.currentSnapshot() // MV watermark == preSnap here
+    lake.append("main.src", Seq(("a", 10L)).toDF("g", "x"))
+    val midSnap = lake.currentSnapshot() // source changed, MV not yet refreshed
+    lake.refreshMaterializedView("main.mv")
+    withMode("fresh") {
+      // AS-OF the MV's own creation snapshot: the MV table AT that snapshot
+      // is exactly the aggregate of the source AT that snapshot — serve it
+      val asof = spark.sql(
+        s"SELECT g, sum(x) AS s FROM $cat.main.src VERSION AS OF $preSnap GROUP BY g")
+      assert(aggCount(asof) == 0,
+        s"historical MV state should serve the AS-OF read:\n${asof.queryExecution.optimizedPlan}")
+      assert(rows2(asof) == Set(("a", 1L), ("b", 2L)))
+      // AS-OF the gap snapshot (source changed, watermark behind): fall back
+      val gap = spark.sql(
+        s"SELECT g, sum(x) AS s FROM $cat.main.src VERSION AS OF $midSnap GROUP BY g")
+      assert(aggCount(gap) == 1,
+        "AS-OF in the watermark gap must fall back (source changed in window)")
+      assert(rows2(gap) == Set(("a", 11L), ("b", 2L)))
+      // current read serves the refreshed state
+      val cur = spark.sql(s"SELECT g, sum(x) AS s FROM $cat.main.src GROUP BY g")
+      assert(aggCount(cur) == 0)
+      assert(rows2(cur) == Set(("a", 11L), ("b", 2L)))
+      // a different grouping set falls back
+      val dg = spark.sql(
+        s"SELECT g, x, count(*) AS n FROM $cat.main.src GROUP BY g, x")
+      assert(aggCount(dg) == 1)
+    }
+  }
+}
