@@ -186,6 +186,29 @@ object PerfLab {
       Map("c_mktsegment" -> lit(s"MOVED$mvjN")))
   }
 
+  // ---- MV query-rewrite fixture (r16): a fresh MV over an orders-shaped
+  // fact; mvr_rewrite/mvr_scan time the SAME SQL with the rule on/off
+  private val mvrCats = scala.collection.mutable.Map[String, String]()
+  private def mvrFixture(s: SparkSession, dir: String): String = synchronized {
+    mvrCats.getOrElseUpdate(dir, {
+      val root = java.nio.file.Files.createTempDirectory("graft_mvrlab").toString
+      val lake = new graft.lake.Lake(s, root)
+      lake.createTableAs("main.mvrfact", t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority")))
+      lake.createMaterializedView("main.mvr", "main.mvrfact",
+        groupCols = Seq("o_orderpriority"), sumCols = Seq("o_custkey"),
+        cntCols = Seq("o_custkey"), minMaxCols = Seq("o_orderkey"))
+      val cat = s"mvrlab${System.nanoTime()}"
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.lake.LakeCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      cat
+    })
+  }
+  private def mvrSql(cat: String): String =
+    s"""SELECT o_orderpriority, count(*) AS n_rows, sum(o_custkey) AS sum_ck,
+       |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+       |FROM $cat.main.mvrfact GROUP BY o_orderpriority""".stripMargin
+
   /** q05b inverted around the custkey-bucketed pair — see the q05b_co
     * entry comment */
   private def q05bCoShape(s: SparkSession, dir: String): DataFrame = {
@@ -1457,6 +1480,23 @@ object PerfLab {
       val lake = mvjFixture(s, dir)
       mvjMoveOneKey(lake)
       lake.table("main.mvj")
+    }),
+
+    // ---- MV query rewrite (r16, VERDICT r15 #5): the SAME SQL aggregate
+    // answered from the fresh MV table (spark.graft.mv.rewrite=fresh, no
+    // fact scan) vs aggregated from the fact (rule off). The delta is the
+    // read-side payoff the maintained MV buys a dashboard-shaped query.
+    // (the conf stays set through the harness's later count() — planning
+    // happens at action time, so a try/finally unset here would race it)
+    "mvr_rewrite" -> ((s, dir) => {
+      val cat = mvrFixture(s, dir)
+      s.conf.set("spark.graft.mv.rewrite", "fresh")
+      s.sql(mvrSql(cat))
+    }),
+    "mvr_scan" -> ((s, dir) => {
+      val cat = mvrFixture(s, dir)
+      s.conf.set("spark.graft.mv.rewrite", "off")
+      s.sql(mvrSql(cat))
     }),
 
     // ---- q27: sessionize (3.52x at sf30, 0.95 s abs) -----------------
