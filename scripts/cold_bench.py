@@ -47,8 +47,14 @@ def main():
         ts = []
         for _ in range(runs):
             drop_caches()
+            # r16: COLD_MAXPART_MB selects the cold scan profile. 16 MB is
+            # the r13-r15 series value (kept as default for series
+            # continuity); the measured COLD profile for raw full scans is
+            # row-group-sized-or-larger partitions (BASELINE.md r16:
+            # 16->352 MB took q03 cold 60.4->33.7 s, -44%, warm neutral).
             env = dict(os.environ, SPARK_GRAFT_COLD="1", SPARK_GRAFT_CPUS="32",
-                       SPARK_GRAFT_MAXPART_MB="16", SPARK_GRAFT_SF_DIR=sf_dir,
+                       SPARK_GRAFT_MAXPART_MB=os.environ.get("COLD_MAXPART_MB", "16"),
+                       SPARK_GRAFT_SF_DIR=sf_dir,
                        SPARK_GRAFT_ONLY=e,
                        SPARK_GRAFT_BENCH_OUT=f"/tmp/cold_{e}.json")
             subprocess.run(["sbt", "-batch", "runMain graft.Bench"], env=env,
@@ -86,7 +92,9 @@ def main():
     result = {
         "protocol": "cold: sync+drop_caches(3) before EACH engine run; "
                     "1 run, no warmup; fresh JVM per spark entry; "
-                    "spark local[32] maxPartitionBytes=16MB; duckdb 32 threads",
+                    "spark local[32] maxPartitionBytes="
+                    + os.environ.get("COLD_MAXPART_MB", "16")
+                    + "MB; duckdb 32 threads",
         "sf_dir": sf_dir, "epoch_ms": int(time.time() * 1000),
         "runs_per_cell": runs,
         "spark": spark_times, "duckdb": duck_times,
