@@ -122,17 +122,27 @@ class LakeMvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     val st0 = lt.st
     val snap = lt.snapshot
 
-    // candidate MVs over this source at the scan snapshot, matching groups
+    // candidate MVs over this source at the scan snapshot. Query groups ==
+    // MV groups serves by direct projection; query groups ⊂ MV groups
+    // serves by ROLLUP — re-aggregating the (group-domain-sized) MV is the
+    // data-cube read pattern, still never touching the fact. Exact matches
+    // first, then the fewest-extra-groups rollup.
     val candidates = st0.tables
       .filter(t => Meta.liveAt(t.begin, t.end, snap))
       .flatMap(t => LakeMaterializedView.infoAt(st0, t.tableId, snap).map(t -> _))
       .filter { case (_, i) =>
         i.sourceTid == srcTid && !i.hasDims &&
-          i.groups.map(_.toLowerCase).toSet == gNames
+          gNames.subsetOf(i.groups.map(_.toLowerCase).toSet)
       }
+      .sortBy { case (_, i) => (i.groups.size != gNames.size, i.groups.size) }
 
     candidates.iterator.flatMap { case (mvEntry, info0) =>
-      // ---- filter match: MV conjuncts ⊆ query conjuncts; residual on groups
+      val mvGroupNames = info0.groups.map(_.toLowerCase).toSet
+      // ---- filter match: MV conjuncts ⊆ query conjuncts; residual
+      // conjuncts must reference only MV GROUP columns — a group-key
+      // predicate commutes with the grouping (MV rows are per full group
+      // key, so filtering them then re-aggregating equals filtering the
+      // source rows), which also covers Catalyst's inferred isnotnull
       val residual: Option[Seq[Expression]] = {
         val qConj = condOpt.map(splitConjunctivePredicates).getOrElse(Nil)
         val mvConj = info0.filterSql match {
@@ -145,7 +155,7 @@ class LakeMvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
           // every MV conjunct must be present in the query
           val covered = mcCanon.subsetOf(qConj.map(_.canonicalized).toSet)
           val restOnGroups = rest.forall(_.references.forall(a =>
-            gNames.contains(a.name.toLowerCase)))
+            mvGroupNames.contains(a.name.toLowerCase)))
           if (covered && restOnGroups) Some(rest) else None
         }
       }
@@ -207,50 +217,95 @@ class LakeMvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       folded.collectFirst { case Filter(c, _) if c.resolved => c }
     } catch { case _: Exception => None }
 
-  /** the Project (and optional group-residual Filter) over the MV's own
-    * snapshot-scoped scan that reproduces `agg`'s output exactly */
+  /** the plan over the MV's own snapshot-scoped scan that reproduces
+    * `agg`'s output exactly: a Project when query groups == MV groups, a
+    * re-aggregating Aggregate (ROLLUP over the group-domain-sized MV —
+    * still no fact scan) when query groups ⊂ MV groups. The group-key
+    * residual Filter sits below either. */
   private def buildServing(agg: Aggregate, gAttrs: Seq[AttributeReference],
       residual: Seq[Expression], mvTid: Long, info: MvInfo,
       srcNullable: Map[String, Boolean], st: CatalogState, servSnap: Long)
       : Option[LogicalPlan] = {
+    val exact =
+      info.groups.map(_.toLowerCase).toSet == gAttrs.map(_.name.toLowerCase).toSet
     val mvPlan = EliminateSubqueryAliases(
       LakeRead.scanDF(spark, st, mvTid, servSnap).queryExecution.analyzed)
     val mvAttr: Map[String, Attribute] =
       mvPlan.output.map(a => a.name.toLowerCase -> a).toMap
     def m(n: String): Option[Attribute] = mvAttr.get(n.toLowerCase)
+    def sum0(a: Attribute): Expression = Sum(a).toAggregateExpression()
 
-    def aggExpr(ae: AggregateExpression): Option[Expression] = {
-      if (ae.isDistinct || ae.filter.isDefined) return None
-      ae.aggregateFunction match {
-        case Count(Seq(_: Literal)) | Count(Nil) => m("n_rows")
-        case Count(Seq(a: AttributeReference)) if info.cntAll(a.name) =>
-          m(s"cnt_${a.name}")
-        case s: Sum => s.child match {
-          case a: AttributeReference if info.sumAll.contains(a.name) &&
-              s.dataType == LongType =>
-            if (info.cntAll(a.name))
-              for { su <- m(s"sum_${a.name}"); c <- m(s"cnt_${a.name}") }
-                yield If(GreaterThan(c, Literal(0L)), su, Literal(null, LongType))
-            else if (!srcNullable.getOrElse(a.name.toLowerCase, true))
-              m(s"sum_${a.name}") // non-nullable: a group always has values
-            else None
-          case _ => None
-        }
-        case av: Average => av.child match {
-          case a: AttributeReference if info.avgs.contains(a.name) =>
-            m(s"avg_${a.name}")
-          case _ => None
-        }
-        case Min(a: AttributeReference) if info.minMax.contains(a.name) =>
-          m(s"min_${a.name}")
-        case Max(a: AttributeReference) if info.minMax.contains(a.name) =>
-          m(s"max_${a.name}")
+    // exact: each MV row IS one result row — state columns project through.
+    def aggExprExact(fn: AggregateFunction): Option[Expression] = fn match {
+      case Count(Seq(_: Literal)) | Count(Nil) => m("n_rows")
+      case Count(Seq(a: AttributeReference)) if info.cntAll(a.name) =>
+        m(s"cnt_${a.name}")
+      case s: Sum => s.child match {
+        case a: AttributeReference if info.sumAll.contains(a.name) &&
+            s.dataType == LongType =>
+          if (info.cntAll(a.name))
+            for { su <- m(s"sum_${a.name}"); c <- m(s"cnt_${a.name}") }
+              yield If(GreaterThan(c, Literal(0L)), su, Literal(null, LongType))
+          else if (!srcNullable.getOrElse(a.name.toLowerCase, true))
+            m(s"sum_${a.name}") // non-nullable: a group always has values
+          else None
         case _ => None
       }
+      case av: Average => av.child match {
+        case a: AttributeReference if info.avgs.contains(a.name) =>
+          m(s"avg_${a.name}")
+        case _ => None
+      }
+      case Min(a: AttributeReference) if info.minMax.contains(a.name) =>
+        m(s"min_${a.name}")
+      case Max(a: AttributeReference) if info.minMax.contains(a.name) =>
+        m(s"max_${a.name}")
+      case _ => None
     }
+    // rollup: the additive state re-aggregates (COUNT sums n_rows, SUM
+    // sums sums guarded by the summed counts, AVG = Σsum/Σcnt, MIN/MAX
+    // fold their extrema). COALESCE handles the GLOBAL (no GROUP BY)
+    // aggregate over an empty MV: SQL count(*) is 0 there, not NULL.
+    def aggExprRollup(fn: AggregateFunction): Option[Expression] = fn match {
+      case Count(Seq(_: Literal)) | Count(Nil) =>
+        m("n_rows").map(a => Coalesce(Seq(sum0(a), Literal(0L))))
+      case Count(Seq(a: AttributeReference)) if info.cntAll(a.name) =>
+        m(s"cnt_${a.name}").map(c => Coalesce(Seq(sum0(c), Literal(0L))))
+      case s: Sum => s.child match {
+        case a: AttributeReference if info.sumAll.contains(a.name) &&
+            s.dataType == LongType =>
+          if (info.cntAll(a.name))
+            for { su <- m(s"sum_${a.name}"); c <- m(s"cnt_${a.name}") }
+              yield If(GreaterThan(Coalesce(Seq(sum0(c), Literal(0L))), Literal(0L)),
+                sum0(su), Literal(null, LongType))
+          else if (!srcNullable.getOrElse(a.name.toLowerCase, true))
+            m(s"sum_${a.name}").map(sum0)
+          else None
+        case _ => None
+      }
+      case av: Average => av.child match {
+        // exact re-derivation needs the additive state, not stored avgs
+        case a: AttributeReference if info.avgs.contains(a.name) =>
+          for { su <- m(s"sum_${a.name}"); c <- m(s"cnt_${a.name}") }
+            yield If(GreaterThan(Coalesce(Seq(sum0(c), Literal(0L))), Literal(0L)),
+              Divide(Cast(sum0(su), org.apache.spark.sql.types.DoubleType),
+                Cast(sum0(c), org.apache.spark.sql.types.DoubleType)),
+              Literal(null, org.apache.spark.sql.types.DoubleType))
+        case _ => None
+      }
+      case Min(a: AttributeReference) if info.minMax.contains(a.name) =>
+        m(s"min_${a.name}").map(x => Min(x).toAggregateExpression())
+      case Max(a: AttributeReference) if info.minMax.contains(a.name) =>
+        m(s"max_${a.name}").map(x => Max(x).toAggregateExpression())
+      case _ => None
+    }
+
     def rewriteExpr(e: Expression): Option[Expression] = e match {
       case a: AttributeReference => m(a.name) // group column (validated)
-      case ae: AggregateExpression => aggExpr(ae)
+      case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
+        if (exact) aggExprExact(ae.aggregateFunction)
+        else aggExprRollup(ae.aggregateFunction)
+      case _: AggregateExpression => None
       case l: Literal => Some(l)
       case _ if e.children.nonEmpty =>
         val kids = e.children.map(rewriteExpr)
@@ -273,6 +328,10 @@ class LakeMvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     if (resRewritten.exists(_.isEmpty)) return None
     val filtered = resRewritten.flatten
       .foldLeft(mvPlan)((p, c) => Filter(c, p))
-    Some(Project(outputs.flatten, filtered))
+    if (exact) Some(Project(outputs.flatten, filtered))
+    else {
+      val groupExprs = gAttrs.map(a => m(a.name).getOrElse(return None))
+      Some(Aggregate(groupExprs, outputs.flatten, filtered))
+    }
   }
 }

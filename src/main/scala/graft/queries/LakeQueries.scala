@@ -1312,6 +1312,42 @@ object LakeQueries {
       } finally s.conf.unset("spark.graft.mv.rewrite")
     }),
 
+    // ---- MV ROLLUP rewrite (r16): the query groups by a SUBSET of the
+    // MV's group columns — the rule re-aggregates the group-domain-sized
+    // MV (sums of sums, COUNT-guarded, extrema of extrema) instead of
+    // scanning the fact; the entry REQUIRES the plan to carry no fact
+    // relation (the MV splice is a composed V1 scan, the fact would be a
+    // RelationV2) ---------------------------------------------------------
+    "l63_mv_rollup" -> ((s, dir) => {
+      val lake = newLake(s)
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_orderpriority"))
+      lake.createTableAs("main.mvo", orders.filter(col("o_orderkey") % 2 === 0))
+      lake.createMaterializedView("main.mv63", "main.mvo",
+        groupCols = Seq("o_orderpriority", "o_orderstatus"),
+        sumCols = Seq("o_custkey"), cntCols = Seq("o_custkey"),
+        avgCols = Seq("o_custkey"), minMaxCols = Seq("o_orderkey"))
+      lake.append("main.mvo", orders.filter(col("o_orderkey") % 2 === 1))
+      lake.delete("main.mvo", col("o_orderkey") % 10 === 7)
+      lake.refreshMaterializedView("main.mv63")
+      val cat = s"lqmvu${System.nanoTime()}"
+      wireCatalog(s, cat, lake)
+      s.conf.set("spark.graft.mv.rewrite", "fresh")
+      try {
+        val q = s.sql(
+          s"""SELECT o_orderpriority, count(*) AS n_rows,
+             |  sum(o_custkey) AS sum_ck, avg(o_custkey) AS avg_ck,
+             |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+             |FROM $cat.main.mvo GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)
+        val opt = q.queryExecution.optimizedPlan
+        require(!opt.toString.contains("RelationV2"),
+          s"l63: rollup rewrite did not fire — fact relation survives:\n$opt")
+        q
+      } finally s.conf.unset("spark.graft.mv.rewrite")
+    }),
+
     "l28_sql_merge" -> ((s, dir) => {
       import s.implicits._
       val lake = newLake(s)
@@ -1757,6 +1793,18 @@ object LakeQueries {
         |  MIN(o_orderkey) AS min_ok, MAX(o_orderkey) AS max_ok
         |FROM orders
         |WHERE NOT (o_orderkey % 10 = 3)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // MV rollup rewrite: re-aggregated from the (priority, status) MV; the
+    // oracle is the direct coarser GROUP BY over the same final state
+    "l63_mv_rollup" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_rows,
+        |  CAST(SUM(o_custkey) AS BIGINT) AS sum_ck,
+        |  CASE WHEN COUNT(o_custkey) > 0
+        |       THEN CAST(SUM(o_custkey) AS DOUBLE) / COUNT(o_custkey) END AS avg_ck,
+        |  MIN(o_orderkey) AS min_ok, MAX(o_orderkey) AS max_ok
+        |FROM orders
+        |WHERE NOT (o_orderkey % 10 = 7)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // join-source MV: final content == fact⋈dim GROUP BY over what the

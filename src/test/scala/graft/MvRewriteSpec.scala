@@ -165,6 +165,74 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("rollup: a coarser GROUP BY re-aggregates from the MV, never the fact") {
+    val (lake, cat) = mkLake("r")
+    import spark.implicits._
+    // (region, city) MV; queries roll up to region and to the GLOBAL agg
+    lake.createTableAs("main.src", Seq(
+      ("e", "ber", Some(1L), 10L), ("e", "ber", None, 20L),
+      ("e", "par", Some(5L), 5L), ("a", "tok", None, 7L), ("a", "tok", None, 9L))
+      .toDF("region", "city", "x", "y"))
+    lake.createMaterializedView("main.mv", "main.src",
+      groupCols = Seq("region", "city"), sumCols = Seq("x"),
+      cntCols = Seq("x"), avgCols = Seq("x"), minMaxCols = Seq("y"))
+    withMode("fresh") {
+      def noFact(df: DataFrame): Unit = {
+        val p = df.queryExecution.optimizedPlan.toString
+        assert(!p.contains("RelationV2"),
+          s"rollup must re-aggregate the MV, not scan the fact:\n$p")
+      }
+      val df = spark.sql(
+        s"""SELECT region, count(*) AS n, sum(x) AS s, count(x) AS c,
+           |  avg(x) AS av, min(y) AS mn, max(y) AS mx
+           |FROM $cat.main.src GROUP BY region""".stripMargin)
+      noFact(df)
+      val got = df.collect().map(r => r.getString(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) null else r.getLong(2),
+          r.getLong(3), if (r.isNullAt(4)) null else r.getDouble(4),
+          r.getLong(5), r.getLong(6))).toMap
+      assert(got == Map(
+        "e" -> (3L, 6L, 2L, 3.0, 5L, 20L),
+        "a" -> (2L, null, 0L, null, 7L, 9L)), got.toString)
+      // GLOBAL aggregate (no GROUP BY) rolls up too
+      val g = spark.sql(
+        s"SELECT count(*) AS n, sum(x) AS s, max(y) AS mx FROM $cat.main.src")
+      noFact(g)
+      val gr = g.collect().head
+      assert((gr.getLong(0), gr.getLong(1), gr.getLong(2)) == ((5L, 6L, 20L)))
+      // residual on a NON-queried MV group column still commutes: filter
+      // the MV rows by city, then roll up to region
+      val f = spark.sql(s"SELECT region, sum(x) AS s FROM $cat.main.src " +
+        "WHERE city <> 'par' GROUP BY region")
+      noFact(f)
+      assert(f.collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) null else r.getLong(1))).toMap ==
+        Map("e" -> 1L, "a" -> null))
+      // grouping by a NON-MV column falls back verbatim
+      val nf = spark.sql(
+        s"SELECT y, count(*) AS n FROM $cat.main.src GROUP BY y")
+      assert(nf.queryExecution.optimizedPlan.toString.contains("RelationV2"))
+      assert(nf.count() == 5)
+    }
+  }
+
+  test("global aggregate over an EMPTY source: rollup reports count 0, not NULL") {
+    val (lake, cat) = mkLake("z")
+    import spark.implicits._
+    lake.createTableAs("main.src",
+      Seq(("a", 1L)).toDF("g", "x").filter(col("x") < 0)) // empty
+    lake.createMaterializedView("main.mv", "main.src",
+      groupCols = Seq("g"), sumCols = Seq("x"), cntCols = Seq("x"))
+    withMode("fresh") {
+      val g = spark.sql(s"SELECT count(*) AS n, sum(x) AS s FROM $cat.main.src")
+      assert(!g.queryExecution.optimizedPlan.toString.contains("RelationV2"),
+        g.queryExecution.optimizedPlan.toString)
+      val r = g.collect().head
+      assert(r.getLong(0) == 0L && r.isNullAt(1),
+        s"empty-source global agg must be (0, NULL): $r")
+    }
+  }
+
   test("AS-OF reads are snapshot-consistent: historical MV state serves, gaps fall back") {
     val (lake, cat) = mkLake("e")
     import spark.implicits._
