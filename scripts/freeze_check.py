@@ -4,6 +4,7 @@ ducklake_catalog.sql in plain DuckDB and query the frozen tables — the
 observable of the reference's freeze.sql regression test (attach + SELECT).
 
 Usage: python3 scripts/freeze_check.py <frozenDir> [<view> <expected_rows>]
+                [--sum <view> <col> <expected>]   # value-bearing probe (r16)
 """
 import sys
 import duckdb
@@ -22,11 +23,19 @@ def main():
     for v in views:
         n = con.sql(f'SELECT count(*) FROM "{v}"').fetchone()[0]
         print(f"view {v}: {n} rows")
-    if len(sys.argv) > 3:
-        want = int(sys.argv[3])
-        got = con.sql(f'SELECT count(*) FROM "{sys.argv[2]}"').fetchone()[0]
-        assert got == want, f"{sys.argv[2]}: expected {want} rows, got {got}"
-        print(f"OK {sys.argv[2]} == {want}")
+    args = sys.argv[2:]
+    if "--sum" in args:
+        i = args.index("--sum")
+        v, c, want = args[i + 1], args[i + 2], int(args[i + 3])
+        got = con.sql(f'SELECT CAST(SUM("{c}") AS BIGINT) FROM "{v}"').fetchone()[0]
+        assert got == want, f"sum({v}.{c}): expected {want}, got {got}"
+        print(f"OK sum({v}.{c}) == {want}")
+        args = args[:i] + args[i + 4:]
+    if len(args) >= 2:
+        want = int(args[1])
+        got = con.sql(f'SELECT count(*) FROM "{args[0]}"').fetchone()[0]
+        assert got == want, f"{args[0]}: expected {want} rows, got {got}"
+        print(f"OK {args[0]} == {want}")
 
 if __name__ == "__main__":
     main()

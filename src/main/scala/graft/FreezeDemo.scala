@@ -48,7 +48,10 @@ object FreezeDemo {
     // and a BUCKETED + SORTED table whose partition/sort KEY is renamed
     // mid-history with DML on both sides plus a cross-epoch delete — the
     // layout-bearing shape RenameLayoutSpec's freeze test pins in-engine
-    val part = spark.range(0, 5000).selectExpr("id AS k", "id * 3 AS v")
+    // v starts INT and WIDENS to BIGINT mid-history (r16): the frozen view
+    // unions int32 and int64 epochs of the same column — stock DuckDB must
+    // coerce them under one name, value-checked by freeze_check's --sum
+    val part = spark.range(0, 5000).selectExpr("id AS k", "CAST(id * 3 AS INT) AS v")
     lake.createTable("main.pk", part.schema,
       partitionKeys = List(graft.lake.Meta.PartitionKey("bucket[4]", "k")),
       sortKeys = List(graft.lake.Meta.SortKey("k", ascending = true, nullsFirst = true)))
@@ -57,7 +60,12 @@ object FreezeDemo {
       org.apache.spark.sql.connector.catalog.Identifier.of(Array("main"), "pk"),
       org.apache.spark.sql.connector.catalog.TableChange.renameColumn(
         Array("k"), "kk"))
-    lake.append("main.pk", spark.range(5000, 6000).selectExpr("id AS kk", "id * 3 AS v"))
+    cat.alterTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("main"), "pk"),
+      org.apache.spark.sql.connector.catalog.TableChange.updateColumnType(
+        Array("v"), org.apache.spark.sql.types.LongType))
+    lake.append("main.pk", spark.range(5000, 6000)
+      .selectExpr("id AS kk", "id * 3000000000 AS v")) // needs 64 bits
     lake.delete("main.pk", col("kk") % 10 === 1)
     // native view + macro: freeze must emit reference-shaped ducklake_view /
     // ducklake_macro* rows (dialect 'spark') that real DuckDB can load —

@@ -75,23 +75,35 @@ object LakeMaterializedView {
 
   /** The resolved definition + applied watermark of table `tid` at `snap`
     * when it IS a materialized view — the read-side contract
-    * [[LakeMvRewrite]] matches queries against (r16). */
+    * [[LakeMvRewrite]] matches queries against (r16). `dims` carries each
+    * dim's CREATE-time table id and (leftCol, dimCol) join keys. */
   private[lake] case class MvInfo(
       groups: Seq[String], sums: Seq[String], cnts: Seq[String],
       avgs: Seq[String], minMax: Seq[String], filterSql: Option[String],
-      hasDims: Boolean, last: Long, sourceTid: Long) {
+      dims: Seq[(Long, Seq[(String, String)])], last: Long, sourceTid: Long) {
     val sumAll: Set[String] = (sums ++ avgs).toSet
     val cntAll: Set[String] = (cnts ++ avgs).toSet
+    def hasDims: Boolean = dims.nonEmpty
   }
   private[lake] def infoAt(st: Meta.CatalogState, tid: Long, snap: Long)
       : Option[MvInfo] = {
     val scope = tid.toString
     def tag(k: String) = st.tagAt(scope, k, snap)
     def list(k: String) = tag(k).map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    val dims: Seq[(Long, Seq[(String, String)])] =
+      (tag(KDimTid), tag(KDimKeys)) match {
+        case (Some(tids), Some(keys)) =>
+          tids.split(';').toSeq.zip(keys.split(';').toSeq).map { case (t, ks) =>
+            (t.toLong, ks.split(',').toSeq.map { kv =>
+              val Array(fk, dk) = kv.split("=", 2); (fk, dk)
+            })
+          }
+        case _ => Nil
+      }
     for { groups <- tag(KGroups); last <- tag(KLast); srcTid <- tag(KSourceTid) }
       yield MvInfo(groups.split(',').toSeq.filter(_.nonEmpty), list(KSums),
         list(KCnts), list(KAvgs), list(KMinMax), tag(KFilter),
-        hasDims = tag(KDim).isDefined, last.toLong, srcTid.toLong)
+        dims, last.toLong, srcTid.toLong)
   }
 
   /** left ⋈ dim enrichment: `keys` are (leftCol, dimCol) equi-join pairs.

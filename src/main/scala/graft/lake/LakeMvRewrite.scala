@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{EliminateSubqueryAliases, UnresolvedAttribute}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.types.LongType
@@ -43,9 +43,13 @@ import graft.lake.Meta.CatalogState
   *     comes back via `IF(cnt_c > 0, sum_c, NULL)`); a nullable summed
   *     column without maintained COUNT state does not match.
   *
-  * Join-source MVs never match (the query would have to BE the join —
-  * matching multi-relation shapes is future work); a rename of source
-  * columns since MV creation makes names differ and falls through.
+  * Single-dim join-source MVs match the query that IS the join: an INNER
+  * equi-join of the MV's fact and dim relations on exactly the MV's key
+  * pairs (either orientation), grouped by joined-frame columns —
+  * freshness then gates on BOTH tables' change entries. Snowflake (2+
+  * dim) MVs and queries with per-side filters fall through verbatim. A
+  * rename of source columns since MV creation makes names differ and
+  * falls through.
   *
   * The served subplan is the MV's own snapshot-scoped scan
   * ([[LakeRead.scanDF]] at the SAME snapshot/state as the replaced
@@ -73,18 +77,55 @@ class LakeMvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     case _ => plan
   }
 
-  /** (optional single filter, relation output, lake table) under
-    * attribute-only Projects */
-  private def unwrap(p: LogicalPlan)
-      : Option[(Option[Expression], Seq[Attribute], LakeTable)] = p match {
+  private case class Rel(out: Seq[Attribute], lt: LakeTable) {
+    def tid: Long = lt.entry.tableId
+  }
+  /** the matched source shape under the aggregate: a bare lake relation,
+    * or an INNER equi-join of two bare lake relations (the join-source-MV
+    * query shape); `filter` is the single Filter ABOVE it. */
+  private case class Shape(filter: Option[Expression], relL: Rel,
+      relR: Option[Rel], keys: Seq[(String, String)])
+
+  private def bareRel(p: LogicalPlan): Option[Rel] = p match {
+    case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      bareRel(child)
+    case r: DataSourceV2Relation => r.table match {
+      case lt: LakeTable => Some(Rel(r.output, lt))
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** conjunction of attr = attr across the two sides → (leftCol, rightCol)
+    * name pairs; anything else disqualifies the join */
+  private def equiKeys(cond: Expression, l: Rel, r: Rel)
+      : Option[Seq[(String, String)]] = {
+    val lIds = l.out.map(_.exprId).toSet
+    val rIds = r.out.map(_.exprId).toSet
+    val pairs = splitConjunctivePredicates(cond).map {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if lIds(a.exprId) && rIds(b.exprId) => Some((a.name, b.name))
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if rIds(a.exprId) && lIds(b.exprId) => Some((b.name, a.name))
+      case _ => None
+    }
+    if (pairs.forall(_.isDefined) && pairs.nonEmpty) Some(pairs.flatten)
+    else None
+  }
+
+  private def unwrap(p: LogicalPlan): Option[Shape] = p match {
     case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
       unwrap(child)
     case Filter(cond, child) => unwrap(child) match {
-      case Some((None, out, lt)) => Some((Some(cond), out, lt))
+      case Some(s @ Shape(None, _, _, _)) => Some(s.copy(filter = Some(cond)))
       case _ => None
     }
+    case j @ Join(jl, jr, org.apache.spark.sql.catalyst.plans.Inner,
+        Some(cond), _) =>
+      for { l <- bareRel(jl); r <- bareRel(jr); ks <- equiKeys(cond, l, r) }
+        yield Shape(None, l, Some(r), ks)
     case r: DataSourceV2Relation => r.table match {
-      case lt: LakeTable => Some((None, r.output, lt))
+      case lt: LakeTable => Some(Shape(None, Rel(r.output, lt), None, Nil))
       case _ => None
     }
     case _ => None
@@ -107,10 +148,11 @@ class LakeMvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
 
   private def tryRewrite(agg: Aggregate, refreshOnRead: Boolean)
       : Option[LogicalPlan] = {
-    val (condOpt, relOut, lt) = unwrap(agg.child) match {
+    val shape = unwrap(agg.child) match {
       case Some(x) => x
       case None => return None
     }
+    val condOpt = shape.filter
     // grouping must be plain columns
     val gAttrs = agg.groupingExpressions.map {
       case a: AttributeReference => a
@@ -118,25 +160,49 @@ class LakeMvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     }
     val gNames = gAttrs.map(_.name.toLowerCase).toSet
     if (gNames.size != gAttrs.size) return None // duplicate group refs: bail
-    val srcTid = lt.entry.tableId
-    val st0 = lt.st
-    val snap = lt.snapshot
+    val st0 = shape.relL.lt.st
+    val snap = shape.relL.lt.snapshot
+    // a join's two sides must be pinned at the SAME snapshot/state
+    if (shape.relR.exists(r => r.lt.snapshot != snap)) return None
 
-    // candidate MVs over this source at the scan snapshot. Query groups ==
-    // MV groups serves by direct projection; query groups ⊂ MV groups
-    // serves by ROLLUP — re-aggregating the (group-domain-sized) MV is the
-    // data-cube read pattern, still never touching the fact. Exact matches
-    // first, then the fewest-extra-groups rollup.
+    /** does this MV's source shape match the query's? For the bare shape:
+      * dim-free MV over the relation. For the join shape: a single-dim MV
+      * whose source/dim table ids and (fact, dim) key pairs equal the
+      * join's, in either left/right orientation. Returns the tids whose
+      * freshness gates serving. */
+    def shapeTids(i: MvInfo): Option[Seq[Long]] = (shape.relR, i.dims) match {
+      case (None, Nil) if i.sourceTid == shape.relL.tid => Some(Seq(i.sourceTid))
+      case (Some(r), Seq((dimTid, mvKeys))) =>
+        val l = shape.relL
+        val oriented: Option[Seq[(String, String)]] =
+          if (l.tid == i.sourceTid && r.tid == dimTid) Some(shape.keys)
+          else if (r.tid == i.sourceTid && l.tid == dimTid)
+            Some(shape.keys.map(_.swap))
+          else None
+        oriented.filter { ks =>
+          ks.map { case (a, b) => (a.toLowerCase, b.toLowerCase) }.toSet ==
+            mvKeys.map { case (a, b) => (a.toLowerCase, b.toLowerCase) }.toSet
+        }.map(_ => Seq(i.sourceTid, dimTid))
+      case _ => None
+    }
+    val relOut: Seq[Attribute] =
+      shape.relL.out ++ shape.relR.map(_.out).getOrElse(Nil)
+
+    // candidate MVs matching the query's source shape at the scan
+    // snapshot. Query groups == MV groups serves by direct projection;
+    // query groups ⊂ MV groups serves by ROLLUP — re-aggregating the
+    // (group-domain-sized) MV is the data-cube read pattern, still never
+    // touching the fact. Exact group matches first, then the
+    // fewest-extra-groups rollup.
     val candidates = st0.tables
       .filter(t => Meta.liveAt(t.begin, t.end, snap))
       .flatMap(t => LakeMaterializedView.infoAt(st0, t.tableId, snap).map(t -> _))
-      .filter { case (_, i) =>
-        i.sourceTid == srcTid && !i.hasDims &&
-          gNames.subsetOf(i.groups.map(_.toLowerCase).toSet)
-      }
-      .sortBy { case (_, i) => (i.groups.size != gNames.size, i.groups.size) }
+      .flatMap { case (t, i) => shapeTids(i).map(tids => (t, i, tids)) }
+      .filter { case (_, i, _) =>
+        gNames.subsetOf(i.groups.map(_.toLowerCase).toSet) }
+      .sortBy { case (_, i, _) => (i.groups.size != gNames.size, i.groups.size) }
 
-    candidates.iterator.flatMap { case (mvEntry, info0) =>
+    candidates.iterator.flatMap { case (mvEntry, info0, gateTids) =>
       val mvGroupNames = info0.groups.map(_.toLowerCase).toSet
       // ---- filter match: MV conjuncts ⊆ query conjuncts; residual
       // conjuncts must reference only MV GROUP columns — a group-key
@@ -161,28 +227,33 @@ class LakeMvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       }
       if (residual.isEmpty) Iterator.empty
       else {
-        // ---- freshness (and optional refresh-on-read)
-        val nullable = st0.columnsAt(srcTid, snap)
-          .map(c => c.name.toLowerCase -> c.nullable).toMap
+        // ---- freshness over EVERY participating table (fact + dim), and
+        // optional refresh-on-read
+        val nullable: Map[String, Boolean] = gateTids.flatMap(tid =>
+          st0.columnsAt(tid, snap).map(c => c.name.toLowerCase -> c.nullable))
+          .toMap
         def serve(st: CatalogState, servSnap: Long): Option[LogicalPlan] =
           buildServing(agg, gAttrs, residual.get, mvEntry.tableId, info0,
             nullable, st, servSnap)
-        if (!sourceChangedIn(st0, srcTid, info0.last, snap)) {
+        def freshIn(st: CatalogState, last: Long): Boolean =
+          gateTids.forall(tid => !sourceChangedIn(st, tid, last, snap))
+        val store = shape.relL.lt.store
+        if (freshIn(st0, info0.last)) {
           serve(st0, snap).iterator
-        } else if (refreshOnRead && lt.store != null && !inRefresh.get()) {
+        } else if (refreshOnRead && store != null && !inRefresh.get()) {
           // plan-time refresh runs whole queries, which re-enter the
           // optimizer — the reentrancy latch stops a nested rewrite from
           // kicking off another refresh (the refresh's own internal reads
           // are composed scans that never match `unwrap` anyway)
           inRefresh.set(true)
           try {
-            val lake = new Lake(spark, lt.store.root, Some(lt.store))
+            val lake = new Lake(spark, store.root, Some(store))
             lake.refreshMaterializedView(
               s"${mvEntry.schemaName}.${mvEntry.tableName}")
-            val st1 = lt.store.state()
+            val st1 = store.state()
             val cur = st1.currentSnapshotId
             val fresh = LakeMaterializedView.infoAt(st1, mvEntry.tableId, cur)
-              .exists(i1 => !sourceChangedIn(st1, srcTid, i1.last, snap))
+              .exists(i1 => freshIn(st1, i1.last))
             if (fresh) serve(st1, cur).iterator else Iterator.empty
           } catch { case _: Exception => Iterator.empty }
           finally inRefresh.set(false)

@@ -1348,6 +1348,39 @@ object LakeQueries {
       } finally s.conf.unset("spark.graft.mv.rewrite")
     }),
 
+    // ---- join-MV rewrite (r16): the dashboard query that IS the MV's
+    // join (fact ⋈ dim grouped by the dim attribute) is answered from the
+    // maintained join-MV — freshness gates on BOTH tables' change feeds;
+    // the entry REQUIRES the no-fact-relation plan shape -------------------
+    "l64_mv_join_rewrite" -> ((s, dir) => {
+      val lake = newLake(s)
+      val orders = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      lake.createTableAs("main.fact", orders.filter(col("o_orderkey") % 2 === 0))
+      lake.createTableAs("main.dim", cust)
+      lake.createMaterializedView("main.mv64", "main.fact",
+        groupCols = Seq("c_mktsegment"), sumCols = Seq("o_orderkey"),
+        cntCols = Seq("o_orderkey"),
+        dimTable = Some("main.dim"), dimKeys = Seq(("o_custkey", "c_custkey")))
+      lake.append("main.fact", orders.filter(col("o_orderkey") % 2 === 1))
+      lake.delete("main.fact", col("o_orderkey") % 10 === 9)
+      lake.refreshMaterializedView("main.mv64")
+      val cat = s"lqmvj${System.nanoTime()}"
+      wireCatalog(s, cat, lake)
+      s.conf.set("spark.graft.mv.rewrite", "fresh")
+      try {
+        val q = s.sql(
+          s"""SELECT c_mktsegment, count(*) AS n_rows, sum(o_orderkey) AS sum_ok
+             |FROM $cat.main.fact f JOIN $cat.main.dim d
+             |  ON f.o_custkey = d.c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+        val opt = q.queryExecution.optimizedPlan
+        require(!opt.toString.contains("RelationV2"),
+          s"l64: join-MV rewrite did not fire — fact relation survives:\n$opt")
+        q
+      } finally s.conf.unset("spark.graft.mv.rewrite")
+    }),
+
     "l28_sql_merge" -> ((s, dir) => {
       import s.implicits._
       val lake = newLake(s)
@@ -1806,6 +1839,15 @@ object LakeQueries {
         |FROM orders
         |WHERE NOT (o_orderkey % 10 = 7)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // join-MV rewrite: the engine answers the join query from the MV (the
+    // entry require()s the plan); the oracle is the direct join GROUP BY
+    "l64_mv_join_rewrite" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_rows,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_ok
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE NOT (o_orderkey % 10 = 9)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     // join-source MV: final content == fact⋈dim GROUP BY over what the
     // DML sequence leaves behind, joined against the UPDATED dim

@@ -233,6 +233,60 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("join-source MV serves the query that IS the join; dim churn gates freshness") {
+    val (lake, cat) = mkLake("j")
+    import spark.implicits._
+    // fact row k=99 has no dim match → inner semantics drop it both ways
+    lake.createTableAs("main.fact",
+      Seq((1L, 10L), (1L, 20L), (2L, 5L), (99L, 7L)).toDF("k", "x"))
+    lake.createTableAs("main.dim",
+      Seq((1L, "a"), (2L, "b"), (3L, "b")).toDF("dk", "seg"))
+    lake.createMaterializedView("main.mvj", "main.fact",
+      groupCols = Seq("seg"), sumCols = Seq("x"),
+      dimTable = Some("main.dim"), dimKeys = Seq(("k", "dk")))
+    def q(sqlText: String) = spark.sql(sqlText)
+    val join =
+      s"""SELECT seg, count(*) AS n, sum(x) AS s
+         |FROM $cat.main.fact f JOIN $cat.main.dim d ON f.k = d.dk
+         |GROUP BY seg""".stripMargin
+    val want = Set(("a", 2L, 30L), ("b", 1L, 5L))
+    def rows3(df: DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows3(q(join)) == want) // rule off: ground truth
+    withMode("fresh") {
+      val df = q(join)
+      val p = df.queryExecution.optimizedPlan.toString
+      assert(!p.contains("RelationV2"),
+        s"join-source MV must serve the join query:\n$p")
+      assert(rows3(df) == want)
+      // reversed side order matches too (orientation flip)
+      val rev = q(
+        s"""SELECT seg, count(*) AS n, sum(x) AS s
+           |FROM $cat.main.dim d JOIN $cat.main.fact f ON d.dk = f.k
+           |GROUP BY seg""".stripMargin)
+      assert(!rev.queryExecution.optimizedPlan.toString.contains("RelationV2"))
+      assert(rows3(rev) == want)
+      // a per-side filter is NOT the MV's shape: falls back
+      val side = q(
+        s"""SELECT seg, sum(x) AS s
+           |FROM (SELECT * FROM $cat.main.fact WHERE x > 5) f
+           |JOIN $cat.main.dim d ON f.k = d.dk GROUP BY seg""".stripMargin)
+      assert(side.queryExecution.optimizedPlan.toString.contains("RelationV2"))
+      // DIM churn makes the MV stale: freshness gates on BOTH tables
+      lake.update("main.dim", col("dk") === 2L, Map("seg" -> lit("a")))
+      val stale = q(join)
+      assert(stale.queryExecution.optimizedPlan.toString.contains("RelationV2"),
+        "dim change must disqualify the join-MV until refreshed")
+      assert(rows3(stale) == Set(("a", 3L, 35L)))
+    }
+    withMode("refresh") {
+      val df = q(join) // refresh-on-read folds the dim delta, then serves
+      assert(rows3(df) == Set(("a", 3L, 35L)))
+      assert(!df.queryExecution.optimizedPlan.toString.contains("RelationV2"),
+        s"refresh mode must serve after folding the dim delta:\n${df.queryExecution.optimizedPlan}")
+    }
+  }
+
   test("AS-OF reads are snapshot-consistent: historical MV state serves, gaps fall back") {
     val (lake, cat) = mkLake("e")
     import spark.implicits._
