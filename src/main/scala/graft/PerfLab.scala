@@ -209,6 +209,33 @@ object PerfLab {
        |  min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
        |FROM $cat.main.mvrfact GROUP BY o_orderpriority""".stripMargin
 
+  // join-MV rewrite A/B (r16): the dashboard join (orders ⋈ customer
+  // grouped by the dim attribute) answered from the join-MV vs executed
+  private val mvrjCats = scala.collection.mutable.Map[String, String]()
+  private def mvrjFixture(s: SparkSession, dir: String): String = synchronized {
+    mvrjCats.getOrElseUpdate(dir, {
+      val root = java.nio.file.Files.createTempDirectory("graft_mvrjlab").toString
+      val lake = new graft.lake.Lake(s, root)
+      lake.createTableAs("main.jfact", t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey")))
+      lake.createTableAs("main.jdim", t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")))
+      lake.createMaterializedView("main.mvrj", "main.jfact",
+        groupCols = Seq("c_mktsegment"), sumCols = Seq("o_orderkey"),
+        cntCols = Seq("o_orderkey"),
+        dimTable = Some("main.jdim"), dimKeys = Seq(("o_custkey", "c_custkey")))
+      val cat = s"mvrjlab${System.nanoTime()}"
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.lake.LakeCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      cat
+    })
+  }
+  private def mvrjSql(cat: String): String =
+    s"""SELECT c_mktsegment, count(*) AS n_rows, sum(o_orderkey) AS sum_ok
+       |FROM $cat.main.jfact f JOIN $cat.main.jdim d
+       |  ON f.o_custkey = d.c_custkey
+       |GROUP BY c_mktsegment""".stripMargin
+
   /** q05b inverted around the custkey-bucketed pair — see the q05b_co
     * entry comment */
   private def q05bCoShape(s: SparkSession, dir: String): DataFrame = {
@@ -1497,6 +1524,16 @@ object PerfLab {
       val cat = mvrFixture(s, dir)
       s.conf.set("spark.graft.mv.rewrite", "off")
       s.sql(mvrSql(cat))
+    }),
+    "mvrj_rewrite" -> ((s, dir) => {
+      val cat = mvrjFixture(s, dir)
+      s.conf.set("spark.graft.mv.rewrite", "fresh")
+      s.sql(mvrjSql(cat))
+    }),
+    "mvrj_join" -> ((s, dir) => {
+      val cat = mvrjFixture(s, dir)
+      s.conf.set("spark.graft.mv.rewrite", "off")
+      s.sql(mvrjSql(cat))
     }),
 
     // ---- q27: sessionize (3.52x at sf30, 0.95 s abs) -----------------
