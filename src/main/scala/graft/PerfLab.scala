@@ -1727,6 +1727,12 @@ object PerfLab {
       })
     }
     names.foreach { name =>
+      // ADVICE r16: mvr_* entries must leave spark.graft.mv.rewrite set
+      // through their own count() (planning happens at action time), so
+      // the LOOP resets it before every entry — a later entry in the same
+      // JVM never plans with the rule active (extra candidate scan per
+      // Aggregate, potential accidental rewrite) unless it opts in itself.
+      spark.conf.set("spark.graft.mv.rewrite", "off")
       val fn = variants.getOrElse(name, variantProbes(name))
       def once(): Double = {
         val t0 = System.nanoTime()

@@ -246,9 +246,16 @@ object Meta {
     * representable int→double cases (≤32-bit ints fit double's mantissa;
     * bigint does not, and int→float loses low bits — both rejected). */
   def typePromotes(from: String, to: String): Boolean = {
-    val intRank = Map("tinyint" -> 1, "smallint" -> 2, "int" -> 3,
-      "integer" -> 3, "bigint" -> 4)
-    val (f, t) = (from.trim.toLowerCase, to.trim.toLowerCase)
+    val intRank = Map("tinyint" -> 1, "smallint" -> 2, "int" -> 3, "bigint" -> 4)
+    // alias-normalize BEFORE comparison (ADVICE r16): user-spelled
+    // "integer" must behave exactly like "int" on every arm, and a
+    // same-type respell across aliases (int -> integer) is a no-op
+    // promotion, not a rejection
+    def norm(s: String): String = s.trim.toLowerCase match {
+      case "integer" => "int"
+      case x => x
+    }
+    val (f, t) = (norm(from), norm(to))
     if (f == t) true
     else (intRank.get(f), intRank.get(t)) match {
       case (Some(a), Some(b)) => a < b

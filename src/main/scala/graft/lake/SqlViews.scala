@@ -200,7 +200,15 @@ private[lake] object SqlViews {
               mode = '*'; blockEnteredAt = i
             }
           }
-        case q @ ('\'' | '`' | '"') => sb.append(c); if (c == q) mode = ' '
+        case q @ ('\'' | '`' | '"') =>
+          sb.append(c)
+          // backslash escape inside a single-quoted string (ADVICE r16):
+          // Spark's default non-ANSI parser honors \' — without this the
+          // escaped quote exits string mode and a ';' inside the literal
+          // splits the statement
+          if (q == '\'' && c == '\\' && i + 1 < body.length) {
+            sb.append(body.charAt(i + 1)); i += 1
+          } else if (c == q) mode = ' '
         case '-' => sb.append(c); if (c == '\n') mode = ' '
         case '*' =>
           sb.append(c)

@@ -120,4 +120,21 @@ class MetaSpec extends AnyFunSuite {
     assert(TypeMap.duckToSpark("geometry") == BinaryType)
     assert(graft.lake.LakeRead.sparkType("geometry") == BinaryType)
   }
+
+  test("typePromotes normalizes the integer alias and treats respells as no-ops (ADVICE r16)") {
+    // alias respells are no-op promotions, not rejections
+    assert(Meta.typePromotes("int", "integer"))
+    assert(Meta.typePromotes("integer", "int"))
+    // the alias behaves like int on EVERY arm, including int->double
+    assert(Meta.typePromotes("integer", "bigint"))
+    assert(Meta.typePromotes("integer", "double"))
+    assert(Meta.typePromotes("smallint", "integer"))
+    // narrowing through the alias still rejected
+    assert(!Meta.typePromotes("bigint", "integer"))
+    assert(!Meta.typePromotes("integer", "smallint"))
+    // non-promotions stay rejected
+    assert(!Meta.typePromotes("bigint", "double"))
+    assert(!Meta.typePromotes("int", "float"))
+    assert(!Meta.typePromotes("int", "varchar"))
+  }
 }

@@ -69,6 +69,20 @@ class TxScopeSpec extends AnyFunSuite {
     assert(SqlViews.splitStatements("SELECT 1 /*/ ; */").size == 1)
   }
 
+  test("splitStatements: backslash-escaped quote stays inside the string (ADVICE r16)") {
+    // \' must NOT exit string mode: the ';' after it is literal text
+    val got = SqlViews.splitStatements(
+      """INSERT INTO t VALUES ('it\'s; done'); SELECT 1""")
+    assert(got.size == 2, got)
+    assert(got(0).contains("""'it\'s; done'"""), got(0))
+    assert(got(1) == "SELECT 1", got(1))
+    // a trailing backslash at end-of-input must not read past the buffer
+    assert(SqlViews.splitStatements("SELECT '\\").size == 1)
+    // '' double-quote escaping still nets out (toggles twice)
+    val dd = SqlViews.splitStatements("INSERT INTO t VALUES ('a''b;c'); SELECT 2")
+    assert(dd.size == 2 && dd(0).contains("'a''b;c'"), dd)
+  }
+
   test("nesting a block on one thread is rejected; end clears the slot") {
     val (lake, lc, _) = freshCat()
     import spark.implicits._
