@@ -47,8 +47,12 @@ class ConcurrentMvRefreshException(msg: String) extends IllegalStateException(ms
   * (except the replace fallback above and the MIN/MAX dirty-group rescan,
   * both restricted/prunable).
   *
-  * v1 limits (documented, enforced): SUM/AVG over INTEGRAL columns only
-  * (exact longs; double sums are order-dependent). A group whose summed
+  * Measure types (enforced by [[sumStateType]], shared with the rewrite):
+  * SUM/AVG over INTEGRAL columns (bigint state) and DECIMAL columns
+  * (decimal(38,s) state — exact-additive, so the same signed fold and
+  * rollup algebra apply verbatim; r17). Float/double measures stay
+  * rejected: FP addition is order-dependent, so an incrementally-folded
+  * sum would drift from the recompute. A group whose summed
   * column is entirely NULL reports sum 0, not NULL (the additive
   * identity); `cnt_<c>` = COUNT(<c>) counts non-NULLs, and `avg_<c>` =
   * sum/cnt is NULL when cnt is 0 (matching SQL AVG). MIN/MAX maintain via
@@ -106,19 +110,55 @@ object LakeMaterializedView {
         dims, last.toLong, srcTid.toLong)
   }
 
+  /** SUM/AVG measure eligibility — the ONE definition shared by create and
+    * [[LakeMvRewrite]] (VERDICT r16 #4). Maps an eligible source column
+    * type (catalog DDL string) to its additive STATE type: BIGINT for the
+    * signed-integral chain, DECIMAL(38,s) for decimals — both
+    * exact-additive, so the ±1-weighted delta fold and the rollup Σsum
+    * algebra are order-independent. Float/double return None: FP sums are
+    * order-dependent (a refresh-order-dependent MV would drift from the
+    * recompute), so such measures are rejected at create and never served. */
+  private[lake] val DecimalDdl = """decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+  private[lake] def sumStateType(ddl: String)
+      : Option[org.apache.spark.sql.types.DataType] =
+    ddl.trim.toLowerCase match {
+      case "tinyint" | "smallint" | "int" | "integer" | "bigint" =>
+        Some(org.apache.spark.sql.types.LongType)
+      case DecimalDdl(_, s) =>
+        Some(org.apache.spark.sql.types.DecimalType(38, s.toInt))
+      case _ => None
+    }
+
+  /** can the stored state type serve a query SUM of result type `query`
+    * exactly (modulo a widening cast)? Shared with [[LakeMvRewrite]]. */
+  private[lake] def sumServes(state: org.apache.spark.sql.types.DataType,
+      query: org.apache.spark.sql.types.DataType): Boolean =
+    (state, query) match {
+      case (org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.LongType) => true
+      case (s: org.apache.spark.sql.types.DecimalType,
+        q: org.apache.spark.sql.types.DecimalType) => s.scale == q.scale
+      case _ => false
+    }
+
   /** left ⋈ dim enrichment: `keys` are (leftCol, dimCol) equi-join pairs.
     * `leftCol` is a column of the ACCUMULATED joined frame — the fact for
     * a star schema, or an earlier dim's carried column for a snowflake
     * chain (dims join in definition order). */
   private case class DimSpec(table: String, keys: Seq[(String, String)])
 
-  /** resolved definition; sumAll/cntAll fold the implicit state AVG needs */
+  /** resolved definition; sumAll/cntAll fold the implicit state AVG needs.
+    * `stateTypes` carries each sumAll column's additive state type
+    * ([[sumStateType]]) — LongType when absent (pre-decimal catalogs). */
   private case class MvDef(
       groupCols: Seq[String], sumCols: Seq[String], cntCols: Seq[String],
       avgCols: Seq[String], minMaxCols: Seq[String],
-      filterSql: Option[String], dims: Seq[DimSpec] = Nil) {
+      filterSql: Option[String], dims: Seq[DimSpec] = Nil,
+      stateTypes: Map[String, org.apache.spark.sql.types.DataType] = Map.empty) {
     val sumAll: Seq[String] = (sumCols ++ avgCols).distinct
     val cntAll: Seq[String] = (cntCols ++ avgCols).distinct
+    def stateT(c: String): org.apache.spark.sql.types.DataType =
+      stateTypes.getOrElse(c, org.apache.spark.sql.types.LongType)
   }
 
   /** Enrich `fact` rows (the fact table, or its CHANGE rows — any extra
@@ -159,7 +199,8 @@ object LakeMaterializedView {
   private def fullAgg(d: MvDef)(src: DataFrame): DataFrame = {
     val df = d.filterSql.map(f => src.filter(expr(f))).getOrElse(src)
     val aggs = (count(lit(1)).cast("long").as("n_rows") +:
-      (d.sumAll.map(c => coalesce(sum(col(c)), lit(0L)).cast("long").as(s"sum_$c")) ++
+      (d.sumAll.map(c => coalesce(sum(col(c)).cast(d.stateT(c)),
+        lit(0L).cast(d.stateT(c))).as(s"sum_$c")) ++
         d.cntAll.map(c => count(col(c)).cast("long").as(s"cnt_$c")) ++
         d.minMaxCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
           max(col(c)).as(s"max_$c")))))
@@ -203,7 +244,7 @@ object LakeMaterializedView {
       dims.map { case (t, ks) => DimSpec(t, ks) }
     dimSpecs.foreach(s => require(s.keys.nonEmpty,
       s"dim ${s.table} needs at least one join key"))
-    val d = MvDef(groupCols, sumCols, cntCols, avgCols, minMaxCols, filterSql,
+    val d0 = MvDef(groupCols, sumCols, cntCols, avgCols, minMaxCols, filterSql,
       dimSpecs)
     // the definition persists as comma-joined (';'-separated per dim) tags
     (groupCols ++ sumCols ++ cntCols ++ avgCols ++ minMaxCols ++
@@ -240,11 +281,13 @@ object LakeMaterializedView {
       types ++= dimKeep
       de
     }
-    d.sumAll.foreach { c =>
+    val stateTypes = d0.sumAll.map { c =>
       val t = types.getOrElse(c, sys.error(s"no column $c in $source"))
-      require(Set("tinyint", "smallint", "int", "bigint")(t),
-        s"mv SUM/AVG column $c must be integral (exact additive), got $t")
-    }
+      c -> sumStateType(t).getOrElse(throw new IllegalArgumentException(
+        s"mv SUM/AVG column $c must be exact-additive (integral or " +
+        s"decimal; float/double sums are order-dependent), got $t"))
+    }.toMap
+    val d = d0.copy(stateTypes = stateTypes)
     (cntCols ++ minMaxCols).foreach(c =>
       require(types.contains(c), s"no column $c in $source"))
     val snap = st.currentSnapshotId
@@ -309,12 +352,20 @@ object LakeMaterializedView {
           })
         }
       }.getOrElse(Nil)
-    val d = MvDef(
+    val d1 = MvDef(
       groupCols = tag(KGroups).split(',').toSeq,
       sumCols = optList(KSums), cntCols = optList(KCnts),
       avgCols = optList(KAvgs), minMaxCols = optList(KMinMax),
       filterSql = st.tagAt(scope, KFilter, st.currentSnapshotId),
       dims = dimSpecs)
+    // the MV table's OWN sum_<c> column types are the authoritative state
+    // types (decimal(38,s) for decimal measures, bigint otherwise) — they
+    // survive source ALTER TYPE widenings, which never change the state
+    // type (int chain stays bigint; decimal scale changes don't promote)
+    val mvColTypes = st.columnsAt(e.tableId, st.currentSnapshotId)
+      .map(c => c.name -> c.dataType).toMap
+    val d = d1.copy(stateTypes = d1.sumAll.flatMap(c =>
+      mvColTypes.get(s"sum_$c").map(t => c -> LakeRead.sparkType(t))).toMap)
     val last = tag(KLast).toLong
     val cur = st.currentSnapshotId
     if (cur <= last) return last
@@ -606,7 +657,8 @@ object LakeMaterializedView {
       val ins = col("_change_type").isin("insert", "update_postimage")
       val delta = changes.groupBy(d.groupCols.map(col): _*)
         .agg(sum(w).as("d_n"),
-          d.sumAll.map(c => coalesce(sum(w * col(c)), lit(0L)).as(s"d_$c")) ++
+          d.sumAll.map(c => coalesce(sum(w * col(c)).cast(d.stateT(c)),
+            lit(0L).cast(d.stateT(c))).as(s"d_$c")) ++
             d.cntAll.map(c =>
               coalesce(sum(when(col(c).isNotNull, w)), lit(0L)).as(s"d_cnt_$c")) ++
             d.minMaxCols.flatMap(c => Seq(
@@ -626,8 +678,9 @@ object LakeMaterializedView {
         .select(d.groupCols.map(c => coalesce(col(c), col(s"_g_$c")).as(c)) ++
           Seq((coalesce(col("n_rows"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
             .as("n_rows")) ++
-          d.sumAll.map(c => (coalesce(col(s"sum_$c"), lit(0L)) +
-            coalesce(col(s"d_$c"), lit(0L))).as(s"sum_$c")) ++
+          d.sumAll.map(c => (coalesce(col(s"sum_$c"), lit(0L).cast(d.stateT(c))) +
+            coalesce(col(s"d_$c"), lit(0L).cast(d.stateT(c))))
+            .cast(d.stateT(c)).as(s"sum_$c")) ++
           d.cntAll.map(c => (coalesce(col(s"cnt_$c"), lit(0L)) +
             coalesce(col(s"d_cnt_$c"), lit(0L))).as(s"cnt_$c")) ++
           d.minMaxCols.flatMap(c => Seq(

@@ -41,7 +41,11 @@ import graft.lake.Meta.CatalogState
   *     the MV maintains. SUM maps to the stored additive state guarded by
   *     COUNT (`sum_c` is 0, not NULL, on all-NULL groups — the SQL NULL
   *     comes back via `IF(cnt_c > 0, sum_c, NULL)`); a nullable summed
-  *     column without maintained COUNT state does not match.
+  *     column without maintained COUNT state does not match. Eligible SUM
+  *     types are exactly [[LakeMaterializedView.sumServes]] over the
+  *     create-time state types: bigint, and decimal at the state's scale
+  *     (r17). AVG serves DOUBLE-typed averages only — a decimal-source
+  *     AVG has decimal rounding the double state cannot reproduce.
   *
   * Single-dim join-source MVs match the query that IS the join: an INNER
   * equi-join of the MV's fact and dim relations on exactly the MV's key
@@ -187,6 +191,16 @@ class LakeMvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     }
     val relOut: Seq[Attribute] =
       shape.relL.out ++ shape.relR.map(_.out).getOrElse(Nil)
+    // ADVICE r16 (medium): everything below binds columns by lowercase
+    // name (mvAttr, group/residual checks, resolveFilter). A
+    // case-insensitive duplicate across a join's two sides — e.g. an ADD
+    // COLUMN after MV creation once the MV has refreshed past it — could
+    // silently bind the OTHER side's column and serve wrong results. Bail
+    // to the verbatim plan whenever the joined output is ambiguous.
+    locally {
+      val lc = relOut.map(_.name.toLowerCase)
+      if (lc.distinct.size != lc.size) return None
+    }
 
     // candidate MVs matching the query's source shape at the scan
     // snapshot. Query groups == MV groups serves by direct projection;
@@ -305,25 +319,49 @@ class LakeMvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       mvPlan.output.map(a => a.name.toLowerCase -> a).toMap
     def m(n: String): Option[Attribute] = mvAttr.get(n.toLowerCase)
     def sum0(a: Attribute): Expression = Sum(a).toAggregateExpression()
+    /** widen/narrow the stored state to the query SUM's result type
+      * (digits unchanged — [[LakeMaterializedView.sumServes]] pinned the
+      * scales equal; any overflow past the query's precision is the same
+      * overflow Spark's own sum over the fact would hit). */
+    def castState(e: Expression, to: org.apache.spark.sql.types.DataType)
+        : Expression = if (e.dataType == to) e else Cast(e, to)
 
     // exact: each MV row IS one result row — state columns project through.
+    // COUNT of a NULL literal is 0, NOT the row count (VERDICT r16 #1) —
+    // only a NON-null literal (count(*) / count(1)) maps to n_rows.
     def aggExprExact(fn: AggregateFunction): Option[Expression] = fn match {
+      case Count(Seq(l: Literal)) if l.value == null => None
       case Count(Seq(_: Literal)) | Count(Nil) => m("n_rows")
       case Count(Seq(a: AttributeReference)) if info.cntAll(a.name) =>
         m(s"cnt_${a.name}")
       case s: Sum => s.child match {
-        case a: AttributeReference if info.sumAll.contains(a.name) &&
-            s.dataType == LongType =>
-          if (info.cntAll(a.name))
-            for { su <- m(s"sum_${a.name}"); c <- m(s"cnt_${a.name}") }
-              yield If(GreaterThan(c, Literal(0L)), su, Literal(null, LongType))
-          else if (!srcNullable.getOrElse(a.name.toLowerCase, true))
-            m(s"sum_${a.name}") // non-nullable: a group always has values
-          else None
+        case a: AttributeReference if info.sumAll.contains(a.name) =>
+          // the ONE create-shared predicate (VERDICT r16 #4) decides which
+          // query SUM types the stored state serves: bigint state ↔ bigint
+          // sum, decimal(38,sc) state ↔ any decimal sum of the SAME scale
+          // (the query's Sum widens precision only — castState is a pure
+          // widening/narrowing of unchanged digits, same as Spark's own
+          // sum would produce)
+          m(s"sum_${a.name}")
+            .filter(su => LakeMaterializedView.sumServes(su.dataType, s.dataType))
+            .flatMap { su =>
+              if (info.cntAll(a.name))
+                m(s"cnt_${a.name}").map(c => If(GreaterThan(c, Literal(0L)),
+                  castState(su, s.dataType), Literal(null, s.dataType)))
+              else if (!srcNullable.getOrElse(a.name.toLowerCase, true))
+                Some(castState(su, s.dataType)) // non-nullable: never empty
+              else None
+            }
         case _ => None
       }
       case av: Average => av.child match {
-        case a: AttributeReference if info.avgs.contains(a.name) =>
+        // avg_<c> is the double sum/cnt derivation — it serves only a
+        // DOUBLE-typed query Average (integral sources). A DECIMAL-source
+        // Average has decimal result semantics (round at scale s+4, THEN
+        // any cast) that the double state cannot reproduce ulp-exactly:
+        // fall back rather than serve an off-by-one-ulp answer.
+        case a: AttributeReference if info.avgs.contains(a.name) &&
+            av.dataType == org.apache.spark.sql.types.DoubleType =>
           m(s"avg_${a.name}")
         case _ => None
       }
@@ -338,25 +376,31 @@ class LakeMvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     // fold their extrema). COALESCE handles the GLOBAL (no GROUP BY)
     // aggregate over an empty MV: SQL count(*) is 0 there, not NULL.
     def aggExprRollup(fn: AggregateFunction): Option[Expression] = fn match {
+      case Count(Seq(l: Literal)) if l.value == null => None
       case Count(Seq(_: Literal)) | Count(Nil) =>
         m("n_rows").map(a => Coalesce(Seq(sum0(a), Literal(0L))))
       case Count(Seq(a: AttributeReference)) if info.cntAll(a.name) =>
         m(s"cnt_${a.name}").map(c => Coalesce(Seq(sum0(c), Literal(0L))))
       case s: Sum => s.child match {
-        case a: AttributeReference if info.sumAll.contains(a.name) &&
-            s.dataType == LongType =>
-          if (info.cntAll(a.name))
-            for { su <- m(s"sum_${a.name}"); c <- m(s"cnt_${a.name}") }
-              yield If(GreaterThan(Coalesce(Seq(sum0(c), Literal(0L))), Literal(0L)),
-                sum0(su), Literal(null, LongType))
-          else if (!srcNullable.getOrElse(a.name.toLowerCase, true))
-            m(s"sum_${a.name}").map(sum0)
-          else None
+        case a: AttributeReference if info.sumAll.contains(a.name) =>
+          m(s"sum_${a.name}")
+            .filter(su => LakeMaterializedView.sumServes(su.dataType, s.dataType))
+            .flatMap { su =>
+              if (info.cntAll(a.name))
+                m(s"cnt_${a.name}").map(c =>
+                  If(GreaterThan(Coalesce(Seq(sum0(c), Literal(0L))), Literal(0L)),
+                    castState(sum0(su), s.dataType), Literal(null, s.dataType)))
+              else if (!srcNullable.getOrElse(a.name.toLowerCase, true))
+                Some(castState(sum0(su), s.dataType))
+              else None
+            }
         case _ => None
       }
       case av: Average => av.child match {
-        // exact re-derivation needs the additive state, not stored avgs
-        case a: AttributeReference if info.avgs.contains(a.name) =>
+        // exact re-derivation needs the additive state, not stored avgs;
+        // DOUBLE-typed (integral-source) averages only — see the exact arm
+        case a: AttributeReference if info.avgs.contains(a.name) &&
+            av.dataType == org.apache.spark.sql.types.DoubleType =>
           for { su <- m(s"sum_${a.name}"); c <- m(s"cnt_${a.name}") }
             yield If(GreaterThan(Coalesce(Seq(sum0(c), Literal(0L))), Literal(0L)),
               Divide(Cast(sum0(su), org.apache.spark.sql.types.DoubleType),

@@ -1342,8 +1342,10 @@ object LakeQueries {
              |FROM $cat.main.mvo GROUP BY o_orderpriority
              |ORDER BY o_orderpriority""".stripMargin)
         val opt = q.queryExecution.optimizedPlan
-        require(!opt.toString.contains("RelationV2"),
-          s"l63: rollup rewrite did not fire — fact relation survives:\n$opt")
+        require(opt.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => r
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+        }.isEmpty, s"l63: rollup rewrite did not fire — fact relation survives:\n$opt")
         q
       } finally s.conf.unset("spark.graft.mv.rewrite")
     }),
@@ -1375,8 +1377,51 @@ object LakeQueries {
              |  ON f.o_custkey = d.c_custkey
              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
         val opt = q.queryExecution.optimizedPlan
-        require(!opt.toString.contains("RelationV2"),
-          s"l64: join-MV rewrite did not fire — fact relation survives:\n$opt")
+        require(opt.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => r
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+        }.isEmpty, s"l64: join-MV rewrite did not fire — fact relation survives:\n$opt")
+        q
+      } finally s.conf.unset("spark.graft.mv.rewrite")
+    }),
+
+    // ---- DECIMAL-measure MV (r17, VERDICT r16 #1): the canonical revenue
+    // aggregate — SUM over a DECIMAL column with NULLs — maintained
+    // incrementally through append / delete / group-moving update
+    // (decimal(38,2) additive state, COUNT-guarded NULL semantics), AND
+    // served by the query rewrite: the final SELECT's decimal sum comes
+    // from the MV with no fact relation in the plan -----------------------
+    "l65_mv_decimal" -> ((s, dir) => {
+      val lake = newLake(s)
+      val orders = t(s, dir, "orders").select(
+        col("o_orderkey"),
+        when(col("o_orderkey") % 11 === 0, lit(null))
+          .otherwise(col("o_totalprice")).cast("decimal(18,2)")
+          .as("o_totalprice"),
+        col("o_orderpriority"))
+      lake.createTableAs("main.mvo", orders.filter(col("o_orderkey") % 2 === 0))
+      lake.createMaterializedView("main.mv65", "main.mvo",
+        groupCols = Seq("o_orderpriority"), sumCols = Seq("o_totalprice"),
+        cntCols = Seq("o_totalprice"))
+      lake.append("main.mvo", orders.filter(col("o_orderkey") % 2 === 1))
+      lake.delete("main.mvo", col("o_orderkey") % 10 === 3)
+      lake.update("main.mvo", col("o_orderkey") % 7 === 0,
+        Map("o_orderpriority" -> lit("9-MOVED")))
+      lake.refreshMaterializedView("main.mv65")
+      val cat = s"lqmvd${System.nanoTime()}"
+      wireCatalog(s, cat, lake)
+      s.conf.set("spark.graft.mv.rewrite", "fresh")
+      try {
+        val q = s.sql(
+          s"""SELECT o_orderpriority, count(*) AS n_rows,
+             |  sum(o_totalprice) AS sum_tp, count(o_totalprice) AS cnt_tp
+             |FROM $cat.main.mvo GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)
+        val opt = q.queryExecution.optimizedPlan
+        require(opt.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => r
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+        }.isEmpty, s"l65: decimal MV rewrite did not fire — fact relation survives:\n$opt")
         q
       } finally s.conf.unset("spark.graft.mv.rewrite")
     }),
@@ -1848,6 +1893,21 @@ object LakeQueries {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE NOT (o_orderkey % 10 = 9)
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // decimal-measure MV served by the rewrite: oracle recomputes the same
+    // decimal GROUP BY (exact decimal sums; the NULLed slice exercises the
+    // COUNT-guarded NULL semantics) over the final DML state
+    "l65_mv_decimal" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_rows,
+        |  SUM(tp) AS sum_tp, CAST(COUNT(tp) AS BIGINT) AS cnt_tp
+        |FROM (
+        |  SELECT CASE WHEN o_orderkey % 7 = 0 THEN '9-MOVED'
+        |              ELSE o_orderpriority END AS o_orderpriority,
+        |         CASE WHEN o_orderkey % 11 = 0 THEN NULL
+        |              ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS tp
+        |  FROM orders
+        |  WHERE NOT (o_orderkey % 10 = 3))
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // join-source MV: final content == fact⋈dim GROUP BY over what the
     // DML sequence leaves behind, joined against the UPDATED dim

@@ -418,7 +418,7 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(lake.currentSnapshot() == snap)
   }
 
-  test("non-integral SUM columns are rejected at create") {
+  test("non-additive SUM columns (float/double) are rejected at create") {
     val lake = mkLake()
     import spark.implicits._
     lake.createTableAs("main.src", Seq(("a", 1.5)).toDF("g", "x"))
@@ -426,6 +426,62 @@ class MaterializedViewSpec extends AnyFunSuite {
       lake.createMaterializedView("main.mv", "main.src", Seq("g"), Seq("x"))
     }
     assert(e.getMessage.contains("integral"))
+    // float rejected the same way (FP sums are order-dependent)
+    lake.createTableAs("main.srcf",
+      Seq(("a", 1.5f)).toDF("g", "x"))
+    intercept[IllegalArgumentException] {
+      lake.createMaterializedView("main.mvf", "main.srcf", Seq("g"), Seq("x"))
+    }
+  }
+
+  test("DECIMAL measures: delta refresh equals the recompute through DML (r17)") {
+    val lake = mkLake()
+    import spark.implicits._
+    // decimal(12,2) revenue measure with NULLs; cnt guards the NULL group
+    val src = Seq(
+      ("a", Some(BigDecimal("10.25"))), ("a", Some(BigDecimal("0.75"))),
+      ("b", Some(BigDecimal("99999999.99"))), ("b", None), ("c", None))
+      .toDF("g", "x").select(col("g"), col("x").cast("decimal(12,2)").as("x"))
+    lake.createTableAs("main.src", src)
+    lake.createMaterializedView("main.mv", "main.src", Seq("g"), Seq("x"),
+      cntCols = Seq("x"), avgCols = Seq("x"))
+    // state type is decimal(38,2)
+    val schema = lake.table("main.mv").schema
+    assert(schema("sum_x").dataType ==
+      org.apache.spark.sql.types.DecimalType(38, 2), schema.treeString)
+
+    def stateVsRecompute(): Unit = {
+      val got = lake.table("main.mv")
+        .select(col("g"), col("n_rows"), col("sum_x"), col("cnt_x"), col("avg_x"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getDecimal(2), r.getLong(3),
+            if (r.isNullAt(4)) null else r.getDouble(4))).toMap
+      val want = lake.table("main.src").groupBy(col("g"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(col("x")), lit(0L)).cast("decimal(38,2)").as("s"),
+          count(col("x")).as("c"),
+          when(count(col("x")) > 0,
+            sum(col("x")).cast("double") / count(col("x"))).as("a"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getDecimal(2), r.getLong(3),
+            if (r.isNullAt(4)) null else r.getDouble(4))).toMap
+      assert(got == want, s"mv=$got vs recompute=$want")
+    }
+    stateVsRecompute()
+    // appends (fractional cents exercise exact decimal addition)
+    lake.append("main.src", Seq(("a", "0.01"), ("c", "5.55"), ("d", "7.00"))
+      .toDF("g", "x").select(col("g"), col("x").cast("decimal(12,2)").as("x")))
+    lake.refreshMaterializedView("main.mv")
+    stateVsRecompute()
+    // delete retires a big value; group b becomes all-NULL → sum NULL-guarded
+    lake.delete("main.src", col("x") === BigDecimal("99999999.99"))
+    lake.refreshMaterializedView("main.mv")
+    stateVsRecompute()
+    // group-moving update transfers decimal sums across groups exactly
+    lake.update("main.src", col("g") === "a" && col("x") === BigDecimal("0.01"),
+      Map("g" -> lit("d")))
+    lake.refreshMaterializedView("main.mv")
+    stateVsRecompute()
   }
 
   // ----------------------------------------------------- join-source MVs
