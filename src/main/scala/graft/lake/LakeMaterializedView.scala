@@ -76,6 +76,11 @@ object LakeMaterializedView {
   private[lake] val KDim = "mv_dim"
   private[lake] val KDimTid = "mv_dim_tid"
   private[lake] val KDimKeys = "mv_dim_keys"
+  /** expression-backed group keys (r17): one tag PER KEY —
+    * `mv_group_expr.<name>` → the defining Spark SQL expression — because
+    * expression text may contain the ','/';'/'=' the list tags reserve.
+    * The key NAME still rides in mv_groups with the plain columns. */
+  private[lake] val KGroupExprPrefix = "mv_group_expr."
 
   /** The resolved definition + applied watermark of table `tid` at `snap`
     * when it IS a materialized view — the read-side contract
@@ -84,7 +89,8 @@ object LakeMaterializedView {
   private[lake] case class MvInfo(
       groups: Seq[String], sums: Seq[String], cnts: Seq[String],
       avgs: Seq[String], minMax: Seq[String], filterSql: Option[String],
-      dims: Seq[(Long, Seq[(String, String)])], last: Long, sourceTid: Long) {
+      dims: Seq[(Long, Seq[(String, String)])], last: Long, sourceTid: Long,
+      groupExprs: Map[String, String] = Map.empty) {
     val sumAll: Set[String] = (sums ++ avgs).toSet
     val cntAll: Set[String] = (cnts ++ avgs).toSet
     def hasDims: Boolean = dims.nonEmpty
@@ -104,10 +110,15 @@ object LakeMaterializedView {
           }
         case _ => Nil
       }
+    val gx: Map[String, String] = st.tags.iterator
+      .filter(t => t.scope == scope && t.key.startsWith(KGroupExprPrefix) &&
+        Meta.liveAt(t.begin, t.end, snap))
+      .map(t => t.key.drop(KGroupExprPrefix.length).toLowerCase -> t.value)
+      .toMap
     for { groups <- tag(KGroups); last <- tag(KLast); srcTid <- tag(KSourceTid) }
       yield MvInfo(groups.split(',').toSeq.filter(_.nonEmpty), list(KSums),
         list(KCnts), list(KAvgs), list(KMinMax), tag(KFilter),
-        dims, last.toLong, srcTid.toLong)
+        dims, last.toLong, srcTid.toLong, gx)
   }
 
   /** SUM/AVG measure eligibility — the ONE definition shared by create and
@@ -154,12 +165,23 @@ object LakeMaterializedView {
       groupCols: Seq[String], sumCols: Seq[String], cntCols: Seq[String],
       avgCols: Seq[String], minMaxCols: Seq[String],
       filterSql: Option[String], dims: Seq[DimSpec] = Nil,
-      stateTypes: Map[String, org.apache.spark.sql.types.DataType] = Map.empty) {
+      stateTypes: Map[String, org.apache.spark.sql.types.DataType] = Map.empty,
+      groupExprs: Seq[(String, String)] = Nil) {
     val sumAll: Seq[String] = (sumCols ++ avgCols).distinct
     val cntAll: Seq[String] = (cntCols ++ avgCols).distinct
     def stateT(c: String): org.apache.spark.sql.types.DataType =
       stateTypes.getOrElse(c, org.apache.spark.sql.types.LongType)
   }
+
+  /** Materialize expression-backed group keys as named columns on any
+    * frame the fold reads (source rows AND change rows — the key
+    * re-derives on delta rows, keeping refresh O(changed bytes)). A
+    * frame already carrying the column just recomputes it in place
+    * (withColumn replaces; the expression is deterministic by the create
+    * guard, so the value is identical). */
+  private def withGroupExprs(d: MvDef, df: DataFrame): DataFrame =
+    d.groupExprs.foldLeft(df) { case (acc, (n, sql)) =>
+      acc.withColumn(n, expr(sql)) }
 
   /** Enrich `fact` rows (the fact table, or its CHANGE rows — any extra
     * columns like `_change_type` pass through) with the `dim` frame's
@@ -197,7 +219,8 @@ object LakeMaterializedView {
         col(s"sum_$c").cast("double") / col(s"cnt_$c"))))
 
   private def fullAgg(d: MvDef)(src: DataFrame): DataFrame = {
-    val df = d.filterSql.map(f => src.filter(expr(f))).getOrElse(src)
+    val src1 = withGroupExprs(d, src)
+    val df = d.filterSql.map(f => src1.filter(expr(f))).getOrElse(src1)
     val aggs = (count(lit(1)).cast("long").as("n_rows") +:
       (d.sumAll.map(c => coalesce(sum(col(c)).cast(d.stateT(c)),
         lit(0L).cast(d.stateT(c))).as(s"sum_$c")) ++
@@ -225,14 +248,24 @@ object LakeMaterializedView {
     * `avg_<c>` (= AVG(c), double, NULL on empty) and implicitly maintains
     * the `sum_<c>`/`cnt_<c>` state it derives from; `filterSql` restricts
     * the view to source rows satisfying a SQL predicate. */
+  /** `groupExprs` (r17) adds EXPRESSION-backed group keys — (name,
+    * sparkSqlExpr) pairs, e.g. `("o_day", "date_trunc('DAY', o_orderdate)")`
+    * — the time-bucket reporting MV shape. The expression materializes as
+    * a named column at create and on every delta fold (still O(changed
+    * bytes)); [[LakeMvRewrite]] matches it against a query's grouping
+    * expression by resolving the stored SQL against the query relation
+    * and comparing canonicalized forms. Expressions must be deterministic
+    * and their names must not collide with source/dim columns. */
   def create(lake: Lake, name: String, source: String,
       groupCols: Seq[String], sumCols: Seq[String],
       minMaxCols: Seq[String] = Nil, cntCols: Seq[String] = Nil,
       avgCols: Seq[String] = Nil, filterSql: Option[String] = None,
       dimTable: Option[String] = None,
       dimKeys: Seq[(String, String)] = Nil,
-      dims: Seq[(String, Seq[(String, String)])] = Nil): Long = {
-    require(groupCols.nonEmpty, "materialized view needs at least one group column")
+      dims: Seq[(String, Seq[(String, String)])] = Nil,
+      groupExprs: Seq[(String, String)] = Nil): Long = {
+    require(groupCols.nonEmpty || groupExprs.nonEmpty,
+      "materialized view needs at least one group column")
     require(dimTable.isEmpty == dimKeys.isEmpty,
       "dimTable and dimKeys must be given together")
     require(dimTable.isEmpty || dims.isEmpty,
@@ -244,10 +277,13 @@ object LakeMaterializedView {
       dims.map { case (t, ks) => DimSpec(t, ks) }
     dimSpecs.foreach(s => require(s.keys.nonEmpty,
       s"dim ${s.table} needs at least one join key"))
-    val d0 = MvDef(groupCols, sumCols, cntCols, avgCols, minMaxCols, filterSql,
-      dimSpecs)
+    val allGroupCols = groupCols ++ groupExprs.map(_._1)
+    require(allGroupCols.map(_.toLowerCase).distinct.size == allGroupCols.size,
+      s"mv group key names must be distinct: $allGroupCols")
+    val d0 = MvDef(allGroupCols, sumCols, cntCols, avgCols, minMaxCols,
+      filterSql, dimSpecs, groupExprs = groupExprs)
     // the definition persists as comma-joined (';'-separated per dim) tags
-    (groupCols ++ sumCols ++ cntCols ++ avgCols ++ minMaxCols ++
+    (allGroupCols ++ sumCols ++ cntCols ++ avgCols ++ minMaxCols ++
       dimSpecs.flatMap(_.keys.flatMap(k => Seq(k._1, k._2)))).foreach(c =>
       require(!c.contains(",") && !c.contains("=") && !c.contains(";"),
         s"mv column name must not contain ',', '=' or ';': $c"))
@@ -290,7 +326,21 @@ object LakeMaterializedView {
     val d = d0.copy(stateTypes = stateTypes)
     (cntCols ++ minMaxCols).foreach(c =>
       require(types.contains(c), s"no column $c in $source"))
+    groupExprs.foreach { case (n, _) =>
+      require(!types.keys.exists(_.equalsIgnoreCase(n)),
+        s"mv group expression name $n collides with a source/dim column " +
+        "(the rewrite would be ambiguous); pick a fresh name")
+    }
     val snap = st.currentSnapshotId
+    // expression keys must be deterministic: the fold re-derives them on
+    // delta rows, so a nondeterministic key (rand(), now()) would place
+    // the same row in different groups across refreshes
+    groupExprs.foreach { case (n, esql) =>
+      val probe = sourceFrame(lake, d, source, Some(snap))
+        .select(expr(esql).as(n)) // resolves or throws AnalysisException
+      require(probe.queryExecution.analyzed.expressions.forall(_.deterministic),
+        s"mv group expression $n must be deterministic: $esql")
+    }
     val full = fullAgg(d)(sourceFrame(lake, d, source, Some(snap)))
     lake.createTable(name, full.schema)
     val (sn, tn) = lake.schemaOf(name)
@@ -302,11 +352,13 @@ object LakeMaterializedView {
           (List(
             TagEntry(tid, KSource, source, sid, None),
             TagEntry(tid, KSourceTid, se.tableId.toString, sid, None),
-            TagEntry(tid, KGroups, groupCols.mkString(","), sid, None),
+            TagEntry(tid, KGroups, allGroupCols.mkString(","), sid, None),
             TagEntry(tid, KSums, sumCols.mkString(","), sid, None),
             TagEntry(tid, KCnts, cntCols.mkString(","), sid, None),
             TagEntry(tid, KAvgs, avgCols.mkString(","), sid, None),
             TagEntry(tid, KMinMax, minMaxCols.mkString(","), sid, None)) ++
+            groupExprs.map { case (n, esql) =>
+              TagEntry(tid, s"$KGroupExprPrefix$n", esql, sid, None) } ++
             filterSql.map(f => TagEntry(tid, KFilter, f, sid, None)) ++
             // N dims: ';'-separated per dim (a single dim reads identically
             // to the r14 format, so old catalogs parse unchanged)
@@ -352,12 +404,17 @@ object LakeMaterializedView {
           })
         }
       }.getOrElse(Nil)
+    val groupExprTags: Seq[(String, String)] = st.tags
+      .filter(t => t.scope == scope && t.key.startsWith(KGroupExprPrefix) &&
+        Meta.liveAt(t.begin, t.end, st.currentSnapshotId))
+      .map(t => t.key.drop(KGroupExprPrefix.length) -> t.value)
+      .sortBy(_._1)
     val d1 = MvDef(
       groupCols = tag(KGroups).split(',').toSeq,
       sumCols = optList(KSums), cntCols = optList(KCnts),
       avgCols = optList(KAvgs), minMaxCols = optList(KMinMax),
       filterSql = st.tagAt(scope, KFilter, st.currentSnapshotId),
-      dims = dimSpecs)
+      dims = dimSpecs, groupExprs = groupExprTags)
     // the MV table's OWN sum_<c> column types are the authoritative state
     // types (decimal(38,s) for decimal measures, bigint otherwise) — they
     // survive source ALTER TYPE widenings, which never change the state
@@ -409,7 +466,8 @@ object LakeMaterializedView {
     val refNames: Set[String] = (d.groupCols ++ d.sumCols ++ d.cntCols ++
       d.avgCols ++ d.minMaxCols ++
       d.dims.flatMap(_.keys.flatMap { case (fk, dk) => Seq(fk, dk) }) ++
-      d.filterSql.toSeq.flatMap(f => """[A-Za-z_]\w*""".r.findAllIn(f))).toSet
+      (d.filterSql.toSeq ++ d.groupExprs.map(_._2))
+        .flatMap(f => """[A-Za-z_]\w*""".r.findAllIn(f))).toSet
     ((source, srcTid) +: dimSpecs.map(_.table).zip(dimTids)).foreach {
       case (t, tid) =>
         val atCur = st.columnsAt(tid, cur).map(_.columnId).toSet
@@ -646,8 +704,11 @@ object LakeMaterializedView {
             dsj))
         dimDeltaTerms.foldLeft(factSide)(_ unionByName _)
       }
-    val changes = d.filterSql.map(f => changes1.filter(expr(f)))
-      .getOrElse(changes1).persist()
+    // expression keys re-derive on the change rows themselves (pre AND
+    // post images — a ts-moving update lands its images in their buckets)
+    val changes2 = withGroupExprs(d, changes1)
+    val changes = d.filterSql.map(f => changes2.filter(expr(f)))
+      .getOrElse(changes2).persist()
     try {
       val w = when(col("_change_type").isin("insert", "update_postimage"), 1L)
         .otherwise(-1L)
@@ -706,8 +767,8 @@ object LakeMaterializedView {
           // source states inside one refresh (folded groups at cur,
           // recomputed groups at a later snapshot) under a watermark of cur
           val recomputed = fullAgg(d)(
-            sourceFrame(lake, d, source, Some(cur),
-              (t, df) => defAligned(t, cur)(df))
+            withGroupExprs(d, sourceFrame(lake, d, source, Some(cur),
+              (t, df) => defAligned(t, cur)(df)))
               .join(dirty, nullSafeCond(dirty), "left_semi"))
           clean.unionByName(recomputed)
         }

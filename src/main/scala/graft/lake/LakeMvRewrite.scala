@@ -86,9 +86,21 @@ class LakeMvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
   }
   /** the matched source shape under the aggregate: a bare lake relation,
     * or an INNER equi-join of two bare lake relations (the join-source-MV
-    * query shape); `filter` is the single Filter ABOVE it. */
+    * query shape); `filter` is the single Filter ABOVE it. `aliases` maps
+    * Project-computed attributes (r17 — Spark's PullOutGroupingExpressions
+    * rewrites `GROUP BY date_trunc(...)` into a `_groupingexpression`
+    * Project below the Aggregate) to their FULLY-SUBSTITUTED defining
+    * expressions over relation attributes. */
   private case class Shape(filter: Option[Expression], relL: Rel,
-      relR: Option[Rel], keys: Seq[(String, String)])
+      relR: Option[Rel], keys: Seq[(String, String)],
+      aliases: Map[ExprId, Expression] = Map.empty)
+
+  private def substAliases(e: Expression, m: Map[ExprId, Expression])
+      : Expression =
+    if (m.isEmpty) e
+    else e.transformUp {
+      case a: AttributeReference if m.contains(a.exprId) => m(a.exprId)
+    }
 
   private def bareRel(p: LogicalPlan): Option[Rel] = p match {
     case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
@@ -118,10 +130,18 @@ class LakeMvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
   }
 
   private def unwrap(p: LogicalPlan): Option[Shape] = p match {
-    case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
-      unwrap(child)
+    case Project(pl, child) if pl.forall(e =>
+        e.isInstanceOf[AttributeReference] || e.isInstanceOf[Alias]) =>
+      // computed columns are RECORDED, not rejected: each alias maps to
+      // its defining expression with inner aliases already substituted,
+      // so every map value is closed over relation attributes
+      unwrap(child).map { s =>
+        val add = pl.collect { case al: Alias =>
+          al.exprId -> substAliases(al.child, s.aliases) }
+        s.copy(aliases = s.aliases ++ add)
+      }
     case Filter(cond, child) => unwrap(child) match {
-      case Some(s @ Shape(None, _, _, _)) => Some(s.copy(filter = Some(cond)))
+      case Some(s) if s.filter.isEmpty => Some(s.copy(filter = Some(cond)))
       case _ => None
     }
     case j @ Join(jl, jr, org.apache.spark.sql.catalyst.plans.Inner,
@@ -156,14 +176,15 @@ class LakeMvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       case Some(x) => x
       case None => return None
     }
-    val condOpt = shape.filter
-    // grouping must be plain columns
-    val gAttrs = agg.groupingExpressions.map {
-      case a: AttributeReference => a
-      case _ => return None
-    }
-    val gNames = gAttrs.map(_.name.toLowerCase).toSet
-    if (gNames.size != gAttrs.size) return None // duplicate group refs: bail
+    // every expression (filter, grouping, outputs) is normalized through
+    // the recorded Project aliases first, so computed columns — including
+    // Spark's pulled-out `_groupingexpression` attrs — compare and serve
+    // by their DEFINING expression over relation attributes
+    def subst(e: Expression): Expression = substAliases(e, shape.aliases)
+    val condOpt = shape.filter.map(subst)
+    val gExprs: Seq[Expression] = agg.groupingExpressions.map(subst)
+    if (gExprs.map(_.canonicalized).distinct.size != gExprs.size)
+      return None // duplicate group refs: bail
     val st0 = shape.relL.lt.st
     val snap = shape.relL.lt.snapshot
     // a join's two sides must be pinned at the SAME snapshot/state
@@ -202,6 +223,32 @@ class LakeMvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       if (lc.distinct.size != lc.size) return None
     }
 
+    /** map each query grouping expression to an MV group column: a plain
+      * attribute matches a PLAIN group column by name; any other
+      * expression matches an EXPRESSION-backed key by resolving the
+      * stored SQL against the query relation and comparing canonicalized
+      * forms (r17 — the `date_trunc` time-bucket MV). None when any
+      * grouping expression has no MV column. */
+    def mapGroups(i: MvInfo): Option[Seq[(Expression, String)]] = {
+      lazy val exprKeys: Seq[(String, Expression)] =
+        i.groupExprs.toSeq.flatMap { case (n, sql) =>
+          resolveExpr(sql, relOut).map(n -> _) }
+      val mapped: Seq[Option[(Expression, String)]] = gExprs.map {
+        case a: AttributeReference
+            if i.groups.exists(_.equalsIgnoreCase(a.name)) &&
+              !i.groupExprs.contains(a.name.toLowerCase) =>
+          Some(a -> a.name.toLowerCase)
+        case e =>
+          exprKeys.collectFirst {
+            case (n, ke) if ke.canonicalized == e.canonicalized => e -> n }
+      }
+      if (!mapped.forall(_.isDefined)) None
+      else {
+        val gm = mapped.flatten
+        if (gm.map(_._2).distinct.size == gm.size) Some(gm) else None
+      }
+    }
+
     // candidate MVs matching the query's source shape at the scan
     // snapshot. Query groups == MV groups serves by direct projection;
     // query groups ⊂ MV groups serves by ROLLUP — re-aggregating the
@@ -212,11 +259,10 @@ class LakeMvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       .filter(t => Meta.liveAt(t.begin, t.end, snap))
       .flatMap(t => LakeMaterializedView.infoAt(st0, t.tableId, snap).map(t -> _))
       .flatMap { case (t, i) => shapeTids(i).map(tids => (t, i, tids)) }
-      .filter { case (_, i, _) =>
-        gNames.subsetOf(i.groups.map(_.toLowerCase).toSet) }
-      .sortBy { case (_, i, _) => (i.groups.size != gNames.size, i.groups.size) }
+      .flatMap { case (t, i, tids) => mapGroups(i).map(gm => (t, i, tids, gm)) }
+      .sortBy { case (_, i, _, gm) => (i.groups.size != gm.size, i.groups.size) }
 
-    candidates.iterator.flatMap { case (mvEntry, info0, gateTids) =>
+    candidates.iterator.flatMap { case (mvEntry, info0, gateTids, gMap) =>
       val mvGroupNames = info0.groups.map(_.toLowerCase).toSet
       // ---- filter match: MV conjuncts ⊆ query conjuncts; residual
       // conjuncts must reference only MV GROUP columns — a group-key
@@ -234,8 +280,13 @@ class LakeMvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
           val rest = qConj.filterNot(c => mcCanon.contains(c.canonicalized))
           // every MV conjunct must be present in the query
           val covered = mcCanon.subsetOf(qConj.map(_.canonicalized).toSet)
-          val restOnGroups = rest.forall(_.references.forall(a =>
-            mvGroupNames.contains(a.name.toLowerCase)))
+          // a residual must be DETERMINISTIC to commute with grouping —
+          // `rand() < 0.5` samples ROWS in the query but would sample
+          // GROUPS if re-applied on MV rows (and has no references, so
+          // the group-column check alone would vacuously pass)
+          val restOnGroups = rest.forall(c => c.deterministic &&
+            c.references.forall(a =>
+              mvGroupNames.contains(a.name.toLowerCase)))
           if (covered && restOnGroups) Some(rest) else None
         }
       }
@@ -246,8 +297,18 @@ class LakeMvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
         val nullable: Map[String, Boolean] = gateTids.flatMap(tid =>
           st0.columnsAt(tid, snap).map(c => c.name.toLowerCase -> c.nullable))
           .toMap
+        // outputs normalized through the alias map so pulled-out grouping
+        // attrs rewrite by their defining expression; names/exprIds kept
+        val aggExprsS: Seq[NamedExpression] = agg.aggregateExpressions.map {
+          case al @ Alias(c, n) =>
+            Alias(subst(c), n)(exprId = al.exprId, qualifier = al.qualifier)
+          case a: AttributeReference if shape.aliases.contains(a.exprId) =>
+            Alias(shape.aliases(a.exprId), a.name)(
+              exprId = a.exprId, qualifier = a.qualifier)
+          case other => other
+        }
         def serve(st: CatalogState, servSnap: Long): Option[LogicalPlan] =
-          buildServing(agg, gAttrs, residual.get, mvEntry.tableId, info0,
+          buildServing(aggExprsS, gMap, residual.get, mvEntry.tableId, info0,
             nullable, st, servSnap)
         def freshIn(st: CatalogState, last: Long): Boolean =
           gateTids.forall(tid => !sourceChangedIn(st, tid, last, snap))
@@ -302,17 +363,48 @@ class LakeMvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       folded.collectFirst { case Filter(c, _) if c.resolved => c }
     } catch { case _: Exception => None }
 
+  /** an MV group-key expression SQL resolved against the QUERY relation's
+    * own attributes (same exprIds), analyzed (same implicit casts the
+    * query side got) and constant-folded — so a `canonicalized`
+    * comparison against the query's grouping expression is exact (r17). */
+  private def resolveExpr(sql: String, relOut: Seq[Attribute])
+      : Option[Expression] =
+    try {
+      val parsed = spark.sessionState.sqlParser.parseExpression(sql)
+      val resolver = spark.sessionState.conf.resolver
+      var ok = true
+      val bound = parsed.transformUp {
+        case u: UnresolvedAttribute =>
+          relOut.find(a => resolver(a.name, u.name)) match {
+            case Some(a) => a
+            case None => ok = false; u
+          }
+      }
+      if (!ok) return None
+      val leaf = org.apache.spark.sql.catalyst.plans.logical.LocalRelation(relOut)
+      val analyzed = spark.sessionState.analyzer.execute(
+        Project(Seq(Alias(bound, "_mv_gx")()), leaf))
+      val folded = org.apache.spark.sql.catalyst.optimizer.ConstantFolding(analyzed)
+      folded.collectFirst {
+        case Project(Seq(Alias(c, _)), _) if c.resolved => c }
+    } catch { case _: Exception => None }
+
   /** the plan over the MV's own snapshot-scoped scan that reproduces
     * `agg`'s output exactly: a Project when query groups == MV groups, a
     * re-aggregating Aggregate (ROLLUP over the group-domain-sized MV —
     * still no fact scan) when query groups ⊂ MV groups. The group-key
     * residual Filter sits below either. */
-  private def buildServing(agg: Aggregate, gAttrs: Seq[AttributeReference],
+  private def buildServing(aggExprs: Seq[NamedExpression],
+      gMap: Seq[(Expression, String)],
       residual: Seq[Expression], mvTid: Long, info: MvInfo,
       srcNullable: Map[String, Boolean], st: CatalogState, servSnap: Long)
       : Option[LogicalPlan] = {
     val exact =
-      info.groups.map(_.toLowerCase).toSet == gAttrs.map(_.name.toLowerCase).toSet
+      info.groups.map(_.toLowerCase).toSet == gMap.map(_._2).toSet
+    // query grouping expression (canonicalized) → MV column name; plain
+    // attr keys also resolve through rewriteExpr's attribute case
+    val gLookup: Map[Expression, String] =
+      gMap.map { case (e, n) => e.canonicalized -> n }.toMap
     val mvPlan = EliminateSubqueryAliases(
       LakeRead.scanDF(spark, st, mvTid, servSnap).queryExecution.analyzed)
     val mvAttr: Map[String, Attribute] =
@@ -415,21 +507,22 @@ class LakeMvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       case _ => None
     }
 
-    def rewriteExpr(e: Expression): Option[Expression] = e match {
-      case a: AttributeReference => m(a.name) // group column (validated)
-      case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
-        if (exact) aggExprExact(ae.aggregateFunction)
-        else aggExprRollup(ae.aggregateFunction)
-      case _: AggregateExpression => None
-      case l: Literal => Some(l)
-      case _ if e.children.nonEmpty =>
-        val kids = e.children.map(rewriteExpr)
-        if (kids.forall(_.isDefined)) Some(e.withNewChildren(kids.map(_.get)))
-        else None
-      case _ => None
-    }
+    def rewriteExpr(e: Expression): Option[Expression] =
+      gLookup.get(e.canonicalized).flatMap(m) orElse (e match {
+        case a: AttributeReference => m(a.name) // group column (validated)
+        case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
+          if (exact) aggExprExact(ae.aggregateFunction)
+          else aggExprRollup(ae.aggregateFunction)
+        case _: AggregateExpression => None
+        case l: Literal => Some(l)
+        case _ if e.children.nonEmpty =>
+          val kids = e.children.map(rewriteExpr)
+          if (kids.forall(_.isDefined)) Some(e.withNewChildren(kids.map(_.get)))
+          else None
+        case _ => None
+      })
 
-    val outputs: Seq[Option[NamedExpression]] = agg.aggregateExpressions.map {
+    val outputs: Seq[Option[NamedExpression]] = aggExprs.map {
       case al @ Alias(child, name) => rewriteExpr(child)
         .filter(_.dataType == al.dataType)
         .map(r => Alias(r, name)(exprId = al.exprId, qualifier = al.qualifier))
@@ -445,7 +538,7 @@ class LakeMvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       .foldLeft(mvPlan)((p, c) => Filter(c, p))
     if (exact) Some(Project(outputs.flatten, filtered))
     else {
-      val groupExprs = gAttrs.map(a => m(a.name).getOrElse(return None))
+      val groupExprs = gMap.map { case (_, n) => m(n).getOrElse(return None) }
       Some(Aggregate(groupExprs, outputs.flatten, filtered))
     }
   }

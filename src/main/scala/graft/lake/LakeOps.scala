@@ -1363,10 +1363,12 @@ class Lake(val spark: SparkSession, val root: String,
       avgCols: Seq[String] = Nil, filterSql: Option[String] = None,
       dimTable: Option[String] = None,
       dimKeys: Seq[(String, String)] = Nil,
-      dims: Seq[(String, Seq[(String, String)])] = Nil): Long = {
+      dims: Seq[(String, Seq[(String, String)])] = Nil,
+      groupExprs: Seq[(String, String)] = Nil): Long = {
     aclSuper("CREATE MATERIALIZED VIEW")
     LakeMaterializedView.create(this, name, source, groupCols, sumCols,
-      minMaxCols, cntCols, avgCols, filterSql, dimTable, dimKeys, dims)
+      minMaxCols, cntCols, avgCols, filterSql, dimTable, dimKeys, dims,
+      groupExprs)
   }
 
   /** Fold the source change feed since the last refresh into the MV;

@@ -1426,6 +1426,42 @@ object LakeQueries {
       } finally s.conf.unset("spark.graft.mv.rewrite")
     }),
 
+    // ---- time-bucket MV (r17, VERDICT r16 #2): the single most common
+    // reporting MV — GROUP BY date_trunc('DAY', ts) — expressed as an
+    // EXPRESSION group key: the key materializes as a named column at
+    // create and on every delta fold, and the rewrite matches the query's
+    // grouping expression against the stored SQL by canonicalized
+    // comparison; the daily-rollup query plans with NO fact relation -----
+    "l66_mv_time_bucket" -> ((s, dir) => {
+      val lake = newLake(s)
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      lake.createTableAs("main.mvo", orders.filter(col("o_orderkey") % 2 === 0))
+      lake.createMaterializedView("main.mv66", "main.mvo",
+        groupCols = Nil, sumCols = Seq("o_custkey"),
+        cntCols = Seq("o_custkey"),
+        groupExprs = Seq(("o_day", "date_trunc('DAY', o_orderdate)")))
+      lake.append("main.mvo", orders.filter(col("o_orderkey") % 2 === 1))
+      lake.delete("main.mvo", col("o_orderkey") % 10 === 5)
+      lake.refreshMaterializedView("main.mv66")
+      val cat = s"lqmvt${System.nanoTime()}"
+      wireCatalog(s, cat, lake)
+      s.conf.set("spark.graft.mv.rewrite", "fresh")
+      try {
+        val q = s.sql(
+          s"""SELECT CAST(date_trunc('DAY', o_orderdate) AS DATE) AS o_day,
+             |  count(*) AS n_rows, sum(o_custkey) AS sum_ck
+             |FROM $cat.main.mvo GROUP BY date_trunc('DAY', o_orderdate)
+             |ORDER BY o_day""".stripMargin)
+        val opt = q.queryExecution.optimizedPlan
+        require(opt.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => r
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+        }.isEmpty, s"l66: time-bucket MV rewrite did not fire — fact relation survives:\n$opt")
+        q
+      } finally s.conf.unset("spark.graft.mv.rewrite")
+    }),
+
     "l28_sql_merge" -> ((s, dir) => {
       import s.implicits._
       val lake = newLake(s)
@@ -1908,6 +1944,15 @@ object LakeQueries {
         |  FROM orders
         |  WHERE NOT (o_orderkey % 10 = 3))
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // time-bucket MV served by the rewrite: oracle recomputes the daily
+    // rollup over the final DML state (DATE-cast on both sides — DuckDB's
+    // date_trunc('day') already returns DATE)
+    "l66_mv_time_bucket" ->
+      """SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS o_day,
+        |  COUNT(*) AS n_rows, CAST(SUM(o_custkey) AS BIGINT) AS sum_ck
+        |FROM orders WHERE NOT (o_orderkey % 10 = 5)
+        |GROUP BY 1 ORDER BY o_day""".stripMargin,
 
     // join-source MV: final content == fact⋈dim GROUP BY over what the
     // DML sequence leaves behind, joined against the UPDATED dim

@@ -434,6 +434,61 @@ class MaterializedViewSpec extends AnyFunSuite {
     }
   }
 
+  test("expression group keys (date_trunc): delta refresh tracks bucket-moving DML (r17)") {
+    val lake = mkLake()
+    import spark.implicits._
+    val src = Seq(
+      ("2024-03-01 08:00:00", 1L), ("2024-03-01 17:30:00", 2L),
+      ("2024-03-02 00:00:01", 10L), ("2024-03-05 12:00:00", 100L))
+      .toDF("tss", "x")
+      .select(col("tss").cast("timestamp").as("ts"), col("x"))
+    lake.createTableAs("main.src", src)
+    lake.createMaterializedView("main.mv", "main.src",
+      groupCols = Nil, sumCols = Seq("x"),
+      groupExprs = Seq(("day_ts", "date_trunc('DAY', ts)")))
+
+    def stateVsRecompute(): Unit = {
+      val got = lake.table("main.mv")
+        .select(col("day_ts").cast("string"), col("n_rows"), col("sum_x"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val want = lake.table("main.src")
+        .groupBy(date_trunc("DAY", col("ts")).cast("string").as("d"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got == want, s"mv=$got vs recompute=$want")
+    }
+    stateVsRecompute()
+    // append into an existing and a new bucket
+    lake.append("main.src", Seq(("2024-03-02 23:59:59", 20L), ("2024-03-09 01:00:00", 7L))
+      .toDF("tss", "x").select(col("tss").cast("timestamp").as("ts"), col("x")))
+    lake.refreshMaterializedView("main.mv")
+    stateVsRecompute()
+    // a ts-moving update crosses the bucket boundary: pre/post images land
+    // in their respective days
+    lake.update("main.src", col("x") === 10L,
+      Map("ts" -> lit("2024-03-01 10:00:00").cast("timestamp")))
+    lake.refreshMaterializedView("main.mv")
+    stateVsRecompute()
+    // delete empties a bucket: its MV row vanishes
+    lake.delete("main.src", col("x") === 100L)
+    lake.refreshMaterializedView("main.mv")
+    stateVsRecompute()
+    assert(lake.table("main.mv").count() == 3)
+
+    // nondeterministic keys are rejected at create
+    intercept[IllegalArgumentException] {
+      lake.createMaterializedView("main.mvbad", "main.src",
+        groupCols = Nil, sumCols = Seq("x"),
+        groupExprs = Seq(("r", "rand()")))
+    }
+    // a key name colliding with a source column is rejected
+    intercept[IllegalArgumentException] {
+      lake.createMaterializedView("main.mvbad2", "main.src",
+        groupCols = Nil, sumCols = Seq("x"),
+        groupExprs = Seq(("ts", "date_trunc('DAY', ts)")))
+    }
+  }
+
   test("DECIMAL measures: delta refresh equals the recompute through DML (r17)") {
     val lake = mkLake()
     import spark.implicits._

@@ -337,6 +337,51 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("date_trunc group-key MV serves the time-bucket query; a different bucket falls back (r17)") {
+    val (lake, cat) = mkLake("tx")
+    import spark.implicits._
+    val src = Seq(
+      ("2024-03-01 08:00:00", 1L), ("2024-03-01 17:30:00", 2L),
+      ("2024-03-02 00:00:01", 10L), ("2024-04-05 12:00:00", 100L))
+      .toDF("tss", "x")
+      .select(col("tss").cast("timestamp").as("ts"), col("x"))
+    lake.createTableAs("main.src", src)
+    lake.createMaterializedView("main.mv", "main.src",
+      groupCols = Nil, sumCols = Seq("x"),
+      groupExprs = Seq(("day_ts", "date_trunc('DAY', ts)")))
+    lake.append("main.src", Seq(("2024-03-02 06:00:00", 20L))
+      .toDF("tss", "x").select(col("tss").cast("timestamp").as("ts"), col("x")))
+    lake.refreshMaterializedView("main.mv")
+    withMode("fresh") {
+      // the daily-rollup query is served from the MV: no fact relation
+      val df = spark.sql(
+        s"""SELECT date_trunc('DAY', ts) AS d, count(*) AS n, sum(x) AS s
+           |FROM $cat.main.src GROUP BY date_trunc('DAY', ts)""".stripMargin)
+      val p = df.queryExecution.optimizedPlan
+      assert(p.toString.contains("RelationV2") == false, s"date_trunc MV must serve the bucket query:\n$p")
+      val got = df.collect().map(r =>
+        r.getTimestamp(0).toString -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got == Map(
+        "2024-03-01 00:00:00.0" -> (2L, 3L),
+        "2024-03-02 00:00:00.0" -> (2L, 30L),
+        "2024-04-05 00:00:00.0" -> (1L, 100L)), got.toString)
+      // a residual is fine when it references only plain group cols — here
+      // there are none, so a source-column residual falls back
+      val r1 = spark.sql(
+        s"""SELECT date_trunc('DAY', ts) AS d, sum(x) AS s
+           |FROM $cat.main.src WHERE x > 1 GROUP BY date_trunc('DAY', ts)""".stripMargin)
+      assert(r1.queryExecution.optimizedPlan.toString.contains("RelationV2"), "non-group residual must fall back")
+      // a DIFFERENT bucket expression (month-from-day) is NOT servable
+      // from a day-keyed MV: canonicalized forms differ -> verbatim
+      val mo = spark.sql(
+        s"""SELECT date_trunc('MONTH', ts) AS mth, sum(x) AS s
+           |FROM $cat.main.src GROUP BY date_trunc('MONTH', ts)""".stripMargin)
+      assert(mo.queryExecution.optimizedPlan.toString.contains("RelationV2"), "month bucket over a day-keyed MV must fall back")
+      assert(mo.collect().map(r => r.getTimestamp(0).toString -> r.getLong(1))
+        .toMap == Map("2024-03-01 00:00:00.0" -> 33L, "2024-04-01 00:00:00.0" -> 100L))
+    }
+  }
+
   test("count(NULL) never serves from n_rows (it is 0, not the row count)") {
     val (lake, cat) = mkLake("n")
     import spark.implicits._
