@@ -236,6 +236,38 @@ object PerfLab {
        |  ON f.o_custkey = d.c_custkey
        |GROUP BY c_mktsegment""".stripMargin
 
+  // snowflake-MV rewrite A/B (r17): the 2-dim chain (orders ⋈ customer ⋈
+  // nation grouped by the OUTER dim attribute) answered from the
+  // maintained snowflake MV vs executed as the two-join plan
+  private val mvrsCats = scala.collection.mutable.Map[String, String]()
+  private def mvrsFixture(s: SparkSession, dir: String): String = synchronized {
+    mvrsCats.getOrElseUpdate(dir, {
+      val root = java.nio.file.Files.createTempDirectory("graft_mvrslab").toString
+      val lake = new graft.lake.Lake(s, root)
+      lake.createTableAs("main.sfact", t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey")))
+      lake.createTableAs("main.sd1", t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")))
+      lake.createTableAs("main.sd2", t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name")))
+      lake.createMaterializedView("main.mvrs", "main.sfact",
+        groupCols = Seq("n_name"), sumCols = Seq("o_orderkey"),
+        cntCols = Seq("o_orderkey"),
+        dims = Seq(("main.sd1", Seq(("o_custkey", "c_custkey"))),
+          ("main.sd2", Seq(("c_nationkey", "n_nationkey")))))
+      val cat = s"mvrslab${System.nanoTime()}"
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.lake.LakeCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      cat
+    })
+  }
+  private def mvrsSql(cat: String): String =
+    s"""SELECT n_name, count(*) AS n_rows, sum(o_orderkey) AS sum_ok
+       |FROM $cat.main.sfact f
+       |JOIN $cat.main.sd1 c ON f.o_custkey = c.c_custkey
+       |JOIN $cat.main.sd2 n ON c.c_nationkey = n.n_nationkey
+       |GROUP BY n_name""".stripMargin
+
   /** q05b inverted around the custkey-bucketed pair — see the q05b_co
     * entry comment */
   private def q05bCoShape(s: SparkSession, dir: String): DataFrame = {
@@ -1534,6 +1566,16 @@ object PerfLab {
       val cat = mvrjFixture(s, dir)
       s.conf.set("spark.graft.mv.rewrite", "off")
       s.sql(mvrjSql(cat))
+    }),
+    "mvrs_rewrite" -> ((s, dir) => {
+      val cat = mvrsFixture(s, dir)
+      s.conf.set("spark.graft.mv.rewrite", "fresh")
+      s.sql(mvrsSql(cat))
+    }),
+    "mvrs_chain" -> ((s, dir) => {
+      val cat = mvrsFixture(s, dir)
+      s.conf.set("spark.graft.mv.rewrite", "off")
+      s.sql(mvrsSql(cat))
     }),
 
     // ---- q27: sessionize (3.52x at sf30, 0.95 s abs) -----------------

@@ -47,11 +47,12 @@ import graft.lake.Meta.CatalogState
   *     (r17). AVG serves DOUBLE-typed averages only — a decimal-source
   *     AVG has decimal rounding the double state cannot reproduce.
   *
-  * Single-dim join-source MVs match the query that IS the join: an INNER
-  * equi-join of the MV's fact and dim relations on exactly the MV's key
-  * pairs (either orientation), grouped by joined-frame columns —
-  * freshness then gates on BOTH tables' change entries. Snowflake (2+
-  * dim) MVs and queries with per-side filters fall through verbatim. A
+  * Join-source MVs match the query that IS the join: a LEFT-DEEP chain of
+  * INNER equi-joins of the MV's fact and dims on exactly the MV's key
+  * pairs, in definition order, either orientation per level (r17:
+  * snowflake chains of any length — a later dim may key off an earlier
+  * dim's carried column) — freshness then gates on EVERY table's change
+  * entries. Queries with per-side filters fall through verbatim. A
   * rename of source columns since MV creation makes names differ and
   * falls through.
   *
@@ -92,7 +93,7 @@ class LakeMvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     * Project below the Aggregate) to their FULLY-SUBSTITUTED defining
     * expressions over relation attributes. */
   private case class Shape(filter: Option[Expression], relL: Rel,
-      relR: Option[Rel], keys: Seq[(String, String)],
+      dims: Seq[(Rel, Seq[(String, String)])],
       aliases: Map[ExprId, Expression] = Map.empty)
 
   private def substAliases(e: Expression, m: Map[ExprId, Expression])
@@ -112,11 +113,11 @@ class LakeMvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     case _ => None
   }
 
-  /** conjunction of attr = attr across the two sides → (leftCol, rightCol)
-    * name pairs; anything else disqualifies the join */
-  private def equiKeys(cond: Expression, l: Rel, r: Rel)
+  /** conjunction of attr = attr between the accumulated left side and the
+    * dim → (leftCol, dimCol) name pairs; anything else disqualifies */
+  private def equiKeys(cond: Expression, lAttrs: Seq[Attribute], r: Rel)
       : Option[Seq[(String, String)]] = {
-    val lIds = l.out.map(_.exprId).toSet
+    val lIds = lAttrs.map(_.exprId).toSet
     val rIds = r.out.map(_.exprId).toSet
     val pairs = splitConjunctivePredicates(cond).map {
       case EqualTo(a: AttributeReference, b: AttributeReference)
@@ -129,7 +130,66 @@ class LakeMvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
     else None
   }
 
-  private def unwrap(p: LogicalPlan): Option[Shape] = p match {
+  /** a candidate parse of a join chain: fact, dims in join order, the
+    * exprIds of IsNotNull filters STRIPPED from join inputs, and the
+    * exprIds referenced by the join conditions. A stripped IsNotNull is a
+    * no-op exactly when its attr is a join key (the inner equi-join drops
+    * null keys anyway) — `nn ⊆ condIds` is validated by the caller. */
+  private case class Chain(fact: Rel,
+      dims: Seq[(Rel, Seq[(String, String)])],
+      nn: Set[ExprId], condIds: Set[ExprId])
+
+  /** strip the column-pruning Projects and the all-IsNotNull Filters
+    * Catalyst infers on join inputs; returns the core plan plus the
+    * stripped not-null attr ids (validated as join keys by the caller). */
+  private def stripSide(p: LogicalPlan): (LogicalPlan, Set[ExprId]) = p match {
+    case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      stripSide(child)
+    case Filter(cond, child) =>
+      val conjs = splitConjunctivePredicates(cond)
+      val nn = conjs.collect { case IsNotNull(a: AttributeReference) => a.exprId }
+      if (nn.size == conjs.size) {
+        val (c, inner) = stripSide(child); (c, inner ++ nn)
+      } else (p, Set.empty)
+    case other => (other, Set.empty)
+  }
+
+  /** a LEFT-DEEP inner equi-join chain fact ⋈ D₁ ⋈ … ⋈ Dₙ (r17: snowflake
+    * serving). Each level's bare side is that level's dim; the composite
+    * side recurses; a later dim may key off an earlier dim's carried
+    * column (keys match against the ACCUMULATED attribute set). When both
+    * sides of the bottom join are bare relations the fact is ambiguous —
+    * BOTH parses are returned and matched against the MV catalog. */
+  private def unwrapChain(p: LogicalPlan): Seq[Chain] = p match {
+    case Join(jl, jr, org.apache.spark.sql.catalyst.plans.Inner,
+        Some(cond), _) =>
+      val ids = cond.references.map(_.exprId).toSet
+      val (l1, nnL) = stripSide(jl)
+      val (r1, nnR) = stripSide(jr)
+      val nn = nnL ++ nnR
+      (bareRel(l1), bareRel(r1)) match {
+        case (Some(l), Some(r)) =>
+          equiKeys(cond, l.out, r)
+            .map(ks => Chain(l, Seq((r, ks)), nn, ids)).toSeq ++
+            equiKeys(cond, r.out, l)
+              .map(ks => Chain(r, Seq((l, ks)), nn, ids)).toSeq
+        case (lOpt, rOpt) =>
+          // exactly one side is a deeper join; the bare side is the dim
+          val parsed: Seq[(LogicalPlan, Rel)] =
+            (rOpt.map(l1 -> _) ++ lOpt.map(r1 -> _)).toSeq
+          parsed.flatMap { case (compo, dim) =>
+            unwrapChain(compo).flatMap { ch =>
+              val accum = ch.fact.out ++ ch.dims.flatMap(_._1.out)
+              equiKeys(cond, accum, dim).map(ks =>
+                Chain(ch.fact, ch.dims :+ (dim, ks),
+                  ch.nn ++ nn, ch.condIds ++ ids)).toSeq
+            }
+          }
+      }
+    case _ => Nil
+  }
+
+  private def unwrap(p: LogicalPlan): Seq[Shape] = p match {
     case Project(pl, child) if pl.forall(e =>
         e.isInstanceOf[AttributeReference] || e.isInstanceOf[Alias]) =>
       // computed columns are RECORDED, not rejected: each alias maps to
@@ -140,19 +200,20 @@ class LakeMvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
           al.exprId -> substAliases(al.child, s.aliases) }
         s.copy(aliases = s.aliases ++ add)
       }
-    case Filter(cond, child) => unwrap(child) match {
-      case Some(s) if s.filter.isEmpty => Some(s.copy(filter = Some(cond)))
+    case Filter(cond, child) => unwrap(child).flatMap {
+      case s if s.filter.isEmpty => Some(s.copy(filter = Some(cond)))
       case _ => None
     }
-    case j @ Join(jl, jr, org.apache.spark.sql.catalyst.plans.Inner,
-        Some(cond), _) =>
-      for { l <- bareRel(jl); r <- bareRel(jr); ks <- equiKeys(cond, l, r) }
-        yield Shape(None, l, Some(r), ks)
+    case j: Join =>
+      // only join-key IsNotNulls may have been stripped from the inputs —
+      // anything else (a user's IS NOT NULL on a non-key) must fall back
+      unwrapChain(j).filter(ch => ch.nn.subsetOf(ch.condIds))
+        .map(ch => Shape(None, ch.fact, ch.dims))
     case r: DataSourceV2Relation => r.table match {
-      case lt: LakeTable => Some(Shape(None, Rel(r.output, lt), None, Nil))
-      case _ => None
+      case lt: LakeTable => Seq(Shape(None, Rel(r.output, lt), Nil))
+      case _ => Nil
     }
-    case _ => None
+    case _ => Nil
   }
 
   /** any data or schema change entry for `tid` in (lo, hi]? Used in both
@@ -171,11 +232,14 @@ class LakeMvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
   }
 
   private def tryRewrite(agg: Aggregate, refreshOnRead: Boolean)
+      : Option[LogicalPlan] =
+    // a both-bare bottom join parses two ways (fact on either side); the
+    // first parse that lands a serving plan wins
+    unwrap(agg.child).iterator
+      .flatMap(shape => tryShape(agg, shape, refreshOnRead)).nextOption()
+
+  private def tryShape(agg: Aggregate, shape: Shape, refreshOnRead: Boolean)
       : Option[LogicalPlan] = {
-    val shape = unwrap(agg.child) match {
-      case Some(x) => x
-      case None => return None
-    }
     // every expression (filter, grouping, outputs) is normalized through
     // the recorded Project aliases first, so computed columns — including
     // Spark's pulled-out `_groupingexpression` attrs — compare and serve
@@ -187,31 +251,29 @@ class LakeMvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       return None // duplicate group refs: bail
     val st0 = shape.relL.lt.st
     val snap = shape.relL.lt.snapshot
-    // a join's two sides must be pinned at the SAME snapshot/state
-    if (shape.relR.exists(r => r.lt.snapshot != snap)) return None
+    // a join's sides must all be pinned at the SAME snapshot/state
+    if (shape.dims.exists(_._1.lt.snapshot != snap)) return None
 
     /** does this MV's source shape match the query's? For the bare shape:
-      * dim-free MV over the relation. For the join shape: a single-dim MV
-      * whose source/dim table ids and (fact, dim) key pairs equal the
-      * join's, in either left/right orientation. Returns the tids whose
-      * freshness gates serving. */
-    def shapeTids(i: MvInfo): Option[Seq[Long]] = (shape.relR, i.dims) match {
-      case (None, Nil) if i.sourceTid == shape.relL.tid => Some(Seq(i.sourceTid))
-      case (Some(r), Seq((dimTid, mvKeys))) =>
-        val l = shape.relL
-        val oriented: Option[Seq[(String, String)]] =
-          if (l.tid == i.sourceTid && r.tid == dimTid) Some(shape.keys)
-          else if (r.tid == i.sourceTid && l.tid == dimTid)
-            Some(shape.keys.map(_.swap))
-          else None
-        oriented.filter { ks =>
-          ks.map { case (a, b) => (a.toLowerCase, b.toLowerCase) }.toSet ==
-            mvKeys.map { case (a, b) => (a.toLowerCase, b.toLowerCase) }.toSet
-        }.map(_ => Seq(i.sourceTid, dimTid))
-      case _ => None
+      * dim-free MV over the relation. For the join shape: the MV's dim
+      * chain and the query's join chain must agree ELEMENTWISE — same
+      * table ids in definition order, same (accum, dim) key-pair sets
+      * (per-level left/right orientation was normalized by unwrapChain;
+      * the fact-side ambiguity of a both-bare bottom join is covered by
+      * the alternate parse). Returns the tids whose freshness gates
+      * serving (r17: any length chain, closing VERDICT r16 #3). */
+    def shapeTids(i: MvInfo): Option[Seq[Long]] = {
+      def lc(p: (String, String)) = (p._1.toLowerCase, p._2.toLowerCase)
+      val ok = i.sourceTid == shape.relL.tid &&
+        i.dims.size == shape.dims.size &&
+        i.dims.zip(shape.dims).forall {
+          case ((dimTid, mvKeys), (qRel, qKeys)) =>
+            qRel.tid == dimTid && qKeys.map(lc).toSet == mvKeys.map(lc).toSet
+        }
+      if (ok) Some(i.sourceTid +: shape.dims.map(_._1.tid)) else None
     }
     val relOut: Seq[Attribute] =
-      shape.relL.out ++ shape.relR.map(_.out).getOrElse(Nil)
+      shape.relL.out ++ shape.dims.flatMap(_._1.out)
     // ADVICE r16 (medium): everything below binds columns by lowercase
     // name (mvAttr, group/residual checks, resolveFilter). A
     // case-insensitive duplicate across a join's two sides — e.g. an ADD

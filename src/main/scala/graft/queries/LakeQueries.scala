@@ -1462,6 +1462,51 @@ object LakeQueries {
       } finally s.conf.unset("spark.graft.mv.rewrite")
     }),
 
+    // ---- snowflake join-MV rewrite (r17, VERDICT r16 #3): l60's 2-dim
+    // chain query (fact ⋈ customer-dim ⋈ nation-dim, grouped by the OUTER
+    // dim attribute) answered from the maintained snowflake MV after the
+    // same fact+both-dims DML history — freshness gates on ALL THREE
+    // tables, and the plan carries no fact/dim relation ------------------
+    "l67_mv_snowflake_rewrite" -> ((s, dir) => {
+      val lake = newLake(s)
+      val orders = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      lake.createTableAs("main.fact", orders.filter(col("o_orderkey") % 2 === 0))
+      lake.createTableAs("main.d1", t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")))
+      lake.createTableAs("main.d2", t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name")))
+      lake.createMaterializedView("main.mv67", "main.fact",
+        groupCols = Seq("n_name"), sumCols = Seq("o_orderkey"),
+        cntCols = Seq("o_orderkey"),
+        dims = Seq(("main.d1", Seq(("o_custkey", "c_custkey"))),
+          ("main.d2", Seq(("c_nationkey", "n_nationkey")))))
+      lake.append("main.fact", orders.filter(col("o_orderkey") % 2 === 1))
+      lake.update("main.fact", col("o_orderkey") % 11 === 0,
+        Map("o_custkey" -> lit(1L)))
+      lake.update("main.d1", col("c_custkey") % 7 === 0,
+        Map("c_nationkey" -> ((col("c_nationkey") + 1) % 25)))
+      lake.update("main.d2", col("n_nationkey") % 5 === 0,
+        Map("n_name" -> concat(lit("X-"), col("n_name"))))
+      lake.refreshMaterializedView("main.mv67")
+      val cat = s"lqmvs${System.nanoTime()}"
+      wireCatalog(s, cat, lake)
+      s.conf.set("spark.graft.mv.rewrite", "fresh")
+      try {
+        val q = s.sql(
+          s"""SELECT n_name, count(*) AS n_rows, sum(o_orderkey) AS sum_ok
+             |FROM $cat.main.fact f
+             |JOIN $cat.main.d1 c ON f.o_custkey = c.c_custkey
+             |JOIN $cat.main.d2 n ON c.c_nationkey = n.n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)
+        val opt = q.queryExecution.optimizedPlan
+        require(opt.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => r
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+        }.isEmpty, s"l67: snowflake MV rewrite did not fire — a relation survives:\n$opt")
+        q
+      } finally s.conf.unset("spark.graft.mv.rewrite")
+    }),
+
     "l28_sql_merge" -> ((s, dir) => {
       import s.implicits._
       val lake = newLake(s)
@@ -1992,6 +2037,28 @@ object LakeQueries {
         |  FROM (SELECT n_nationkey, CASE WHEN n_nationkey % 5 = 0
         |          THEN 'X-' || n_name ELSE n_name END AS base
         |        FROM nation)) d2
+        |  ON d1.c_nationkey = d2.n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    // snowflake-MV rewrite: the 2-dim chain query recomputed directly over
+    // the same post-DML state (fact %11 rekey, d1 nationkey shift, d2 X-
+    // rename — l60's history minus the second d2 pass)
+    "l67_mv_snowflake_rewrite" ->
+      """SELECT n_name, COUNT(*) AS n_rows,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_ok
+        |FROM (
+        |  SELECT CASE WHEN o_orderkey % 11 = 0 THEN 1
+        |              ELSE o_custkey END AS o_custkey, o_orderkey
+        |  FROM orders) f
+        |JOIN (
+        |  SELECT c_custkey, CASE WHEN c_custkey % 7 = 0
+        |    THEN (c_nationkey + 1) % 25 ELSE c_nationkey END AS c_nationkey
+        |  FROM customer) d1
+        |  ON f.o_custkey = d1.c_custkey
+        |JOIN (
+        |  SELECT n_nationkey, CASE WHEN n_nationkey % 5 = 0
+        |    THEN 'X-' || n_name ELSE n_name END AS n_name
+        |  FROM nation) d2
         |  ON d1.c_nationkey = d2.n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
 

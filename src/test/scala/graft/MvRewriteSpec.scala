@@ -382,6 +382,69 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("snowflake MV (two dims) serves the join chain; dim churn gates freshness (r17)") {
+    val (lake, cat) = mkLake("sn")
+    import spark.implicits._
+    lake.createTableAs("main.fact",
+      Seq((1L, 10L), (1L, 20L), (2L, 5L), (3L, 7L)).toDF("fk", "x"))
+    lake.createTableAs("main.d1",
+      Seq((1L, "red"), (2L, "blue"), (3L, "red")).toDF("k", "seg"))
+    lake.createTableAs("main.d2",
+      Seq(("red", "emea"), ("blue", "apac")).toDF("seg2", "region"))
+    lake.createMaterializedView("main.mv", "main.fact",
+      groupCols = Seq("region"), sumCols = Seq("x"),
+      dims = Seq(("main.d1", Seq(("fk", "k"))),
+        ("main.d2", Seq(("seg", "seg2")))))
+    val chain =
+      s"""SELECT region, count(*) AS n, sum(x) AS s
+         |FROM $cat.main.fact f JOIN $cat.main.d1 a ON f.fk = a.k
+         |JOIN $cat.main.d2 b ON a.seg = b.seg2
+         |GROUP BY region""".stripMargin
+    def rows3(df: DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Set(("emea", 3L, 37L), ("apac", 1L, 5L))
+    assert(rows3(spark.sql(chain)) == want) // rule off: ground truth
+    withMode("fresh") {
+      val df = spark.sql(chain)
+      assert(!df.queryExecution.optimizedPlan.toString.contains("RelationV2"),
+        s"snowflake MV must serve the 2-dim chain:\n${df.queryExecution.optimizedPlan}")
+      assert(rows3(df) == want)
+      // bottom-join orientation flip (d1 JOIN fact) still serves via the
+      // alternate parse
+      val flip = spark.sql(
+        s"""SELECT region, count(*) AS n, sum(x) AS s
+           |FROM $cat.main.d1 a JOIN $cat.main.fact f ON a.k = f.fk
+           |JOIN $cat.main.d2 b ON a.seg = b.seg2
+           |GROUP BY region""".stripMargin)
+      assert(!flip.queryExecution.optimizedPlan.toString.contains("RelationV2"),
+        s"flipped bottom join must serve:\n${flip.queryExecution.optimizedPlan}")
+      assert(rows3(flip) == want)
+      // note: a comma/ON-1=1 reordering of the SAME chain is normalized by
+      // Catalyst's join reorder and legitimately serves; a join on a
+      // DIFFERENT key than the MV's is a different query: fall back
+      val wrong = spark.sql(
+        s"""SELECT region, sum(x) AS s
+           |FROM $cat.main.fact f JOIN $cat.main.d1 a ON f.fk = a.k
+           |JOIN $cat.main.d2 b ON a.seg = b.region
+           |GROUP BY region""".stripMargin)
+      assert(wrong.queryExecution.optimizedPlan.toString.contains("RelationV2"),
+        s"wrong-key chain must fall back:\n${wrong.queryExecution.optimizedPlan}")
+      // MIDDLE-dim churn gates: an update to d1 disqualifies until refresh
+      lake.update("main.d1", col("k") === 3L, Map("seg" -> lit("blue")))
+      val stale = spark.sql(chain)
+      assert(stale.queryExecution.optimizedPlan.toString.contains("RelationV2"),
+        "dim churn must disqualify the snowflake MV until refreshed")
+      val want2 = Set(("emea", 2L, 30L), ("apac", 2L, 12L))
+      assert(rows3(stale) == want2)
+    }
+    withMode("refresh") {
+      val df = spark.sql(chain) // refresh-on-read folds the d1 delta, serves
+      assert(rows3(df) == Set(("emea", 2L, 30L), ("apac", 2L, 12L)))
+      assert(!df.queryExecution.optimizedPlan.toString.contains("RelationV2"),
+        s"refresh mode must serve after folding the dim delta:\n${df.queryExecution.optimizedPlan}")
+    }
+  }
+
   test("count(NULL) never serves from n_rows (it is 0, not the row count)") {
     val (lake, cat) = mkLake("n")
     import spark.implicits._
