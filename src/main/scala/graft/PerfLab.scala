@@ -153,6 +153,36 @@ object PerfLab {
       .filter(col("o_orderkey") % 100 === (mvSliceN % 100))
   }
 
+  // ---- incremental-dedup fixture (r17, VERDICT r16 #5): docs corpus in
+  // the lake with a maintained band-signature table; each timed run
+  // appends the SAME ~2% slice volume of fresh doc_ids, then either
+  // (inc) refreshes the signature store from the change feed and probes
+  // ONLY the new bands against it, or (batch) re-bands the WHOLE corpus
+  // and recomputes the restricted pairing — the delta isolates what the
+  // signature store saves on a continuously-ingesting corpus.
+  private val sigLakes = scala.collection.mutable.Map[String, graft.lake.Lake]()
+  private var sigN = 0
+  private def sigFixture(s: SparkSession, dir: String): graft.lake.Lake =
+    synchronized {
+      sigLakes.getOrElseUpdate(dir, {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_siglab").toString
+        val lake = new graft.lake.Lake(s, root)
+        lake.createTableAs("main.docs", t(s, dir, "documents")
+          .select(col("doc_id"), col("text")))
+        graft.lake.SignatureStore.create(lake, "main.sigs", "main.docs")
+        lake
+      })
+    }
+  private def sigSlice(s: SparkSession, dir: String): DataFrame = synchronized {
+    sigN += 1
+    // fresh ids per run (offset past every prior run's range)
+    t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 50 === (sigN % 50))
+      .withColumn("doc_id",
+        col("doc_id") + lit(1000000000L) * sigN)
+  }
+
   // ---- join-MV dim-delta fixture (r14): fact = orders sorted by the join
   // key (the layout a real deployment keeps for SPJ), dim = customer;
   // each timed run moves ONE dim key's group attribute so the refresh
@@ -1567,6 +1597,59 @@ object PerfLab {
       s.conf.set("spark.graft.mv.rewrite", "off")
       s.sql(mvrjSql(cat))
     }),
+    // ---- incremental dedup vs batch recompute (r17) -------------------
+    "t23_inc" -> ((s, dir) => {
+      val lake = sigFixture(s, dir)
+      val pre = lake.currentSnapshot()
+      lake.append("main.docs", sigSlice(s, dir))
+      graft.lake.SignatureStore.refresh(lake, "main.sigs")
+      graft.lake.SignatureStore.dedupNewAgainstAll(lake, "main.sigs", pre)
+    }),
+    // shared per-run cost alone (slice append, no dedup work): inc −
+    // append isolates the signature refresh + probe, batch − append the
+    // corpus re-banding
+    "t23_append" -> ((s, dir) => {
+      val lake = sigFixture(s, dir)
+      lake.append("main.docs", sigSlice(s, dir))
+      lake.table("main.sigs").limit(1)
+    }),
+    "t23_batch" -> ((s, dir) => {
+      val lake = sigFixture(s, dir)
+      val pre = lake.currentSnapshot()
+      val slice = sigSlice(s, dir)
+      lake.append("main.docs", slice)
+      // batch path: re-band the WHOLE corpus, pair within buckets, keep
+      // pairs touching a new doc, verify — what every ingest would cost
+      // without the maintained signature store
+      val newIds = slice.select(col("doc_id"))
+      val bands = graft.lake.SignatureStore.bandsOf(lake.table("main.docs"))
+      val b2 = bands.select(col("doc_id").as("doc_b"), col("band"), col("bucket"))
+      val okB = bands.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("n")).filter(col("n") <= 64)
+        .select(col("band"), col("bucket"))
+      val pairs = bands.join(b2, Seq("band", "bucket"))
+        .filter(col("doc_id") < col("doc_b"))
+        .join(okB, Seq("band", "bucket"), "left_semi")
+        .select(col("doc_id").as("doc_a"), col("doc_b")).distinct()
+        .join(newIds.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+        .unionByName(bands.join(b2, Seq("band", "bucket"))
+          .filter(col("doc_id") < col("doc_b"))
+          .join(okB, Seq("band", "bucket"), "left_semi")
+          .select(col("doc_id").as("doc_a"), col("doc_b")).distinct()
+          .join(newIds.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
+          .select(col("doc_a"), col("doc_b")))
+        .distinct()
+      val docs = lake.table("main.docs")
+        .filter(expr("size(split(lower(trim(text)), ' ')) >= 3"))
+        .selectExpr("doc_id", "graft_ngrams(split(lower(trim(text)), ' '), 3, true) AS sh")
+      pairs
+        .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+        .selectExpr("doc_a", "doc_b",
+          "size(array_intersect(sha, shb)) / size(array_distinct(concat(sha, shb))) AS jaccard")
+        .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b")).limit(200)
+    }),
+
     "mvrs_rewrite" -> ((s, dir) => {
       val cat = mvrsFixture(s, dir)
       s.conf.set("spark.graft.mv.rewrite", "fresh")
