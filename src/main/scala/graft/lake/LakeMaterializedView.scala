@@ -263,9 +263,17 @@ object LakeMaterializedView {
       dimTable: Option[String] = None,
       dimKeys: Seq[(String, String)] = Nil,
       dims: Seq[(String, Seq[(String, String)])] = Nil,
-      groupExprs: Seq[(String, String)] = Nil): Long = {
+      groupExprs: Seq[(String, String)] = Nil,
+      rewrite: Option[String] = None): Long = {
     require(groupCols.nonEmpty || groupExprs.nonEmpty,
       "materialized view needs at least one group column")
+    // per-view rewrite scoping (r17 stretch): lands as the table-scoped
+    // catalog option `mv.rewrite` in the SAME commit as the definition —
+    // `off` blocks serving even when the session rule is armed,
+    // `fresh`/`refresh` pin this view's mode; settable later via
+    // set_option("mv.rewrite", …, table = Some(name))
+    rewrite.foreach(v => require(Set("off", "fresh", "refresh")(v.toLowerCase),
+      s"mv rewrite option must be off|fresh|refresh, got $v"))
     require(dimTable.isEmpty == dimKeys.isEmpty,
       "dimTable and dimKeys must be given together")
     require(dimTable.isEmpty || dims.isEmpty,
@@ -359,6 +367,8 @@ object LakeMaterializedView {
             TagEntry(tid, KMinMax, minMaxCols.mkString(","), sid, None)) ++
             groupExprs.map { case (n, esql) =>
               TagEntry(tid, s"$KGroupExprPrefix$n", esql, sid, None) } ++
+            rewrite.map(v =>
+              TagEntry(tid, "mv.rewrite", v.toLowerCase, sid, None)) ++
             filterSql.map(f => TagEntry(tid, KFilter, f, sid, None)) ++
             // N dims: ';'-separated per dim (a single dim reads identically
             // to the r14 format, so old catalogs parse unchanged)

@@ -325,6 +325,20 @@ class LakeMvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
       .sortBy { case (_, i, _, gm) => (i.groups.size != gm.size, i.groups.size) }
 
     candidates.iterator.flatMap { case (mvEntry, info0, gateTids, gMap) =>
+      // per-MV scoping (r17, stretch): the catalog option `mv.rewrite`
+      // (table > schema > global scoping, settable at CREATE via
+      // WITH (rewrite = …) or later via set_option) overrides the session
+      // mode FOR THIS VIEW — `off` never serves even when the session
+      // rule is armed; `fresh`/`refresh` pin the view's own mode. The
+      // session conf stays the master arm switch for the rule itself.
+      val mvMode: Option[String] =
+        st0.optionAt(mvEntry.tableId, "mv.rewrite", snap).map(_.toLowerCase)
+      if (mvMode.contains("off")) Iterator.empty else {
+      val effRefresh = mvMode match {
+        case Some("refresh") => true
+        case Some("fresh") => false
+        case _ => refreshOnRead
+      }
       val mvGroupNames = info0.groups.map(_.toLowerCase).toSet
       // ---- filter match: MV conjuncts ⊆ query conjuncts; residual
       // conjuncts must reference only MV GROUP columns — a group-key
@@ -377,7 +391,7 @@ class LakeMvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
         val store = shape.relL.lt.store
         if (freshIn(st0, info0.last)) {
           serve(st0, snap).iterator
-        } else if (refreshOnRead && store != null && !inRefresh.get()) {
+        } else if (effRefresh && store != null && !inRefresh.get()) {
           // plan-time refresh runs whole queries, which re-enter the
           // optimizer — the reentrancy latch stops a nested rewrite from
           // kicking off another refresh (the refresh's own internal reads
@@ -395,6 +409,7 @@ class LakeMvRewrite(spark: SparkSession) extends Rule[LogicalPlan]
           } catch { case _: Exception => Iterator.empty }
           finally inRefresh.set(false)
         } else Iterator.empty
+      }
       }
     }.nextOption()
   }

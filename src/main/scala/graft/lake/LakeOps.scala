@@ -1364,11 +1364,12 @@ class Lake(val spark: SparkSession, val root: String,
       dimTable: Option[String] = None,
       dimKeys: Seq[(String, String)] = Nil,
       dims: Seq[(String, Seq[(String, String)])] = Nil,
-      groupExprs: Seq[(String, String)] = Nil): Long = {
+      groupExprs: Seq[(String, String)] = Nil,
+      rewrite: Option[String] = None): Long = {
     aclSuper("CREATE MATERIALIZED VIEW")
     LakeMaterializedView.create(this, name, source, groupCols, sumCols,
       minMaxCols, cntCols, avgCols, filterSql, dimTable, dimKeys, dims,
-      groupExprs)
+      groupExprs, rewrite)
   }
 
   /** Fold the source change feed since the last refresh into the MV;

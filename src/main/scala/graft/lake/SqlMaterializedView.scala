@@ -139,14 +139,15 @@ case class CreateLakeMaterializedViewCommand(
     catalogName: String, name: String, source: String,
     groupCols: Seq[String], sumCols: Seq[String], cntCols: Seq[String],
     avgCols: Seq[String], minMaxCols: Seq[String], filterSql: Option[String],
-    dims: Seq[(String, Seq[(String, String)])])
+    dims: Seq[(String, Seq[(String, String)])],
+    rewrite: Option[String] = None)
     extends LeafRunnableCommand {
   override def output: Seq[Attribute] =
     Seq(AttributeReference("snapshot_id", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(SqlViews.lakeOf(spark, catalogName).createMaterializedView(
       name, source, groupCols, sumCols, minMaxCols, cntCols, avgCols,
-      filterSql, dims = dims)))
+      filterSql, dims = dims, rewrite = rewrite)))
 }
 
 case class RefreshLakeMaterializedViewCommand(catalogName: String, name: String)

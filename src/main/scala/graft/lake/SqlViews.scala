@@ -398,9 +398,13 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   // incremental materialized views (superset DDL; [[SqlMaterializedView]]);
   // the FROM clause supports CHAINED JOINs (snowflake: a later dim may key
   // off an earlier dim's carried column) — parsed by parseFromClause
+  // the optional trailing WITH (rewrite = off|fresh|refresh) scopes the
+  // opt-in query rewrite PER VIEW (r17 stretch — lands as the
+  // table-scoped `mv.rewrite` catalog option)
   private val CreateMvRe =
     ("""(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s+AS\s+SELECT\s+(.+?)""" +
-      """\s+FROM\s+(.+?)\s+GROUP\s+BY\s+(.+?)\s*;?\s*""").r
+      """\s+FROM\s+(.+?)\s+GROUP\s+BY\s+(.+?)""" +
+      """(?:\s+WITH\s*\(\s*rewrite\s*=\s*'?(\w+)'?\s*\))?\s*;?\s*""").r
   private val RefreshMvRe =
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s*;?\s*""".r
   // explicit-transaction block (r15): the whole BEGIN…COMMIT/ROLLBACK
@@ -443,7 +447,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       RevokeLakeCommand(curCat, csv(privs), Some(table), role)
     case RevokeRoleRe(role, user) =>
       RevokeLakeCommand(curCat, Seq(role), None, user)
-    case CreateMvRe(name, select, fromClause, groupBy) =>
+    case CreateMvRe(name, select, fromClause, groupBy, rewriteMode) =>
       val groupCols = csv(groupBy)
       val (sums, cnts, avgs, mms) =
         SqlMaterializedView.parseSelectList(select, groupCols)
@@ -453,7 +457,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       // CREATE, not the initial compute (same discipline as macros)
       where.foreach(delegate.parseExpression)
       CreateLakeMaterializedViewCommand(curCat, name, source, groupCols,
-        sums, cnts, avgs, mms, where, dims)
+        sums, cnts, avgs, mms, where, dims, Option(rewriteMode))
     case RefreshMvRe(name) =>
       RefreshLakeMaterializedViewCommand(curCat, name)
     case ShowRolesRe() => ShowLakeRolesCommand(curCat)

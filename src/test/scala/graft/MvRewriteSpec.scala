@@ -445,6 +445,51 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("per-view mv.rewrite option scopes serving; survives freeze->thaw (r17 stretch)") {
+    val (lake, cat) = mkLake("pv")
+    import spark.implicits._
+    lake.createTableAs("main.src", Seq(("a", 1L), ("b", 2L)).toDF("g", "x"))
+    // created WITH rewrite=off via the SQL DDL surface
+    spark.sql(s"SET CATALOG $cat")
+    try spark.sql(
+      """CREATE MATERIALIZED VIEW main.mv AS
+        |SELECT g, SUM(x) FROM main.src GROUP BY g
+        |WITH (rewrite = off)""".stripMargin).collect()
+    finally spark.sql("SET CATALOG spark_catalog")
+    def q() = spark.sql(s"SELECT g, sum(x) AS s FROM $cat.main.src GROUP BY g")
+    withMode("fresh") {
+      // per-view OFF overrides the armed session conf: no serve
+      assert(aggCount(q()) == 1,
+        s"per-view off must block serving:\n${q().queryExecution.optimizedPlan}")
+      // flipping the option via set_option enables serving
+      lake.setOption("mv.rewrite", "fresh", table = Some("main.mv"))
+      assert(aggCount(q()) == 0,
+        s"per-view fresh must serve:\n${q().queryExecution.optimizedPlan}")
+      // per-view REFRESH under a fresh session: stale MV refreshes-on-read
+      lake.setOption("mv.rewrite", "refresh", table = Some("main.mv"))
+      lake.append("main.src", Seq(("a", 10L)).toDF("g", "x")) // stale now
+      val df = q()
+      assert(aggCount(df) == 0,
+        s"per-view refresh must refresh-on-read:\n${df.queryExecution.optimizedPlan}")
+      assert(rows2(df) == Set(("a", 11L), ("b", 2L)))
+    }
+    // the option tag rides freeze -> thaw like the definition tags
+    lake.setOption("mv.rewrite", "off", table = Some("main.mv"))
+    val frozen = Files.createTempDirectory("graft_pvfreeze").toString
+    lake.freeze(frozen)
+    val thawed = new Lake(spark,
+      Files.createTempDirectory("graft_pvthaw").toString)
+    thawed.importCatalog(s"$frozen/catalog_parquet")
+    val tcat = s"mvrwpt${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$tcat", classOf[LakeCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$tcat.root", thawed.root)
+    withMode("fresh") {
+      val df = spark.sql(s"SELECT g, sum(x) AS s FROM $tcat.main.src GROUP BY g")
+      assert(aggCount(df) == 1,
+        s"thawed per-view off must still block:\n${df.queryExecution.optimizedPlan}")
+    }
+  }
+
   test("count(NULL) never serves from n_rows (it is 0, not the row count)") {
     val (lake, cat) = mkLake("n")
     import spark.implicits._
