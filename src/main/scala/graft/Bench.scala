@@ -72,7 +72,32 @@ object Bench {
     // comparability of disk-state-dependent entries is checkable.
     def diskFreeGb(): Double =
       new java.io.File(sys.props("java.io.tmpdir")).getUsableSpace / 1e9
+    // I/O-regime sentinel (r17, VERDICT r16 #6): a FIXED-size parquet scan
+    // timed beside the CPU sentinel. The r16 driver sweep inflated entries
+    // a median 23% while the CPU sentinel read clean (1.5%) — the ambient
+    // elevation lived in the I/O/syscall path the compute sentinel cannot
+    // sense. The file is written fresh each run (deterministic content,
+    // ~60 MB, OUTSIDE any timed window); reads run against a warm page
+    // cache, exactly the regime the per-entry medians run in, so a shift
+    // here stamps an I/O-regime change without per-entry forensics.
+    val ioSentinelDir = java.nio.file.Files.createTempDirectory("graft_iosent")
+    val ioSentinelPath = ioSentinelDir.resolve("t.parquet").toString
+    spark.range(8000000L)
+      .selectExpr("id", "cast(id % 97 as string) AS s",
+        "id * 2654435761 % 1000003 AS v")
+      .write.mode("overwrite").parquet(ioSentinelPath)
+    def ioSentinel(): Double = {
+      def one(): Double = {
+        val t0 = System.nanoTime()
+        spark.read.parquet(ioSentinelPath)
+          .selectExpr("sum(v) AS sv", "count(s) AS cs").collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      one()
+      Seq.fill(3)(one()).sorted.apply(1)
+    }
     val sentinelStart = sentinel()
+    val ioSentinelStart = ioSentinel()
     // Sentinel-band gate (r14, VERDICT r13 #6): compare against the
     // PREVIOUS committed artifact at the same path, so a round-over-round
     // total that moved on ambient machine state (r13: +8% suite-wide with
@@ -101,6 +126,21 @@ object Bench {
       case None => (Seq(sentinelStart), 0.0, false)
     }
     val sentinelStart2 = sentinelReadings.head
+    // previous I/O sentinel from the committed artifact → drift stamp
+    val prevIoSentinel: Option[Double] =
+      if (!java.nio.file.Files.exists(outPath)) None
+      else "\"io_sentinel_start\":([0-9.Ee+-]+)".r
+        .findFirstMatchIn(new String(
+          java.nio.file.Files.readAllBytes(outPath), "UTF-8"))
+        .map(_.group(1).toDouble).filter(_ > 0)
+    val ioBand = prevIoSentinel.map { prev =>
+      val drift = (ioSentinelStart - prev) / prev * 100
+      s""","io_sentinel_prev":$prev,"io_sentinel_drift_pct":${
+        String.format(java.util.Locale.ROOT, "%.1f", Double.box(drift))}""" +
+        (if (math.abs(drift) > 25)
+          ""","io_sentinel_note":"I/O-regime drift >25% vs previous artifact; I/O-bound entries this sweep are not comparable round-over-round" """.trim
+        else "")
+    }.getOrElse("")
     val sentinelBand = prevSentinel.map(prev =>
       s""""sentinel_prev":$prev,"sentinel_readings":[${sentinelReadings.mkString(",")}],""" +
       s""""sentinel_drift_pct":${String.format(java.util.Locale.ROOT, "%.1f", Double.box(sentinelDriftPct))}""" +
@@ -152,6 +192,7 @@ object Bench {
     }
     val results = allRuns.map { case (name, timed) => name -> timed(timed.length / 2) }
     val sentinelEnd = sentinel()
+    val ioSentinelEnd = ioSentinel()
     val diskEnd = diskFreeGb()
     // Entry-drift gate (VERDICT r14 #1b): median-of-3 vs the previous
     // artifact's median-of-3, per entry. Fires when >20% of comparable
@@ -188,10 +229,13 @@ object Bench {
     val runsJson = allRuns.map { case (k, ts) =>
       s"\"" + k + "\":[" + ts.mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val bandField = (if (sentinelBand.isEmpty) "" else s",$sentinelBand") + driftField
+    val bandField = (if (sentinelBand.isEmpty) "" else s",$sentinelBand") +
+      ioBand + driftField
     val full = s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,""" +
       s""""queries":$qs,"runs":$runsJson,"sentinel_start":$sentinelStart2,""" +
-      s""""sentinel_end":$sentinelEnd$bandField$envField,"disk_free_gb_start":$diskStart,""" +
+      s""""sentinel_end":$sentinelEnd,""" +
+      s""""io_sentinel_start":$ioSentinelStart,"io_sentinel_end":$ioSentinelEnd""" +
+      s"""$bandField$envField,"disk_free_gb_start":$diskStart,""" +
       s""""disk_free_gb_end":$diskEnd,"sf":"$sfDir","epoch_ms":${System.currentTimeMillis}}"""
     val out = outPath
     java.nio.file.Files.write(out, full.getBytes("UTF-8"))
@@ -207,7 +251,8 @@ object Bench {
       val body = m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$body,""" +
-        s""""sentinel_start":${fmt(sentinelStart2)},"sentinel_end":${fmt(sentinelEnd)}$bandField,""" +
+        s""""sentinel_start":${fmt(sentinelStart2)},"sentinel_end":${fmt(sentinelEnd)},""" +
+        s""""io_sentinel_start":${fmt(ioSentinelStart)},"io_sentinel_end":${fmt(ioSentinelEnd)}$bandField,""" +
         s""""disk_free_gb_start":${fmt(diskStart)},"disk_free_gb_end":${fmt(diskEnd)}""" +
         extra + s""","sf":"$sfDir"}"""
     }
