@@ -43,8 +43,24 @@ object OpProfile {
     val spark = builder.getOrCreate()
     sparkRef = spark
     spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.get("GRAFT_PROFILE_ACTIONS").contains("1"))
+      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+          val head = qe.optimizedPlan.toString.linesIterator.take(2).mkString(" ~ ").take(150)
+          println(f"    [action] $funcName%-18s ${durationNs / 1e6}%8.1f ms  $head")
+        }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+      })
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        if (sys.env.get("GRAFT_PROFILE_JOBS").contains("1")) {
+          val names = j.stageInfos.map(_.name).distinct.mkString(" | ")
+          println(s"    [job ${j.jobId}] $names")
+        }
+      }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = tasks.incrementAndGet()
     })
 

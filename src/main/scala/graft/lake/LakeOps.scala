@@ -238,9 +238,15 @@ class Lake(val spark: SparkSession, val root: String,
       s"addDataFiles: file name '$n' is already registered; rename the file"))
 
     val statCols = cols.filter(c => LakeWrite.statsEligible(LakeRead.sparkType(c.dataType)))
+    // footer-first (r17, guide §6): foreign files carry their writers'
+    // statistics, which parquet-mr's reader already sanitizes (legacy
+    // corrupt binary stats are dropped at decode → harvest falls back);
+    // physical-vs-declared type mismatches fall back inside FooterStats
     val statRows: Map[String, Row] =
       if (!collectStats || statCols.isEmpty || cands.forall(_.rows == 0L)) Map.empty
-      else {
+      else org.apache.spark.sql.graft.FooterStats.harvest(spark,
+        cands.map(cd => cd.fileName -> cd.path),
+        statCols.map(c => c.name -> LakeRead.sparkType(c.dataType))).getOrElse {
         val aggs = LakeWrite.statAggsFor(statCols)
         spark.read.schema(LakeRead.structFor(cols)).parquet(cands.map(_.path): _*)
           .groupBy(col("_metadata.file_name").as("_file"))

@@ -28,6 +28,27 @@ object LakeWrite {
 
   private def uuid(): String = UUID.randomUUID().toString.replace("-", "")
 
+  /** Run `body` (a lake-internal parquet write) with
+    * spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS, restoring the
+    * caller's value after. Spark's INT96 compatibility default carries NO
+    * footer statistics, which would force every timestamp-bearing table
+    * back onto the stats-job fallback (r17, FooterStats) — and INT64
+    * micros is the type DuckDB/Iceberg read natively. Values and query
+    * results are identical; only the physical encoding of LAKE data files
+    * changes. Scoped here rather than session-wide because a session-wide
+    * flip also changes how RESULT frames serialize to the verify sink
+    * (tz-annotated micros read back timezone-aware where INT96 reads
+    * naive), which is a hash change in the driver's oracle compare. */
+  private[lake] def withMicrosTimestamps[T](spark: SparkSession)(body: => T): T = {
+    val k = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.get(k)
+    if (prev == "TIMESTAMP_MICROS") body
+    else {
+      spark.conf.set(k, "TIMESTAMP_MICROS")
+      try body finally spark.conf.set(k, prev)
+    }
+  }
+
   def tableDir(root: String, tid: Long) = s"$root/t$tid"
 
   /** stats-eligible leaf types (orderable, cast-to-string round-trippable) */
@@ -264,7 +285,7 @@ object LakeWrite {
     val wopts = writeOptions(st0, tid, s0)
     val hivePattern = partKeys.nonEmpty &&
       tag("hive_file_pattern").exists(v => v == "true" || v == "1")
-    if (partKeys.nonEmpty) {
+    withMicrosTimestamps(spark) { if (partKeys.nonEmpty) {
       val pcols = partKeys.zipWithIndex.map { case (pk, i) => transformCol(pk).as(s"_gp$i") }
       // compaction inputs are already grouped partition-pure (one task per
       // bin-packed group), so the shuffle would only break that grouping —
@@ -299,7 +320,7 @@ object LakeWrite {
       else withP
       sortedP.write.options(wopts).partitionBy(partKeys.indices.map(i => s"_gp$i"): _*)
         .mode(SaveMode.Overwrite).parquet(staging)
-    } else aligned.write.options(wopts).mode(SaveMode.Overwrite).parquet(staging)
+    } else aligned.write.options(wopts).mode(SaveMode.Overwrite).parquet(staging) }
 
     val staged = promoteStaged(staging, s"${tableDir(store.root, tid)}/data",
       partKeys, hivePattern)
@@ -338,9 +359,17 @@ object LakeWrite {
           max(v).cast(StringType).as(s"_vmax_$i"),
           sum(when(v.isNull, 1L).otherwise(0L)).as(s"_vnull_$i"))
     }
+    // variant tables keep the fused stats+variant-path job; everything else
+    // harvests the footers the write just produced (r17, guide §1.2/§6 —
+    // no second pass over the written bytes; exact-or-fallback contract in
+    // FooterStats)
     val statRows: Map[String, Row] =
       if (staged.isEmpty) Map.empty
-      else {
+      else (if (variantCols.isEmpty)
+        org.apache.spark.sql.graft.FooterStats.harvest(spark,
+          staged.map(f => f.fileName -> f.path),
+          statCols.map(c => c.name -> LakeRead.sparkType(c.dataType)))
+      else None).getOrElse {
         val aggs = statAggsFor(statCols) ++ variantAggs
         spark.read.schema(readStruct).parquet(staged.map(_.path): _*)
           .groupBy(col("_metadata.file_name").as("_file"))
@@ -493,18 +522,37 @@ object LakeWrite {
   private[lake] def writeDeleteFile(
       spark: SparkSession, store: MetadataStore, tid: Long,
       parquetHits: DataFrame): Option[WrittenDeletes] = {
+    val hits = parquetHits
+      .select(col(LakeRead.FileCol).as("file"), col(LakeRead.PosCol).as("pos"),
+        col(LakeRead.RowIdCol).as("row_id"))
+    // per-data-file hit counts BEFORE the write (r17): the same rows land
+    // in the delete file below, so counting the input replaces the old
+    // post-write re-read of the delete dir (one job instead of two, and a
+    // zero-hit DELETE skips the write entirely), and the total sizes the
+    // range partitioning below instead of a blind session-width shuffle
+    val counts = hits.groupBy("file").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap // O(files)
+    val total = counts.values.sum
+    if (total == 0) return None
     val delDir = s"${tableDir(store.root, tid)}/deletes/d${uuid()}"
     val io = StoreIO.forPath(delDir)
     io.mkdirs(s"${tableDir(store.root, tid)}/deletes")
-    parquetHits
-      .select(col(LakeRead.FileCol).as("file"), col(LakeRead.PosCol).as("pos"),
-        col(LakeRead.RowIdCol).as("row_id"))
-      // range-partition + sort by (file, pos): every output part covers a
-      // contiguous file-name range, so a scan task fetching ONE data file's
-      // positions prunes to its row groups via file-column min/max stats
-      // (the executor-local delete application in NativeParquet) — and the
-      // sort stays distributed, no single-task funnel for a big DELETE
-      .repartitionByRange(col("file"), col("pos"))
+    // range-partition + sort by (file, pos): every output part covers a
+    // contiguous file-name range, so a scan task fetching ONE data file's
+    // positions prunes to its row groups via file-column min/max stats
+    // (the executor-local delete application in NativeParquet) — and the
+    // sort stays distributed, no single-task funnel for a big DELETE.
+    // Part count derives from the hit count (~4M position rows ≈ a few
+    // hundred MB per part, guide §2.2/§6), not the session shuffle width:
+    // a small DELETE gets one part with NO range-sampling job, a 100 TB
+    // one still fans out.
+    val rowsPerPart = spark.conf.getOption("spark.graft.delete.rowsPerPart")
+      .flatMap(_.toLongOption).getOrElse(4L << 20)
+    val nParts = math.max(1L, math.min(
+      spark.sessionState.conf.numShufflePartitions.toLong,
+      (total + rowsPerPart - 1) / rowsPerPart)).toInt
+    hits
+      .repartitionByRange(nParts, col("file"), col("pos"))
       .sortWithinPartitions("file", "pos")
       // delete vectors leak row lineage — on an encrypted table they get
       // the same uniform-key treatment as data files
@@ -512,15 +560,9 @@ object LakeWrite {
         val st = store.state()
         LakeEncryption.writeOptions(st, tid, st.currentSnapshotId)
       }).mode(SaveMode.Overwrite).parquet(delDir)
-    val counts = spark.read.parquet(delDir).groupBy("file").count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap // O(files)
-    val total = counts.values.sum
-    if (total == 0) { deleteRecursively(delDir); None }
-    else {
-      val parts = io.list(delDir, "", ".parquet").sorted
-        .map(n => s"$delDir/$n").toList
-      Some(WrittenDeletes(delDir, counts, total, parts))
-    }
+    val parts = io.list(delDir, "", ".parquet").sorted
+      .map(n => s"$delDir/$n").toList
+    Some(WrittenDeletes(delDir, counts, total, parts))
   }
 
   /** Apply `cond` unless it is the literal TRUE (the DELETE/UPDATE-all
@@ -553,8 +595,12 @@ object LakeWrite {
       .persist()
     val delFile = writeDeleteFile(spark, store, tid,
       matched.filter(!col(LakeRead.FileCol).startsWith("inline:")))
-    val inlineIds = matched.filter(col(LakeRead.FileCol).startsWith("inline:"))
-      .select(col(LakeRead.RowIdCol)).collect().map(_.getLong(0)).toSet // ≤ inline limit
+    // inline-row ids: provably empty when the table has no inline batches
+    // at s0 — skip the collect job (r17; most tables never inline)
+    val inlineIds: Set[Long] =
+      if (st0.inlinedAt(tid, s0).isEmpty) Set.empty
+      else matched.filter(col(LakeRead.FileCol).startsWith("inline:"))
+        .select(col(LakeRead.RowIdCol)).collect().map(_.getLong(0)).toSet // ≤ inline limit
     matched.unpersist()
     beforeCommit()
 
@@ -643,13 +689,19 @@ object LakeWrite {
         .cast(LakeRead.sparkType(c.dataType)).as(c.name)) ++
         Seq(col(LakeRead.FileCol), col(LakeRead.RowIdCol)): _*)
 
-    // inline side: updated JSON by row id (inline log is small by contract)
-    val inlineUpdated = updated.filter(col(LakeRead.FileCol).startsWith("inline:"))
-    val inlineIds = inlineUpdated.select(col(LakeRead.RowIdCol))
-      .collect().map(_.getLong(0))
-    val inlineJson = inlineUpdated.drop(LakeRead.FileCol, LakeRead.RowIdCol)
-      .toJSON.collect()
-    val updatedJson: Map[Long, String] = inlineIds.zip(inlineJson).toMap
+    // inline side: updated JSON by row id (inline log is small by contract);
+    // provably empty — and the two collect jobs skipped — when the table
+    // has no inline batches at s0 (r17)
+    val updatedJson: Map[Long, String] =
+      if (st0.inlinedAt(tid, s0).isEmpty) Map.empty
+      else {
+        val inlineUpdated = updated.filter(col(LakeRead.FileCol).startsWith("inline:"))
+        val inlineIds = inlineUpdated.select(col(LakeRead.RowIdCol))
+          .collect().map(_.getLong(0))
+        val inlineJson = inlineUpdated.drop(LakeRead.FileCol, LakeRead.RowIdCol)
+          .toJSON.collect()
+        inlineIds.zip(inlineJson).toMap
+      }
 
     // parquet side: delete file + post-image files with explicit row ids
     val parquetPre = matched.filter(!col(LakeRead.FileCol).startsWith("inline:"))
@@ -660,26 +712,17 @@ object LakeWrite {
       case None => Nil
       case Some(_) =>
         val staging = s"${store.root}/_staging/${uuid()}"
-        postImages.write.options(writeOptions(st0, tid, s0))
-          .mode(SaveMode.Overwrite).parquet(staging)
+        withMicrosTimestamps(spark)(postImages.write.options(writeOptions(st0, tid, s0))
+          .mode(SaveMode.Overwrite).parquet(staging))
         promoteStaged(staging, s"${tableDir(store.root, tid)}/data", Nil)
     }
     matched.unpersist()
 
     val statCols = cols.filter(c => statsEligible(LakeRead.sparkType(c.dataType)))
     val readStruct = LakeRead.structFor(cols).add(StructField(LakeRead.RowIdCol, LongType))
-    val statRows: Map[String, Row] =
-      if (staged.isEmpty) Map.empty
-      else spark.read.schema(readStruct).parquet(staged.map(_.path): _*)
-        .groupBy(col("_metadata.file_name").as("_file"))
-        .agg(statAggsFor(statCols).head, statAggsFor(statCols).tail: _*)
-        .collect().map(r => r.getString(0) -> r).toMap
-    val keptStaged = staged.filter(f => statRows.contains(f.fileName))
-    staged.filterNot(f => statRows.contains(f.fileName))
-      .foreach(f => StoreIO.forPath(f.path).delete(f.path))
-    val sizes = keptStaged.map(f => f.fileName -> StoreIO.forPath(f.path).size(f.path)).toMap
+    val (keptStaged, statRows, sizes) = stagedStats(spark, readStruct, statCols, staged)
 
-    val total = delFile.map(_.total).getOrElse(0L) + inlineIds.length
+    val total = delFile.map(_.total).getOrElse(0L) + updatedJson.size
     val sid = store.commitWithRetry() { (st, sid) =>
       val fileIdByName = st.filesAt(tid, st.currentSnapshotId)
         .map(f => f.fileName -> f.fileId).toMap
@@ -743,15 +786,27 @@ object LakeWrite {
   case class MergeInsert(cond: Option[Column], values: Map[String, Column])
 
   /** per-file stats over freshly staged parquet; drops zero-row part files.
-    * Returns (kept files, stats row per file name, size per file name). */
+    * Returns (kept files, stats row per file name, size per file name).
+    *
+    * r17 (guide §1.2/§6): stats come from the parquet FOOTERS the write
+    * itself produced — zero extra Spark jobs, zero re-read of the written
+    * bytes (the old job re-read every ingested byte once more; at 100 TB
+    * that is a second full pass over the write). FooterStats either
+    * reproduces the old aggregate's strings bit-identically or returns
+    * None, in which case the old job runs (INT96 timestamps, NaN/±0.0
+    * float bounds, >4 KB binary values, encrypted footers). */
   private def stagedStats(spark: SparkSession, readStruct: StructType,
       statCols: Seq[ColumnEntry], staged: Seq[StagedFile])
       : (Seq[StagedFile], Map[String, Row], Map[String, Long]) = {
     if (staged.isEmpty) return (Nil, Map.empty, Map.empty)
-    val statRows = spark.read.schema(readStruct).parquet(staged.map(_.path): _*)
-      .groupBy(col("_metadata.file_name").as("_file"))
-      .agg(statAggsFor(statCols).head, statAggsFor(statCols).tail: _*)
-      .collect().map(r => r.getString(0) -> r).toMap // one row per file
+    val statRows = org.apache.spark.sql.graft.FooterStats.harvest(spark,
+      staged.map(f => f.fileName -> f.path),
+      statCols.map(c => c.name -> LakeRead.sparkType(c.dataType))).getOrElse {
+      spark.read.schema(readStruct).parquet(staged.map(_.path): _*)
+        .groupBy(col("_metadata.file_name").as("_file"))
+        .agg(statAggsFor(statCols).head, statAggsFor(statCols).tail: _*)
+        .collect().map(r => r.getString(0) -> r).toMap // one row per file
+    }
     val (kept, empty) = staged.partition(f => statRows.contains(f.fileName))
     empty.foreach(f => StoreIO.forPath(f.path).delete(f.path))
     (kept, statRows, kept.map(f => f.fileName -> StoreIO.forPath(f.path).size(f.path)).toMap)
@@ -846,14 +901,24 @@ object LakeWrite {
         "MERGE: a target row matched multiple source rows")
 
     val inline = col(LakeRead.FileCol).startsWith("inline:")
-    // inline log side (driver-held, bounded by data_inlining_row_limit)
-    val inlineDelIds = affected.filter(inline && !col("_upd"))
-      .select(col(LakeRead.RowIdCol)).collect().map(_.getLong(0)).toSet
-    val inlineUpd = affected.filter(inline && col("_upd"))
-    val inlineUpdIds = inlineUpd.select(col(LakeRead.RowIdCol)).collect().map(_.getLong(0))
-    val inlineUpdJson: Map[Long, String] = inlineUpdIds.zip(
-      inlineUpd.drop(LakeRead.FileCol, LakeRead.PosCol, LakeRead.RowIdCol, "_upd")
-        .toJSON.collect()).toMap
+    // inline log side (driver-held, bounded by data_inlining_row_limit);
+    // provably empty — three collect jobs skipped — when the table has no
+    // inline batches at s0 (r17)
+    val hasInline = st0.inlinedAt(tid, s0).nonEmpty
+    val inlineDelIds: Set[Long] =
+      if (!hasInline) Set.empty
+      else affected.filter(inline && !col("_upd"))
+        .select(col(LakeRead.RowIdCol)).collect().map(_.getLong(0)).toSet
+    val inlineUpdJson: Map[Long, String] =
+      if (!hasInline) Map.empty
+      else {
+        val inlineUpd = affected.filter(inline && col("_upd"))
+        val inlineUpdIds = inlineUpd.select(col(LakeRead.RowIdCol))
+          .collect().map(_.getLong(0))
+        inlineUpdIds.zip(
+          inlineUpd.drop(LakeRead.FileCol, LakeRead.PosCol, LakeRead.RowIdCol, "_upd")
+            .toJSON.collect()).toMap
+      }
 
     // parquet side: one delete file over every affected pre-image
     val delFile = writeDeleteFile(spark, store, tid, affected.filter(!inline))
@@ -868,9 +933,9 @@ object LakeWrite {
     // post-image files (explicit row ids, like UPDATE)
     val postStaged = if (counts.getOrElse(true, 0L) == 0) Nil else {
       val staging = s"${store.root}/_staging/${uuid()}"
-      affected.filter(col("_upd") && !inline)
+      withMicrosTimestamps(spark)(affected.filter(col("_upd") && !inline)
         .drop(LakeRead.FileCol, LakeRead.PosCol, "_upd")
-        .write.options(wopts).mode(SaveMode.Overwrite).parquet(staging)
+        .write.options(wopts).mode(SaveMode.Overwrite).parquet(staging))
       promoteStaged(staging, dataDir, Nil)
     }
     affected.unpersist()
@@ -889,7 +954,8 @@ object LakeWrite {
         }.cast(LakeRead.sparkType(c.dataType)).as(c.name)
       }: _*)
       val staging = s"${store.root}/_staging/${uuid()}"
-      ins.write.options(wopts).mode(SaveMode.Overwrite).parquet(staging)
+      withMicrosTimestamps(spark)(
+        ins.write.options(wopts).mode(SaveMode.Overwrite).parquet(staging))
       promoteStaged(staging, dataDir, Nil)
     }
     val (insKept, insStats, insSizes) = stagedStats(spark, baseStruct, statCols, insStaged)
