@@ -43,6 +43,8 @@ object OpProfile {
     val spark = builder.getOrCreate()
     sparkRef = spark
     spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.get("GRAFT_MV_EXPLAIN").contains("1"))
+      spark.conf.set("spark.graft.mv.explainRefresh", "true")
     if (sys.env.get("GRAFT_PROFILE_ACTIONS").contains("1"))
       spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
         override def onSuccess(funcName: String,

@@ -726,6 +726,14 @@ object LakeMaterializedView {
       // over INSERTED rows only (monotone) — deleted extrema are handled by
       // the dirty-group recompute below
       val ins = col("_change_type").isin("insert", "update_postimage")
+      // r17 (guide §2.4, remove shuffles): the retired-extrema bookkeeping
+      // rides the SAME aggregate as the delta — a per-group dirty flag —
+      // instead of a second distinct over the change rows. The old shape
+      // paid one extra exchange for the dirty DISTINCT plus an ANTI join
+      // against it; now dirtiness is a column of `delta`, the clean rows
+      // are a filter, and the dirty-key frame for the recompute's semi
+      // join filters the same aggregated subtree (the exchange reuses).
+      val needDirty = d.minMaxCols.nonEmpty
       val delta = changes.groupBy(d.groupCols.map(col): _*)
         .agg(sum(w).as("d_n"),
           d.sumAll.map(c => coalesce(sum(w * col(c)).cast(d.stateT(c)),
@@ -734,14 +742,17 @@ object LakeMaterializedView {
               coalesce(sum(when(col(c).isNotNull, w)), lit(0L)).as(s"d_cnt_$c")) ++
             d.minMaxCols.flatMap(c => Seq(
               min(when(ins, col(c))).as(s"d_min_$c"),
-              max(when(ins, col(c))).as(s"d_max_$c"))): _*)
+              max(when(ins, col(c))).as(s"d_max_$c"))) ++
+            (if (needDirty)
+              Seq(max(when(ins, 0L).otherwise(1L)).as("d_dirty")) else Nil): _*)
         // group columns renamed so the joins below can use NULL-SAFE
         // equality: a using-join's EqualTo never matches a NULL group key
         // with itself, which would split a NULL group into stale+delta rows
         .select(d.groupCols.map(c => col(c).as(s"_g_$c")) ++
           (Seq(col("d_n")) ++ d.sumAll.map(c => col(s"d_$c")) ++
             d.cntAll.map(c => col(s"d_cnt_$c")) ++
-            d.minMaxCols.flatMap(c => Seq(col(s"d_min_$c"), col(s"d_max_$c")))): _*)
+            d.minMaxCols.flatMap(c => Seq(col(s"d_min_$c"), col(s"d_max_$c"))) ++
+            (if (needDirty) Seq(col("d_dirty")) else Nil)): _*)
       def nullSafeCond(right: DataFrame): Column =
         d.groupCols.map(c => col(c) <=> right(s"_g_$c")).reduce(_ && _)
       val old = lake.table(name)
@@ -756,22 +767,33 @@ object LakeMaterializedView {
             coalesce(col(s"d_cnt_$c"), lit(0L))).as(s"cnt_$c")) ++
           d.minMaxCols.flatMap(c => Seq(
             least(col(s"min_$c"), col(s"d_min_$c")).as(s"min_$c"),
-            greatest(col(s"max_$c"), col(s"d_max_$c")).as(s"max_$c"))): _*)
+            greatest(col(s"max_$c"), col(s"d_max_$c")).as(s"max_$c"))) ++
+          (if (needDirty)
+            Seq(coalesce(col("d_dirty"), lit(0L)).as("_dirty")) else Nil): _*)
         .filter(col("n_rows") > 0)
       val folded = withAvg(d, folded0)
+      // Window-level retirement gate (r17): when every logical change in
+      // the window is insert-shaped (no deleted/updated/merged snapshot
+      // tag on the source, no dim-delta terms), the feed provably contains
+      // no delete/update_preimage rows — the extrema fold is monotone and
+      // the whole dirty-recompute subplan (a full source scan at 100 TB)
+      // never gets planned.
+      val retirementsPossible = needDirty && (dimDeltaTerms.nonEmpty ||
+        st.snapshots.exists(sn => in(sn.snapshotId) &&
+          hasTag(sn.snapshotId, Set("deleted", "updated", "merged"))))
       val merged =
-        if (d.minMaxCols.isEmpty) folded
-        else {
+        if (!retirementsPossible) {
+          if (needDirty) folded.drop("_dirty") else folded
+        } else {
           // groups whose extrema may have RETIRED: recompute them whole
           // from the source restricted to those groups (group-col runtime
           // filter → file pruning when the group is a partition/sort key);
           // all other groups keep the folded monotone min/max. The signed
           // change-row union means dim-driven retirements (a changed key
           // leaving a group) mark their group dirty here too.
-          val dirty = changes
-            .filter(col("_change_type").isin("delete", "update_preimage"))
-            .select(d.groupCols.map(c => col(c).as(s"_g_$c")): _*).distinct()
-          val clean = folded.join(dirty, nullSafeCond(dirty), "left_anti")
+          val dirty = delta.filter(col("d_dirty") === 1L)
+            .select(d.groupCols.map(c => col(s"_g_$c")): _*)
+          val clean = folded.filter(col("_dirty") === 0L).drop("_dirty")
           // PIN the recompute at `cur`: a concurrent source commit between
           // the change-feed read and this scan would otherwise mix two
           // source states inside one refresh (folded groups at cur,
@@ -782,6 +804,13 @@ object LakeMaterializedView {
               .join(dirty, nullSafeCond(dirty), "left_semi"))
           clean.unionByName(recomputed)
         }
+      // plan-audit hook (r17 optimization evidence): dump the fold plan the
+      // refresh is about to execute; off unless explicitly armed
+      if (lake.spark.conf.getOption("spark.graft.mv.explainRefresh").contains("true"))
+        // scalastyle:off println
+        println(merged.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+        // scalastyle:on println
       commitMv(merged)
     } finally changes.unpersist()
     cur
