@@ -778,9 +778,14 @@ object LakeMaterializedView {
       // no delete/update_preimage rows — the extrema fold is monotone and
       // the whole dirty-recompute subplan (a full source scan at 100 TB)
       // never gets planned.
+      // mirrors the feed's defensiveness (tableChanges routes insert-tagged
+      // snapshots with new delete files into the DML branch): any in-window
+      // delete file on the source keeps the dirty-recompute path even if a
+      // future op were to create delete files under a different tag
       val retirementsPossible = needDirty && (dimDeltaTerms.nonEmpty ||
         st.snapshots.exists(sn => in(sn.snapshotId) &&
-          hasTag(sn.snapshotId, Set("deleted", "updated", "merged"))))
+          hasTag(sn.snapshotId, Set("deleted", "updated", "merged"))) ||
+        st.deleteFiles.exists(df => df.tableId == srcTid && in(df.begin)))
       val merged =
         if (!retirementsPossible) {
           if (needDirty) folded.drop("_dirty") else folded

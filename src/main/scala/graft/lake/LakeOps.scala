@@ -496,12 +496,30 @@ class Lake(val spark: SparkSession, val root: String,
     * update_postimage rows (reference sql/pg_ducklake--0.1.0.sql:344-449,
     * docs/sql_objects.md §table_changes, data_change_feed.sql).
     *
-    * Plan-size shape: consecutive insert-only snapshots collapse into ONE
-    * scan branch (their files are scanned together and `_snapshot_id` is
-    * recovered per row from an O(files) file→snapshot broadcast lookup), so
-    * replaying a table history of N append snapshots plans O(runs), not
-    * O(N) union arms. Only DML snapshots (delete/update), which need their
-    * delta's pre-images, contribute per-snapshot branches. */
+    * Plan-size shape (r18, guide §2.4/§3.3): O(1) scans and joins per
+    * window REGARDLESS of snapshot count. The window walk is driver-side
+    * metadata only; the data plan is
+    *   - ONE scan over every new file / inline batch in the window, with
+    *     (_snapshot_id, _change_type) recovered per row from an O(files)
+    *     file-name → (snapshot, type) broadcast lookup (data file names
+    *     are unique store-wide — they are the positional-delete join key);
+    *   - ONE scan over every window delete file's parts, provenance
+    *     recovered the same way from the part file name;
+    *   - ONE scan over the targeted pre-image files, inner-joined with the
+    *     delete rows on (file, pos) — position sets are disjoint across
+    *     snapshots (a row can only be deleted once), so the join both
+    *     selects the pre-image rows AND attaches their snapshot/type;
+    *   - one LEFT join against merge post-image row ids (split
+    *     update_preimage vs delete), planned only when the window has
+    *     MERGE snapshots.
+    * The old shape planned one scan+semi/anti-join subtree PER DML
+    * snapshot — a long-window refresh over many small commits degenerated
+    * to O(snapshots) scan arms (11 anti joins in l57's r17 window plan).
+    *
+    * Mid-window DDL: all scans run at the WINDOW-END snapshot; scanDF maps
+    * every file's schema epoch to the end columns by columnId (the same
+    * columnId mapping alignColumns applied per part before), so RENAME /
+    * ADD / DROP inside the window keep the feed consumable. */
   def tableChanges(table: String, startExclusive: Long, endInclusive: Long): DataFrame = {
     val st = store.state()
     val e = resolve(table, st)
@@ -514,20 +532,20 @@ class Lake(val spark: SparkSession, val root: String,
     val outSchema = StructType(LakeRead.structFor(cols) ++ metaSchema)
     val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
 
-    val parts = Vector.newBuilder[DataFrame]
-    // mid-window DDL alignment: every part is scanned under ITS snapshot's
-    // column names; align each to the WINDOW-END schema by columnId so a
-    // RENAME (or ADD/DROP) inside the window keeps the feed consumable —
-    // unaligned parts crash the unionByName below, which would brick every
-    // MV refresh and streaming read whose window spans the DDL
-    def aligned(snap: Long)(df: DataFrame): DataFrame =
-      LakeRead.alignColumns(st, tid, snap, endInclusive, df)
-    var run = Vector.empty[Long] // pending insert-only snapshot ids
-    def flushRun(): Unit = {
-      if (run.nonEmpty)
-        insertRunRows(st, run, tid).map(aligned(run.last)).foreach(parts += _)
-      run = Vector.empty
-    }
+    // ---- window walk: driver-side classification, O(snapshots) metadata
+    val insFiles = Vector.newBuilder[(DataFileEntry, Long, String)]
+    val insBatches = Vector.newBuilder[(InlinedBatch, Long, String)]
+    val delTagged = Vector.newBuilder[(DeleteFileEntry, Long, String)]
+    val preBatches = Vector.newBuilder[(InlinedBatch, Long, String)]
+    // rows inserted AND deleted by one transaction snapshot were never
+    // observable: (data file names created at the delete's own snapshot,
+    // that snapshot) — these delete rows suppress inserted rows instead of
+    // producing pre-images
+    val suppress = Vector.newBuilder[(Set[String], Long)]
+    val mergePostFiles = Vector.newBuilder[(DataFileEntry, Long)]
+    val mergeInlineIds = Vector.newBuilder[(Long, Long)] // (rowId, sid)
+    val MergePre = "merge" // sentinel: split into update_preimage/delete below
+
     st.snapshots
       .filter(s => s.snapshotId > startExclusive && s.snapshotId <= endInclusive)
       .foreach { snap =>
@@ -540,55 +558,217 @@ class Lake(val spark: SparkSession, val root: String,
         // "tag:tid[:detail]"; match tag AND this table's id.
         def has(tags: String*): Boolean = snap.changes.exists(c =>
           tags.exists(t => c == s"$t:$tid" || c.startsWith(s"$t:$tid:")))
-        // a transaction snapshot can carry inserts AND deletes in one delta
-        // — only a PURE insert snapshot joins an insert run; mixed ones
-        // take the DML branch, which nets out rows inserted and deleted in
-        // the same snapshot
-        lazy val hasDeletes = store.delta(sid).newDeleteFiles.exists(_.tableId == tid)
         val insertish = has("inserted", "inlined")
         val dml = has("deleted", "updated")
-        if (insertish && !dml && !has("merged") && !hasDeletes) run :+= sid
-        else if (dml || insertish) {
-          flushRun()
+        val mergy = has("merged")
+        // non-logical writes (DDL, compaction, flush) are not changes
+        if (insertish || dml || mergy) {
           val delta = store.delta(sid)
-          val isUpdate = has("updated")
-          // inserted rows: new files / new inline batches of this snapshot
-          parts ++= insertedRows(st, delta, tid, sid,
-            if (isUpdate) "update_postimage" else "insert").map(aligned(sid))
-          // deleted rows: new delete files + inline batch shrinkage
-          parts ++= deletedRows(st, delta, tid, sid,
-            if (isUpdate) "update_preimage" else "delete").map(aligned(sid))
-        } else if (has("merged")) {
-          flushRun()
-          parts ++= mergedRows(st, store.delta(sid), tid, sid).map(aligned(sid))
+          val hasDeletes = delta.newDeleteFiles.exists(_.tableId == tid)
+          if (insertish && !dml && !mergy && !hasDeletes) {
+            delta.newFiles.filter(_.tableId == tid)
+              .foreach(f => insFiles += ((f, sid, "insert")))
+            delta.newInlined.filter(b => b.tableId == tid && b.rowIds.isEmpty)
+              .foreach(b => insBatches += ((b, sid, "insert")))
+          } else if (dml || insertish) {
+            // a transaction snapshot can carry inserts AND deletes in one
+            // delta; every new file/batch of an update-tagged snapshot is a
+            // post-image, of a delete/insert-tagged one an insert
+            val postT = if (has("updated")) "update_postimage" else "insert"
+            val preT = if (has("updated")) "update_preimage" else "delete"
+            delta.newFiles.filter(_.tableId == tid)
+              .foreach(f => insFiles += ((f, sid, postT)))
+            delta.newInlined.filter(b => b.tableId == tid && b.rowIds.isEmpty)
+              .foreach(b => insBatches += ((b, sid, postT)))
+            changedInline(st, delta, tid).foreach(b => insBatches += ((b, sid, postT)))
+            delta.newDeleteFiles.filter(_.tableId == tid).foreach { d =>
+              delTagged += ((d, sid, preT))
+              val sameSnap = sameSnapshotTargets(st, d, sid)
+              if (sameSnap.nonEmpty) suppress += ((sameSnap, sid))
+            }
+            removedInline(st, delta, tid).foreach(b => preBatches += ((b, sid, preT)))
+          } else { // pure MERGE snapshot
+            delta.newFiles.filter(f => f.tableId == tid && !f.explicitRowIds)
+              .foreach(f => insFiles += ((f, sid, "insert")))
+            delta.newFiles.filter(f => f.tableId == tid && f.explicitRowIds)
+              .foreach { f =>
+                insFiles += ((f, sid, "update_postimage"))
+                mergePostFiles += ((f, sid))
+              }
+            delta.newInlined.filter(b => b.tableId == tid && b.rowIds.isEmpty)
+              .foreach(b => insBatches += ((b, sid, "insert")))
+            changedInline(st, delta, tid).foreach { b =>
+              insBatches += ((b, sid, "update_postimage"))
+              b.rowIds.foreach(_.foreach(rid => mergeInlineIds += ((rid, sid))))
+            }
+            delta.newDeleteFiles.filter(_.tableId == tid)
+              .foreach(d => delTagged += ((d, sid, MergePre)))
+            removedInline(st, delta, tid).foreach(b => preBatches += ((b, sid, MergePre)))
+          }
         }
-        // non-logical writes (DDL, compaction, flush) are not changes and
-        // don't break an insert run — scanDF handles mixed schema epochs
       }
-    flushRun()
-    parts.result().foldLeft(empty)(_ unionByName _)
-  }
 
-  /** one scan branch for a run of insert-only snapshots */
-  private def insertRunRows(st: CatalogState, sids: Seq[Long], tid: Long): Option[DataFrame] = {
-    val deltas = sids.map(store.delta)
-    val files = deltas.flatMap(_.newFiles.filter(_.tableId == tid))
-    val fresh = deltas.flatMap(_.newInlined.filter(b =>
-      b.tableId == tid && b.rowIds.isEmpty))
-    if (files.isEmpty && fresh.isEmpty) return None
-    // file/batch → committing snapshot, recovered per row after the scan
-    val lookup = spark.createDataFrame(
-      (files.map(f => Row(f.fileName, f.begin)) ++
-        fresh.map(b => Row(s"inline:${b.batchId}", b.begin))).toList.asJava,
-      StructType(Seq(StructField(LakeRead.FileCol, StringType),
-        StructField("_snapshot_id", LongType))))
-    val scan = LakeRead.scanDF(spark, scopedState(st, files, fresh), tid,
-      sids.last, Nil, withRowMeta = true)
-    Some(scan
-      .join(broadcast(lookup), Seq(LakeRead.FileCol), "left")
-      .withColumn("_change_type", lit("insert"))
-      .withColumn("_row_id", col(LakeRead.RowIdCol))
-      .drop(LakeRead.FileCol, LakeRead.PosCol, LakeRead.RowIdCol))
+    val insFilesV = insFiles.result()
+    val insBatchesV = insBatches.result()
+    val delTaggedV = delTagged.result()
+    val preBatchesV = preBatches.result()
+    val suppressV = suppress.result()
+    val mergePostV = mergePostFiles.result()
+    val mergeInlineIdsV = mergeInlineIds.result()
+
+    // ---- window delete rows: ONE scan over every delete part, provenance
+    // (sid, change type) recovered from the part's file name. Part names
+    // are Spark task-UUID-unique; on the (never-observed) collision, or a
+    // legacy dir entry whose parts cannot be listed, fall back to one
+    // lit-tagged arm per delete file — still a single join downstream.
+    def baseName(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+    val delStruct = StructType(Seq(StructField("file", StringType),
+      StructField("pos", LongType), StructField("row_id", LongType)))
+    val ddTagged: Option[DataFrame] = if (delTaggedV.isEmpty) None else {
+      val withParts = delTaggedV.map { case (d, sid, ct) =>
+        val parts = if (d.parts.nonEmpty) d.parts
+          else StoreIO.forPath(d.path).list(d.path, "", ".parquet").sorted
+            .map(n => s"${d.path}/$n").toList
+        (d, sid, ct, parts)
+      }
+      val names = withParts.flatMap(_._4).map(baseName)
+      val tagged =
+        if (names.distinct.size == names.size && names.nonEmpty) {
+          val lookup = spark.createDataFrame(
+            withParts.flatMap { case (_, sid, ct, ps) =>
+              ps.map(p => Row(baseName(p), sid, ct)) }.toList.asJava,
+            StructType(Seq(StructField("_graft_dpart", StringType),
+              StructField("_graft_dsid", LongType),
+              StructField("_graft_dct", StringType))))
+          spark.read.schema(delStruct).parquet(withParts.flatMap(_._4): _*)
+            .withColumn("_graft_dpart", col("_metadata.file_name"))
+            .join(broadcast(lookup), Seq("_graft_dpart"), "left")
+            .drop("_graft_dpart")
+        } else {
+          withParts.map { case (d, sid, ct, _) =>
+            spark.read.schema(delStruct).parquet(deleteReadPaths(Seq(d)): _*)
+              .withColumn("_graft_dsid", lit(sid))
+              .withColumn("_graft_dct", lit(ct))
+          }.reduce(_ unionByName _)
+        }
+      Some(tagged.select(col("file").as(LakeRead.FileCol),
+        col("pos").as(LakeRead.PosCol), col("_graft_dsid"), col("_graft_dct")))
+    }
+    // a delete row suppresses (hits a file created at its own snapshot) iff
+    // its file's begin == its delete's snapshot — driver-known name set
+    val suppCond: Option[Column] = if (suppressV.isEmpty) None else
+      Some(suppressV.map { case (fnames, sid) =>
+        col(LakeRead.FileCol).isin(fnames.toSeq: _*) &&
+          col("_graft_dsid") === lit(sid)
+      }.reduce(_ || _))
+
+    // ---- inserted side: one scan over every new file/batch in the window
+    val insertedPart: Option[DataFrame] =
+      if (insFilesV.isEmpty && insBatchesV.isEmpty) None
+      else {
+        val lookup = spark.createDataFrame(
+          (insFilesV.map { case (f, sid, ct) => Row(f.fileName, sid, ct) } ++
+            insBatchesV.map { case (b, sid, ct) =>
+              Row(s"inline:${b.batchId}", sid, ct) }).toList.asJava,
+          StructType(Seq(StructField(LakeRead.FileCol, StringType),
+            StructField("_snapshot_id", LongType),
+            StructField("_change_type", StringType))))
+        val scan = LakeRead.scanDF(spark,
+          scopedState(st, insFilesV.map(_._1), insBatchesV.map(_._1)),
+          tid, endInclusive, Nil, withRowMeta = true)
+        val taggedScan = scan.join(broadcast(lookup), Seq(LakeRead.FileCol), "left")
+        val suppressed = (ddTagged, suppCond) match {
+          case (Some(dd), Some(cond)) =>
+            taggedScan.join(
+              LakeRead.gateBroadcast(spark,
+                dd.filter(cond).select(LakeRead.FileCol, LakeRead.PosCol),
+                delTaggedV.map(_._1.deleteCount).sum),
+              Seq(LakeRead.FileCol, LakeRead.PosCol), "left_anti")
+          case _ => taggedScan
+        }
+        Some(suppressed
+          .withColumn("_row_id", col(LakeRead.RowIdCol))
+          .drop(LakeRead.FileCol, LakeRead.PosCol, LakeRead.RowIdCol))
+      }
+
+    // ---- pre-image side: one scan over the targeted files, one join
+    val fileById = st.files.map(f => f.fileId -> f).toMap
+    val preParquet: Option[DataFrame] = ddTagged.map { dd0 =>
+      // positions hitting files CREATED in the delete's own snapshot have
+      // no observable pre-image (suppression rows) — excluded at row level
+      // by the same driver-known (names, sid) set
+      val dd = suppCond.map(c => dd0.filter(!c)).getOrElse(dd0)
+      // target files: created BEFORE their delete's snapshot (a file may be
+      // hit by several window deletes; scanned once, the join's disjoint
+      // position sets attribute each row to its snapshot)
+      val targets = delTaggedV.flatMap { case (d, sid, _) =>
+        d.countsByFile.keys.map(_.toLong).flatMap(fileById.get)
+          .filter(_.begin < sid)
+      }.groupBy(_.fileId).map(_._2.head).toVector.sortBy(_.fileId)
+      val pre = LakeRead.scanDF(spark, scopedState(st, targets, Nil), tid,
+        endInclusive, Nil, withRowMeta = true)
+      pre.join(
+        LakeRead.gateBroadcast(spark, dd, delTaggedV.map(_._1.deleteCount).sum),
+        Seq(LakeRead.FileCol, LakeRead.PosCol), "inner")
+    }
+    // inline pre-images: rows of replaced batches that vanished or changed
+    val preInline: Option[DataFrame] = if (preBatchesV.isEmpty) None else {
+      val lookup = spark.createDataFrame(
+        preBatchesV.map { case (b, sid, ct) =>
+          Row(s"inline:${b.batchId}", sid, ct) }.toList.asJava,
+        StructType(Seq(StructField(LakeRead.FileCol, StringType),
+          StructField("_graft_dsid", LongType),
+          StructField("_graft_dct", StringType))))
+      Some(LakeRead.scanDF(spark,
+          scopedState(st, Nil, preBatchesV.map(_._1)), tid,
+          endInclusive, Nil, withRowMeta = true)
+        .join(broadcast(lookup), Seq(LakeRead.FileCol), "left"))
+    }
+    val preAll = (preParquet.toSeq ++ preInline.toSeq)
+      .reduceOption(_ unionByName _)
+    val prePart: Option[DataFrame] = preAll.map { pre =>
+      val resolved =
+        if (mergePostV.isEmpty && mergeInlineIdsV.isEmpty)
+          pre.withColumn("_change_type", col("_graft_dct"))
+        else {
+          // merge pre-images split by row-id membership in the SAME
+          // snapshot's post-image set: one LEFT join against all window
+          // merge post ids (a MERGE deletes and updates in one snapshot,
+          // so the tag alone can't classify the way UPDATE/DELETE can)
+          val idStruct = StructType(Seq(StructField(LakeRead.RowIdCol, LongType)))
+          val filePost: Option[DataFrame] = if (mergePostV.isEmpty) None else {
+            val lk = spark.createDataFrame(
+              mergePostV.map { case (f, sid) => Row(f.fileName, sid) }.toList.asJava,
+              StructType(Seq(StructField("_graft_pfile", StringType),
+                StructField("_graft_psid", LongType))))
+            Some(spark.read.schema(idStruct).parquet(mergePostV.map(_._1.path): _*)
+              .withColumn("_graft_pfile", col("_metadata.file_name"))
+              .join(broadcast(lk), Seq("_graft_pfile"))
+              .select(col(LakeRead.RowIdCol).as("_graft_prid"), col("_graft_psid")))
+          }
+          val inlinePost: Option[DataFrame] = if (mergeInlineIdsV.isEmpty) None else
+            Some(spark.createDataFrame(
+              mergeInlineIdsV.map { case (rid, sid) => Row(rid, sid) }.toList.asJava,
+              StructType(Seq(StructField("_graft_prid", LongType),
+                StructField("_graft_psid", LongType)))))
+          val postIds = (filePost.toSeq ++ inlinePost.toSeq).reduce(_ unionByName _)
+          pre.join(postIds,
+              pre(LakeRead.RowIdCol) === postIds("_graft_prid") &&
+                col("_graft_dsid") === postIds("_graft_psid"), "left")
+            .withColumn("_change_type",
+              when(col("_graft_dct") =!= MergePre, col("_graft_dct"))
+                .when(col("_graft_prid").isNotNull, "update_preimage")
+                .otherwise("delete"))
+            .drop("_graft_prid", "_graft_psid")
+        }
+      resolved
+        .withColumn("_snapshot_id", col("_graft_dsid"))
+        .withColumn("_row_id", col(LakeRead.RowIdCol))
+        .drop(LakeRead.FileCol, LakeRead.PosCol, LakeRead.RowIdCol,
+          "_graft_dsid", "_graft_dct")
+    }
+
+    (insertedPart.toSeq ++ prePart.toSeq).foldLeft(empty)(_ unionByName _)
   }
 
   def tableInsertions(table: String, s0: Long, s1: Long): DataFrame =
@@ -634,133 +814,44 @@ class Lake(val spark: SparkSession, val root: String,
       deleteFiles = deletes.map(_.copy(begin = 0L, end = None)).toVector,
       inlined = batches.map(_.copy(begin = 0L, end = None)).toVector)
 
-  private def tagChanges(df: DataFrame, changeType: String, sid: Long): DataFrame =
-    df.withColumn("_change_type", lit(changeType))
-      .withColumn("_snapshot_id", lit(sid))
-      .withColumn("_row_id", col(LakeRead.RowIdCol))
-      .drop(LakeRead.FileCol, LakeRead.PosCol, LakeRead.RowIdCol)
-
   /** old-row JSON by row id from the batches this snapshot replaced */
   private def priorInlineJson(st: CatalogState, delta: CommitDelta, tid: Long): Map[Long, String] =
     st.inlined.filter(b => b.tableId == tid && delta.endedInlined.contains(b.batchId))
       .flatMap(b => b.rowsJson.zip(b.ids).map { case (j, rid) => rid -> j }).toMap
 
-  private def insertedRows(st: CatalogState, delta: CommitDelta, tid: Long,
-      sid: Long, changeType: String): Option[DataFrame] = {
-    val files = delta.newFiles.filter(_.tableId == tid)
-    val fresh = delta.newInlined.filter(b => b.tableId == tid && b.rowIds.isEmpty)
-    // rewritten batches contribute only rows whose content CHANGED (update
-    // post-images); untouched survivors are not changes
+  /** rewritten inline batches restricted to rows whose content CHANGED
+    * (update post-images); untouched survivors are not changes */
+  private def changedInline(st: CatalogState, delta: CommitDelta, tid: Long): Seq[InlinedBatch] = {
     val oldJson = priorInlineJson(st, delta, tid)
-    val changed = delta.newInlined.filter(b => b.tableId == tid && b.rowIds.isDefined)
+    delta.newInlined.filter(b => b.tableId == tid && b.rowIds.isDefined)
       .map { b =>
         val kept = b.rowsJson.zip(b.ids)
           .filter { case (j, rid) => oldJson.get(rid).exists(_ != j) }
         b.copy(rowsJson = kept.map(_._1), rowIds = Some(kept.map(_._2)))
       }.filter(_.rowsJson.nonEmpty)
-    if (files.isEmpty && fresh.isEmpty && changed.isEmpty) return None
-    // same-snapshot delete files are scoped in so a row inserted AND
-    // deleted by one transaction snapshot nets to no change (it was never
-    // observable); for plain UPDATE snapshots the delete targets old files
-    // the scope doesn't contain, so this is a no-op there
-    val scoped = scopedState(st, files, fresh ++ changed,
-      deletes = delta.newDeleteFiles.filter(_.tableId == tid))
-    Some(tagChanges(
-      LakeRead.scanDF(spark, scoped, tid, sid, Nil, withRowMeta = true),
-      changeType, sid))
   }
 
-  private def deletedRows(st: CatalogState, delta: CommitDelta, tid: Long,
-      sid: Long, changeType: String): Option[DataFrame] =
-    deletedRowsUntagged(st, delta, tid, sid).map(tagChanges(_, changeType, sid))
-
-  /** pre-image rows of a DML snapshot, meta columns kept (caller tags) */
-  private def deletedRowsUntagged(st: CatalogState, delta: CommitDelta, tid: Long,
-      sid: Long): Option[DataFrame] = {
-    val delFiles = delta.newDeleteFiles.filter(_.tableId == tid)
-
-    // parquet pre-images: the deleted (file,pos) rows read from exactly the
-    // files the delete file targets (countsByFile keys = data file ids)
-    val parquetPart: Option[DataFrame] = if (delFiles.isEmpty) None else {
-      val targetIds = delFiles.flatMap(_.countsByFile.keys.map(_.toLong)).toSet
-      // begin < sid: positions hitting files CREATED in this same snapshot
-      // (transaction grouping) have no observable pre-image — the row was
-      // never visible outside the transaction
-      val targets = st.files.filter(f => targetIds.contains(f.fileId) && f.begin < sid)
-      val pre = LakeRead.scanDF(spark, scopedState(st, targets, Nil), tid, sid,
-        Nil, withRowMeta = true)
-      val delStruct = StructType(Seq(StructField("file", StringType),
-        StructField("pos", LongType), StructField("row_id", LongType)))
-      val dd = spark.read.schema(delStruct).parquet(deleteReadPaths(delFiles): _*)
-        .select(col("file").as(LakeRead.FileCol), col("pos").as(LakeRead.PosCol))
-      // same size gate as the scan's anti-join: broadcast only provably
-      // small delete sets (metadata-known counts), else let AQE choose
-      Some(pre.join(
-        LakeRead.gateBroadcast(spark, dd, delFiles.map(_.deleteCount).sum),
-        Seq(LakeRead.FileCol, LakeRead.PosCol), "left_semi"))
-    }
-
-    // inline pre-images: rows of replaced batches that vanished or changed
+  /** inline pre-images: rows of replaced batches that vanished or changed */
+  private def removedInline(st: CatalogState, delta: CommitDelta, tid: Long): Seq[InlinedBatch] = {
     val endedBatches = st.inlined.filter(b => b.tableId == tid &&
       delta.endedInlined.contains(b.batchId))
     val replacement: Map[Long, String] = delta.newInlined.filter(_.tableId == tid)
       .flatMap(b => b.rowsJson.zip(b.ids).map { case (j, rid) => rid -> j }).toMap
-    val inlinePart: Option[DataFrame] = {
-      val removed = endedBatches.map { b =>
-        val gone = b.rowsJson.zip(b.ids)
-          .filter { case (j, rid) => replacement.get(rid).forall(_ != j) }
-        b.copy(rowsJson = gone.map(_._1), rowIds = Some(gone.map(_._2)))
-      }.filter(_.rowsJson.nonEmpty)
-      if (removed.isEmpty) None
-      else Some(LakeRead.scanDF(spark, scopedState(st, Nil, removed), tid, sid,
-        Nil, withRowMeta = true))
-    }
-
-    val both = parquetPart.toSeq ++ inlinePart.toSeq
-    if (both.isEmpty) None
-    else Some(both.reduce(_ unionByName _))
+    endedBatches.map { b =>
+      val gone = b.rowsJson.zip(b.ids)
+        .filter { case (j, rid) => replacement.get(rid).forall(_ != j) }
+      b.copy(rowsJson = gone.map(_._1), rowIds = Some(gone.map(_._2)))
+    }.filter(_.rowsJson.nonEmpty)
   }
 
-  /** changes of one MERGE snapshot: fresh-row-id files → insert, explicit-
-    * row-id files / rewritten inline rows → update_postimage, and pre-images
-    * split into update_preimage vs delete by row-id membership in the
-    * post-image set (a MERGE deletes and updates in the same snapshot, so
-    * the tag alone can't classify them the way UPDATE/DELETE snapshots can). */
-  private def mergedRows(st: CatalogState, delta: CommitDelta, tid: Long,
-      sid: Long): Seq[DataFrame] = {
-    val out = Vector.newBuilder[DataFrame]
-    val insFiles = delta.newFiles.filter(f => f.tableId == tid && !f.explicitRowIds)
-    val postFiles = delta.newFiles.filter(f => f.tableId == tid && f.explicitRowIds)
-    val fresh = delta.newInlined.filter(b => b.tableId == tid && b.rowIds.isEmpty)
-    val oldJson = priorInlineJson(st, delta, tid)
-    val changed = delta.newInlined.filter(b => b.tableId == tid && b.rowIds.isDefined)
-      .map { b =>
-        val kept = b.rowsJson.zip(b.ids)
-          .filter { case (j, rid) => oldJson.get(rid).exists(_ != j) }
-        b.copy(rowsJson = kept.map(_._1), rowIds = Some(kept.map(_._2)))
-      }.filter(_.rowsJson.nonEmpty)
-
-    if (insFiles.nonEmpty || fresh.nonEmpty)
-      out += tagChanges(LakeRead.scanDF(spark, scopedState(st, insFiles, fresh),
-        tid, sid, Nil, withRowMeta = true), "insert", sid)
-    if (postFiles.nonEmpty || changed.nonEmpty)
-      out += tagChanges(LakeRead.scanDF(spark, scopedState(st, postFiles, changed),
-        tid, sid, Nil, withRowMeta = true), "update_postimage", sid)
-
-    deletedRowsUntagged(st, delta, tid, sid).foreach { pre =>
-      val idStruct = StructType(Seq(StructField(LakeRead.RowIdCol, LongType)))
-      val inlineIdDF = spark.createDataFrame(
-        changed.flatMap(_.rowIds.get).map(Row(_)).toList.asJava, idStruct)
-      val postIds = (
-        (if (postFiles.isEmpty) Nil
-         else Seq(spark.read.schema(idStruct).parquet(postFiles.map(_.path): _*)))
-          :+ inlineIdDF).reduce(_ unionByName _)
-      out += tagChanges(pre.join(postIds, Seq(LakeRead.RowIdCol), "left_semi"),
-        "update_preimage", sid)
-      out += tagChanges(pre.join(postIds, Seq(LakeRead.RowIdCol), "left_anti"),
-        "delete", sid)
-    }
-    out.result()
+  /** data-file names a delete file targets that were CREATED in the
+    * delete's own snapshot (transaction grouping): those positions were
+    * never observable and suppress the inserted rows instead of producing
+    * pre-images */
+  private def sameSnapshotTargets(st: CatalogState, d: DeleteFileEntry, sid: Long): Set[String] = {
+    val ids = d.countsByFile.keys.map(_.toLong).toSet
+    st.files.filter(f => ids.contains(f.fileId) && f.begin == sid)
+      .map(_.fileName).toSet
   }
 
   // ------------------------------------------------------------ maintenance

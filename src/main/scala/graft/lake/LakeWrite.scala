@@ -547,7 +547,7 @@ object LakeWrite {
     // a small DELETE gets one part with NO range-sampling job, a 100 TB
     // one still fans out.
     val rowsPerPart = spark.conf.getOption("spark.graft.delete.rowsPerPart")
-      .flatMap(_.toLongOption).getOrElse(4L << 20)
+      .flatMap(_.toLongOption).filter(_ > 0).getOrElse(4L << 20)
     val nParts = math.max(1L, math.min(
       spark.sessionState.conf.numShufflePartitions.toLong,
       (total + rowsPerPart - 1) / rowsPerPart)).toInt

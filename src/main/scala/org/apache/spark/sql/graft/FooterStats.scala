@@ -158,8 +158,14 @@ object FooterStats {
           case _ => None // MILLIS/NANOS/INT96: not what the lake writes
         }
       case (INT32 | INT64, ByteType | ShortType | IntegerType | LongType)
-          if logical == null ||
-            logical.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation] =>
+          // unsigned annotations (foreign uint32 files via addDataFiles)
+          // must fall back: Spark reads uint32 as bigint, but the footer
+          // min/max would sign-extend (-1 instead of 4294967295) and
+          // poison pruning — the old Spark job path handles them right
+          if logical == null || (logical match {
+            case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation => i.isSigned
+            case _ => false
+          }) =>
         Some(v.asInstanceOf[Number].longValue())
       case (BINARY, StringType) => Some(v.asInstanceOf[Binary].getBytes)
       case (BOOLEAN, BooleanType) => Some(v.asInstanceOf[java.lang.Boolean].booleanValue())
@@ -193,6 +199,9 @@ object FooterStats {
       tsFormatter: TimestampFormatter, dateFormatter: DateFormatter): String =
     (dt, v) match {
       case (StringType, b: Array[Byte]) => new String(b, "UTF-8")
+      // toPlainString, NOT toString: Spark's cast(decimal as string) never
+      // uses scientific notation (pinned by the FooterStatsSpec tiny-decimal
+      // test: decimal(12,7) 0.0000001 casts to "0.0000001", not "1E-7")
       case (_: DecimalType, d: JBigDecimal) => d.toPlainString
       case (DateType, days: Int) => dateFormatter.format(days)
       case (TimestampType, micros: Long) => tsFormatter.format(micros)

@@ -112,6 +112,54 @@ class FooterStatsSpec extends AnyFunSuite {
     assert(lake.table("main.z").count() == 2L)
   }
 
+  test("tiny decimals render exactly like the job's cast (no scientific notation)") {
+    // ADVICE r17 raised BigDecimal.toString's scientific switch (adjusted
+    // exponent < -6) as a divergence risk; empirically Spark's
+    // cast(decimal as string) renders PLAIN ("0.0000001", never "1E-7"),
+    // so toPlainString is the bit-identical rendering — pinned here
+    val lake = mkLake()
+    import spark.implicits._
+    lake.createTableAs("main.tiny",
+      Seq("0.0000001", "0.0000456", "3.1400000").toDF("ds")
+        .select(col("ds").cast("decimal(12,7)").as("dec")).coalesce(1))
+    assertStatsMatchJob(lake, "main.tiny")
+    val st = lake.store.state()
+    val s = st.stats.filter(_.columnName == "dec")
+    assert(s.head.minValue.contains("0.0000001"), s"stored min: ${s.head.minValue}")
+    assert(s.head.maxValue.contains("3.1400000"))
+  }
+
+  test("unsigned-int foreign files take the job fallback (no sign extension)") {
+    // ADVICE r17: a uint32 parquet file registered via addDataFiles reads as
+    // bigint in Spark, but its footer min/max are raw int32 bits — harvesting
+    // them would sign-extend 4294967295 to -1 and poison pruning
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.schema.MessageTypeParser
+    val lake = mkLake()
+    lake.createTable("main.u", org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType))))
+    val dir = Files.createTempDirectory("graft_uint")
+    val p = new org.apache.hadoop.fs.Path(dir.resolve("u32.parquet").toString)
+    val schema = MessageTypeParser.parseMessageType(
+      "message m { required int32 v (INTEGER(32,false)); }")
+    val gf = new SimpleGroupFactory(schema)
+    val w = ExampleParquetWriter.builder(p).withType(schema)
+      .withConf(spark.sessionState.newHadoopConf()).build()
+    try {
+      w.write(gf.newGroup().append("v", 7))
+      w.write(gf.newGroup().append("v", -1)) // bits of uint 4294967295
+    } finally w.close()
+    lake.addDataFiles("main.u", Seq(p.toString))
+    val st = lake.store.state()
+    val s = st.stats.filter(_.columnName == "v")
+    assert(s.nonEmpty, "stats recorded for the foreign file")
+    assert(s.head.minValue.contains("7"), s"stored min: ${s.head.minValue}")
+    assert(s.head.maxValue.contains("4294967295"), s"stored max: ${s.head.maxValue}")
+    assertStatsMatchJob(lake, "main.u")
+  }
+
   test("timestamps write as INT64 micros so footer stats cover them") {
     val lake = mkLake()
     import spark.implicits._
